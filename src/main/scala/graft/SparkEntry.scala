@@ -1,13 +1,302 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.icenet.{Geometry, Ingest}
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent oracle in [[SparkEntry.oracleSql]].
+  *
+  * Conventions (driver hash-compares after sorting columns by name):
+  *  - every computed column is aliased identically in the Spark plan and in
+  *    the oracle SQL;
+  *  - Spark/DuckDB type mismatches are normalized in the ORACLE (e.g.
+  *    `CAST(... AS BIGINT)` for row_number, `trunc()` before int casts
+  *    because DuckDB rounds double->int while Spark truncates);
+  *  - queries read through [[Tables]] so pushdown reaches the parquet scan.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship (SURVEY §7.2 M1): the reference's latest-forecast materialized
+    * view (J4+A3+J2+A4+W1, processor.py:416-436) re-expressed over the
+    * fixtures — facts=orders, dim=customer, "generation date"=o_orderdate.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    latestView(spark, "/root/testdata/sf0.001")
+
+  private def latestView(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).withColumn("d", to_date(col("o_orderdate")))
+    val c = Tables.customer(s, dir)
+    // scalar-subquery max (A3/J4) as a broadcast single-row join: no
+    // driver-side action, one plan, no shuffle on the fact side.
+    val maxd = o.agg(max(col("d")).as("maxd"))
+    val latest = o.join(broadcast(maxd), col("d") === col("maxd"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("o_totalprice"))
+      .distinct() // A4: GROUP-BY-all dedup
+    // W1: deterministic surrogate id over the natural key. Single-partition
+    // window is safe: the view covers ONE generation date, never the fact set.
+    latest.withColumn("forecast_id",
+      row_number().over(Window.orderBy("o_orderkey")).cast("long"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- flagship --------------------------------------------------------
+    "latest_view" -> ((s, dir) => latestView(s, dir)),
+
+    // ---- P: projections / filters / scalar expressions -------------------
+    "p1_rename_shim" -> { (s, dir) =>
+      // conditional legacy rename (processor.py:126-133) exercised on a
+      // projected lineitem: l_quantity -> quantity only when present.
+      val df = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      if (df.columns.contains("l_quantity"))
+        df.withColumnRenamed("l_quantity", "quantity") else df
+    },
+    "p2_filter" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 25)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+    "p3_null_drop" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "props")
+        .na.drop("any")),
+    "p4_flatten" -> ((s, dir) =>
+      // wide-to-long flatten (processor.py:158-160) as posexplode
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        posexplode(split(col("p_type"), " ")).as(Seq("pos", "word")))),
+    "p5_unit_scale" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") * 1000).cast("int").as("qty_milli"))),
+    "p6_date_arith" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"))),
+    "p7_projection" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_shipdate")),
+    "p8_date_trunc" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("ship_date"))),
+    "p9_classify" -> ((s, dir) =>
+      // hemisphere-detection shape (processor.py:137-150): threshold rules
+      // with a keyword fallback, as a single codegen'd CASE expression.
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        when(col("c_acctbal") > 8000, "north")
+          .when(col("c_acctbal") < -800, "south")
+          .otherwise(when(col("c_mktsegment") === "BUILDING", "north")
+            .otherwise("south")).as("hemisphere"))),
+    "p10_first_distinct" -> ((s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderpriority").as("priority")).distinct()),
+
+    // ---- J: joins --------------------------------------------------------
+    "j1_left_join_2key" -> { (s, dir) =>
+      // forecasts |x cells on a 2-column key (processor.py:314-321); the dim
+      // side is small -> explicit broadcast, no shuffle of the fact side.
+      val li = Tables.lineitem(s, dir)
+      val dim = li.groupBy("l_partkey", "l_suppkey")
+        .agg(count(lit(1)).as("ps_count"))
+      li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .join(broadcast(dim), Seq("l_partkey", "l_suppkey"), "left")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "ps_count")
+    },
+    "j2_inner_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+    },
+    "j3_cross_join" -> ((s, dir) =>
+      Tables.region(s, dir).select("r_name")
+        .crossJoin(Tables.nation(s, dir).select("n_name"))),
+    "j4_scalar_subquery" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
+      o.join(broadcast(maxd), col("o_orderdate") === col("maxd"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    // ---- A: aggregations -------------------------------------------------
+    "a1_minmax_range" -> ((s, dir) =>
+      // mean_step_size (utils.py:47-48): (max-min)/(n-1)
+      Tables.lineitem(s, dir).agg(
+        ((max(col("l_extendedprice")) - min(col("l_extendedprice"))) /
+          (count(lit(1)) - 1)).as("mean_step"))),
+    "a2_grouped_agg" -> ((s, dir) =>
+      // forecast_meta rollup shape (processor.py:385-394)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          to_date(min(col("l_shipdate"))).as("first_ship"),
+          to_date(max(col("l_shipdate"))).as("last_ship"),
+          count(lit(1)).as("n_records"))),
+    "a3_global_max" -> ((s, dir) =>
+      Tables.orders(s, dir).agg(max(to_date(col("o_orderdate"))).as("latest"))),
+    "a4_dedup" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_returnflag"), col("l_linestatus"),
+        to_date(col("l_shipdate")).as("d")).distinct()),
+
+    // ---- W: window -------------------------------------------------------
+    "w1_row_number" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(
+          Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+          .cast("long").as("rn"))),
+
+    // ---- F: scalar functions ---------------------------------------------
+    "f1_wkt_polygon" -> ((s, dir) =>
+      // F1 (processor.py:225-236): 5-point closed rectangle ring as WKT,
+      // pure format_string — whole-stage-codegen friendly.
+      Tables.nation(s, dir).select(
+        col("n_nationkey"),
+        Geometry.wktCellPolygon(
+          (col("n_nationkey") * 1000).cast("long"),
+          (col("n_regionkey") * 1000).cast("long"),
+          lit(500L), lit(500L)).as("wkt"))),
+    "f5_date_format" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))),
+
+    // ---- S: upsert semantics as pure-DataFrame set ops -------------------
+    "s5_first_write_wins" -> { (s, dir) =>
+      // ON CONFLICT DO NOTHING (processor.py:249-257): existing rows win,
+      // incoming-only keys appended via left-anti join.
+      val o = Tables.orders(s, dir)
+      val existing = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), lit("old").as("src"), col("o_totalprice"))
+      val incoming = o
+        .select(col("o_orderkey"), lit("new").as("src"), col("o_totalprice"))
+      existing.unionByName(
+        incoming.join(existing.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))
+    },
+    "s6_last_write_wins" -> { (s, dir) =>
+      // ON CONFLICT DO UPDATE (processor.py:375-403): incoming rows replace
+      // matched keys, unmatched existing rows survive.
+      val o = Tables.orders(s, dir)
+      def rollup(status: String) =
+        o.filter(col("o_orderstatus") === status)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val existing = rollup("F")
+      val incoming = rollup("O")
+      existing.join(incoming.select("o_custkey"), Seq("o_custkey"), "left_anti")
+        .unionByName(incoming)
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "latest_view" ->
+      """WITH latest AS (
+        |  SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE CAST(o.o_orderdate AS DATE) =
+        |        (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT o_orderkey, o_custkey, c_name, o_totalprice,
+        |       CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS forecast_id
+        |FROM latest""".stripMargin,
+    "p1_rename_shim" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity AS quantity FROM lineitem",
+    "p2_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 25""".stripMargin,
+    "p3_null_drop" ->
+      """SELECT event_id, user_id, event_type, value, props FROM events
+        |WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |  AND event_type IS NOT NULL AND value IS NOT NULL
+        |  AND props IS NOT NULL""".stripMargin,
+    "p4_flatten" ->
+      """SELECT p_partkey,
+        |       CAST(unnest(generate_series(1, len(parts))) - 1 AS INT) AS pos,
+        |       unnest(parts) AS word
+        |FROM (SELECT p_partkey, string_split(p_type, ' ') AS parts FROM part)""".stripMargin,
+    "p5_unit_scale" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(trunc(l_quantity * 1000) AS INT) AS qty_milli
+        |FROM lineitem""".stripMargin,
+    "p6_date_arith" ->
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) + 30 AS due_date FROM orders",
+    "p7_projection" ->
+      "SELECT l_orderkey, l_partkey, l_shipdate FROM lineitem",
+    "p8_date_trunc" ->
+      "SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date FROM lineitem",
+    "p9_classify" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_acctbal > 8000 THEN 'north'
+        |            WHEN c_acctbal < -800 THEN 'south'
+        |            WHEN c_mktsegment = 'BUILDING' THEN 'north'
+        |            ELSE 'south' END AS hemisphere
+        |FROM customer""".stripMargin,
+    "p10_first_distinct" ->
+      "SELECT DISTINCT o_orderpriority AS priority FROM orders",
+    "j1_left_join_2key" ->
+      """WITH dim AS (
+        |  SELECT l_partkey, l_suppkey, count(*) AS ps_count
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT li.l_orderkey, li.l_linenumber, li.l_partkey, li.l_suppkey, dim.ps_count
+        |FROM lineitem li LEFT JOIN dim
+        |  ON li.l_partkey = dim.l_partkey AND li.l_suppkey = dim.l_suppkey""".stripMargin,
+    "j2_inner_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "j3_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "j4_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""".stripMargin,
+    "a1_minmax_range" ->
+      """SELECT (max(l_extendedprice) - min(l_extendedprice)) / (count(*) - 1)
+        |       AS mean_step
+        |FROM lineitem""".stripMargin,
+    "a2_grouped_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(min(l_shipdate) AS DATE) AS first_ship,
+        |       CAST(max(l_shipdate) AS DATE) AS last_ship,
+        |       count(*) AS n_records
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "a3_global_max" ->
+      "SELECT max(CAST(o_orderdate AS DATE)) AS latest FROM orders",
+    "a4_dedup" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS d
+        |FROM lineitem""".stripMargin,
+    "w1_row_number" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+        |FROM orders""".stripMargin,
+    "f1_wkt_polygon" ->
+      """SELECT n_nationkey,
+        |       printf('POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))',
+        |              cx - 500, cy - 500, cx - 500, cy + 500, cx + 500, cy + 500,
+        |              cx + 500, cy - 500, cx - 500, cy - 500) AS wkt
+        |FROM (SELECT n_nationkey, CAST(n_nationkey AS BIGINT) * 1000 AS cx,
+        |             CAST(n_regionkey AS BIGINT) * 1000 AS cy FROM nation)""".stripMargin,
+    "f5_date_format" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d FROM orders",
+    "s5_first_write_wins" ->
+      """SELECT o_orderkey, 'old' AS src, o_totalprice FROM orders
+        |WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'new' AS src, o_totalprice FROM orders
+        |WHERE o_orderkey NOT IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)""".stripMargin,
+    "s6_last_write_wins" ->
+      """WITH existing AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders
+        |  WHERE o_orderstatus = 'F' GROUP BY 1),
+        |incoming AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders
+        |  WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT o_custkey, n FROM existing
+        |WHERE o_custkey NOT IN (SELECT o_custkey FROM incoming)
+        |UNION ALL
+        |SELECT o_custkey, n FROM incoming""".stripMargin,
+  )
 }

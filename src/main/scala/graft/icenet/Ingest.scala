@@ -1,0 +1,95 @@
+package graft.icenet
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hemisphere classification result (reference processor.py:137-150). */
+sealed trait Hemisphere { def name: String; def north: Boolean }
+case object North extends Hemisphere { val name = "north"; val north = true }
+case object South extends Hemisphere { val name = "south"; val north = false }
+
+/** Ingest-side transforms — the Spark-first re-expression of the reference's
+  * `Processor.load()` (processor.py:117-190). The NetCDF tensor is assumed
+  * already flattened to long form (the reference itself flattens immediately,
+  * processor.py:158-160); decode of real NetCDF bytes is a deferred source
+  * concern (SURVEY.md S2).
+  *
+  * All steps are plain narrow transformations: no shuffle anywhere in this
+  * file, so ingest scales linearly with input splits on a cluster.
+  */
+object Ingest {
+
+  /** P1 — legacy column rename shim, applied only when the legacy names are
+    * present (reference processor.py:126-133: `mean`->`sic_mean`,
+    * `stddev`->`sic_stddev`).
+    */
+  def renameShim(df: DataFrame): DataFrame = {
+    val step1 =
+      if (df.columns.contains("mean") && !df.columns.contains("sic_mean"))
+        df.withColumnRenamed("mean", "sic_mean") else df
+    if (step1.columns.contains("stddev") && !step1.columns.contains("sic_stddev"))
+      step1.withColumnRenamed("stddev", "sic_stddev") else step1
+  }
+
+  /** P9 — hemisphere detection from global attributes (processor.py:137-150):
+    * `geospatial_lat_max > 80` -> north; `geospatial_lat_min < -80` -> south;
+    * otherwise fall back to keyword search; ambiguous/absent -> error
+    * (the reference raises InputBlobTriggerException).
+    */
+  def detectHemisphere(
+      latMax: Option[Double], latMin: Option[Double], keywords: String): Hemisphere = {
+    val byLat: Option[Hemisphere] =
+      if (latMax.exists(_ > 80)) Some(North)
+      else if (latMin.exists(_ < -80)) Some(South)
+      else None
+    byLat.getOrElse {
+      val kw = keywords.toLowerCase
+      val n = kw.contains("north")
+      val s = kw.contains("south")
+      if (n && !s) North
+      else if (s && !n) South
+      else throw new IllegalArgumentException(
+        s"cannot determine hemisphere from keywords: '$keywords'")
+    }
+  }
+
+  /** P2+P3 — positive-concentration filter then any-null drop (reference
+    * `xr.where(sic_mean > 0)` masks to NaN, then `.dropna()`;
+    * processor.py:158-160). In Spark the mask+dropna pair collapses to a
+    * single predicate, but we keep `na.drop("any")` for rows that were null
+    * in the input (land cells), matching the reference exactly.
+    */
+  def filterValid(df: DataFrame): DataFrame =
+    df.filter(col("sic_mean") > 0).na.drop("any")
+
+  /** P5 — km->m unit scale with integer downcast (processor.py:156-166). */
+  def toMeters(df: DataFrame): DataFrame =
+    df.withColumn("xc_m", (col("xc") * 1000).cast("int"))
+      .withColumn("yc_m", (col("yc") * 1000).cast("int"))
+
+  /** P6+P8 — forecast-for date = date(time) + leadtime days
+    * (processor.py:167-169, with the date truncation of processor.py:329).
+    */
+  def deriveDates(df: DataFrame): DataFrame =
+    df.withColumn("date_forecast_generated", to_date(col("time")))
+      .withColumn("date_forecast_for",
+        date_add(to_date(col("time")), col("leadtime")))
+
+  /** P7 — drop carried-along columns not needed downstream
+    * (processor.py:170-180). Dropping a missing column is a no-op, same as
+    * the reference's errors="ignore".
+    */
+  def dropCarried(df: DataFrame): DataFrame =
+    df.drop("yc", "xc", "leadtime", "Lambert_Azimuthal_Grid", "lat", "lon", "time")
+
+  /** Full load stage: long-form raw frame -> forecast-shaped frame with
+    * float4 measure columns (processor.py:281-282 stores float4).
+    */
+  def load(raw: DataFrame): DataFrame = {
+    val staged = deriveDates(toMeters(filterValid(renameShim(raw))))
+    dropCarried(staged)
+      .withColumn("sea_ice_concentration_mean", col("sic_mean").cast("float"))
+      .withColumn("sea_ice_concentration_stddev", col("sic_stddev").cast("float"))
+      .drop("sic_mean", "sic_stddev")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.icenet
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end IceNet ingest pipeline — the Spark re-expression of the
+  * reference's per-file run (azfunctions/InputBlobTrigger/__init__.py:14-32):
+  * load -> update_geometries -> update_forecasts -> update_latest_forecast ->
+  * update_forecast_meta (view refresh deliberately BEFORE meta upsert,
+  * matching __init__.py:22-26).
+  *
+  * The reference's five PostgreSQL round-trips collapse into five DataFrame
+  * plans over one warehouse directory. Re-running any file is a fixed point:
+  * cells and forecasts are first-write-wins, meta is last-write-wins, the
+  * latest view is a full recompute — identical convergence semantics to the
+  * reference's ON CONFLICT clauses (processor.py:256,333,395-401,444-448).
+  */
+class Pipeline(spark: SparkSession, warehouse: String, hemi: Hemisphere) {
+  private val h = hemi.name
+  val cellPath: String = s"$warehouse/${h}_cell"
+  val forecastPath: String = s"$warehouse/${h}_forecast"
+  val metaPath: String = s"$warehouse/forecast_meta"
+  val latestPath: String = s"$warehouse/${h}_forecast_latest"
+
+  /** Run the whole pipeline for one raw long-form file frame. */
+  def ingest(raw: DataFrame): Unit = {
+    val loaded = Ingest.load(raw).cache()
+    try {
+      updateGeometries(loaded)
+      updateForecasts(loaded)
+      updateLatest()
+      updateMeta(loaded)
+    } finally loaded.unpersist()
+  }
+
+  /** Stage 2 (processor.py:192-266): distinct centroid axes -> cross join ->
+    * WKT rings -> first-write-wins insert keyed on the centroid pair
+    * (the reference's UNIQUE(centroid_x, centroid_y), processor.py:206).
+    */
+  def updateGeometries(loaded: DataFrame): Unit = {
+    val xs = loaded.select(col("xc_m").as("centroid_x")).distinct()
+    val ys = loaded.select(col("yc_m").as("centroid_y")).distinct()
+    val cells = Geometry.buildCells(xs, ys, hemi.north)
+    TableOps.insertIgnore(spark, cellPath, cells, Seq("centroid_x", "centroid_y"))
+  }
+
+  /** Stage 3 (processor.py:268-344): resolve cell_id by left equi-join on the
+    * centroid pair (J1) — cells are O(10^5) rows, so broadcast — then
+    * first-write-wins insert on the natural key (processor.py:283).
+    * Partitioned by generation date, replacing the reference's
+    * date-column b-tree indexes (processor.py:286-288) with pruning.
+    */
+  def updateForecasts(loaded: DataFrame): Unit = {
+    val cells = TableOps.read(spark, cellPath)
+      .select("cell_id", "centroid_x", "centroid_y")
+    val withCell = loaded.join(
+      broadcast(cells),
+      loaded("xc_m") === cells("centroid_x") && loaded("yc_m") === cells("centroid_y"),
+      "left")
+    val facts = withCell.select(
+      col("date_forecast_generated"), col("date_forecast_for"), col("cell_id"),
+      col("sea_ice_concentration_mean"), col("sea_ice_concentration_stddev"))
+    TableOps.insertIgnore(spark, forecastPath, facts,
+      Seq("date_forecast_generated", "date_forecast_for", "cell_id"),
+      partitionCols = Seq("date_forecast_generated"))
+  }
+
+  /** Stage 4 (processor.py:409-451): the latest-forecast materialized view —
+    * scalar-subquery max-date filter (J4/A3) + inner join to cells (J2) +
+    * GROUP-BY-all dedup (A4) + row_number id (W1) + full-refresh overwrite
+    * (S7). The reference's `PARTITION BY true` row_number is nondeterministic
+    * (processor.py:420); we order by the view's natural key so ids are
+    * stable. Single-partition window is fine here: the view holds ONE
+    * generation date (never the whole fact table).
+    */
+  def latestView(): DataFrame = {
+    val facts = TableOps.read(spark, forecastPath)
+    val cells = TableOps.read(spark, cellPath).select("cell_id", "geom_4326")
+    val latestDate = facts.agg(max("date_forecast_generated")).head().getDate(0)
+    val latest = facts
+      .filter(col("date_forecast_generated") === lit(latestDate))
+      .join(broadcast(cells), Seq("cell_id"))
+      .select("date_forecast_generated", "date_forecast_for", "cell_id",
+        "sea_ice_concentration_mean", "sea_ice_concentration_stddev", "geom_4326")
+      .distinct()
+    latest.withColumn("forecast_id",
+      row_number().over(Window.orderBy("date_forecast_for", "cell_id")).cast("long"))
+  }
+
+  def updateLatest(): Unit =
+    TableOps.overwriteView(spark, latestPath, latestView())
+
+  /** Stage 5 (processor.py:346-407): meta rollup — grouped MIN/MAX/COUNT over
+    * the generation date (A2) upserted last-write-wins on
+    * (date_forecast_generated, hemisphere) (processor.py:361,395-401).
+    */
+  def updateMeta(loaded: DataFrame): Unit = {
+    val rollup = loaded.groupBy(col("date_forecast_generated"))
+      .agg(
+        min("date_forecast_for").as("date_forecast_first"),
+        max("date_forecast_for").as("date_forecast_last"),
+        count(lit(1)).as("n_records"))
+      .withColumn("hemisphere", lit(h))
+    TableOps.upsert(spark, metaPath, rollup,
+      Seq("date_forecast_generated", "hemisphere"))
+  }
+}
