@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.DataFrame
+import graft.icenet._
+
+/** Reference-semantics tests for the ingest stage (processor.py:117-190). */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def raw(
+      meanName: String = "sic_mean", stdName: String = "sic_stddev"): DataFrame = {
+    val t0 = Timestamp.valueOf("2020-06-01 00:00:00")
+    Seq(
+      // (time, leadtime, xc, yc, lat, lon, mean, std)
+      (t0, 1, 100.0, 200.0, 85.0, 10.0, Some(0.5), Some(0.1)),
+      (t0, 1, 125.0, 200.0, 85.1, 10.1, Some(0.0), Some(0.0)),  // filtered: mean==0
+      (t0, 2, 100.0, 225.0, 85.2, 10.2, None, None),            // dropped: null (land)
+      (t0, 2, 125.0, 225.0, 85.3, 10.3, Some(0.9), Some(0.2))
+    ).toDF("time", "leadtime", "xc", "yc", "lat", "lon", meanName, stdName)
+  }
+
+  test("P1 rename shim maps legacy mean/stddev, leaves modern names alone") {
+    val legacy = Ingest.renameShim(raw("mean", "stddev"))
+    assert(legacy.columns.contains("sic_mean") && legacy.columns.contains("sic_stddev"))
+    assert(!legacy.columns.contains("mean"))
+    val modern = Ingest.renameShim(raw())
+    assert(modern.columns.count(_ == "sic_mean") == 1)
+  }
+
+  test("P2+P3 filterValid keeps only positive-mean, non-null rows") {
+    val out = Ingest.filterValid(raw())
+    assert(out.count() == 2)
+    assert(out.agg(org.apache.spark.sql.functions.min("sic_mean"))
+      .head().getDouble(0) > 0)
+  }
+
+  test("P5 km->m integer downcast") {
+    val m = Ingest.toMeters(raw()).select("xc_m", "yc_m").distinct().collect()
+    assert(m.map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((100000, 200000), (125000, 200000), (100000, 225000), (125000, 225000)))
+  }
+
+  test("P6+P8 forecast dates = date(time) + leadtime days") {
+    val d = Ingest.deriveDates(raw())
+      .select("leadtime", "date_forecast_generated", "date_forecast_for")
+      .distinct().collect()
+    d.foreach { r =>
+      assert(r.getDate(1) == Date.valueOf("2020-06-01"))
+      val expected = Date.valueOf(s"2020-06-0${1 + r.getInt(0)}")
+      assert(r.getDate(2) == expected)
+    }
+  }
+
+  test("load produces forecast-shaped frame with float4 measures") {
+    val out = Ingest.load(raw("mean", "stddev"))
+    assert(out.columns.sorted.toSeq == Seq("date_forecast_for",
+      "date_forecast_generated", "sea_ice_concentration_mean",
+      "sea_ice_concentration_stddev", "xc_m", "yc_m"))
+    assert(out.schema("sea_ice_concentration_mean").dataType.typeName == "float")
+    assert(out.count() == 2)
+  }
+
+  // hemisphere truth table (processor.py:137-150)
+  test("P9 hemisphere: lat_max>80 -> north, regardless of keywords") {
+    assert(Ingest.detectHemisphere(Some(85.0), None, "south stuff") == North)
+  }
+  test("P9 hemisphere: lat_min<-80 -> south") {
+    assert(Ingest.detectHemisphere(None, Some(-85.0), "") == South)
+  }
+  test("P9 hemisphere: keyword fallback") {
+    assert(Ingest.detectHemisphere(Some(70.0), Some(-70.0), "Arctic north sea ice") == North)
+    assert(Ingest.detectHemisphere(None, None, "Antarctic SOUTH") == South)
+  }
+  test("P9 hemisphere: ambiguous or absent -> error") {
+    intercept[IllegalArgumentException](Ingest.detectHemisphere(None, None, "north south"))
+    intercept[IllegalArgumentException](Ingest.detectHemisphere(None, None, "equator"))
+  }
+}

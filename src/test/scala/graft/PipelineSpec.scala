@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.icenet._
+
+/** End-to-end pipeline tests over a reference-shaped fixture (FIXTURES.md §B):
+  * a 3x3 grid, 2 leadtimes, two files with different generation dates.
+  * Covers the full per-file run (__init__.py:14-32) and its convergence
+  * guarantees.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Long-form raw file frame: one generation instant, full grid x leadtimes. */
+  private def rawFile(gen: String, meanOffset: Double): DataFrame = {
+    val t = Timestamp.valueOf(s"$gen 00:00:00")
+    val rows = for {
+      xi <- 1 to 3; yi <- 1 to 3; lt <- 1 to 2
+      // corner cell (3,3) is "land": null concentration
+      mean = if (xi == 3 && yi == 3) None
+             else Some(0.1 * xi + 0.01 * yi + meanOffset)
+    } yield (t, lt, xi * 25.0, yi * 25.0, 80.0 + xi, 10.0 * yi,
+             mean, mean.map(_ / 10))
+    rows.toDF("time", "leadtime", "xc", "yc", "lat", "lon", "sic_mean", "sic_stddev")
+  }
+
+  private def freshPipeline(): Pipeline =
+    new Pipeline(spark, tmpDir("wh"), North)
+
+  test("single-file ingest populates all four artifacts") {
+    val p = freshPipeline()
+    p.ingest(rawFile("2020-06-01", 0.0))
+    val cells = TableOps.read(spark, p.cellPath)
+    assert(cells.count() == 9) // 3x3 grid, including the land cell's geometry
+    assert(cells.columns.toSet ==
+      Set("cell_id", "centroid_x", "centroid_y", "geom_6931", "geom_4326"))
+    val facts = TableOps.read(spark, p.forecastPath)
+    assert(facts.count() == 16) // 8 wet cells x 2 leadtimes
+    assert(TableOps.read(spark, p.latestPath).count() == 16)
+    val meta = TableOps.read(spark, p.metaPath).collect()
+    assert(meta.length == 1)
+    val m = TableOps.read(spark, p.metaPath)
+      .select("date_forecast_first", "date_forecast_last", "n_records", "hemisphere")
+      .head()
+    assert(m.getDate(0) == Date.valueOf("2020-06-02"))
+    assert(m.getDate(1) == Date.valueOf("2020-06-03"))
+    assert(m.getLong(2) == 16L && m.getString(3) == "north")
+  }
+
+  test("re-ingesting the same file is a fixed point (idempotency)") {
+    val p = freshPipeline()
+    p.ingest(rawFile("2020-06-01", 0.0))
+    val before = (
+      TableOps.read(spark, p.cellPath).count(),
+      TableOps.read(spark, p.forecastPath).collect().toSet,
+      TableOps.read(spark, p.metaPath).collect().toSet)
+    p.ingest(rawFile("2020-06-01", 0.0))
+    assert(TableOps.read(spark, p.cellPath).count() == before._1)
+    assert(TableOps.read(spark, p.forecastPath).collect().toSet == before._2)
+    assert(TableOps.read(spark, p.metaPath).collect().toSet == before._3)
+  }
+
+  test("re-ingest with changed values: facts first-write-wins, meta last-write-wins") {
+    val p = freshPipeline()
+    p.ingest(rawFile("2020-06-01", 0.0))
+    p.ingest(rawFile("2020-06-01", 0.5)) // same keys, different measures
+    val mean0 = TableOps.read(spark, p.forecastPath)
+      .agg(max("sea_ice_concentration_mean")).head().getFloat(0)
+    assert(mean0 < 0.5f) // original (offset 0) values kept
+    assert(TableOps.read(spark, p.metaPath).count() == 1) // meta overwritten, not duplicated
+  }
+
+  test("second generation date: latest view tracks only the max date") {
+    val p = freshPipeline()
+    p.ingest(rawFile("2020-06-01", 0.0))
+    p.ingest(rawFile("2020-06-08", 0.1))
+    val latest = TableOps.read(spark, p.latestPath)
+    val dates = latest.select("date_forecast_generated").distinct().collect()
+    assert(dates.map(_.getDate(0)).toSet == Set(Date.valueOf("2020-06-08")))
+    // deterministic surrogate ids 1..N over the natural key
+    val ids = latest.select("forecast_id").as[Long].collect().sorted
+    assert(ids.toSeq == (1L to ids.length))
+    // facts accumulate both generations
+    assert(TableOps.read(spark, p.forecastPath)
+      .select("date_forecast_generated").distinct().count() == 2)
+    assert(TableOps.read(spark, p.metaPath).count() == 2)
+  }
+
+  test("cell geometry: WKT ring is closed and 4326 ring is in lon/lat range") {
+    val p = freshPipeline()
+    p.ingest(rawFile("2020-06-01", 0.0))
+    val geoms = TableOps.read(spark, p.cellPath)
+      .select("geom_6931", "geom_4326").collect()
+    geoms.foreach { r =>
+      val ring = r.getString(0).stripPrefix("POLYGON((").stripSuffix("))").split(", ")
+      assert(ring.length == 5 && ring.head == ring.last) // closed 5-point ring
+      val pts4326 = r.getString(1).stripPrefix("POLYGON((").stripSuffix("))")
+        .split(", ").map(_.split(" ").map(_.toDouble))
+      pts4326.foreach { case Array(lon, lat) =>
+        assert(lon >= -180 && lon <= 180 && lat >= -90 && lat <= 90)
+        assert(lat > 80) // 25-75 km from the pole -> very high latitude
+      }
+    }
+  }
+}
