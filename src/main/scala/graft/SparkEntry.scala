@@ -189,6 +189,34 @@ object SparkEntry {
       existing.join(incoming.select("o_custkey"), Seq("o_custkey"), "left_anti")
         .unionByName(incoming)
     },
+
+    // ---- beyond-reference: text analysis (ops.TextAnalysis) --------------
+    "text_token_count" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "text_quality" -> ((s, dir) =>
+      graft.ops.TextAnalysis.quality(Tables.documents(s, dir))),
+    "text_langid" -> ((s, dir) =>
+      graft.ops.TextAnalysis.languages(Tables.documents(s, dir))),
+    "text_fingerprint" -> ((s, dir) =>
+      graft.ops.TextAnalysis.fingerprints(Tables.documents(s, dir))),
+
+    // ---- beyond-reference: deduplication (ops.Dedup) ---------------------
+    "dedup_exact" -> ((s, dir) =>
+      graft.ops.Dedup.exact(Tables.documents(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      graft.ops.Dedup.minhashCandidates(Tables.documents(s, dir))),
+    "dedup_simhash" -> ((s, dir) =>
+      graft.ops.Dedup.simhash(Tables.documents(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      graft.ops.Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
+    "dedup_embedding" -> ((s, dir) =>
+      graft.ops.Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
+
+    // ---- beyond-reference: similarity search (ops.Similarity) ------------
+    "sim_topk_brute" -> ((s, dir) =>
+      graft.ops.Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
+    "sim_topk_ivf" -> ((s, dir) =>
+      graft.ops.Similarity.ivfTopK(Tables.embeddings(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -298,5 +326,139 @@ object SparkEntry {
         |WHERE o_custkey NOT IN (SELECT o_custkey FROM incoming)
         |UNION ALL
         |SELECT o_custkey, n FROM incoming""".stripMargin,
+    "text_token_count" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |       CAST(list_aggregate(list_transform(toks,
+        |         w -> CAST(ceil(length(w)/4.0) AS BIGINT)), 'sum') AS BIGINT) AS bpe_tokens
+        |FROM t""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
+        |           FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |  round(len(list_filter(toks, w -> list_contains(
+        |    ['the','a','and','of','to','in','is','that'], w)))
+        |    / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+        |  round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio,
+        |  round(least(1.0, len(toks)/50.0)*0.4
+        |    + (len(list_filter(toks, w -> list_contains(
+        |        ['the','a','and','of','to','in','is','that'], w)))
+        |       / CAST(len(toks) AS DOUBLE))*0.3
+        |    + (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))*0.3, 6) AS quality
+        |FROM t""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(toks, w -> list_contains(['the','a','and','of','to','in','is','that'], w))) AS en_h,
+        |  len(list_filter(toks, w -> list_contains(['le','la','et','les','des','un','une','du'], w))) AS fr_h,
+        |  len(list_filter(toks, w -> list_contains(['der','die','und','das','ein','mit','von','zu'], w))) AS de_h,
+        |  len(list_filter(toks, w -> list_contains(['el','los','y','que','una','por','como','para'], w))) AS es_h
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN en_h + fr_h + de_h + es_h = 0 THEN 'und'
+        |       WHEN en_h >= fr_h AND en_h >= de_h AND en_h >= es_h THEN 'en'
+        |       WHEN fr_h >= de_h AND fr_h >= es_h THEN 'fr'
+        |       WHEN de_h >= es_h THEN 'de'
+        |       ELSE 'es' END AS lang_pred
+        |FROM h""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
+        |              FROM documents),
+        |sh AS (SELECT doc_id, list_transform(generate_series(0, len(tokens)-3), i ->
+        |         concat_ws(' ', tokens[i+1], tokens[i+2], tokens[i+3])) AS shingles
+        |       FROM toks WHERE len(tokens) >= 3),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0,15), i ->
+        |          list_aggregate(list_transform(shingles,
+        |            s -> md5(concat(i, '|', s))), 'min')) AS sig
+        |        FROM sh),
+        |bands AS (SELECT doc_id, j,
+        |            md5(concat_ws('|', sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4])) AS bucket
+        |          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),'\s+')) AS w
+        |              FROM documents),
+        |votes AS (SELECT doc_id, p,
+        |            sum(CASE WHEN substr(md5(w), p, 1) >= '8' THEN 1 ELSE -1 END) AS v
+        |          FROM toks CROSS JOIN (SELECT unnest(generate_series(1,16)) AS p) pp
+        |          GROUP BY doc_id, p)
+        |SELECT doc_id,
+        |       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text),'\s+') AS tokens
+        |           FROM documents),
+        |g AS (SELECT doc_id, lang, tokens[1] AS tok0,
+        |        list_distinct(list_transform(generate_series(0, len(tokens)-2), i ->
+        |          concat_ws(' ', tokens[i+1], tokens[i+2]))) AS grams
+        |      FROM t WHERE len(tokens) >= 2),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS isect,
+        |        len(a.grams) + len(b.grams) AS tot
+        |      FROM g a JOIN g b
+        |        ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(isect / CAST(tot - isect AS DOUBLE), 6) AS jaccard
+        |FROM p WHERE round(isect / CAST(tot - isect AS DOUBLE), 6) >= 0.2""".stripMargin,
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        round(list_aggregate(list_transform(generate_series(1, len(a.vec)),
+        |          i -> a.vec[i]*b.vec[i]), 'sum') / (a.nrm*b.nrm), 6) AS cos_sim
+        |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim > 0.35""".stripMargin,
+    "sim_topk_brute" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm FROM n
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |          i -> qvec[i]*vec[i]), 'sum') / (qnorm*nrm), 6) AS cos_sim
+        |      FROM n CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+        |WHERE rn <= 5""".stripMargin,
+    "sim_topk_ivf" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm FROM n WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, vec, nrm, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
+        |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
+        |        FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM
+        |          (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+        |         WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm, cell FROM cell
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, m.vec_id AS neighbor_id,
+        |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |          i -> qvec[i]*m.vec[i]), 'sum') / (qnorm*m.nrm), 6) AS cos_sim
+        |      FROM cell m JOIN q USING (cell) WHERE m.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+        |WHERE rn <= 3""".stripMargin,
   )
 }

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: hash-groupBy on a 16-byte digest — one shuffle on a uniform key.
+  *  - MinHash+LSH: per-doc signature is a NARROW pass (no shuffle); candidate
+  *    generation shuffles on (band, bucket) — cost O(docs x bands), never
+  *    O(docs^2). This is the 100 TB path.
+  *  - SimHash: one 64->16-dim signature per doc, narrow; near-dup = equal or
+  *    close signatures, again bucket-joinable.
+  *  - n-gram Jaccard: exact pair scoring, restricted to LSH/blocking
+  *    candidates — here blocked on (lang, first token) to stay subquadratic.
+  *  - embedding-cosine: blocked on a coarse key (label) — the exact
+  *    verification stage behind an ANN candidate generator.
+  *
+  * Hashing is md5 (bit-identical in any engine), so every operator is
+  * DuckDB-oracle-checkable — no engine-private hash functions in semantics.
+  */
+object Dedup {
+
+  private def toks: Column = TextAnalysis.tokens(col("text"))
+
+  /** Word n-grams of `n` tokens joined by single spaces. Caller must ensure
+    * size(tokens) >= n (sequence() would otherwise run backwards).
+    */
+  def wordShingles(tokens: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), size(tokens) - n),
+      i => concat_ws(" ", slice(tokens, i + lit(1), lit(n))))
+
+  /** Exact dedup: group by content fingerprint, keep the smallest doc_id as
+    * the canonical representative.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  val MinhashFuncs = 16
+  val LshBands = 4 // 4 bands x 4 rows
+
+  /** MinHash signature: sig[i] = min over shingles of md5(i || '|' || s).
+    * Using the lexicographic min of a salted md5 is equivalent to a random
+    * permutation per i, and — unlike a seeded integer hash — reproducible in
+    * any engine. Narrow (per-row) computation.
+    */
+  def minhashSignature(shingles: Column): Seq[Column] =
+    (0 until MinhashFuncs).map { i =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$i|"), s))))
+    }
+
+  /** LSH candidate pairs: docs sharing at least one band bucket.
+    * Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+    */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val withSig = docs
+      .select(col("doc_id"), toks.as("tokens"))
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("shingles", wordShingles(col("tokens"), 3))
+      .withColumn("sig", array(minhashSignature(col("shingles")): _*))
+    val bands = (0 until LshBands).map { j =>
+      md5(concat_ws("|",
+        (0 until MinhashFuncs / LshBands).map(r => col("sig")(j * 4 + r)): _*))
+    }
+    val exploded = withSig
+      .select(col("doc_id"), posexplode(array(bands: _*)).as(Seq("band", "bucket")))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash over the 16 hex nibbles of per-token md5: nibble >= '8' votes
+    * +1, else -1; sign of the vote sum is the signature bit. One narrow
+    * fold over the token array — no explode, no shuffle.
+    */
+  def simhashBits(tokens: Column): Column = {
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0), 16),
+      (acc, w) => {
+        val h = md5(w)
+        zip_with(acc,
+          transform(sequence(lit(1), lit(16)),
+            p => when(h.substr(p, lit(1)) >= "8", 1).otherwise(-1)),
+          (a, v) => a + v)
+      })
+    concat((1 to 16).map(p =>
+      when(element_at(votes, p) > 0, "1").otherwise("0")): _*)
+  }
+
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhashBits(toks).as("simhash"))
+
+  /** Exact word-bigram Jaccard over blocked candidate pairs
+    * (block = same lang + same first token; swap in [[minhashCandidates]]
+    * for the unblocked LSH path). Keeps pairs with similarity >= minJaccard.
+    */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2): DataFrame = {
+    val prepped = docs
+      .select(col("doc_id"), col("lang"), toks.as("tokens"))
+      .filter(size(col("tokens")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        element_at(col("tokens"), 1).as("tok0"),
+        array_distinct(wordShingles(col("tokens"), 2)).as("grams"))
+    val a = prepped.as("a")
+    val b = prepped.as("b")
+    val isect = size(array_intersect(col("a.grams"), col("b.grams")))
+    val union = size(col("a.grams")) + size(col("b.grams")) - isect
+    a.join(b,
+        col("a.lang") === col("b.lang") && col("a.tok0") === col("b.tok0") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(isect / union.cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding near-dup: exact cosine over pairs blocked by `label`,
+    * keeping pairs above `minCos`. The blocking key stands in for an ANN
+    * bucketing stage; the scoring math is the reusable exact kernel.
+    */
+  def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.35): DataFrame = {
+    val v = Similarity.withNorm(embeddings)
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(
+          col("a.vec"), col("b.vec"), col("a.norm"), col("b.norm")).as("cos_sim"))
+      .filter(col("cos_sim") > minCos)
+  }
+}

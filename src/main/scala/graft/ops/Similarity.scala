@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`): brute-force cosine top-k as the exact baseline, and an
+  * IVF (inverted-file) variant as the scale path.
+  *
+  * Scale design: brute force is O(queries x corpus) with the corpus scanned
+  * once per batch of broadcast queries — right when queries are few. IVF
+  * first assigns every vector to its nearest of C centroids (narrow after a
+  * centroid broadcast), then probes only the query's cell: O(queries x
+  * corpus / C) — at 100 TB the assignment is one pass and each probe touches
+  * ~1/C of the data (partition-prunable when the table is written
+  * partitioned by cell).
+  *
+  * All math in double with results rounded to 6 before ranking, and ties
+  * broken by vec_id, so rankings are bit-stable across engines (the DuckDB
+  * oracle reproduces them exactly).
+  */
+object Similarity {
+
+  /** Cast float vector to double and attach its L2 norm (narrow). */
+  def withNorm(embeddings: DataFrame): DataFrame = {
+    val vec = transform(col("embedding"), x => x.cast("double"))
+    embeddings
+      .withColumn("vec", vec)
+      .withColumn("norm",
+        sqrt(aggregate(col("vec"), lit(0.0), (acc, x) => acc + x * x)))
+      .drop("embedding")
+  }
+
+  /** Cosine similarity of two pre-normed double vectors, rounded to 6. */
+  def cosine(va: Column, vb: Column, na: Column, nb: Column): Column = {
+    val dot = aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    round(dot / (na * nb), 6)
+  }
+
+  /** Exact top-k neighbors by cosine for the query subset
+    * `vec_id % queryMod == 0`. Queries are broadcast; the corpus is scanned
+    * once. Rank = (cos desc, vec_id asc), self excluded.
+    */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
+    val v = withNorm(embeddings)
+    val q = v.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF top-k: centroids = the `nCentroids` lowest vec_ids (deterministic
+    * stand-in for a k-means pass, which would be run offline at scale);
+    * every vector is assigned to its nearest centroid; queries probe only
+    * their own cell.
+    */
+  def ivfTopK(
+      embeddings: DataFrame, k: Int = 3, queryMod: Int = 50,
+      nCentroids: Int = 16): DataFrame = {
+    val v = withNorm(embeddings)
+    val cents = v.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
+    // cell assignment: nearest centroid by (cos desc, cent_id asc)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("cent_id").asc)
+    val assigned = v.join(broadcast(cents))
+      .select(col("vec_id"), col("vec"), col("norm"), col("cent_id"),
+        cosine(col("vec"), col("cvec"), col("norm"), col("cnorm")).as("c_cos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("vec"), col("norm"), col("cent_id").as("cell"))
+    val q = assigned.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("norm").as("qnorm"), col("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}
