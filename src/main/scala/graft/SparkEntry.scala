@@ -217,6 +217,25 @@ object SparkEntry {
       graft.ops.Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     "sim_topk_ivf" -> ((s, dir) =>
       graft.ops.Similarity.ivfTopK(Tables.embeddings(s, dir))),
+
+    // ---- beyond-reference: event-time analytics (streaming.EventAggs;
+    //      batch-equivalent plans of the streaming transforms) -------------
+    "stream_window_agg" -> ((s, dir) =>
+      graft.streaming.EventAggs.windowedByType(Tables.events(s, dir))),
+    "stream_daily_rollup" -> ((s, dir) =>
+      graft.streaming.EventAggs.dailyUserRollup(Tables.events(s, dir))),
+    "events_json_extract" -> ((s, dir) =>
+      graft.streaming.EventAggs.extractProps(Tables.events(s, dir))),
+
+    // ---- beyond-reference: multimodal column plumbing (ops.Multimodal) ---
+    "multimodal_decode" -> { (s, dir) =>
+      val media = graft.ops.Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      graft.ops.Multimodal.decodeBatches(media)
+        .toDF().select("media_id", "kind", "n_bytes", "checksum")
+    },
+    "multimodal_frame_sample" -> ((s, dir) =>
+      graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF(), 4)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -460,5 +479,31 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
         |WHERE rn <= 3""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |         AS window_start,
+        |       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_daily_rollup" ->
+      """SELECT CAST(ts AS DATE) AS d, user_id, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_id, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin,
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |       CAST(length(text) AS INT) AS n_bytes,
+        |       CAST(list_aggregate(list_transform(generate_series(1, length(text)),
+        |         i -> ord(substr(text, i, 1)) * ((i-1) % 7 + 1)), 'sum') AS BIGINT)
+        |         AS checksum
+        |FROM documents""".stripMargin,
+    "multimodal_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(unnest(generate_series(0, CAST(doc_id % 100 AS INT), 4)) AS INT)
+        |         AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
   )
 }

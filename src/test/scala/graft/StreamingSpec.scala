@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.icenet.{North, TableOps}
+import graft.streaming.{EventAggs, FileIngest}
+
+/** Streaming-surface tests: file-at-a-time ingest (S1 semantics) and
+  * watermarked event-time aggregation (§2.8 beyond-reference).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FileIngest: two files arriving -> pipeline state converges per batch") {
+    val inDir = tmpDir("stream_in")
+    val wh = tmpDir("stream_wh")
+    val ckpt = tmpDir("stream_ckpt")
+
+    def writeFile(gen: String): Unit = {
+      val t = Timestamp.valueOf(s"$gen 00:00:00")
+      val rows = for { xi <- 1 to 2; yi <- 1 to 2; lt <- 1 to 2 }
+        yield (t, lt, xi * 25.0, yi * 25.0, 85.0, 10.0, 0.1 * xi + 0.01 * lt, 0.01)
+      rows.toDF("time", "leadtime", "xc", "yc", "lat", "lon", "sic_mean", "sic_stddev")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+
+    writeFile("2020-06-01")
+    val q = FileIngest.start(spark, inDir, wh, North, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(TableOps.read(spark, s"$wh/north_forecast").count() == 8)
+      writeFile("2020-06-08") // second "blob" lands
+      q.processAllAvailable()
+      val facts = TableOps.read(spark, s"$wh/north_forecast")
+      assert(facts.count() == 16)
+      val latest = TableOps.read(spark, s"$wh/north_forecast_latest")
+      assert(latest.select("date_forecast_generated").distinct().head().getDate(0)
+        == java.sql.Date.valueOf("2020-06-08"))
+      assert(TableOps.read(spark, s"$wh/forecast_meta").count() == 2)
+    } finally q.stop()
+  }
+
+  test("windowedByType on a stream: watermark drops data later than 1 hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventAggs.windowedByType(events, watermark = "1 hour")
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("winagg").start()
+    try {
+      mem.addData((Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0))
+      mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "click", 2.0)) // advances watermark to 12:00
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 10:10:00"), "click", 4.0)) // 2h late: dropped
+      mem.addData((Timestamp.valueOf("2024-01-01 13:10:00"), "click", 8.0)) // on time
+      q.processAllAvailable()
+      val out = spark.table("winagg")
+        .groupBy("window_start", "event_type")
+        .agg(max("n_events").as("n"), max("sum_value").as("v"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3)))
+        .toSet
+      // 10:00 window saw only the first event (late one dropped);
+      // 13:00 window saw both on-time events.
+      assert(out == Set(
+        ("2024-01-01 10:00:00.0", 1L, 1.0),
+        ("2024-01-01 13:00:00.0", 2L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("windowedByType batch/stream parity on the events fixture") {
+    val batch = EventAggs.windowedByType(Tables.events(spark, "/root/testdata/sf0.001"))
+    assert(batch.count() > 0)
+    val total = batch.agg(sum("n_events")).head().getLong(0)
+    assert(total == 1000L) // every event lands in exactly one window
+  }
+}
