@@ -227,6 +227,67 @@ object SparkEntry {
     "events_json_extract" -> ((s, dir) =>
       graft.streaming.EventAggs.extractProps(Tables.events(s, dir))),
 
+    // ---- beyond-reference: extended relational coverage ------------------
+    "j5_asof" -> { (s, dir) =>
+      // point-in-time join: each non-purchase event annotated with the
+      // user's latest purchase at-or-before it (operators.AsOfJoin).
+      val ev = Tables.events(s, dir)
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_event_id"), col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.leftAsOf(
+        left, right, "user_id", "ts", "ts", Seq("purchase_event_id", "purchase_value"))
+    },
+    "a5_count_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))),
+    "a6_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir).rollup("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))),
+    "a7_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))),
+    "q_topn" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+    "set_ops" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def keys(st: String) =
+        o.filter(col("o_orderstatus") === st).select("o_custkey").distinct()
+      keys("F").except(keys("O")).withColumn("tag", lit("only_f"))
+        .unionByName(keys("F").intersect(keys("O")).withColumn("tag", lit("both")))
+    },
+    "w2_lag" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        lag(col("value"), 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")).as("prev_value"))),
+    "w3_running_sum" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        round(sum(col("o_totalprice")).over(
+          Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+          .as("running_total"))),
+    "p11_string_funcs" -> ((s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_mktsegment"), 1, 3).as("seg3"),
+        length(col("c_name")).as("name_len"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"))),
+    "f2_regex_extract" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"))),
+
     // ---- beyond-reference: multimodal column plumbing (ops.Multimodal) ---
     "multimodal_decode" -> { (s, dir) =>
       val media = graft.ops.Multimodal.mediaFromDocuments(Tables.documents(s, dir))
@@ -479,6 +540,60 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
         |WHERE rn <= 3""".stripMargin,
+    "j5_asof" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type, value
+        |           FROM events WHERE event_type <> 'purchase'),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             event_id AS purchase_event_id, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
+        |       r.purchase_event_id, r.purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "a5_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "a6_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "a7_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "set_ops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT o_custkey, 'only_f' AS tag FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+        |UNION ALL
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM f INTERSECT SELECT * FROM o)""".stripMargin,
+    "w2_lag" ->
+      """SELECT event_id, user_id,
+        |       lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS prev_value
+        |FROM events""".stripMargin,
+    "w3_running_sum" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |         AS running_total
+        |FROM orders""".stripMargin,
+    "p11_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        |       substr(c_mktsegment, 1, 3) AS seg3,
+        |       CAST(length(c_name) AS INT) AS name_len,
+        |       concat_ws('-', c_mktsegment, c_custkey) AS seg_key
+        |FROM customer""".stripMargin,
+    "f2_regex_extract" ->
+      """SELECT p_partkey, regexp_extract(p_type, '^(\w+)', 1) AS type_head
+        |FROM part""".stripMargin,
     "stream_window_agg" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
         |         AS window_start,

@@ -21,9 +21,11 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{col, floor, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    // integer DIV, not `/`: epoch-ns values (~1.7e18) exceed double's 2^53
+    // integer range, so floating division is off by up to 1 us.
     table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
