@@ -120,6 +120,13 @@ object Dedup {
   /** Exact word-bigram Jaccard over blocked candidate pairs
     * (block = same lang + same first token; swap in [[minhashCandidates]]
     * for the unblocked LSH path). Keeps pairs with similarity >= minJaccard.
+    *
+    * Formulated as explode -> equi-join on (block, gram) -> pair-count
+    * aggregate rather than `array_intersect` on materialized pairs: the
+    * array version is interpreted (no codegen) and does O(pairs x grams)
+    * work; this one is a hash join + hash aggregate, shuffles each gram
+    * once, and only ever materializes pairs that share at least one gram —
+    * which is also every pair that can clear a positive threshold.
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2): DataFrame = {
     val prepped = docs
@@ -128,16 +135,24 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         element_at(col("tokens"), 1).as("tok0"),
         array_distinct(wordShingles(col("tokens"), 2)).as("grams"))
-    val a = prepped.as("a")
-    val b = prepped.as("b")
-    val isect = size(array_intersect(col("a.grams"), col("b.grams")))
-    val union = size(col("a.grams")) + size(col("b.grams")) - isect
-    a.join(b,
+    val sizes = prepped.select(col("doc_id"), size(col("grams")).as("n_grams"))
+    val grams = prepped.select(col("doc_id"), col("lang"), col("tok0"),
+      explode(col("grams")).as("gram"))
+    val a = grams.as("a")
+    val b = grams.as("b")
+    val isects = a.join(b,
         col("a.lang") === col("b.lang") && col("a.tok0") === col("b.tok0") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(isect / union.cast("double"), 6).as("jaccard"))
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("isect"))
+    val sa = sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na"))
+    val sb = sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"))
+    // no broadcast hint: `sizes` is per-doc and can be huge at scale;
+    // AQE broadcasts it automatically when it is actually small.
+    isects.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("isect") / (col("na") + col("nb") - col("isect")).cast("double"), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

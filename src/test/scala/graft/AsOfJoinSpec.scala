@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.AsOfJoin
+
+/** Edge-case tests for the as-of join (the oracle covers the bulk data path;
+  * these pin the boundary semantics).
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val left = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00"), "a"),
+    (2L, 10L, ts("2024-01-01 12:00:00"), "b"),
+    (3L, 10L, ts("2024-01-01 09:00:00"), "early"), // before any right row
+    (4L, 20L, ts("2024-01-01 12:00:00"), "other-key"),
+    (5L, 30L, ts("2024-01-01 12:00:00"), "no-right-key")
+  ).toDF("id", "k", "t", "tag")
+
+  private val right = Seq(
+    (10L, ts("2024-01-01 10:00:00"), 100.0), // equal ts as left id=1 -> inclusive
+    (10L, ts("2024-01-01 11:30:00"), 200.0),
+    (20L, ts("2024-01-01 11:00:00"), 300.0)
+  ).toDF("k", "rt", "rv")
+
+  private lazy val out = AsOfJoin.leftAsOf(left, right, "k", "t", "rt", Seq("rv"))
+    .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+
+  test("matches the latest right row at-or-before the left time (inclusive)") {
+    assert(out(1L).contains(100.0)) // equal timestamp matches
+    assert(out(2L).contains(200.0)) // latest of two priors
+  }
+
+  test("left rows before any right row, or with unseen keys, get null") {
+    assert(out(3L).isEmpty)
+    assert(out(5L).isEmpty)
+  }
+
+  test("keys do not leak across partitions") {
+    assert(out(4L).contains(300.0))
+  }
+
+  test("output keeps exactly the left rowcount and columns + payload") {
+    val df = AsOfJoin.leftAsOf(left, right, "k", "t", "rt", Seq("rv"))
+    assert(df.count() == 5)
+    assert(df.columns.toSeq == Seq("id", "k", "t", "tag", "rv"))
+  }
+
+  test("colliding payload names are rejected") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOf(left, right.withColumnRenamed("rv", "tag"),
+        "k", "t", "rt", Seq("tag"))
+    }
+  }
+}
