@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one large class per query stage; with ~50
+  // queries the default 240m code cache thrashes (flush -> deopt to
+  // interpreter -> recompile), showing up as intermittent 20-40x task
+  // slowdowns with zero GC time. A bigger cache removes the cliff.
+  "-XX:ReservedCodeCacheSize=1g",
 )

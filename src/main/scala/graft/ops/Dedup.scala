@@ -46,27 +46,50 @@ object Dedup {
   val MinhashFuncs = 16
   val LshBands = 4 // 4 bands x 4 rows
 
+  /** Exploded (doc_id[, extra...], pos, w) token stream, hash-partitioned by
+    * doc_id.
+    *
+    * Two deliberate scale decisions live here:
+    *  - `repartition(doc_id)` BEFORE tokenizing: document corpora compress
+    *    well, so scan splits carry far more per-row compute than bytes —
+    *    without this the tokenize/hash prep ran as ONE task at sf0.1.
+    *  - tokens are EXPLODED rather than kept as an array column: any column
+    *    referenced inside a higher-order-function lambda gets inlined by
+    *    CollapseProject, so `transform(..., slice(split(text), ...))`
+    *    re-ran the full-document regex split once PER SHINGLE (observed:
+    *    90+ s of a task's CPU inside String.split). After posexplode the
+    *    split runs exactly once per document.
+    */
+  private def tokenStream(docs: DataFrame, extra: Seq[String]): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select((col("doc_id") +: extra.map(col)) :+
+        posexplode(toks).as(Seq("pos", "w")): _*)
+
+  /** Word n-gram rows (doc_id[, extra...], gram) built with window `lead`s
+    * over the token stream — the sort piggybacks on the doc_id exchange, and
+    * every downstream per-doc aggregate is shuffle-free (already clustered).
+    */
+  private def gramStream(docs: DataFrame, n: Int, extra: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"l$k"))
+    tokenStream(docs, extra)
+      .select((col("doc_id") +: extra.map(col)) ++ (col("w") +: leads): _*)
+      .filter(if (n > 1) col(s"l${n - 1}").isNotNull else lit(true))
+      .select((col("doc_id") +: extra.map(col)) :+
+        concat_ws(" ", col("w") +: (1 until n).map(k => col(s"l$k")): _*).as("gram"): _*)
+  }
+
   /** MinHash signature columns: sig_i = min over shingles of
     * md5(i || '|' || s). The lexicographic min of a salted md5 is equivalent
     * to a random permutation per i, and — unlike a seeded integer hash —
-    * reproducible in any engine.
-    *
-    * Implementation deliberately avoids `array_min(transform(...))`:
-    * higher-order array functions are interpreted (no whole-stage codegen),
-    * which made the array formulation ~50x slower. Instead shingles are
-    * EXPLODED to flat rows, the 16 salted md5s are plain codegen'd
-    * projections, and the per-doc min is a hash aggregate with map-side
-    * partial combine — one shuffle of 16 x 32-byte digests per doc,
-    * linear at 100 TB.
+    * reproducible in any engine. The 16 salted md5s are flat codegen'd
+    * projections over the gram stream; the per-doc min aggregate needs no
+    * shuffle (rows are already clustered by doc_id) — linear at 100 TB.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val shingled = docs
-      .select(col("doc_id"), toks.as("tokens"))
-      .filter(size(col("tokens")) >= 3)
-      .select(col("doc_id"), explode(wordShingles(col("tokens"), 3)).as("s"))
     val hashCols = (0 until MinhashFuncs).map(i =>
-      md5(concat(lit(s"$i|"), col("s"))).as(s"h$i"))
-    shingled
+      md5(concat(lit(s"$i|"), col("gram"))).as(s"h$i"))
+    gramStream(docs, 3, Nil)
       .select(col("doc_id") +: hashCols: _*)
       .groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
@@ -129,17 +152,24 @@ object Dedup {
     * which is also every pair that can clear a positive threshold.
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2): DataFrame = {
-    val prepped = docs
-      .select(col("doc_id"), col("lang"), toks.as("tokens"))
-      .filter(size(col("tokens")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        element_at(col("tokens"), 1).as("tok0"),
-        array_distinct(wordShingles(col("tokens"), 2)).as("grams"))
-    val sizes = prepped.select(col("doc_id"), size(col("grams")).as("n_grams"))
-    val grams = prepped.select(col("doc_id"), col("lang"), col("tok0"),
-      explode(col("grams")).as("gram"))
-    val a = grams.as("a")
-    val b = grams.as("b")
+    // bigram stream with the block key (lang + first token); tok0 rides the
+    // same window sort the gram leads use. Distinct-ification and the size
+    // rollup are shuffle-free: rows are already clustered by doc_id.
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = Seq(lead(col("w"), 1).over(w).as("l1"),
+      first(col("w")).over(w).as("tok0"))
+    val grams = tokenStream(docs, Seq("lang"))
+      .select(col("doc_id") +: col("lang") +: col("w") +: leads: _*)
+      .filter(col("l1").isNotNull)
+      .select(col("doc_id"), col("lang"), col("tok0"),
+        concat_ws(" ", col("w"), col("l1")).as("gram"))
+      .distinct() // per-doc gram set; no shuffle (clustered by doc_id)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    // SORT-MERGE, not broadcast: the exploded gram side is O(corpus) and
+    // not broadcastable at scale, and shuffling both (identical) sides on
+    // the same keys lets ReuseExchange compute the gram prep ONCE.
+    val a = grams.hint("merge").as("a")
+    val b = grams.hint("merge").as("b")
     val isects = a.join(b,
         col("a.lang") === col("b.lang") && col("a.tok0") === col("b.tok0") &&
           col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))

@@ -22,21 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cast float vector to double and attach its L2 norm (narrow). */
+  /** Cast float vector to double and attach its L2 norm (narrow). Norm uses
+    * the codegen'd [[graft.functions.L2Norm]] expression — same left-to-right
+    * accumulation as the higher-order formulation, minus the interpreted
+    * lambda-per-element overhead.
+    */
   def withNorm(embeddings: DataFrame): DataFrame = {
     val vec = transform(col("embedding"), x => x.cast("double"))
     embeddings
       .withColumn("vec", vec)
-      .withColumn("norm",
-        sqrt(aggregate(col("vec"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", graft.functions.VectorFunctions.l2norm(col("vec")))
       .drop("embedding")
   }
 
-  /** Cosine similarity of two pre-normed double vectors, rounded to 6. */
-  def cosine(va: Column, vb: Column, na: Column, nb: Column): Column = {
-    val dot = aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (a, x) => a + x)
-    round(dot / (na * nb), 6)
-  }
+  /** Cosine similarity of two pre-normed double vectors, rounded to 6.
+    * Dot product via the codegen'd [[graft.functions.DotProduct]].
+    */
+  def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    round(graft.functions.VectorFunctions.dot(va, vb) / (na * nb), 6)
 
   /** Exact top-k neighbors by cosine for the query subset
     * `vec_id % queryMod == 0`. Queries are broadcast; the corpus is scanned
