@@ -288,6 +288,16 @@ object SparkEntry {
         col("p_partkey"),
         regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"))),
 
+    "sessionize_batch" -> { (s, dir) =>
+      // gap sessionization via flatMapGroupsWithState in batch mode (full
+      // flush); the oracle reproduces it with lag + cumulative-sum SQL.
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[graft.streaming.Sessionize.Event]
+      graft.streaming.Sessionize.sessions(ev, emitOpen = true).toDF()
+    },
+
     // ---- beyond-reference: multimodal column plumbing (ops.Multimodal) ---
     "multimodal_decode" -> { (s, dir) =>
       val media = graft.ops.Multimodal.mediaFromDocuments(Tables.documents(s, dir))
@@ -607,6 +617,20 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events""".stripMargin,
+    "sessionize_batch" ->
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,

@@ -41,4 +41,14 @@ object EventAggs {
     events.select(
       col("event_id"), col("event_type"),
       get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** Cardinality rollup with HyperLogLog++ — the approx-distinct the
+    * SURVEY (§2.4) flags as the natural 100 TB addition: exact
+    * count-distinct shuffles every distinct value; HLL shuffles a fixed
+    * sketch per group. rsd 0.02 = ~1.5 KB sketches.
+    */
+  def approxUserCounts(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.groupBy(col("event_type")).agg(
+      approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+      count(lit(1)).as("n_events"))
 }
