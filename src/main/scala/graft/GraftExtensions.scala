@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, L2Norm}
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+import graft.functions.{DotProduct, L2Norm, TopKAggregate}
 
 /** SparkSessionExtensions entry point: makes the engine's custom expressions
   * available to ANY session (including pure-SQL users) via
@@ -20,5 +20,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
       exprs => L2Norm(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAggregate].getName, "graft_topk"),
+      exprs => {
+        val k = exprs(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be an integer literal, got $other")
+        }
+        TopKAggregate(exprs(0), exprs(1), k).toAggregateExpression()
+      }))
   }
 }

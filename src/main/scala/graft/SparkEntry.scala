@@ -217,6 +217,8 @@ object SparkEntry {
       graft.ops.Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     "sim_topk_ivf" -> ((s, dir) =>
       graft.ops.Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    "sim_topk_agg" -> ((s, dir) =>
+      graft.ops.Similarity.bruteForceTopKAgg(Tables.embeddings(s, dir))),
 
     // ---- beyond-reference: event-time analytics (streaming.EventAggs;
     //      batch-equivalent plans of the streaming transforms) -------------
@@ -512,6 +514,21 @@ object SparkEntry {
         |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim > 0.35""".stripMargin,
     "sim_topk_brute" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm FROM n
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |          i -> qvec[i]*vec[i]), 'sum') / (qnorm*nrm), 6) AS cos_sim
+        |      FROM n CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+        |WHERE rn <= 5""".stripMargin,
+    "sim_topk_agg" -> // same contract as sim_topk_brute, custom-aggregate path
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |           FROM embeddings),
         |n AS (SELECT vec_id, vec,

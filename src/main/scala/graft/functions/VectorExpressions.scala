@@ -119,12 +119,24 @@ object VectorFunctions {
   def l2norm(a: Column): Column =
     ColumnBridge.column(L2Norm(ColumnBridge.expression(a)))
 
-  /** Register `graft_dot` / `graft_l2norm` for spark.sql users. Idempotent. */
+  /** Register `graft_dot` / `graft_l2norm` / `graft_topk` for spark.sql
+    * users on an EXISTING session (the builder-time path is
+    * [[graft.GraftExtensions]]). Idempotent.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_l2norm", exprs => L2Norm(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_topk", exprs => {
+        val k = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be an integer literal, got $other")
+        }
+        TopKAggregate(exprs(0), exprs(1), k).toAggregateExpression()
+      }, "built-in")
   }
 }

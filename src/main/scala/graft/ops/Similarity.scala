@@ -58,6 +58,27 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Same result set as [[bruteForceTopK]] but ranked with the custom
+    * [[graft.functions.TopKAggregate]] instead of sort + row_number: one
+    * hash aggregate with bounded per-map-task heaps, so the exchange
+    * carries O(queries x k) pairs instead of the full candidate set —
+    * the formulation that survives a 100x candidate blow-up.
+    */
+  def bruteForceTopKAgg(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
+    val v = withNorm(embeddings)
+    val q = v.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAggregate.topk(col("cos_sim"), col("neighbor_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("pair.id").as("neighbor_id"),
+        col("pair.score").as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** IVF top-k: centroids = the `nCentroids` lowest vec_ids (deterministic
     * stand-in for a k-means pass, which would be run offline at scale);
     * every vector is assigned to its nearest centroid; queries probe only
