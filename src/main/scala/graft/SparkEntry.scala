@@ -251,9 +251,20 @@ object SparkEntry {
         count(lit(1)).as("n"),
         round(sum(col("l_quantity")), 4).as("sum_qty"))),
     "a7_percentile" -> ((s, dir) =>
+      // exact interpolated percentile - buffers every value per group, so
+      // it is the small-group/parity path; a8 is the scale path.
       Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
         round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
         round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))),
+    "a8_approx_percentile" -> ((s, dir) =>
+      // scale path: GK-sketch percentile with bounded state per group (the
+      // exact `percentile` buffers all values - OOM at 100x group sizes).
+      // With accuracy >= group size the sketch is exact and returns the
+      // element at rank ceil(p*n) - the same convention as DuckDB's
+      // quantile_disc, which makes this oracle-checkable.
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000000)").as("median_qty"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000000)").as("p90_price"))),
     "q_topn" -> ((s, dir) =>
       Tables.orders(s, dir)
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -463,20 +474,34 @@ object SparkEntry {
         |       min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_minhash_lsh" ->
+      // numeric minhash: ONE md5 per shingle, hex-parsed to a bigint, then
+      // 16 affine reshuffles mod 2^61-1 — same constants as Dedup.HashA/C.
+      // Buckets larger than Dedup.MaxLshBucket are dropped (skew cap).
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
         |              FROM documents),
         |sh AS (SELECT doc_id, list_transform(generate_series(0, len(tokens)-3), i ->
         |         concat_ws(' ', tokens[i+1], tokens[i+2], tokens[i+3])) AS shingles
         |       FROM toks WHERE len(tokens) >= 3),
-        |sig AS (SELECT doc_id, list_transform(generate_series(0,15), i ->
-        |          list_aggregate(list_transform(shingles,
-        |            s -> md5(concat(i, '|', s))), 'min')) AS sig
-        |        FROM sh),
+        |hb AS (SELECT doc_id, list_transform(shingles, s ->
+        |         CAST('0x' || substr(md5(s),1,7) AS BIGINT)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, list_transform(generate_series(1,16), i ->
+        |          list_aggregate(list_transform(hs, h -> (h *
+        |            ([28515171, 35901835, 164504155, 224835733, 159545229, 129086779,
+        |              21665025, 258530763, 97673641, 249307291, 192052219, 93357247,
+        |              95312455, 108715649, 24414505, 158868827])[i] +
+        |            ([142629328, 83632441, 250955955, 96322194, 250268010, 34277798,
+        |              256159453, 123742706, 182912951, 248297849, 222161486, 81337654,
+        |              192810783, 177914584, 67363176, 151635781])[i])
+        |            % 268435459), 'min')) AS sig
+        |        FROM hb),
         |bands AS (SELECT doc_id, j,
-        |            md5(concat_ws('|', sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4])) AS bucket
-        |          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj)
+        |            concat_ws('|', sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]) AS bucket
+        |          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj),
+        |ok AS (SELECT j, bucket FROM bands GROUP BY 1, 2 HAVING count(*) <= 100)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bands a JOIN bands b
+        |FROM bands a
+        |JOIN ok ON ok.j = a.j AND ok.bucket = a.bucket
+        |JOIN bands b
         |  ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),'\s+')) AS w
@@ -503,15 +528,24 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(isect / CAST(tot - isect AS DOUBLE), 6) AS jaccard
         |FROM p WHERE round(isect / CAST(tot - isect AS DOUBLE), 6) >= 0.2""".stripMargin,
     "dedup_embedding" ->
-      """WITH v AS (SELECT vec_id, label,
-        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      // blocked on the IVF cell assignment (same as sim_topk_ivf's cell CTE)
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |           FROM embeddings),
-        |n AS (SELECT vec_id, label, vec,
+        |n AS (SELECT vec_id, vec,
         |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm FROM n WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, vec, nrm, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
+        |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
+        |        FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM
+        |          (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+        |         WHERE rn = 1),
         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |        round(list_aggregate(list_transform(generate_series(1, len(a.vec)),
         |          i -> a.vec[i]*b.vec[i]), 'sum') / (a.nrm*b.nrm), 6) AS cos_sim
-        |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |      FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim > 0.35""".stripMargin,
     "sim_topk_brute" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -590,6 +624,11 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "a8_approx_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_disc(l_quantity, 0.5) AS median_qty,
+        |       quantile_disc(l_extendedprice, 0.9) AS p90_price
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

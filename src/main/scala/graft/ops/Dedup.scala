@@ -35,16 +35,53 @@ object Dedup {
       i => concat_ws(" ", slice(tokens, i + lit(1), lit(n))))
 
   /** Exact dedup: group by content fingerprint, keep the smallest doc_id as
-    * the canonical representative.
+    * the canonical representative. The repartition spreads the
+    * normalize+md5 work: compressed text corpora scan as few (often single)
+    * splits, so without it the whole fingerprint pass lands on one task.
     */
   def exact(docs: DataFrame): DataFrame =
     docs
+      .repartition(col("doc_id"))
       .select(TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
   val MinhashFuncs = 16
-  val LshBands = 4 // 4 bands x 4 rows
+  val LshBands = 4
+  /** Rows per LSH band, derived so changing either constant cannot silently
+    * misalign the band slices.
+    */
+  val RowsPerBand: Int = {
+    require(MinhashFuncs % LshBands == 0, "LshBands must divide MinhashFuncs")
+    MinhashFuncs / LshBands
+  }
+
+  /** LSH bucket-size cap: buckets with more than this many docs are dropped
+    * before the candidate self-join. A degenerate bucket (empty/boilerplate
+    * docs sharing a signature) would otherwise cost O(bucket^2) pairs — the
+    * classic LSH skew-bomb at scale. Docs in an over-full bucket still pair
+    * through their other (LshBands - 1) bands.
+    */
+  val MaxLshBucket = 100
+
+  /** Prime modulus (2^28 + 3) of the affine minhash family. The base hash is
+    * 7 hex digits (28 bits) < HashP and the multipliers span [1, HashP), so
+    * a_i*h + c_i wraps the modulus many times over — each map is a genuine
+    * permutation-like universal hash. (A first attempt used a modulus LARGER
+    * than every a_i*h + c_i: the maps never wrapped, stayed monotone, all 16
+    * argmins coincided, and LSH degenerated to one effective hash function —
+    * candidate pairs blew up 44x.) a_i*h + c_i < 2^56: no int64 overflow in
+    * Spark or the DuckDB oracle (whose BIGINT errors instead of wrapping).
+    */
+  private val HashP = 268435459L
+  private val HashA = Array(
+    28515171L, 35901835L, 164504155L, 224835733L, 159545229L, 129086779L,
+    21665025L, 258530763L, 97673641L, 249307291L, 192052219L, 93357247L,
+    95312455L, 108715649L, 24414505L, 158868827L)
+  private val HashC = Array(
+    142629328L, 83632441L, 250955955L, 96322194L, 250268010L, 34277798L,
+    256159453L, 123742706L, 182912951L, 248297849L, 222161486L, 81337654L,
+    192810783L, 177914584L, 67363176L, 151635781L)
 
   /** Exploded (doc_id[, extra...], pos, w) token stream, hash-partitioned by
     * doc_id.
@@ -80,37 +117,55 @@ object Dedup {
   }
 
   /** MinHash signature columns: sig_i = min over shingles of
-    * md5(i || '|' || s). The lexicographic min of a salted md5 is equivalent
-    * to a random permutation per i, and — unlike a seeded integer hash —
-    * reproducible in any engine. The 16 salted md5s are flat codegen'd
-    * projections over the gram stream; the per-doc min aggregate needs no
-    * shuffle (rows are already clustered by doc_id) — linear at 100 TB.
+    * (a_i * h + c_i) mod [[HashP]], where h is the first 7 hex digits of
+    * md5(shingle) parsed as a bigint. Each affine map mod a prime is a
+    * universal-hash reshuffle of the base hash, so the family behaves like
+    * 16 independent permutations while computing ONE md5 per shingle — the
+    * engine-portable trick (md5 is bit-identical everywhere; DuckDB parses
+    * the same substring with `CAST('0x' || substr(md5(s),1,7) AS BIGINT)`).
+    *
+    * Why numeric, not the r1 16-salted-md5-string formulation: besides the
+    * 16x hash-work cut, BIGINT mins keep the per-doc aggregate inside
+    * whole-stage codegen's fixed-width UnsafeRow buffer. Sixteen min(STRING)
+    * aggregates forced a sort-based aggregate with interpreted md5 eval —
+    * measured 120-220 s at sf0.1 where this plan runs in ~1 s.
+    * The per-doc min aggregate needs no shuffle (rows are already clustered
+    * by doc_id) — linear at 100 TB.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val hashCols = (0 until MinhashFuncs).map(i =>
-      md5(concat(lit(s"$i|"), col("gram"))).as(s"h$i"))
+    val base = conv(substring(md5(col("gram")), 1, 7), 16, 10).cast("long")
     gramStream(docs, 3, Nil)
-      .select(col("doc_id") +: hashCols: _*)
+      .select(col("doc_id"), base.as("hb"))
       .groupBy("doc_id")
-      .agg(min(col("h0")).as("m0"),
-        (1 until MinhashFuncs).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      .agg(
+        min((col("hb") * HashA(0) + HashC(0)) % HashP).as("m0"),
+        (1 until MinhashFuncs).map(i =>
+          min((col("hb") * HashA(i) + HashC(i)) % HashP).as(s"m$i")): _*)
   }
 
-  /** LSH candidate pairs: docs sharing at least one band bucket.
-    * Returns (doc_a, doc_b) with doc_a < doc_b, distinct. The self-join's
-    * two sides are identical plans, so Spark reuses the aggregation
-    * exchange rather than recomputing signatures.
+  /** LSH candidate pairs: docs sharing at least one band bucket of size
+    * <= [[MaxLshBucket]]. Returns (doc_a, doc_b) with doc_a < doc_b,
+    * distinct.
+    *
+    * The bucket-size cap is computed as a window count over (band, bucket),
+    * which rides the SAME hash exchange the self-join needs — capping costs
+    * no extra shuffle. The self-join's two sides are identical plans, so
+    * Spark reuses that exchange rather than recomputing signatures.
     */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = minhashSignatures(docs)
     val bands = (0 until LshBands).map { j =>
-      md5(concat_ws("|",
-        (0 until MinhashFuncs / LshBands).map(r => col(s"m${j * 4 + r}")): _*))
+      concat_ws("|",
+        (0 until RowsPerBand).map(r => col(s"m${j * RowsPerBand + r}")): _*)
     }
     val exploded = sigs
       .select(col("doc_id"), posexplode(array(bands: _*)).as(Seq("band", "bucket")))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
+    val pruned = exploded
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= MaxLshBucket)
+      .drop("bsz")
+    val a = pruned.as("a")
+    val b = pruned.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -186,15 +241,24 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** Embedding near-dup: exact cosine over pairs blocked by `label`,
-    * keeping pairs above `minCos`. The blocking key stands in for an ANN
-    * bucketing stage; the scoring math is the reusable exact kernel.
+  /** Embedding near-dup: exact cosine over pairs blocked by IVF cell
+    * ([[Similarity.ivfAssign]]), keeping pairs above `minCos`.
+    *
+    * Blocking on the ANN cell bounds the candidate set at O(n^2/C) with C
+    * growing with the corpus (vs the r1 `label` blocking, whose fixed
+    * cardinality made pairs quadratic at scale). Near-dup vectors land in
+    * the same cell with high probability because they are near the same
+    * centroid; recall can be raised with multi-probe assignment without
+    * changing the verify stage. The exact-cosine scoring is the reusable
+    * verification kernel behind any candidate generator.
     */
-  def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.35): DataFrame = {
-    val v = Similarity.withNorm(embeddings)
+  def embeddingNearDups(
+      embeddings: DataFrame, minCos: Double = 0.35,
+      nCentroids: Int = 16): DataFrame = {
+    val v = Similarity.ivfAssign(embeddings, nCentroids)
     val a = v.as("a")
     val b = v.as("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         Similarity.cosine(

@@ -79,26 +79,34 @@ object Similarity {
         col("pair.score").as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
-  /** IVF top-k: centroids = the `nCentroids` lowest vec_ids (deterministic
-    * stand-in for a k-means pass, which would be run offline at scale);
-    * every vector is assigned to its nearest centroid; queries probe only
-    * their own cell.
+  /** IVF cell assignment: each vector labeled with its nearest of
+    * `nCentroids` centroids (centroids = the lowest vec_ids — a
+    * deterministic stand-in for a k-means pass, which would run offline at
+    * scale). Centroids are broadcast, so assignment is one narrow pass over
+    * the corpus; ties broken (cos desc, cent_id asc) for cross-engine
+    * stability. Output: (vec_id, vec, norm, cell).
     */
-  def ivfTopK(
-      embeddings: DataFrame, k: Int = 3, queryMod: Int = 50,
-      nCentroids: Int = 16): DataFrame = {
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int = 16): DataFrame = {
     val v = withNorm(embeddings)
     val cents = v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
-    // cell assignment: nearest centroid by (cos desc, cent_id asc)
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("c_cos").desc, col("cent_id").asc)
-    val assigned = v.join(broadcast(cents))
+    v.join(broadcast(cents))
       .select(col("vec_id"), col("vec"), col("norm"), col("cent_id"),
         cosine(col("vec"), col("cvec"), col("norm"), col("cnorm")).as("c_cos"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("vec"), col("norm"), col("cent_id").as("cell"))
+  }
+
+  /** IVF top-k: every vector is assigned to its nearest centroid
+    * ([[ivfAssign]]); queries probe only their own cell.
+    */
+  def ivfTopK(
+      embeddings: DataFrame, k: Int = 3, queryMod: Int = 50,
+      nCentroids: Int = 16): DataFrame = {
+    val assigned = ivfAssign(embeddings, nCentroids)
     val q = assigned.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("norm").as("qnorm"), col("cell"))

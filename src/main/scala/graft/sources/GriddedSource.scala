@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.io.{DataOutputStream, FileOutputStream}
 import java.util
 import scala.jdk.CollectionConverters._
 
@@ -37,11 +37,26 @@ class GriddedSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GriddedTable(properties.asScala.getOrElse("paths",
-      properties.asScala.getOrElse("path", "")))
+    new GriddedTable(GriddedSource.optionPaths(properties.asScala.toMap))
 }
 
 object GriddedSource {
+  /** Resolves the DSv2 path options: `load(p)` arrives as option "path";
+    * `load(p1, p2, ...)` arrives as option "paths" holding a JSON-encoded
+    * string array (the DataFrameReader contract). The r1 code treated the
+    * JSON blob as a literal filesystem path, silently breaking multi-path
+    * loads.
+    */
+  private[sources] def optionPaths(props: Map[String, String]): Seq[String] = {
+    val multi = props.get("paths").toSeq.flatMap { json =>
+      // the value is a JSON string array produced by DataFrameReader.load
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.readValue(json, classOf[Array[String]]).toSeq
+    }
+    val single = props.get("path").toSeq
+    (single ++ multi).distinct
+  }
+
   /** Long-form schema — the post-flatten shape of processor.py:158-160. */
   val Schema: StructType = StructType(Seq(
     StructField("time", TimestampType, nullable = false),
@@ -52,32 +67,33 @@ object GriddedSource {
     StructField("sic_stddev", DoubleType, nullable = true)))
 }
 
-private[sources] class GriddedTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"gridded:$path"
+private[sources] class GriddedTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"gridded:${paths.mkString(",")}"
   override def schema(): StructType = GriddedSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GriddedScanBuilder(
-      Option(options.get("path")).orElse(Option(options.get("paths")))
-        .getOrElse(path))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val fromOptions = GriddedSource.optionPaths(
+      options.asCaseSensitiveMap().asScala.toMap)
+    new GriddedScanBuilder(if (fromOptions.nonEmpty) fromOptions else paths)
+  }
 }
 
-private[sources] class GriddedScanBuilder(path: String)
+private[sources] class GriddedScanBuilder(paths: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = GriddedSource.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GriddedScan(path, required)
+  override def build(): Scan = new GriddedScan(paths, required)
 }
 
-private[sources] class GriddedScan(path: String, required: StructType)
+private[sources] class GriddedScan(paths: Seq[String], required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = resolveFiles(path)
+    val files = paths.flatMap(resolveFiles).distinct
     files.flatMap { f =>
       val header = GridFile.readHeader(f)
       // one partition per time slice: multi-date files parallelize freely
@@ -90,10 +106,18 @@ private[sources] class GriddedScan(path: String, required: StructType)
     new GriddedReaderFactory(names)
   }
 
+  /** Resolves through the Hadoop FileSystem API, so any URI Spark can reach
+    * (hdfs://, s3a://, local) works — not just java.io.File paths.
+    */
   private def resolveFiles(p: String): Seq[String] = {
-    val f = new java.io.File(p)
-    if (f.isDirectory)
-      f.listFiles().filter(_.getName.endsWith(".grid")).map(_.getPath).sorted.toSeq
+    val hPath = new org.apache.hadoop.fs.Path(p)
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val fs = hPath.getFileSystem(conf)
+    val status = fs.getFileStatus(hPath)
+    if (status.isDirectory)
+      fs.listStatus(hPath).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".grid"))
+        .map(_.getPath.toUri.toString).sorted
     else Seq(p)
   }
 }
@@ -109,11 +133,23 @@ private[sources] class GriddedReaderFactory(requiredCols: Array[String])
   }
 }
 
-/** Streams one time-slice of one file as long-form rows. */
+/** Streams one time-slice of one file as long-form rows.
+  *
+  * Reads ONLY the assigned slice: the `.grid` layout is fixed-stride, so the
+  * byte offset of the (timeIdx) slab of each variable is closed-form from
+  * the header ([[GridFile.readSlice]]). A file with T dates is decoded in T
+  * slice-sized reads across its T partitions — O(fileSize) total I/O — and
+  * no task ever holds more than one slice in memory. (The r1 reader called
+  * GridFile.read(file) per partition: O(T x fileSize) amplification.)
+  * Variables pruned from `requiredCols` are never read (skip, not decode).
+  */
 private[sources] class GriddedPartitionReader(
     file: String, timeIdx: Int, requiredCols: Array[String])
     extends PartitionReader[InternalRow] {
-  private val grid = GridFile.read(file) // slice-sized files; header + axes + slab
+  private val grid = GridFile.readSlice(
+    file, timeIdx,
+    needMean = requiredCols.contains("sic_mean"),
+    needStddev = requiredCols.contains("sic_stddev"))
   private var lead = 0
   private var yi = 0
   private var xi = -1
@@ -127,11 +163,11 @@ private[sources] class GriddedPartitionReader(
   }
 
   override def get(): InternalRow = {
-    val flat = ((timeIdx * grid.nLead + lead) * grid.nY + yi) * grid.nX + xi
+    val flat = (lead * grid.nY + yi) * grid.nX + xi
     var i = 0
     while (i < requiredCols.length) {
       row(i) = requiredCols(i) match {
-        case "time"     => grid.timesMicros(timeIdx)
+        case "time"     => grid.timeMicros
         case "leadtime" => grid.leadtimes(lead)
         case "yc"       => grid.yc(yi)
         case "xc"       => grid.xc(xi)
@@ -155,35 +191,88 @@ private[sources] class GriddedPartitionReader(
   */
 object GridFile {
   case class Header(nTime: Int, nLead: Int, nY: Int, nX: Int)
-  case class Grid(
-      nTime: Int, nLead: Int, nY: Int, nX: Int,
-      timesMicros: Array[Long], leadtimes: Array[Int],
+
+  /** One decoded time-slice: axes + the (lead, y, x) slabs of the requested
+    * variables. Pruned variables are all-NaN arrays that were never read.
+    */
+  case class GridSlice(
+      nLead: Int, nY: Int, nX: Int,
+      timeMicros: Long, leadtimes: Array[Int],
       yc: Array[Double], xc: Array[Double],
       mean: Array[Double], stddev: Array[Double])
 
+  /** Total data bytes read by [[readSlice]] since JVM start — lets tests
+    * assert that reading one slice of a T-slice file does NOT scan the
+    * whole file (the I/O-amplification regression guard).
+    */
+  val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Opens through the Hadoop FileSystem API so the codec reads the same
+    * URIs the scan resolves (file:, hdfs:, s3a:, ...). Positioned reads on
+    * FSDataInputStream are the idiom remote stores implement efficiently
+    * (ranged GETs), which is exactly the access pattern seek-to-slice needs.
+    */
+  private def open(path: String): org.apache.hadoop.fs.FSDataInputStream = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  }
+
   def readHeader(path: String): Header = {
-    val in = new DataInputStream(new FileInputStream(path))
+    val in = open(path)
     try {
       require(in.readInt() == 0x47524431, s"$path: not a GRD1 file")
       Header(in.readInt(), in.readInt(), in.readInt(), in.readInt())
     } finally in.close()
   }
 
-  def read(path: String): Grid = {
-    val in = new DataInputStream(new java.io.BufferedInputStream(
-      new FileInputStream(path)))
+  /** Reads the header/axes region plus ONLY the (timeIdx) slab of each
+    * requested variable, seeking past everything else. The format is
+    * fixed-stride, so every offset is closed-form:
+    * headerBytes = 20 + 8 nT + 4 nL + 8 nY + 8 nX,
+    * mean slab t at headerBytes + t*sliceBytes,
+    * stddev slab t at headerBytes + nT*sliceBytes + t*sliceBytes,
+    * with sliceBytes = 8 * nL * nY * nX.
+    */
+  def readSlice(
+      path: String, timeIdx: Int,
+      needMean: Boolean = true, needStddev: Boolean = true): GridSlice = {
+    val in = open(path)
     try {
       require(in.readInt() == 0x47524431, s"$path: not a GRD1 file")
       val (nt, nl, ny, nx) = (in.readInt(), in.readInt(), in.readInt(), in.readInt())
-      val times = Array.fill(nt)(in.readLong())
-      val leads = Array.fill(nl)(in.readInt())
-      val yc = Array.fill(ny)(in.readDouble())
-      val xc = Array.fill(nx)(in.readDouble())
-      val n = nt * nl * ny * nx
-      val mean = Array.fill(n)(in.readDouble())
-      val stddev = Array.fill(n)(in.readDouble())
-      Grid(nt, nl, ny, nx, times, leads, yc, xc, mean, stddev)
+      require(timeIdx >= 0 && timeIdx < nt, s"$path: time slice $timeIdx not in [0,$nt)")
+      val timeBuf = readAt(in, 20L + 8L * timeIdx, 8)
+      val timeMicros = java.nio.ByteBuffer.wrap(timeBuf).getLong()
+      // axis block (leadtimes, yc, xc) in one contiguous read
+      val axes = java.nio.ByteBuffer.wrap(
+        readAt(in, 20L + 8L * nt, 4 * nl + 8 * (ny + nx)))
+      val leads = Array.fill(nl)(axes.getInt())
+      val yc = Array.fill(ny)(axes.getDouble())
+      val xc = Array.fill(nx)(axes.getDouble())
+      val headerBytes = 20L + 8L * nt + 4L * nl + 8L * ny + 8L * nx
+      val sliceVals = nl * ny * nx
+      def slab(varIdx: Int): Array[Double] = {
+        val bb = java.nio.ByteBuffer.wrap(readAt(
+          in, headerBytes + (varIdx.toLong * nt + timeIdx) * 8L * sliceVals,
+          8 * sliceVals))
+        val out = new Array[Double](sliceVals)
+        bb.asDoubleBuffer().get(out)
+        out
+      }
+      val mean =
+        if (needMean) slab(0) else Array.fill(sliceVals)(Double.NaN)
+      val stddev =
+        if (needStddev) slab(1) else Array.fill(sliceVals)(Double.NaN)
+      GridSlice(nl, ny, nx, timeMicros, leads, yc, xc, mean, stddev)
     } finally in.close()
+  }
+
+  private def readAt(
+      in: org.apache.hadoop.fs.FSDataInputStream, offset: Long, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    in.readFully(offset, buf) // positioned read: a ranged GET on object stores
+    bytesRead.addAndGet(n.toLong)
+    buf
   }
 
   /** Test/fixture writer. */
