@@ -207,6 +207,8 @@ object SparkEntry {
       graft.ops.Dedup.minhashCandidates(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhash(Tables.documents(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.simhashCandidates(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
@@ -508,11 +510,39 @@ object SparkEntry {
         |              FROM documents),
         |votes AS (SELECT doc_id, p,
         |            sum(CASE WHEN substr(md5(w), p, 1) >= '8' THEN 1 ELSE -1 END) AS v
-        |          FROM toks CROSS JOIN (SELECT unnest(generate_series(1,16)) AS p) pp
+        |          FROM toks CROSS JOIN (SELECT unnest(generate_series(1,32)) AS p) pp
         |          GROUP BY doc_id, p)
         |SELECT doc_id,
         |       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      // banded Hamming join over the 32-bit signatures: 4 bands x 8 bits,
+      // bucket cap 100, exact Hamming <= 3 filter — mirrors
+      // Dedup.simhashCandidates
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),'\s+')) AS w
+        |              FROM documents),
+        |votes AS (SELECT doc_id, p,
+        |            sum(CASE WHEN substr(md5(w), p, 1) >= '8' THEN 1 ELSE -1 END) AS v
+        |          FROM toks CROSS JOIN (SELECT unnest(generate_series(1,32)) AS p) pp
+        |          GROUP BY doc_id, p),
+        |sh AS (SELECT doc_id,
+        |         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
+        |       FROM votes GROUP BY doc_id),
+        |bands AS (SELECT doc_id, simhash, j, substr(simhash, 8*j + 1, 8) AS bucket
+        |          FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj),
+        |ok AS (SELECT j, bucket FROM bands GROUP BY 1, 2 HAVING count(*) <= 100),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                a.simhash AS sa, b.simhash AS sb
+        |         FROM bands a
+        |         JOIN ok ON ok.j = a.j AND ok.bucket = a.bucket
+        |         JOIN bands b
+        |           ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |ham AS (SELECT doc_a, doc_b,
+        |          CAST(list_aggregate(list_transform(generate_series(1,32), p ->
+        |            CASE WHEN substr(sa,p,1) <> substr(sb,p,1) THEN 1 ELSE 0 END),
+        |            'sum') AS INT) AS hamming
+        |        FROM cand)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text),'\s+') AS tokens
         |           FROM documents),

@@ -22,6 +22,7 @@ class Pipeline(spark: SparkSession, warehouse: String, hemi: Hemisphere) {
   val forecastPath: String = s"$warehouse/${h}_forecast"
   val metaPath: String = s"$warehouse/forecast_meta"
   val latestPath: String = s"$warehouse/${h}_forecast_latest"
+  val quarantinePath: String = s"$warehouse/${h}_forecast_quarantine"
 
   /** Run the whole pipeline for one raw long-form file frame. */
   def ingest(raw: DataFrame): Unit = {
@@ -50,8 +51,14 @@ class Pipeline(spark: SparkSession, warehouse: String, hemi: Hemisphere) {
     * first-write-wins insert on the natural key (processor.py:283).
     * Partitioned by generation date, replacing the reference's
     * date-column b-tree indexes (processor.py:286-288) with pruning.
+    *
+    * FK integrity (the reference's fk_cell_id constraint,
+    * processor.py:283-284): a forecast row whose centroid pair resolves to
+    * no known cell is QUARANTINED to [[quarantinePath]] and counted — never
+    * silently inserted with a NULL cell_id, which would corrupt every
+    * downstream cell join. Returns the number of quarantined rows.
     */
-  def updateForecasts(loaded: DataFrame): Unit = {
+  def updateForecasts(loaded: DataFrame): Long = {
     val cells = TableOps.read(spark, cellPath)
       .select("cell_id", "centroid_x", "centroid_y")
     val withCell = loaded.join(
@@ -60,10 +67,16 @@ class Pipeline(spark: SparkSession, warehouse: String, hemi: Hemisphere) {
       "left")
     val facts = withCell.select(
       col("date_forecast_generated"), col("date_forecast_for"), col("cell_id"),
+      col("xc_m"), col("yc_m"),
       col("sea_ice_concentration_mean"), col("sea_ice_concentration_stddev"))
-    TableOps.insertIgnore(spark, forecastPath, facts,
+    val bad = facts.filter(col("cell_id").isNull)
+    val nBad = bad.count()
+    if (nBad > 0) bad.write.mode("append").parquet(quarantinePath)
+    TableOps.insertIgnore(spark, forecastPath,
+      facts.filter(col("cell_id").isNotNull).drop("xc_m", "yc_m"),
       Seq("date_forecast_generated", "date_forecast_for", "cell_id"),
       partitionCols = Seq("date_forecast_generated"))
+    nBad
   }
 
   /** Stage 4 (processor.py:409-451): the latest-forecast materialized view —
@@ -77,9 +90,13 @@ class Pipeline(spark: SparkSession, warehouse: String, hemi: Hemisphere) {
   def latestView(): DataFrame = {
     val facts = TableOps.read(spark, forecastPath)
     val cells = TableOps.read(spark, cellPath).select("cell_id", "geom_4326")
-    val latestDate = facts.agg(max("date_forecast_generated")).head().getDate(0)
+    // scalar-subquery max as a broadcast single-row join: one plan, no
+    // driver-side action; the fact side is filtered on its PARTITION column,
+    // so dynamic partition pruning keeps the scan to the latest date's files.
+    val maxd = facts.agg(max("date_forecast_generated").as("__maxd"))
     val latest = facts
-      .filter(col("date_forecast_generated") === lit(latestDate))
+      .join(broadcast(maxd), col("date_forecast_generated") === col("__maxd"))
+      .drop("__maxd")
       .join(broadcast(cells), Seq("cell_id"))
       .select("date_forecast_generated", "date_forecast_for", "cell_id",
         "sea_ice_concentration_mean", "sea_ice_concentration_stddev", "geom_4326")

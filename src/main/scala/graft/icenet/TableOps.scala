@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *  - S6 `INSERT ... SELECT ... ON CONFLICT DO UPDATE` (processor.py:375-403)
   *    -> [[upsert]]: union-by-key with incoming precedence (last write wins).
   *  - S7 `REFRESH MATERIALIZED VIEW` (processor.py:444-448) ->
-  *    [[overwriteView]]: full recompute + atomic directory swap.
+  *    [[overwriteView]]: full recompute + crash-safe directory swap.
   *  - S8 `CREATE TABLE IF NOT EXISTS` (processor.py:198-209 etc.) ->
   *    [[exists]]/first-write bootstrap; parquet needs no DDL-before-write.
   *
@@ -24,23 +24,38 @@ import org.apache.spark.sql.functions._
   * exactly the reference's own concurrency model (host.json:4-8 forces
   * strictly serial processing).
   *
-  * Scale notes: the anti-join's existing side reads ONLY the key columns
-  * (column pruning reaches the parquet scan), and the incoming side of an
-  * ingest is one file's worth of rows, so Catalyst plans a broadcast of the
-  * incoming keys, not a shuffle of the full table. Upsert targets (meta
-  * rollups) are tiny by construction. Tables are partitioned by the date
-  * column when `partitionCols` is given, replacing the reference's b-tree
-  * indexes (processor.py:286-288) with partition pruning.
+  * Crash-safety model (the parquet stand-in for a transactional commit):
+  *  - [[replace]] never deletes the current table before its successor is in
+  *    place: write `.staging`, rename current -> `.old`, rename `.staging` ->
+  *    current, delete `.old`. The commit point is the second rename; at every
+  *    instant either the table dir or its `.old` sibling holds one complete
+  *    consistent version, and [[read]]/[[exists]] fall back to `.old` when a
+  *    crash landed between the renames. Leftover `.staging`/`.old` dirs are
+  *    cleaned by the next replace.
+  *  - [[insertIgnore]]'s append commits file-at-a-time (Spark's task-commit
+  *    rename). A crash can leave a PARTIAL batch visible, but every appended
+  *    row is a brand-new key (anti-joined), so re-running the same ingest
+  *    inserts exactly the missing rows — the same convergence granularity as
+  *    the reference's row-at-a-time ON CONFLICT inserts.
+  *
+  * Scale notes: the anti-join reads ONLY the key columns of the existing side
+  * (column pruning reaches the parquet scan) and, when the table is
+  * partitioned, ONLY the partitions whose values occur in the incoming batch
+  * ([[freshRows]] seeds partition pruning from the incoming frame) — so a
+  * one-date ingest against years of facts touches one date's files, matching
+  * the PG unique-index cost model it replaces. The existing side is the BUILD
+  * side of the left-anti join only after pruning makes it small; Catalyst
+  * picks broadcast vs shuffle from the pruned size via AQE. Tables are
+  * partitioned by the date column when `partitionCols` is given, replacing
+  * the reference's b-tree indexes (processor.py:286-288) with pruning.
   */
 object TableOps {
 
-  def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  def exists(spark: SparkSession, path: String): Boolean =
+    rawExists(spark, path) || rawExists(spark, path + ".old")
 
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(resolve(spark, path))
 
   /** S5: idempotent first-write-wins append. Rows whose key already exists
     * in the table are silently dropped (the PG unique-index arbitration).
@@ -50,14 +65,35 @@ object TableOps {
   def insertIgnore(
       spark: SparkSession, path: String, incoming: DataFrame,
       keys: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
+    heal(spark, path)
     val deduped = incoming.dropDuplicates(keys)
     if (!exists(spark, path)) {
       write(deduped, path, "overwrite", partitionCols)
     } else {
-      val existingKeys = read(spark, path).select(keys.map(col): _*)
-      val fresh = deduped.join(existingKeys, keys, "left_anti")
+      val fresh = freshRows(spark, path, deduped, keys, partitionCols)
       write(fresh.select(deduped.columns.map(col): _*), path, "append", partitionCols)
     }
+  }
+
+  /** Incoming rows whose key is NOT yet in the table at `path`.
+    *
+    * When the table is partitioned, the existing side is first filtered to
+    * the partition values present in the incoming batch — those values are
+    * collected (an ingest batch carries O(1) distinct partition values, e.g.
+    * one generation date) and pushed as literal predicates, so the scan
+    * prunes to the affected partitions instead of reading every partition's
+    * key columns on each ingest. Exposed (not private) so tests can assert
+    * the pruning reaches the scan.
+    */
+  def freshRows(
+      spark: SparkSession, path: String, deduped: DataFrame,
+      keys: Seq[String], partitionCols: Seq[String] = Nil): DataFrame = {
+    val existing = read(spark, path)
+    val pruned = partitionCols.foldLeft(existing) { (df, pc) =>
+      val values = deduped.select(col(pc)).distinct().collect().map(_.get(0))
+      df.filter(col(pc).isin(values.toIndexedSeq: _*))
+    }
+    deduped.join(pruned.select(keys.map(col): _*), keys, "left_anti")
   }
 
   /** S6: last-write-wins upsert — matched keys take the incoming row,
@@ -66,6 +102,7 @@ object TableOps {
   def upsert(
       spark: SparkSession, path: String, incoming: DataFrame,
       keys: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
+    heal(spark, path)
     val deduped = incoming.dropDuplicates(keys)
     if (!exists(spark, path)) {
       write(deduped, path, "overwrite", partitionCols)
@@ -77,24 +114,60 @@ object TableOps {
     }
   }
 
-  /** S7: materialized-view refresh — full recompute, atomic swap. */
+  /** S7: materialized-view refresh — full recompute, crash-safe swap. */
   def overwriteView(
       spark: SparkSession, path: String, view: DataFrame,
-      partitionCols: Seq[String] = Nil): Unit =
+      partitionCols: Seq[String] = Nil): Unit = {
+    heal(spark, path)
     replace(spark, path, view, partitionCols)
+  }
 
-  /** Write `df` to a temp sibling then rename over `path` — the parquet
-    * stand-in for a transactional commit (needed because Spark cannot
-    * overwrite an input path of the running plan).
+  /** Crash-safe table swap (see the class doc's crash-safety model). The
+    * old data is never deleted before the replacement is committed; readers
+    * that race a crash fall back to the `.old` sibling via [[resolve]].
     */
   private def replace(
       spark: SparkSession, path: String, df: DataFrame,
       partitionCols: Seq[String]): Unit = {
-    val tmp = path + ".staging"
-    write(df, tmp, "overwrite", partitionCols)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(tmp), new Path(path))
+    val staging = new Path(path + ".staging")
+    val old = new Path(path + ".old")
+    val cur = new Path(path)
+    // materialize the successor BEFORE touching the current table (Spark
+    // cannot overwrite an input path of the running plan anyway)
+    write(df, staging.toString, "overwrite", partitionCols)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(old, true) // leftover from an earlier crash, already superseded
+    if (fs.exists(cur)) fs.rename(cur, old)
+    fs.rename(staging, cur) // commit point
+    fs.delete(old, true)
+  }
+
+  /** Repairs a crashed swap BEFORE any new write: if the table dir is gone
+    * but `.old` survives (a crash between [[replace]]'s two renames),
+    * promote `.old` back to the table dir. Without this, an append after
+    * such a crash would create a fresh table dir that SHADOWS the committed
+    * data still sitting in `.old`. Must run before plans over [[read]] are
+    * built, so lazy scans never point at a path the heal then moves.
+    */
+  private def heal(spark: SparkSession, path: String): Unit = {
+    val cur = new Path(path)
+    val old = new Path(path + ".old")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur)
+  }
+
+  /** Readable root for `path`: the table dir itself, or — if a crash landed
+    * between [[replace]]'s two renames — the `.old` sibling, which holds the
+    * last committed version.
+    */
+  private def resolve(spark: SparkSession, path: String): String =
+    if (rawExists(spark, path)) path
+    else if (rawExists(spark, path + ".old")) path + ".old"
+    else path
+
+  private def rawExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   private def write(

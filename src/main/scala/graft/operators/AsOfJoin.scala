@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (point-in-time) left join: for each left row, attach the payload of
   * the LATEST right row with `right.timeCol <= left.timeCol` for the same
@@ -10,8 +11,17 @@ import org.apache.spark.sql.functions._
   *
   * Implemented by composition (preference (a) of the custom-operator ladder):
   * tag and union both sides, then one window pass per key ordered by
-  * (time, side) taking the last non-null right payload. Right rows sort
-  * before left rows at equal timestamps, so the match is inclusive.
+  * (time, side) taking the last non-null right-payload STRUCT. Right rows
+  * sort before left rows at equal timestamps, so the match is inclusive.
+  *
+  * The payload travels as ONE struct column, filled with ONE
+  * last(ignoreNulls=true): the matched right row stays atomic. Filling each
+  * payload column independently (the r1 formulation) would let a right row
+  * whose payload value is genuinely NULL be skipped in favor of a stale
+  * value from an older right row — and let different payload columns come
+  * from DIFFERENT right rows. With the struct, a matched right row's NULL
+  * payload field stays NULL, matching true as-of semantics (and DuckDB's
+  * ASOF JOIN oracle) even on null-bearing payloads.
   *
   * Scale: ONE shuffle (hash partition by key) + ONE sort per partition —
   * same cost as a sort-merge join, with no range-explosion risk; skewed keys
@@ -30,31 +40,32 @@ object AsOfJoin {
       rightPayload: Seq[String]): DataFrame = {
     require(rightPayload.forall(!left.columns.contains(_)),
       "rightPayload columns must not collide with left columns")
-    val rightTypes = rightPayload.map(p => p -> right.schema(p).dataType).toMap
+    val payloadType = StructType(rightPayload.map(p => right.schema(p).copy(name = p)))
 
-    val lAug = rightPayload.foldLeft(
-        left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
-      (df, p) => df.withColumn(p, lit(null).cast(rightTypes(p)))
-    }
+    // left rows carry a NULL struct (skipped by last(ignoreNulls)); right
+    // rows carry the whole payload as one non-null struct, so the window
+    // fill picks entire right rows, never a column-wise mix.
+    val lAug = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(payloadType))
+      .select((left.columns.map(col) :+ col("__p") :+ col("__t") :+ col("__side")): _*)
     val rAug = {
       val base = right.select(
-        (col(rightTime).as("__t") +: lit(0).as("__side") +: col(key).as(key) +:
-          rightPayload.map(col)): _*)
-      left.columns.filter(c => c != key).foldLeft(base) { (df, c) =>
+        col(rightTime).as("__t"), lit(0).as("__side"), col(key).as(key),
+        struct(rightPayload.map(col): _*).as("__p"))
+      left.columns.filter(_ != key).foldLeft(base) { (df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }
+      }.select((left.columns.map(col) :+ col("__p") :+ col("__t") :+ col("__side")): _*)
     }
-    val unioned = lAug.select(
-      (left.columns.map(col) ++ rightPayload.map(col) ++ Seq(col("__t"), col("__side"))): _*)
-      .unionByName(rAug.select(
-        (left.columns.map(col) ++ rightPayload.map(col) ++ Seq(col("__t"), col("__side"))): _*))
+    val unioned = lAug.unionByName(rAug)
 
     val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
-      .select((left.columns ++ rightPayload).map(col): _*)
+    unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightPayload.map(p => col(s"__p.$p").as(p)): _*)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join for skewed keys — the manual escape hatch when AQE's
@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   * side inflates by nSalts — pick nSalts ~ (hot-key rows / normal-partition
   * rows), not "as big as possible".
   *
-  * The salt uses xxhash64 over the large side's columns rather than rand():
-  * deterministic output (replayable, testable) with the same spreading
-  * effect, since payload columns vary within a hot key.
+  * The salt hashes a ROW-LOCAL component (partition id + per-row counter)
+  * rather than the payload columns or rand(): payload-derived salts
+  * collapse to a single reducer whenever a hot key's rows carry identical
+  * payloads (exact duplicates, or a key-only table) — zero spreading while
+  * still inflating the small side nSalts times — and rand() breaks
+  * replayability. The row-counter salt spreads unconditionally; join
+  * CORRECTNESS never depends on which salt a row gets.
   */
 object SkewJoin {
 
@@ -24,11 +28,10 @@ object SkewJoin {
       large: DataFrame, small: DataFrame, keys: Seq[String],
       nSalts: Int = 8): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    val payload = large.columns.filterNot(keys.contains)
-    val saltSrc: Seq[Column] =
-      if (payload.nonEmpty) payload.toSeq.map(col) else keys.map(col)
     val saltedLarge = large.withColumn(
-      "__salt", pmod(xxhash64(saltSrc: _*), lit(nSalts)).cast("int"))
+      "__salt",
+      pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
+        lit(nSalts)).cast("int"))
     val saltedSmall = small.withColumn(
       "__salt", explode(sequence(lit(0), lit(nSalts - 1))))
     saltedLarge.join(saltedSmall, keys :+ "__salt")

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH: per-doc signature is a NARROW pass (no shuffle); candidate
   *    generation shuffles on (band, bucket) — cost O(docs x bands), never
   *    O(docs^2). This is the 100 TB path.
-  *  - SimHash: one 64->16-dim signature per doc, narrow; near-dup = equal or
-  *    close signatures, again bucket-joinable.
+  *  - SimHash: one 32-bit signature per doc (explode + codegen'd vote sums,
+  *    shuffle-free); near-dup = banded Hamming join with exact recall for
+  *    distance <= bands - 1.
   *  - n-gram Jaccard: exact pair scoring, restricted to LSH/blocking
   *    candidates — here blocked on (lang, first token) to stay subquadratic.
   *  - embedding-cosine: blocked on a coarse key (label) — the exact
@@ -173,27 +174,79 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash over the 16 hex nibbles of per-token md5: nibble >= '8' votes
-    * +1, else -1; sign of the vote sum is the signature bit. One narrow
-    * fold over the token array — no explode, no shuffle.
+  /** SimHash signature width (bits) = md5 hex chars used, one bit per
+    * nibble (top bit of the nibble, i.e. char >= '8').
     */
-  def simhashBits(tokens: Column): Column = {
-    val votes = aggregate(
-      tokens,
-      array_repeat(lit(0), 16),
-      (acc, w) => {
-        val h = md5(w)
-        zip_with(acc,
-          transform(sequence(lit(1), lit(16)),
-            p => when(h.substr(p, lit(1)) >= "8", 1).otherwise(-1)),
-          (a, v) => a + v)
-      })
-    concat((1 to 16).map(p =>
-      when(element_at(votes, p) > 0, "1").otherwise("0")): _*)
+  val SimhashBits = 32
+  val SimhashBands = 4
+  /** Bits per Hamming band; bands partition the signature. */
+  val SimhashBandBits: Int = {
+    require(SimhashBits % SimhashBands == 0, "bands must divide bits")
+    SimhashBits / SimhashBands
   }
 
-  def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhashBits(toks).as("simhash"))
+  /** SimHash: bit p of the signature is the sign of the per-doc sum of
+    * votes (+1 if hex char p of md5(token) >= '8', else -1).
+    *
+    * Formulated as explode -> 32 codegen'd +/-1 projections -> hash
+    * aggregate of 32 int sums (fixed-width buffer, map-side combine), NOT
+    * as a higher-order `aggregate` over the token array: Spark evaluates
+    * HOF lambdas interpreted, per element. The md5 inside the projections
+    * is computed once per token (whole-stage codegen CSE). Rows arrive
+    * clustered by doc_id from [[tokenStream]], so the aggregate is
+    * shuffle-free — linear at any scale.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val h = md5(col("w"))
+    val bitCols = (1 to SimhashBits).map(p =>
+      when(substring(h, p, 1) >= "8", 1).otherwise(-1).as(s"v$p"))
+    tokenStream(docs, Nil)
+      .select(col("doc_id") +: bitCols: _*)
+      .groupBy("doc_id")
+      .agg(
+        sum(col("v1")).as("s1"),
+        (2 to SimhashBits).map(p => sum(col(s"v$p")).as(s"s$p")): _*)
+      .select(col("doc_id"),
+        concat((1 to SimhashBits).map(p =>
+          when(col(s"s$p") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: pairs within `maxHamming` bits, found by
+    * banding the signature into [[SimhashBands]] contiguous bit blocks and
+    * equi-joining on any shared (band, block) — by pigeonhole, two
+    * signatures at Hamming distance <= SimhashBands - 1 MUST agree on at
+    * least one whole band, so recall is exact for maxHamming <= 3. The
+    * exact Hamming distance then filters the candidates (32 codegen'd char
+    * compares — no UDF). Same skew guard as MinHash: over-full buckets
+    * (all-zero signatures from boilerplate) are capped at [[MaxLshBucket]].
+    * Widening [[SimhashBits]] is the scale knob: band buckets grow as
+    * 2^(bits/bands), cutting candidate density at higher corpus sizes.
+    */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val bands = (0 until SimhashBands).map(j =>
+      substring(col("simhash"), j * SimhashBandBits + 1, SimhashBandBits))
+    val exploded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array(bands: _*)).as(Seq("band", "bucket")))
+    val pruned = exploded
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= MaxLshBucket)
+      .drop("bsz")
+    val a = pruned.as("a")
+    val b = pruned.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    val hamming = (1 to SimhashBits).map(p =>
+      when(substring(col("sa"), p, 1) =!= substring(col("sb"), p, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    pairs
+      .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Exact word-bigram Jaccard over blocked candidate pairs
     * (block = same lang + same first token; swap in [[minhashCandidates]]

@@ -48,6 +48,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("id", "k", "t", "tag", "rv"))
   }
 
+  test("a matched right row's NULL payload stays NULL (struct atomicity)") {
+    val l = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("id", "k", "t")
+    val r = Seq(
+      (10L, ts("2024-01-01 10:00:00"), Option(100.0), "x"),
+      (10L, ts("2024-01-01 11:30:00"), Option.empty[Double], "y")
+    ).toDF("k", "rt", "rv", "rw")
+    val out = AsOfJoin.leftAsOf(l, r, "k", "t", "rt", Seq("rv", "rw"))
+      .select("rv", "rw").as[(Option[Double], String)].head()
+    // the matched (latest) right row has rv=NULL: it must surface as NULL,
+    // not as the stale 100.0 from the older row — and rv/rw must come from
+    // the SAME right row
+    assert(out == ((None, "y")))
+  }
+
   test("colliding payload names are rejected") {
     intercept[IllegalArgumentException] {
       AsOfJoin.leftAsOf(left, right.withColumnRenamed("rv", "tag"),

@@ -57,6 +57,47 @@ class GriddedSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("multi-path load: load(p1, p2) unions both files") {
+    val dir = tmpDir("multi")
+    def flat(v: Double) = Array.fill(1 * 1 * 2)(v) // nl=1, ny=1, nx=2
+    GridFile.write(s"$dir/a.grid", Array(us("2021-01-01 00:00:00")), Array(1),
+      Array(1.0), Array(2.0, 3.0), flat(0.5), flat(0.05))
+    GridFile.write(s"$dir/b.grid", Array(us("2021-01-02 00:00:00")), Array(1),
+      Array(1.0), Array(2.0, 3.0), flat(0.7), flat(0.07))
+    val two = spark.read.format("gridded").load(s"$dir/a.grid", s"$dir/b.grid")
+    assert(two.count() == 4)
+    assert(two.select("time").distinct().count() == 2)
+  }
+
+  test("slice-seeking reader: bytes read ~ data size, not nTime x file size") {
+    val dir = tmpDir("seek")
+    val nT = 4; val nl = 2; val ny = 4; val nx = 4
+    val times = (1 to nT).map(i => us(f"2022-01-0$i 00:00:00")).toArray
+    val vals = Array.tabulate(nT * nl * ny * nx)(_.toDouble)
+    GridFile.write(s"$dir/big.grid", times, Array(1, 2),
+      Array.tabulate(ny)(_ * 1.0), Array.tabulate(nx)(_ * 1.0),
+      vals, vals.map(_ / 10))
+    val dataBytes = 2L * nT * nl * ny * nx * 8 // both variables, all slices
+    val before = GridFile.bytesRead.get()
+    val n = spark.read.format("gridded").load(s"$dir/big.grid").count()
+    assert(n == nT * nl * ny * nx)
+    val delta = GridFile.bytesRead.get() - before
+    // each of the nT slice partitions re-reads only its slab + tiny axes;
+    // the old whole-file-per-partition reader would cost ~nT x dataBytes
+    assert(delta < dataBytes + nT * 1024L,
+      s"read $delta bytes for $dataBytes bytes of data")
+  }
+
+  test("pruned variables are skipped, not decoded") {
+    // fc.grid data region = 2 vars x 2t x (2l x 2y x 3x) x 8B = 384B;
+    // reading only sic_mean must stay under one variable's share + axes
+    val before = GridFile.bytesRead.get()
+    spark.read.format("gridded").load(s"$gridDir/fc.grid")
+      .agg(sum("sic_mean")).collect()
+    val delta = GridFile.bytesRead.get() - before
+    assert(delta < 384, s"expected < one-variable read, got $delta bytes")
+  }
+
   test("end-to-end: .grid file through the icenet pipeline") {
     val wh = tmpDir("gridwh")
     val p = new Pipeline(spark, wh, North)

@@ -88,6 +88,27 @@ class PipelineSpec extends SparkSpec {
     assert(TableOps.read(spark, p.metaPath).count() == 2)
   }
 
+  test("FK audit: unknown-centroid forecasts are quarantined, never NULL cell_id") {
+    val p = freshPipeline()
+    p.ingest(rawFile("2020-06-01", 0.0)) // cells now cover the 3x3 grid only
+    // a frame bypassing geometry update, with one centroid the cell table
+    // has never seen (xc=225 km) — the reference's fk_cell_id would reject it
+    val rogue = Seq(
+      (Timestamp.valueOf("2020-06-02 00:00:00"), 1, 225.0, 25.0, 85.0, 10.0,
+        Some(0.4), Some(0.04)),
+      (Timestamp.valueOf("2020-06-02 00:00:00"), 1, 25.0, 25.0, 85.0, 10.0,
+        Some(0.5), Some(0.05))) // known centroid: inserts normally
+      .toDF("time", "leadtime", "xc", "yc", "lat", "lon", "sic_mean", "sic_stddev")
+    val nBad = p.updateForecasts(Ingest.load(rogue))
+    assert(nBad == 1)
+    val q = spark.read.parquet(p.quarantinePath)
+    assert(q.count() == 1)
+    assert(q.select("xc_m").head().getInt(0) == 225000) // provenance kept
+    val facts = TableOps.read(spark, p.forecastPath)
+    assert(facts.filter(col("cell_id").isNull).count() == 0)
+    assert(facts.filter(col("date_forecast_generated") === "2020-06-02").count() == 1)
+  }
+
   test("cell geometry: WKT ring is closed and 4326 ring is in lon/lat range") {
     val p = freshPipeline()
     p.ingest(rawFile("2020-06-01", 0.0))

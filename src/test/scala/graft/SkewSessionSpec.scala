@@ -31,6 +31,17 @@ class SkewSessionSpec extends SparkSpec {
     assert(parts > 1) // without salting a single hot key lands in ONE partition
   }
 
+  test("salted join spreads even when hot-key payloads are identical") {
+    // exact-duplicate rows (and key-only tables) defeat a payload-derived
+    // salt: every row hashes alike. The row-local salt must still spread.
+    val large = spark.range(1000).select(lit(7L).as("k"), lit("same").as("payload"))
+    val small = Seq((7L, "x")).toDF("k", "v")
+    val salted = SkewJoin.saltedInnerJoin(large, small, Seq("k"), nSalts = 8)
+    assert(salted.count() == 1000)
+    val parts = salted.groupBy(spark_partition_id()).count().count()
+    assert(parts > 1)
+  }
+
   test("sessionize (batch): gap splits, counts, and boundaries") {
     def e(u: Long, s: String) = Event(u, Timestamp.valueOf(s), "click")
     val events = Seq(
