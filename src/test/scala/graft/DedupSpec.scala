@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.Dedup
+
+/** Dedup-operator specs beyond the DuckDB oracles: signature-level
+  * properties and the skew guards that only show up on adversarial corpora
+  * (the oracles' generated documents are benign).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash signatures: identical docs share all sigs, disjoint docs none") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).size == Dedup.MinhashFuncs)
+  }
+
+  test("degenerate corpus: 1000 identical docs do not go quadratic") {
+    // all 1000 docs share every band bucket; without the MaxLshBucket cap
+    // the self-join would emit 499,500 pairs from ONE bucket — the LSH
+    // skew-bomb. The cap drops the oversized bucket entirely.
+    val docs = (1 to 1000).map(i => (i.toLong,
+      "the same boilerplate text repeated for every document in this corpus"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(docs).count() == 0)
+    assert(Dedup.simhashCandidates(docs).count() == 0)
+  }
+
+  test("duplicate clusters below the bucket cap still pair (minhash + simhash)") {
+    val dups = (1 to 10).map(i => (i.toLong,
+      "identical duplicated document body with plenty of shared tokens here"))
+    val others = (11 to 40).map(i => (i.toLong,
+      s"unique filler number $i carrying distinct words q${i}a q${i}b q${i}c q${i}d q${i}e"))
+    val docs = (dups ++ others).toDF("doc_id", "text")
+    val dupPairs = (for { a <- 1 to 10; b <- a + 1 to 10 }
+      yield (a.toLong, b.toLong)).toSet
+
+    val mh = Dedup.minhashCandidates(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(dupPairs.subsetOf(mh))
+
+    val sh = Dedup.simhashCandidates(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(dupPairs.subsetOf(sh))
+  }
+
+  test("simhash pairs report exact hamming distance, capped at the threshold") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "completely unrelated text about spacecraft telemetry and orbital mechanics data"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashCandidates(docs, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    // near-identical docs must surface with a small distance; the unrelated
+    // doc must not pair with either at distance <= 6
+    assert(got.exists { case (a, b, h) => a == 1L && b == 2L && h <= 6 })
+    assert(!got.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("band constants stay consistent") {
+    assert(Dedup.RowsPerBand * Dedup.LshBands == Dedup.MinhashFuncs)
+    assert(Dedup.SimhashBandBits * Dedup.SimhashBands == Dedup.SimhashBits)
+  }
+}
