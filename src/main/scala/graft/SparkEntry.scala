@@ -221,6 +221,8 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(Tables.embeddings(s, dir))),
     "sim_topk_agg" -> ((s, dir) =>
       graft.ops.Similarity.bruteForceTopKAgg(Tables.embeddings(s, dir))),
+    "sim_topk_ivf_mp" -> ((s, dir) =>
+      graft.ops.Similarity.ivfTopKMultiProbe(Tables.embeddings(s, dir))),
 
     // ---- beyond-reference: event-time analytics (streaming.EventAggs;
     //      batch-equivalent plans of the streaming transforms) -------------
@@ -623,6 +625,31 @@ object SparkEntry {
         |         WHERE rn = 1),
         |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm, cell FROM cell
         |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, m.vec_id AS neighbor_id,
+        |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |          i -> qvec[i]*m.vec[i]), 'sum') / (qnorm*m.nrm), 6) AS cos_sim
+        |      FROM cell m JOIN q USING (cell) WHERE m.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+        |WHERE rn <= 3""".stripMargin,
+    "sim_topk_ivf_mp" ->
+      // multi-probe IVF: corpus single-assigned (rn = 1), queries probe
+      // their top-2 cells (rn <= 2)
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm FROM n WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, vec, nrm, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
+        |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
+        |        FROM n CROSS JOIN c),
+        |ranked AS (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg),
+        |cell AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM ranked WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm, cent_id AS cell
+        |      FROM ranked WHERE rn <= 2 AND vec_id % 50 = 0),
         |s AS (SELECT query_id, m.vec_id AS neighbor_id,
         |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
         |          i -> qvec[i]*m.vec[i]), 'sum') / (qnorm*m.nrm), 6) AS cos_sim

@@ -150,8 +150,13 @@ object Dedup {
     *
     * The bucket-size cap is computed as a window count over (band, bucket),
     * which rides the SAME hash exchange the self-join needs — capping costs
-    * no extra shuffle. The self-join's two sides are identical plans, so
-    * Spark reuses that exchange rather than recomputing signatures.
+    * no extra shuffle. The self-join is merge-hinted, not broadcast: the
+    * exploded band stream is O(corpus) and not broadcastable at scale, and
+    * with two identical shuffle-join sides ReuseExchange computes the whole
+    * signature pipeline ONCE (a broadcast plan — what AQE picks at bench
+    * scale — materializes it twice). The window's (band, bucket) sort also
+    * already satisfies the merge join's ordering requirement, so no extra
+    * sort is planned.
     */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = minhashSignatures(docs)
@@ -165,8 +170,8 @@ object Dedup {
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("bsz") <= MaxLshBucket)
       .drop("bsz")
-    val a = pruned.as("a")
-    val b = pruned.as("b")
+    val a = pruned.hint("merge").as("a")
+    val b = pruned.hint("merge").as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -232,20 +237,23 @@ object Dedup {
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("bsz") <= MaxLshBucket)
       .drop("bsz")
-    val a = pruned.as("a")
-    val b = pruned.as("b")
-    val pairs = a.join(b,
+    // merge-hinted for the same exchange-reuse rationale as minhashCandidates
+    val a = pruned.hint("merge").as("a")
+    val b = pruned.hint("merge").as("b")
+    // hamming computed (and thresholded) BEFORE the distinct: a pair found
+    // via multiple shared bands re-runs 32 cheap codegen'd char compares,
+    // but the dedup exchange then carries (long, long, int) instead of two
+    // 32-char signature strings per row
+    val hamming = (1 to SimhashBits).map(p =>
+      when(substring(col("a.simhash"), p, 1) =!= substring(col("b.simhash"), p, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .distinct()
-    val hamming = (1 to SimhashBits).map(p =>
-      when(substring(col("sa"), p, 1) =!= substring(col("sb"), p, 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    pairs
-      .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
+        hamming.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact word-bigram Jaccard over blocked candidate pairs

@@ -79,14 +79,16 @@ object Similarity {
         col("pair.score").as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
-  /** IVF cell assignment: each vector labeled with its nearest of
+  /** IVF cell assignment: each vector labeled with its `nProbe` nearest of
     * `nCentroids` centroids (centroids = the lowest vec_ids — a
     * deterministic stand-in for a k-means pass, which would run offline at
     * scale). Centroids are broadcast, so assignment is one narrow pass over
     * the corpus; ties broken (cos desc, cent_id asc) for cross-engine
-    * stability. Output: (vec_id, vec, norm, cell).
+    * stability. Output: (vec_id, vec, norm, cell) — one row per probed
+    * cell; nProbe = 1 (the default) is the plain single-cell assignment.
     */
-  def ivfAssign(embeddings: DataFrame, nCentroids: Int = 16): DataFrame = {
+  def ivfAssign(
+      embeddings: DataFrame, nCentroids: Int = 16, nProbe: Int = 1): DataFrame = {
     val v = withNorm(embeddings)
     val cents = v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
@@ -96,7 +98,7 @@ object Similarity {
       .select(col("vec_id"), col("vec"), col("norm"), col("cent_id"),
         cosine(col("vec"), col("cvec"), col("norm"), col("cnorm")).as("c_cos"))
       .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
+      .filter(col("arn") <= nProbe)
       .select(col("vec_id"), col("vec"), col("norm"), col("cent_id").as("cell"))
   }
 
@@ -111,6 +113,33 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("norm").as("qnorm"), col("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Multi-probe IVF top-k: the corpus stays single-assigned, but each
+    * query probes its `nProbe` nearest cells — the standard recall lever
+    * when the true neighbor sits just across a cell boundary. Cost is
+    * O(queries x nProbe x corpus / C); no pair can duplicate because every
+    * corpus vector lives in exactly one cell. (At production scale the
+    * probe assignment would run on the query set only, not derived by
+    * filtering the corpus-wide assignment as the fixture-sized query mod
+    * does here.)
+    */
+  def ivfTopKMultiProbe(
+      embeddings: DataFrame, k: Int = 3, queryMod: Int = 50,
+      nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val corpus = ivfAssign(embeddings, nCentroids)
+    val q = ivfAssign(embeddings, nCentroids, nProbe)
+      .filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("norm").as("qnorm"), col("cell"))
+    val scored = corpus.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))

@@ -23,6 +23,37 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * schema, partition planning, column pruning, long-form flatten) is the
   * production surface.
   *
+  * ==NetCDF-to-seam mapping (what a real codec replaces, item by item)==
+  * The IceNet files (opened with `xarray.open_dataset`,
+  * processor.py:122) carry:
+  *  - dims `(time, leadtime, yc, xc)` (processor.py:123-124's logged
+  *    `xr.dims`) -> [[GridFile.Header]] `(nTime, nLead, nY, nX)`. A NetCDF
+  *    codec reads these from the file's dimension records instead of the
+  *    GRD1 fixed header; `readHeader` is one metadata read either way.
+  *  - coordinate variables `time` (epoch-like datetime64), `leadtime`
+  *    (days), `yc`/`xc` (km, converted x1000 to metres downstream at
+  *    processor.py:157-166 / `Ingest.toMeters`) -> the axis block of
+  *    [[GridFile.GridSlice]] (`timeMicros`, `leadtimes`, `yc`, `xc`).
+  *  - data variables `sic_mean`/`sic_stddev` (float arrays over
+  *    `time x leadtime x yc x xc`, NaN = land/masked cell; legacy files
+  *    name them `mean`/`stddev`, renamed at processor.py:126-133 —
+  *    handled engine-side by `Ingest.renameShim`) -> the two slabs of
+  *    [[GridFile.readSlice]]. NaN -> SQL NULL happens in the reader
+  *    ([[GriddedPartitionReader.get]]), mirroring xarray's NaN semantics.
+  *  - global attrs `geospatial_lat_max` / `geospatial_lat_min` /
+  *    `keywords` (hemisphere detection, processor.py:137-150) -> driver
+  *    metadata, handled by `Ingest.detectHemisphere`; they never enter the
+  *    tensor path.
+  *  - aux vars `lat`/`lon`/`Lambert_Azimuthal_Grid` (CRS container) are
+  *    DROPPED by the reference immediately after flatten
+  *    (processor.py:171-180); the source never materializes them and the
+  *    LAEA math lives in `icenet.Laea`.
+  * The per-slice positioned read maps to
+  * `variable.read(origin=[t,0,0,0], shape=[1,nLead,nY,nX])` in a
+  * netCDF-java integration — HDF5 chunk reads at exactly the same
+  * granularity as [[GridFile.readSlice]]'s ranged reads, so the
+  * one-partition-per-time-slice planning carries over unchanged.
+  *
   * Scale design: one InputPartition per (file, time-slice) so a multi-file
   * multi-date drop parallelizes without any shuffle; the reader streams
   * cells and never materializes the tensor; column pruning is pushed into
