@@ -122,6 +122,27 @@ object TableOps {
     replace(spark, path, view, partitionCols)
   }
 
+  /** Compacts a table's files into ~`targetBytes` outputs via the same
+    * crash-safe swap as a view refresh. Incremental keyed ingest
+    * ([[insertIgnore]]) appends one small file set per batch — after
+    * thousands of one-date ingests the table is a small-files swamp whose
+    * scan cost is dominated by per-file open/footer overhead. Compaction
+    * rewrites it to size-targeted files (per partition directory when
+    * `partitionCols` is set, since `partitionBy` re-splits the repartitioned
+    * data on write). Content is byte-identical; only layout changes.
+    */
+  def compact(
+      spark: SparkSession, path: String,
+      partitionCols: Seq[String] = Nil,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    heal(spark, path)
+    val src = new Path(resolve(spark, path))
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    replace(spark, path, read(spark, path).repartition(nFiles), partitionCols)
+  }
+
   /** Crash-safe table swap (see the class doc's crash-safety model). The
     * old data is never deleted before the replacement is committed; readers
     * that race a crash fall back to the `.old` sibling via [[resolve]].

@@ -90,8 +90,21 @@ object Similarity {
   def ivfAssign(
       embeddings: DataFrame, nCentroids: Int = 16, nProbe: Int = 1): DataFrame = {
     val v = withNorm(embeddings)
-    val cents = v.filter(col("vec_id") < nCentroids)
+    assignCells(v, seedCentroids(v, nCentroids), nProbe)
+  }
+
+  /** Assignment against a caller-supplied centroid frame
+    * (cent_id, cvec, cnorm) — e.g. one refined by [[kmeansCentroids]].
+    */
+  def ivfAssignTo(
+      embeddings: DataFrame, cents: DataFrame, nProbe: Int = 1): DataFrame =
+    assignCells(withNorm(embeddings), cents, nProbe)
+
+  private def seedCentroids(v: DataFrame, nCentroids: Int): DataFrame =
+    v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
+
+  private def assignCells(v: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("c_cos").desc, col("cent_id").asc)
     v.join(broadcast(cents))
@@ -100,6 +113,41 @@ object Similarity {
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= nProbe)
       .select(col("vec_id"), col("vec"), col("norm"), col("cent_id").as("cell"))
+  }
+
+  /** Spherical k-means centroid refinement: `iters` Lloyd iterations from
+    * the deterministic lowest-vec_id seeds. Each iteration is one broadcast
+    * assignment pass plus one aggregation: explode the assigned vectors to
+    * (cell, dim, x) rows, average per (cell, dim), and fold the per-dim
+    * means back into an array (sorted by dim, so reassembly is
+    * deterministic). Because cosine ignores the centroid's norm, the plain
+    * per-dim mean IS the spherical k-means update, and the objective
+    * (sum of best cosines) is non-decreasing per iteration.
+    *
+    * Scale: state per iteration is k x dim (broadcast); the aggregation
+    * shuffles (cell, dim) partial sums — map-side combined, O(k x dim)
+    * groups regardless of corpus size. A cell that loses all members drops
+    * out (standard Lloyd degeneracy; k shrinks rather than resurrecting an
+    * arbitrary point). The refined frame plugs into [[ivfAssignTo]] /
+    * the oracle-checked queries keep the deterministic seeds so results
+    * stay engine-portable.
+    */
+  def kmeansCentroids(
+      embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    val v = withNorm(embeddings)
+    var cents = seedCentroids(v, k)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(v, cents, nProbe = 1)
+      cents = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell").agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("cvec"))
+        .select(col("cell").as("cent_id"), col("cvec"),
+          graft.functions.VectorFunctions.l2norm(col("cvec")).as("cnorm"))
+    }
+    cents
   }
 
   /** IVF top-k: every vector is assigned to its nearest centroid

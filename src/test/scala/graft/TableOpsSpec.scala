@@ -127,6 +127,25 @@ class TableOpsSpec extends SparkSpec {
       Set((2, "v2")))
   }
 
+  test("compact: shrinks the file count, content identical, crash-safe path") {
+    val path = tmpDir("compact") + "/t"
+    // simulate many one-batch ingests -> many small files
+    (1 to 8).foreach { i =>
+      TableOps.insertIgnore(spark, path,
+        Seq((i, s"v$i")).toDF("k", "v").repartition(3), Seq("k"))
+    }
+    def parquetFiles = {
+      val d = new java.io.File(path)
+      d.listFiles().count(f => f.getName.endsWith(".parquet"))
+    }
+    val before = TableOps.read(spark, path).as[(Int, String)].collect().toSet
+    val filesBefore = parquetFiles
+    TableOps.compact(spark, path)
+    assert(parquetFiles < filesBefore)
+    assert(parquetFiles == 1) // tiny table -> single target-size file
+    assert(TableOps.read(spark, path).as[(Int, String)].collect().toSet == before)
+  }
+
   test("append after a healed crash does not shadow committed data") {
     import org.apache.hadoop.fs.Path
     val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
