@@ -93,6 +93,17 @@ object SparkEntry {
             .otherwise("south")).as("hemisphere"))),
     "p10_first_distinct" -> ((s, dir) =>
       Tables.orders(s, dir).select(col("o_orderpriority").as("priority")).distinct()),
+    "p12_pivot" -> ((s, dir) =>
+      // long-to-wide pivot (inverse of P4's flatten): per-returnflag row,
+      // one sum column per linestatus. Fixed pivot values keep the plan a
+      // single hash aggregate (no distinct-values pre-pass) and make the
+      // schema static - the scale-safe way to pivot.
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 4))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")),
 
     // ---- J: joins --------------------------------------------------------
     "j1_left_join_2key" -> { (s, dir) =>
@@ -119,6 +130,23 @@ object SparkEntry {
       val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
       o.join(broadcast(maxd), col("o_orderdate") === col("maxd"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+    "j6_semi_join" -> { (s, dir) =>
+      // EXISTS semi-join: customers with at least one high-value order.
+      // left_semi never duplicates the left side and drops the right side's
+      // columns - at scale the probe side streams, no row explosion.
+      val c = Tables.customer(s, dir)
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+    "j7_anti_join" -> { (s, dir) =>
+      // NOT EXISTS anti-join: customers with no order at all - the keyed
+      // complement used by the first-write-wins write path.
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal")
     },
 
     // ---- A: aggregations -------------------------------------------------
@@ -286,6 +314,14 @@ object SparkEntry {
         col("event_id"), col("user_id"),
         lag(col("value"), 1).over(
           Window.partitionBy("user_id").orderBy("ts", "event_id")).as("prev_value"))),
+    "w4_ntile" -> ((s, dir) =>
+      // quartile bucketing per customer segment - the sampling/stratification
+      // primitive (e.g. quality-tier splits of a training corpus).
+      Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(
+          Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey"))
+          .cast("long").as("quartile"))),
     "w3_running_sum" -> ((s, dir) =>
       Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_custkey"),
@@ -386,6 +422,24 @@ object SparkEntry {
     "j4_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""".stripMargin,
+    "j6_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+    "j7_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "p12_pivot" ->
+      """SELECT l_returnflag,
+        |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
+        |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "w4_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(ntile(4) OVER (
+        |         PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS BIGINT)
+        |         AS quartile
+        |FROM customer""".stripMargin,
     "a1_minmax_range" ->
       """SELECT (max(l_extendedprice) - min(l_extendedprice)) / (count(*) - 1)
         |       AS mean_step
