@@ -227,6 +227,8 @@ object SparkEntry {
       graft.ops.TextAnalysis.languages(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) =>
       graft.ops.TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    "text_hashing_embed" -> ((s, dir) =>
+      graft.ops.TextAnalysis.hashingEmbed(Tables.documents(s, dir))),
 
     // ---- beyond-reference: deduplication (ops.Dedup) ---------------------
     "dedup_exact" -> ((s, dir) =>
@@ -527,6 +529,18 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "text_hashing_embed" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),'\s+')) AS w
+        |              FROM documents),
+        |c AS (SELECT doc_id,
+        |        CAST(CAST('0x' || substr(md5(w),1,4) AS BIGINT) % 64 AS INT) AS dim,
+        |        CASE WHEN substr(md5(w),5,1) >= '8' THEN CAST(1.0 AS DOUBLE)
+        |             ELSE CAST(-1.0 AS DOUBLE) END AS sign
+        |      FROM toks),
+        |g AS (SELECT doc_id, dim, sum(sign) AS v FROM c GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sqrt(sum(v*v)) AS nrm FROM g GROUP BY 1)
+        |SELECT g.doc_id, g.dim, round(g.v / n.nrm, 6) AS val
+        |FROM g JOIN n USING (doc_id) WHERE n.nrm > 0""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

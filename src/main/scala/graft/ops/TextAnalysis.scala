@@ -94,4 +94,39 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Feature-hashing ("hashing trick") text embedding: each token maps to
+    * dimension md5[0..3] mod `dim` with sign md5[4] (signed hashing keeps
+    * the estimator unbiased); per-doc signed counts are L2-normalized.
+    * Output is LONG FORM — one (doc_id, dim, val) row per non-zero-norm
+    * dimension — which is both the join-friendly shape for downstream
+    * similarity ops and scalar-typed for the cross-engine oracle.
+    *
+    * Scale: explode -> two codegen'd hash projections -> hash aggregate on
+    * (doc_id, dim) -> window-free normalization via a per-doc sum join
+    * that reuses the doc_id clustering. Everything is md5-derived, so the
+    * embedding is bit-identical in any engine — the property that lets a
+    * corpus be embedded incrementally by different systems and still
+    * dedupe/join consistently.
+    */
+  def hashingEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val repart = docs.repartition(col("doc_id"))
+    val toksCol = tokens(col("text"))
+    val exploded = repart.select(col("doc_id"), explode(toksCol).as("w"))
+    val h = md5(col("w"))
+    val counts = exploded
+      .select(
+        col("doc_id"),
+        pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(dim)).cast("int").as("dim"),
+        when(substring(h, 5, 1) >= "8", 1.0).otherwise(-1.0).as("sign"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("sign")).as("v"))
+    // L2 norm per doc: rides the same doc_id clustering, no extra shuffle
+    val norms = counts.groupBy("doc_id")
+      .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    counts.join(norms, "doc_id")
+      .filter(col("nrm") > 0)
+      .select(col("doc_id"), col("dim"),
+        round(col("v") / col("nrm"), 6).as("val"))
+  }
 }
