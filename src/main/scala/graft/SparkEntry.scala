@@ -229,6 +229,28 @@ object SparkEntry {
       graft.ops.TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "text_hashing_embed" -> ((s, dir) =>
       graft.ops.TextAnalysis.hashingEmbed(Tables.documents(s, dir))),
+    "sample_hash" -> ((s, dir) =>
+      // reproducible 10% sample by key hash - the sampling primitive a
+      // training pipeline needs (stable across runs/engines/cluster sizes,
+      // unlike rand(); a pure narrow filter, pushable to the scan).
+      Tables.documents(s, dir)
+        .filter(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+          16, 10).cast("long"), lit(100)) < 10)
+        .select("doc_id", "lang")),
+    "curate_corpus" -> { (s, dir) =>
+      // end-to-end corpus curation: keep each exact-dup cluster's canonical
+      // doc, English-classified, above the quality threshold - the
+      // composition every training-data pipeline runs, expressed from the
+      // same operators the oracle checks individually.
+      val docs = Tables.documents(s, dir)
+      val keep = graft.ops.Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      val langs = graft.ops.TextAnalysis.languages(docs)
+      val quality = graft.ops.TextAnalysis.quality(docs)
+        .select(col("doc_id"), col("quality"))
+      keep.join(langs, "doc_id").join(quality, "doc_id")
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+        .select("doc_id", "lang_pred", "quality")
+    },
 
     // ---- beyond-reference: deduplication (ops.Dedup) ---------------------
     "dedup_exact" -> ((s, dir) =>
@@ -529,6 +551,37 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS BIGINT) % 100 < 10""".stripMargin,
+    "curate_corpus" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+        |              GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
+        |      FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(toks, w -> list_contains(['the','a','and','of','to','in','is','that'], w))) AS en_h,
+        |  len(list_filter(toks, w -> list_contains(['le','la','et','les','des','un','une','du'], w))) AS fr_h,
+        |  len(list_filter(toks, w -> list_contains(['der','die','und','das','ein','mit','von','zu'], w))) AS de_h,
+        |  len(list_filter(toks, w -> list_contains(['el','los','y','que','una','por','como','para'], w))) AS es_h
+        |  FROM t),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN en_h + fr_h + de_h + es_h = 0 THEN 'und'
+        |       WHEN en_h >= fr_h AND en_h >= de_h AND en_h >= es_h THEN 'en'
+        |       WHEN fr_h >= de_h AND fr_h >= es_h THEN 'fr'
+        |       WHEN de_h >= es_h THEN 'de'
+        |       ELSE 'es' END AS lang_pred
+        |  FROM h),
+        |q AS (SELECT doc_id,
+        |  round(least(1.0, len(toks)/50.0)*0.4
+        |    + (len(list_filter(toks, w -> list_contains(
+        |        ['the','a','and','of','to','in','is','that'], w)))
+        |       / CAST(len(toks) AS DOUBLE))*0.3
+        |    + (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))*0.3, 6) AS quality
+        |  FROM t)
+        |SELECT k.doc_id, l.lang_pred, q.quality
+        |FROM keep k JOIN l ON l.doc_id = k.doc_id JOIN q ON q.doc_id = k.doc_id
+        |WHERE l.lang_pred = 'en' AND q.quality >= 0.5""".stripMargin,
     "text_hashing_embed" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),'\s+')) AS w
         |              FROM documents),
