@@ -263,6 +263,11 @@ object SparkEntry {
       graft.ops.Dedup.simhashCandidates(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
+    "dedup_components" -> ((s, dir) =>
+      // cluster the MinHash candidate pairs: transitive duplicate groups,
+      // each labeled with its smallest member
+      graft.ops.Dedup.connectedComponents(
+        graft.ops.Dedup.minhashCandidates(Tables.documents(s, dir)))),
     "dedup_embedding" -> ((s, dir) =>
       graft.ops.Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
 
@@ -628,6 +633,43 @@ object SparkEntry {
         |JOIN ok ON ok.j = a.j AND ok.bucket = a.bucket
         |JOIN bands b
         |  ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_components" ->
+      // same minhash pipeline as dedup_minhash_lsh, then the transitive
+      // closure of the pair graph via a recursive CTE; comp = min reachable id
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
+        |              FROM documents),
+        |sh AS (SELECT doc_id, list_transform(generate_series(0, len(tokens)-3), i ->
+        |         concat_ws(' ', tokens[i+1], tokens[i+2], tokens[i+3])) AS shingles
+        |       FROM toks WHERE len(tokens) >= 3),
+        |hb AS (SELECT doc_id, list_transform(shingles, s ->
+        |         CAST('0x' || substr(md5(s),1,7) AS BIGINT)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, list_transform(generate_series(1,16), i ->
+        |          list_aggregate(list_transform(hs, h -> (h *
+        |            ([28515171, 35901835, 164504155, 224835733, 159545229, 129086779,
+        |              21665025, 258530763, 97673641, 249307291, 192052219, 93357247,
+        |              95312455, 108715649, 24414505, 158868827])[i] +
+        |            ([142629328, 83632441, 250955955, 96322194, 250268010, 34277798,
+        |              256159453, 123742706, 182912951, 248297849, 222161486, 81337654,
+        |              192810783, 177914584, 67363176, 151635781])[i])
+        |            % 268435459), 'min')) AS sig
+        |        FROM hb),
+        |bands AS (SELECT doc_id, j,
+        |            concat_ws('|', sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]) AS bucket
+        |          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj),
+        |ok AS (SELECT j, bucket FROM bands GROUP BY 1, 2 HAVING count(*) <= 100),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a
+        |          JOIN ok ON ok.j = a.j AND ok.bucket = a.bucket
+        |          JOIN bands b
+        |            ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS comp
+        |FROM reach GROUP BY src""".stripMargin,
     "dedup_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),'\s+')) AS w
         |              FROM documents),

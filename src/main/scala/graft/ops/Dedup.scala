@@ -256,6 +256,51 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over the undirected candidate-pair graph — the
+    * final dedup stage that collapses pairwise matches into duplicate
+    * CLUSTERS (a~b and b~c must yield one surviving doc, not two
+    * independent pair decisions). Returns (doc_id, comp) where comp is the
+    * smallest doc_id reachable from doc_id; docs appearing in no pair are
+    * not emitted (they are their own trivial cluster).
+    *
+    * Algorithm: min-label propagation — every node repeatedly takes the
+    * minimum label among itself and its neighbors until fixpoint. Each
+    * round is one shuffle join + one aggregate, and the round count is the
+    * graph DIAMETER, not the node count; near-dup graphs are dense little
+    * cliques, so 2-3 rounds are typical at any corpus size. Lineage is
+    * truncated per round (localCheckpoint) so round N's plan does not
+    * embed rounds 1..N-1 — the standard Spark idiom for iterative graph
+    * algorithms. Convergence is detected by the (monotonically
+    * non-increasing) sum of labels reaching a fixpoint.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+      .localCheckpoint(true)
+    var prevSum: java.math.BigDecimal = null
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      labels = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(labels("doc_id"),
+          least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val s = labels.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      done = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      round += 1
+    }
+    labels
+  }
+
   /** Exact word-bigram Jaccard over blocked candidate pairs
     * (block = same lang + same first token; swap in [[minhashCandidates]]
     * for the unblocked LSH path). Keeps pairs with similarity >= minJaccard.

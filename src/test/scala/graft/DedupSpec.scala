@@ -64,6 +64,26 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("connectedComponents: chains collapse transitively to the min id") {
+    // components: {1,2,3,4} via a chain (needs >1 propagation round),
+    // {10,11}, and 99 paired with nobody relevant -> singleton pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 99L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 99L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path (diameter > 2)") {
+    val n = 12
+    val path = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(path).as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1 to n).map(_.toLong).toSet)
+  }
+
   test("band constants stay consistent") {
     assert(Dedup.RowsPerBand * Dedup.LshBands == Dedup.MinhashFuncs)
     assert(Dedup.SimhashBandBits * Dedup.SimhashBands == Dedup.SimhashBits)
