@@ -70,10 +70,26 @@ object TableOps {
     if (!exists(spark, path)) {
       write(deduped, path, "overwrite", partitionCols)
     } else {
+      val existingCols = read(spark, path).columns
+      requireSameColumns(existingCols, deduped.columns, path)
       val fresh = freshRows(spark, path, deduped, keys, partitionCols)
-      write(fresh.select(deduped.columns.map(col): _*), path, "append", partitionCols)
+      // normalize to the TABLE's column order so every appended file shares
+      // one field layout
+      write(fresh.select(existingCols.map(col).toIndexedSeq: _*),
+        path, "append", partitionCols)
     }
   }
+
+  /** Fail-fast guard against silent schema drift: a batch whose column set
+    * differs from the table's would otherwise append parquet files the
+    * table's readers resolve inconsistently (missing columns as nulls, new
+    * columns invisible without mergeSchema).
+    */
+  private def requireSameColumns(
+      existing: Seq[String], incoming: Seq[String], path: String): Unit =
+    require(existing.sorted == incoming.sorted,
+      s"$path: incoming columns [${incoming.sorted.mkString(",")}] do not match " +
+        s"table columns [${existing.sorted.mkString(",")}]")
 
   /** Incoming rows whose key is NOT yet in the table at `path`.
     *
@@ -108,6 +124,7 @@ object TableOps {
       write(deduped, path, "overwrite", partitionCols)
     } else {
       val existing = read(spark, path)
+      requireSameColumns(existing.columns, deduped.columns, path)
       val kept = existing.join(deduped.select(keys.map(col): _*), keys, "left_anti")
       val merged = kept.select(deduped.columns.map(col): _*).unionByName(deduped)
       replace(spark, path, merged, partitionCols)

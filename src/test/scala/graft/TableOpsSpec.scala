@@ -127,6 +127,22 @@ class TableOpsSpec extends SparkSpec {
       Set((2, "v2")))
   }
 
+  test("schema drift is rejected, not silently appended") {
+    val path = tmpDir("drift") + "/t"
+    TableOps.insertIgnore(spark, path, Seq((1, "a")).toDF("k", "v"), Seq("k"))
+    val drifted = Seq((2, "b", 9.9)).toDF("k", "v", "extra")
+    intercept[IllegalArgumentException] {
+      TableOps.insertIgnore(spark, path, drifted, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      TableOps.upsert(spark, path, drifted, Seq("k"))
+    }
+    // column ORDER differences are fine - appends normalize to table order
+    TableOps.insertIgnore(spark, path, Seq(("c", 3)).toDF("v", "k"), Seq("k"))
+    assert(TableOps.read(spark, path).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (3, "c")))
+  }
+
   test("compact: shrinks the file count, content identical, crash-safe path") {
     val path = tmpDir("compact") + "/t"
     // simulate many one-batch ingests -> many small files
