@@ -24,14 +24,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Timing sink: a `noop`-format write, NOT count(). count() on a
+    // trivially-projected query can collapse to Parquet's count-aggregate
+    // pushdown (never executing the projections being timed); the noop
+    // sink fully evaluates every output row and discards it.
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     names.foreach { name => // warmup: JIT + codegen cache, result discarded
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try run(name)
       catch { case _: Throwable => () }
     }
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+      try run(name)
+      catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     // min of two timed passes: the environment shows intermittent multi-10x

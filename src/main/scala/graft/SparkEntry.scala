@@ -141,11 +141,14 @@ object SparkEntry {
         .select("c_custkey", "c_name")
     },
     "j7_anti_join" -> { (s, dir) =>
-      // NOT EXISTS anti-join: customers with no order at all - the keyed
-      // complement used by the first-write-wins write path.
+      // NOT EXISTS anti-join: customers with no large order - the keyed
+      // complement used by the first-write-wins write path. Anti-joins
+      // against the FILTERED order set (every customer has some order on
+      // the fixture, so the unfiltered complement is empty — a vacuous
+      // oracle row; this predicate keeps the result non-empty).
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir)
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
         .select("c_custkey", "c_acctbal")
     },
 
@@ -240,15 +243,32 @@ object SparkEntry {
     "curate_corpus" -> { (s, dir) =>
       // end-to-end corpus curation: keep each exact-dup cluster's canonical
       // doc, English-classified, above the quality threshold - the
-      // composition every training-data pipeline runs, expressed from the
-      // same operators the oracle checks individually.
-      val docs = Tables.documents(s, dir)
-      val keep = graft.ops.Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-      val langs = graft.ops.TextAnalysis.languages(docs)
-      val quality = graft.ops.TextAnalysis.quality(docs)
-        .select(col("doc_id"), col("quality"))
-      keep.join(langs, "doc_id").join(quality, "doc_id")
-        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+      // composition every training-data pipeline runs.
+      //
+      // Shape: ONE scan, ONE projection computing (fp, lang_pred, quality)
+      // per doc, then a window over fp picks the canonical (min doc_id) row
+      // carrying its own lang/quality — no joins at all. The r2 formulation
+      // joined three independent re-derivations of `documents` (exact +
+      // languages + quality); predicate pushdown through those joins then
+      // duplicated the interpreted higher-order-function trees (each with
+      // split(text) inlined per reference), costing 115 s at sf0.1 where
+      // the constituent queries run in 0.15 s each. Here the lang/quality
+      // predicate CANNOT be pushed below the window (it references
+      // non-partition columns), so every HOF tree is evaluated exactly once
+      // per document. One shuffle (fp), no duplication — the same plan at
+      // any corpus size.
+      val docs = Tables.documents(s, dir).repartition(col("doc_id"))
+      val t = graft.ops.TextAnalysis.tokens(col("text"))
+      val scored = docs.select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+        graft.ops.TextAnalysis.langId(t).as("lang_pred"),
+        graft.ops.TextAnalysis.qualityScore(t).as("quality"))
+      scored
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1 &&
+          col("lang_pred") === "en" && col("quality") >= 0.5)
         .select("doc_id", "lang_pred", "quality")
     },
 
@@ -457,7 +477,9 @@ object SparkEntry {
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
     "j7_anti_join" ->
       """SELECT c_custkey, c_acctbal FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000)""".stripMargin,
     "p12_pivot" ->
       """SELECT l_returnflag,
         |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
@@ -605,7 +627,8 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_minhash_lsh" ->
       // numeric minhash: ONE md5 per shingle, hex-parsed to a bigint, then
-      // 16 affine reshuffles mod 2^61-1 — same constants as Dedup.HashA/C.
+      // 16 affine reshuffles mod 2^28+3 (268435459) — same constants as
+      // Dedup.HashA/C/HashP.
       // Buckets larger than Dedup.MaxLshBucket are dropped (skew cap).
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
         |              FROM documents),

@@ -54,6 +54,50 @@ object TableOps {
   def exists(spark: SparkSession, path: String): Boolean =
     rawExists(spark, path) || rawExists(spark, path + ".old")
 
+  /** Single-writer arbitration for the parquet commit protocol. The
+    * reference delegates concurrent-writer conflicts to PostgreSQL
+    * (processor.py:91-115 retries on conflict) and then forces strictly
+    * serial processing anyway (host.json:4-8); the parquet swap protocol
+    * here is likewise only correct under ONE writer per table — two
+    * concurrent [[insertIgnore]] calls could both pass the anti-join and
+    * double-insert a key. Every mutating op therefore takes a lease via
+    * atomic create-if-absent of a `.lock` sibling file and FAILS FAST
+    * (`IllegalStateException`) when another writer holds it — the Spark
+    * analogue of PG failing the second transaction rather than corrupting.
+    *
+    * A writer that dies without releasing leaves a stale lock; that is a
+    * deliberate fail-safe (writes stay blocked until an operator confirms
+    * the writer is gone and calls [[forceUnlock]]) rather than a timeout
+    * lease, which could let two live writers overlap on a long GC pause.
+    */
+  def withTableLock[T](spark: SparkSession, path: String)(body: => T): T = {
+    val lock = new Path(path + ".lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      try fs.create(lock, false) // atomic create-if-absent = lease acquire
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"$path is locked by another writer ($lock exists); concurrent " +
+              "keyed writes would break first/last-write-wins. If the " +
+              "holder crashed, remove the lock with TableOps.forceUnlock.", e)
+      }
+    try {
+      out.writeBytes(s"pid=${ProcessHandle.current().pid()}\n")
+      out.close()
+      body
+    } finally fs.delete(lock, false)
+  }
+
+  /** Removes a stale lock left by a crashed writer. Operator-invoked only —
+    * see [[withTableLock]] for why there is no automatic timeout.
+    */
+  def forceUnlock(spark: SparkSession, path: String): Unit = {
+    val lock = new Path(path + ".lock")
+    lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lock, false)
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(resolve(spark, path))
 
@@ -64,21 +108,22 @@ object TableOps {
     */
   def insertIgnore(
       spark: SparkSession, path: String, incoming: DataFrame,
-      keys: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
-    heal(spark, path)
-    val deduped = incoming.dropDuplicates(keys)
-    if (!exists(spark, path)) {
-      write(deduped, path, "overwrite", partitionCols)
-    } else {
-      val existingCols = read(spark, path).columns
-      requireSameColumns(existingCols, deduped.columns, path)
-      val fresh = freshRows(spark, path, deduped, keys, partitionCols)
-      // normalize to the TABLE's column order so every appended file shares
-      // one field layout
-      write(fresh.select(existingCols.map(col).toIndexedSeq: _*),
-        path, "append", partitionCols)
+      keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =
+    withTableLock(spark, path) {
+      heal(spark, path)
+      val deduped = incoming.dropDuplicates(keys)
+      if (!exists(spark, path)) {
+        write(deduped, path, "overwrite", partitionCols)
+      } else {
+        val existingCols = read(spark, path).columns
+        requireSameColumns(existingCols, deduped.columns, path)
+        val fresh = freshRows(spark, path, deduped, keys, partitionCols)
+        // normalize to the TABLE's column order so every appended file shares
+        // one field layout
+        write(fresh.select(existingCols.map(col).toIndexedSeq: _*),
+          path, "append", partitionCols)
+      }
     }
-  }
 
   /** Fail-fast guard against silent schema drift: a batch whose column set
     * differs from the table's would otherwise append parquet files the
@@ -104,40 +149,86 @@ object TableOps {
   def freshRows(
       spark: SparkSession, path: String, deduped: DataFrame,
       keys: Seq[String], partitionCols: Seq[String] = Nil): DataFrame = {
-    val existing = read(spark, path)
-    val pruned = partitionCols.foldLeft(existing) { (df, pc) =>
-      val values = deduped.select(col(pc)).distinct().collect().map(_.get(0))
-      df.filter(col(pc).isin(values.toIndexedSeq: _*))
-    }
+    requirePartitionColsInKeys(partitionCols, keys)
+    val pruned = pruneToPartitions(read(spark, path), deduped, partitionCols)
     deduped.join(pruned.select(keys.map(col): _*), keys, "left_anti")
   }
 
+  /** Partition pruning is only a valid optimization of the key anti-join
+    * when the partition value is determined by the key: a partition column
+    * outside the key set would let an existing key hide in an unpruned
+    * partition and be silently re-inserted, breaking first-write-wins.
+    */
+  private def requirePartitionColsInKeys(
+      partitionCols: Seq[String], keys: Seq[String]): Unit =
+    require(partitionCols.forall(keys.contains),
+      s"partition columns [${partitionCols.mkString(",")}] must be a subset " +
+        s"of the key columns [${keys.mkString(",")}]: a partition column " +
+        "outside the keys would break keyed-write pruning")
+
+  /** Existing rows restricted to the partition values present in the
+    * incoming batch. NULL partition values are matched explicitly —
+    * `isin()` never matches NULL, so a null-partition key would otherwise
+    * escape the prune and be re-appended.
+    */
+  private def pruneToPartitions(
+      existing: DataFrame, deduped: DataFrame,
+      partitionCols: Seq[String]): DataFrame =
+    partitionCols.foldLeft(existing) { (df, pc) =>
+      val values = deduped.select(col(pc)).distinct().collect().map(_.get(0))
+      val (nulls, nonNull) = values.partition(_ == null)
+      val base =
+        if (nonNull.isEmpty) lit(false)
+        else col(pc).isin(nonNull.toIndexedSeq: _*)
+      df.filter(if (nulls.nonEmpty) base || col(pc).isNull else base)
+    }
+
   /** S6: last-write-wins upsert — matched keys take the incoming row,
     * unmatched existing rows are kept, new keys are inserted.
+    *
+    * PARTITION-TARGETED when `partitionCols` is set: only the partitions
+    * whose values occur in the incoming batch are read, merged, and
+    * rewritten — a one-date upsert against years of facts touches one
+    * date's files, not the whole table ([[replacePartitions]]). Untouched
+    * partitions' files are left byte-identical. Sound because
+    * `partitionCols` must be a subset of `keys` (enforced): the key
+    * determines the partition, so a matched key can only live in an
+    * affected partition. Unpartitioned tables fall back to the full
+    * crash-safe swap.
     */
   def upsert(
       spark: SparkSession, path: String, incoming: DataFrame,
-      keys: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
-    heal(spark, path)
-    val deduped = incoming.dropDuplicates(keys)
-    if (!exists(spark, path)) {
-      write(deduped, path, "overwrite", partitionCols)
-    } else {
-      val existing = read(spark, path)
-      requireSameColumns(existing.columns, deduped.columns, path)
-      val kept = existing.join(deduped.select(keys.map(col): _*), keys, "left_anti")
-      val merged = kept.select(deduped.columns.map(col): _*).unionByName(deduped)
-      replace(spark, path, merged, partitionCols)
+      keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =
+    withTableLock(spark, path) {
+      heal(spark, path)
+      val deduped = incoming.dropDuplicates(keys)
+      if (!exists(spark, path)) {
+        write(deduped, path, "overwrite", partitionCols)
+      } else {
+        val existing = read(spark, path)
+        requireSameColumns(existing.columns, deduped.columns, path)
+        if (partitionCols.isEmpty) {
+          val kept = existing.join(deduped.select(keys.map(col): _*), keys, "left_anti")
+          val merged = kept.select(deduped.columns.map(col): _*).unionByName(deduped)
+          replace(spark, path, merged, partitionCols)
+        } else {
+          requirePartitionColsInKeys(partitionCols, keys)
+          val pruned = pruneToPartitions(existing, deduped, partitionCols)
+          val kept = pruned.join(deduped.select(keys.map(col): _*), keys, "left_anti")
+          val merged = kept.select(deduped.columns.map(col): _*).unionByName(deduped)
+          replacePartitions(spark, path, merged, partitionCols)
+        }
+      }
     }
-  }
 
   /** S7: materialized-view refresh — full recompute, crash-safe swap. */
   def overwriteView(
       spark: SparkSession, path: String, view: DataFrame,
-      partitionCols: Seq[String] = Nil): Unit = {
-    heal(spark, path)
-    replace(spark, path, view, partitionCols)
-  }
+      partitionCols: Seq[String] = Nil): Unit =
+    withTableLock(spark, path) {
+      heal(spark, path)
+      replace(spark, path, view, partitionCols)
+    }
 
   /** Compacts a table's files into ~`targetBytes` outputs via the same
     * crash-safe swap as a view refresh. Incremental keyed ingest
@@ -151,14 +242,15 @@ object TableOps {
   def compact(
       spark: SparkSession, path: String,
       partitionCols: Seq[String] = Nil,
-      targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    heal(spark, path)
-    val src = new Path(resolve(spark, path))
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(src).getLength
-    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    replace(spark, path, read(spark, path).repartition(nFiles), partitionCols)
-  }
+      targetBytes: Long = 128L * 1024 * 1024): Unit =
+    withTableLock(spark, path) {
+      heal(spark, path)
+      val src = new Path(resolve(spark, path))
+      val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val totalBytes = fs.getContentSummary(src).getLength
+      val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      replace(spark, path, read(spark, path).repartition(nFiles), partitionCols)
+    }
 
   /** Crash-safe table swap (see the class doc's crash-safety model). The
     * old data is never deleted before the replacement is committed; readers
@@ -180,18 +272,85 @@ object TableOps {
     fs.delete(old, true)
   }
 
+  /** Partition-directory swap: replaces ONLY the leaf partition directories
+    * present in `df`, leaving every other partition's files untouched (the
+    * spec asserts byte-identity). Protocol mirrors [[replace]] at leaf
+    * granularity: materialize the new partitions under `.staging`, then per
+    * leaf rename current -> `.oldparts/<leaf>` and `.staging/<leaf>` ->
+    * current. Displaced versions are parked OUTSIDE the table dir (a
+    * `pc=v.old` sibling INSIDE it would be parsed as a partition value by
+    * readers). A crash mid-sequence leaves each partition individually
+    * consistent — some new, some old — and [[heal]] promotes any orphaned
+    * `.oldparts` leaf whose current dir is missing; re-running the same
+    * upsert then converges (it is idempotent per partition).
+    */
+  private def replacePartitions(
+      spark: SparkSession, path: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit = {
+    val staging = new Path(path + ".staging")
+    val oldparts = new Path(path + ".oldparts")
+    val cur = new Path(path)
+    write(df, staging.toString, "overwrite", partitionCols)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(oldparts, true) // leftover from an earlier crash, superseded
+    for (leaf <- leafPartitionDirs(fs, staging, partitionCols.length)) {
+      val rel = leaf.toString.stripPrefix(staging.toString).stripPrefix("/")
+      val dst = new Path(cur, rel)
+      if (fs.exists(dst)) {
+        val parked = new Path(oldparts, rel)
+        fs.mkdirs(parked.getParent)
+        fs.rename(dst, parked)
+      } else fs.mkdirs(dst.getParent)
+      fs.rename(leaf, dst) // commit point for this partition
+    }
+    fs.delete(oldparts, true)
+    fs.delete(staging, true)
+  }
+
+  /** Directories exactly `depth` levels below `base` (the leaf partition
+    * dirs of a `partitionBy(partitionCols)` layout; `_SUCCESS` etc. are
+    * files and drop out of the directory filter).
+    */
+  private def leafPartitionDirs(
+      fs: FileSystem, base: Path, depth: Int): Seq[Path] =
+    if (depth == 0) Seq(base)
+    else fs.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath)
+      .flatMap(p => leafPartitionDirs(fs, p, depth - 1))
+
   /** Repairs a crashed swap BEFORE any new write: if the table dir is gone
     * but `.old` survives (a crash between [[replace]]'s two renames),
     * promote `.old` back to the table dir. Without this, an append after
     * such a crash would create a fresh table dir that SHADOWS the committed
     * data still sitting in `.old`. Must run before plans over [[read]] are
     * built, so lazy scans never point at a path the heal then moves.
+    *
+    * Likewise repairs a crashed PARTITION swap: any `.oldparts` leaf whose
+    * current partition dir is missing (crash between [[replacePartitions]]'
+    * two renames) is promoted back; leaves whose current dir exists were
+    * already superseded and are discarded.
     */
   private def heal(spark: SparkSession, path: String): Unit = {
     val cur = new Path(path)
     val old = new Path(path + ".old")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur)
+    val oldparts = new Path(path + ".oldparts")
+    if (fs.exists(oldparts)) {
+      // depth of the parked leaves is discoverable from the layout itself:
+      // walk to the deepest dirs that directly contain files
+      def promote(p: Path, rel: String): Unit = {
+        val entries = fs.listStatus(p)
+        val dirs = entries.filter(_.isDirectory)
+        if (entries.exists(_.isFile) || dirs.isEmpty) {
+          val dst = new Path(cur, rel)
+          if (!fs.exists(dst)) { fs.mkdirs(dst.getParent); fs.rename(p, dst) }
+        } else dirs.foreach(d =>
+          promote(d.getPath, if (rel.isEmpty) d.getPath.getName
+                             else rel + "/" + d.getPath.getName))
+      }
+      promote(oldparts, "")
+      fs.delete(oldparts, true)
+    }
   }
 
   /** Readable root for `path`: the table dir itself, or — if a crash landed

@@ -265,41 +265,77 @@ object Dedup {
     *
     * Algorithm: min-label propagation — every node repeatedly takes the
     * minimum label among itself and its neighbors until fixpoint. Each
-    * round is one shuffle join + one aggregate, and the round count is the
-    * graph DIAMETER, not the node count; near-dup graphs are dense little
-    * cliques, so 2-3 rounds are typical at any corpus size. Lineage is
-    * truncated per round (localCheckpoint) so round N's plan does not
-    * embed rounds 1..N-1 — the standard Spark idiom for iterative graph
-    * algorithms. Convergence is detected by the (monotonically
-    * non-increasing) sum of labels reaching a fixpoint.
+    * round is ONE shuffle join + ONE aggregate (labels are unioned with the
+    * propagated neighbor labels and min-reduced — no second join), and the
+    * round count is the graph DIAMETER, not the node count; near-dup graphs
+    * are dense little cliques, so 2-3 rounds are typical at any corpus
+    * size. The seed labels already fold in the direct neighborhood
+    * (min(self, neighbors)), saving a full round. Lineage is truncated per
+    * round (localCheckpoint) so round N's plan does not embed rounds
+    * 1..N-1 — the standard Spark idiom for iterative graph algorithms —
+    * and each superseded checkpoint is unpersisted as soon as the next
+    * round materializes, so block storage stays O(1) in the round count.
+    * The candidate `pairs` plan itself is materialized ONCE up front (the
+    * r2 formulation derived both edge orientations from the raw plan and
+    * ran the whole candidate pipeline twice). Convergence is detected by
+    * the (monotonically non-increasing, strictly decreasing until
+    * fixpoint) sum of labels; non-convergence within `maxRounds` throws —
+    * silently returning truncated labels would split components.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = pairs
+    val p = pairs.localCheckpoint(true)
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id"))
+    checkpointRdd(p).foreach(_.unpersist(false))
+    // seed = min(self, direct neighbors): the first propagation round comes
+    // free with the label build (edges are bidirectional, so `src` covers
+    // every node in the pair graph)
+    var labels = edges.groupBy("src")
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("doc_id"), least(col("src"), col("nmin")).as("comp"))
       .localCheckpoint(true)
-    var prevSum: java.math.BigDecimal = null
+    var prevSum: java.math.BigDecimal = labelSum(labels)
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
-      labels = labels
-        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(labels("doc_id"),
-          least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("comp"))
+      val msgs = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("comp"))
+      val next = labels.unionByName(msgs)
+        .groupBy("doc_id").agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
-      val s = labels.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-      done = prevSum != null && s.compareTo(prevSum) == 0
+      checkpointRdd(labels).foreach(_.unpersist(false))
+      labels = next
+      val s = labelSum(labels)
+      done = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       round += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds - " +
+          "graph diameter exceeds maxRounds; raise it (truncated labels " +
+          "would silently split components)")
     labels
   }
+
+  /** Sum of component labels — the convergence witness. Runs over an
+    * already-checkpointed frame, so the job only scans cached blocks.
+    */
+  private def labelSum(labels: DataFrame): java.math.BigDecimal =
+    labels.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+
+  /** The cached RDD behind an eagerly localCheckpoint'd Dataset, for
+    * explicit unpersist once a round's labels are superseded (localCheckpoint
+    * truncates lineage, so Spark can never recompute it — only safe on
+    * frames that are provably never read again).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
 
   /** Exact word-bigram Jaccard over blocked candidate pairs
     * (block = same lang + same first token; swap in [[minhashCandidates]]
