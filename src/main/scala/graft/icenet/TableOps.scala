@@ -69,6 +69,16 @@ object TableOps {
     * deliberate fail-safe (writes stay blocked until an operator confirms
     * the writer is gone and calls [[forceUnlock]]) rather than a timeout
     * lease, which could let two live writers overlap on a long GC pause.
+    *
+    * Atomicity caveat: create-if-absent is a true atomic lease only on
+    * HDFS-like filesystems (namenode-arbitrated create). LocalFileSystem's
+    * exists-then-create and object stores' PUT are not atomic, so on those
+    * backends the lock is best-effort double-write *detection*, not
+    * prevention — acceptable under the single-writer deployment model, and
+    * the seam where a real deployment swaps in Delta/Iceberg OCC. Only a
+    * FileAlreadyExistsException is interpreted as "locked"; any other
+    * IOException (permissions, transient IO) is rethrown as-is so an
+    * operator is never misled into force-unlocking a live writer.
     */
   def withTableLock[T](spark: SparkSession, path: String)(body: => T): T = {
     val lock = new Path(path + ".lock")
@@ -76,7 +86,8 @@ object TableOps {
     val out =
       try fs.create(lock, false) // atomic create-if-absent = lease acquire
       catch {
-        case e: java.io.IOException =>
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.nio.file.FileAlreadyExistsException) =>
           throw new IllegalStateException(
             s"$path is locked by another writer ($lock exists); concurrent " +
               "keyed writes would break first/last-write-wins. If the " +
@@ -98,8 +109,26 @@ object TableOps {
       .delete(lock, false)
   }
 
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(resolve(spark, path))
+  /** Readers racing a crashed swap must always see one complete committed
+    * version (the class crash-safety model): [[resolve]] covers a crashed
+    * full-table [[replace]] (fall back to `.old`); the union below covers a
+    * crashed [[replacePartitions]] — any parked `.oldparts` leaf whose
+    * current partition dir is missing is the last committed version of that
+    * partition and is read alongside the table (read-only: [[heal]], which
+    * physically promotes it, only runs under the writer lock).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val root = resolve(spark, path)
+    val oldparts = new Path(path + ".oldparts")
+    val fs = oldparts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphans = parkedLeaves(fs, oldparts).collect {
+      case (leaf, rel) if !fs.exists(new Path(new Path(root), rel)) => leaf
+    }
+    orphans.foldLeft(spark.read.parquet(root)) { (df, leaf) =>
+      df.unionByName(
+        spark.read.option("basePath", oldparts.toString).parquet(leaf.toString))
+    }
+  }
 
   /** S5: idempotent first-write-wins append. Rows whose key already exists
     * in the table are silently dropped (the PG unique-index arbitration).
@@ -294,7 +323,12 @@ object TableOps {
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(oldparts, true) // leftover from an earlier crash, superseded
     for (leaf <- leafPartitionDirs(fs, staging, partitionCols.length)) {
-      val rel = leaf.toString.stripPrefix(staging.toString).stripPrefix("/")
+      // listStatus returns scheme-qualified paths (file:/..., hdfs://...)
+      // while `staging` may be unqualified, so a string stripPrefix can
+      // silently no-op; rebuild the table-relative path from the leaf's
+      // trailing name segments instead (one per partition column).
+      val rel = Iterator.iterate(leaf)(_.getParent)
+        .take(partitionCols.length).map(_.getName).toSeq.reverse.mkString("/")
       val dst = new Path(cur, rel)
       if (fs.exists(dst)) {
         val parked = new Path(oldparts, rel)
@@ -336,21 +370,28 @@ object TableOps {
     if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur)
     val oldparts = new Path(path + ".oldparts")
     if (fs.exists(oldparts)) {
-      // depth of the parked leaves is discoverable from the layout itself:
-      // walk to the deepest dirs that directly contain files
-      def promote(p: Path, rel: String): Unit = {
-        val entries = fs.listStatus(p)
-        val dirs = entries.filter(_.isDirectory)
-        if (entries.exists(_.isFile) || dirs.isEmpty) {
-          val dst = new Path(cur, rel)
-          if (!fs.exists(dst)) { fs.mkdirs(dst.getParent); fs.rename(p, dst) }
-        } else dirs.foreach(d =>
-          promote(d.getPath, if (rel.isEmpty) d.getPath.getName
-                             else rel + "/" + d.getPath.getName))
+      for ((leaf, rel) <- parkedLeaves(fs, oldparts)) {
+        val dst = new Path(cur, rel)
+        if (!fs.exists(dst)) { fs.mkdirs(dst.getParent); fs.rename(leaf, dst) }
       }
-      promote(oldparts, "")
       fs.delete(oldparts, true)
     }
+  }
+
+  /** (parked leaf dir, table-relative path) pairs under `.oldparts`: the
+    * deepest directories that directly contain files. The depth of the
+    * partition layout is discoverable from the layout itself, so no
+    * partition-column count is needed. Empty when `.oldparts` is absent.
+    */
+  private def parkedLeaves(fs: FileSystem, oldparts: Path): Seq[(Path, String)] = {
+    def walk(p: Path, rel: String): Seq[(Path, String)] = {
+      val entries = fs.listStatus(p)
+      val dirs = entries.filter(_.isDirectory)
+      if (entries.exists(_.isFile) || dirs.isEmpty) Seq((p, rel))
+      else dirs.toSeq.flatMap(d => walk(d.getPath,
+        if (rel.isEmpty) d.getPath.getName else rel + "/" + d.getPath.getName))
+    }
+    if (fs.exists(oldparts)) walk(oldparts, "") else Nil
   }
 
   /** Readable root for `path`: the table dir itself, or — if a crash landed

@@ -162,6 +162,69 @@ class TableOpsSpec extends SparkSpec {
     assert(TableOps.read(spark, path).as[(Int, String)].collect().toSet == before)
   }
 
+  test("partitioned upsert: updates keys, adds new partition, leaves " +
+    "untouched partition byte-identical") {
+    import org.apache.spark.sql.functions.to_date
+    val path = tmpDir("partUpsert") + "/t"
+    val v1 = Seq(("2020-01-01", 1, 10L), ("2020-01-01", 2, 20L),
+        ("2020-01-02", 3, 30L))
+      .toDF("d", "k", "n").withColumn("d", to_date($"d"))
+    TableOps.upsert(spark, path, v1, Seq("d", "k"), partitionCols = Seq("d"))
+    // snapshot the untouched partition's files (name, size, mtime)
+    def leafFiles(day: String) = {
+      val dir = new java.io.File(path, s"d=$day")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    val untouchedBefore = leafFiles("2020-01-02")
+    // update a key in 2020-01-01, insert a brand-new partition 2020-01-03
+    val v2 = Seq(("2020-01-01", 2, 99L), ("2020-01-03", 4, 40L))
+      .toDF("d", "k", "n").withColumn("d", to_date($"d"))
+    TableOps.upsert(spark, path, v2, Seq("d", "k"), partitionCols = Seq("d"))
+    val got = TableOps.read(spark, path)
+      .select("d", "k", "n").as[(java.sql.Date, Int, Long)].collect().toSet
+    assert(got == Set(
+      (java.sql.Date.valueOf("2020-01-01"), 1, 10L),
+      (java.sql.Date.valueOf("2020-01-01"), 2, 99L), // updated
+      (java.sql.Date.valueOf("2020-01-02"), 3, 30L), // untouched
+      (java.sql.Date.valueOf("2020-01-03"), 4, 40L))) // new partition
+    assert(leafFiles("2020-01-02") == untouchedBefore,
+      "untouched partition must not be rewritten")
+    // idempotent: re-running the same upsert is a fixed point
+    TableOps.upsert(spark, path, v2, Seq("d", "k"), partitionCols = Seq("d"))
+    assert(TableOps.read(spark, path)
+      .select("d", "k", "n").as[(java.sql.Date, Int, Long)].collect().toSet == got)
+  }
+
+  test("partition-swap crash window: reader unions orphaned .oldparts leaf") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.to_date
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = tmpDir("crashParts") + "/t"
+    val v1 = Seq(("2020-01-01", 1, 10L), ("2020-01-02", 3, 30L))
+      .toDF("d", "k", "n").withColumn("d", to_date($"d"))
+    TableOps.upsert(spark, path, v1, Seq("d", "k"), partitionCols = Seq("d"))
+    // simulate a crash between rename(dst -> parked) and rename(leaf -> dst):
+    // the 2020-01-01 partition is parked under .oldparts, absent from cur
+    fs.mkdirs(new Path(path + ".oldparts"))
+    fs.rename(new Path(path, "d=2020-01-01"),
+      new Path(path + ".oldparts/d=2020-01-01"))
+    // read-side fallback: the parked partition's rows are still visible
+    assert(TableOps.read(spark, path)
+      .select("d", "k", "n").as[(java.sql.Date, Int, Long)].collect().toSet ==
+      Set((java.sql.Date.valueOf("2020-01-01"), 1, 10L),
+          (java.sql.Date.valueOf("2020-01-02"), 3, 30L)))
+    // the next mutating op heals (promotes the parked leaf) and converges
+    TableOps.upsert(spark, path,
+      Seq(("2020-01-02", 3, 31L)).toDF("d", "k", "n").withColumn("d", to_date($"d")),
+      Seq("d", "k"), partitionCols = Seq("d"))
+    assert(!fs.exists(new Path(path + ".oldparts")))
+    assert(TableOps.read(spark, path)
+      .select("d", "k", "n").as[(java.sql.Date, Int, Long)].collect().toSet ==
+      Set((java.sql.Date.valueOf("2020-01-01"), 1, 10L),
+          (java.sql.Date.valueOf("2020-01-02"), 3, 31L)))
+  }
+
   test("append after a healed crash does not shadow committed data") {
     import org.apache.hadoop.fs.Path
     val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
