@@ -108,12 +108,17 @@ object SparkEntry {
     // ---- J: joins --------------------------------------------------------
     "j1_left_join_2key" -> { (s, dir) =>
       // forecasts |x cells on a 2-column key (processor.py:314-321); the dim
-      // side is small -> explicit broadcast, no shuffle of the fact side.
+      // side is small -> broadcast, no shuffle of the fact side. The dim
+      // here is DERIVED FROM THE FACT TABLE (fixture wiring), so the
+      // broadcast goes through the checked helper: proven-small sides
+      // broadcast, oversized ones degrade to a shuffle join instead of
+      // OOMing the driver at 100x scale.
       val li = Tables.lineitem(s, dir)
       val dim = li.groupBy("l_partkey", "l_suppkey")
         .agg(count(lit(1)).as("ps_count"))
       li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-        .join(broadcast(dim), Seq("l_partkey", "l_suppkey"), "left")
+        .join(graft.operators.Broadcasting.checked(dim, tag = "j1 dim"),
+          Seq("l_partkey", "l_suppkey"), "left")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "ps_count")
     },
     "j2_inner_join" -> { (s, dir) =>
@@ -255,13 +260,19 @@ object SparkEntry {
       // the constituent queries run in 0.15 s each. Here the lang/quality
       // predicate CANNOT be pushed below the window (it references
       // non-partition columns), so every HOF tree is evaluated exactly once
-      // per document. One shuffle (fp), no duplication — the same plan at
-      // any corpus size.
-      val docs = Tables.documents(s, dir).repartition(col("doc_id"))
+      // per document. ONE shuffle total: the cheap fingerprint is computed
+      // at scan time, the repartition hashes on it (spreading the heavy
+      // tokenize/langid/quality work across tasks — compressed corpora scan
+      // as few splits), and the window then REUSES that exchange (its
+      // required fp-clustering is already satisfied), so the expensive
+      // projection runs exactly once, post-shuffle, with no second exchange.
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .repartition(col("fp"))
       val t = graft.ops.TextAnalysis.tokens(col("text"))
       val scored = docs.select(
-        col("doc_id"),
-        graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+        col("doc_id"), col("fp"),
         graft.ops.TextAnalysis.langId(t).as("lang_pred"),
         graft.ops.TextAnalysis.qualityScore(t).as("quality"))
       scored
@@ -300,6 +311,8 @@ object SparkEntry {
       graft.ops.Similarity.bruteForceTopKAgg(Tables.embeddings(s, dir))),
     "sim_topk_ivf_mp" -> ((s, dir) =>
       graft.ops.Similarity.ivfTopKMultiProbe(Tables.embeddings(s, dir))),
+    "sim_topk_ivf_kmeans" -> ((s, dir) =>
+      graft.ops.Similarity.ivfTopKKmeans(Tables.embeddings(s, dir))),
 
     // ---- beyond-reference: event-time analytics (streaming.EventAggs;
     //      batch-equivalent plans of the streaming transforms) -------------
@@ -398,6 +411,23 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("event_type"))
         .as[graft.streaming.Sessionize.Event]
       graft.streaming.Sessionize.sessions(ev, emitOpen = true).toDF()
+    },
+
+    // ---- S2 end-to-end: DSv2 gridded source -> P2-P8 ingest chain --------
+    "gridded_ingest" -> { (s, dir) =>
+      // the full reference load path (processor.py:117-190) driven through
+      // the engine-native source: write the deterministic .grid fixture,
+      // read it back via spark.read.format("gridded") (DSv2: per-slice
+      // partitions, pruning into the codec), then run Ingest.load
+      // (P2 filter, P3 null-drop, P5 unit scale, P6/P8 date arith+trunc,
+      // P7 projection). The DuckDB oracle regenerates the same cells from
+      // closed-form index math — proving source + ingest against an
+      // independent engine end to end.
+      val path = graft.sources.GridFixture.ensureWritten(
+        graft.sources.GridFixture.defaultPath)
+      Ingest.load(s.read.format("gridded").load(path))
+        .select("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
+          "sea_ice_concentration_mean", "sea_ice_concentration_stddev")
     },
 
     // ---- beyond-reference: multimodal column plumbing (ops.Multimodal) ---
@@ -844,6 +874,48 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
         |WHERE rn <= 3""".stripMargin,
+    "sim_topk_ivf_kmeans" ->
+      // one deterministic Lloyd iteration from the lowest-vec_id seeds:
+      // assign on seed centroids (asg0/cell0), refine = per-(cell,dim)
+      // mean rounded to 6 (dims/c1), then assign + probe on the refined
+      // cells — mirrors Similarity.ivfTopKKmeans(iters = 1)
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |c0 AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm FROM n WHERE vec_id < 16),
+        |asg0 AS (SELECT vec_id, vec, nrm, cent_id,
+        |           round(list_aggregate(list_transform(generate_series(1, len(vec)),
+        |             i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
+        |         FROM n CROSS JOIN c0),
+        |cell0 AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM
+        |           (SELECT *, row_number() OVER (
+        |              PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg0)
+        |          WHERE rn = 1),
+        |dims AS (SELECT cell, u.i AS dim, round(avg(vec[u.i]), 6) AS m
+        |         FROM cell0, unnest(generate_series(1, len(vec))) AS u(i)
+        |         GROUP BY cell, u.i),
+        |c1 AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS cvec FROM dims GROUP BY cell),
+        |c1n AS (SELECT cent_id, cvec,
+        |          sqrt(list_aggregate(list_transform(cvec, x -> x*x), 'sum')) AS cnorm FROM c1),
+        |asg1 AS (SELECT vec_id, vec, nrm, cent_id,
+        |           round(list_aggregate(list_transform(generate_series(1, len(vec)),
+        |             i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
+        |         FROM n CROSS JOIN c1n),
+        |cell1 AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM
+        |           (SELECT *, row_number() OVER (
+        |              PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg1)
+        |          WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm, cell FROM cell1
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, m.vec_id AS neighbor_id,
+        |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |          i -> qvec[i]*m.vec[i]), 'sum') / (qnorm*m.nrm), 6) AS cos_sim
+        |      FROM cell1 m JOIN q USING (cell) WHERE m.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+        |WHERE rn <= 3""".stripMargin,
     "j5_asof" ->
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |                  event_type, value
@@ -930,6 +1002,30 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "gridded_ingest" ->
+      // regenerates GridFixture's closed-form cell values from pure index
+      // math (no table, no binary file) and applies the same P2-P8 chain —
+      // an independent-engine check of the whole source+ingest path
+      """WITH ti AS (SELECT unnest(generate_series(0, 1)) AS t),
+        |li AS (SELECT unnest(generate_series(0, 2)) AS l),
+        |yi AS (SELECT unnest(generate_series(0, 5)) AS y),
+        |xi AS (SELECT unnest(generate_series(0, 7)) AS x),
+        |cells AS (
+        |  SELECT t, l, y, x, (7*t + 5*l + 3*y + x) % 19 AS k
+        |  FROM ti CROSS JOIN li CROSS JOIN yi CROSS JOIN xi),
+        |vals AS (
+        |  SELECT t, l, y, x,
+        |    CASE WHEN (t+l+y+x) % 11 = 0 THEN NULL ELSE k/10.0 - 0.4 END AS sic_mean,
+        |    CASE WHEN (t+l+y+x+1) % 13 = 0 THEN NULL ELSE (k*k % 7)/100.0 END AS sic_stddev
+        |  FROM cells)
+        |SELECT CAST(trunc((-262.5 + 25.0*x) * 1000) AS INT) AS xc_m,
+        |       CAST(trunc((-537.5 + 25.0*y) * 1000) AS INT) AS yc_m,
+        |       DATE '2020-03-01' + CAST(t AS INT) AS date_forecast_generated,
+        |       DATE '2020-03-01' + CAST(t + l + 1 AS INT) AS date_forecast_for,
+        |       CAST(sic_mean AS FLOAT) AS sea_ice_concentration_mean,
+        |       CAST(sic_stddev AS FLOAT) AS sea_ice_concentration_stddev
+        |FROM vals
+        |WHERE sic_mean > 0 AND sic_stddev IS NOT NULL""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,

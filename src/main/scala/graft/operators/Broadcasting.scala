@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Guard-railed broadcast: `broadcast(df)` is an unconditional promise that
+  * the side fits on the driver and every executor — a promise a
+  * data-dependent side (a dim derived from the fact table, a "query subset"
+  * that is a fixed fraction of the corpus) silently breaks at 100x scale,
+  * OOMing the driver instead of failing the plan. The reference's own
+  * broadcast analog is a BOUNDED side — the cell table read once and merged
+  * per batch (processor.py:296-300) — never a corpus fraction.
+  *
+  * [[checked]] enforces the boundedness at plan-build time:
+  *  1. If the optimizer's size estimate is within `maxEstBytes`, broadcast —
+  *     zero extra cost, the common case for genuinely small dims.
+  *  2. Otherwise run a BOUNDED row probe (`limit(maxRows + 1).count()` —
+  *     never counts past the threshold) and broadcast when it proves the
+  *     side small; plan-size estimates are upper bounds (filters/aggregates
+  *     don't shrink them without CBO stats), so a probe rescues legitimately
+  *     small sides with pessimistic estimates.
+  *  3. An oversized side either degrades to a plain (shuffle-joinable)
+  *     frame, or — for joins whose non-equi condition would turn a shuffle
+  *     fallback into a cartesian product — fails fast with the size evidence.
+  */
+object Broadcasting {
+
+  /** Default plan-estimate bound under which a side broadcasts unprobed.
+    * Matches the order of magnitude a healthy driver/executor can hold
+    * (Spark's own autoBroadcastJoinThreshold default is 10 MB; estimates
+    * are pessimistic upper bounds, so this is deliberately looser).
+    */
+  val DefaultMaxEstBytes: Long = 256L << 20
+
+  /** Default row bound for the probe: broadcast sides beyond this are a
+    * misuse of the operator contract regardless of byte size.
+    */
+  val DefaultMaxRows: Int = 4000000
+
+  /** Returns `df` marked for broadcast iff it is provably within bounds;
+    * otherwise returns it unmarked (Catalyst/AQE then pick a shuffle
+    * strategy from actual runtime sizes).
+    */
+  def checked(
+      df: DataFrame,
+      maxEstBytes: Long = DefaultMaxEstBytes,
+      maxRows: Int = DefaultMaxRows,
+      tag: String = "broadcast side"): DataFrame =
+    if (isBounded(df, maxEstBytes, maxRows)) broadcast(df) else df
+
+  /** Like [[checked]] but throws on an oversized side. For joins where the
+    * broadcast is load-bearing (non-equi conditions that would otherwise
+    * plan as a cartesian product) failing loudly beats degrading quietly.
+    */
+  def checkedOrFail(
+      df: DataFrame,
+      maxEstBytes: Long = DefaultMaxEstBytes,
+      maxRows: Int = DefaultMaxRows,
+      tag: String = "broadcast side"): DataFrame =
+    if (isBounded(df, maxEstBytes, maxRows)) broadcast(df)
+    else throw new IllegalStateException(
+      s"$tag exceeds the broadcast bound (> $maxRows rows and plan estimate " +
+        s"${df.queryExecution.optimizedPlan.stats.sizeInBytes} B > $maxEstBytes B); " +
+        "refusing to broadcast a side that grows with the data — restructure " +
+        "the query (e.g. batch the queries, or use the shuffle-join variant)")
+
+  private def isBounded(df: DataFrame, maxEstBytes: Long, maxRows: Int): Boolean = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    est <= maxEstBytes || df.limit(maxRows + 1).count() <= maxRows
+  }
+}

@@ -277,12 +277,23 @@ object Dedup {
     * round materializes, so block storage stays O(1) in the round count.
     * The candidate `pairs` plan itself is materialized ONCE up front (the
     * r2 formulation derived both edge orientations from the raw plan and
-    * ran the whole candidate pipeline twice). Convergence is detected by
-    * the (monotonically non-increasing, strictly decreasing until
-    * fixpoint) sum of labels; non-convergence within `maxRounds` throws —
-    * silently returning truncated labels would split components.
+    * ran the whole candidate pipeline twice).
+    *
+    * Convergence detection rides the round's OWN job: the label rows carry
+    * their previous label through the min-aggregate (labels-side rows
+    * contribute (comp, old=comp), message rows (comp, old=null); min
+    * ignores nulls, so each group's `old` is exactly its previous label),
+    * a codegen'd projection turns `comp < old` into a changed flag, and a
+    * pass-through map counts flags into an accumulator WHILE the eager
+    * checkpoint materializes — no separate convergence action per round
+    * (the r3 formulation ran a second `labelSum` job per round). Task
+    * retries can only over-count the accumulator, which at worst costs one
+    * extra (no-op) round — never premature termination. Non-convergence
+    * within `maxRounds` throws — silently returning truncated labels would
+    * split components.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     val p = pairs.localCheckpoint(true)
     val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -297,20 +308,31 @@ object Dedup {
       .agg(min(col("dst")).as("nmin"))
       .select(col("src").as("doc_id"), least(col("src"), col("nmin")).as("comp"))
       .localCheckpoint(true)
-    var prevSum: java.math.BigDecimal = labelSum(labels)
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       val msgs = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("comp"))
-      val next = labels.unionByName(msgs)
-        .groupBy("doc_id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
+        .select(col("src").as("doc_id"), col("comp"),
+          lit(null).cast(labels.schema("comp").dataType).as("old"))
+      val merged = labels
+        .select(col("doc_id"), col("comp"), col("comp").as("old"))
+        .unionByName(msgs)
+        .groupBy("doc_id")
+        .agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
+        .withColumn("chg", (col("comp") < col("old")).cast("int"))
+      val changes = spark.sparkContext.longAccumulator(s"ccChanges$round")
+      val chgIdx = merged.schema.fieldIndex("chg")
+      val counted = merged.mapPartitions { rows =>
+        rows.map { r =>
+          if (!r.isNullAt(chgIdx) && r.getInt(chgIdx) == 1) changes.add(1L)
+          r
+        }
+      }(org.apache.spark.sql.Encoders.row(merged.schema))
+      val next = counted.select(col("doc_id"), col("comp"))
+        .localCheckpoint(true) // materializes; `changes` is final after this
       checkpointRdd(labels).foreach(_.unpersist(false))
       labels = next
-      val s = labelSum(labels)
-      done = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
-      prevSum = s
+      done = changes.value == 0L
       round += 1
     }
     if (!done)
@@ -320,12 +342,6 @@ object Dedup {
           "would silently split components)")
     labels
   }
-
-  /** Sum of component labels — the convergence witness. Runs over an
-    * already-checkpointed frame, so the job only scans cached blocks.
-    */
-  private def labelSum(labels: DataFrame): java.math.BigDecimal =
-    labels.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
 
   /** The cached RDD behind an eagerly localCheckpoint'd Dataset, for
     * explicit unpersist once a round's labels are superseded (localCheckpoint

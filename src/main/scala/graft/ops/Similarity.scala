@@ -44,12 +44,21 @@ object Similarity {
   /** Exact top-k neighbors by cosine for the query subset
     * `vec_id % queryMod == 0`. Queries are broadcast; the corpus is scanned
     * once. Rank = (cos desc, vec_id asc), self excluded.
+    *
+    * The contract is "queries are FEW"; the fixture wiring derives them as a
+    * corpus fraction, which a literal 100x scale-up would break — so the
+    * broadcast is guarded: a query set beyond the bound FAILS FAST
+    * ([[graft.operators.Broadcasting.checkedOrFail]]; the non-equi join
+    * condition means a silent shuffle fallback would plan a cartesian
+    * product, strictly worse than the loud error).
     */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
     val v = withNorm(embeddings)
     val q = v.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
-    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = v.join(
+        graft.operators.Broadcasting.checkedOrFail(q, tag = "brute-force query set"),
+        col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
     val w = Window.partitionBy("query_id")
@@ -68,7 +77,9 @@ object Similarity {
     val v = withNorm(embeddings)
     val q = v.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
-    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = v.join(
+        graft.operators.Broadcasting.checkedOrFail(q, tag = "top-k agg query set"),
+        col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
     scored.groupBy("query_id")
@@ -160,7 +171,44 @@ object Similarity {
     val q = assigned.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("norm").as("qnorm"), col("cell"))
-    val scored = assigned.join(broadcast(q), Seq("cell"))
+    // checked: an oversized query set degrades to a shuffle join on `cell`
+    // (equi-join, so the fallback is sound) instead of OOMing the driver
+    val scored = assigned.join(
+        graft.operators.Broadcasting.checked(q, tag = "ivf query set"), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF top-k over k-means-REFINED centroids: [[kmeansCentroids]] runs
+    * `iters` deterministic Lloyd iterations from the lowest-vec_id seeds,
+    * the refined means are rounded to 6 decimals (so the refined centroids
+    * — like every score in this module — are bit-portable across engines;
+    * the DuckDB oracle reproduces the identical per-(cell,dim) averages),
+    * and the corpus + queries are assigned against the refined cells. With
+    * `iters = 1` every intermediate quantity is engine-reproducible; deeper
+    * refinement runs offline at scale where cross-engine parity is not the
+    * gate.
+    */
+  def ivfTopKKmeans(
+      embeddings: DataFrame, k: Int = 3, queryMod: Int = 50,
+      nCentroids: Int = 16, iters: Int = 1): DataFrame = {
+    val refined = kmeansCentroids(embeddings, nCentroids, iters)
+    val rounded = refined
+      .select(col("cent_id"),
+        transform(col("cvec"), x => round(x, 6)).as("cvec"))
+      .withColumn("cnorm", graft.functions.VectorFunctions.l2norm(col("cvec")))
+    val assigned = ivfAssignTo(embeddings, rounded)
+    val q = assigned.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("norm").as("qnorm"), col("cell"))
+    val scored = assigned.join(
+        graft.operators.Broadcasting.checked(q, tag = "kmeans-ivf query set"),
+        Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
@@ -187,7 +235,9 @@ object Similarity {
       .filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("norm").as("qnorm"), col("cell"))
-    val scored = corpus.join(broadcast(q), Seq("cell"))
+    val scored = corpus.join(
+        graft.operators.Broadcasting.checked(q, tag = "multi-probe query set"),
+        Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))

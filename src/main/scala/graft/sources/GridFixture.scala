@@ -1,0 +1,68 @@
+package graft.sources
+
+/** Deterministic `.grid` fixture for the end-to-end source oracle
+  * (`gridded_ingest` in [[graft.SparkEntry]]): every cell value is a pure
+  * closed-form function of its (time, lead, y, x) indices using only exact
+  * integer arithmetic and single double divisions, so an independent engine
+  * (the DuckDB oracle) can regenerate the identical values from
+  * `generate_series` without ever touching the binary file — which is the
+  * point: the Spark side must prove that GridFile.write -> DSv2 read ->
+  * Ingest.load reproduces the mathematically-defined content exactly.
+  *
+  * Shape mirrors a small IceNet drop (SURVEY.md §1.1): 2 generation dates x
+  * 3 leadtimes x 6 yc x 8 xc, with NaN cells (masked/land, dropped by P3)
+  * on two independent index patterns so the mean-null and stddev-null drop
+  * paths are both exercised.
+  */
+object GridFixture {
+  val NTime = 2
+  val NLead = 3
+  val NY = 6
+  val NX = 8
+
+  /** 2020-03-01T00:00Z and +1 day, micros since epoch. */
+  val TimesMicros: Array[Long] =
+    Array.tabulate(NTime)(t => (1583020800L + 86400L * t) * 1000000L)
+  val Leadtimes: Array[Int] = Array.tabulate(NLead)(_ + 1)
+  /** Fractional-km axes so the x1000 int downcast (P5) is non-trivial. */
+  val Yc: Array[Double] = Array.tabulate(NY)(j => -537.5 + 25.0 * j)
+  val Xc: Array[Double] = Array.tabulate(NX)(i => -262.5 + 25.0 * i)
+
+  def meanAt(t: Int, l: Int, y: Int, x: Int): Double =
+    if ((t + l + y + x) % 11 == 0) Double.NaN
+    else ((7 * t + 5 * l + 3 * y + x) % 19) / 10.0 - 0.4
+
+  def stddevAt(t: Int, l: Int, y: Int, x: Int): Double =
+    if ((t + l + y + x + 1) % 13 == 0) Double.NaN
+    else {
+      val k = (7 * t + 5 * l + 3 * y + x) % 19
+      (k * k % 7) / 100.0
+    }
+
+  private def flat(f: (Int, Int, Int, Int) => Double): Array[Double] = {
+    val out = new Array[Double](NTime * NLead * NY * NX)
+    var i = 0
+    for (t <- 0 until NTime; l <- 0 until NLead; y <- 0 until NY; x <- 0 until NX) {
+      out(i) = f(t, l, y, x); i += 1
+    }
+    out
+  }
+
+  /** Writes the fixture once per path (idempotent; the oracle query may run
+    * several times per session — bench warmup + timed passes).
+    */
+  def ensureWritten(path: String): String = synchronized {
+    val f = new java.io.File(path)
+    if (!f.exists()) {
+      f.getParentFile.mkdirs()
+      GridFile.write(path, TimesMicros, Leadtimes, Yc, Xc,
+        flat(meanAt), flat(stddevAt))
+    }
+    path
+  }
+
+  /** Session-stable default location (under java.io.tmpdir). */
+  def defaultPath: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_grid_fixture_v1.grid").getAbsolutePath
+}
