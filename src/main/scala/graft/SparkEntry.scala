@@ -301,6 +301,19 @@ object SparkEntry {
         graft.ops.Dedup.minhashCandidates(Tables.documents(s, dir)))),
     "dedup_embedding" -> ((s, dir) =>
       graft.ops.Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
+    "decontaminate" -> { (s, dir) =>
+      // train/eval overlap check: corpus docs sharing >= 2 distinct word
+      // 4-grams with the benchmark split (every 20th doc, fixture wiring).
+      // n = 4 on this small-vocabulary fixture: trigrams collide
+      // incidentally (310/475 docs flagged = noise), 4-grams isolate the
+      // genuinely duplicated docs; real corpora use the n = 5 default.
+      val docs = Tables.documents(s, dir)
+      graft.ops.Dedup.contamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), n = 4)
+    },
+    "pack_sequences" -> ((s, dir) =>
+      graft.ops.TextAnalysis.packSequences(Tables.documents(s, dir))),
 
     // ---- beyond-reference: similarity search (ops.Similarity) ------------
     "sim_topk_brute" -> ((s, dir) =>
@@ -313,6 +326,8 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopKMultiProbe(Tables.embeddings(s, dir))),
     "sim_topk_ivf_kmeans" -> ((s, dir) =>
       graft.ops.Similarity.ivfTopKKmeans(Tables.embeddings(s, dir))),
+    "sim_topk_sq8" -> ((s, dir) =>
+      graft.ops.Similarity.sqTopK(Tables.embeddings(s, dir))),
 
     // ---- beyond-reference: event-time analytics (streaming.EventAggs;
     //      batch-equivalent plans of the streaming transforms) -------------
@@ -775,6 +790,53 @@ object SparkEntry {
         |        ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, round(isect / CAST(tot - isect AS DOUBLE), 6) AS jaccard
         |FROM p WHERE round(isect / CAST(tot - isect AS DOUBLE), 6) >= 0.2""".stripMargin,
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
+        |           FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, len(tokens)-4), i ->
+        |        concat_ws(' ', tokens[i+1], tokens[i+2], tokens[i+3], tokens[i+4]))) AS grams
+        |      FROM t WHERE len(tokens) >= 4),
+        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM cg JOIN bg USING (gram)
+        |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             len(regexp_split_to_array(trim(text),'\s+')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |        COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        |      FROM t)
+        |SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+        |       CAST(floor(cum_prev / 512) AS BIGINT) AS seq_id
+        |FROM c""".stripMargin,
+    "sim_topk_sq8" ->
+      // per-dim (min, span) codebook -> int8-style codes -> dequantized
+      // cosine top-k; mirrors Similarity.sqQuantize/sqTopK exactly
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |d AS (SELECT u.i AS pos, min(vec[u.i]) AS mn, max(vec[u.i]) - min(vec[u.i]) AS span
+        |      FROM v, unnest(generate_series(1, len(vec))) AS u(i) GROUP BY u.i),
+        |cb AS (SELECT list(mn ORDER BY pos) AS mns, list(span ORDER BY pos) AS spans FROM d),
+        |xq AS (SELECT vec_id, list_transform(generate_series(1, len(vec)), i ->
+        |         CASE WHEN spans[i] = 0 THEN mns[i]
+        |              ELSE mns[i] + CAST(round((vec[i] - mns[i]) * 255 / spans[i]) AS INT)
+        |                   * spans[i] / 255 END) AS vec
+        |       FROM v CROSS JOIN cb),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM xq),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm FROM n
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |          i -> qvec[i]*vec[i]), 'sum') / (qnorm*nrm), 6) AS cos_sim
+        |      FROM n CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+        |WHERE rn <= 5""".stripMargin,
     "dedup_embedding" ->
       // blocked on the IVF cell assignment (same as sim_topk_ivf's cell CTE)
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

@@ -399,6 +399,35 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word `n`-grams with ANY benchmark document — the
+    * train/eval overlap check every training-data pipeline must run before
+    * shipping a corpus (a benchmark answer memorized verbatim inflates eval
+    * scores). Returns (doc_id, n_shared) for flagged corpus docs.
+    *
+    * Scale design: both sides explode to distinct (doc, gram) rows (the
+    * per-doc distinct rides the doc_id clustering, shuffle-free), the
+    * benchmark side collapses to a distinct gram set, and one equi-join on
+    * `gram` + one count-per-doc aggregate do the rest — each gram shuffles
+    * once, nothing is ever pairwise in documents. The benchmark side is
+    * typically orders of magnitude smaller than the corpus; no broadcast is
+    * forced (it is data-sized in principle), AQE picks one when the eval
+    * set is actually small. Long grams (default n = 5) make incidental
+    * collisions rare, so the join's fan-out tracks true contamination.
+    */
+  def contamination(
+      corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 5, minShared: Long = 2): DataFrame = {
+    def grams(docs: DataFrame) =
+      gramStream(docs, n, Nil).distinct() // per-doc gram set; no shuffle
+    val bg = grams(benchmark).select(col("gram")).distinct()
+    grams(corpus)
+      .join(bg, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // input is distinct per (doc, gram)
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding near-dup: exact cosine over pairs blocked by IVF cell
     * ([[Similarity.ivfAssign]]), keeping pairs above `minCos`.
     *
