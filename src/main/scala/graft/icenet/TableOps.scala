@@ -271,14 +271,26 @@ object TableOps {
   def compact(
       spark: SparkSession, path: String,
       partitionCols: Seq[String] = Nil,
-      targetBytes: Long = 128L * 1024 * 1024): Unit =
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil): Unit =
     withTableLock(spark, path) {
       heal(spark, path)
       val src = new Path(resolve(spark, path))
       val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val totalBytes = fs.getContentSummary(src).getLength
       val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-      replace(spark, path, read(spark, path).repartition(nFiles), partitionCols)
+      // optional clustered layout: range-partition + sort by `sortCols` so
+      // parquet column min/max statistics become selective — point/range
+      // predicates on the sort key then prune whole files and row groups,
+      // the poor man's Z-order (exact for a single-column key, prefix-major
+      // for a composite). Incremental appends don't maintain the layout;
+      // re-compaction restores it — same lifecycle as OPTIMIZE ... ZORDER.
+      val laid =
+        if (sortCols.isEmpty) read(spark, path).repartition(nFiles)
+        else read(spark, path)
+          .repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      replace(spark, path, laid, partitionCols)
     }
 
   /** Crash-safe table swap (see the class doc's crash-safety model). The

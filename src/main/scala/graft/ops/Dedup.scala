@@ -160,9 +160,12 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = minhashSignatures(docs)
+    // bucket = STRUCT of the band's signature rows, not a concat string:
+    // structs hash/compare as fixed-width longs in codegen, where the
+    // string bucket paid 4 bigint->string renders + varlen hashing per row
     val bands = (0 until LshBands).map { j =>
-      concat_ws("|",
-        (0 until RowsPerBand).map(r => col(s"m${j * RowsPerBand + r}")): _*)
+      struct((0 until RowsPerBand).map(r =>
+        col(s"m${j * RowsPerBand + r}").as(s"r$r")): _*)
     }
     val exploded = sigs
       .select(col("doc_id"), posexplode(array(bands: _*)).as(Seq("band", "bucket")))
@@ -201,20 +204,56 @@ object Dedup {
     * clustered by doc_id from [[tokenStream]], so the aggregate is
     * shuffle-free — linear at any scale.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** Per-doc signed vote sums (s1..s32), the shared core of both simhash
+    * renderings. Rows arrive clustered by doc_id from [[tokenStream]], so
+    * the aggregate is shuffle-free.
+    *
+    * Vote p is the top bit of hex nibble p of md5(token) (nibble >= 8 <=>
+    * char >= '8'). Rather than 32 per-nibble `substring >= "8"` string
+    * compares (each allocating a UTF8String slice), the 32 hex chars are
+    * parsed ONCE into four 32-bit words (`conv`, computed once per token
+    * under codegen CSE) and every vote is a shift-and-mask on a long —
+    * integer ops all the way into the 32 fixed-width sum aggregates.
+    */
+  private def simhashSums(docs: DataFrame): DataFrame = {
     val h = md5(col("w"))
-    val bitCols = (1 to SimhashBits).map(p =>
-      when(substring(h, p, 1) >= "8", 1).otherwise(-1).as(s"v$p"))
+    val words = (0 until SimhashBits / 8).map(k =>
+      conv(substring(h, k * 8 + 1, 8), 16, 10).cast("long").as(s"h$k"))
+    val votes = (1 to SimhashBits).map { p =>
+      val k = (p - 1) / 8 // which 8-hex-char word
+      val c = (p - 1) % 8 // char within the word, 0 = most significant
+      (shiftright(col(s"h$k"), 4 * (7 - c) + 3).bitwiseAND(1L) * 2 - 1)
+        .cast("int").as(s"v$p")
+    }
     tokenStream(docs, Nil)
-      .select(col("doc_id") +: bitCols: _*)
+      .select(col("doc_id") +: words: _*)
+      .select(col("doc_id") +: votes: _*)
       .groupBy("doc_id")
       .agg(
         sum(col("v1")).as("s1"),
         (2 to SimhashBits).map(p => sum(col(s"v$p")).as(s"s$p")): _*)
+  }
+
+  def simhash(docs: DataFrame): DataFrame =
+    simhashSums(docs)
       .select(col("doc_id"),
         concat((1 to SimhashBits).map(p =>
           when(col(s"s$p") > 0, "1").otherwise("0")): _*).as("simhash"))
-  }
+
+  /** The same signature packed into one LONG (bit 32-p = sign of s_p, so
+    * bit slices correspond 1:1 to [[simhash]]'s string bands). Everything
+    * downstream of the signature then runs on integer ops: band buckets
+    * are shift-and-mask, Hamming distance is bit_count(a ^ b) — one
+    * codegen'd instruction-ish expression instead of 32 substring
+    * compares, and the candidate join keys are (int, long) instead of
+    * (int, 8-char string).
+    */
+  private def simhashLong(docs: DataFrame): DataFrame =
+    simhashSums(docs)
+      .select(col("doc_id"),
+        (1 to SimhashBits).map(p =>
+          when(col(s"s$p") > 0, lit(1L << (SimhashBits - p))).otherwise(0L))
+          .reduce(_ + _).as("sig"))
 
   /** SimHash near-dup candidates: pairs within `maxHamming` bits, found by
     * banding the signature into [[SimhashBands]] contiguous bit blocks and
@@ -228,10 +267,13 @@ object Dedup {
     * 2^(bits/bands), cutting candidate density at higher corpus sizes.
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs)
+    val sh = simhashLong(docs)
+    // band j = bits (31-8j)..(24-8j) of the long signature — the same 8-bit
+    // blocks as the string formulation's substring bands, as integers
     val bands = (0 until SimhashBands).map(j =>
-      substring(col("simhash"), j * SimhashBandBits + 1, SimhashBandBits))
-    val exploded = sh.select(col("doc_id"), col("simhash"),
+      shiftright(col("sig"), (SimhashBands - 1 - j) * SimhashBandBits)
+        .bitwiseAND((1 << SimhashBandBits) - 1))
+    val exploded = sh.select(col("doc_id"), col("sig"),
       posexplode(array(bands: _*)).as(Seq("band", "bucket")))
     val pruned = exploded
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
@@ -241,12 +283,9 @@ object Dedup {
     val a = pruned.hint("merge").as("a")
     val b = pruned.hint("merge").as("b")
     // hamming computed (and thresholded) BEFORE the distinct: a pair found
-    // via multiple shared bands re-runs 32 cheap codegen'd char compares,
-    // but the dedup exchange then carries (long, long, int) instead of two
-    // 32-char signature strings per row
-    val hamming = (1 to SimhashBits).map(p =>
-      when(substring(col("a.simhash"), p, 1) =!= substring(col("b.simhash"), p, 1), 1)
-        .otherwise(0)).reduce(_ + _)
+    // via multiple shared bands re-runs one cheap bit_count, and the dedup
+    // exchange carries (long, long, int) instead of two signatures per row
+    val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -149,16 +149,33 @@ object Similarity {
     var cents = seedCentroids(v, k)
     for (_ <- 0 until iters) {
       val assigned = assignCells(v, cents, nProbe = 1)
-      cents = assigned
+      cents = localize(assigned
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cell").agg(
           transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             s => s.getField("m")).as("cvec"))
         .select(col("cell").as("cent_id"), col("cvec"),
-          graft.functions.VectorFunctions.l2norm(col("cvec")).as("cnorm"))
+          graft.functions.VectorFunctions.l2norm(col("cvec")).as("cnorm")))
     }
     cents
+  }
+
+  /** Materializes a centroid frame into a driver-local relation. K-means
+    * state is k x dim BY CONSTRUCTION (bounded, like every k-means
+    * implementation's driver state), so collecting it is principled — and
+    * essential for plan health: left lazy, each Lloyd iteration's plan
+    * embeds the previous one (exponential lineage in `iters`), and every
+    * consumer (corpus assignment, query assignment, each a broadcast)
+    * re-runs the whole refinement pipeline — observed as 12 scans of the
+    * corpus in one top-k plan. As a LocalRelation the refinement runs
+    * once, and the corpus/query assignment subtrees become identical so
+    * exchange reuse collapses them.
+    */
+  private def localize(cents: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    cents.sparkSession.createDataFrame(
+      cents.collect().toSeq.asJava, cents.schema)
   }
 
   /** Per-dimension scalar quantization (SQ8-style): global (min, span) per

@@ -225,6 +225,33 @@ class TableOpsSpec extends SparkSpec {
           (java.sql.Date.valueOf("2020-01-02"), 3, 31L)))
   }
 
+  test("compact with sortCols: content identical, files range-clustered") {
+    val path = tmpDir("compactSort") + "/t"
+    // interleaved keys across many small appends -> no natural clustering
+    (0 until 6).foreach { i =>
+      TableOps.insertIgnore(spark, path,
+        (0 until 20).map(j => (j * 6 + i, s"v${j * 6 + i}")).toDF("k", "v"),
+        Seq("k"))
+    }
+    val before = TableOps.read(spark, path).as[(Int, String)].collect().toSet
+    TableOps.compact(spark, path, targetBytes = 2048, sortCols = Seq("k"))
+    assert(TableOps.read(spark, path).as[(Int, String)].collect().toSet == before)
+    // every output file holds a contiguous, disjoint key range (this is
+    // what makes parquet min/max stats prune files for key predicates)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length > 1, "need multiple files to prove clustering")
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f).select("k").as[Int].collect()
+      assert(ks.sorted.sameElements(ks), s"file $f must be sorted by k")
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, "file ranges must be disjoint")
+      case _ =>
+    }
+  }
+
   test("append after a healed crash does not shadow committed data") {
     import org.apache.hadoop.fs.Path
     val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
