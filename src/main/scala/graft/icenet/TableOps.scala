@@ -134,36 +134,79 @@ object TableOps {
     * in the table are silently dropped (the PG unique-index arbitration).
     * Incoming duplicates are also collapsed to one row per key — same net
     * effect as the reference's row-at-a-time conflict handling.
+    *
+    * `allowSchemaEvolution = true` opts into ADDITIVE schema evolution
+    * (the Delta `mergeSchema` semantic): columns present on only one side
+    * are added to the union schema and null-filled on the other; a common
+    * column whose type differs still fails. An evolving write rewrites the
+    * table through the crash-safe swap (appending wider files would hide
+    * the new column from readers without mergeSchema) — the cost profile
+    * of ALTER TABLE ADD COLUMN + backfill, paid only when the schema
+    * actually changes. Default remains fail-fast rejection.
     */
   def insertIgnore(
       spark: SparkSession, path: String, incoming: DataFrame,
-      keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =
+      keys: Seq[String], partitionCols: Seq[String] = Nil,
+      allowSchemaEvolution: Boolean = false): Unit =
     withTableLock(spark, path) {
       heal(spark, path)
       val deduped = incoming.dropDuplicates(keys)
       if (!exists(spark, path)) {
         write(deduped, path, "overwrite", partitionCols)
+      } else if (allowSchemaEvolution &&
+          read(spark, path).columns.sorted.toSeq != deduped.columns.sorted.toSeq) {
+        val (existingU, incomingU) = unionSchemas(read(spark, path), deduped, path)
+        val fresh = incomingU.join(
+          existingU.select(keys.map(col): _*), keys, "left_anti")
+        replace(spark, path, existingU.unionByName(fresh), partitionCols)
       } else {
-        val existingCols = read(spark, path).columns
-        requireSameColumns(existingCols, deduped.columns, path)
+        val existing = read(spark, path)
+        requireSameColumns(existing, deduped, path)
         val fresh = freshRows(spark, path, deduped, keys, partitionCols)
         // normalize to the TABLE's column order so every appended file shares
         // one field layout
-        write(fresh.select(existingCols.map(col).toIndexedSeq: _*),
+        write(fresh.select(existing.columns.map(col).toIndexedSeq: _*),
           path, "append", partitionCols)
       }
     }
 
+  /** Additive schema union for [[insertIgnore]]/[[upsert]] evolution: both
+    * frames projected to existing-columns ++ incoming-only-columns, with
+    * each side's missing columns null-filled at the other side's type.
+    * Keys must exist on both sides; a shared column with conflicting types
+    * fails (evolution never rewrites a column's type).
+    */
+  private def unionSchemas(
+      existing: DataFrame, incoming: DataFrame, path: String): (DataFrame, DataFrame) = {
+    val ex = existing.schema.map(f => f.name -> f.dataType).toMap
+    val in = incoming.schema.map(f => f.name -> f.dataType).toMap
+    val conflicts = ex.keySet.intersect(in.keySet).filter(c => ex(c) != in(c))
+    require(conflicts.isEmpty,
+      s"$path: schema evolution cannot change column types: " +
+        conflicts.map(c => s"$c (${ex(c)} vs ${in(c)})").mkString(", "))
+    val all = existing.columns ++ incoming.columns.filterNot(ex.contains)
+    def pad(df: DataFrame, types: Map[String, org.apache.spark.sql.types.DataType]) =
+      df.select(all.map(c =>
+        if (types.contains(c)) col(c)
+        else lit(null).cast(ex.getOrElse(c, in(c))).as(c)).toIndexedSeq: _*)
+    (pad(existing, ex), pad(incoming, in))
+  }
+
   /** Fail-fast guard against silent schema drift: a batch whose column set
     * differs from the table's would otherwise append parquet files the
     * table's readers resolve inconsistently (missing columns as nulls, new
-    * columns invisible without mergeSchema).
+    * columns invisible without mergeSchema). Types are checked too — a
+    * same-named column of a different type would append files the reader
+    * cannot reconcile with the table's footer schema.
     */
   private def requireSameColumns(
-      existing: Seq[String], incoming: Seq[String], path: String): Unit =
-    require(existing.sorted == incoming.sorted,
-      s"$path: incoming columns [${incoming.sorted.mkString(",")}] do not match " +
-        s"table columns [${existing.sorted.mkString(",")}]")
+      existing: DataFrame, incoming: DataFrame, path: String): Unit = {
+    def sig(df: DataFrame) =
+      df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").sorted
+    require(sig(existing) == sig(incoming),
+      s"$path: incoming schema [${sig(incoming).mkString(",")}] does not match " +
+        s"table schema [${sig(existing).mkString(",")}]")
+  }
 
   /** Incoming rows whose key is NOT yet in the table at `path`.
     *
@@ -227,15 +270,25 @@ object TableOps {
     */
   def upsert(
       spark: SparkSession, path: String, incoming: DataFrame,
-      keys: Seq[String], partitionCols: Seq[String] = Nil): Unit =
+      keys: Seq[String], partitionCols: Seq[String] = Nil,
+      allowSchemaEvolution: Boolean = false): Unit =
     withTableLock(spark, path) {
       heal(spark, path)
       val deduped = incoming.dropDuplicates(keys)
       if (!exists(spark, path)) {
         write(deduped, path, "overwrite", partitionCols)
+      } else if (allowSchemaEvolution &&
+          read(spark, path).columns.sorted.toSeq != deduped.columns.sorted.toSeq) {
+        // evolving upsert: full rewrite on the union schema (also for
+        // partitioned tables — a partition-targeted swap would leave
+        // untouched partitions' files without the new column)
+        val (existingU, incomingU) = unionSchemas(read(spark, path), deduped, path)
+        val kept = existingU.join(
+          incomingU.select(keys.map(col): _*), keys, "left_anti")
+        replace(spark, path, kept.unionByName(incomingU), partitionCols)
       } else {
         val existing = read(spark, path)
-        requireSameColumns(existing.columns, deduped.columns, path)
+        requireSameColumns(existing, deduped, path)
         if (partitionCols.isEmpty) {
           val kept = existing.join(deduped.select(keys.map(col): _*), keys, "left_anti")
           val merged = kept.select(deduped.columns.map(col): _*).unionByName(deduped)

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+/** Plan-shape regression guards: the scale properties this engine claims
+  * (pushdown reaching the scan, single-exchange compositions, broadcast
+  * only on bounded sides, exchange reuse on self-joins) are asserted on
+  * the PHYSICAL plan, so a refactor that silently degrades a plan — an
+  * extra shuffle, a lost filter pushdown, a broadcast that became a
+  * cartesian — fails CI instead of surfacing as a 100x cliff at scale.
+  *
+  * Plans are inspected pre-execution (`sparkPlan`, before AQE re-planning)
+  * because that is the shape Catalyst committed to from statistics alone —
+  * the shape that decides scalability before any runtime rescue.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = p.collect(pf)
+    val nested = p.collect {
+      case a: AdaptiveSparkPlanExec => collectAll(a.inputPlan)(pf)
+    }.flatten
+    here ++ nested
+  }
+
+  private def shuffles(p: SparkPlan): Int =
+    collectAll(p) { case s: ShuffleExchangeExec => s }.size
+
+  test("p2_filter: predicate is pushed into the parquet scan") {
+    val scans = collectAll(plan("p2_filter")) { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("GreaterThan"))),
+      "filter must reach the scan as a pushed parquet predicate")
+  }
+
+  test("p7_projection: scan reads only the projected columns") {
+    val scans = collectAll(plan("p7_projection")) { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.requiredSchema.fieldNames.toSet ==
+      Set("l_orderkey", "l_partkey", "l_shipdate")),
+      "column pruning must reach the scan")
+  }
+
+  test("curate_corpus: exactly one shuffle (fingerprint repartition reused by the window)") {
+    assert(shuffles(plan("curate_corpus")) == 1,
+      "the window must reuse the fp repartition — a second exchange means the reuse broke")
+  }
+
+  test("j1/j2: bounded dims broadcast; fact side never shuffles") {
+    for (q <- Seq("j1_left_join_2key", "j2_inner_join")) {
+      val p = plan(q)
+      assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"$q must plan a broadcast hash join")
+      assert(shuffles(p) == 0, s"$q must not shuffle the fact side")
+    }
+  }
+
+  test("latest_view: scalar-subquery max is a broadcast, not a driver action") {
+    val p = plan("latest_view")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.size >= 2,
+      "max-date row and dim side must both join as broadcasts")
+  }
+
+  test("dedup candidate self-joins are sort-merge (broadcastable sides would " +
+    "materialize the corpus-sized stream twice)") {
+    for (q <- Seq("dedup_minhash_lsh", "dedup_simhash_pairs")) {
+      val p = plan(q)
+      assert(collectAll(p) { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"$q must keep the merge-hinted self-join")
+    }
+  }
+
+  test("per-doc aggregates ride the doc_id clustering: simhash plans no " +
+    "second shuffle between tokenize and signature") {
+    // one repartition(doc_id) + the final nothing — signature agg must not
+    // introduce its own exchange
+    val p = SparkEntry.queries("dedup_simhash")(spark, dir).queryExecution.sparkPlan
+    assert(shuffles(p) == 1,
+      "expected exactly the tokenStream repartition; signature agg must be shuffle-free")
+  }
+
+  test("sample_hash: pure narrow filter — zero shuffles") {
+    assert(shuffles(plan("sample_hash")) == 0)
+  }
+
+  test("text analysis is scan-speed: zero shuffles") {
+    for (q <- Seq("text_token_count", "text_quality", "text_langid", "text_fingerprint"))
+      assert(shuffles(plan(q)) == 0, s"$q must stay a narrow projection")
+  }
+}
