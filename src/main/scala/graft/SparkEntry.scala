@@ -288,6 +288,8 @@ object SparkEntry {
       graft.ops.Dedup.exact(Tables.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       graft.ops.Dedup.minhashCandidates(Tables.documents(s, dir))),
+    "dedup_minhash_est" -> ((s, dir) =>
+      graft.ops.Dedup.minhashEstJaccardPairs(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhash(Tables.documents(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -337,6 +339,19 @@ object SparkEntry {
       graft.streaming.EventAggs.dailyUserRollup(Tables.events(s, dir))),
     "events_json_extract" -> ((s, dir) =>
       graft.streaming.EventAggs.extractProps(Tables.events(s, dir))),
+    "j8_interval_join" -> { (s, dir) =>
+      // stream-stream interval join in its batch-equivalent form: each view
+      // paired with the user's purchases in the preceding hour
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.streaming.StreamJoins.intervalJoin(views, purchases, "user_id", "ts")
+        .select(col("l.event_id"), col("l.user_id"), col("l.ts"), col("l.value"),
+          col("r.ts").as("purchase_ts"), col("purchase_id"), col("purchase_value"))
+    },
 
     // ---- beyond-reference: extended relational coverage ------------------
     "j5_asof" -> { (s, dir) =>
@@ -701,6 +716,41 @@ object SparkEntry {
         |JOIN ok ON ok.j = a.j AND ok.bucket = a.bucket
         |JOIN bands b
         |  ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_minhash_est" ->
+      // same candidate pipeline as dedup_minhash_lsh, pairs annotated with
+      // the signature-estimated Jaccard (matching components / 16)
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
+        |              FROM documents),
+        |sh AS (SELECT doc_id, list_transform(generate_series(0, len(tokens)-3), i ->
+        |         concat_ws(' ', tokens[i+1], tokens[i+2], tokens[i+3])) AS shingles
+        |       FROM toks WHERE len(tokens) >= 3),
+        |hb AS (SELECT doc_id, list_transform(shingles, s ->
+        |         CAST('0x' || substr(md5(s),1,7) AS BIGINT)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, list_transform(generate_series(1,16), i ->
+        |          list_aggregate(list_transform(hs, h -> (h *
+        |            ([28515171, 35901835, 164504155, 224835733, 159545229, 129086779,
+        |              21665025, 258530763, 97673641, 249307291, 192052219, 93357247,
+        |              95312455, 108715649, 24414505, 158868827])[i] +
+        |            ([142629328, 83632441, 250955955, 96322194, 250268010, 34277798,
+        |              256159453, 123742706, 182912951, 248297849, 222161486, 81337654,
+        |              192810783, 177914584, 67363176, 151635781])[i])
+        |            % 268435459), 'min')) AS sig
+        |        FROM hb),
+        |bands AS (SELECT doc_id, j,
+        |            concat_ws('|', sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]) AS bucket
+        |          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj),
+        |ok AS (SELECT j, bucket FROM bands GROUP BY 1, 2 HAVING count(*) <= 100),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a
+        |          JOIN ok ON ok.j = a.j AND ok.bucket = a.bucket
+        |          JOIN bands b
+        |            ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT p.doc_a, p.doc_b,
+        |       round(len(list_filter(generate_series(1,16), i -> sa.sig[i] = sb.sig[i])) / 16.0, 6)
+        |         AS est_jaccard
+        |FROM pairs p
+        |JOIN sig sa ON sa.doc_id = p.doc_a
+        |JOIN sig sb ON sb.doc_id = p.doc_b""".stripMargin,
     "dedup_components" ->
       // same minhash pipeline as dedup_minhash_lsh, then the transitive
       // closure of the pair graph via a recursive CTE; comp = min reachable id
@@ -1050,6 +1100,16 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events""".stripMargin,
+    "j8_interval_join" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             event_id AS purchase_id, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |       r.ts AS purchase_ts, r.purchase_id, r.purchase_value
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts""".stripMargin,
     "sessionize_batch" ->
       """WITH e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts FROM events),
         |m AS (SELECT user_id, ts,

@@ -182,6 +182,46 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidate pairs annotated with the MinHash-ESTIMATED Jaccard:
+    * est = (matching signature components) / [[MinhashFuncs]] — an
+    * unbiased estimator of the true shingle-set Jaccard. This is the pure
+    * signature path for corpus-scale near-dedup: similarity comes from 16
+    * longs per doc, never from re-reading text, so the verify stage that
+    * [[ngramJaccardPairs]] runs exactly is skipped entirely (the standard
+    * trade at 100 TB: +-1/16 estimator granularity for a text-free
+    * pipeline).
+    *
+    * The exploded band stream carries the full signature (16 longs) so
+    * the estimate rides the SAME self-join exchange the candidates come
+    * from — one signature pipeline (exchange-reused across both sides),
+    * no extra per-side doc_id join. The wider exchange payload
+    * (16 x 8 B/row) is the documented cost of that single-pipeline shape.
+    */
+  def minhashEstJaccardPairs(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val sigCols = (0 until MinhashFuncs).map(i => col(s"m$i"))
+    val bands = (0 until LshBands).map { j =>
+      struct((0 until RowsPerBand).map(r =>
+        col(s"m${j * RowsPerBand + r}").as(s"r$r")): _*)
+    }
+    val exploded = sigs.select(col("doc_id") +: sigCols :+
+      posexplode(array(bands: _*)).as(Seq("band", "bucket")): _*)
+    val pruned = exploded
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= MaxLshBucket)
+      .drop("bsz")
+    val a = pruned.hint("merge").as("a")
+    val b = pruned.hint("merge").as("b")
+    val matches = (0 until MinhashFuncs).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0)).reduce(_ + _)
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(matches.cast("double") / MinhashFuncs, 6).as("est_jaccard"))
+      .distinct()
+  }
+
   /** SimHash signature width (bits) = md5 hex chars used, one bit per
     * nibble (top bit of the nibble, i.e. char >= '8').
     */

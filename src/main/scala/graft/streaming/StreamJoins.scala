@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join surface for streams — the two shapes a 100 TB/day event pipeline
+  * actually runs (beyond-reference §2.8 extension; the reference's only
+  * joins are batch equi-joins):
+  *
+  *  - [[enrich]]: stream-static dimension enrichment. The dim is re-read
+  *    and broadcast per micro-batch, so slowly-changing dimensions pick up
+  *    updates between batches with no restart; the stream side never
+  *    shuffles.
+  *  - [[intervalJoin]]: stream-stream event-time interval join (each left
+  *    event paired with same-key right events inside a bounded look-back
+  *    window). The time bound is what makes it streamable: with both sides
+  *    watermarked, Spark derives the state-retention horizon from the
+  *    interval condition, so join state is bounded by (watermark + window)
+  *    instead of growing forever — the difference between a join that runs
+  *    for months and one that OOMs in an hour.
+  *
+  * Both transforms are batch/stream polymorphic (same plan on static
+  * frames, where the oracle checks them; watermarks are only attached to
+  * streaming inputs).
+  */
+object StreamJoins {
+
+  /** Left-join a (possibly streaming) fact frame to a static dimension on
+    * `key`, broadcasting the dimension. For a streaming fact frame this is
+    * the standard slowly-changing-dimension enrichment: the dim plan
+    * re-executes per micro-batch.
+    */
+  def enrich(facts: DataFrame, dim: DataFrame, key: String): DataFrame =
+    facts.join(broadcast(dim), Seq(key), "left")
+
+  /** Pairs each left event with the right events of the same `key` whose
+    * timestamp falls in [left.ts - lookBack, left.ts]. On streams, both
+    * sides must carry the event-time column `tsCol`; watermarks of
+    * `watermark` are attached and the interval condition bounds the join
+    * state. On batch frames it is a plain range join (SMJ on the key with
+    * the range as a post-condition), which is what the DuckDB oracle
+    * reproduces.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      lookBack: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(tsCol, watermark) else left).as("l")
+    val r = (if (right.isStreaming) right.withWatermark(tsCol, watermark) else right).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $lookBack") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol"))
+  }
+}

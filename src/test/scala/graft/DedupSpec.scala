@@ -21,6 +21,24 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L).size == Dedup.MinhashFuncs)
   }
 
+  test("minhash estimated jaccard: identical docs estimate 1.0, " +
+    "estimates bounded in [0,1], pair set = candidate set") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1/2
+      (4L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    val est = Dedup.minhashEstJaccardPairs(docs)
+      .as[(Long, Long, Double)].collect()
+    val byPair = est.map(r => (r._1, r._2) -> r._3).toMap
+    assert(byPair((1L, 2L)) == 1.0, "identical docs must estimate 1.0")
+    assert(est.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    // annotated pairs are exactly the LSH candidates (same pipeline)
+    val cand = Dedup.minhashCandidates(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(byPair.keySet == cand)
+  }
+
   test("degenerate corpus: 1000 identical docs do not go quadratic") {
     // all 1000 docs share every band bucket; without the MaxLshBucket cap
     // the self-join would emit 499,500 pairs from ONE bucket — the LSH

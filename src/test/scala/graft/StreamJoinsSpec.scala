@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamJoins
+
+/** Stream-join surface (§2.8 beyond-reference): stream-static enrichment
+  * and the watermark-bounded stream-stream interval join.
+  */
+class StreamJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("intervalJoin batch/stream parity on a memory stream") {
+    // batch truth
+    val views = Seq(
+      (1L, 10L, Timestamp.valueOf("2024-01-01 10:30:00"), 1.0),
+      (2L, 10L, Timestamp.valueOf("2024-01-01 12:00:00"), 2.0),
+      (3L, 20L, Timestamp.valueOf("2024-01-01 10:30:00"), 3.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val purchases = Seq(
+      (10L, Timestamp.valueOf("2024-01-01 10:00:00"), 100L, 9.0), // in window of view 1
+      (10L, Timestamp.valueOf("2024-01-01 11:30:00"), 101L, 8.0), // in window of view 2
+      (20L, Timestamp.valueOf("2024-01-01 08:00:00"), 102L, 7.0)  // too old for view 3
+    ).toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val batch = StreamJoins.intervalJoin(views, purchases, "user_id", "ts")
+      .select(col("l.event_id"), col("purchase_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(batch == Set((1L, 100L), (2L, 101L)))
+
+    // same data through streaming sides
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val rMem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val lDf = lMem.toDF().toDF("event_id", "user_id", "ts", "value")
+    val rDf = rMem.toDF().toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val joined = StreamJoins.intervalJoin(lDf, rDf, "user_id", "ts")
+      .select(col("l.event_id"), col("purchase_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivjoin").start()
+    try {
+      views.as[(Long, Long, Timestamp, Double)].collect().foreach(r => lMem.addData(r))
+      purchases.as[(Long, Timestamp, Long, Double)].collect().foreach(r => rMem.addData(r))
+      q.processAllAvailable()
+      // advance both watermarks far past the data so all pairs emit
+      lMem.addData((99L, 998L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0))
+      rMem.addData((999L, Timestamp.valueOf("2024-01-02 00:00:00"), 999L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ivjoin").as[(Long, Long)].collect().toSet
+      assert(got == batch, "streaming emission must match the batch join")
+    } finally q.stop()
+  }
+
+  test("intervalJoin on streams keeps bounded state (watermark present in plan)") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Timestamp)]
+    val rMem = MemoryStream[(Long, Timestamp)]
+    val joined = StreamJoins.intervalJoin(
+      lMem.toDF().toDF("user_id", "ts"), rMem.toDF().toDF("user_id", "ts"),
+      "user_id", "ts")
+    // both sides must carry event-time watermarks, otherwise Spark rejects
+    // the stream-stream join or retains state forever
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivjoin_state").start()
+    try {
+      lMem.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      rMem.addData((1L, Timestamp.valueOf("2024-01-01 09:30:00")))
+      q.processAllAvailable()
+      assert(q.lastProgress != null)
+    } finally q.stop()
+  }
+
+  test("enrich: stream-static dimension join, stream side never shuffles") {
+    val facts = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("event_id", "user_id")
+    val dim = Seq((10L, "gold"), (20L, "basic")).toDF("user_id", "tier")
+    val out = StreamJoins.enrich(facts, dim, "user_id")
+      .select("event_id", "tier").as[(Long, Option[String])].collect().toSet
+    assert(out == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = StreamJoins.enrich(facts, dim, "user_id").queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      "enrichment must broadcast the dim, never shuffle the fact side")
+  }
+}
