@@ -237,6 +237,10 @@ object SparkEntry {
       graft.ops.TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "text_hashing_embed" -> ((s, dir) =>
       graft.ops.TextAnalysis.hashingEmbed(Tables.documents(s, dir))),
+    "vocab_topk" -> ((s, dir) =>
+      graft.ops.TextAnalysis.vocabTopK(Tables.documents(s, dir))),
+    "text_tfidf" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tfIdf(Tables.documents(s, dir))),
     "sample_hash" -> ((s, dir) =>
       // reproducible 10% sample by key hash - the sampling primitive a
       // training pipeline needs (stable across runs/engines/cluster sizes,
@@ -681,6 +685,20 @@ object SparkEntry {
         |n AS (SELECT doc_id, sqrt(sum(v*v)) AS nrm FROM g GROUP BY 1)
         |SELECT g.doc_id, g.dim, round(g.v / n.nrm, 6) AS val
         |FROM g JOIN n USING (doc_id) WHERE n.nrm > 0""".stripMargin,
+    "vocab_topk" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text),'\s+')) AS token
+        |           FROM documents)
+        |SELECT token, count(*) AS n FROM t
+        |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+    "text_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),'\s+')) AS token
+        |               FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |       round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tf_idf
+        |FROM tf JOIN df USING (token) CROSS JOIN n""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

@@ -108,6 +108,45 @@ class Pipeline(spark: SparkSession, warehouse: String, hemi: Hemisphere) {
   def updateLatest(): Unit =
     TableOps.overwriteView(spark, latestPath, latestView())
 
+  /** Incremental S7 — the scale path the reference lacks: its
+    * `REFRESH MATERIALIZED VIEW` recomputes the view from ALL facts on
+    * every ingest (processor.py:444-448), which at 100 TB re-reads years
+    * of partitions to re-derive one date. The view only ever shows the
+    * max generation date, so its next state is decidable from two bounded
+    * scalars (incoming date, current view date):
+    *
+    *  - incoming >= current: the view's next content is exactly the
+    *    incoming date's facts — rebuild from THAT one partition
+    *    (partition-pruned scan), identical result to the full recompute.
+    *  - incoming < current (a late replay): the view is already correct;
+    *    nothing runs at all.
+    *
+    * PipelineSpec asserts equality with [[latestView]]'s full recompute
+    * after new-date, same-date and older-date ingests.
+    */
+  def updateLatestIncremental(loaded: DataFrame): Unit = {
+    val incoming = loaded.agg(max("date_forecast_generated")).head().getDate(0)
+    if (incoming == null) return // empty ingest: nothing to refresh
+    val current =
+      if (TableOps.exists(spark, latestPath))
+        Option(TableOps.read(spark, latestPath)
+          .agg(max("date_forecast_generated")).head().getDate(0))
+      else None
+    if (current.forall(c => !incoming.before(c))) {
+      val facts = TableOps.read(spark, forecastPath)
+        .filter(col("date_forecast_generated") === lit(incoming))
+      val cells = TableOps.read(spark, cellPath).select("cell_id", "geom_4326")
+      val latest = facts
+        .join(broadcast(cells), Seq("cell_id"))
+        .select("date_forecast_generated", "date_forecast_for", "cell_id",
+          "sea_ice_concentration_mean", "sea_ice_concentration_stddev", "geom_4326")
+        .distinct()
+      TableOps.overwriteView(spark, latestPath,
+        latest.withColumn("forecast_id",
+          row_number().over(Window.orderBy("date_forecast_for", "cell_id")).cast("long")))
+    }
+  }
+
   /** Stage 5 (processor.py:346-407): meta rollup — grouped MIN/MAX/COUNT over
     * the generation date (A2) upserted last-write-wins on
     * (date_forecast_generated, hemisphere) (processor.py:361,395-401).

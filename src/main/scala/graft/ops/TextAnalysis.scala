@@ -95,6 +95,38 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Vocabulary induction: corpus-wide token frequencies, top `k` by
+    * (count desc, token asc) — the first step of tokenizer training and
+    * the classic two-phase aggregation: partial counts map-side, one
+    * shuffle on the token, then a total-order top-k that moves only the
+    * already-aggregated (token, count) pairs.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** TF-IDF in long form: one (doc_id, token, tf, df, tf_idf) row per
+    * distinct (doc, token). idf = ln((N + 1) / (df + 1)) (smoothed, never
+    * divides by zero); rounded to 6 like every cross-engine score. The
+    * doc-frequency side is a second aggregate over the same exploded
+    * stream; the df join shuffles on the token (the inverted-index
+    * shape), and the corpus size N enters as a broadcast single-row join
+    * — a pure plan, no driver action.
+    */
+  def tfIdf(docs: DataFrame): DataFrame = {
+    val repart = docs.repartition(col("doc_id"))
+    val terms = repart.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nRow = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6).as("tf_idf"))
+  }
+
   /** Concat-and-chunk sequence packing — the GPT-style training-data
     * layout: documents are concatenated in a deterministic order and cut
     * every `capacity` tokens; each document is labeled with the sequence

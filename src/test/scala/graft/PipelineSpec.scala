@@ -49,6 +49,36 @@ class PipelineSpec extends SparkSpec {
     assert(m.getLong(2) == 16L && m.getString(3) == "north")
   }
 
+  test("incremental latest-view refresh equals the full recompute " +
+    "(new date, same date, older date)") {
+    val p = freshPipeline()
+    def viewEqualsFull(): Unit = {
+      val inc = TableOps.read(spark, p.latestPath).collect().toSet
+      val full = p.latestView().collect().toSet
+      assert(inc == full, "incremental view must equal the full recompute")
+    }
+    def ingestIncremental(raw: DataFrame): Unit = {
+      val loaded = Ingest.load(raw).cache()
+      try {
+        p.updateGeometries(loaded)
+        p.updateForecasts(loaded)
+        p.updateLatestIncremental(loaded)
+        p.updateMeta(loaded)
+      } finally loaded.unpersist()
+    }
+    ingestIncremental(rawFile("2020-06-01", 0.0)) // bootstrap
+    viewEqualsFull()
+    ingestIncremental(rawFile("2020-06-08", 0.1)) // NEW date: view advances
+    viewEqualsFull()
+    assert(TableOps.read(spark, p.latestPath)
+      .select("date_forecast_generated").distinct().head().getDate(0)
+      == Date.valueOf("2020-06-08"))
+    ingestIncremental(rawFile("2020-06-01", 0.2)) // OLDER date: view untouched
+    viewEqualsFull()
+    ingestIncremental(rawFile("2020-06-08", 0.1)) // SAME date replay: fixed point
+    viewEqualsFull()
+  }
+
   test("re-ingesting the same file is a fixed point (idempotency)") {
     val p = freshPipeline()
     p.ingest(rawFile("2020-06-01", 0.0))
