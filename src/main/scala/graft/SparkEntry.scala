@@ -239,6 +239,10 @@ object SparkEntry {
       graft.ops.TextAnalysis.hashingEmbed(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) =>
       graft.ops.TextAnalysis.vocabTopK(Tables.documents(s, dir))),
+    "split_assign" -> ((s, dir) =>
+      graft.ops.TextAnalysis.splitAssign(Tables.documents(s, dir))),
+    "corpus_stats" -> ((s, dir) =>
+      graft.ops.TextAnalysis.corpusStats(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) =>
       graft.ops.TextAnalysis.tfIdf(Tables.documents(s, dir))),
     "sample_hash" -> ((s, dir) =>
@@ -690,6 +694,28 @@ object SparkEntry {
         |           FROM documents)
         |SELECT token, count(*) AS n FROM t
         |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+    "split_assign" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN b < 90 THEN 'train'
+        |            WHEN b < 95 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS BIGINT) % 100 AS b
+        |      FROM documents)""".stripMargin,
+    "corpus_stats" ->
+      """WITH t AS (SELECT lang, regexp_split_to_array(trim(text),'\s+') AS toks
+        |           FROM documents),
+        |q AS (SELECT lang, len(toks) AS n_tokens,
+        |        round(least(1.0, len(toks)/50.0)*0.4
+        |          + (len(list_filter(toks, w -> list_contains(
+        |              ['the','a','and','of','to','in','is','that'], w)))
+        |             / CAST(len(toks) AS DOUBLE))*0.3
+        |          + (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))*0.3, 6) AS q
+        |      FROM t)
+        |SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens,
+        |       CAST(max(n_tokens) AS INT) AS max_tokens,
+        |       round(avg(q), 6) AS avg_quality
+        |FROM q GROUP BY 1""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),'\s+')) AS token
         |               FROM documents),

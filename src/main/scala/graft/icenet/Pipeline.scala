@@ -24,13 +24,18 @@ class Pipeline(spark: SparkSession, warehouse: String, hemi: Hemisphere) {
   val latestPath: String = s"$warehouse/${h}_forecast_latest"
   val quarantinePath: String = s"$warehouse/${h}_forecast_quarantine"
 
-  /** Run the whole pipeline for one raw long-form file frame. */
+  /** Run the whole pipeline for one raw long-form file frame. The view
+    * refresh uses [[updateLatestIncremental]] (provably equal to the full
+    * recompute, PipelineSpec) so a one-date ingest touches one date's
+    * partitions end to end; [[updateLatest]] remains the full-recompute
+    * escape hatch (e.g. after a manual fact-table repair).
+    */
   def ingest(raw: DataFrame): Unit = {
     val loaded = Ingest.load(raw).cache()
     try {
       updateGeometries(loaded)
       updateForecasts(loaded)
-      updateLatest()
+      updateLatestIncremental(loaded)
       updateMeta(loaded)
     } finally loaded.unpersist()
   }

@@ -95,6 +95,37 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Deterministic train/val/test split assignment by key hash — the
+    * dataset-split primitive: stable across runs, engines and cluster
+    * sizes (md5 of the key, never rand()), so a corpus re-processed
+    * elsewhere lands every doc in the same split. A narrow projection —
+    * assignment happens at scan speed, and downstream readers filter on
+    * the split column (pushable predicate).
+    */
+  def splitAssign(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(100))
+    docs.select(col("doc_id"), col("lang"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Per-language corpus monitoring rollup: doc counts, token-length
+    * stats, mean quality — the dashboard numbers a corpus build emits
+    * after every batch. One narrow projection + one grouped aggregate.
+    */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(col("lang"), size(t).as("n_tokens"), qualityScore(t).as("q"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        round(avg(col("q")), 6).as("avg_quality"))
+  }
+
   /** Vocabulary induction: corpus-wide token frequencies, top `k` by
     * (count desc, token asc) — the first step of tokenizer training and
     * the classic two-phase aggregation: partial counts map-side, one
