@@ -67,17 +67,23 @@ object Bench {
   private[graft] def benchIngest(
       spark: SparkSession, nFiles: Int = 6,
       nLead: Int = 10, nY: Int = 100, nX: Int = 100): Unit = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh").toString
-    val pipe = new graft.icenet.Pipeline(spark, wh, graft.icenet.North)
-    val rowsPerFile = nLead.toLong * nY * nX
-    pipe.ingest(syntheticRaw(spark, 0, nLead, nY, nX)) // bootstrap, untimed
-    val t0 = System.nanoTime()
-    (1 until nFiles).foreach(i => pipe.ingest(syntheticRaw(spark, i, nLead, nY, nX)))
-    val sec = (System.nanoTime() - t0) / 1e9
-    val rows = (nFiles - 1).toLong * rowsPerFile
-    val rps = if (sec > 0) rows / sec else 0.0
-    println(s"""{"metric":"ingest_rows_per_sec","value":$rps,"unit":"rows/sec",""" +
-      s""""rows":$rows,"files":${nFiles - 1},"seconds":$sec}""")
+    val whPath = java.nio.file.Files.createTempDirectory("graft_bench_wh")
+    try {
+      val pipe = new graft.icenet.Pipeline(spark, whPath.toString, graft.icenet.North)
+      val rowsPerFile = nLead.toLong * nY * nX
+      pipe.ingest(syntheticRaw(spark, 0, nLead, nY, nX)) // bootstrap, untimed
+      val t0 = System.nanoTime()
+      (1 until nFiles).foreach(i => pipe.ingest(syntheticRaw(spark, i, nLead, nY, nX)))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = (nFiles - 1).toLong * rowsPerFile
+      val rps = if (sec > 0) rows / sec else 0.0
+      println(s"""{"metric":"ingest_rows_per_sec","value":$rps,"unit":"rows/sec",""" +
+        s""""rows":$rows,"files":${nFiles - 1},"seconds":$sec}""")
+    } finally { // don't leak ~600k rows of parquet per bench run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(whPath).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** One synthetic raw long-form drop (the shape Ingest.load expects), built

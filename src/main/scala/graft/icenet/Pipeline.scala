@@ -94,20 +94,30 @@ class Pipeline(spark: SparkSession, warehouse: String, hemi: Hemisphere) {
     */
   def latestView(): DataFrame = {
     val facts = TableOps.read(spark, forecastPath)
-    val cells = TableOps.read(spark, cellPath).select("cell_id", "geom_4326")
     // scalar-subquery max as a broadcast single-row join: one plan, no
     // driver-side action; the fact side is filtered on its PARTITION column,
     // so dynamic partition pruning keeps the scan to the latest date's files.
     val maxd = facts.agg(max("date_forecast_generated").as("__maxd"))
-    val latest = facts
+    viewOf(facts
       .join(broadcast(maxd), col("date_forecast_generated") === col("__maxd"))
-      .drop("__maxd")
+      .drop("__maxd"))
+  }
+
+  /** The view body shared by the full and incremental refresh paths —
+    * cells join, projection, GROUP-BY-all dedup, deterministic surrogate
+    * id. Keeping it single-sourced is what makes "incremental == full"
+    * (PipelineSpec) a structural guarantee rather than a copy-paste
+    * coincidence.
+    */
+  private def viewOf(facts: DataFrame): DataFrame = {
+    val cells = TableOps.read(spark, cellPath).select("cell_id", "geom_4326")
+    facts
       .join(broadcast(cells), Seq("cell_id"))
       .select("date_forecast_generated", "date_forecast_for", "cell_id",
         "sea_ice_concentration_mean", "sea_ice_concentration_stddev", "geom_4326")
       .distinct()
-    latest.withColumn("forecast_id",
-      row_number().over(Window.orderBy("date_forecast_for", "cell_id")).cast("long"))
+      .withColumn("forecast_id",
+        row_number().over(Window.orderBy("date_forecast_for", "cell_id")).cast("long"))
   }
 
   def updateLatest(): Unit =
@@ -131,25 +141,32 @@ class Pipeline(spark: SparkSession, warehouse: String, hemi: Hemisphere) {
     */
   def updateLatestIncremental(loaded: DataFrame): Unit = {
     val incoming = loaded.agg(max("date_forecast_generated")).head().getDate(0)
-    if (incoming == null) return // empty ingest: nothing to refresh
+    if (incoming == null || !TableOps.exists(spark, forecastPath)) return
+    // the decision scalar is the FACT table's max date, never the view's:
+    // a crashed earlier ingest can leave facts ahead of the view, and an
+    // incoming-vs-view comparison would silently pin the view to a stale
+    // date until a newer drop arrived. Both scalars are bounded
+    // (partition-column aggregates).
+    val factsMax = TableOps.read(spark, forecastPath)
+      .agg(max("date_forecast_generated")).head().getDate(0)
     val current =
       if (TableOps.exists(spark, latestPath))
         Option(TableOps.read(spark, latestPath)
           .agg(max("date_forecast_generated")).head().getDate(0))
       else None
-    if (current.forall(c => !incoming.before(c))) {
-      val facts = TableOps.read(spark, forecastPath)
-        .filter(col("date_forecast_generated") === lit(incoming))
-      val cells = TableOps.read(spark, cellPath).select("cell_id", "geom_4326")
-      val latest = facts
-        .join(broadcast(cells), Seq("cell_id"))
-        .select("date_forecast_generated", "date_forecast_for", "cell_id",
-          "sea_ice_concentration_mean", "sea_ice_concentration_stddev", "geom_4326")
-        .distinct()
+    if (incoming == factsMax) {
+      // this ingest IS the newest date: the view's next content is exactly
+      // that date's facts — rebuild from the one partition-pruned date
       TableOps.overwriteView(spark, latestPath,
-        latest.withColumn("forecast_id",
-          row_number().over(Window.orderBy("date_forecast_for", "cell_id")).cast("long")))
+        viewOf(TableOps.read(spark, forecastPath)
+          .filter(col("date_forecast_generated") === lit(incoming))))
+    } else if (!current.contains(factsMax)) {
+      // view is stale or absent (crash recovery, manual repair) and this
+      // ingest is not the max date: only the full recompute is correct
+      updateLatest()
     }
+    // else: view already shows the max date and this ingest was older —
+    // nothing to refresh (the late-replay fast path)
   }
 
   /** Stage 5 (processor.py:346-407): meta rollup — grouped MIN/MAX/COUNT over

@@ -444,16 +444,22 @@ object TableOps {
   }
 
   /** (parked leaf dir, table-relative path) pairs under `.oldparts`: the
-    * deepest directories that directly contain files. The depth of the
-    * partition layout is discoverable from the layout itself, so no
-    * partition-column count is needed. Empty when `.oldparts` is absent.
+    * directories that directly contain files, keyed by their path below
+    * `.oldparts`. The depth of the partition layout is discoverable from
+    * the layout itself, so no partition-column count is needed. Empty when
+    * `.oldparts` is absent — and crucially, EMPTY directories are never
+    * emitted: a crash between `mkdirs(parked.getParent)` and the park
+    * rename leaves a file-less skeleton, and emitting it (or the bare
+    * `.oldparts` root with an empty rel) would make every read/heal throw
+    * on `new Path(cur, "")` or fail parquet schema inference — bricking
+    * the table until manual cleanup.
     */
   private def parkedLeaves(fs: FileSystem, oldparts: Path): Seq[(Path, String)] = {
     def walk(p: Path, rel: String): Seq[(Path, String)] = {
       val entries = fs.listStatus(p)
-      val dirs = entries.filter(_.isDirectory)
-      if (entries.exists(_.isFile) || dirs.isEmpty) Seq((p, rel))
-      else dirs.toSeq.flatMap(d => walk(d.getPath,
+      val leaf =
+        if (rel.nonEmpty && entries.exists(_.isFile)) Seq((p, rel)) else Nil
+      leaf ++ entries.filter(_.isDirectory).toSeq.flatMap(d => walk(d.getPath,
         if (rel.isEmpty) d.getPath.getName else rel + "/" + d.getPath.getName))
     }
     if (fs.exists(oldparts)) walk(oldparts, "") else Nil

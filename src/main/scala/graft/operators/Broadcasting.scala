@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions._
 
 /** Guard-railed broadcast: `broadcast(df)` is an unconditional promise that
   * the side fits on the driver and every executor — a promise a
@@ -12,13 +12,23 @@ import org.apache.spark.sql.functions.broadcast
   * per batch (processor.py:296-300) — never a corpus fraction.
   *
   * [[checked]] enforces the boundedness at plan-build time:
-  *  1. If the optimizer's size estimate is within `maxEstBytes`, broadcast —
-  *     zero extra cost, the common case for genuinely small dims.
-  *  2. Otherwise run a BOUNDED row probe (`limit(maxRows + 1).count()` —
-  *     never counts past the threshold) and broadcast when it proves the
-  *     side small; plan-size estimates are upper bounds (filters/aggregates
-  *     don't shrink them without CBO stats), so a probe rescues legitimately
-  *     small sides with pessimistic estimates.
+  *  1. If the schema is entirely FIXED-WIDTH and the optimizer's size
+  *     estimate is within `maxEstBytes`, broadcast — zero extra cost.
+  *     The fixed-width restriction matters: Catalyst estimates strings and
+  *     arrays at small default widths (a LocalRelation of 40 KB strings
+  *     estimates ~28 B/row), so for variable-width schemas the estimate
+  *     can under-count by orders of magnitude and only the probe is
+  *     trustworthy.
+  *  2. Otherwise run a BOUNDED probe over at most `maxRows + 1` rows that
+  *     measures BOTH the row count and the materialized payload (JSON
+  *     octet length per row — an over-estimate of the binary size, i.e.
+  *     conservative in the safe direction, and it counts variable-width
+  *     arrays/strings the static schema width cannot). Plan-size
+  *     estimates are upper bounds (filters/aggregates don't shrink them
+  *     without CBO stats), so the probe rescues legitimately small sides
+  *     with pessimistic estimates — but a side that is few-rows-yet-wide
+  *     (2M x 6 KB embedding rows) fails the byte bound and is NOT
+  *     broadcast, which a row-count-only probe would miss.
   *  3. An oversized side either degrades to a plain (shuffle-joinable)
   *     frame, or — for joins whose non-equi condition would turn a shuffle
   *     fallback into a cartesian product — fails fast with the size evidence.
@@ -65,7 +75,19 @@ object Broadcasting {
         "the query (e.g. batch the queries, or use the shuffle-join variant)")
 
   private def isBounded(df: DataFrame, maxEstBytes: Long, maxRows: Int): Boolean = {
+    import org.apache.spark.sql.types._
+    val fixedWidth = df.schema.forall(_.dataType match {
+      case _: NumericType | BooleanType | DateType | TimestampType => true
+      case _ => false
+    })
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    est <= maxEstBytes || df.limit(maxRows + 1).count() <= maxRows
+    (fixedWidth && est <= maxEstBytes) || {
+      val probed = df.limit(maxRows + 1)
+        .select(octet_length(to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
+          .cast("long").as("sz"))
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("sz")), lit(0L)).as("bytes"))
+        .head()
+      probed.getLong(0) <= maxRows && probed.getLong(1) <= maxEstBytes
+    }
   }
 }

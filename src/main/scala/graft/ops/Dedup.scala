@@ -158,17 +158,28 @@ object Dedup {
     * already satisfies the merge join's ordering requirement, so no extra
     * sort is planned.
     */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    // bucket = STRUCT of the band's signature rows, not a concat string:
-    // structs hash/compare as fixed-width longs in codegen, where the
-    // string bucket paid 4 bigint->string renders + varlen hashing per row
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    lshSelfJoin(minhashSignatures(docs), Nil)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** The shared LSH candidate machinery: band the signatures (bucket =
+    * STRUCT of the band's rows — structs hash/compare as fixed-width longs
+    * in codegen, where a concat-string bucket paid 4 bigint->string
+    * renders + varlen hashing per row), cap over-full buckets via a window
+    * count riding the join's own exchange, and self-join merge-hinted so
+    * ReuseExchange computes the signature pipeline once. `carry` columns
+    * ride the exploded band stream and are readable as `a.<col>`/`b.<col>`
+    * on the result. Single-sourced so the candidate and estimate paths
+    * cannot drift apart (DedupSpec asserts their pair sets match).
+    */
+  private def lshSelfJoin(sigs: DataFrame, carry: Seq[String]): DataFrame = {
     val bands = (0 until LshBands).map { j =>
       struct((0 until RowsPerBand).map(r =>
         col(s"m${j * RowsPerBand + r}").as(s"r$r")): _*)
     }
-    val exploded = sigs
-      .select(col("doc_id"), posexplode(array(bands: _*)).as(Seq("band", "bucket")))
+    val exploded = sigs.select((col("doc_id") +: carry.map(col)) :+
+      posexplode(array(bands: _*)).as(Seq("band", "bucket")): _*)
     val pruned = exploded
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("bsz") <= MaxLshBucket)
@@ -176,10 +187,8 @@ object Dedup {
     val a = pruned.hint("merge").as("a")
     val b = pruned.hint("merge").as("b")
     a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
   }
 
   /** LSH candidate pairs annotated with the MinHash-ESTIMATED Jaccard:
@@ -198,25 +207,10 @@ object Dedup {
     * (16 x 8 B/row) is the documented cost of that single-pipeline shape.
     */
   def minhashEstJaccardPairs(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    val sigCols = (0 until MinhashFuncs).map(i => col(s"m$i"))
-    val bands = (0 until LshBands).map { j =>
-      struct((0 until RowsPerBand).map(r =>
-        col(s"m${j * RowsPerBand + r}").as(s"r$r")): _*)
-    }
-    val exploded = sigs.select(col("doc_id") +: sigCols :+
-      posexplode(array(bands: _*)).as(Seq("band", "bucket")): _*)
-    val pruned = exploded
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bsz") <= MaxLshBucket)
-      .drop("bsz")
-    val a = pruned.hint("merge").as("a")
-    val b = pruned.hint("merge").as("b")
     val matches = (0 until MinhashFuncs).map(i =>
       when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0)).reduce(_ + _)
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+    lshSelfJoin(minhashSignatures(docs),
+        (0 until MinhashFuncs).map(i => s"m$i"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         round(matches.cast("double") / MinhashFuncs, 6).as("est_jaccard"))
       .distinct()

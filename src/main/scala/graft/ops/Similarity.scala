@@ -41,30 +41,59 @@ object Similarity {
   def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     round(graft.functions.VectorFunctions.dot(va, vb) / (na * nb), 6)
 
-  /** Exact top-k neighbors by cosine for the query subset
-    * `vec_id % queryMod == 0`. Queries are broadcast; the corpus is scanned
-    * once. Rank = (cos desc, vec_id asc), self excluded.
-    *
-    * The contract is "queries are FEW"; the fixture wiring derives them as a
-    * corpus fraction, which a literal 100x scale-up would break — so the
-    * broadcast is guarded: a query set beyond the bound FAILS FAST
-    * ([[graft.operators.Broadcasting.checkedOrFail]]; the non-equi join
-    * condition means a silent shuffle fallback would plan a cartesian
-    * product, strictly worse than the loud error).
+  /** Query subset `vec_id % queryMod == 0` projected to
+    * (query_id, qvec, qnorm[, cell]) — the shared query derivation of every
+    * top-k variant (single-sourced so the subset rule and column contract
+    * cannot drift between variants).
     */
-  def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
-    val v = withNorm(embeddings)
-    val q = v.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
-    val scored = v.join(
-        graft.operators.Broadcasting.checkedOrFail(q, tag = "brute-force query set"),
-        col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
+  private def querySubset(v: DataFrame, queryMod: Int, withCell: Boolean): DataFrame = {
+    val cols = Seq(col("vec_id").as("query_id"), col("vec").as("qvec"),
+      col("norm").as("qnorm")) ++ (if (withCell) Seq(col("cell")) else Nil)
+    v.filter(pmod(col("vec_id"), lit(queryMod)) === 0).select(cols: _*)
+  }
+
+  /** Scores candidates against the (guard-broadcast) query set. With a
+    * `cellKey` the join is an equi-join and an oversized query set degrades
+    * to a shuffle join ([[graft.operators.Broadcasting.checked]]); without
+    * one the join condition is non-equi, a silent shuffle fallback would
+    * plan a cartesian product, so an oversized set FAILS FAST instead
+    * ([[graft.operators.Broadcasting.checkedOrFail]]). Self-matches are
+    * excluded either way.
+    */
+  private def scoreAgainst(
+      candidates: DataFrame, q: DataFrame, cellKey: Option[String],
+      tag: String): DataFrame = {
+    val joined = cellKey match {
+      case Some(key) =>
+        candidates.join(graft.operators.Broadcasting.checked(q, tag = tag), Seq(key))
+          .filter(col("vec_id") =!= col("query_id"))
+      case None =>
+        candidates.join(graft.operators.Broadcasting.checkedOrFail(q, tag = tag),
+          col("vec_id") =!= col("query_id"))
+    }
+    joined.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
+  }
+
+  /** Shared ranking tail: rank (cos_sim desc, neighbor_id asc) per query,
+    * keep the top `k`. One definition of the tie-break = one place to keep
+    * every variant's oracle parity.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Exact top-k neighbors by cosine for the query subset
+    * `vec_id % queryMod == 0`. Queries are broadcast (guarded — the
+    * contract is "queries are FEW"); the corpus is scanned once.
+    */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
+    val v = withNorm(embeddings)
+    rankTopK(scoreAgainst(v, querySubset(v, queryMod, withCell = false),
+      None, "brute-force query set"), k)
   }
 
   /** Same result set as [[bruteForceTopK]] but ranked with the custom
@@ -75,13 +104,8 @@ object Similarity {
     */
   def bruteForceTopKAgg(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
     val v = withNorm(embeddings)
-    val q = v.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
-    val scored = v.join(
-        graft.operators.Broadcasting.checkedOrFail(q, tag = "top-k agg query set"),
-        col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
+    val scored = scoreAgainst(v, querySubset(v, queryMod, withCell = false),
+      None, "top-k agg query set")
     scored.groupBy("query_id")
       .agg(graft.functions.TopKAggregate.topk(col("cos_sim"), col("neighbor_id"), k)
         .as("top"))
@@ -228,18 +252,8 @@ object Similarity {
             (q, s) => q.cast("double") * s / (levels - 1)),
           col("mns"), (d, mn) => d + mn).as("vec"))
       .withColumn("norm", graft.functions.VectorFunctions.l2norm(col("vec")))
-    val q = deq.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
-        col("norm").as("qnorm"))
-    val scored = deq.join(
-        graft.operators.Broadcasting.checkedOrFail(q, tag = "sq top-k query set"),
-        col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    rankTopK(scoreAgainst(deq, querySubset(deq, queryMod, withCell = false),
+      None, "sq top-k query set"), k)
   }
 
   /** IVF top-k: every vector is assigned to its nearest centroid
@@ -249,20 +263,8 @@ object Similarity {
       embeddings: DataFrame, k: Int = 3, queryMod: Int = 50,
       nCentroids: Int = 16): DataFrame = {
     val assigned = ivfAssign(embeddings, nCentroids)
-    val q = assigned.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
-        col("norm").as("qnorm"), col("cell"))
-    // checked: an oversized query set degrades to a shuffle join on `cell`
-    // (equi-join, so the fallback is sound) instead of OOMing the driver
-    val scored = assigned.join(
-        graft.operators.Broadcasting.checked(q, tag = "ivf query set"), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    rankTopK(scoreAgainst(assigned, querySubset(assigned, queryMod, withCell = true),
+      Some("cell"), "ivf query set"), k)
   }
 
   /** IVF top-k over k-means-REFINED centroids: [[kmeansCentroids]] runs
@@ -284,19 +286,8 @@ object Similarity {
         transform(col("cvec"), x => round(x, 6)).as("cvec"))
       .withColumn("cnorm", graft.functions.VectorFunctions.l2norm(col("cvec")))
     val assigned = ivfAssignTo(embeddings, rounded)
-    val q = assigned.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
-        col("norm").as("qnorm"), col("cell"))
-    val scored = assigned.join(
-        graft.operators.Broadcasting.checked(q, tag = "kmeans-ivf query set"),
-        Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    rankTopK(scoreAgainst(assigned, querySubset(assigned, queryMod, withCell = true),
+      Some("cell"), "kmeans-ivf query set"), k)
   }
 
   /** Multi-probe IVF top-k: the corpus stays single-assigned, but each
@@ -312,19 +303,8 @@ object Similarity {
       embeddings: DataFrame, k: Int = 3, queryMod: Int = 50,
       nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
     val corpus = ivfAssign(embeddings, nCentroids)
-    val q = ivfAssign(embeddings, nCentroids, nProbe)
-      .filter(pmod(col("vec_id"), lit(queryMod)) === 0)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
-        col("norm").as("qnorm"), col("cell"))
-    val scored = corpus.join(
-        graft.operators.Broadcasting.checked(q, tag = "multi-probe query set"),
-        Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    val q = querySubset(ivfAssign(embeddings, nCentroids, nProbe),
+      queryMod, withCell = true)
+    rankTopK(scoreAgainst(corpus, q, Some("cell"), "multi-probe query set"), k)
   }
 }

@@ -28,10 +28,14 @@ object StreamJoins {
   /** Left-join a (possibly streaming) fact frame to a static dimension on
     * `key`, broadcasting the dimension. For a streaming fact frame this is
     * the standard slowly-changing-dimension enrichment: the dim plan
-    * re-executes per micro-batch.
+    * re-executes per micro-batch. The broadcast goes through the checked
+    * guard (equi-join, so an oversized dim degrades to a shuffle join
+    * instead of OOMing the driver once per micro-batch).
     */
   def enrich(facts: DataFrame, dim: DataFrame, key: String): DataFrame =
-    facts.join(broadcast(dim), Seq(key), "left")
+    facts.join(
+      graft.operators.Broadcasting.checked(dim, tag = s"enrichment dim on $key"),
+      Seq(key), "left")
 
   /** Pairs each left event with the right events of the same `key` whose
     * timestamp falls in [left.ts - lookBack, left.ts]. On streams, both

@@ -13,16 +13,23 @@ class BroadcastingSpec extends SparkSpec {
   private def hasBroadcastHint(df: org.apache.spark.sql.DataFrame): Boolean =
     df.queryExecution.analyzed.collectFirst { case h: ResolvedHint => h }.isDefined
 
-  test("small side (plan estimate under bound) broadcasts without a probe") {
-    val dim = Seq((1, "a"), (2, "b")).toDF("k", "v")
-    assert(hasBroadcastHint(Broadcasting.checked(dim)))
+  test("small side broadcasts (fixed-width via estimate, var-width via probe)") {
+    val fixed = Seq((1, 10.0), (2, 20.0)).toDF("k", "x")
+    assert(hasBroadcastHint(Broadcasting.checked(fixed)))
+    val varWidth = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    assert(hasBroadcastHint(Broadcasting.checked(varWidth)))
   }
 
-  test("pessimistic estimate but few rows: probe rescues the broadcast") {
-    val dim = Seq.tabulate(10)(i => (i, s"v$i")).toDF("k", "v")
-    // maxEstBytes = 1 forces the probe; 10 rows <= maxRows -> broadcast
-    val out = Broadcasting.checked(dim, maxEstBytes = 1L, maxRows = 100)
-    assert(hasBroadcastHint(out))
+  test("pessimistic estimate but small actual payload: probe rescues the broadcast") {
+    // a filtered parquet scan: Catalyst's estimate stays near the file size
+    // (filters don't shrink it without CBO), but the actual side is 3 rows
+    val dim = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 3)
+    val est = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > 4096, s"precondition: estimate ($est) must exceed the bound")
+    val out = Broadcasting.checked(dim, maxEstBytes = 16 * 1024, maxRows = 100)
+    assert(hasBroadcastHint(out), "probe must rescue a small side with a big estimate")
   }
 
   test("oversized side degrades to an unhinted frame (shuffle join)") {
@@ -42,6 +49,18 @@ class BroadcastingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("test side"))
     assert(e.getMessage.contains("refusing to broadcast"))
+  }
+
+  test("few-rows-but-wide side is rejected: the probe bounds BYTES, not just rows") {
+    // 50 rows x ~40KB strings: within any row bound, but far over a small
+    // byte bound — a row-count-only probe would broadcast this
+    val wide = Seq.tabulate(50)(i => (i, "x" * 40000)).toDF("k", "v")
+    val out = Broadcasting.checked(wide, maxEstBytes = 64 * 1024, maxRows = 1000)
+    assert(!hasBroadcastHint(out),
+      "a wide side must fail the probe's byte bound even when rows are few")
+    intercept[IllegalStateException] {
+      Broadcasting.checkedOrFail(wide, maxEstBytes = 64 * 1024, maxRows = 1000)
+    }
   }
 
   test("probe is bounded: limit stops counting at maxRows + 1") {

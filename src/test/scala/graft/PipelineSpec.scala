@@ -77,6 +77,27 @@ class PipelineSpec extends SparkSpec {
     viewEqualsFull()
     ingestIncremental(rawFile("2020-06-08", 0.1)) // SAME date replay: fixed point
     viewEqualsFull()
+    // view removed (manual repair) + OLDER-date replay: must rebuild the
+    // full view, not resurrect the old date
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(p.latestPath), true)
+    ingestIncremental(rawFile("2020-06-01", 0.3))
+    viewEqualsFull()
+    assert(TableOps.read(spark, p.latestPath)
+      .select("date_forecast_generated").distinct().head().getDate(0)
+      == Date.valueOf("2020-06-08"))
+    // CRASHED ingest: facts advance to 2020-06-15 but the view refresh
+    // never ran; a later OLDER-date ingest must notice the stale view and
+    // recompute to the facts' max, not pin it to its own (non-max) date
+    val crashed = Ingest.load(rawFile("2020-06-15", 0.4)).cache()
+    try { p.updateGeometries(crashed); p.updateForecasts(crashed) }
+    finally crashed.unpersist()
+    ingestIncremental(rawFile("2020-06-01", 0.5))
+    viewEqualsFull()
+    assert(TableOps.read(spark, p.latestPath)
+      .select("date_forecast_generated").distinct().head().getDate(0)
+      == Date.valueOf("2020-06-15"))
   }
 
   test("re-ingesting the same file is a fixed point (idempotency)") {

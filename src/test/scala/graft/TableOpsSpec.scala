@@ -196,6 +196,27 @@ class TableOpsSpec extends SparkSpec {
       .select("d", "k", "n").as[(java.sql.Date, Int, Long)].collect().toSet == got)
   }
 
+  test("empty .oldparts skeleton (crash before the park rename) does not " +
+    "brick reads or heals") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.to_date
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = tmpDir("crashSkel") + "/t"
+    val v1 = Seq(("2020-01-01", 1, 10L)).toDF("d", "k", "n")
+      .withColumn("d", to_date($"d"))
+    TableOps.upsert(spark, path, v1, Seq("d", "k"), partitionCols = Seq("d"))
+    // crash after mkdirs(parked.getParent), before any rename: an empty
+    // directory skeleton under .oldparts, no files anywhere in it
+    fs.mkdirs(new Path(path + ".oldparts/d=2020-01-09"))
+    assert(TableOps.read(spark, path).count() == 1) // read unaffected
+    // next mutating op heals: skeleton removed, write proceeds
+    TableOps.upsert(spark, path,
+      Seq(("2020-01-02", 2, 20L)).toDF("d", "k", "n").withColumn("d", to_date($"d")),
+      Seq("d", "k"), partitionCols = Seq("d"))
+    assert(!fs.exists(new Path(path + ".oldparts")))
+    assert(TableOps.read(spark, path).count() == 2)
+  }
+
   test("partition-swap crash window: reader unions orphaned .oldparts leaf") {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.to_date
