@@ -27,7 +27,9 @@ class PlanGuardSpec extends SparkSpec {
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)
     val nested = p.collect {
-      case a: AdaptiveSparkPlanExec => collectAll(a.inputPlan)(pf)
+      // executedPlan = the adaptive node's CURRENT physical plan (post
+      // EnsureRequirements); inputPlan would miss required exchanges
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
     }.flatten
     here ++ nested
   }
@@ -95,5 +97,29 @@ class PlanGuardSpec extends SparkSpec {
   test("text analysis is scan-speed: zero shuffles") {
     for (q <- Seq("text_token_count", "text_quality", "text_langid", "text_fingerprint"))
       assert(shuffles(plan(q)) == 0, s"$q must stay a narrow projection")
+  }
+
+  test("split_assign stays narrow; pack_sequences shuffles once (per-shard window)") {
+    assert(shuffles(plan("split_assign")) == 0)
+    // the window's exchange is inserted by EnsureRequirements, so this one
+    // is asserted on the executed (post-preparation) plan
+    val packed = SparkEntry.queries("pack_sequences")(spark, dir)
+      .queryExecution.executedPlan
+    assert(shuffles(packed) == 1)
+  }
+
+  test("join-shaped corpus ops never plan a cartesian product") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    for (q <- Seq("decontaminate", "j8_interval_join", "dedup_ngram_jaccard")) {
+      val p = plan(q)
+      assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+        s"$q must not plan a cartesian product")
+      assert(collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+        s"$q must not plan a nested-loop join")
+    }
+    // text_tfidf's single-row corpus-count cross join is the ONE sanctioned
+    // nested-loop: build side is exactly one row by construction
+    val tfidf = plan("text_tfidf")
+    assert(collectAll(tfidf) { case c: CartesianProductExec => c }.isEmpty)
   }
 }
