@@ -49,14 +49,19 @@ object GridFixture {
   }
 
   /** Writes the fixture once per path (idempotent; the oracle query may run
-    * several times per session — bench warmup + timed passes).
+    * several times per session — bench warmup + timed passes). The write
+    * is atomic (temp file + rename): existence-as-done caching would
+    * otherwise trust a truncated file left by a crashed writer forever.
     */
   def ensureWritten(path: String): String = synchronized {
     val f = new java.io.File(path)
     if (!f.exists()) {
       f.getParentFile.mkdirs()
-      GridFile.write(path, TimesMicros, Leadtimes, Yc, Xc,
+      val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+      GridFile.write(tmp.getAbsolutePath, TimesMicros, Leadtimes, Yc, Xc,
         flat(meanAt), flat(stddevAt))
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     path
   }
