@@ -26,21 +26,29 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     latestView(spark, "/root/testdata/sf0.001")
 
-  private def latestView(s: SparkSession, dir: String): DataFrame = {
+  /** The view body BEFORE the surrogate id — exposed so PlanGuardSpec can
+    * assert the broadcast shapes, which the id step's RDD boundary
+    * (GlobalRowNumber's zipWithIndex) would otherwise hide from the final
+    * plan.
+    */
+  private[graft] def latestViewBody(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).withColumn("d", to_date(col("o_orderdate")))
     val c = Tables.customer(s, dir)
     // scalar-subquery max (A3/J4) as a broadcast single-row join: no
     // driver-side action, one plan, no shuffle on the fact side.
     val maxd = o.agg(max(col("d")).as("maxd"))
-    val latest = o.join(broadcast(maxd), col("d") === col("maxd"))
+    o.join(broadcast(maxd), col("d") === col("maxd"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("o_totalprice"))
       .distinct() // A4: GROUP-BY-all dedup
-    // W1: deterministic surrogate id over the natural key. Single-partition
-    // window is safe: the view covers ONE generation date, never the fact set.
-    latest.withColumn("forecast_id",
-      row_number().over(Window.orderBy("o_orderkey")).cast("long"))
   }
+
+  private def latestView(s: SparkSession, dir: String): DataFrame =
+    // W1: deterministic surrogate id over the natural key, via the
+    // scale-safe range-partitioned numbering (same ids as a global window;
+    // no single-partition sort even when the "one date" is grid-sized).
+    graft.operators.GlobalRowNumber.withGlobalRowNumber(
+      latestViewBody(s, dir), "forecast_id", Seq(col("o_orderkey")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship --------------------------------------------------------
@@ -185,6 +193,15 @@ object SparkEntry {
         row_number().over(
           Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
           .cast("long").as("rn"))),
+    "w5_global_row_number" -> ((s, dir) =>
+      // dense global id over a data-sized table WITHOUT the single-partition
+      // sort a bare `row_number() OVER (ORDER BY ...)` plans: range
+      // partition + per-partition rank + broadcast offsets
+      // (operators.GlobalRowNumber). Same ids as the global window.
+      graft.operators.GlobalRowNumber.withGlobalRowNumber(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "row_id", Seq(col("l_orderkey"), col("l_linenumber")))),
 
     // ---- F: scalar functions ---------------------------------------------
     "f1_wkt_polygon" -> ((s, dir) =>
@@ -579,6 +596,11 @@ object SparkEntry {
         |       CAST(row_number() OVER (
         |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
         |FROM orders""".stripMargin,
+    "w5_global_row_number" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |       CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT)
+        |         AS row_id
+        |FROM lineitem""".stripMargin,
     "f1_wkt_polygon" ->
       """SELECT n_nationkey,
         |       printf('POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))',

@@ -108,16 +108,24 @@ class Pipeline(spark: SparkSession, warehouse: String, hemi: Hemisphere) {
     * id. Keeping it single-sourced is what makes "incremental == full"
     * (PipelineSpec) a structural guarantee rather than a copy-paste
     * coincidence.
+    *
+    * The surrogate id is the SCALABLE global row number (range-partitioned,
+    * [[graft.operators.GlobalRowNumber]]), not a bare un-partitioned
+    * window: the view is one generation date, but one date is lead-times x
+    * full grid (~17M rows on the production 432x432 EASE grid) — big
+    * enough that a single-partition sort per ingest is the write path's
+    * bottleneck, and it warned on every bench run. Ids are identical
+    * ((date_forecast_for, cell_id) is unique per view).
     */
   private def viewOf(facts: DataFrame): DataFrame = {
     val cells = TableOps.read(spark, cellPath).select("cell_id", "geom_4326")
-    facts
-      .join(broadcast(cells), Seq("cell_id"))
-      .select("date_forecast_generated", "date_forecast_for", "cell_id",
-        "sea_ice_concentration_mean", "sea_ice_concentration_stddev", "geom_4326")
-      .distinct()
-      .withColumn("forecast_id",
-        row_number().over(Window.orderBy("date_forecast_for", "cell_id")).cast("long"))
+    graft.operators.GlobalRowNumber.withGlobalRowNumber(
+      facts
+        .join(broadcast(cells), Seq("cell_id"))
+        .select("date_forecast_generated", "date_forecast_for", "cell_id",
+          "sea_ice_concentration_mean", "sea_ice_concentration_stddev", "geom_4326")
+        .distinct(),
+      "forecast_id", Seq(col("date_forecast_for"), col("cell_id")))
   }
 
   def updateLatest(): Unit =
@@ -141,20 +149,25 @@ class Pipeline(spark: SparkSession, warehouse: String, hemi: Hemisphere) {
     */
   def updateLatestIncremental(loaded: DataFrame): Unit = {
     val incoming = loaded.agg(max("date_forecast_generated")).head().getDate(0)
-    if (incoming == null || !TableOps.exists(spark, forecastPath)) return
+    if (!TableOps.exists(spark, forecastPath)) return
     // the decision scalar is the FACT table's max date, never the view's:
     // a crashed earlier ingest can leave facts ahead of the view, and an
     // incoming-vs-view comparison would silently pin the view to a stale
     // date until a newer drop arrived. Both scalars are bounded
-    // (partition-column aggregates).
+    // (partition-column aggregates). An EMPTY incoming frame (incoming ==
+    // null) does not return early: this method is the designated heal point
+    // for a crash that landed between updateForecasts and the view refresh,
+    // and an empty drop must still detect facts-ahead-of-view and repair it
+    // (it falls through to the stale-view branch below).
     val factsMax = TableOps.read(spark, forecastPath)
       .agg(max("date_forecast_generated")).head().getDate(0)
+    if (factsMax == null) return // fact table exists but is empty: no view state
     val current =
       if (TableOps.exists(spark, latestPath))
         Option(TableOps.read(spark, latestPath)
           .agg(max("date_forecast_generated")).head().getDate(0))
       else None
-    if (incoming == factsMax) {
+    if (incoming != null && incoming == factsMax) {
       // this ingest IS the newest date: the view's next content is exactly
       // that date's facts — rebuild from the one partition-pruned date
       TableOps.overwriteView(spark, latestPath,

@@ -124,10 +124,32 @@ object TableOps {
     val orphans = parkedLeaves(fs, oldparts).collect {
       case (leaf, rel) if !fs.exists(new Path(new Path(root), rel)) => leaf
     }
-    orphans.foldLeft(spark.read.parquet(root)) { (df, leaf) =>
-      df.unionByName(
-        spark.read.option("basePath", oldparts.toString).parquet(leaf.toString))
+    def parked(df: Option[DataFrame], leaves: Seq[Path]): DataFrame =
+      leaves.map(l =>
+          spark.read.option("basePath", oldparts.toString).parquet(l.toString))
+        .foldLeft(df)((acc, d) => Some(acc.fold(d)(_.unionByName(d)))).get
+    // A crash between [[replacePartitions]]' park rename and staging rename
+    // on a table whose ONLY partition was being swapped leaves the root with
+    // no data files at all (just _SUCCESS and empty partition skeletons) —
+    // spark.read.parquet(root) would fail schema inference even though the
+    // parked leaves hold a complete committed version. Read those alone.
+    if (orphans.nonEmpty && !hasDataFiles(fs, new Path(root))) parked(None, orphans)
+    else parked(Some(spark.read.parquet(root)), orphans)
+  }
+
+  /** True iff `root` contains at least one non-hidden data file anywhere
+    * below it (`_SUCCESS`/`.crc` markers don't count). Short-circuits on the
+    * first hit, so on a healthy table this is one or two list calls — it
+    * never walks a large table.
+    */
+  private def hasDataFiles(fs: FileSystem, root: Path): Boolean = {
+    def isData(p: Path) = !p.getName.startsWith("_") && !p.getName.startsWith(".")
+    def walk(p: Path): Boolean = {
+      val entries = fs.listStatus(p)
+      entries.exists(e => e.isFile && isData(e.getPath)) ||
+        entries.exists(e => e.isDirectory && walk(e.getPath))
     }
+    fs.exists(root) && walk(root)
   }
 
   /** S5: idempotent first-write-wins append. Rows whose key already exists

@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   *  3. An oversized side either degrades to a plain (shuffle-joinable)
   *     frame, or — for joins whose non-equi condition would turn a shuffle
   *     fallback into a cartesian product — fails fast with the size evidence.
+  *
+  * The probe is an EAGER action at plan-build time; its verdict is memoized
+  * per canonicalized plan ([[probeCache]]) so re-invoking the same query
+  * pays the probe once per JVM instead of re-running the side's upstream
+  * plan on every build.
   */
 object Broadcasting {
 
@@ -55,8 +60,9 @@ object Broadcasting {
       df: DataFrame,
       maxEstBytes: Long = DefaultMaxEstBytes,
       maxRows: Int = DefaultMaxRows,
-      tag: String = "broadcast side"): DataFrame =
-    if (isBounded(df, maxEstBytes, maxRows)) broadcast(df) else df
+      tag: String = "broadcast side",
+      recheck: Boolean = false): DataFrame =
+    if (isBounded(df, maxEstBytes, maxRows, recheck)) broadcast(df) else df
 
   /** Like [[checked]] but throws on an oversized side. For joins where the
     * broadcast is load-bearing (non-equi conditions that would otherwise
@@ -66,15 +72,37 @@ object Broadcasting {
       df: DataFrame,
       maxEstBytes: Long = DefaultMaxEstBytes,
       maxRows: Int = DefaultMaxRows,
-      tag: String = "broadcast side"): DataFrame =
-    if (isBounded(df, maxEstBytes, maxRows)) broadcast(df)
+      tag: String = "broadcast side",
+      recheck: Boolean = false): DataFrame =
+    if (isBounded(df, maxEstBytes, maxRows, recheck)) broadcast(df)
     else throw new IllegalStateException(
       s"$tag exceeds the broadcast bound (> $maxRows rows and plan estimate " +
         s"${df.queryExecution.optimizedPlan.stats.sizeInBytes} B > $maxEstBytes B); " +
         "refusing to broadcast a side that grows with the data — restructure " +
         "the query (e.g. batch the queries, or use the shuffle-join variant)")
 
-  private def isBounded(df: DataFrame, maxEstBytes: Long, maxRows: Int): Boolean = {
+  /** Memoized probe verdicts, keyed by the side's CANONICALIZED logical
+    * plan (alias/id-normalized, so the same query re-built each invocation
+    * hits the cache) plus the bounds. Entry match is `sameResult`, never a
+    * bare hashCode — a collision must not let an oversized side borrow a
+    * small side's verdict. Bounded FIFO so a long-lived session doing plan
+    * exploration cannot grow it without limit.
+    *
+    * Staleness contract: the verdict reflects the side's size when FIRST
+    * planned in this JVM. A table that grows past the bound between
+    * invocations (e.g. a slowly-changing dim re-read per micro-batch) keeps
+    * its cached verdict — see [[graft.streaming.StreamJoins.enrich]]'s
+    * scaladoc, which documents the build-time-only guarantee and the
+    * foreachBatch re-check escape hatch.
+    */
+  private val probeCache =
+    new java.util.concurrent.CopyOnWriteArrayList[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Int, Boolean)]
+  private val ProbeCacheMax = 64
+
+  private def isBounded(
+      df: DataFrame, maxEstBytes: Long, maxRows: Int,
+      recheck: Boolean = false): Boolean = {
     import org.apache.spark.sql.types._
     val fixedWidth = df.schema.forall(_.dataType match {
       case _: NumericType | BooleanType | DateType | TimestampType => true
@@ -82,12 +110,28 @@ object Broadcasting {
     })
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     (fixedWidth && est <= maxEstBytes) || {
-      val probed = df.limit(maxRows + 1)
-        .select(octet_length(to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
-          .cast("long").as("sz"))
-        .agg(count(lit(1)).as("n"), coalesce(sum(col("sz")), lit(0L)).as("bytes"))
-        .head()
-      probed.getLong(0) <= maxRows && probed.getLong(1) <= maxEstBytes
+      val key = df.queryExecution.optimizedPlan.canonicalized
+      import scala.jdk.CollectionConverters._
+      (if (recheck) None // bypass reads; the fresh verdict still lands below
+       else probeCache.asScala.collectFirst {
+         case (p, b, r, v) if b == maxEstBytes && r == maxRows && p.sameResult(key) => v
+       })
+        .getOrElse {
+          val probed = df.limit(maxRows + 1)
+            .select(octet_length(to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
+              .cast("long").as("sz"))
+            .agg(count(lit(1)).as("n"), coalesce(sum(col("sz")), lit(0L)).as("bytes"))
+            .head()
+          val verdict = probed.getLong(0) <= maxRows && probed.getLong(1) <= maxEstBytes
+          // supersede any stale entry for this plan (a recheck must not
+          // leave the old verdict shadowing the new one), then bound size
+          probeCache.asScala.zipWithIndex.collectFirst {
+            case ((p, b, r, _), i) if b == maxEstBytes && r == maxRows && p.sameResult(key) => i
+          }.foreach(i => probeCache.remove(i))
+          if (probeCache.size >= ProbeCacheMax) probeCache.remove(0)
+          probeCache.add((key, maxEstBytes, maxRows, verdict))
+          verdict
+        }
     }
   }
 }

@@ -361,9 +361,12 @@ object Dedup {
     * checkpoint materializes — no separate convergence action per round
     * (the r3 formulation ran a second `labelSum` job per round). Task
     * retries can only over-count the accumulator, which at worst costs one
-    * extra (no-op) round — never premature termination. Non-convergence
-    * within `maxRounds` throws — silently returning truncated labels would
-    * split components.
+    * extra (no-op) round — never premature termination; and a fixpoint the
+    * accumulator CLAIMS is confirmed with a one-off label-set equality
+    * check before the loop exits, so termination never rests on
+    * eager-checkpoint materialization semantics. Non-convergence within
+    * `maxRounds` throws — silently returning truncated labels would split
+    * components.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
@@ -403,9 +406,19 @@ object Dedup {
       }(org.apache.spark.sql.Encoders.row(merged.schema))
       val next = counted.select(col("doc_id"), col("comp"))
         .localCheckpoint(true) // materializes; `changes` is final after this
+      // Termination belt: the accumulator is complete only if the eager
+      // checkpoint above materialized every partition exactly once —
+      // Spark-version-dependent semantics this algorithm must not silently
+      // depend on. A claimed fixpoint is therefore CONFIRMED by label-set
+      // equality (one anti-join over the two checkpointed frames; both
+      // sides carry exactly one row per doc_id, so one direction suffices).
+      // It runs once, at convergence — never in the steady-state rounds.
+      // If the accumulator ever under-counts, the check fails and iteration
+      // continues: termination is provably fixpoint, not accumulator trust.
+      done = changes.value == 0L &&
+        next.join(labels, Seq("doc_id", "comp"), "left_anti").isEmpty
       checkpointRdd(labels).foreach(_.unpersist(false))
       labels = next
-      done = changes.value == 0L
       round += 1
     }
     if (!done)

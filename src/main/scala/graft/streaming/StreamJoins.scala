@@ -31,6 +31,14 @@ object StreamJoins {
     * re-executes per micro-batch. The broadcast goes through the checked
     * guard (equi-join, so an oversized dim degrades to a shuffle join
     * instead of OOMing the driver once per micro-batch).
+    *
+    * Guard staleness caveat: the size check runs (and is memoized) when the
+    * PLAN is first built, not per micro-batch — the dim's DATA is re-read
+    * each batch, but a dim that grows past the broadcast bound mid-stream
+    * keeps broadcasting until restart. A dim expected to grow unboundedly
+    * should be joined inside `foreachBatch` with `checked(dim,
+    * recheck = true)`, which bypasses the memoized verdict and re-probes
+    * the dim's current size every batch.
     */
   def enrich(facts: DataFrame, dim: DataFrame, key: String): DataFrame =
     facts.join(

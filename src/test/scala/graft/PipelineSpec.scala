@@ -100,6 +100,26 @@ class PipelineSpec extends SparkSpec {
       == Date.valueOf("2020-06-15"))
   }
 
+  test("EMPTY ingest still heals a stale latest view (designated heal point)") {
+    val p = freshPipeline()
+    val d1 = Ingest.load(rawFile("2020-06-01", 0.0)).cache()
+    try {
+      p.updateGeometries(d1); p.updateForecasts(d1); p.updateLatestIncremental(d1)
+    } finally d1.unpersist()
+    // crashed ingest: facts advance to 2020-06-08, view refresh never ran
+    val crashed = Ingest.load(rawFile("2020-06-08", 0.1)).cache()
+    try { p.updateGeometries(crashed); p.updateForecasts(crashed) }
+    finally crashed.unpersist()
+    // a subsequent EMPTY drop must still notice facts-ahead-of-view and
+    // recompute — an early return here would leave the view stale until
+    // the next non-empty ingest
+    val empty = Ingest.load(rawFile("2020-06-01", 0.0).limit(0)).cache()
+    try p.updateLatestIncremental(empty) finally empty.unpersist()
+    assert(TableOps.read(spark, p.latestPath)
+      .select("date_forecast_generated").distinct().head().getDate(0)
+      == Date.valueOf("2020-06-08"))
+  }
+
   test("re-ingesting the same file is a fixed point (idempotency)") {
     val p = freshPipeline()
     p.ingest(rawFile("2020-06-01", 0.0))

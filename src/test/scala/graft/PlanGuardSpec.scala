@@ -67,7 +67,10 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("latest_view: scalar-subquery max is a broadcast, not a driver action") {
-    val p = plan("latest_view")
+    // asserted on the pre-id view body: the surrogate-id step
+    // (GlobalRowNumber) ends in an RDD boundary that hides the upstream
+    // joins from the final query's plan
+    val p = SparkEntry.latestViewBody(spark, dir).queryExecution.sparkPlan
     assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.size >= 2,
       "max-date row and dim side must both join as broadcasts")
   }

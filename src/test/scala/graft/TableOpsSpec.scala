@@ -246,6 +246,34 @@ class TableOpsSpec extends SparkSpec {
           (java.sql.Date.valueOf("2020-01-02"), 3, 31L)))
   }
 
+  test("single-partition table: crash leaving ONLY parked data stays readable") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.to_date
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = tmpDir("crashSolo") + "/t"
+    val v1 = Seq(("2020-01-01", 1, 10L)).toDF("d", "k", "n")
+      .withColumn("d", to_date($"d"))
+    TableOps.upsert(spark, path, v1, Seq("d", "k"), partitionCols = Seq("d"))
+    // crash between the park rename and the staging rename on the table's
+    // ONLY partition: the root keeps no data files at all (just _SUCCESS),
+    // so a plain parquet read of it would fail schema inference
+    fs.mkdirs(new Path(path + ".oldparts"))
+    fs.rename(new Path(path, "d=2020-01-01"),
+      new Path(path + ".oldparts/d=2020-01-01"))
+    assert(TableOps.read(spark, path)
+      .select("d", "k", "n").as[(java.sql.Date, Int, Long)].collect().toSet ==
+      Set((java.sql.Date.valueOf("2020-01-01"), 1, 10L)),
+      "reader must fall back to the parked leaves when the root is data-less")
+    // the next mutating op heals and the re-run upsert converges
+    TableOps.upsert(spark, path,
+      Seq(("2020-01-01", 1, 11L)).toDF("d", "k", "n").withColumn("d", to_date($"d")),
+      Seq("d", "k"), partitionCols = Seq("d"))
+    assert(!fs.exists(new Path(path + ".oldparts")))
+    assert(TableOps.read(spark, path)
+      .select("d", "k", "n").as[(java.sql.Date, Int, Long)].collect().toSet ==
+      Set((java.sql.Date.valueOf("2020-01-01"), 1, 11L)))
+  }
+
   test("schema evolution (opt-in): new column null-fills old rows, " +
     "first/last-write-wins preserved") {
     val path = tmpDir("evolve") + "/t"
