@@ -341,6 +341,14 @@ object SparkEntry {
     },
     "pack_sequences" -> ((s, dir) =>
       graft.ops.TextAnalysis.packSequences(Tables.documents(s, dir))),
+    "sample_stratified" -> ((s, dir) =>
+      graft.ops.TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
+    "length_buckets" -> ((s, dir) =>
+      graft.ops.TextAnalysis.lengthBuckets(Tables.documents(s, dir))),
+    "text_repetition" -> ((s, dir) =>
+      graft.ops.TextAnalysis.repetition(Tables.documents(s, dir))),
+    "text_pii_redact" -> ((s, dir) =>
+      graft.ops.TextAnalysis.piiAudit(Tables.documents(s, dir))),
 
     // ---- beyond-reference: similarity search (ops.Similarity) ------------
     "sim_topk_brute" -> ((s, dir) =>
@@ -364,6 +372,8 @@ object SparkEntry {
       graft.streaming.EventAggs.dailyUserRollup(Tables.events(s, dir))),
     "events_json_extract" -> ((s, dir) =>
       graft.streaming.EventAggs.extractProps(Tables.events(s, dir))),
+    "events_funnel" -> ((s, dir) =>
+      graft.streaming.EventAggs.funnel(Tables.events(s, dir))),
     "j8_interval_join" -> { (s, dir) =>
       // stream-stream interval join in its batch-equivalent form: each view
       // paired with the user's purchases in the preceding hour
@@ -635,6 +645,72 @@ object SparkEntry {
         |       CAST(list_aggregate(list_transform(toks,
         |         w -> CAST(ceil(length(w)/4.0) AS BIGINT)), 'sum') AS BIGINT) AS bpe_tokens
         |FROM t""".stripMargin,
+    "sample_stratified" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (
+        |           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang FROM ranked WHERE rn <= ceil(n * 0.1)""".stripMargin,
+    "length_buckets" ->
+      """SELECT CAST(1 AS BIGINT) << (length(printf('%b', n_tokens)) - 1) AS bucket_lo,
+        |       count(*) AS n_docs, min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
+    "text_repetition" ->
+      """SELECT doc_id,
+        |       CAST(len(ngrams) AS BIGINT) AS n_ngrams,
+        |       CAST(len(list_distinct(ngrams)) AS BIGINT) AS n_distinct,
+        |       round(1.0 - len(list_distinct(ngrams)) / len(ngrams), 6) AS rep_ratio
+        |FROM (
+        |  SELECT doc_id,
+        |         [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w) - 2)]
+        |           AS ngrams
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3)""".stripMargin,
+    "text_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text
+        |         || CASE WHEN doc_id % 3 = 0
+        |                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        |         || CASE WHEN doc_id % 4 = 0
+        |                 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0
+        |                 THEN ' call +1 415 555 01' || (doc_id % 90 + 10) ELSE '' END AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(regexp_replace(t,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |           '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS text_redacted
+        |  FROM aug)
+        |SELECT doc_id, text_redacted,
+        |       CAST(len(regexp_extract_all(text_redacted, '<EMAIL>|<IP>|<PHONE>')) AS BIGINT)
+        |         AS n_pii
+        |FROM red""".stripMargin,
+    "events_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS fv
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS fc
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= f.fv
+        |    AND e.ts <= f.fv + INTERVAL 12 HOUR GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS fp
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.fc
+        |    AND e.ts <= c.fc + INTERVAL 48 HOUR GROUP BY 1)
+        |SELECT (SELECT count(*) FROM f) AS n_users,
+        |       (SELECT count(fv) FROM f) AS n_viewed,
+        |       (SELECT count(*) FROM c) AS n_clicked,
+        |       (SELECT count(*) FROM p) AS n_purchased""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
         |           FROM documents)

@@ -215,6 +215,97 @@ object TextAnalysis {
       regexp_count(red, lit("<EMAIL>|<IP>|<PHONE>")).as("n_pii"))
   }
 
+  /** Non-vacuous, oracle-checkable PII redaction: the fixture corpus
+    * contains no PII, so this audit first weaves deterministic PII spans
+    * (email / IPv4 / phone, each present for a doc_id-dependent subset of
+    * docs) into the text as a pure function of the input row, then runs the
+    * production `redactPii` chain. The oracle replays the same construction
+    * and RE2 replacements in DuckDB, so the regex semantics, replacement
+    * order, and tag counting are all cross-engine verified — on text where
+    * 0, 1, 2 and 3 redactions all actually occur.
+    */
+  def piiAudit(docs: DataFrame): DataFrame = {
+    val aug = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" from 10.0."), col("doc_id") % 256, lit(".7")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call +1 415 555 01"), col("doc_id") % 90 + 10))
+        .otherwise(lit("")))
+    val red = redactPii(aug)
+    docs.select(col("doc_id"), red.as("text_redacted"),
+      regexp_count(red, lit("<EMAIL>|<IP>|<PHONE>")).cast("long").as("n_pii"))
+  }
+
+  /** Per-stratum (language) reproducible sampling at a fixed fraction: each
+    * stratum contributes exactly ceil(fraction * stratum_size) docs, chosen
+    * by md5-hash order so the sample is stable across runs and engines.
+    * Guarantees per-stratum representation that the global hash sample
+    * (`sample_hash`) cannot (a 1%-of-corpus language still gets its share).
+    *
+    * One shuffle (hash on the stratum key) and a per-stratum sort. The
+    * stratum key is skewed by construction (a dominant language is the
+    * common case); at 100 TB the fix is a composite stratum key
+    * (lang x md5-prefix sub-shard) with per-sub-shard quotas summing to the
+    * stratum quota — same plan, uniform partitions. The window rides the
+    * single exchange; nothing is collected to the driver.
+    */
+  def stratifiedSample(docs: DataFrame, fraction: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val whole = Window.partitionBy("lang")
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(order))
+      .withColumn("n", count(lit(1)).over(whole))
+      .filter(col("rn") <= ceil(col("n") * fraction))
+      .select("doc_id", "lang")
+  }
+
+  /** Token-length histogram in power-of-two buckets — the length
+    * distribution a batching/packing stage reads to size its sequence
+    * buckets. bucket_lo = largest power of two <= n_tokens, computed
+    * exactly via the binary-digit count (no float log2 edge cases at exact
+    * powers). Narrow projection + one tiny aggregate: scan speed, and the
+    * output is O(log max_len) rows regardless of corpus size.
+    */
+  def lengthBuckets(docs: DataFrame): DataFrame = {
+    val n = size(tokens(col("text")))
+    val bitLen = length(conv(col("n_tokens").cast("string"), 10, 2))
+    docs.select(n.as("n_tokens"))
+      .select(
+        pow(lit(2.0), (bitLen - 1).cast("double")).cast("long").as("bucket_lo"),
+        col("n_tokens"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"))
+  }
+
+  /** Intra-document repetition score: the fraction of word n-grams that are
+    * repeats of an earlier n-gram in the same document (1 - distinct/total)
+    * — the standard boilerplate/degenerate-text signal a corpus filter
+    * thresholds on. Pure per-row array expressions (generate positions,
+    * slice, distinct) — narrow, codegen'd, scan speed at any corpus size.
+    * Documents shorter than `n` tokens have no n-grams and are excluded
+    * (score undefined, not 0 — they can't repeat).
+    */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))).as("ngrams"))
+      .select(col("doc_id"),
+        size(col("ngrams")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("ngrams"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct") / col("n_ngrams"), 6))
+
   /** Feature-hashing ("hashing trick") text embedding: each token maps to
     * dimension md5[0..3] mod `dim` with sign md5[4] (signed hashing keeps
     * the estimator unbiased); per-doc signed counts are L2-normalized.

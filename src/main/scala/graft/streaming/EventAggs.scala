@@ -42,6 +42,48 @@ object EventAggs {
       col("event_id"), col("event_type"),
       get_json_object(col("props"), "$.k").cast("int").as("k"))
 
+  /** Ordered funnel analysis: of the users who viewed, how many clicked
+    * within `clickWithin` of their FIRST view, and then purchased within
+    * `purchaseWithin` of that first qualifying click. The classic
+    * product-analytics query (reference analog: the matview read path is a
+    * one-stage version of this; SURVEY.md §3.3).
+    *
+    * Shape: ONE shuffle on user_id; three stacked per-user window minima
+    * (each stage's first-event time conditions on the previous stage's
+    * column — no self-joins, no re-exchange: the windows and the per-user
+    * collapse all reuse the same clustering), then a single-row count
+    * aggregate. Per-user state is three timestamps, so the plan is
+    * identical at 100 TB — the only growth axis is the user-hash exchange.
+    */
+  def funnel(events: DataFrame,
+             clickWithin: String = "12 hours",
+             purchaseWithin: String = "48 hours"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy("user_id")
+    val staged = events
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("ts"))).over(perUser))
+      .withColumn("first_click",
+        min(when(col("event_type") === "click" &&
+          col("ts") >= col("first_view") &&
+          col("ts") <= col("first_view") + expr(s"INTERVAL $clickWithin"),
+          col("ts"))).over(perUser))
+      .withColumn("first_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("first_click") &&
+          col("ts") <= col("first_click") + expr(s"INTERVAL $purchaseWithin"),
+          col("ts"))).over(perUser))
+    staged
+      .groupBy("user_id")
+      .agg(first(col("first_view")).as("fv"),
+        first(col("first_click")).as("fc"),
+        first(col("first_purchase")).as("fp"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("fv")).as("n_viewed"),
+        count(col("fc")).as("n_clicked"),
+        count(col("fp")).as("n_purchased"))
+  }
+
   /** Cardinality rollup with HyperLogLog++ — the approx-distinct the
     * SURVEY (§2.4) flags as the natural 100 TB addition: exact
     * count-distinct shuffles every distinct value; HLL shuffles a fixed

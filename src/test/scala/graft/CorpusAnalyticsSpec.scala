@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+import graft.streaming.EventAggs
+
+/** Round-5 corpus/analytics operators: funnel staging, stratified
+  * sampling, length-bucket histograms, repetition scoring, and the
+  * non-vacuous PII audit. The DuckDB oracles pin cross-engine parity on
+  * the fixture; these pin the SEMANTICS on constructed inputs where each
+  * edge (out-of-window click, click-before-view, sub-n-gram doc, …) is
+  * placed deliberately.
+  */
+class CorpusAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel counts stages only in order and inside their windows") {
+    val events = Seq(
+      // u1: full conversion inside both windows
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 01:00:00")),
+      (1L, "purchase", ts("2024-01-01 02:00:00")),
+      // u2: view only
+      (2L, "view", ts("2024-01-01 00:00:00")),
+      // u3: click + purchase but never viewed -> counts only as a user
+      (3L, "click", ts("2024-01-01 00:00:00")),
+      (3L, "purchase", ts("2024-01-01 00:30:00")),
+      // u4: click 20h after first view -> outside the 12h click window
+      (4L, "view", ts("2024-01-01 00:00:00")),
+      (4L, "click", ts("2024-01-01 20:00:00")),
+      // u5: clicked in-window, purchase 60h later -> outside the 48h window
+      (5L, "view", ts("2024-01-01 00:00:00")),
+      (5L, "click", ts("2024-01-01 01:00:00")),
+      (5L, "purchase", ts("2024-01-03 13:00:00")),
+      // u6: click BEFORE the first view never qualifies (order matters),
+      // so the later purchase has no qualifying click to anchor on
+      (6L, "click", ts("2023-12-31 23:00:00")),
+      (6L, "view", ts("2024-01-01 00:00:00")),
+      (6L, "purchase", ts("2024-01-01 01:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val row = EventAggs.funnel(events).as[(Long, Long, Long, Long)].head()
+    assert(row == ((6L, 5L, 2L, 1L)))
+  }
+
+  test("funnel anchors on the FIRST view, not any view") {
+    val events = Seq(
+      // first view at 00:00; click at 20:00 is outside 12h of it even
+      // though a SECOND view at 19:00 would put it in range
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "view", ts("2024-01-01 19:00:00")),
+      (1L, "click", ts("2024-01-01 20:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val row = EventAggs.funnel(events).as[(Long, Long, Long, Long)].head()
+    assert(row == ((1L, 1L, 0L, 0L)))
+  }
+
+  test("stratifiedSample takes exactly ceil(fraction * n) per stratum, deterministically") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val perLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = TextAnalysis.stratifiedSample(docs, 0.1)
+    val got = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    perLang.foreach { case (lang, n) =>
+      assert(got(lang) == math.ceil(n * 0.1).toLong, s"stratum $lang")
+    }
+    // stable under physical repartitioning (md5 order, not partition order)
+    val again = TextAnalysis.stratifiedSample(docs.repartition(7), 0.1)
+      .as[(Long, String)].collect().toSet
+    assert(again == sampled.as[(Long, String)].collect().toSet)
+  }
+
+  test("lengthBuckets is exact at power-of-two boundaries") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"),
+      (5L, "a b c d e f g"), (6L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.lengthBuckets(docs)
+      .as[(Long, Long, Int, Int)].collect()
+      .map { case (lo, n, mn, mx) => lo -> ((n, mn, mx)) }.toMap
+    // 1 -> [1], 2 -> [2,3], 4 -> [4..7], 8 -> [8]
+    assert(rows == Map(
+      1L -> ((1L, 1, 1)), 2L -> ((2L, 2, 3)),
+      4L -> ((2L, 4, 7)), 8L -> ((1L, 8, 8))))
+  }
+
+  test("repetition scores repeated n-grams and excludes sub-n docs") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // trigrams: aba, bab, aba, bab -> 4 total, 2 distinct
+      (2L, "w x y z"),       // trigrams: wxy, xyz -> no repeats
+      (3L, "a b")            // shorter than n=3: excluded
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetition(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows == Map(1L -> ((4L, 2L, 0.5)), 2L -> ((2L, 2L, 0.0))))
+  }
+
+  test("piiAudit redacts each woven span type exactly once per qualifying doc") {
+    val docs = Seq(
+      (0L, "plain words"),  // %3, %4, %5 all 0 -> email + ip + phone
+      (1L, "plain words"),  // none
+      (3L, "plain words"),  // email only
+      (4L, "plain words"),  // ip only
+      (5L, "plain words"),  // phone only
+      (12L, "plain words")  // email + ip
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiAudit(docs)
+      .select("doc_id", "n_pii").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 12L -> 2L))
+    // and no raw span survives redaction
+    val leaked = TextAnalysis.piiAudit(docs)
+      .filter(col("text_redacted").rlike("@example\\.com|10\\.0\\.|415 555"))
+      .count()
+    assert(leaked == 0)
+  }
+}
