@@ -363,6 +363,8 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopKKmeans(Tables.embeddings(s, dir))),
     "sim_topk_sq8" -> ((s, dir) =>
       graft.ops.Similarity.sqTopK(Tables.embeddings(s, dir))),
+    "sim_topk_pq" -> ((s, dir) =>
+      graft.ops.Similarity.pqTopK(Tables.embeddings(s, dir))),
 
     // ---- beyond-reference: event-time analytics (streaming.EventAggs;
     //      batch-equivalent plans of the streaming transforms) -------------
@@ -1049,6 +1051,50 @@ object SparkEntry {
         |          i -> a.vec[i]*b.vec[i]), 'sum') / (a.nrm*b.nrm), 6) AS cos_sim
         |      FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim > 0.35""".stripMargin,
+    "sim_topk_pq" -> // product quantization over unit vectors, ADC scoring
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rvec
+        |            FROM embeddings),
+        |v AS (SELECT vec_id, list_transform(rvec, x -> x / sqrt(
+        |        list_aggregate(list_transform(rvec, y -> y*y), 'sum'))) AS vec
+        |      FROM v0),
+        |sub AS (
+        |  SELECT vec_id, sm AS sub_m, vec[sm*w+1 : sm*w+w] AS sub
+        |  FROM (SELECT vec_id, vec, len(vec)//16 AS w FROM v),
+        |       (SELECT unnest(generate_series(0, 15)) AS sm)),
+        |book AS (SELECT vec_id AS cent_id, sub_m, sub AS csub FROM sub WHERE vec_id < 64),
+        |codes AS (
+        |  SELECT vec_id, sub_m, cent_id AS code FROM (
+        |    SELECT s.vec_id, s.sub_m, b.cent_id,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub_m ORDER BY
+        |             round(
+        |               list_aggregate(list_transform(generate_series(1, len(s.sub)),
+        |                 i -> s.sub[i]*s.sub[i]), 'sum')
+        |               - 2 * list_aggregate(list_transform(generate_series(1, len(s.sub)),
+        |                 i -> s.sub[i]*b.csub[i]), 'sum')
+        |               + list_aggregate(list_transform(generate_series(1, len(b.csub)),
+        |                 i -> b.csub[i]*b.csub[i]), 'sum'), 6),
+        |             b.cent_id) AS rn
+        |    FROM sub s JOIN book b USING (sub_m))
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, sub_m, sub AS qsub FROM sub WHERE vec_id % 50 = 0),
+        |dt AS (
+        |  SELECT query_id, sub_m, cent_id AS code,
+        |         round(
+        |           list_aggregate(list_transform(generate_series(1, len(qsub)),
+        |             i -> qsub[i]*qsub[i]), 'sum')
+        |           - 2 * list_aggregate(list_transform(generate_series(1, len(qsub)),
+        |             i -> qsub[i]*csub[i]), 'sum')
+        |           + list_aggregate(list_transform(generate_series(1, len(csub)),
+        |             i -> csub[i]*csub[i]), 'sum'), 6) AS d
+        |  FROM q JOIN book USING (sub_m)),
+        |scored AS (
+        |  SELECT query_id, vec_id AS neighbor_id, round(sum(d), 6) AS approx_dist
+        |  FROM codes JOIN dt USING (sub_m, code)
+        |  WHERE vec_id <> query_id GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, approx_dist, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 5""".stripMargin,
     "sim_topk_brute" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |           FROM embeddings),

@@ -256,6 +256,109 @@ object Similarity {
       None, "sq top-k query set"), k)
   }
 
+  /** Splits each (id, vec) row into `m` equal subvectors:
+    * (id, sub_m, sub) with sub_m in [0, m). Narrow (array slices of the
+    * in-row vector); the subspace width is derived from the vector itself
+    * so the same plan serves any dimension divisible by `m`.
+    */
+  private def subVectors(v: DataFrame, idCol: String, m: Int): DataFrame = {
+    val subd = (size(col("vec")) / m).cast("int")
+    v.select(col(idCol), posexplode(
+        array((0 until m).map(i => slice(col("vec"), lit(i) * subd + 1, subd)): _*))
+      .as(Seq("sub_m", "sub")))
+  }
+
+  /** Squared L2 distance via three codegen'd dot products
+    * (|a|^2 - 2ab + |b|^2), rounded to 6 so code assignment and ADC sums
+    * are bit-stable across engines.
+    */
+  private def sqDist(a: Column, b: Column): Column = {
+    val dot = graft.functions.VectorFunctions.dot _
+    round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+  }
+
+  /** L2-normalizes the vec column: PQ quantizes UNIT vectors, so its
+    * native squared-L2 metric becomes 2 - 2*cosine — rank-equivalent to
+    * the cosine every other similarity operator ranks by (on raw vectors
+    * the two metrics disagree and PQ's ranking would answer a different
+    * question than [[bruteForceTopK]]).
+    */
+  private def unitVectors(v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+      transform(col("vec"), x => x / col("norm")).as("vec"))
+
+  /** Per-subspace PQ codebook: the subvectors of the `codebookSize` lowest
+    * vec_ids — the same deterministic k-means stand-in as [[ivfAssign]]'s
+    * seeds (a production build refines each subspace's codebook offline
+    * with [[kmeansCentroids]]-style Lloyd passes).
+    */
+  private def pqCodebook(v: DataFrame, m: Int, codebookSize: Int): DataFrame =
+    subVectors(v.filter(col("vec_id") < codebookSize), "vec_id", m)
+      .select(col("vec_id").as("cent_id"), col("sub_m"), col("sub").as("csub"))
+
+  /** Product-quantization encoding: each unit vector becomes `m` one-byte
+    * codes (nearest codebook entry per subspace, ties to the lower
+    * cent_id) — a 16x storage cut at the defaults (64 float32 -> 16 byte
+    * codes) that lets a 100 TB embedding corpus sit in memory on a
+    * fraction of the nodes, at higher resolution than one global centroid
+    * (IVF) because each subspace quantizes independently.
+    *
+    * Scale: the codebook (m x codebookSize subvectors) broadcasts; encoding
+    * is one narrow explode + broadcast join + a map-side-combined min-struct
+    * aggregate — the shuffle carries n x m (vec_id, sub_m, best) rows, never
+    * the n x m x codebookSize candidate set.
+    */
+  def pqEncode(embeddings: DataFrame, m: Int = 16, codebookSize: Int = 64): DataFrame = {
+    val v = unitVectors(withNorm(embeddings))
+    pqEncodeAssigned(subVectors(v, "vec_id", m), pqCodebook(v, m, codebookSize))
+  }
+
+  private def pqEncodeAssigned(subs: DataFrame, book: DataFrame): DataFrame =
+    subs.join(broadcast(book), Seq("sub_m"))
+      .select(col("vec_id"), col("sub_m"),
+        struct(sqDist(col("sub"), col("csub")).as("d2"), col("cent_id")).as("cand"))
+      .groupBy("vec_id", "sub_m")
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("sub_m"), col("best.cent_id").as("code"))
+
+  /** PQ top-k via asymmetric distance computation (ADC): queries stay
+    * exact; each (query, subspace, codeword) distance is computed ONCE into
+    * a distance table of queries x m x codebookSize doubles, and scoring a
+    * corpus vector is then m table lookups + a sum — here the lookup is a
+    * broadcast equi-join on (sub_m, code), the join-engine rendering of
+    * the array-index lookup a native scorer would do. Ranked by
+    * approximate squared L2 ascending (PQ's native metric), ties to the
+    * lower neighbor_id.
+    *
+    * Scale: the scored stream carries n x m rows pre-aggregation
+    * (map-side-combined into n x queries partial sums); nothing all-pairs,
+    * nothing driver-side. Recall vs the exact ranking is the m/codebookSize
+    * trade, pinned by SimilaritySpec on the fixture.
+    */
+  def pqTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50,
+      m: Int = 16, codebookSize: Int = 64): DataFrame = {
+    val v = unitVectors(withNorm(embeddings))
+    val book = pqCodebook(v, m, codebookSize)
+    val codes = pqEncodeAssigned(subVectors(v, "vec_id", m), book)
+    val qsubs = subVectors(
+      v.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+        .select(col("vec_id").as("query_id"), col("vec")), "query_id", m)
+      .select(col("query_id"), col("sub_m"), col("sub").as("qsub"))
+    val dtable = qsubs.join(book, Seq("sub_m"))
+      .select(col("query_id"), col("sub_m"), col("cent_id").as("code"),
+        sqDist(col("qsub"), col("csub")).as("d"))
+    val scored = codes
+      .join(graft.operators.Broadcasting.checked(dtable, tag = "pq distance table"),
+        Seq("sub_m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(round(sum(col("d")), 6).as("approx_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** IVF top-k: every vector is assigned to its nearest centroid
     * ([[ivfAssign]]); queries probe only their own cell.
     */
