@@ -125,4 +125,37 @@ class PlanGuardSpec extends SparkSpec {
     val tfidf = plan("text_tfidf")
     assert(collectAll(tfidf) { case c: CartesianProductExec => c }.isEmpty)
   }
+
+  test("text_repetition and text_pii_redact stay narrow: zero shuffles") {
+    for (q <- Seq("text_repetition", "text_pii_redact"))
+      assert(shuffles(plan(q)) == 0, s"$q must run at scan speed")
+  }
+
+  test("events_funnel: whole funnel rides ONE data shuffle") {
+    // executed plan: window/agg exchanges come from EnsureRequirements.
+    // Expected: 1 user_id exchange feeding windows + per-user collapse,
+    // plus the single-row final-aggregate exchange (constant-size).
+    val p = SparkEntry.queries("events_funnel")(spark, dir)
+      .queryExecution.executedPlan
+    assert(shuffles(p) == 2, "one user_id exchange + the 1-row final agg")
+    // the three stage windows and the per-user aggregate must NOT each
+    // re-exchange: count Window operators sharing that single exchange
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(collectAll(p) { case w: WindowExec => w }.size == 3)
+  }
+
+  test("sample_stratified: rank and stratum-count windows share one exchange") {
+    val p = SparkEntry.queries("sample_stratified")(spark, dir)
+      .queryExecution.executedPlan
+    assert(shuffles(p) == 1)
+  }
+
+  test("sim_topk_pq: codebook and distance table broadcast; no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("sim_topk_pq")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "ADC lookup must be a broadcast hash join")
+  }
 }
