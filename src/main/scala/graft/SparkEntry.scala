@@ -370,6 +370,18 @@ object SparkEntry {
     //      batch-equivalent plans of the streaming transforms) -------------
     "stream_window_agg" -> ((s, dir) =>
       graft.streaming.EventAggs.windowedByType(Tables.events(s, dir))),
+    "stream_sliding_agg" -> ((s, dir) =>
+      // overlapping (sliding) event-time windows: 1h size, 15m slide - each
+      // event lands in exactly 4 windows. Spark expands the windows at scan
+      // time (one row -> 4) and the aggregate stays a plain two-phase hash
+      // agg; on a stream the same plan runs with watermark-bounded state.
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))),
     "stream_daily_rollup" -> ((s, dir) =>
       graft.streaming.EventAggs.dailyUserRollup(Tables.events(s, dir))),
     "events_json_extract" -> ((s, dir) =>
@@ -426,6 +438,41 @@ object SparkEntry {
       Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
         expr("approx_percentile(l_quantity, 0.5, 1000000)").as("median_qty"),
         expr("approx_percentile(l_extendedprice, 0.9, 1000000)").as("p90_price"))),
+    "a9_grouping_sets" -> ((s, dir) =>
+      // non-hierarchical grouping sets - two independent rollup axes in ONE
+      // scan + one expand (rollup/cube cannot express (flag),(status) without
+      // the combined set); the aggregate is still partial/final two-phase.
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))),
+    "a10_argmax" -> ((s, dir) =>
+      // per-group argmax as an AGGREGATE (not a window): max over
+      // (value, -user_id) structs gives "highest value, ties to the lower
+      // user" with map-side partial aggregation - no per-group sort, state
+      // is one struct per group at any scale.
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(max(struct(col("value"), (-col("user_id")).as("neg_uid"))).as("m"))
+        .select(col("event_type"), (-col("m.neg_uid")).as("top_user"),
+          col("m.value").as("top_value"))),
+    "w6_range_frame" -> ((s, dir) =>
+      // RANGE frame over event time: each event's trailing-1-hour value sum
+      // per user. Range frames bound state by TIME, not row count - the
+      // windowed-aggregation shape that stays correct under bursty traffic
+      // (a rows-frame would silently change meaning with event density).
+      Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .withColumn("trailing_sum",
+          round(sum(col("value")).over(
+            Window.partitionBy("user_id").orderBy(col("ts_ms"))
+              .rangeBetween(-3600000L, 0L)), 4))),
     "q_topn" -> ((s, dir) =>
       Tables.orders(s, dir)
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -1066,13 +1113,13 @@ object SparkEntry {
         |  SELECT vec_id, sub_m, cent_id AS code FROM (
         |    SELECT s.vec_id, s.sub_m, b.cent_id,
         |           row_number() OVER (PARTITION BY s.vec_id, s.sub_m ORDER BY
-        |             round(
+        |             round((
         |               list_aggregate(list_transform(generate_series(1, len(s.sub)),
         |                 i -> s.sub[i]*s.sub[i]), 'sum')
         |               - 2 * list_aggregate(list_transform(generate_series(1, len(s.sub)),
         |                 i -> s.sub[i]*b.csub[i]), 'sum')
         |               + list_aggregate(list_transform(generate_series(1, len(b.csub)),
-        |                 i -> b.csub[i]*b.csub[i]), 'sum'), 6),
+        |                 i -> b.csub[i]*b.csub[i]), 'sum')) * 1000000),
         |             b.cent_id) AS rn
         |    FROM sub s JOIN book b USING (sub_m))
         |  WHERE rn = 1),
@@ -1240,6 +1287,36 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "a9_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "a10_argmax" ->
+      """SELECT event_type, user_id AS top_user, value AS top_value
+        |FROM (SELECT event_type, user_id, value,
+        |             row_number() OVER (
+        |               PARTITION BY event_type ORDER BY value DESC, user_id) AS rn
+        |      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL)
+        |WHERE rn = 1""".stripMargin,
+    "w6_range_frame" ->
+      """SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value,
+        |       round(sum(value) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+        |         RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4) AS trailing_sum
+        |FROM events
+        |WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL""".stripMargin,
+    "stream_sliding_agg" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, event_type, value
+        |  FROM events),
+        |w AS (
+        |  SELECT make_timestamp(((tms // 900000 - k) * 900000) * 1000) AS window_start,
+        |         event_type, value
+        |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS k))
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "a8_approx_percentile" ->
       """SELECT l_returnflag,
         |       quantile_disc(l_quantity, 0.5) AS median_qty,

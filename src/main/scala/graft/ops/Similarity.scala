@@ -256,36 +256,35 @@ object Similarity {
       None, "sq top-k query set"), k)
   }
 
-  /** Splits each (id, vec) row into `m` equal subvectors:
-    * (id, sub_m, sub) with sub_m in [0, m). Narrow (array slices of the
-    * in-row vector); the subspace width is derived from the vector itself
-    * so the same plan serves any dimension divisible by `m`.
+  /** Splits each (id, vec, norm) row into `m` equal UNIT-scaled subvectors:
+    * (id, sub_m, sub, sn2) with sub_m in [0, m) and sn2 = |sub|^2.
+    *
+    * PQ quantizes unit vectors, so its native squared-L2 metric becomes
+    * 2 - 2*cosine — rank-equivalent to the cosine every other similarity
+    * operator ranks by (on raw vectors the two metrics disagree and PQ
+    * would answer a different question than [[bruteForceTopK]]).
+    *
+    * The normalization division runs AFTER the explode, on the 4-element
+    * slice, never on the full vector: normalizing the whole vector first
+    * looks equivalent, but CollapseProject folds that (interpreted,
+    * non-codegen) higher-order transform into the generator's `m` slice
+    * arguments — the 64-element lambda then re-evaluates once per slice,
+    * and the measured encode cost at sf0.1 was ~3 s of interpreted lambda
+    * churn for a 2000-row corpus. Same math either way (slice-then-divide
+    * commutes with divide-then-slice), 16x less interpreted work. The
+    * squared norm is precomputed here for the same reason: the candidate
+    * join then evaluates ONE dot per pair instead of three.
     */
   private def subVectors(v: DataFrame, idCol: String, m: Int): DataFrame = {
     val subd = (size(col("vec")) / m).cast("int")
-    v.select(col(idCol), posexplode(
-        array((0 until m).map(i => slice(col("vec"), lit(i) * subd + 1, subd)): _*))
-      .as(Seq("sub_m", "sub")))
-  }
-
-  /** Squared L2 distance via three codegen'd dot products
-    * (|a|^2 - 2ab + |b|^2), rounded to 6 so code assignment and ADC sums
-    * are bit-stable across engines.
-    */
-  private def sqDist(a: Column, b: Column): Column = {
     val dot = graft.functions.VectorFunctions.dot _
-    round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+    v.select(col(idCol), col("norm"), posexplode(
+        array((0 until m).map(i => slice(col("vec"), lit(i) * subd + 1, subd)): _*))
+      .as(Seq("sub_m", "sub_raw")))
+      .select(col(idCol), col("sub_m"),
+        transform(col("sub_raw"), x => x / col("norm")).as("sub"))
+      .withColumn("sn2", dot(col("sub"), col("sub")))
   }
-
-  /** L2-normalizes the vec column: PQ quantizes UNIT vectors, so its
-    * native squared-L2 metric becomes 2 - 2*cosine — rank-equivalent to
-    * the cosine every other similarity operator ranks by (on raw vectors
-    * the two metrics disagree and PQ's ranking would answer a different
-    * question than [[bruteForceTopK]]).
-    */
-  private def unitVectors(v: DataFrame): DataFrame =
-    v.select(col("vec_id"),
-      transform(col("vec"), x => x / col("norm")).as("vec"))
 
   /** Per-subspace PQ codebook: the subvectors of the `codebookSize` lowest
     * vec_ids — the same deterministic k-means stand-in as [[ivfAssign]]'s
@@ -294,7 +293,8 @@ object Similarity {
     */
   private def pqCodebook(v: DataFrame, m: Int, codebookSize: Int): DataFrame =
     subVectors(v.filter(col("vec_id") < codebookSize), "vec_id", m)
-      .select(col("vec_id").as("cent_id"), col("sub_m"), col("sub").as("csub"))
+      .select(col("vec_id").as("cent_id"), col("sub_m"),
+        col("sub").as("csub"), col("sn2").as("cn2"))
 
   /** Product-quantization encoding: each unit vector becomes `m` one-byte
     * codes (nearest codebook entry per subspace, ties to the lower
@@ -309,17 +309,35 @@ object Similarity {
     * the n x m x codebookSize candidate set.
     */
   def pqEncode(embeddings: DataFrame, m: Int = 16, codebookSize: Int = 64): DataFrame = {
-    val v = unitVectors(withNorm(embeddings))
+    val v = withNorm(embeddings)
     pqEncodeAssigned(subVectors(v, "vec_id", m), pqCodebook(v, m, codebookSize))
   }
 
-  private def pqEncodeAssigned(subs: DataFrame, book: DataFrame): DataFrame =
+  /** Pack base for the encode argmin: code = packed % PackBase, so the
+    * codebook may hold up to 2^20 entries and micro-scaled subspace
+    * distances up to ~8.8e12 before the packing overflows a long.
+    */
+  private val PackBase = 1L << 20
+
+  private def pqEncodeAssigned(subs: DataFrame, book: DataFrame): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dot _
+    // |s|^2 and |c|^2 ride in from subVectors/pqCodebook (computed once per
+    // side), so the n x codebookSize candidate stream evaluates exactly one
+    // dot product per pair
+    val d2 = col("sn2") - lit(2.0) * dot(col("sub"), col("csub")) + col("cn2")
+    // argmin by (rounded-to-micro d2, cent_id), both packed into ONE long:
+    // a struct-typed min buffer demotes the aggregate to SortAggregate
+    // (sorts the n x codebookSize candidate stream; measured 4.5 s at
+    // sf0.1), while a long min is a codegen'd hash aggregate with map-side
+    // combine. Same argmin: lexicographic (micro-d2, cent_id) order is
+    // exactly the packed long's order.
     subs.join(broadcast(book), Seq("sub_m"))
       .select(col("vec_id"), col("sub_m"),
-        struct(sqDist(col("sub"), col("csub")).as("d2"), col("cent_id")).as("cand"))
+        (round(d2 * 1e6).cast("long") * PackBase + col("cent_id")).as("packed"))
       .groupBy("vec_id", "sub_m")
-      .agg(min(col("cand")).as("best"))
-      .select(col("vec_id"), col("sub_m"), col("best.cent_id").as("code"))
+      .agg(min(col("packed")).as("p"))
+      .select(col("vec_id"), col("sub_m"), (col("p") % PackBase).as("code"))
+  }
 
   /** PQ top-k via asymmetric distance computation (ADC): queries stay
     * exact; each (query, subspace, codeword) distance is computed ONCE into
@@ -337,16 +355,20 @@ object Similarity {
     */
   def pqTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50,
       m: Int = 16, codebookSize: Int = 64): DataFrame = {
-    val v = unitVectors(withNorm(embeddings))
+    val dot = graft.functions.VectorFunctions.dot _
+    val v = withNorm(embeddings)
     val book = pqCodebook(v, m, codebookSize)
     val codes = pqEncodeAssigned(subVectors(v, "vec_id", m), book)
     val qsubs = subVectors(
       v.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
-        .select(col("vec_id").as("query_id"), col("vec")), "query_id", m)
-      .select(col("query_id"), col("sub_m"), col("sub").as("qsub"))
+        .select(col("vec_id").as("query_id"), col("vec"), col("norm")),
+      "query_id", m)
+      .select(col("query_id"), col("sub_m"),
+        col("sub").as("qsub"), col("sn2").as("qn2"))
     val dtable = qsubs.join(book, Seq("sub_m"))
       .select(col("query_id"), col("sub_m"), col("cent_id").as("code"),
-        sqDist(col("qsub"), col("csub")).as("d"))
+        round(col("qn2") - lit(2.0) * dot(col("qsub"), col("csub")) + col("cn2"), 6)
+          .as("d"))
     val scored = codes
       .join(graft.operators.Broadcasting.checked(dtable, tag = "pq distance table"),
         Seq("sub_m", "code"))
