@@ -311,6 +311,14 @@ object SparkEntry {
     // ---- beyond-reference: deduplication (ops.Dedup) ---------------------
     "dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(Tables.documents(s, dir))),
+    "dedup_incremental" -> { (s, dir) =>
+      // ingest-time dedup: every 7th doc arrives as the incoming batch,
+      // checked against the rest as the standing corpus (fixture wiring)
+      val docs = Tables.documents(s, dir)
+      graft.ops.Dedup.incremental(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    },
     "dedup_minhash_lsh" -> ((s, dir) =>
       graft.ops.Dedup.minhashCandidates(Tables.documents(s, dir))),
     "dedup_minhash_est" -> ((s, dir) =>
@@ -371,17 +379,7 @@ object SparkEntry {
     "stream_window_agg" -> ((s, dir) =>
       graft.streaming.EventAggs.windowedByType(Tables.events(s, dir))),
     "stream_sliding_agg" -> ((s, dir) =>
-      // overlapping (sliding) event-time windows: 1h size, 15m slide - each
-      // event lands in exactly 4 windows. Spark expands the windows at scan
-      // time (one row -> 4) and the aggregate stays a plain two-phase hash
-      // agg; on a stream the same plan runs with watermark-bounded state.
-      Tables.events(s, dir)
-        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 4).as("sum_value"))
-        .select(col("w.start").as("window_start"), col("event_type"),
-          col("n_events"), col("sum_value"))),
+      graft.streaming.EventAggs.slidingByType(Tables.events(s, dir))),
     "stream_daily_rollup" -> ((s, dir) =>
       graft.streaming.EventAggs.dailyUserRollup(Tables.events(s, dir))),
     "events_json_extract" -> ((s, dir) =>
@@ -793,6 +791,22 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "dedup_incremental" ->
+      """WITH ex AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |         min(doc_id) AS dup_of
+        |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1),
+        |b AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |bb AS (
+        |  SELECT doc_id, fp,
+        |         CASE WHEN min(doc_id) OVER (PARTITION BY fp) < doc_id
+        |              THEN min(doc_id) OVER (PARTITION BY fp) END AS dup_in_batch
+        |  FROM b)
+        |SELECT bb.doc_id, ex.dup_of, bb.dup_in_batch,
+        |       (ex.dup_of IS NULL AND bb.dup_in_batch IS NULL) AS is_new
+        |FROM bb LEFT JOIN ex USING (fp)""".stripMargin,
     "sample_hash" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS BIGINT) % 100 < 10""".stripMargin,

@@ -47,6 +47,39 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental dedup — the ingest-time shape: an INCOMING batch checked
+    * against the EXISTING corpus by content fingerprint. Returns one row
+    * per incoming doc with the duplicate verdict: `dup_of` = the smallest
+    * existing doc_id with identical content (null = genuinely new), plus
+    * `dup_in_batch` = the smallest incoming doc_id with the same content
+    * (self-dedup within the batch, so a batch containing its own dups
+    * can't insert them all as "new").
+    *
+    * Scale: the batch side is small by definition (one ingest drop); the
+    * existing side collapses to DISTINCT fingerprints BEFORE the join —
+    * one aggregate over the corpus, then an equi-join the optimizer
+    * broadcasts from the batch side's statistics. The corpus is never
+    * re-fingerprinted per batch in production: the fp aggregate is exactly
+    * the [[exact]] output a warehouse materializes once and merges per
+    * drop (TableOps upsert), which this operator's join-side accepts
+    * as-is.
+    */
+  def incremental(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val existingFp = existing
+      .repartition(col("doc_id"))
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("dup_of"))
+    val batchFp = incoming
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val w = Window.partitionBy("fp")
+    batchFp
+      .withColumn("dup_in_batch",
+        when(min("doc_id").over(w) < col("doc_id"), min("doc_id").over(w)))
+      .join(existingFp, Seq("fp"), "left")
+      .select(col("doc_id"), col("dup_of"), col("dup_in_batch"),
+        (col("dup_of").isNull && col("dup_in_batch").isNull).as("is_new"))
+  }
+
   val MinhashFuncs = 16
   val LshBands = 4
   /** Rows per LSH band, derived so changing either constant cannot silently

@@ -26,6 +26,24 @@ object EventAggs {
         col("n_events"), col("sum_value"))
   }
 
+  /** Sliding (overlapping) event-time windows: `size` window, `slide`
+    * step — each event lands in size/slide windows (4 at the defaults).
+    * Spark expands the windows at scan time (one row -> 4) and the
+    * aggregate stays a plain two-phase hash agg; on a stream the same plan
+    * runs with watermark-bounded state. The smoothing/trend shape tumbling
+    * windows can't give (a burst at a window edge splits across tumbling
+    * buckets; sliding windows see it whole).
+    */
+  def slidingByType(events: DataFrame, size: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Per-user session-ish rollup: event counts and value totals by user and
     * day — the partition-pruned fact shape downstream jobs read.
     */

@@ -98,6 +98,24 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(rows == Map(1L -> ((4L, 2L, 0.5)), 2L -> ((2L, 2L, 0.0))))
   }
 
+  test("incremental dedup separates corpus dups, in-batch dups, and new docs") {
+    val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha  BETA"),  // dup of existing 1 (fingerprint normalizes case/space)
+      (11L, "epsilon zeta"), // genuinely new
+      (12L, "epsilon zeta"), // dup of 11 within the batch
+      (13L, "gamma delta")   // dup of existing 2
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.incremental(existing, incoming)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      10L -> ((Some(1L), None, false)),
+      11L -> ((None, None, true)),
+      12L -> ((None, Some(11L), false)),
+      13L -> ((Some(2L), None, false))))
+  }
+
   test("piiAudit redacts each woven span type exactly once per qualifying doc") {
     val docs = Seq(
       (0L, "plain words"),  // %3, %4, %5 all 0 -> email + ip + phone

@@ -74,4 +74,10 @@ class StreamingSpec extends SparkSpec {
     val total = batch.agg(sum("n_events")).head().getLong(0)
     assert(total == 1000L) // every event lands in exactly one window
   }
+
+  test("slidingByType: every event lands in exactly size/slide windows") {
+    val sliding = EventAggs.slidingByType(Tables.events(spark, "/root/testdata/sf0.001"))
+    // 1h windows sliding by 15m: each event belongs to exactly 4 windows
+    assert(sliding.agg(sum("n_events")).head().getLong(0) == 4000L)
+  }
 }
