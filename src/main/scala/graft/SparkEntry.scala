@@ -476,6 +476,45 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
+    "q3_shipping_priority" -> { (s, dir) =>
+      // TPC-H Q3 shape: the composite every warehouse runs - two selective
+      // filters pushed to their scans, customer (filtered, small) broadcast
+      // into orders, the fact join on orderkey, grouped revenue, total-order
+      // top-10 (TakeOrderedAndProject - only 10 rows leave each partition).
+      val cutoff = lit("1998-01-01").cast("date")
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate").cast("date") < cutoff)
+        .join(Tables.lineitem(s, dir)
+            .filter(col("l_shipdate").cast("date") > cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("order_date").asc, col("l_orderkey").asc)
+        .limit(10)
+        .select("l_orderkey", "revenue", "order_date")
+    },
+    "q5_local_supplier" -> { (s, dir) =>
+      // TPC-H Q5 shape: six-table join with the local-supplier correlation
+      // (s_nationkey = c_nationkey rides the supplier equi-join), revenue
+      // per nation. region/nation broadcast unconditionally (truly bounded
+      // dims - the reference's own broadcast analog); customer/orders/
+      // lineitem/supplier stay shuffle-joinable from statistics.
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+    },
     "set_ops" -> { (s, dir) =>
       val o = Tables.orders(s, dir)
       def keys(st: String) =
@@ -1301,6 +1340,30 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       CAST(o_orderdate AS DATE) AS order_date
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+        |GROUP BY 1, 3
+        |ORDER BY revenue DESC, order_date, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
     "a9_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       round(sum(l_quantity), 4) AS sum_qty

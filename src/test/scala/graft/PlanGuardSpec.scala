@@ -150,6 +150,22 @@ class PlanGuardSpec extends SparkSpec {
     assert(shuffles(p) == 1)
   }
 
+  test("q3/q5 composites: filters reach the scans, top-N is TakeOrdered, no cartesian") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val q3 = plan("q3_shipping_priority")
+    // the whole top-10 must be a TakeOrderedAndProject (only k rows leave
+    // each partition), never a global sort
+    assert(collectAll(q3) { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
+    val pushed = collectAll(q3) { case s: FileSourceScanExec => s }
+      .flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("c_mktsegment,BUILDING") &&
+      pushed.contains("o_orderdate") && pushed.contains("l_shipdate"),
+      s"selective predicates must reach the parquet scans: $pushed")
+    assert(collectAll(plan("q5_local_supplier")) {
+      case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("sim_topk_pq: codebook and distance table broadcast; no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val p = plan("sim_topk_pq")
