@@ -256,6 +256,15 @@ object SparkEntry {
       graft.ops.TextAnalysis.hashingEmbed(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) =>
       graft.ops.TextAnalysis.vocabTopK(Tables.documents(s, dir))),
+    "bpe_top_pairs" -> ((s, dir) =>
+      // the unit step of BPE tokenizer training: weighted adjacent
+      // character-pair counts over the symbolized vocabulary, top 20 -
+      // each row is a candidate merge, the argmax is the next merge
+      // (TextAnalysis.bpeMerges runs the full iterative loop; spec-pinned)
+      graft.ops.TextAnalysis.bpePairCounts(
+          graft.ops.TextAnalysis.bpeVocab(Tables.documents(s, dir)))
+        .orderBy(col("weighted_count").desc, col("left").asc, col("right").asc)
+        .limit(20)),
     "split_assign" -> ((s, dir) =>
       graft.ops.TextAnalysis.splitAssign(Tables.documents(s, dir))),
     "corpus_stats" -> ((s, dir) =>
@@ -830,6 +839,21 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "bpe_top_pairs" ->
+      """WITH vocab AS (
+        |  SELECT word, count(*) AS n
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |        FROM documents)
+        |  GROUP BY 1),
+        |pairs AS (
+        |  SELECT word[i] AS "left", word[i+1] AS "right", n
+        |  FROM vocab,
+        |       (SELECT unnest(generate_series(1,
+        |          (SELECT max(length(word)) FROM vocab))) AS i)
+        |  WHERE i <= length(word) - 1)
+        |SELECT "left", "right", CAST(sum(n) AS BIGINT) AS weighted_count
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY weighted_count DESC, "left", "right" LIMIT 20""".stripMargin,
     "dedup_incremental" ->
       """WITH ex AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -185,6 +185,76 @@ object TextAnalysis {
         floor(col("cum_prev") / capacity).cast("long").as("seq_id"))
   }
 
+  /** Weighted adjacent-symbol pair counts over a symbolized vocabulary —
+    * the inner aggregate of BPE tokenizer training. Input: (syms, n) = a
+    * word as its current symbol array and its corpus frequency. Output:
+    * (left, right, weighted_count), the statistic whose argmax is the next
+    * merge. Two-phase hash aggregate; the pair stream is narrow
+    * (per-row position explode), so cost is one pass over the vocabulary
+    * regardless of corpus size — the corpus itself is only read once, by
+    * the word-count aggregate that feeds this.
+    */
+  def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      // single-symbol words carry no pairs; the filter also keeps the
+      // position sequence below from degenerating (sequence(0,-1) would
+      // infer a NEGATIVE step and emit bogus indices, not an empty array)
+      .filter(size(col("syms")) >= 2)
+      .select(col("n"), posexplode(
+        transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r"))))
+        .as(Seq("pos", "pair")))
+      .groupBy(col("pair.l").as("left"), col("pair.r").as("right"))
+      .agg(sum(col("n")).as("weighted_count"))
+
+  /** Character-symbolized word vocabulary: (syms, n) for each distinct
+    * token, n = corpus frequency. The BPE training start state.
+    */
+  def bpeVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(split(col("word"), "").as("syms"), col("n"))
+
+  /** BPE merge training: `iters` greedy merge steps. Each step takes the
+    * highest-weighted adjacent pair (ties: left asc, right asc — fully
+    * deterministic) and applies it to the vocabulary with the standard
+    * greedy left-to-right fold (an "aaaa" with merge (a,a) becomes
+    * [aa,aa], never [a,aa,a]). Returns the merge table
+    * (iteration, left, right, weighted_count) — the tokenizer artifact.
+    *
+    * Scale: the loop is O(iters) jobs over the VOCABULARY (already
+    * aggregated — millions of rows at web scale, not the corpus), each one
+    * explode + hash aggregate + a 1-row argmax to the driver, exactly the
+    * bounded driver state of the k-means/connected-components loops. The
+    * fold is a narrow higher-order aggregate; re-symbolization never
+    * re-reads the corpus. Each iteration localCheckpoints the vocab so
+    * lineage stays O(1) instead of stacking `iters` fold layers.
+    */
+  def bpeMerges(docs: DataFrame, iters: Int = 3): Seq[(Int, String, String, Long)] = {
+    var vocab = bpeVocab(docs).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (it <- 1 to iters) {
+      val top = bpePairCounts(vocab)
+        .orderBy(col("weighted_count").desc, col("left").asc, col("right").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((it, l, r, cnt))
+        val prev = vocab
+        vocab = vocab.select(
+          aggregate(col("syms"), typedLit(Seq.empty[String]),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === l && s === r,
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(s)))).as("syms"),
+          col("n")).localCheckpoint(true)
+        prev.unpersist()
+      }
+    }
+    merges.toSeq
+  }
+
   /** PII redaction patterns (RE2-safe: no backrefs/lookarounds, so the same
     * pattern text behaves identically in Java regex and RE2-family
     * engines). Order matters: emails first (an email contains no phone/IP

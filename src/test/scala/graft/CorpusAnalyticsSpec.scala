@@ -98,6 +98,30 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(rows == Map(1L -> ((4L, 2L, 0.5)), 2L -> ((2L, 2L, 0.0))))
   }
 
+  test("bpeMerges runs greedy deterministic merges with left-to-right application") {
+    // corpus: "abab" x3, "abc" x2  ->  char pairs weighted by word freq:
+    //   (a,b): 3*2 + 2*1 = 8   <- merge 1 = "ab"
+    //   (b,a): 3, (b,c): 2
+    // after merge 1: "abab" -> [ab,ab], "abc" -> [ab,c]
+    //   (ab,ab): 3, (ab,c): 2 -> merge 2 = "abab"
+    // after merge 2: vocab = [abab], [ab,c] -> merge 3 = (ab,c) weight 2
+    val docs = Seq(
+      (1L, "abab abab abab abc abc")
+    ).toDF("doc_id", "text")
+    val merges = graft.ops.TextAnalysis.bpeMerges(docs, iters = 3)
+    assert(merges == Seq(
+      (1, "a", "b", 8L), (2, "ab", "ab", 3L), (3, "ab", "c", 2L)))
+  }
+
+  test("bpeMerges greedy fold never merges overlapping occurrences") {
+    // "aaaa" with merge (a,a): left-to-right gives [aa][aa], so iteration 2
+    // must see pair (aa,aa) with weight 1 - an overlap-broken fold would
+    // report (a,aa) or (aa,a) instead
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val merges = graft.ops.TextAnalysis.bpeMerges(docs, iters = 2)
+    assert(merges == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
   test("incremental dedup separates corpus dups, in-batch dups, and new docs") {
     val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
     val incoming = Seq(
