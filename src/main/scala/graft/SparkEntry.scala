@@ -345,6 +345,8 @@ object SparkEntry {
         graft.ops.Dedup.minhashCandidates(Tables.documents(s, dir)))),
     "dedup_embedding" -> ((s, dir) =>
       graft.ops.Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      graft.ops.Dedup.embeddingLshPairs(Tables.embeddings(s, dir))),
     "decontaminate" -> { (s, dir) =>
       // train/eval overlap check: corpus docs sharing >= 2 distinct word
       // 4-grams with the benchmark split (every 20th doc, fixture wiring).
@@ -1155,6 +1157,42 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
         |WHERE rn <= 5""".stripMargin,
+    "dedup_embedding_lsh" -> // random-hyperplane LSH, banded, cosine-verified
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |planes AS (
+        |  SELECT bit, list_transform(generate_series(1, 64), j ->
+        |    CAST('0x' || substr(md5(bit || '_' || j), 1, 8) AS BIGINT)
+        |      / 2147483648.0 - 1.0) AS pvec
+        |  FROM (SELECT unnest(generate_series(0, 31)) AS bit)),
+        |sig AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN d > 0 THEN CAST(pow(2, bit) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS sig
+        |  FROM (SELECT vec_id, bit,
+        |          list_aggregate(list_transform(generate_series(1, len(vec)),
+        |            i -> vec[i]*pvec[i]), 'sum') AS d
+        |        FROM n, planes)
+        |  GROUP BY 1),
+        |bands AS (
+        |  SELECT vec_id, band, (sig // CAST(pow(2, band*8) AS BIGINT)) % 256 AS bucket
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)),
+        |pruned AS (
+        |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+        |                 FROM bands)
+        |  WHERE bsz <= 100),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM pruned a JOIN pruned b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b,
+        |       round(list_aggregate(list_transform(generate_series(1, len(na.vec)),
+        |         i -> na.vec[i]*nb.vec[i]), 'sum') / (na.nrm*nb.nrm), 6) AS cos_sim
+        |FROM cand JOIN n na ON cand.vec_a = na.vec_id
+        |          JOIN n nb ON cand.vec_b = nb.vec_id
+        |WHERE cos_sim > 0.35""".stripMargin,
     "dedup_embedding" ->
       // blocked on the IVF cell assignment (same as sim_topk_ivf's cell CTE)
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

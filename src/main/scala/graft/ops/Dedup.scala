@@ -558,6 +558,75 @@ object Dedup {
     * changing the verify stage. The exact-cosine scoring is the reusable
     * verification kernel behind any candidate generator.
     */
+  val HyperplaneBits = 32
+  val HyperplaneBands = 4
+  val HyperplaneBandBits: Int = {
+    require(HyperplaneBits % HyperplaneBands == 0)
+    HyperplaneBits / HyperplaneBands
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane `bit` component `j` is
+    * md5(bit_j) mapped to [-1, 1) — engine-portable (no RNG), so the same
+    * corpus signed by any engine lands in the same buckets.
+    */
+  private def hyperplanes(spark: org.apache.spark.sql.SparkSession,
+      dim: Int, nBits: Int): DataFrame =
+    spark.range(nBits).toDF("bit")
+      .select(col("bit").cast("int").as("bit"),
+        transform(sequence(lit(1), lit(dim)),
+          j => conv(substring(md5(concat(col("bit"), lit("_"), j)), 1, 8), 16, 10)
+            .cast("double") / 2147483648.0 - 1.0).as("pvec"))
+
+  /** Random-hyperplane LSH near-dup candidates over embeddings — the
+    * vector analog of [[simhashCandidates]] and the second blocking
+    * strategy next to the IVF cells of [[embeddingNearDups]]: sign bits of
+    * 32 deterministic hyperplane projections form a signature whose bit
+    * agreement estimates the angle; banding (4 x 8 bits) buckets vectors
+    * that agree on any band; candidates are verified with the exact
+    * cosine. Hyperplane LSH needs no centroid quality assumption — recall
+    * depends only on the angle, which complements IVF (whose recall dips
+    * for pairs straddling a cell boundary).
+    *
+    * Scale: planes broadcast (nBits x dim doubles); signing is one
+    * crossJoin-projection pass, O(n x nBits) narrow rows; the bucket join
+    * inherits the [[MaxLshBucket]] skew cap; verification joins the
+    * candidate ids back to the corpus — O(candidates), never all-pairs.
+    */
+  def embeddingLshPairs(embeddings: DataFrame, minCos: Double = 0.35,
+      dim: Int = 64): DataFrame = {
+    val v = Similarity.withNorm(embeddings)
+    val planes = hyperplanes(embeddings.sparkSession, dim, HyperplaneBits)
+    val sig = v.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("bit"),
+        (graft.functions.VectorFunctions.dot(col("vec"), col("pvec")) > 0).as("pos"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("pos"), pow(lit(2.0), col("bit")).cast("long"))
+        .otherwise(0L)).as("sig"))
+    val bands = (0 until HyperplaneBands).map(j =>
+      shiftright(col("sig"), j * HyperplaneBandBits)
+        .bitwiseAND((1 << HyperplaneBandBits) - 1))
+    val exploded = sig.select(col("vec_id"),
+      posexplode(array(bands: _*)).as(Seq("band", "bucket")))
+    val pruned = exploded
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= MaxLshBucket)
+      .drop("bsz")
+    val cand = pruned.hint("merge").as("a")
+      .join(pruned.hint("merge").as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("vec").as("va"),
+        col("norm").as("na")), Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("vec").as("vb"),
+        col("norm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
+      .filter(col("cos_sim") > minCos)
+  }
+
   def embeddingNearDups(
       embeddings: DataFrame, minCos: Double = 0.35,
       nCentroids: Int = 16): DataFrame = {

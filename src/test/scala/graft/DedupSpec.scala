@@ -105,5 +105,19 @@ class DedupSpec extends SparkSpec {
   test("band constants stay consistent") {
     assert(Dedup.RowsPerBand * Dedup.LshBands == Dedup.MinhashFuncs)
     assert(Dedup.SimhashBandBits * Dedup.SimhashBands == Dedup.SimhashBits)
+    assert(Dedup.HyperplaneBandBits * Dedup.HyperplaneBands == Dedup.HyperplaneBits)
+  }
+
+  test("embedding hyperplane LSH: verified pairs, canonical order, repartition-stable") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.embeddingLshPairs(emb)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    // every emitted pair passed the exact-cosine verification and is
+    // canonically ordered (no (b,a) duplicates possible)
+    assert(pairs.forall { case (a, b, cos) => a < b && cos > 0.35 })
+    val again = Dedup.embeddingLshPairs(emb.repartition(7))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again == pairs.toSet, "bucketing is md5-deterministic, not partition-dependent")
   }
 }
