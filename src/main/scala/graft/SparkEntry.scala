@@ -347,6 +347,12 @@ object SparkEntry {
       graft.ops.Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) =>
       graft.ops.Dedup.embeddingLshPairs(Tables.embeddings(s, dir))),
+    "embedding_outliers" -> ((s, dir) =>
+      // zThresh 1.0 on the fixture: random synthetic embeddings have a
+      // compact own-centroid cosine distribution (max z ~1.4 at sf0.01);
+      // the operator's z=2 default is the real-corpus setting
+      graft.ops.Similarity.centroidOutliers(Tables.embeddings(s, dir),
+        zThresh = 1.0)),
     "decontaminate" -> { (s, dir) =>
       // train/eval overlap check: corpus docs sharing >= 2 distinct word
       // 4-grams with the benchmark split (every 20th doc, fixture wiring).
@@ -1157,6 +1163,27 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
         |WHERE rn <= 5""".stripMargin,
+    "embedding_outliers" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm FROM n WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
+        |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
+        |        FROM n CROSS JOIN c),
+        |own AS (SELECT vec_id, cent_id, c_cos FROM
+        |          (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+        |        WHERE rn = 1),
+        |scored AS (
+        |  SELECT vec_id, cent_id AS cell, c_cos,
+        |         avg(c_cos) OVER (PARTITION BY cent_id) AS mu,
+        |         stddev_pop(c_cos) OVER (PARTITION BY cent_id) AS sd
+        |  FROM own)
+        |SELECT vec_id, cell, c_cos, round((mu - c_cos) / sd, 6) AS z
+        |FROM scored WHERE sd > 0 AND round((mu - c_cos) / sd, 6) > 1.0""".stripMargin,
     "dedup_embedding_lsh" -> // random-hyperplane LSH, banded, cosine-verified
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |           FROM embeddings),

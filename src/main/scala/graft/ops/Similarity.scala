@@ -381,6 +381,38 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Centroid-relative outlier detection — the embedding-space corpus
+    * QUALITY operator: vectors much farther from their own cell's centroid
+    * than their cell-mates (z-score of the own-centroid cosine above
+    * `zThresh`) are mislabeled/garbage/adversarial candidates a curation
+    * pipeline routes to review. Per-cell mean/stddev ride ONE cell-hash
+    * window exchange; scores are rounded to 6 before thresholding so the
+    * verdict is engine-stable (the cosines themselves are already rounded,
+    * so cross-engine drift only enters via summation order at ~1e-15).
+    *
+    * Scale: assignment is the [[ivfAssign]] broadcast pass; stats state is
+    * O(cells); nothing all-pairs, nothing driver-side.
+    */
+  def centroidOutliers(embeddings: DataFrame, nCentroids: Int = 16,
+      zThresh: Double = 2.0): DataFrame = {
+    val v = withNorm(embeddings)
+    val cents = seedCentroids(v, nCentroids)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("cent_id").asc)
+    val assigned = v.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("vec"), col("cvec"), col("norm"), col("cnorm")).as("c_cos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+    val perCell = Window.partitionBy("cent_id")
+    assigned
+      .withColumn("mu", avg(col("c_cos")).over(perCell))
+      .withColumn("sd", stddev_pop(col("c_cos")).over(perCell))
+      .withColumn("z", round((col("mu") - col("c_cos")) / col("sd"), 6))
+      .filter(col("sd") > 0 && col("z") > zThresh)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("c_cos"), col("z"))
+  }
+
   /** IVF top-k: every vector is assigned to its nearest centroid
     * ([[ivfAssign]]); queries probe only their own cell.
     */

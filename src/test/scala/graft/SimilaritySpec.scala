@@ -57,6 +57,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(multi) >= recall(single) - 1e-12)
   }
 
+  test("centroidOutliers flags below-mean vectors deterministically") {
+    import spark.implicits._
+    val flagged = Similarity.centroidOutliers(emb, zThresh = 1.0)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(flagged.nonEmpty)
+    // z > 0 by construction means every flagged vector sits BELOW its
+    // cell's mean own-centroid cosine (far from its cluster)
+    assert(flagged.forall(_._4 > 1.0))
+    val again = Similarity.centroidOutliers(emb.repartition(7), zThresh = 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(again == flagged.toSet)
+  }
+
   test("pqEncode emits exactly m in-range codes per vector") {
     val codes = Similarity.pqEncode(emb, m = 4, codebookSize = 16)
     val shape = codes.groupBy("vec_id")
