@@ -493,6 +493,12 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
+    "table_stats" -> ((s, dir) =>
+      // ANALYZE-style stats (see TableOps.columnStats): columns chosen so
+      // string rendering is engine-stable (integral doubles, dates, enums)
+      graft.icenet.TableOps.columnStats(
+        Tables.lineitem(s, dir).withColumn("ship_date", col("l_shipdate").cast("date")),
+        Seq("l_partkey", "l_quantity", "l_returnflag", "ship_date"))),
     "q3_shipping_priority" -> { (s, dir) =>
       // TPC-H Q3 shape: the composite every warehouse runs - two selective
       // filters pushed to their scans, customer (filtered, small) broadcast
@@ -1429,6 +1435,25 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "table_stats" ->
+      """WITH t AS (SELECT l_partkey, l_quantity, l_returnflag,
+        |                  CAST(l_shipdate AS DATE) AS ship_date FROM lineitem)
+        |SELECT 'l_partkey' AS column_name, CAST(min(l_partkey) AS VARCHAR) AS min_value,
+        |       CAST(max(l_partkey) AS VARCHAR) AS max_value,
+        |       count(*) - count(l_partkey) AS n_nulls,
+        |       count(DISTINCT l_partkey) AS ndv FROM t
+        |UNION ALL
+        |SELECT 'l_quantity', CAST(min(l_quantity) AS VARCHAR),
+        |       CAST(max(l_quantity) AS VARCHAR),
+        |       count(*) - count(l_quantity), count(DISTINCT l_quantity) FROM t
+        |UNION ALL
+        |SELECT 'l_returnflag', CAST(min(l_returnflag) AS VARCHAR),
+        |       CAST(max(l_returnflag) AS VARCHAR),
+        |       count(*) - count(l_returnflag), count(DISTINCT l_returnflag) FROM t
+        |UNION ALL
+        |SELECT 'ship_date', CAST(min(ship_date) AS VARCHAR),
+        |       CAST(max(ship_date) AS VARCHAR),
+        |       count(*) - count(ship_date), count(DISTINCT ship_date) FROM t""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
         |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

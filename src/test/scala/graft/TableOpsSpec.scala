@@ -347,4 +347,16 @@ class TableOpsSpec extends SparkSpec {
     assert(TableOps.read(spark, path).as[(Int, String)].collect().toSet ==
       Set((1, "a"), (2, "b")))
   }
+
+  test("columnStats collects min/max/nulls/ndv in one long-form pass") {
+    val df = Seq(
+      (Some(3), Some("x")), (Some(1), None), (None, Some("y")), (Some(3), Some("x"))
+    ).toDF("a", "b")
+    val got = TableOps.columnStats(df, Seq("a", "b"))
+      .as[(String, String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      "a" -> (("1", "3", 1L, 2L)),
+      "b" -> (("x", "y", 1L, 2L))))
+  }
 }
