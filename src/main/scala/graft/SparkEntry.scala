@@ -586,6 +586,20 @@ object SparkEntry {
         .as[graft.streaming.Sessionize.Event]
       graft.streaming.Sessionize.sessions(ev, emitOpen = true).toDF()
     },
+    "sessionize_window" -> ((s, dir) =>
+      // the BUILT-IN gap-session operator (session_window) next to the
+      // custom stateful one above: Catalyst's SessionWindow merges a new
+      // event into the session iff it starts strictly BEFORE the current
+      // session's end (diff < gap; an exact-gap arrival opens a new
+      // session), and session_end = last event + gap. Works unchanged on
+      // a stream with watermark-bounded state.
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("user_id"), col("n_events"), col("sum_value"))),
 
     // ---- S2 end-to-end: DSv2 gridded source -> P2-P8 ingest chain --------
     "gridded_ingest" -> { (s, dir) =>
@@ -1579,6 +1593,22 @@ object SparkEntry {
         |      FROM m)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "sessionize_window" ->
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, value
+        |           FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m)
+        |SELECT min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "gridded_ingest" ->
       // regenerates GridFixture's closed-form cell values from pure index
