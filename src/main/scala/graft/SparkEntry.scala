@@ -627,6 +627,14 @@ object SparkEntry {
     "multimodal_frame_sample" -> ((s, dir) =>
       graft.ops.Multimodal.sampleFrames(
         graft.ops.Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF(), 4)),
+    "multimodal_batch_embed" -> ((s, dir) =>
+      // batched-inference plumbing, long-form output; batch_pos is
+      // partitioning-dependent and therefore spec-only (MultimodalSpec)
+      graft.ops.Multimodal.embedBatches(
+          graft.ops.Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("media_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("media_id"), col("dim"), round(col("val"), 6).as("val"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1647,5 +1655,15 @@ object SparkEntry {
         |       CAST(unnest(generate_series(0, CAST(doc_id % 100 AS INT), 4)) AS INT)
         |         AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "multimodal_batch_embed" ->
+      """WITH c AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(list_aggregate(list_transform(generate_series(1, length(text)),
+        |           i -> ord(substr(text, i, 1)) * ((i-1) % 7 + 1)), 'sum') AS BIGINT)
+        |           AS checksum
+        |  FROM documents)
+        |SELECT media_id, CAST(j AS INT) AS dim,
+        |       round(((checksum + j) % 97) / 97.0, 6) AS val
+        |FROM c, (SELECT unnest(generate_series(0, 3)) AS j)""".stripMargin,
   )
 }

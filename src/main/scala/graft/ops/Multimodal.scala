@@ -68,6 +68,49 @@ object Multimodal {
     }
   }
 
+  /** One embedded media row: the model output plus the row's position in
+    * its inference batch (spec-checked geometry; excluded from oracles
+    * because it depends on physical partitioning).
+    */
+  case class MediaEmbedding(media_id: Long, batch_pos: Int, embedding: Array[Double])
+
+  /** STUB model — deterministic stand-in for batched GPU inference. The
+    * embedding is a pure function of the row's checksum, so results are
+    * independent of batch composition (what a real stateless model also
+    * guarantees) and the DuckDB oracle can replay them.
+    */
+  object FakeModel {
+    val Dim = 4
+    def embed(batch: Seq[MediaRow]): Seq[Array[Double]] =
+      batch.map { r =>
+        val sum = FakeCodec.decode(r).checksum
+        Array.tabulate(Dim)(j => ((sum + j) % 97).toDouble / 97.0)
+      }
+  }
+
+  /** Batched model inference — the mapInPandas batch shape in Scala: rows
+    * are grouped into `batchSize` slices per partition (one model call per
+    * slice, the geometry a GPU server amortizes its kernel launches over),
+    * outputs re-flattened in order with their batch position. The grouped
+    * iterator never materializes a partition; a real deployment replaces
+    * `model` with an ONNX/Triton client initialized once per partition.
+    */
+  def embedBatches(
+      media: Dataset[MediaRow], batchSize: Int = 32,
+      model: Seq[MediaRow] => Seq[Array[Double]] = FakeModel.embed): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val embs = model(batch)
+        require(embs.length == batch.length,
+          s"model returned ${embs.length} embeddings for ${batch.length} rows")
+        batch.iterator.zip(embs.iterator).zipWithIndex.map {
+          case ((r, e), i) => MediaEmbedding(r.media_id, i, e)
+        }
+      }
+    }
+  }
+
   /** Metadata-pruned selection: predicates on kind/dimensions push down to
     * parquet so undecodable/oversized payloads are never read.
     */

@@ -63,4 +63,32 @@ class MultimodalSpec extends SparkSpec {
     val expected = (one.n_frames + 3) / 4
     assert(frames.filter(col("media_id") === one.media_id).count() == expected)
   }
+
+  test("embedBatches: batch geometry is batchSize slices, outputs in order") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(
+      docs.limit(12)).repartition(1)
+    val out = Multimodal.embedBatches(media, batchSize = 5).collect()
+    assert(out.length == 12)
+    // 12 rows in one partition at batchSize 5 -> batches of 5, 5, 2:
+    // three batch starts (pos 0), max in-batch position 4
+    assert(out.count(_.batch_pos == 0) == 3)
+    assert(out.map(_.batch_pos).max == 4)
+    // embeddings are a pure function of the row (batch-composition-free):
+    // a different batch size must yield identical vectors per media_id
+    val other = Multimodal.embedBatches(media, batchSize = 7).collect()
+      .map(e => e.media_id -> e.embedding.toSeq).toMap
+    assert(out.forall(e => other(e.media_id) == e.embedding.toSeq))
+  }
+
+  test("embedBatches rejects a model that drops or duplicates rows") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(
+      docs.limit(4)).repartition(1)
+    val bad = Multimodal.embedBatches(media, batchSize = 4,
+      model = batch => Multimodal.FakeModel.embed(batch).tail)
+    val e = intercept[org.apache.spark.SparkException](bad.collect())
+    assert(e.getMessage.contains("embeddings") ||
+      e.getCause.getMessage.contains("embeddings"))
+  }
 }
