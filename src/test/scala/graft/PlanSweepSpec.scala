@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Whole-surface plan sweep: EVERY named query's physical plan is built
+  * and screened for the two shapes that are never acceptable unreviewed —
+  * cartesian products and nested-loop joins. Per-query guards
+  * (PlanGuardSpec) pin specific good shapes; this net catches a future
+  * query added WITHOUT a guard whose join degenerates silently.
+  */
+class PlanSweepSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries with a REVIEWED nested-loop whose build side is bounded by
+    * construction or guarded at build time:
+    *  - 1-row corpus-count / codebook broadcasts (text_tfidf, sim_topk_sq8);
+    *  - the intentional tiny-axes geometry cross join (j3);
+    *  - centroid/plane attachments: every vector x a BOUNDED broadcast
+    *    (16 centroids, 32 hyperplanes) — the designed IVF/LSH assignment
+    *    fan-out (dedup_embedding, dedup_embedding_lsh, embedding_outliers,
+    *    sim_topk_ivf*);
+    *  - non-equi scoring against a query set that passes
+    *    Broadcasting.checkedOrFail, which throws rather than broadcast an
+    *    unbounded side (sim_topk_brute, sim_topk_agg).
+    */
+  private val reviewedNestedLoop = Set(
+    "text_tfidf", "j3_cross_join", "sim_topk_sq8", "corpus_stats",
+    "dedup_embedding", "dedup_embedding_lsh", "embedding_outliers",
+    "sim_topk_brute", "sim_topk_agg", "sim_topk_ivf", "sim_topk_ivf_kmeans",
+    "sim_topk_ivf_mp")
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = p.collect(pf)
+    val nested = p.collect {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+    }.flatten
+    here ++ nested
+  }
+
+  test("no query plans an unreviewed cartesian product or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, dir).queryExecution.sparkPlan
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        val cart = collectAll(plan) { case c: CartesianProductExec => c }
+        val bnlj = collectAll(plan) { case b: BroadcastNestedLoopJoinExec => b }
+        val bad =
+          (if (cart.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
+            (if (bnlj.nonEmpty && !reviewedNestedLoop(name))
+              Seq(s"$name: BroadcastNestedLoopJoin") else Nil)
+        bad
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
