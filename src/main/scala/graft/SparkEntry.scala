@@ -366,6 +366,42 @@ object SparkEntry {
     },
     "pack_sequences" -> ((s, dir) =>
       graft.ops.TextAnalysis.packSequences(Tables.documents(s, dir))),
+    "prepare_training_set" -> { (s, dir) =>
+      // the end-to-end corpus-prep flagship: ONE scan scoring each doc
+      // (fingerprint, tokens, langid, quality), exact-dedup canonical via
+      // the fp window (riding the fp repartition like curate_corpus),
+      // language/quality gate, reproducible md5 split assignment, then
+      // concat-and-chunk packing of the train split per shard. The shard
+      // key (lang x doc_id mod 4) keeps the packing window parallel - the
+      // production shape packSequences' scaladoc prescribes - while
+      // staying engine-deterministic.
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .repartition(col("fp"))
+      val t = graft.ops.TextAnalysis.tokens(col("text"))
+      val scored = docs.select(
+        col("doc_id"), col("fp"), size(t).as("n_tokens"),
+        graft.ops.TextAnalysis.langId(t).as("lang_pred"),
+        graft.ops.TextAnalysis.qualityScore(t).as("quality"))
+      val curated = scored
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1 &&
+          col("lang_pred") === "en" && col("quality") >= 0.5)
+      val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long"), lit(100))
+      val train = curated.filter(bucket < 90)
+        .withColumn("shard",
+          concat(col("lang_pred"), lit("_"), pmod(col("doc_id"), lit(4))))
+      val packW = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      train
+        .withColumn("seq_id",
+          floor(coalesce(sum(col("n_tokens")).over(packW), lit(0L)) / 512)
+            .cast("long"))
+        .select("doc_id", "shard", "n_tokens", "quality", "seq_id")
+    },
     "sample_stratified" -> ((s, dir) =>
       graft.ops.TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
     "length_buckets" -> ((s, dir) =>
@@ -937,6 +973,43 @@ object SparkEntry {
         |SELECT k.doc_id, l.lang_pred, q.quality
         |FROM keep k JOIN l ON l.doc_id = k.doc_id JOIN q ON q.doc_id = k.doc_id
         |WHERE l.lang_pred = 'en' AND q.quality >= 0.5""".stripMargin,
+    "prepare_training_set" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+        |              GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
+        |      FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(toks, w -> list_contains(['the','a','and','of','to','in','is','that'], w))) AS en_h,
+        |  len(list_filter(toks, w -> list_contains(['le','la','et','les','des','un','une','du'], w))) AS fr_h,
+        |  len(list_filter(toks, w -> list_contains(['der','die','und','das','ein','mit','von','zu'], w))) AS de_h,
+        |  len(list_filter(toks, w -> list_contains(['el','los','y','que','una','por','como','para'], w))) AS es_h
+        |  FROM t),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN en_h + fr_h + de_h + es_h = 0 THEN 'und'
+        |       WHEN en_h >= fr_h AND en_h >= de_h AND en_h >= es_h THEN 'en'
+        |       WHEN fr_h >= de_h AND fr_h >= es_h THEN 'fr'
+        |       WHEN de_h >= es_h THEN 'de'
+        |       ELSE 'es' END AS lang_pred
+        |  FROM h),
+        |q AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |  round(least(1.0, len(toks)/50.0)*0.4
+        |    + (len(list_filter(toks, w -> list_contains(
+        |        ['the','a','and','of','to','in','is','that'], w)))
+        |       / CAST(len(toks) AS DOUBLE))*0.3
+        |    + (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))*0.3, 6) AS quality
+        |  FROM t),
+        |train AS (
+        |  SELECT k.doc_id, q.n_tokens, q.quality,
+        |         l.lang_pred || '_' || (k.doc_id % 4) AS shard
+        |  FROM keep k JOIN l ON l.doc_id = k.doc_id JOIN q ON q.doc_id = k.doc_id
+        |  WHERE l.lang_pred = 'en' AND q.quality >= 0.5
+        |    AND CAST('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)),1,4) AS BIGINT)
+        |          % 100 < 90)
+        |SELECT doc_id, shard, n_tokens, quality,
+        |       CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) / 512.0) AS BIGINT) AS seq_id
+        |FROM train""".stripMargin,
     "text_hashing_embed" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),'\s+')) AS w
         |              FROM documents),
