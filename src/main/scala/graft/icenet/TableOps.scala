@@ -313,13 +313,13 @@ object TableOps {
         requireSameColumns(existing, deduped, path)
         if (partitionCols.isEmpty) {
           val kept = existing.join(deduped.select(keys.map(col): _*), keys, "left_anti")
-          val merged = kept.select(deduped.columns.map(col): _*).unionByName(deduped)
+          val merged = kept.select(deduped.columns.map(col).toIndexedSeq: _*).unionByName(deduped)
           replace(spark, path, merged, partitionCols)
         } else {
           requirePartitionColsInKeys(partitionCols, keys)
           val pruned = pruneToPartitions(existing, deduped, partitionCols)
           val kept = pruned.join(deduped.select(keys.map(col): _*), keys, "left_anti")
-          val merged = kept.select(deduped.columns.map(col): _*).unionByName(deduped)
+          val merged = kept.select(deduped.columns.map(col).toIndexedSeq: _*).unionByName(deduped)
           replacePartitions(spark, path, merged, partitionCols)
         }
       }

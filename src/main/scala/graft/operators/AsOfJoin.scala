@@ -49,14 +49,14 @@ object AsOfJoin {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(payloadType))
-      .select((left.columns.map(col) :+ col("__p") :+ col("__t") :+ col("__side")): _*)
+      .select((left.columns.map(col).toIndexedSeq :+ col("__p") :+ col("__t") :+ col("__side")): _*)
     val rAug = {
       val base = right.select(
         col(rightTime).as("__t"), lit(0).as("__side"), col(key).as(key),
         struct(rightPayload.map(col): _*).as("__p"))
       left.columns.filter(_ != key).foldLeft(base) { (df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }.select((left.columns.map(col) :+ col("__p") :+ col("__t") :+ col("__side")): _*)
+      }.select((left.columns.map(col).toIndexedSeq :+ col("__p") :+ col("__t") :+ col("__side")): _*)
     }
     val unioned = lAug.unionByName(rAug)
 
@@ -65,7 +65,7 @@ object AsOfJoin {
     unioned
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.map(col).toIndexedSeq ++
         rightPayload.map(p => col(s"__p.$p").as(p)): _*)
   }
 }
