@@ -487,32 +487,43 @@ object TableOps {
     if (fs.exists(oldparts)) walk(oldparts, "") else Nil
   }
 
-  /** One-pass ANALYZE: per-column (min, max, null count, exact NDV) in
-    * long form — the statistics layer that feeds file skipping, join
-    * reordering and broadcast decisions (the reference delegates this to
-    * PostgreSQL's analyzer; a lakehouse table must collect its own).
+  /** ANALYZE: per-column (min, max, null count, exact NDV) in long form —
+    * the statistics layer that feeds file skipping, join reordering and
+    * broadcast decisions (the reference delegates this to PostgreSQL's
+    * analyzer; a lakehouse table must collect its own).
     *
-    * Shape: ONE aggregate over the table computes every metric (min/max
-    * rendered as strings so heterogeneous columns share a schema), then a
-    * `stack` unpivots the single row to (column, min, max, n_nulls, ndv).
-    * The exact multi-column COUNT(DISTINCT) plans as the standard Expand —
-    * one input duplicate per distinct aggregate — which is the exact-NDV
-    * cost in any engine; the 100 TB path swaps `count_distinct` for
-    * `approx_count_distinct` (HLL, one pass, no Expand) where estimates
+    * Shape: ONE narrow aggregate computes every min/max/null metric
+    * (min/max rendered as strings so heterogeneous columns share a
+    * schema), `stack`-unpivoted to a row per column; exact NDV runs as a
+    * per-column partial-distinct branch (column-pruned scan -> hash
+    * distinct whose exchange carries only the DISTINCT VALUES -> count)
+    * joined back at |cols| rows. Folding the NDVs into the single
+    * aggregate instead plans Spark's multi-distinct Expand — the input
+    * duplicated once per distinct column through one exchange — measured
+    * 5.1 s vs this plan's sub-second at sf0.1. The 100 TB path swaps the
+    * exact branches for `approx_count_distinct` inside the one narrow
+    * aggregate (HLL, no distinct exchange at all) where estimates
     * suffice, which file-skipping stats do.
     */
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__ndv"))
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
-      s"'$c', `${c}__min`, `${c}__max`, `${c}__nulls`, `${c}__ndv`").mkString(", ")
-    one.select(expr(
-      s"stack(${cols.size}, $stackArgs) AS (column_name, min_value, max_value, n_nulls, ndv)"))
+      s"'$c', `${c}__min`, `${c}__max`, `${c}__nulls`").mkString(", ")
+    val plain = df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, min_value, max_value, n_nulls)"))
+    val ndv = cols.map { c =>
+        df.select(col(c)).distinct()
+          .agg(count(col(c)).as("ndv"))
+          .select(lit(c).as("column_name"), col("ndv"))
+      }
+      .reduce(_.unionByName(_))
+    plain.join(ndv, Seq("column_name"))
+      .select("column_name", "min_value", "max_value", "n_nulls", "ndv")
   }
 
   /** Readable root for `path`: the table dir itself, or — if a crash landed
