@@ -529,6 +529,16 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
+    "cdc_snapshot" -> ((s, dir) =>
+      // events as a CDC changelog: 'error' events are deletes, everything
+      // else upserts; snapshot = each user's latest surviving change
+      graft.icenet.TableOps.cdcSnapshot(
+        Tables.events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+            when(col("event_type") === "error", "delete")
+              .otherwise("upsert").as("op")),
+        keys = Seq("user_id"), orderBy = Seq("ts", "event_id"))),
     "table_stats" -> ((s, dir) =>
       // ANALYZE-style stats (see TableOps.columnStats): columns chosen so
       // string rendering is engine-stable (integral doubles, dates, enums)
@@ -1530,6 +1540,17 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "cdc_snapshot" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN event_type = 'error' THEN 'delete'
+        |              ELSE 'upsert' END AS op
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM c)
+        |SELECT user_id, ts, event_id, value
+        |FROM r WHERE rn = 1 AND op <> 'delete'""".stripMargin,
     "table_stats" ->
       """WITH t AS (SELECT l_partkey, l_quantity, l_returnflag,
         |                  CAST(l_shipdate AS DATE) AS ship_date FROM lineitem)

@@ -526,6 +526,29 @@ object TableOps {
       .select("column_name", "min_value", "max_value", "n_nulls", "ndv")
   }
 
+  /** CDC changelog -> snapshot compaction: given an ordered change stream
+    * (upserts and deletes per key), compute the current table state — the
+    * MERGE-free way a lakehouse applies a Debezium/binlog feed: keep each
+    * key's LATEST change (by `orderBy` desc, which must be a total order
+    * per key — e.g. ts + a change sequence number), then drop keys whose
+    * latest change is a delete. A delete followed by a later re-insert
+    * correctly survives; an out-of-order late change correctly loses.
+    *
+    * Scale: ONE shuffle on the key; WindowGroupLimit keeps only each key's
+    * top row per partition before the exchange at scale (rank filter
+    * pushdown), so the exchange carries ~|keys| rows, not the changelog.
+    */
+  def cdcSnapshot(
+      changelog: DataFrame, keys: Seq[String], orderBy: Seq[String],
+      opCol: String = "op", deleteOp: String = "delete"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderBy.map(c => col(c).desc): _*)
+    changelog.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn", opCol)
+  }
+
   /** Readable root for `path`: the table dir itself, or — if a crash landed
     * between [[replace]]'s two renames — the `.old` sibling, which holds the
     * last committed version.

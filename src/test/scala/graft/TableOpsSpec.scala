@@ -348,6 +348,27 @@ class TableOpsSpec extends SparkSpec {
       Set((1, "a"), (2, "b")))
   }
 
+  test("cdcSnapshot: latest change wins, deletes drop keys, re-inserts survive") {
+    val changelog = Seq(
+      // key 1: insert -> update (survives with v=12)
+      (1L, 1L, "upsert", 11),
+      (1L, 2L, "upsert", 12),
+      // key 2: insert -> delete (absent)
+      (2L, 1L, "upsert", 21),
+      (2L, 2L, "delete", 0),
+      // key 3: insert -> delete -> RE-insert (survives with v=33)
+      (3L, 1L, "upsert", 31),
+      (3L, 2L, "delete", 0),
+      (3L, 3L, "upsert", 33),
+      // key 4: delete arrives LAST by seq even though same ts group (absent)
+      (4L, 1L, "upsert", 41),
+      (4L, 2L, "delete", 0)
+    ).toDF("k", "seq", "op", "v")
+    val snap = TableOps.cdcSnapshot(changelog, keys = Seq("k"), orderBy = Seq("seq"))
+      .select("k", "v").as[(Long, Int)].collect().toMap
+    assert(snap == Map(1L -> 12, 3L -> 33))
+  }
+
   test("columnStats collects min/max/nulls/ndv in one long-form pass") {
     val df = Seq(
       (Some(3), Some("x")), (Some(1), None), (None, Some("y")), (Some(3), Some("x"))
