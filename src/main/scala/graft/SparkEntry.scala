@@ -404,6 +404,11 @@ object SparkEntry {
     },
     "sample_stratified" -> ((s, dir) =>
       graft.ops.TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
+    "sample_weighted" -> ((s, dir) =>
+      graft.ops.TextAnalysis.sampleWeighted(Tables.documents(s, dir))),
+    "mix_plan" -> ((s, dir) =>
+      graft.ops.TextAnalysis.mixPlan(Tables.documents(s, dir),
+        Seq("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.1))),
     "length_buckets" -> ((s, dir) =>
       graft.ops.TextAnalysis.lengthBuckets(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) =>
@@ -822,6 +827,31 @@ object SparkEntry {
         |       CAST(list_aggregate(list_transform(toks,
         |         w -> CAST(ceil(length(w)/4.0) AS BIGINT)), 'sum') AS BIGINT) AS bpe_tokens
         |FROM t""".stripMargin,
+    "sample_weighted" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text),'\s+') AS toks
+        |           FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  round(least(1.0, len(toks)/50.0)*0.4
+        |    + (len(list_filter(toks, w -> list_contains(
+        |        ['the','a','and','of','to','in','is','that'], w)))
+        |       / CAST(len(toks) AS DOUBLE))*0.3
+        |    + (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))*0.3, 6) AS quality
+        |  FROM t)
+        |SELECT doc_id, lang, quality FROM q
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS BIGINT)
+        |        / 65536.0 < quality * 0.3""".stripMargin,
+    "mix_plan" ->
+      """WITH t(source, target_share) AS (
+        |  VALUES ('src0', 0.3), ('src1', 0.2), ('src2', 0.1)),
+        |c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM documents)
+        |SELECT c.source, c.n_docs,
+        |       round(coalesce(t.target_share, 0.025), 6) AS target_share,
+        |       round(least(1.0, coalesce(t.target_share, 0.025) * n.n_total
+        |             / c.n_docs), 6) AS sample_rate,
+        |       round(least(CAST(c.n_docs AS DOUBLE),
+        |             coalesce(t.target_share, 0.025) * n.n_total), 4) AS expected_docs
+        |FROM c LEFT JOIN t USING (source), n""".stripMargin,
     "sample_stratified" ->
       """WITH ranked AS (
         |  SELECT doc_id, lang,

@@ -185,6 +185,48 @@ object TextAnalysis {
         floor(col("cum_prev") / capacity).cast("long").as("seq_id"))
   }
 
+  /** Quality-weighted reproducible sampling: each doc is kept with
+    * inclusion probability proportional to its quality score (md5-unit
+    * threshold, never rand()) — the soft curation between a hard quality
+    * cutoff (curate_corpus) and uniform sampling: low-quality docs still
+    * contribute, just less. Deterministic across runs/engines/cluster
+    * sizes, and a pure narrow filter at scan speed.
+    */
+  def sampleWeighted(docs: DataFrame, scale: Double = 0.3): DataFrame = {
+    val unit = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("double") / 65536.0
+    docs.select(col("doc_id"), col("lang"),
+        qualityScore(tokens(col("text"))).as("quality"))
+      .filter(unit < col("quality") * scale)
+  }
+
+  /** Source-mixing plan — the data-mixing step of corpus assembly: given
+    * target corpus shares per source, derive each source's sampling rate
+    * and expected contribution from its actual size. rate = min(1,
+    * share * N / n_source): an under-represented source samples at 1.0
+    * (cannot be over-drawn without replacement — the plan surfaces the
+    * shortfall via expected_docs < share * N). One tiny grouped count +
+    * two broadcast joins; the rates then feed a hash-threshold filter
+    * like [[sampleWeighted]]'s at scan speed.
+    */
+  def mixPlan(docs: DataFrame, targets: Seq[(String, Double)],
+      defaultShare: Double = 0.025): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = broadcast(targets.toDF("source", "target_share"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val total = broadcast(docs.agg(count(lit(1)).cast("double").as("n_total")))
+    val share = coalesce(col("target_share"), lit(defaultShare))
+    counts.join(t, Seq("source"), "left")
+      .crossJoin(total)
+      .select(col("source"), col("n_docs"),
+        round(share, 6).as("target_share"),
+        round(least(lit(1.0), share * col("n_total") / col("n_docs")), 6)
+          .as("sample_rate"),
+        round(least(col("n_docs").cast("double"), share * col("n_total")), 4)
+          .as("expected_docs"))
+  }
+
   /** Weighted adjacent-symbol pair counts over a symbolized vocabulary —
     * the inner aggregate of BPE tokenizer training. Input: (syms, n) = a
     * word as its current symbol array and its corpus frequency. Output:

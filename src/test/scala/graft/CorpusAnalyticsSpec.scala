@@ -98,6 +98,29 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(rows == Map(1L -> ((4L, 2L, 0.5)), 2L -> ((2L, 2L, 0.0))))
   }
 
+  test("sampleWeighted: higher scale strictly widens the sample; quality-monotone") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val small = TextAnalysis.sampleWeighted(docs, 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val large = TextAnalysis.sampleWeighted(docs, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.nonEmpty && small.subsetOf(large),
+      "the same md5 threshold with a larger scale must keep a superset")
+  }
+
+  test("mixPlan caps rates at 1.0 and derives expected docs from actual sizes") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, "w " * 5, if (i < 30) "big" else "small"))
+      .toDF("doc_id", "text", "source")
+    // N=40: big has 30 docs, small 10. share(big)=0.25 -> 10 expected,
+    // rate 10/30; share(small)=0.5 -> 20 wanted but only 10 exist -> rate 1.0
+    val plan = TextAnalysis.mixPlan(docs, Seq("big" -> 0.25, "small" -> 0.5))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._4, r._5))).toMap
+    assert(plan("big") == ((30L, 0.333333, 10.0)))
+    assert(plan("small") == ((10L, 1.0, 10.0)))
+  }
+
   test("bpeMerges runs greedy deterministic merges with left-to-right application") {
     // corpus: "abab" x3, "abc" x2  ->  char pairs weighted by word freq:
     //   (a,b): 3*2 + 2*1 = 8   <- merge 1 = "ab"
