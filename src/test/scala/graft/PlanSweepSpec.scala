@@ -27,7 +27,7 @@ class PlanSweepSpec extends SparkSpec {
     *    unbounded side (sim_topk_brute, sim_topk_agg).
     */
   private val reviewedNestedLoop = Set(
-    "text_tfidf", "j3_cross_join", "sim_topk_sq8", "corpus_stats",
+    "text_tfidf", "j3_cross_join", "sim_topk_sq8", "corpus_stats", "mix_plan",
     "dedup_embedding", "dedup_embedding_lsh", "embedding_outliers",
     "sim_topk_brute", "sim_topk_agg", "sim_topk_ivf", "sim_topk_ivf_kmeans",
     "sim_topk_ivf_mp")
