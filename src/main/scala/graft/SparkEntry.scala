@@ -164,6 +164,18 @@ object SparkEntry {
       c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
         .select("c_custkey", "c_acctbal")
     },
+    "j9_bloom_semi" -> { (s, dir) =>
+      // Bloom runtime filter ahead of an exact semi-join: the sketch of the
+      // selective part subset rejects non-matching lineitem rows at scan
+      // speed BELOW the join's exchange; the left_semi removes the sketch's
+      // false positives, so the result is bit-identical to a plain semi-join
+      // while the shuffle carries only plausible matches.
+      val li = Tables.lineitem(s, dir)
+      val dim = Tables.part(s, dir).filter(col("p_size") <= 5)
+      operators.RuntimeFilter.bloomSemiJoin(li, "l_partkey", dim, "p_partkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+    },
 
     // ---- A: aggregations -------------------------------------------------
     "a1_minmax_range" -> ((s, dir) =>
@@ -757,6 +769,12 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_totalprice > 300000)""".stripMargin,
+    "j9_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM part p
+        |              WHERE p.p_partkey = l.l_partkey AND p.p_size <= 5)
+        |GROUP BY 1""".stripMargin,
     "p12_pivot" ->
       """SELECT l_returnflag,
         |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
