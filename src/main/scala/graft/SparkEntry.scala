@@ -456,6 +456,13 @@ object SparkEntry {
       graft.streaming.EventAggs.extractProps(Tables.events(s, dir))),
     "events_funnel" -> ((s, dir) =>
       graft.streaming.EventAggs.funnel(Tables.events(s, dir))),
+    "skew_hot_keys" -> ((s, dir) =>
+      // hottest join keys by exact count + corpus share (bounded-heap top-k,
+      // not sort+limit) - the pre-shuffle skew diagnostic
+      operators.SkewProfile.hotKeys(Tables.events(s, dir), "user_id", k = 20)),
+    "skew_histogram" -> ((s, dir) =>
+      // key-frequency histogram in power-of-two buckets over the join key
+      operators.SkewProfile.histogram(Tables.lineitem(s, dir), "l_partkey")),
     "j8_interval_join" -> { (s, dir) =>
       // stream-stream interval join in its batch-equivalent form: each view
       // paired with the user's purchases in the preceding hour
@@ -936,6 +943,19 @@ object SparkEntry {
         |       (SELECT count(fv) FROM f) AS n_viewed,
         |       (SELECT count(*) FROM c) AS n_clicked,
         |       (SELECT count(*) FROM p) AS n_purchased""".stripMargin,
+    "skew_hot_keys" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |     t AS (SELECT count(*) AS total FROM events)
+        |SELECT user_id, cnt,
+        |       CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rnk,
+        |       round(cnt / total, 6) AS share
+        |FROM c, t
+        |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
+    "skew_histogram" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) << (length(printf('%b', cnt)) - 1) AS bucket_lo,
+        |       count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt
+        |FROM c GROUP BY 1""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
         |           FROM documents)

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewProfile
+
+/** Skew diagnostics: exact counts/ranks/shares, power-of-two bucketing,
+  * and the no-global-sort plan shape of the bounded-heap top-k.
+  */
+class SkewProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1 hot key (60 rows), 3 warm (10 each), 40 singletons: 130 rows
+  private def skewed = {
+    val rows =
+      Seq.fill(60)(100L) ++
+        (1L to 3L).flatMap(k => Seq.fill(10)(k)) ++
+        (200L until 240L)
+    rows.map(k => (k, s"payload$k")).toDF("k", "v")
+  }
+
+  test("hotKeys: exact counts, deterministic rank, corpus share") {
+    val top = SkewProfile.hotKeys(skewed, "k", k = 5)
+      .orderBy("rnk").collect()
+    assert(top.length == 5)
+    val first = top.head
+    assert(first.getAs[Long]("k") == 100L && first.getAs[Long]("cnt") == 60L)
+    assert(first.getAs[Long]("rnk") == 1L)
+    assert(math.abs(first.getAs[Double]("share") - 60.0 / 130.0) < 1e-6)
+    // warm keys tie at 10 -> rank by key ascending
+    assert(top.slice(1, 4).map(_.getAs[Long]("k")).toSeq == Seq(1L, 2L, 3L))
+    // rank 5 is the smallest singleton
+    assert(top(4).getAs[Long]("k") == 200L && top(4).getAs[Long]("cnt") == 1L)
+  }
+
+  test("hotKeys ranks with the bounded heap, not a global sort") {
+    val plan = SkewProfile.hotKeys(skewed, "k", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("topk_agg"), s"expected the TopKAggregate in:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"a global sort exchange would move O(keys), not O(k):\n$plan")
+  }
+
+  test("histogram: keys land in exact power-of-two buckets") {
+    val h = SkewProfile.histogram(skewed, "k")
+      .collect().map(r => r.getAs[Long]("bucket_lo") ->
+        ((r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"), r.getAs[Long]("max_cnt"))))
+      .toMap
+    // cnt=60 -> bucket 32; cnt=10 -> bucket 8; cnt=1 -> bucket 1
+    assert(h(32L) == ((1L, 60L, 60L)))
+    assert(h(8L) == ((3L, 30L, 10L)))
+    assert(h(1L) == ((40L, 40L, 1L)))
+    assert(h.keySet == Set(1L, 8L, 32L))
+  }
+
+  test("histogram row volume reconciles with the input") {
+    val total = SkewProfile.histogram(skewed, "k")
+      .agg(sum("n_rows")).as[Long].head()
+    assert(total == 130L)
+  }
+}
