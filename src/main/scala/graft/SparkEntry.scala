@@ -283,6 +283,8 @@ object SparkEntry {
       graft.ops.TextAnalysis.corpusStats(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) =>
       graft.ops.TextAnalysis.tfIdf(Tables.documents(s, dir))),
+    "text_lm_score" -> ((s, dir) =>
+      graft.ops.TextAnalysis.lmScore(Tables.documents(s, dir))),
     "sample_hash" -> ((s, dir) =>
       // reproducible 10% sample by key hash - the sampling primitive a
       // training pipeline needs (stable across runs/engines/cluster sizes,
@@ -1136,6 +1138,21 @@ object SparkEntry {
         |SELECT tf.doc_id, tf.token, tf.tf, df.df,
         |       round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tf_idf
         |FROM tf JOIN df USING (token) CROSS JOIN n""".stripMargin,
+    "text_lm_score" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w)-1)])
+        |           AS bg
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 2),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM b GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+        |       FROM c12 GROUP BY 1)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |       round(avg(ln(c12.c12 / c1.c1)), 4) AS avg_logp
+        |FROM b JOIN c12 USING (bg) JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+        |GROUP BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

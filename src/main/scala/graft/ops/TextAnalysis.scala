@@ -158,6 +158,46 @@ object TextAnalysis {
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6).as("tf_idf"))
   }
 
+  /** Bigram language-model quality score — the CCNet/KenLM-shaped filter:
+    * an n-gram LM is trained on the corpus and each document is scored by
+    * its average bigram log-probability; documents far below the corpus
+    * norm (gibberish, boilerplate, wrong-language) rank lowest and are the
+    * filter-out candidates.
+    *
+    * Training is MLE on the corpus itself: P(w2|w1) = c(w1 w2) / c(w1·),
+    * with the prefix counts c(w1·) derived FROM the bigram counts (a
+    * second aggregate over the vocabulary-sized count table, not a second
+    * pass over the corpus). Every scored bigram was seen in training, so
+    * no smoothing term is needed and the score is a pure corpus statistic.
+    *
+    * Plan shape at scale: one doc_id exchange feeds both the bigram stream
+    * and (via the counts aggregate) the model; the scoring join shuffles
+    * on the gram key — the same inverted-index shape as [[tfIdf]]. Nothing
+    * is ever all-pairs, and the model tables are vocabulary-sized.
+    * Documents with fewer than 2 tokens have no bigrams and are absent
+    * from the output (score undefined), mirroring the oracle's WHERE.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("w"), lead(col("w"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w2")).as("bg"))
+    val c12 = bigrams.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1 = c12
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val model = c12.join(c1,
+      substring_index(c12("bg"), " ", 1) === c1("w1"))
+    bigrams.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c12") / col("c1"))), 4).as("avg_logp"))
+  }
+
   /** Concat-and-chunk sequence packing — the GPT-style training-data
     * layout: documents are concatenated in a deterministic order and cut
     * every `capacity` tokens; each document is labeled with the sequence

@@ -181,4 +181,36 @@ class CorpusAnalyticsSpec extends SparkSpec {
       .count()
     assert(leaked == 0)
   }
+
+  test("lmScore: MLE bigram log-probs, averaged per doc; sub-bigram docs absent") {
+    val docs = Seq(
+      (1L, "a b"),  // P(b|a) = 2/3
+      (2L, "a c"),  // P(c|a) = 1/3
+      (3L, "a b"),  // same as doc 1
+      (4L, "z")     // no bigrams -> absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs)
+      .select("doc_id", "n_bigrams", "avg_logp")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((1L, math.rint(math.log(2.0 / 3.0) * 1e4) / 1e4)))
+    assert(got(2L) == ((1L, math.rint(math.log(1.0 / 3.0) * 1e4) / 1e4)))
+    assert(got(1L) == got(3L))
+    // the common pattern scores strictly higher than the rare one
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
+  test("lmScore averages over repeated bigrams within a doc") {
+    val docs = Seq(
+      (1L, "a b a b"),  // bigrams: (a b) x2, (b a) x1
+      (2L, "a c")
+    ).toDF("doc_id", "text")
+    // corpus counts: c(a b)=2, c(b a)=1, c(a c)=1; prefixes: a=3, b=1
+    val want = (2 * math.log(2.0 / 3.0) + math.log(1.0 / 1.0)) / 3.0
+    val got = TextAnalysis.lmScore(docs)
+      .filter(col("doc_id") === 1L)
+      .select("n_bigrams", "avg_logp").as[(Long, Double)].head()
+    assert(got._1 == 3L)
+    assert(math.abs(got._2 - want) < 1e-4)
+  }
 }
