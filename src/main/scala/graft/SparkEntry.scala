@@ -378,6 +378,11 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0), n = 4)
     },
+    "dedup_span_fraction" -> ((s, dir) =>
+      // substring-level duplication: fraction of each doc's token positions
+      // covered by a 4-gram that occurs in another doc (n = 4 for the same
+      // fixture-collision reason as decontaminate above)
+      graft.ops.Dedup.spanDupFraction(Tables.documents(s, dir), n = 4)),
     "pack_sequences" -> ((s, dir) =>
       graft.ops.TextAnalysis.packSequences(Tables.documents(s, dir))),
     "prepare_training_set" -> { (s, dir) =>
@@ -458,6 +463,14 @@ object SparkEntry {
       graft.streaming.EventAggs.extractProps(Tables.events(s, dir))),
     "events_funnel" -> ((s, dir) =>
       graft.streaming.EventAggs.funnel(Tables.events(s, dir))),
+    "events_anomaly" -> ((s, dir) =>
+      // robust (median/MAD) daily-volume anomaly flags per event type
+      graft.streaming.EventAggs.dailyAnomalies(Tables.events(s, dir))),
+    "feat_winsorize" -> ((s, dir) =>
+      // per-group p05/p95 winsorization - heavy-tail clamp before training
+      graft.ops.Features.winsorize(Tables.lineitem(s, dir),
+        "l_returnflag", "l_extendedprice",
+        idCols = Seq("l_orderkey", "l_linenumber"))),
     "skew_hot_keys" -> ((s, dir) =>
       // hottest join keys by exact count + corpus share (bounded-heap top-k,
       // not sort+limit) - the pre-shuffle skew diagnostic
@@ -945,6 +958,29 @@ object SparkEntry {
         |       (SELECT count(fv) FROM f) AS n_viewed,
         |       (SELECT count(*) FROM c) AS n_clicked,
         |       (SELECT count(*) FROM p) AS n_purchased""".stripMargin,
+    "events_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med
+        |        FROM daily GROUP BY 1),
+        |dev AS (SELECT daily.event_type, daily.d, daily.cnt, med.med,
+        |               abs(daily.cnt - med.med) AS dev
+        |        FROM daily JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT dev.event_type, dev.d, dev.cnt, dev.med, mad.mad,
+        |       CASE WHEN mad.mad > 0 THEN round(dev.dev / mad.mad, 4) END AS robust_z,
+        |       dev.dev > 3 * mad.mad AS is_anomaly
+        |FROM dev JOIN mad USING (event_type)""".stripMargin,
+    "feat_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |                  quantile_cont(l_extendedprice, 0.05) AS p_lo,
+        |                  quantile_cont(l_extendedprice, 0.95) AS p_hi
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+        |       round(least(greatest(l.l_extendedprice, b.p_lo), b.p_hi), 6)
+        |         AS clamped
+        |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
     "skew_hot_keys" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
         |     t AS (SELECT count(*) AS total FROM events)
@@ -1323,6 +1359,32 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_shared
         |FROM cg JOIN bg USING (gram)
         |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin,
+    "dedup_span_fraction" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |             FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(w) - 3)) AS i, w
+        |      FROM tok WHERE len(w) >= 4),
+        |pos AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+3], ' ') AS gram
+        |        FROM p),
+        |shared AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos)
+        |           GROUP BY gram HAVING count(*) >= 2),
+        |docc AS (SELECT pos.doc_id, pos.pos FROM pos JOIN shared USING (gram)),
+        |contrib AS (
+        |  SELECT doc_id,
+        |         CASE WHEN prev IS NULL THEN 4 ELSE least(4, pos - prev) END AS newly
+        |  FROM (SELECT doc_id, pos,
+        |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM docc)),
+        |agg AS (SELECT doc_id, CAST(sum(newly) AS BIGINT) AS dup_tokens
+        |        FROM contrib GROUP BY 1),
+        |sz AS (SELECT doc_id,
+        |              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |                AS n_tokens
+        |       FROM documents)
+        |SELECT sz.doc_id, sz.n_tokens,
+        |       coalesce(agg.dup_tokens, 0) AS dup_tokens,
+        |       round(coalesce(agg.dup_tokens, 0) / sz.n_tokens, 6) AS dup_fraction
+        |FROM sz LEFT JOIN agg USING (doc_id)""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang,
         |             len(regexp_split_to_array(trim(text),'\s+')) AS n_tokens

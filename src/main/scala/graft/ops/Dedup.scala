@@ -547,6 +547,57 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Substring-level duplication metric (the span analog of document-level
+    * dedup, after Lee et al.'s "Deduplicating Training Data Makes Language
+    * Models Better"): for each document, the fraction of its token
+    * positions covered by a word `n`-gram that also occurs in ANOTHER
+    * document. A doc that merely repeats itself scores 0; a doc whose
+    * boilerplate appears corpus-wide scores near 1 — the span-removal
+    * candidates document-level dedup cannot see.
+    *
+    * Pipeline, one logical pass:
+    *  1. positioned grams (doc_id, pos, gram) — the leads ride the doc_id
+    *     exchange like every gram operator here;
+    *  2. grams occurring in >= 2 DISTINCT docs (per-doc distinct is
+    *     shuffle-free on the clustering, then one count per gram) — join
+    *     back to the positioned stream marks the duplicated occurrences;
+    *  3. covered-position union per doc: occurrences are fixed-length
+    *     intervals [pos, pos+n), so sorted by pos the i-th occurrence
+    *     contributes min(n, pos_i - pos_{i-1}) new tokens — a single lag
+    *     window over the doc_id clustering, no island bookkeeping needed.
+    *
+    * Every shuffle key (doc_id, gram) is the same one the dedup family
+    * already uses; nothing is pairwise in documents.
+    */
+  def spanDupFraction(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"l$k"))
+    val positioned = tokenStream(docs, Nil)
+      .select(col("doc_id") +: col("pos") +: col("w") +: leads: _*)
+      .filter(col(s"l${n - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("w") +: (1 until n).map(k => col(s"l$k")): _*).as("gram"))
+    val shared = positioned.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("gram")
+    val dupOcc = positioned.join(shared, "gram")
+    val contrib = dupOcc
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .select(col("doc_id"),
+        when(col("prev").isNull, lit(n.toLong))
+          .otherwise(least(lit(n.toLong), (col("pos") - col("prev")).cast("long")))
+          .as("newly"))
+      .groupBy("doc_id").agg(sum(col("newly")).as("dup_tokens"))
+    val sizes = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    sizes.join(contrib, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6)
+          .as("dup_fraction"))
+  }
+
   /** Embedding near-dup: exact cosine over pairs blocked by IVF cell
     * ([[Similarity.ivfAssign]]), keeping pairs above `minCos`.
     *

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Numeric feature-prep operators for a training pipeline: the
+  * distribution-shaping steps that run between curation and model input.
+  *
+  * Pattern shared by all of them: ONE size-of-data aggregate produces an
+  * O(groups) statistics table, which joins back to the rows (AQE
+  * broadcasts it); the row-side transform stays a narrow codegen'd
+  * expression.
+  */
+object Features {
+
+  /** Per-group quantile winsorization: clamp `valueCol` into its group's
+    * [lo, hi] percentile range — the standard heavy-tail treatment before
+    * scaling/training. Exact `percentile` is the parity path (buffers each
+    * group's values); swap in `approx_percentile` at the 100 TB scale for
+    * a bounded-memory sketch with the same plan shape.
+    *
+    * Output keeps `idCols` so the clamped rows stay addressable.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCols: Seq[String],
+      lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    val bounds = df.groupBy(groupCol).agg(
+      expr(s"percentile($valueCol, $lo)").as("p_lo"),
+      expr(s"percentile($valueCol, $hi)").as("p_hi"))
+    df.join(bounds, groupCol)
+      .select(idCols.map(col) ++ Seq(
+        col(groupCol), col(valueCol),
+        round(least(greatest(col(valueCol), col("p_lo")), col("p_hi")), 6)
+          .as("clamped")): _*)
+  }
+}

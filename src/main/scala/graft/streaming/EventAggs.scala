@@ -52,6 +52,34 @@ object EventAggs {
       .groupBy(to_date(col("ts")).as("d"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** Robust daily-volume anomaly detection per event type: median/MAD
+    * (median absolute deviation) instead of mean/stddev, so one spike day
+    * cannot poison its own baseline. A day is anomalous when its count
+    * deviates from the type's median by more than `k` MADs; `robust_z` is
+    * the continuous score (NULL when MAD = 0 — a flat series has no scale).
+    *
+    * Scale shape: ONE size-of-data pass (the daily count aggregate);
+    * everything after operates on the O(types x days) rollup, whose
+    * median/MAD joins AQE broadcasts. Medians of integer counts
+    * interpolate at exact binary halves, so the flag compares exactly
+    * cross-engine.
+    */
+  def dailyAnomalies(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(cnt, 0.5)").as("med"))
+    val dev = daily.join(med, "event_type")
+      .withColumn("dev", abs(col("cnt") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(mad, "event_type")
+      .select(col("event_type"), col("d"), col("cnt"), col("med"), col("mad"),
+        when(col("mad") > 0, round(col("dev") / col("mad"), 4)).as("robust_z"),
+        (col("dev") > lit(k) * col("mad")).as("is_anomaly"))
+  }
+
   /** Semi-structured extraction from the JSON-ish `props` column — stays a
     * narrow codegen'd expression (no UDF, no parser object churn).
     */

@@ -182,6 +182,41 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(leaked == 0)
   }
 
+  test("dailyAnomalies: median/MAD flags the spike; a flat series has no scale") {
+    def day(d: Int, typ: String, n: Int) =
+      (1 to n).map(i => (typ, ts(f"2024-01-$d%02d 0${i % 9}:00:00")))
+    // type a: flat 4 days of 10, then a 100-spike -> mad = 0
+    val a = (1 to 4).flatMap(day(_, "a", 10)) ++ day(5, "a", 100)
+    // type b: 1..5 ramp -> med 3, mad 1, nothing beyond 3 MADs
+    val b = (1 to 5).flatMap(d => day(d, "b", d))
+    val events = (a ++ b).toDF("event_type", "ts")
+    val got = EventAggs.dailyAnomalies(events)
+      .select("event_type", "d", "cnt", "robust_z", "is_anomaly")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))))
+      .toMap
+    assert(got(("a", "2024-01-05")) == ((100L, None, true)),
+      "flat-series spike: MAD 0 -> z undefined, still flagged")
+    assert(got(("a", "2024-01-01")) == ((10L, None, false)))
+    assert(got(("b", "2024-01-05"))._1 == 5L)
+    assert(got(("b", "2024-01-05"))._2.contains(2.0))
+    assert(EventAggs.dailyAnomalies(events)
+      .filter(col("event_type") === "b" && col("is_anomaly")).count() == 0)
+  }
+
+  test("winsorize clamps exactly at the group's percentile bounds") {
+    val rows = (1 to 20).map(v => (v.toLong, "g", v.toDouble)) :+
+      ((21L, "h", 1000.0)) // singleton group: p05 = p95 = itself
+    val df = rows.toDF("id", "grp", "x")
+    val got = graft.ops.Features.winsorize(df, "grp", "x", idCols = Seq("id"))
+      .select("id", "clamped").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.95)   // 1 + 0.05 * 19
+    assert(got(20L) == 19.05) // 1 + 0.95 * 19
+    assert(got(10L) == 10.0)  // interior values untouched
+    assert(got(21L) == 1000.0)
+  }
+
   test("lmScore: MLE bigram log-probs, averaged per doc; sub-bigram docs absent") {
     val docs = Seq(
       (1L, "a b"),  // P(b|a) = 2/3

@@ -120,4 +120,36 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(again == pairs.toSet, "bucketing is md5-deterministic, not partition-dependent")
   }
+
+  test("spanDupFraction: interval union of cross-doc grams; self-repeats score 0") {
+    val docs = Seq(
+      (1L, "a b c d e"),          // all 3 grams shared with doc 4
+      (2L, "a b c x y"),          // only the leading gram is shared
+      (3L, "q r s t u v"),        // nothing shared
+      (4L, "a b c d e"),          // exact dup of doc 1
+      (5L, "m n o m n o m n o")   // repeats ITSELF only -> not duplicated
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDupFraction(docs, n = 3)
+      .select("doc_id", "n_tokens", "dup_tokens", "dup_fraction")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: occurrences at pos 0,1,2 -> 3 + 1 + 1 = 5 of 5 tokens covered
+    assert(got(1L) == ((5L, 5L, 1.0)))
+    assert(got(2L) == ((5L, 3L, 0.6)))
+    assert(got(3L) == ((6L, 0L, 0.0)))
+    assert(got(4L) == ((5L, 5L, 1.0)))
+    assert(got(5L) == ((9L, 0L, 0.0)))
+  }
+
+  test("spanDupFraction covers overlapping and gapped occurrences exactly") {
+    // doc 6 shares "a b c" at pos 0 and pos 4 (gap > n: two full intervals)
+    val docs = Seq(
+      (6L, "a b c z a b c"),
+      (7L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDupFraction(docs, n = 3)
+      .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+    assert(got(6L) == 6L, "two disjoint occurrences cover 2n tokens")
+    assert(got(7L) == 3L)
+  }
 }
