@@ -703,6 +703,21 @@ object SparkEntry {
           "sea_ice_concentration_mean", "sea_ice_concentration_stddev")
     },
 
+    "snapshot_time_travel" -> { (s, dir) =>
+      // snapshot versioning end to end: two commits, then a version-1 read
+      // (time travel). Fresh temp root per invocation, so the result
+      // depends only on the fixture, never on prior runs; the oracle
+      // recomputes what v1 held.
+      val root = java.nio.file.Files.createTempDirectory("graft_snap_q").toString
+      val orders = Tables.orders(s, dir)
+      def rollup(df: DataFrame) = df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      val v1 = graft.icenet.Snapshots.commit(s, root,
+        rollup(orders.filter(col("o_totalprice") > 300000)))
+      graft.icenet.Snapshots.commit(s, root, rollup(orders)) // v2 supersedes
+      graft.icenet.Snapshots.read(s, root, version = Some(v1))
+    },
+
     // ---- beyond-reference: multimodal column plumbing (ops.Multimodal) ---
     "multimodal_decode" -> { (s, dir) =>
       val media = graft.ops.Multimodal.mediaFromDocuments(Tables.documents(s, dir))
@@ -1859,6 +1874,10 @@ object SparkEntry {
         |       max(ts) + INTERVAL 30 MINUTE AS session_end,
         |       user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "snapshot_time_travel" ->
+      // what version 1 held: the filtered rollup, not the v2 full one
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders WHERE o_totalprice > 300000 GROUP BY 1""".stripMargin,
     "gridded_ingest" ->
       // regenerates GridFixture's closed-form cell values from pure index
       // math (no table, no binary file) and applies the same P2-P8 chain —

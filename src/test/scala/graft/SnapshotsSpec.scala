@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.icenet.Snapshots
+
+/** Snapshot versioning: time travel by version and by commit time, crash
+  * windows (orphaned dirs, stale pointer), retention, and loud failure on
+  * expired reads.
+  */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hfs(path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitN(path: String, n: Int): Long =
+    Snapshots.commit(spark, path,
+      Seq.tabulate(n)(i => (i.toLong, s"v$n-row$i")).toDF("id", "payload"))
+
+  test("commit/read: latest by default, any retained version by number") {
+    val t = tmpDir("snap")
+    assert(Snapshots.currentVersion(spark, t).isEmpty)
+    assert(commitN(t, 1) == 1L)
+    assert(commitN(t, 2) == 2L)
+    assert(commitN(t, 3) == 3L)
+    assert(Snapshots.read(spark, t).count() == 3)
+    assert(Snapshots.read(spark, t, Some(1L)).count() == 1)
+    assert(Snapshots.read(spark, t, Some(2L)).as[(Long, String)].collect()
+      .forall(_._2.startsWith("v2-")))
+    val h = Snapshots.history(spark, t)
+    assert(h.map(_._1) == Seq(1L, 2L, 3L))
+    assert(h.map(_._3) == Seq(false, false, true))
+    assert(h.map(_._2).sorted == h.map(_._2), "commit times ascend")
+  }
+
+  test("asOf resolves by transaction time from the commit markers") {
+    val t = tmpDir("snap")
+    commitN(t, 1); commitN(t, 2)
+    val Seq((_, t1, _), (_, t2, _)) = Snapshots.history(spark, t)
+    assert(Snapshots.asOf(spark, t, t2).count() == 2)
+    assert(Snapshots.asOf(spark, t, math.max(t1, t2 - 1)).count() == 1)
+    intercept[IllegalStateException](Snapshots.asOf(spark, t, t1 - 1))
+  }
+
+  test("an uncommitted (crash-orphaned) version dir is invisible; its number is never reused") {
+    val t = tmpDir("snap")
+    commitN(t, 1)
+    hfs(t).mkdirs(new Path(t, "_versions/v00000007")) // crash before _commit
+    assert(Snapshots.history(spark, t).map(_._1) == Seq(1L))
+    assert(Snapshots.read(spark, t).count() == 1)
+    intercept[IllegalArgumentException](Snapshots.read(spark, t, Some(7L)))
+    assert(commitN(t, 2) == 8L, "next version counts past the orphan")
+  }
+
+  test("stale or missing pointer: readers fall back to the max committed version") {
+    val t = tmpDir("snap")
+    commitN(t, 1); commitN(t, 2)
+    hfs(t).delete(new Path(t, "_latest"), false) // crash between delete+rename
+    assert(Snapshots.currentVersion(spark, t).contains(2L))
+    assert(Snapshots.read(spark, t).count() == 2)
+    assert(commitN(t, 3) == 3L, "commit after pointer loss continues the chain")
+    assert(Snapshots.currentVersion(spark, t).contains(3L))
+  }
+
+  test("expire keeps the newest keepLast, the pointer target, and fails expired reads loudly") {
+    val t = tmpDir("snap")
+    (1 to 4).foreach(commitN(t, _))
+    val deleted = Snapshots.expire(spark, t, keepLast = 2)
+    assert(deleted == Seq(1L, 2L))
+    assert(Snapshots.history(spark, t).map(_._1) == Seq(3L, 4L))
+    assert(Snapshots.read(spark, t).count() == 4)
+    intercept[IllegalArgumentException](Snapshots.read(spark, t, Some(1L)))
+  }
+
+  test("partitioned snapshots read back whole") {
+    val t = tmpDir("snap")
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "part", "x")
+    Snapshots.commit(spark, t, df, partitionCols = Seq("part"))
+    val back = Snapshots.read(spark, t)
+    assert(back.count() == 3)
+    assert(back.select(sum("x")).as[Double].head() == 60.0)
+  }
+}
