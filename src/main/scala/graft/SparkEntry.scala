@@ -568,6 +568,17 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
+    "w7_topn_per_group" -> ((s, dir) =>
+      // top-3 per group via rank filter: Catalyst rewrites it to
+      // WindowGroupLimit, so each map task keeps <= 3 rows per group BEFORE
+      // the window exchange - the grouped complement of q_topn's
+      // TakeOrdered (PlanGuardSpec pins the shape)
+      Tables.customer(s, dir)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("c_mktsegment"))
+            .orderBy(col("c_acctbal").desc, col("c_custkey"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")),
     "cdc_snapshot" -> ((s, dir) =>
       // events as a CDC changelog: 'error' events are deletes, everything
       // else upserts; snapshot = each user's latest surviving change
@@ -716,6 +727,22 @@ object SparkEntry {
         rollup(orders.filter(col("o_totalprice") > 300000)))
       graft.icenet.Snapshots.commit(s, root, rollup(orders)) // v2 supersedes
       graft.icenet.Snapshots.read(s, root, version = Some(v1))
+    },
+
+    "snapshot_diff" -> { (s, dir) =>
+      // changelog BETWEEN two snapshot versions (the inverse of CDC
+      // compaction). The two rollups' key ranges overlap partially and the
+      // second adds a price filter, so all three ops appear: I (new-only
+      // keys), D (old-only), U (shared keys whose aggregates moved).
+      val root = java.nio.file.Files.createTempDirectory("graft_snapdiff_q").toString
+      val keyed = Tables.orders(s, dir).withColumn("k", col("o_orderkey") % 7)
+      def rollup(df: DataFrame) = df.groupBy("k")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      val v1 = graft.icenet.Snapshots.commit(s, root,
+        rollup(keyed.filter(col("k") <= 4)))
+      val v2 = graft.icenet.Snapshots.commit(s, root,
+        rollup(keyed.filter(col("k") >= 2 && col("o_totalprice") > 50000)))
+      graft.icenet.Snapshots.diff(s, root, v1, v2, Seq("k"))
     },
 
     // ---- beyond-reference: multimodal column plumbing (ops.Multimodal) ---
@@ -1775,6 +1802,14 @@ object SparkEntry {
         |         RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4) AS trailing_sum
         |FROM events
         |WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL""".stripMargin,
+    "w7_topn_per_group" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY c_mktsegment
+        |           ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+        |  FROM customer)
+        |WHERE rnk <= 3""".stripMargin,
     "stream_sliding_agg" ->
       """WITH e AS (
         |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, event_type, value
@@ -1878,6 +1913,22 @@ object SparkEntry {
       // what version 1 held: the filtered rollup, not the v2 full one
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 4) AS total
         |FROM orders WHERE o_totalprice > 300000 GROUP BY 1""".stripMargin,
+    "snapshot_diff" ->
+      """WITH keyed AS (SELECT o_orderkey % 7 AS k, o_totalprice FROM orders),
+        |v1 AS (SELECT k, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |       FROM keyed WHERE k <= 4 GROUP BY 1),
+        |v2 AS (SELECT k, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |       FROM keyed WHERE k >= 2 AND o_totalprice > 50000 GROUP BY 1),
+        |j AS (SELECT coalesce(v1.k, v2.k) AS k,
+        |             v1.n AS n1, v1.total AS t1, v2.n AS n2, v2.total AS t2
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+        |SELECT k,
+        |       CASE WHEN n1 IS NULL THEN 'I' WHEN n2 IS NULL THEN 'D'
+        |            ELSE 'U' END AS op,
+        |       CASE WHEN n2 IS NULL THEN n1 ELSE n2 END AS n,
+        |       CASE WHEN n2 IS NULL THEN t1 ELSE t2 END AS total
+        |FROM j
+        |WHERE n1 IS NULL OR n2 IS NULL OR n1 <> n2 OR t1 <> t2""".stripMargin,
     "gridded_ingest" ->
       // regenerates GridFixture's closed-form cell values from pure index
       // math (no table, no binary file) and applies the same P2-P8 chain —

@@ -155,6 +155,46 @@ object Snapshots {
       .map(v => (v, commitMillis(hfs, path, v), cur.contains(v)))
   }
 
+  /** Changelog between two committed versions — the INVERSE of CDC
+    * compaction ([[TableOps.cdcSnapshot]] turns a changelog into a
+    * snapshot; this turns two snapshots into the minimal changelog):
+    * one row per key that was inserted ('I', new values), updated
+    * ('U', new values), or deleted ('D', last-known values) between
+    * `fromVersion` and `toVersion`. Unchanged keys are absent, so
+    * downstream consumers replay only the delta.
+    */
+  def diff(
+      spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long,
+      keys: Seq[String]): DataFrame =
+    diffFrames(read(spark, path, Some(fromVersion)),
+      read(spark, path, Some(toVersion)), keys)
+
+  /** Frame-level core of [[diff]]: full-outer join on `keys`, null-safe
+    * struct comparison of the non-key columns. One shuffle per side on the
+    * key — the join IS the diff; nothing is collected or pairwise.
+    */
+  def diffFrames(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      s"diff requires identical schemas: [${oldDf.columns.sorted.mkString(",")}] " +
+        s"vs [${newDf.columns.sorted.mkString(",")}]")
+    val payload = oldDf.columns.filterNot(keys.contains).sorted.toIndexedSeq
+    def packed(df: DataFrame, tag: String) = df.select(
+      keys.map(col) :+ struct(payload.map(col): _*).as(s"row_$tag"): _*)
+    packed(oldDf, "old").join(packed(newDf, "new"), keys, "full_outer")
+      .withColumn("op",
+        when(col("row_old").isNull, "I")
+          .when(col("row_new").isNull, "D")
+          .when(!(col("row_old") <=> col("row_new")), "U"))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) ++ Seq(col("op")) ++ payload.map(c =>
+        // whole-row source picked by op (a per-column coalesce would
+        // resurrect old values under a legitimately-NULL update)
+        when(col("op") === "D", col(s"row_old.$c"))
+          .otherwise(col(s"row_new.$c")).as(c)): _*)
+  }
+
   /** Deletes all but the newest `keepLast` committed snapshots (and any
     * uncommitted orphans older than what is kept). The current pointer
     * target is always kept. Returns the deleted version numbers.

@@ -166,6 +166,24 @@ class PlanGuardSpec extends SparkSpec {
       case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("w7_topn_per_group: rank filter becomes WindowGroupLimit below the exchange") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val p = plan("w7_topn_per_group")
+    val limits = collectAll(p) { case w: WindowGroupLimitExec => w }
+    assert(limits.nonEmpty,
+      s"rnk <= k must plan as WindowGroupLimit (each task keeps k rows per " +
+        s"group pre-shuffle), got:\n$p")
+    // partial mode runs BEFORE the exchange: the shuffle carries O(groups*k)
+    assert(limits.exists(_.mode.toString.contains("Partial")),
+      s"expected a Partial WindowGroupLimit below the exchange:\n$limits")
+  }
+
+  test("snapshot_diff: one full-outer sort-merge join, no cartesian") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val p = plan("snapshot_diff")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("sim_topk_pq: codebook and distance table broadcast; no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val p = plan("sim_topk_pq")

@@ -73,6 +73,47 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.read(spark, t, Some(1L)))
   }
 
+  test("diffFrames classifies I/U/D, emits null updates, skips unchanged") {
+    val old = Seq(
+      (1L, Option("keep"), 10.0),
+      (2L, Option("update-me"), 20.0),
+      (3L, Option("delete-me"), 30.0),
+      (4L, Option("null-me"), 40.0)
+    ).toDF("id", "tag", "x")
+    val neu = Seq(
+      (1L, Option("keep"), 10.0),   // unchanged -> absent
+      (2L, Option("updated"), 21.0),
+      (4L, Option.empty[String], 40.0), // value went NULL: still a U with null
+      (5L, Option("inserted"), 50.0)
+    ).toDF("id", "tag", "x")
+    val got = Snapshots.diffFrames(old, neu, Seq("id"))
+      .select("id", "op", "tag", "x")
+      .as[(Long, String, Option[String], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      2L -> (("U", Some("updated"), 21.0)),
+      3L -> (("D", Some("delete-me"), 30.0)),
+      4L -> (("U", None, 40.0)),
+      5L -> (("I", Some("inserted"), 50.0))))
+  }
+
+  test("applying the diff to the old snapshot reproduces the new one") {
+    val t = tmpDir("snap")
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "tag", "x")
+    val neu = Seq((1L, "a", 1.0), (2L, "B", 2.5), (4L, "d", 4.0))
+      .toDF("id", "tag", "x")
+    val v1 = Snapshots.commit(spark, t, old)
+    val v2 = Snapshots.commit(spark, t, neu)
+    val d = Snapshots.diff(spark, t, v1, v2, Seq("id"))
+    val applied = Snapshots.read(spark, t, Some(v1))
+      .join(d.select("id"), Seq("id"), "left_anti") // drop every touched key
+      .unionByName(d.filter(col("op") =!= "D").drop("op")
+        .select("id", "tag", "x"))
+    val want = Snapshots.read(spark, t, Some(v2))
+    assert(applied.exceptAll(want).isEmpty && want.exceptAll(applied).isEmpty)
+  }
+
   test("partitioned snapshots read back whole") {
     val t = tmpDir("snap")
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
