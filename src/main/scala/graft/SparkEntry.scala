@@ -440,6 +440,15 @@ object SparkEntry {
       graft.ops.Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     "sim_topk_ivf" -> ((s, dir) =>
       graft.ops.Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    "sim_topk_ivf_persisted" -> { (s, dir) =>
+      // build-once / query-many: the index (centroids + cell assignments)
+      // is persisted as versioned snapshots, then queried without
+      // re-assigning the corpus. Fresh temp root per invocation.
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.Similarity.buildIvfIndex(emb, root)
+      graft.ops.Similarity.ivfTopKFromIndex(emb, root)
+    },
     "sim_topk_agg" -> ((s, dir) =>
       graft.ops.Similarity.bruteForceTopKAgg(Tables.embeddings(s, dir))),
     "sim_topk_ivf_mp" -> ((s, dir) =>
@@ -714,6 +723,21 @@ object SparkEntry {
           "sea_ice_concentration_mean", "sea_ice_concentration_stddev")
     },
 
+    "dq_check" -> { (s, dir) =>
+      // declarative data-quality gate: row rules fused into one scan,
+      // uniqueness as its own single-distinct aggregate, FK as the S5-style
+      // anti-join. The range rule is deliberately tight so the fixture
+      // produces a non-vacuous failing row.
+      import graft.ops.Expectations._
+      val li = Tables.lineitem(s, dir)
+      val smallParts = Tables.part(s, dir).filter(col("p_size") <= 25)
+      check(li, Seq(
+        NotNull("l_shipdate"),
+        InRange("l_quantity", 1, 30),
+        Matches("l_returnflag", "^[ANR]$"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        ForeignKey(Seq("l_partkey"), smallParts, Seq("p_partkey"), "l_partkey_small")))
+    },
     "snapshot_time_travel" -> { (s, dir) =>
       // snapshot versioning end to end: two commits, then a version-1 read
       // (time travel). Fresh temp root per invocation, so the result
@@ -763,6 +787,35 @@ object SparkEntry {
         .select(col("media_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
         .select(col("media_id"), col("dim"), round(col("val"), 6).as("val"))),
   )
+
+  /** Shared by sim_topk_ivf and sim_topk_ivf_persisted: the persisted-index
+    * read-back is bit-exact (double arrays round-trip parquet losslessly),
+    * so both paths compute identical results.
+    */
+  private val IvfTopKSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, vec,
+      |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+      |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm FROM n WHERE vec_id < 16),
+      |asg AS (SELECT vec_id, vec, nrm, cent_id,
+      |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
+      |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
+      |        FROM n CROSS JOIN c),
+      |cell AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM
+      |          (SELECT *, row_number() OVER (
+      |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+      |         WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm, cell FROM cell
+      |      WHERE vec_id % 50 = 0),
+      |s AS (SELECT query_id, m.vec_id AS neighbor_id,
+      |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+      |          i -> qvec[i]*m.vec[i]), 'sum') / (qnorm*m.nrm), 6) AS cos_sim
+      |      FROM cell m JOIN q USING (cell) WHERE m.vec_id <> q.query_id)
+      |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+      |WHERE rn <= 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "latest_view" ->
@@ -1614,30 +1667,10 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
         |WHERE rn <= 5""".stripMargin,
-    "sim_topk_ivf" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-        |           FROM embeddings),
-        |n AS (SELECT vec_id, vec,
-        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
-        |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm FROM n WHERE vec_id < 16),
-        |asg AS (SELECT vec_id, vec, nrm, cent_id,
-        |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
-        |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
-        |        FROM n CROSS JOIN c),
-        |cell AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM
-        |          (SELECT *, row_number() OVER (
-        |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
-        |         WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm, cell FROM cell
-        |      WHERE vec_id % 50 = 0),
-        |s AS (SELECT query_id, m.vec_id AS neighbor_id,
-        |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
-        |          i -> qvec[i]*m.vec[i]), 'sum') / (qnorm*m.nrm), 6) AS cos_sim
-        |      FROM cell m JOIN q USING (cell) WHERE m.vec_id <> q.query_id)
-        |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
-        |FROM (SELECT *, row_number() OVER (
-        |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
-        |WHERE rn <= 3""".stripMargin,
+    "sim_topk_ivf" -> IvfTopKSql,
+    // the persisted-index path returns exactly ivfTopK's results by
+    // contract (SimilaritySpec pins the parity), so it shares the oracle
+    "sim_topk_ivf_persisted" -> IvfTopKSql,
     "sim_topk_ivf_mp" ->
       // multi-probe IVF: corpus single-assigned (rn = 1), queries probe
       // their top-2 cells (rn <= 2)
@@ -1909,6 +1942,30 @@ object SparkEntry {
         |       max(ts) + INTERVAL 30 MINUTE AS session_end,
         |       user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "dq_check" ->
+      """WITH r1 AS (SELECT CAST(0 AS BIGINT) AS ordinal,
+        |                   'l_shipdate_not_null' AS rule,
+        |                   count(*) FILTER (WHERE l_shipdate IS NULL) AS n_violations,
+        |                   count(*) AS n_checked FROM lineitem),
+        |r2 AS (SELECT 1, 'l_quantity_in_range',
+        |              count(*) FILTER (WHERE l_quantity IS NULL
+        |                               OR l_quantity < 1 OR l_quantity > 30),
+        |              count(*) FROM lineitem),
+        |r3 AS (SELECT 2, 'l_returnflag_matches',
+        |              count(*) FILTER (WHERE l_returnflag IS NULL
+        |                               OR NOT regexp_matches(l_returnflag, '^[ANR]$')),
+        |              count(*) FROM lineitem),
+        |r4 AS (SELECT 3, 'l_orderkey_l_linenumber_unique',
+        |              count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
+        |              count(*) FROM lineitem),
+        |r5 AS (SELECT 4, 'l_partkey_small_fk',
+        |              count(*) FILTER (WHERE l_partkey NOT IN
+        |                (SELECT p_partkey FROM part WHERE p_size <= 25)),
+        |              count(*) FROM lineitem WHERE l_partkey IS NOT NULL)
+        |SELECT ordinal, rule, n_violations, n_checked, n_violations = 0 AS pass
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+        |      UNION ALL SELECT * FROM r5)""".stripMargin,
     "snapshot_time_travel" ->
       // what version 1 held: the filtered rollup, not the v2 full one
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 4) AS total

@@ -31,7 +31,10 @@ object Features {
     val bounds = df.groupBy(groupCol).agg(
       expr(s"percentile($valueCol, $lo)").as("p_lo"),
       expr(s"percentile($valueCol, $hi)").as("p_hi"))
-    df.join(bounds, groupCol)
+    // O(groups) rows by construction: broadcast explicitly so the static
+    // plan never considers shuffling the fact side on the (few-valued,
+    // maximally skewed) group key
+    df.join(broadcast(bounds), groupCol)
       .select(idCols.map(col) ++ Seq(
         col(groupCol), col(valueCol),
         round(least(greatest(col(valueCol), col("p_lo")), col("p_hi")), 6)

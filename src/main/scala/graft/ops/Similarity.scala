@@ -456,6 +456,50 @@ object Similarity {
     * filtering the corpus-wide assignment as the fixture-sized query mod
     * does here.)
     */
+  /** Builds and PERSISTS an IVF index as two versioned snapshot tables —
+    * the build-once / query-many lifecycle a production ANN deployment
+    * needs (re-assigning 100 TB of vectors per query batch is the
+    * anti-pattern the index exists to avoid):
+    * `<path>/centroids` (cent_id, cvec, cnorm) and
+    * `<path>/cells` (vec_id, vec, norm, cell). Versioning via
+    * [[graft.icenet.Snapshots]] means an index rebuild is a new snapshot
+    * readers can adopt atomically — and roll back from.
+    *
+    * Deterministic seed centroids by default so the persisted index is
+    * oracle-reproducible; pass `refined = kmeansCentroids(...)` for the
+    * offline-quality build.
+    */
+  def buildIvfIndex(
+      embeddings: DataFrame, path: String,
+      nCentroids: Int = 16,
+      refined: Option[DataFrame] = None): (Long, Long) = {
+    val spark = embeddings.sparkSession
+    val v = withNorm(embeddings)
+    val cents = refined.getOrElse(seedCentroids(v, nCentroids))
+    val cellsV = graft.icenet.Snapshots.commit(
+      spark, s"$path/cells", assignCells(v, cents, nProbe = 1))
+    val centsV = graft.icenet.Snapshots.commit(spark, s"$path/centroids", cents)
+    (centsV, cellsV)
+  }
+
+  /** Top-k against a PERSISTED index: queries are assigned with the stored
+    * centroids and scored only against their cell's stored vectors — the
+    * corpus-side assignment work was paid once at [[buildIvfIndex]] time.
+    * With the same parameters this returns exactly [[ivfTopK]]'s results
+    * (the spec pins the parity), so a user can switch to the persisted
+    * path without re-validating semantics.
+    */
+  def ivfTopKFromIndex(
+      queries: DataFrame, path: String,
+      k: Int = 3, queryMod: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    val corpus = graft.icenet.Snapshots.read(spark, s"$path/cells")
+    val cents = graft.icenet.Snapshots.read(spark, s"$path/centroids")
+    val q = querySubset(assignCells(withNorm(queries), localize(cents), nProbe = 1),
+      queryMod, withCell = true)
+    rankTopK(scoreAgainst(corpus, q, Some("cell"), "index query set"), k)
+  }
+
   def ivfTopKMultiProbe(
       embeddings: DataFrame, k: Int = 3, queryMod: Int = 50,
       nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {

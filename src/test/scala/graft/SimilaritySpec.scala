@@ -103,4 +103,22 @@ class SimilaritySpec extends SparkSpec {
     assert(again == Similarity.pqTopK(emb)
       .select("query_id", "neighbor_id", "rnk").collect().toSet)
   }
+
+  test("persisted IVF index: query path matches the inline ivfTopK exactly") {
+    val root = tmpDir("ivfidx")
+    Similarity.buildIvfIndex(emb, root)
+    val fromIndex = Similarity.ivfTopKFromIndex(emb, root)
+    val inline = Similarity.ivfTopK(emb)
+    assert(fromIndex.exceptAll(inline).isEmpty && inline.exceptAll(fromIndex).isEmpty)
+  }
+
+  test("persisted IVF index versions: a rebuild is a new snapshot, the old stays queryable") {
+    val root = tmpDir("ivfidx")
+    val (_, cellsV1) = Similarity.buildIvfIndex(emb, root)
+    val (_, cellsV2) = Similarity.buildIvfIndex(emb.filter(col("vec_id") < 200), root)
+    assert(cellsV2 == cellsV1 + 1)
+    val v1 = graft.icenet.Snapshots.read(spark, s"$root/cells", Some(cellsV1))
+    val v2 = graft.icenet.Snapshots.read(spark, s"$root/cells", Some(cellsV2))
+    assert(v1.count() > v2.count(), "old index version remains readable")
+  }
 }
