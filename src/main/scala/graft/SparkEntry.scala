@@ -101,6 +101,12 @@ object SparkEntry {
             .otherwise("south")).as("hemisphere"))),
     "p10_first_distinct" -> ((s, dir) =>
       Tables.orders(s, dir).select(col("o_orderpriority").as("priority")).distinct()),
+    "p13_unpivot" -> ((s, dir) =>
+      // wide-to-long melt (inverse of p12): stack is a narrow generator,
+      // no shuffle, 3 metric rows per input row at scan speed
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        expr("stack(3, 'l_quantity', l_quantity, 'l_discount', l_discount, " +
+          "'l_tax', l_tax) AS (metric, value)"))),
     "p12_pivot" -> ((s, dir) =>
       // long-to-wide pivot (inverse of P4's flatten): per-returnflag row,
       // one sum column per linestatus. Fixed pivot values keep the plan a
@@ -163,6 +169,32 @@ object SparkEntry {
       val big = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
       c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
         .select("c_custkey", "c_acctbal")
+    },
+    "j10_bucketed_join" -> { (s, dir) =>
+      // co-located join: both sides written bucketed+sorted on the join
+      // key, so the merge join needs NO exchange and no sort — the layout
+      // investment that replaces a per-query shuffle of the fact table at
+      // 100 TB. The hint pins SMJ (a broadcast would hide the demo);
+      // PlanGuardSpec asserts the exchange-free shape.
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      // the in-memory catalog forgets tables between JVMs but the managed
+      // location survives; clear both or saveAsTable fails LOCATION_EXISTS
+      Seq("bkt_customer", "bkt_orders").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
+      c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("bkt_customer")
+      o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("bkt_orders")
+      val bc = s.table("bkt_customer").hint("merge")
+      val bo = s.table("bkt_orders")
+      bc.join(bo, bc("c_custkey") === bo("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
     },
     "j9_bloom_semi" -> { (s, dir) =>
       // Bloom runtime filter ahead of an exact semi-join: the sketch of the
@@ -886,6 +918,17 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_totalprice > 300000)""".stripMargin,
+    "j10_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1""".stripMargin,
+    "p13_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
     "j9_bloom_semi" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem l

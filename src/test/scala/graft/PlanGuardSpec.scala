@@ -166,6 +166,19 @@ class PlanGuardSpec extends SparkSpec {
       case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("j10_bucketed_join: the merge join consumes bucket layout — no exchange, no sort below it") {
+    val p = plan("j10_bucketed_join")
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected a sort-merge join:\n$p")
+    // everything below the join must be scan-only: the bucketed+sorted
+    // layout satisfies both the partitioning and the ordering requirement
+    val below = smj.head.children.map(_.toString).mkString
+    assert(!below.contains("Exchange"),
+      s"bucketed sides must not re-shuffle:\n$below")
+    assert(!below.contains("Sort "),
+      s"sortBy'd buckets must not re-sort:\n$below")
+  }
+
   test("w7_topn_per_group: rank filter becomes WindowGroupLimit below the exchange") {
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
     val p = plan("w7_topn_per_group")
