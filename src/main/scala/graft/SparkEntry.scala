@@ -317,6 +317,13 @@ object SparkEntry {
       graft.ops.TextAnalysis.tfIdf(Tables.documents(s, dir))),
     "text_lm_score" -> ((s, dir) =>
       graft.ops.TextAnalysis.lmScore(Tables.documents(s, dir))),
+    "text_entropy" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tokenEntropy(Tables.documents(s, dir))),
+    "corpus_drift" -> ((s, dir) =>
+      // release-over-release language drift, here between the even/odd
+      // doc_id slices (deterministic stand-ins for two corpus versions)
+      graft.ops.TextAnalysis.langDrift(Tables.documents(s, dir),
+        col("doc_id") % 2 === 0, col("doc_id") % 2 === 1)),
     "sample_hash" -> ((s, dir) =>
       // reproducible 10% sample by key hash - the sampling primitive a
       // training pipeline needs (stable across runs/engines/cluster sizes,
@@ -569,6 +576,16 @@ object SparkEntry {
       Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
         expr("approx_percentile(l_quantity, 0.5, 1000000)").as("median_qty"),
         expr("approx_percentile(l_extendedprice, 0.9, 1000000)").as("p90_price"))),
+    "a11_corr" -> ((s, dir) =>
+      // single-pass co-moment aggregates (corr/covar/stddev) - the column
+      // relationship profile, engine-portable because both engines use
+      // one-pass co-moment accumulation
+      Tables.lineitem(s, dir).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("cov_qty_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"))),
     "a9_grouping_sets" -> ((s, dir) =>
       // non-hierarchical grouping sets - two independent rollup axes in ONE
       // scan + one expand (rollup/cube cannot express (flag),(status) without
@@ -1327,6 +1344,33 @@ object SparkEntry {
         |       round(avg(ln(c12.c12 / c1.c1)), 4) AS avg_logp
         |FROM b JOIN c12 USING (bg) JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
         |GROUP BY 1""".stripMargin,
+    "text_entropy" ->
+      """WITH c AS (SELECT doc_id, w, count(*) AS c
+        |           FROM (SELECT doc_id,
+        |                        unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |                 FROM documents)
+        |           GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+        |FROM c GROUP BY 1""".stripMargin,
+    "corpus_drift" ->
+      """WITH counts AS (SELECT lang,
+        |                       count(*) FILTER (WHERE doc_id % 2 = 0) AS ca,
+        |                       count(*) FILTER (WHERE doc_id % 2 = 1) AS cb
+        |                FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts),
+        |t AS (SELECT (ca / na + cb / nb) / 2.0 AS m, ca, cb, na, nb
+        |      FROM counts CROSS JOIN tot)
+        |SELECT round((sum(CASE WHEN ca > 0 THEN (ca / na) * ln((ca / na) / m)
+        |                       ELSE 0 END)
+        |            + sum(CASE WHEN cb > 0 THEN (cb / nb) * ln((cb / nb) / m)
+        |                       ELSE 0 END)) / 2.0, 6) AS jsd
+        |FROM t""".stripMargin,
+    "a11_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+        |       round(stddev_samp(l_extendedprice), 4) AS sd_price
+        |FROM lineitem""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

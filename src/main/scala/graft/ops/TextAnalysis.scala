@@ -158,6 +158,46 @@ object TextAnalysis {
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6).as("tf_idf"))
   }
 
+  /** Per-document token entropy (nats): H = ln(n) - Σ c·ln(c) / n over the
+    * doc's token frequencies — the information-density signal that
+    * separates natural prose (high) from boilerplate and keyword stuffing
+    * (low). The algebraic form needs ONE aggregate over (doc, token)
+    * counts (no per-token probability join), and the counts groupBy rides
+    * the doc_id exchange, so the whole operator is one shuffle.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * log(col("c"))).as("clogc"))
+      .select(col("doc_id"), col("n"),
+        round(log(col("n")) - col("clogc") / col("n"), 4).as("entropy"))
+
+  /** Jensen-Shannon divergence between the `lang` distributions of two
+    * corpus slices — the drift monitor a pipeline runs between releases
+    * (JSD is symmetric, bounded by ln 2, and defined when a language
+    * exists on only one side — where KL blows up). One pass builds both
+    * distributions (two conditional counts per language); the divergence
+    * is a fold over the O(#languages) rollup.
+    */
+  def langDrift(docs: DataFrame, isLeft: Column, isRight: Column): DataFrame = {
+    val counts = docs.groupBy("lang").agg(
+      sum(when(isLeft, 1L).otherwise(0L)).as("ca"),
+      sum(when(isRight, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    def term(c: Column, n: Column, m: Column) =
+      when(c > 0, (c / n) * log((c / n) / m)).otherwise(lit(0.0))
+    counts.crossJoin(broadcast(tot))
+      .select(
+        ((col("ca") / col("na") + col("cb") / col("nb")) / 2.0).as("m"),
+        col("ca"), col("cb"), col("na"), col("nb"))
+      .agg(round(
+        (sum(term(col("ca"), col("na"), col("m"))) +
+          sum(term(col("cb"), col("nb"), col("m")))) / 2.0, 6).as("jsd"))
+  }
+
   /** Bigram language-model quality score — the CCNet/KenLM-shaped filter:
     * an n-gram LM is trained on the corpus and each document is scored by
     * its average bigram log-probability; documents far below the corpus

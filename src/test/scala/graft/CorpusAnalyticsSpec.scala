@@ -217,6 +217,36 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(got(21L) == 1000.0)
   }
 
+  test("tokenEntropy: uniform docs hit ln(k), repeats score 0") {
+    val docs = Seq(
+      (1L, "a b c d"),      // 4 distinct of 4 -> ln 4
+      (2L, "a a a a"),      // 1 distinct      -> 0
+      (3L, "a a b b")       // uniform over 2  -> ln 2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs)
+      .select("doc_id", "entropy").as[(Long, Double)].collect().toMap
+    assert(got(1L) == math.rint(math.log(4) * 1e4) / 1e4)
+    assert(got(2L) == 0.0)
+    assert(got(3L) == math.rint(math.log(2) * 1e4) / 1e4)
+  }
+
+  test("langDrift: identical slices diverge 0, disjoint slices hit ln 2") {
+    val same = (1L to 20L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val jsdSame = TextAnalysis.langDrift(same,
+      col("doc_id") % 2 === 0, col("doc_id") % 2 === 1)
+      .as[Double].head()
+    // even slice is all-en, odd all-fr -> maximal drift ln 2
+    assert(jsdSame == math.rint(math.log(2) * 1e6) / 1e6)
+    val mixed = (1L to 20L).map(i => (i, if (i <= 10) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    // both slices are 50/50 en/fr -> zero drift
+    val jsdZero = TextAnalysis.langDrift(mixed,
+      col("doc_id") % 2 === 0, col("doc_id") % 2 === 1)
+      .as[Double].head()
+    assert(jsdZero == 0.0)
+  }
+
   test("lmScore: MLE bigram log-probs, averaged per doc; sub-bigram docs absent") {
     val docs = Seq(
       (1L, "a b"),  // P(b|a) = 2/3

@@ -17,7 +17,8 @@ class PlanSweepSpec extends SparkSpec {
   /** Queries with a REVIEWED nested-loop whose build side is bounded by
     * construction or guarded at build time:
     *  - 1-row corpus-count / codebook broadcasts (text_tfidf, sim_topk_sq8,
-    *    skew_hot_keys' share denominator, dq_check's FK n_checked);
+    *    skew_hot_keys' share denominator, dq_check's FK n_checked,
+    *    corpus_drift's distribution totals);
     *  - the intentional tiny-axes geometry cross join (j3);
     *  - centroid/plane attachments: every vector x a BOUNDED broadcast
     *    (16 centroids, 32 hyperplanes) — the designed IVF/LSH assignment
@@ -32,7 +33,7 @@ class PlanSweepSpec extends SparkSpec {
     "skew_hot_keys",
     "dedup_embedding", "dedup_embedding_lsh", "embedding_outliers",
     "sim_topk_brute", "sim_topk_agg", "sim_topk_ivf", "sim_topk_ivf_kmeans",
-    "sim_topk_ivf_mp", "sim_topk_ivf_persisted", "dq_check")
+    "sim_topk_ivf_mp", "sim_topk_ivf_persisted", "dq_check", "corpus_drift")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)
