@@ -653,6 +653,18 @@ object SparkEntry {
       graft.icenet.TableOps.columnStats(
         Tables.lineitem(s, dir).withColumn("ship_date", col("l_shipdate").cast("date")),
         Seq("l_partkey", "l_quantity", "l_returnflag", "ship_date"))),
+    "q6_forecast_revenue" -> ((s, dir) =>
+      // TPC-H Q6 shape: the pure pushdown benchmark - three selective
+      // predicates and a 2-column projection that must ALL reach the scan
+      // (PlanGuardSpec asserts PushedFilters + ReadSchema), then one
+      // scalar aggregate. At 100 TB this is the query where scan pruning
+      // IS the runtime.
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01").cast("date") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue"))),
     "q3_shipping_priority" -> { (s, dir) =>
       // TPC-H Q3 shape: the composite every warehouse runs - two selective
       // filters pushed to their scans, customer (filtered, small) broadcast
@@ -1879,6 +1891,13 @@ object SparkEntry {
         |SELECT 'ship_date', CAST(min(ship_date) AS VARCHAR),
         |       CAST(max(ship_date) AS VARCHAR),
         |       count(*) - count(ship_date), count(DISTINCT ship_date) FROM t""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
         |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

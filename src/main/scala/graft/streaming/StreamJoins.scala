@@ -45,6 +45,31 @@ object StreamJoins {
       graft.operators.Broadcasting.checked(dim, tag = s"enrichment dim on $key"),
       Seq(key), "left")
 
+  /** Stream-static semi-join with a Bloom pre-filter — the dimension
+    * variant [[enrich]] can't serve: a dim too big to broadcast per
+    * micro-batch. The dim's keys are sketched ONCE at plan-build time
+    * ([[graft.operators.RuntimeFilter.keyBloom]], bounded blob); each
+    * micro-batch then drops non-matching facts at scan speed with the
+    * codegen'd `might_contain` before the exact `left_semi` join removes
+    * the sketch's false positives. Result rows are exactly the semi-join's.
+    *
+    * Same staleness contract as [[enrich]]'s guard: the SKETCH is frozen at
+    * build time (keys ADDED to the dim mid-stream are invisible until
+    * restart — semantics drift, not just performance, so callers that need
+    * fresh dim keys per batch should rebuild inside `foreachBatch` with
+    * `keyBloom(dim, recheck = true)`). The exact join still re-reads the
+    * dim per batch, so false positives never pass even when the dim
+    * SHRINKS mid-stream.
+    */
+  def semiFilter(facts: DataFrame, dim: DataFrame, key: String): DataFrame =
+    graft.operators.RuntimeFilter.keyBloom(dim, key) match {
+      case None => facts.filter(lit(false))
+      case Some(sketch) =>
+        facts
+          .filter(graft.operators.RuntimeFilter.mightContain(sketch, facts(key)))
+          .join(dim.select(col(key)).distinct(), Seq(key), "left_semi")
+    }
+
   /** Pairs each left event with the right events of the same `key` whose
     * timestamp falls in [left.ts - lookBack, left.ts]. On streams, both
     * sides must carry the event-time column `tsCol`; watermarks of

@@ -166,6 +166,19 @@ class PlanGuardSpec extends SparkSpec {
       case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q6_forecast_revenue: every predicate and the 2-column projection reach the scan") {
+    val p = plan("q6_forecast_revenue")
+    val scans = collectAll(p) { case s: FileSourceScanExec => s }
+    assert(scans.size == 1)
+    val pushed = scans.head.metadata.get("PushedFilters").mkString
+    assert(pushed.contains("l_discount") && pushed.contains("l_quantity") &&
+      pushed.contains("l_shipdate"),
+      s"all three selective predicates must push: $pushed")
+    val read = scans.head.metadata.get("ReadSchema").mkString
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"),
+      s"scan must read only the referenced columns: $read")
+  }
+
   test("j10_bucketed_join: the merge join consumes bucket layout — no exchange, no sort below it") {
     val p = plan("j10_bucketed_join")
     val smj = collectAll(p) { case j: SortMergeJoinExec => j }

@@ -81,4 +81,35 @@ class StreamJoinsSpec extends SparkSpec {
     assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
       "enrichment must broadcast the dim, never shuffle the fact side")
   }
+
+  test("semiFilter: bloom-prefiltered stream-static semi join matches plain left_semi") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(10L, 20L, 30L).toDF("user_id")
+    val mem = MemoryStream[(Long, Long)]
+    val facts = mem.toDF().toDF("event_id", "user_id")
+    val q = StreamJoins.semiFilter(facts, dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semifilter").start()
+    try {
+      mem.addData((1L, 10L), (2L, 99L), (3L, 20L))
+      q.processAllAvailable()
+      mem.addData((4L, 10L), (5L, 77L))
+      q.processAllAvailable()
+      val got = spark.table("semifilter")
+        .select("event_id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 4L),
+        "only dim-matched facts may pass, across micro-batches")
+    } finally q.stop()
+    // batch form: identical rows to a plain semi-join, and the prefilter
+    // is the native codegen'd predicate (asserted on a parquet-backed
+    // frame — ConvertToLocalRelation folds filters over local Seqs away)
+    val bFacts = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id")
+    val bDim = bFacts.filter(col("user_id") % 5 === 0)
+      .select("user_id").distinct()
+    val got = StreamJoins.semiFilter(bFacts, bDim, "user_id")
+    val want = bFacts.join(bDim, Seq("user_id"), "left_semi")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
 }
