@@ -589,7 +589,9 @@ object Dedup {
           .otherwise(least(lit(n.toLong), (col("pos") - col("prev")).cast("long")))
           .as("newly"))
       .groupBy("doc_id").agg(sum(col("newly")).as("dup_tokens"))
-    val sizes = docs.repartition(col("doc_id"))
+    // no repartition: this side stays narrow (the contrib side broadcasts
+    // or shuffles, whichever AQE picks from its O(flagged docs) size)
+    val sizes = docs
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
     sizes.join(contrib, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
