@@ -637,6 +637,29 @@ object SparkEntry {
             .orderBy(col("c_acctbal").desc, col("c_custkey"))).cast("long"))
         .filter(col("rnk") <= 3)
         .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")),
+    "scd2_build" -> { (s, dir) =>
+      // SCD Type 2 dimension history from the events changelog: each
+      // user's attribute versions stamped with [valid_from, valid_to)
+      // intervals, NULL valid_to = live version. Timestamps leave as
+      // epoch millis (the cross-engine-stable form, like w6).
+      graft.ops.Temporal.scd2(
+        Tables.events(s, dir)
+          .select("user_id", "event_id", "ts", "event_type", "value"),
+        Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          unix_millis(col("valid_from")).as("valid_from_ms"),
+          unix_millis(col("valid_to")).as("valid_to_ms"),
+          col("is_current"))
+    },
+    "gap_fill" -> { (s, dir) =>
+      // calendar densification of the daily rollup with carry-forward:
+      // every date in each user's own activity span, last observation
+      // repeated into the gaps (user subset keeps the output bounded)
+      val daily = graft.streaming.EventAggs
+        .dailyUserRollup(Tables.events(s, dir))
+        .filter(col("user_id") % 20 === 0)
+      graft.ops.Temporal.gapFill(daily, "user_id", "d", "n_events")
+    },
     "cdc_snapshot" -> ((s, dir) =>
       // events as a CDC changelog: 'error' events are deletes, everything
       // else upserts; snapshot = each user's latest surviving change
@@ -1861,6 +1884,27 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "scd2_build" ->
+      """SELECT user_id, event_id, event_type, value,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) AS valid_from_ms,
+        |       epoch_ms(CAST(lead(ts) OVER w AS TIMESTAMP)) AS valid_to_ms,
+        |       lead(ts) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_events
+        |               FROM events WHERE user_id % 20 = 0 GROUP BY 1, 2),
+        |spine AS (SELECT user_id,
+        |                 CAST(unnest(generate_series(min(d), max(d),
+        |                   INTERVAL 1 DAY)) AS DATE) AS d
+        |          FROM daily GROUP BY user_id),
+        |j AS (SELECT s.user_id, s.d, daily.n_events
+        |      FROM spine s LEFT JOIN daily USING (user_id, d))
+        |SELECT user_id, d, n_events IS NOT NULL AS is_observed,
+        |       last_value(n_events IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_events
+        |FROM j""".stripMargin,
     "cdc_snapshot" ->
       """WITH c AS (
         |  SELECT user_id, ts, event_id, value,

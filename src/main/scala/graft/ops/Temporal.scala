@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal warehouse operators: slowly-changing-dimension history and
+  * calendar gap-filling — the two shapes between a raw changelog and an
+  * analysis-ready time series.
+  *
+  * Both are one-shuffle designs: everything happens inside per-key windows
+  * riding a single exchange on the entity key.
+  */
+object Temporal {
+
+  /** SCD Type 2: turn an attribute changelog (one row per key per change,
+    * totally ordered per key by `orderCol`) into validity intervals —
+    * each version stamped [valid_from, valid_to) with NULL valid_to (and
+    * `is_current = true`) for the live version. The standard dimension
+    * history build; [[graft.icenet.TableOps.cdcSnapshot]] is its
+    * keep-latest-only degenerate case.
+    *
+    * One window (lead over the key exchange); rows whose attributes did
+    * not change from the previous version are NOT collapsed — dedupe
+    * upstream if the feed emits no-op updates.
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    // orderCols must be a TOTAL order per key (pass a tie-breaker like the
+    // change id after the timestamp): lead over a partial order would
+    // assign intervals nondeterministically
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    changes
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Point-in-time lookup against an SCD2 frame: the version of each key
+    * whose validity interval contains `at` (half-open [from, to)).
+    */
+  def asOfVersion(scd: DataFrame, at: Column): DataFrame =
+    scd.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+
+  /** Calendar gap-fill: densify a per-(key, date) series to EVERY date in
+    * each key's own [min, max] span, carrying the last observed value
+    * forward into the generated rows (`is_observed` marks real rows).
+    *
+    * Per-key spans (not one global spine) keep the generated volume
+    * proportional to real key activity, and `sequence()` explodes inside
+    * the key's partition, so the fill adds no shuffle beyond the one key
+    * exchange the window already needs. The carry-forward is
+    * `last(value, ignoreNulls)` over an unbounded-preceding frame — the
+    * engine-portable formulation (DuckDB: `last_value(x IGNORE NULLS)`).
+    */
+  def gapFill(
+      df: DataFrame, keyCol: String, dateCol: String,
+      valueCol: String): DataFrame = {
+    val spine = df.groupBy(keyCol).agg(
+      min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as(dateCol))
+    val w = Window.partitionBy(keyCol).orderBy(dateCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(df, Seq(keyCol, dateCol), "left")
+      .select(col(keyCol), col(dateCol),
+        col(valueCol).isNotNull.as("is_observed"),
+        last(col(valueCol), ignoreNulls = true).over(w).as(valueCol))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.functions._
+import graft.ops.Temporal
+
+/** Temporal operators: SCD2 interval construction (ordering, ties,
+  * point-in-time lookup) and calendar gap-fill (span bounds,
+  * carry-forward, observation flags).
+  */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("scd2: versions chain half-open, last is current; ties broken by the id") {
+    val changes = Seq(
+      (1L, 100L, ts("2024-01-01 00:00:00"), "bronze"),
+      (1L, 101L, ts("2024-02-01 00:00:00"), "silver"),
+      (1L, 102L, ts("2024-02-01 00:00:00"), "gold"), // same ts: id orders it
+      (2L, 103L, ts("2024-03-01 00:00:00"), "basic")
+    ).toDF("user_id", "change_id", "ts", "tier")
+    val got = Temporal.scd2(changes, Seq("user_id"), Seq("ts", "change_id"))
+      .select("change_id", "tier", "valid_to", "is_current")
+      .as[(Long, String, Option[Timestamp], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(100L) == (("bronze", Some(ts("2024-02-01 00:00:00")), false)))
+    assert(got(101L) == (("silver", Some(ts("2024-02-01 00:00:00")), false)),
+      "tied timestamps yield a zero-length interval, deterministically ordered")
+    assert(got(102L) == (("gold", None, true)))
+    assert(got(103L) == (("basic", None, true)))
+  }
+
+  test("asOfVersion returns exactly one version per key at any instant") {
+    val changes = Seq(
+      (1L, 100L, ts("2024-01-01 00:00:00"), "bronze"),
+      (1L, 101L, ts("2024-02-01 00:00:00"), "silver")
+    ).toDF("user_id", "change_id", "ts", "tier")
+    val scd = Temporal.scd2(changes, Seq("user_id"), Seq("ts", "change_id"))
+    def at(t: String) = Temporal.asOfVersion(scd, lit(ts(t)))
+      .select("tier").as[String].collect().toSeq
+    assert(at("2024-01-15 00:00:00") == Seq("bronze"))
+    assert(at("2024-02-01 00:00:00") == Seq("silver"), "half-open: boundary belongs to the new version")
+    assert(at("2023-12-31 00:00:00") == Seq())
+  }
+
+  test("gapFill: per-key spans, carry-forward values, observation flags") {
+    val daily = Seq(
+      (1L, Date.valueOf("2024-01-01"), 5L),
+      (1L, Date.valueOf("2024-01-04"), 7L), // 2 missing days between
+      (2L, Date.valueOf("2024-01-10"), 1L)  // singleton span
+    ).toDF("user_id", "d", "n")
+    val got = Temporal.gapFill(daily, "user_id", "d", "n")
+      .select("user_id", "d", "is_observed", "n")
+      .as[(Long, Date, Boolean, Long)].collect()
+      .map(r => (r._1, r._2.toString) -> ((r._3, r._4))).toMap
+    assert(got.size == 5, "4-day span for user 1 + 1 day for user 2")
+    assert(got((1L, "2024-01-01")) == ((true, 5L)))
+    assert(got((1L, "2024-01-02")) == ((false, 5L)))
+    assert(got((1L, "2024-01-03")) == ((false, 5L)))
+    assert(got((1L, "2024-01-04")) == ((true, 7L)))
+    assert(got((2L, "2024-01-10")) == ((true, 1L)))
+  }
+}
