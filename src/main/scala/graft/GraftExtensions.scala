@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
-import graft.functions.{DotProduct, L2Norm, TopKAggregate}
+import graft.functions.{DotProduct, L2Norm, TopKAggregate, ZOrderKey}
 
 /** SparkSessionExtensions entry point: makes the engine's custom expressions
   * available to ANY session (including pure-SQL users) via
@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
       exprs => L2Norm(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
+      exprs => ZOrderKey(exprs(0), exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAggregate].getName, "graft_topk"),

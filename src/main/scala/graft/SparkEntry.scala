@@ -101,6 +101,15 @@ object SparkEntry {
             .otherwise("south")).as("hemisphere"))),
     "p10_first_distinct" -> ((s, dir) =>
       Tables.orders(s, dir).select(col("o_orderpriority").as("priority")).distinct()),
+    "f6_zorder_key" -> ((s, dir) =>
+      // native codegen'd Morton key over two bucketed dims - the layout
+      // key behind 2-D file pruning (TableOps.compact sortCols); 15-bit
+      // inputs keep the oracle's per-bit reconstruction in BIGINT range
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.functions.ZOrderKey.key(
+          pmod(col("l_partkey"), lit(32768)).cast("long"),
+          pmod(col("l_suppkey"), lit(32768)).cast("long")).as("zkey"))),
     "p13_unpivot" -> ((s, dir) =>
       // wide-to-long melt (inverse of p12): stack is a narrow generator,
       // no shuffle, 3 metric rows per input row at scan speed
@@ -974,6 +983,17 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS total
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY 1""".stripMargin,
+    "f6_zorder_key" ->
+      // per-bit reconstruction of the Morton interleave: x bits at even
+      // positions, y bits at odd; disjoint bits, so sum == OR
+      """WITH src AS (SELECT l_orderkey, l_linenumber,
+        |                    l_partkey % 32768 AS x, l_suppkey % 32768 AS y
+        |             FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       CAST(list_aggregate(
+        |         [(((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1))
+        |          FOR i IN generate_series(0, 14)], 'sum') AS BIGINT) AS zkey
+        |FROM src""".stripMargin,
     "p13_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
         |FROM lineitem

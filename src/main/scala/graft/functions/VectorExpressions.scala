@@ -130,6 +130,8 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "graft_l2norm", exprs => L2Norm(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_zorder", exprs => ZOrderKey(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_topk", exprs => {
         val k = exprs(2) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -54,6 +54,27 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("zorder: interleave is exact, order groups quadrants, SQL-callable") {
+    import graft.functions.ZOrderKey
+    // 0b101 even-spread + 0b011 odd-spread = 0b01'10'11 read pairwise
+    assert(ZOrderKey.interleave(5L, 3L) == 27L)
+    assert(ZOrderKey.spread(0xFFFFFFFFL) == 0x5555555555555555L)
+    assert(ZOrderKey.interleave(0L, 0L) == 0L)
+    // quadrant property: every key in the (x,y < 4) block sorts before
+    // every key in the (x,y >= 4) block — what makes file min/max prune 2-D
+    val lo = for (x <- 0L to 3L; y <- 0L to 3L) yield ZOrderKey.interleave(x, y)
+    val hi = for (x <- 4L to 7L; y <- 4L to 7L) yield ZOrderKey.interleave(x, y)
+    assert(lo.max < hi.min)
+    // column API and codegen path agree with the scala reference impl
+    val df = Seq((5L, 3L), (12345L, 67890L), (0L, 0L)).toDF("x", "y")
+    val got = df.select(ZOrderKey.key(col("x"), col("y"))).as[Long].collect()
+    assert(got.toSeq == Seq(27L, ZOrderKey.interleave(12345L, 67890L), 0L))
+    VectorFunctions.register(spark)
+    df.createOrReplaceTempView("zin")
+    assert(spark.sql("SELECT graft_zorder(x, y) AS z FROM zin WHERE x = 5")
+      .as[Long].head() == 27L)
+  }
+
   test("mismatched lengths use the common prefix (zip semantics)") {
     val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0, 5.0))).toDF("a", "b")
     assert(df.select(VectorFunctions.dot(col("a"), col("b"))).head().getDouble(0)
