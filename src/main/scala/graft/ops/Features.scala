@@ -28,9 +28,13 @@ object Features {
       idCols: Seq[String],
       lo: Double = 0.05,
       hi: Double = 0.95): DataFrame = {
-    val bounds = df.groupBy(groupCol).agg(
-      expr(s"percentile($valueCol, $lo)").as("p_lo"),
-      expr(s"percentile($valueCol, $hi)").as("p_hi"))
+    // one percentile aggregate with an array of probabilities: both bounds
+    // come out of a single per-group value buffer — two scalar percentile
+    // calls would each buffer the full group
+    val bounds = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, array($lo, $hi))").as("__ps"))
+      .select(col(groupCol),
+        col("__ps").getItem(0).as("p_lo"), col("__ps").getItem(1).as("p_hi"))
     // O(groups) rows by construction: broadcast explicitly so the static
     // plan never considers shuffling the fact side on the (few-valued,
     // maximally skewed) group key
