@@ -55,15 +55,52 @@ object Bench {
     // stalls (external CPU contention / JIT storms) that would otherwise be
     // billed to whichever query they land on; the min is the steady-state.
     val results = names.map { name => name -> math.min(timed(name), timed(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val ingest = benchIngest(spark) // runs BEFORE the suite line prints
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""ingest_rows_per_sec":${ingest.rowsPerSec},"ingest_rows":${ingest.rows},""" +
-      s""""ingest_seconds":${ingest.seconds},"sf":"$sfDir"}""")
+    // The driver records only the final ~2 KB of output. 119 per-query
+    // doubles at full precision is ~4.2 KB — the r5 line was head-truncated
+    // and unparseable. The final line therefore carries the total plus the
+    // top-N slowest queries only (N auto-shrunk until the line provably fits
+    // TailBudget bytes); the complete per-query map goes to a detail file
+    // written BEFORE the final line so nothing prints after it.
+    writeDetail(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"),
+      s"""{"total":${f3(total)},"n":${results.size},"queries":${jMap(results)},""" +
+        s""""ingest_rows_per_sec":${f3(ingest.rowsPerSec)},"sf":"$sfDir"}""")
+    println(finalLine(results, ingest, sfDir))
     spark.stop()
   }
+
+  /** Driver tail capacity the final line must fit inside, with headroom. */
+  private[graft] val TailBudget = 1900
+
+  /** The single driver-facing JSON line: total + the top-N slowest queries,
+    * N auto-shrunk (15→10→5→0) until the rendered line fits [[TailBudget]].
+    */
+  private[graft] def finalLine(
+      results: Seq[(String, Double)], ingest: IngestBench, sfDir: String): String = {
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val slowest = results.sortBy { case (_, v) => -v }
+    def line(topN: Int): String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},""" +
+        s""""queries":${jMap(slowest.take(topN))},""" +
+        s""""ingest_rows_per_sec":${f3(ingest.rowsPerSec)},"ingest_rows":${ingest.rows},""" +
+        s""""ingest_seconds":${f3(ingest.seconds)},"sf":"$sfDir"}"""
+    (15 to 0 by -5).map(line).find(_.length <= TailBudget).getOrElse(line(0))
+  }
+
+  private[graft] def jMap(kvs: Seq[(String, Double)]): String =
+    kvs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+
+  /** 3-decimal, locale-fixed rendering — keeps the final line small and the
+    * JSON valid regardless of the JVM's default locale.
+    */
+  private[graft] def f3(v: Double): String =
+    java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def writeDetail(path: String, json: String): Unit =
+    try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // detail is best-effort; never risk the line
 
   private[graft] case class IngestBench(rowsPerSec: Double, rows: Long, seconds: Double)
 

@@ -1192,8 +1192,10 @@ object SparkEntry {
         |         AS clamped
         |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
     "skew_hot_keys" ->
-      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
-        |     t AS (SELECT count(*) AS total FROM events)
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+        |            WHERE user_id IS NOT NULL GROUP BY 1),
+        |     t AS (SELECT count(*) AS total FROM events
+        |           WHERE user_id IS NOT NULL)
         |SELECT user_id, cnt,
         |       CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rnk,
         |       round(cnt / total, 6) AS share
@@ -2126,7 +2128,11 @@ object SparkEntry {
         |                               OR NOT regexp_matches(l_returnflag, '^[ANR]$')),
         |              count(*) FROM lineitem),
         |r4 AS (SELECT 3, 'l_orderkey_l_linenumber_unique',
-        |              count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
+        |              count(*) FILTER (WHERE l_orderkey IS NOT NULL
+        |                               AND l_linenumber IS NOT NULL)
+        |                - count(DISTINCT (l_orderkey, l_linenumber))
+        |                  FILTER (WHERE l_orderkey IS NOT NULL
+        |                          AND l_linenumber IS NOT NULL),
         |              count(*) FROM lineitem),
         |r5 AS (SELECT 4, 'l_partkey_small_fk',
         |              count(*) FILTER (WHERE l_partkey NOT IN

@@ -111,8 +111,16 @@ object Snapshots {
       val out = hfs.create(tmp, true)
       out.writeBytes(s"$v\n")
       out.close()
-      hfs.delete(new Path(path, PointerFile), false)
-      hfs.rename(tmp, new Path(path, PointerFile))
+      // The pointer swap is an OPTIMIZATION (readers fall back to the max
+      // committed version), but a silent rename failure must not be
+      // invisible: the data commit above already succeeded, so surface the
+      // pointer problem without failing the commit.
+      val ptr = new Path(path, PointerFile)
+      hfs.delete(ptr, false) // false = pointer absent, which is fine
+      if (!hfs.rename(tmp, ptr))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"snapshot commit $v: _latest pointer rename failed at $path; " +
+            "readers will recover via the max-committed fallback")
       v
     }
 

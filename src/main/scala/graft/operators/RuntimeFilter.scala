@@ -73,11 +73,12 @@ object RuntimeFilter {
       fpp: Double = 0.03,
       recheck: Boolean = false): Option[Array[Byte]] = {
     val planKey = df.queryExecution.optimizedPlan.canonicalized
-    import scala.jdk.CollectionConverters._
-    (if (recheck) None
-     else sketchCache.asScala.collectFirst {
-       case (p, k, f, blob) if k == key && f == fpp && p.sameResult(planKey) => blob
-     })
+    def cached: Option[Option[Array[Byte]]] = cacheLock.synchronized {
+      sketchCache.collectFirst {
+        case (p, k, f, blob) if k == key && f == fpp && p.sameResult(planKey) => blob
+      }
+    }
+    (if (recheck) None else cached)
       .getOrElse {
         // the aggregate itself yields NULL on empty input, so the explicit-
         // size path needs no separate empty check; Option() absorbs it
@@ -91,29 +92,42 @@ object RuntimeFilter {
             .select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
             .head().getAs[Array[Byte]](0))
         }
+        // build runs OUTSIDE the lock (it scans the build side; holding the
+        // lock would serialize unrelated concurrent sketches) — two racing
+        // builders of the same plan both build, last one wins the cache slot.
         val blob = expectedItems match {
           case Some(n) => build(n)
           case None =>
             val n = df.count()
             if (n == 0L) None else build(n)
         }
-        sketchCache.asScala.zipWithIndex.collectFirst {
-          case ((p, k, f, _), i) if k == key && f == fpp && p.sameResult(planKey) => i
-        }.foreach(i => sketchCache.remove(i))
-        if (sketchCache.size >= SketchCacheMax) sketchCache.remove(0)
-        sketchCache.add((planKey, key, fpp, blob))
+        // lookup-and-replace is atomic under the lock: the r5 formulation
+        // computed an index from a snapshot and remove(i)'d on the live
+        // list, which a concurrent call could invalidate (wrong-entry
+        // removal or IndexOutOfBounds).
+        cacheLock.synchronized {
+          val i = sketchCache.indexWhere {
+            case (p, k, f, _) => k == key && f == fpp && p.sameResult(planKey)
+          }
+          if (i >= 0) sketchCache.remove(i)
+          if (sketchCache.size >= SketchCacheMax) sketchCache.remove(0)
+          sketchCache += ((planKey, key, fpp, blob))
+        }
         blob
       }
   }
 
   /** Memoized sketches: (canonicalized plan, key, fpp) -> blob. Bounded
     * FIFO; sketches are <= 8 MB each, so the worst-case cache is ~128 MB
-    * of driver heap — same order as one broadcast side.
+    * of driver heap — same order as one broadcast side. All reads and
+    * mutations go through [[cacheLock]]; `sameResult` matching rules out a
+    * plain hash map key.
     */
   private val sketchCache =
-    new java.util.concurrent.CopyOnWriteArrayList[
+    scala.collection.mutable.ArrayBuffer.empty[
       (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         String, Double, Option[Array[Byte]])]
+  private val cacheLock = new Object
   private val SketchCacheMax = 16
 
   /** Codegen'd `might_contain(sketch, xxhash64(key))` predicate column. */

@@ -28,11 +28,18 @@ object SkewProfile {
     * Requires an integral key (cast to long for the heap's id slot) —
     * profile a string key via a hash/dictionary projection first.
     *
+    * NULL keys are excluded up front (and from the `share` denominator):
+    * the heap's id slot has no NULL representation, and a NULL join key
+    * never participates in an equi-join shuffle anyway, so it is not a
+    * salting candidate. Profile NULL volume with [[histogram]] or a
+    * [[graft.ops.Expectations.NotNull]] rule instead.
+    *
     * Counts survive the double round-trip exactly below 2^53 rows per key.
     */
   def hotKeys(df: DataFrame, key: String, k: Int = 20): DataFrame = {
-    val total = df.agg(count(lit(1)).as("total"))
-    keyCounts(df, key)
+    val nonNull = df.filter(col(key).isNotNull)
+    val total = nonNull.agg(count(lit(1)).as("total"))
+    keyCounts(nonNull, key)
       .agg(TopKAggregate.topk(col("cnt").cast("double"), col(key).cast("long"), k)
         .as("top"))
       .join(broadcast(total)) // 1-row total: share denominator, no 2nd scan of counts

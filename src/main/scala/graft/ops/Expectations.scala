@@ -30,14 +30,26 @@ object Expectations {
     */
   final case class Predicate(name: String, holds: Column) extends Rule
   def NotNull(c: String): Predicate =
-    Predicate(s"${c}_not_null", col(c).isNotNull)
+    Predicate(s"${c}_not_null", qcol(c).isNotNull)
   def InRange(c: String, lo: Double, hi: Double): Predicate =
-    Predicate(s"${c}_in_range", col(c).between(lo, hi))
+    Predicate(s"${c}_in_range", qcol(c).between(lo, hi))
   def Matches(c: String, regex: String): Predicate =
-    Predicate(s"${c}_matches", col(c).rlike(regex))
+    Predicate(s"${c}_matches", qcol(c).rlike(regex))
+
+  /** `col(...)` that treats the whole string as ONE literal column name:
+    * `col` itself parses dots/backticks, so an odd-but-legal parquet column
+    * name (quotes, backticks, dots) needs explicit quoting here.
+    */
+  private def qcol(c: String): Column = col("`" + escId(c) + "`")
 
   /** No two rows share a value of `cols`. Violations = rows beyond the
-    * first per duplicated key.
+    * first per duplicated key, counted ONLY among tuples with every key
+    * column non-null. NULL-bearing key tuples are excluded from the
+    * duplicate count entirely (not compared to each other or to anything
+    * else): SQL engines disagree on NULL-tuple distinctness — Spark's
+    * `count_distinct` skips them while DuckDB's `count(DISTINCT (a,b))`
+    * keeps them — so the portable, explicit semantic is "uniqueness is a
+    * property of fully-present keys; missing keys are [[NotNull]]'s job".
     */
   final case class Unique(cols: Seq[String]) extends Rule {
     def name: String = cols.mkString("_", "_", "_unique").stripPrefix("_")
@@ -55,22 +67,35 @@ object Expectations {
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val spark = df.sparkSession
+    if (rules.isEmpty) { // empty spec = empty report, not a reduce() crash
+      import spark.implicits._
+      return Seq.empty[(Long, String, Long, Long, Boolean)]
+        .toDF("ordinal", "rule", "n_violations", "n_checked", "pass")
+    }
     val predicates = rules.collect { case p: Predicate => p }
     val fused: Option[DataFrame] = if (predicates.isEmpty) None else Some {
       val aggs = predicates.flatMap { p =>
         Seq(sum(when(p.holds, 0L).otherwise(1L)).as(s"${p.name}__v"))
       } :+ count(lit(1)).as("__n")
       val one = df.agg(aggs.head, aggs.tail: _*)
+      // Rule names flow from user column names into an expr() string; a
+      // quote/backslash in the literal or a backtick in the identifier
+      // would otherwise break parsing (or worse, splice).
       val stackArgs = predicates
-        .map(p => s"'${p.name}', `${p.name}__v`").mkString(", ")
+        .map(p => s"'${escStr(p.name)}', `${escId(s"${p.name}__v")}`").mkString(", ")
       one.select(
         expr(s"stack(${predicates.size}, $stackArgs) AS (rule, n_violations)"),
         col("__n").as("n_checked"))
     }
     val keyed: Seq[DataFrame] = rules.collect {
       case u: Unique =>
+        // Duplicates among fully-non-null key tuples only (see Unique's
+        // scaladoc): the conditional count mirrors count_distinct's own
+        // null-tuple skip, so the difference is exactly "extra copies".
+        val nn = u.cols.map(col(_).isNotNull).reduce(_ && _)
         df.agg(
-          (count(lit(1)) - count_distinct(col(u.cols.head), u.cols.tail.map(col): _*))
+          (sum(when(nn, 1L).otherwise(0L)) -
+            count_distinct(col(u.cols.head), u.cols.tail.map(col): _*))
             .as("n_violations"),
           count(lit(1)).as("n_checked"))
           .select(lit(u.name).as("rule"), col("n_violations"), col("n_checked"))
@@ -95,4 +120,11 @@ object Expectations {
       col("n_checked").cast("long").as("n_checked"),
       (col("n_violations") === 0).as("pass"))
   }
+
+  /** Escapes a value for a single-quoted Spark SQL string literal. */
+  private def escStr(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** Escapes a value for a backtick-quoted Spark SQL identifier. */
+  private def escId(s: String): String = s.replace("`", "``")
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver bench-record contract (r4/r5 postmortems): the driver
+  * keeps only the final ~2 KB of stdout, so the ONE JSON line Bench prints
+  * last must render under [[Bench.TailBudget]] bytes for any realistic query
+  * count — r5's 119 full-precision doubles (~4.2 KB) were head-truncated
+  * into an unparseable record. These tests exercise [[Bench.finalLine]]
+  * directly: size budget, top-N auto-shrink, JSON well-formedness, and
+  * locale-proof number rendering.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val ingest = Bench.IngestBench(13750.123456, 500000L, 36.363636)
+
+  private def fakeResults(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => f"q${i}%03d_some_longish_operator_name" -> i * 0.0137)
+
+  test("final line fits the driver tail for 119 and 300 queries") {
+    Seq(0, 1, 15, 119, 300).foreach { n =>
+      val line = Bench.finalLine(fakeResults(n), ingest, "/root/testdata/sf0.1")
+      assert(line.length <= Bench.TailBudget, s"n=$n line is ${line.length}B")
+      assert(!line.contains("\n"), "must be a single line")
+    }
+  }
+
+  test("line is parseable JSON with the contract fields") {
+    // No JSON lib on the classpath by design; a shape check on the exact
+    // serialization (which we control end-to-end) is sufficient here.
+    val line = Bench.finalLine(fakeResults(119), ingest, "sfX")
+    assert(line.startsWith("{\"metric\":\"total\",\"value\":"))
+    assert(line.endsWith("\"sf\":\"sfX\"}"))
+    Seq("\"unit\":\"sec\"", "\"n\":119", "\"queries\":{",
+      "\"ingest_rows_per_sec\":", "\"ingest_rows\":500000",
+      "\"ingest_seconds\":36.364").foreach(f => assert(line.contains(f), f))
+  }
+
+  test("queries field carries the slowest entries first") {
+    val line = Bench.finalLine(fakeResults(119), ingest, "sf")
+    // slowest fake query is q119 (119 * 0.0137 = 1.630); it must survive
+    assert(line.contains("\"q119_some_longish_operator_name\":1.630"))
+    // fastest must have been shrunk away
+    assert(!line.contains("\"q001_some_longish_operator_name\""))
+  }
+
+  test("number rendering is 3-decimal, dot-separated, never scientific") {
+    assert(Bench.f3(0.0001) == "0.000")
+    assert(Bench.f3(1234567.891234) == "1234567.891")
+    assert(Bench.f3(1e-9) == "0.000")
+    val line = Bench.finalLine(Seq("q" -> 1e-9), ingest, "sf")
+    assert(!line.toLowerCase.contains("e-"), "scientific notation breaks parsers")
+  }
+}

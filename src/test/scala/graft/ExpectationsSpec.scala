@@ -62,4 +62,34 @@ class ExpectationsSpec extends SparkSpec {
     val scans = "LocalTableScan".r.findAllIn(p).size
     assert(scans == 1, s"5 row rules must share one scan, got $scans:\n$p")
   }
+
+  test("empty rule list yields an empty report, not a crash") {
+    val got = check(facts, Nil)
+    assert(got.count() == 0)
+    assert(got.columns.toSeq ==
+      Seq("ordinal", "rule", "n_violations", "n_checked", "pass"))
+  }
+
+  test("rule names with quotes and backticks survive the fused stack") {
+    val odd = Seq((1L, Option("a")), (2L, Option.empty[String]))
+      .toDF("id", "it's `quoted`")
+    val got = check(odd, Seq(NotNull("it's `quoted`")))
+      .select("rule", "n_violations", "pass")
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("it's `quoted`_not_null", 1L, false)))
+  }
+
+  test("Unique counts duplicates only among fully-non-null key tuples") {
+    // two NULL-keyed rows: NOT duplicates of each other (explicit policy);
+    // id 3 still duplicated among the non-null tuples
+    val withNulls = Seq(
+      (Option(3L), "a"), (Option(3L), "b"),
+      (Option.empty[Long], "c"), (Option.empty[Long], "d"),
+      (Option(4L), "e")
+    ).toDF("id", "v")
+    val got = check(withNulls, Seq(Unique(Seq("id"))))
+      .select("n_violations", "n_checked")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L))) // only the id-3 extra copy; NULLs exempt
+  }
 }

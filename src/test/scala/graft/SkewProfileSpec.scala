@@ -57,4 +57,15 @@ class SkewProfileSpec extends SparkSpec {
       .agg(sum("n_rows")).as[Long].head()
     assert(total == 130L)
   }
+
+  test("hotKeys excludes NULL keys from ranks AND the share denominator") {
+    // 3 NULL-keyed rows alongside a hot key: NULLs are not salting
+    // candidates (no equi-join shuffle ever moves them) and must not
+    // dilute the share of real keys — the documented policy.
+    val withNulls = (Seq.fill(4)(Option(7L)) ++ Seq.fill(3)(Option.empty[Long])
+      ++ Seq(Option(8L))).map(k => (k, "v")).toDF("k", "v")
+    val top = SkewProfile.hotKeys(withNulls, "k", k = 10).orderBy("rnk").collect()
+    assert(top.map(_.getAs[Long]("k")).toSeq == Seq(7L, 8L))
+    assert(math.abs(top.head.getAs[Double]("share") - 4.0 / 5.0) < 1e-6)
+  }
 }
