@@ -802,15 +802,18 @@ object SparkEntry {
     // ---- S2 end-to-end: DSv2 gridded source -> P2-P8 ingest chain --------
     "gridded_ingest" -> { (s, dir) =>
       // the full reference load path (processor.py:117-190) driven through
-      // the engine-native source: write the deterministic .grid fixture,
-      // read it back via spark.read.format("gridded") (DSv2: per-slice
-      // partitions, pruning into the codec), then run Ingest.load
-      // (P2 filter, P3 null-drop, P5 unit scale, P6/P8 date arith+trunc,
-      // P7 projection). The DuckDB oracle regenerates the same cells from
-      // closed-form index math — proving source + ingest against an
-      // independent engine end to end.
-      val path = graft.sources.GridFixture.ensureWritten(
-        graft.sources.GridFixture.defaultPath)
+      // the engine-native source: write the deterministic fixture as a REAL
+      // NetCDF classic file (CDF-1, time as the record dim — the
+      // reference's actual input type, decoded byte-level by
+      // NetcdfClassic), read it back via spark.read.format("gridded")
+      // (DSv2: per-slice partitions, pruning into the codec), then run
+      // Ingest.load (P2 filter, P3 null-drop, P5 unit scale, P6/P8 date
+      // arith+trunc, P7 projection). The DuckDB oracle regenerates the same
+      // cells from closed-form index math — proving NetCDF source + ingest
+      // against an independent engine end to end. (.grid/.nc parity is
+      // additionally pinned by NetcdfClassicSpec.)
+      val path = graft.sources.GridFixture.ensureWrittenNc(
+        graft.sources.GridFixture.defaultNcPath)
       Ingest.load(s.read.format("gridded").load(path))
         .select("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
           "sea_ice_concentration_mean", "sea_ice_concentration_stddev")

@@ -53,21 +53,41 @@ object GridFixture {
     * is atomic (temp file + rename): existence-as-done caching would
     * otherwise trust a truncated file left by a crashed writer forever.
     */
-  def ensureWritten(path: String): String = synchronized {
-    val f = new java.io.File(path)
-    if (!f.exists()) {
-      f.getParentFile.mkdirs()
-      val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
-      GridFile.write(tmp.getAbsolutePath, TimesMicros, Leadtimes, Yc, Xc,
+  def ensureWritten(path: String): String =
+    ensureWith(path) { tmp =>
+      GridFile.write(tmp, TimesMicros, Leadtimes, Yc, Xc,
         flat(meanAt), flat(stddevAt))
-      java.nio.file.Files.move(tmp.toPath, f.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    path
-  }
 
-  /** Session-stable default location (under java.io.tmpdir). */
+  /** Same logical content as a REAL NetCDF classic file: CDF-1 with `time`
+    * as the unlimited record dimension and NC_DOUBLE data — decodes to the
+    * bit-identical DataFrame as the `.grid` fixture, so the `gridded_ingest`
+    * oracle proves the NetCDF byte path against DuckDB end to end.
+    */
+  def ensureWrittenNc(path: String): String =
+    ensureWith(path) { tmp =>
+      NetcdfClassic.write(tmp, TimesMicros, Leadtimes, Yc, Xc,
+        flat(meanAt), flat(stddevAt), recordTime = true)
+    }
+
+  private def ensureWith(path: String)(write: String => Unit): String =
+    synchronized {
+      val f = new java.io.File(path)
+      if (!f.exists()) {
+        f.getParentFile.mkdirs()
+        val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+        write(tmp.getAbsolutePath)
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      path
+    }
+
+  /** Session-stable default locations (under java.io.tmpdir). */
   def defaultPath: String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_grid_fixture_v1.grid").getAbsolutePath
+  def defaultNcPath: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_grid_fixture_v1.nc").getAbsolutePath
 }

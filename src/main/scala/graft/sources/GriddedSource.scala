@@ -14,14 +14,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 for gridded forecast tensors — the engine-native ingest
   * path for the reference's NetCDF input (SURVEY.md S2,
-  * processor.py:121-190). The real NetCDF4/HDF5 codec is unavailable in
-  * this offline container, so the container format is `.grid` — a minimal
-  * self-describing binary tensor with the SAME logical shape as the IceNet
-  * NetCDF files: dims (time, leadtime, yc, xc) + variables
-  * (sic_mean, sic_stddev). Swapping the byte-level decoder for a NetCDF
-  * library touches ONLY [[GridFile]]; the Spark integration (table,
-  * schema, partition planning, column pruning, long-form flatten) is the
-  * production surface.
+  * processor.py:121-190). Two container codecs share the chassis, sniffed
+  * by magic ([[GridCodec]]): real NetCDF classic (CDF-1/CDF-2) decoded in
+  * pure JVM bytes ([[NetcdfClassic]] — `.nc`, the reference's actual file
+  * type), and `.grid` — a minimal self-describing binary tensor with the
+  * SAME logical shape: dims (time, leadtime, yc, xc) + variables
+  * (sic_mean, sic_stddev). NetCDF-4/HDF5 containers would need an external
+  * library (absent in this offline build) and fail loudly at the magic
+  * check. The Spark integration (table, schema, partition planning, column
+  * pruning, long-form flatten) is codec-agnostic.
   *
   * ==NetCDF-to-seam mapping (what a real codec replaces, item by item)==
   * The IceNet files (opened with `xarray.open_dataset`,
@@ -126,7 +127,7 @@ private[sources] class GriddedScan(paths: Seq[String], required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val files = paths.flatMap(resolveFiles).distinct
     files.flatMap { f =>
-      val header = GridFile.readHeader(f)
+      val header = GridCodec.readHeader(f)
       // one partition per time slice: multi-date files parallelize freely
       (0 until header.nTime).map(t => GriddedPartition(f, t): InputPartition)
     }.toArray
@@ -147,7 +148,7 @@ private[sources] class GriddedScan(paths: Seq[String], required: StructType)
     val status = fs.getFileStatus(hPath)
     if (status.isDirectory)
       fs.listStatus(hPath).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".grid"))
+        .filter(s => s.isFile && GridCodec.Extensions.exists(s.getPath.getName.endsWith))
         .map(_.getPath.toUri.toString).sorted
     else Seq(p)
   }
@@ -177,7 +178,7 @@ private[sources] class GriddedReaderFactory(requiredCols: Array[String])
 private[sources] class GriddedPartitionReader(
     file: String, timeIdx: Int, requiredCols: Array[String])
     extends PartitionReader[InternalRow] {
-  private val grid = GridFile.readSlice(
+  private val grid = GridCodec.readSlice(
     file, timeIdx,
     needMean = requiredCols.contains("sic_mean"),
     needStddev = requiredCols.contains("sic_stddev"))
@@ -213,6 +214,39 @@ private[sources] class GriddedPartitionReader(
   }
 
   override def close(): Unit = ()
+}
+
+/** Codec dispatch: sniffs the 4-byte magic and routes to the `.grid`
+  * container ([[GridFile]], `GRD1`) or the NetCDF classic decoder
+  * ([[NetcdfClassic]], `CDF\x01`/`CDF\x02`) — so `.nc` files, the
+  * reference's actual input (processor.py:121), read through the SAME DSv2
+  * chassis (per-(file, slice) partitions, pruning, positioned reads) with
+  * no plan-level difference. The sniff is one 4-byte positioned read per
+  * header/slice call — noise next to the slab reads it precedes.
+  */
+object GridCodec {
+  val Extensions: Seq[String] = Seq(".grid", ".nc")
+
+  private def isNetcdf(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    try {
+      val magic = new Array[Byte](4)
+      in.readFully(0L, magic)
+      magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F' &&
+        (magic(3) == 1 || magic(3) == 2)
+    } finally in.close()
+  }
+
+  def readHeader(path: String): GridFile.Header =
+    if (isNetcdf(path)) NetcdfClassic.readGridHeader(path)
+    else GridFile.readHeader(path)
+
+  def readSlice(
+      path: String, timeIdx: Int,
+      needMean: Boolean = true, needStddev: Boolean = true): GridFile.GridSlice =
+    if (isNetcdf(path)) NetcdfClassic.readGridSlice(path, timeIdx, needMean, needStddev)
+    else GridFile.readSlice(path, timeIdx, needMean, needStddev)
 }
 
 /** The `.grid` container codec — the ONLY piece a real NetCDF integration
