@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
-import graft.functions.{DotProduct, L2Norm, TopKAggregate, ZOrderKey}
+import graft.functions.{DotProduct, L2Norm, TopKAggregate, Wkt4326Ring, ZOrderKey}
 
 /** SparkSessionExtensions entry point: makes the engine's custom expressions
   * available to ANY session (including pure-SQL users) via
@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
       exprs => ZOrderKey(exprs(0), exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("graft_wkt4326"),
+      new ExpressionInfo(classOf[Wkt4326Ring].getName, "graft_wkt4326"),
+      exprs => Wkt4326Ring(exprs(0), exprs(1), exprs(2), exprs(3),
+        GraftExtensions.boolLit(exprs(4), "graft_wkt4326 north"))))
+    e.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAggregate].getName, "graft_topk"),
       exprs => {
@@ -35,5 +40,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TopKAggregate(exprs(0), exprs(1), k).toAggregateExpression()
       }))
+  }
+}
+
+object GraftExtensions {
+  /** Extracts a boolean literal argument (the TopKAggregate k-literal
+    * pattern: plan-time parameters arrive as foldable literals).
+    */
+  private[graft] def boolLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
   }
 }

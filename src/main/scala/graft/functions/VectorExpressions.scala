@@ -132,6 +132,10 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "graft_zorder", exprs => ZOrderKey(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_wkt4326", exprs => Wkt4326Ring(exprs(0), exprs(1), exprs(2),
+        exprs(3), graft.GraftExtensions.boolLit(exprs(4), "graft_wkt4326 north")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_topk", exprs => {
         val k = exprs(2) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
