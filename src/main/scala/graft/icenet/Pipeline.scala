@@ -182,6 +182,29 @@ class Pipeline(spark: SparkSession, warehouse: String, hemi: Hemisphere) {
     // nothing to refresh (the late-replay fast path)
   }
 
+  /** Registers the warehouse tables and the latest view in the session
+    * catalog, so a downstream SQL consumer (SURVEY §3.3's read path — the
+    * reference's readers query PostgreSQL tables/views by name) can
+    * `spark.sql("SELECT ... FROM north_forecast_latest")` without touching
+    * the Scala API. Names mirror the reference's table names: `<hemi>_cell`,
+    * `<hemi>_forecast`, `<hemi>_forecast_latest`, `forecast_meta`.
+    *
+    * Views are registered over the CURRENT parquet state (the file listing
+    * is captured at registration, Spark's temp-view semantics) — call again
+    * after ingests to refresh, exactly like the reference's readers see a
+    * refreshed materialized view only after `REFRESH`. Tables that don't
+    * exist yet are skipped, so registration is safe at any pipeline stage.
+    */
+  def registerSqlViews(): Unit = {
+    def reg(name: String, path: String): Unit =
+      if (TableOps.exists(spark, path))
+        TableOps.read(spark, path).createOrReplaceTempView(name)
+    reg(s"${h}_cell", cellPath)
+    reg(s"${h}_forecast", forecastPath)
+    reg(s"${h}_forecast_latest", latestPath)
+    reg("forecast_meta", metaPath)
+  }
+
   /** Stage 5 (processor.py:346-407): meta rollup — grouped MIN/MAX/COUNT over
     * the generation date (A2) upserted last-write-wins on
     * (date_forecast_generated, hemisphere) (processor.py:361,395-401).

@@ -180,6 +180,33 @@ class PipelineSpec extends SparkSpec {
     assert(facts.filter(col("date_forecast_generated") === "2020-06-02").count() == 1)
   }
 
+  test("SQL surface: registered catalog views match the Scala read path") {
+    val p = freshPipeline()
+    p.ingest(rawFile("2020-06-01", 0.0))
+    p.registerSqlViews()
+    // the reference's reader contract: query tables/views by name in SQL
+    assert(spark.sql("SELECT count(*) AS n FROM north_cell").head().getLong(0)
+      == TableOps.read(spark, p.cellPath).count())
+    assert(spark.sql("SELECT count(*) AS n FROM forecast_meta").head().getLong(0) == 1)
+    val viaSql = spark.sql(
+      """SELECT date_forecast_generated, date_forecast_for, cell_id,
+        |       sea_ice_concentration_mean
+        |FROM north_forecast_latest""".stripMargin)
+      .orderBy("date_forecast_for", "cell_id").collect().toSeq
+    val viaScala = p.latestView()
+      .select("date_forecast_generated", "date_forecast_for", "cell_id",
+        "sea_ice_concentration_mean")
+      .orderBy("date_forecast_for", "cell_id").collect().toSeq
+    assert(viaSql == viaScala)
+    // registration is a refresh point: a later ingest + re-register shows
+    // the new date (temp views capture the listing at registration)
+    p.ingest(rawFile("2020-06-05", 0.1))
+    p.registerSqlViews()
+    assert(spark.sql(
+      "SELECT max(date_forecast_generated) AS d FROM north_forecast_latest")
+      .head().getDate(0) == Date.valueOf("2020-06-05"))
+  }
+
   test("cell geometry: WKT ring is closed and 4326 ring is in lon/lat range") {
     val p = freshPipeline()
     p.ingest(rawFile("2020-06-01", 0.0))

