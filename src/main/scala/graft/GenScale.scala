@@ -52,10 +52,10 @@ object GenScale {
     def scale(
         name: String, remap: Map[String, Long],
         tweak: Map[String, (Column, Column) => Column] = Map.empty,
-        outParts: Int = 8): Unit = {
+        outParts: Int = 8, copies: Int = factor): Unit = {
       val df = read(name)
       val out = df
-        .withColumn("__c", explode(sequence(lit(0L), lit(factor - 1L))))
+        .withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
         .select(df.columns.toSeq.map { c =>
           val typ = df.schema(c).dataType
           remap.get(c).map(s => (col(c) + col("__c") * s).cast(typ).as(c))
@@ -67,8 +67,11 @@ object GenScale {
       println(s"[genscale] $name -> ${factor}x")
     }
 
-    scale("region", Map.empty, outParts = 1)
-    scale("nation", Map.empty, outParts = 1)
+    // copies = 1: region/nation pass through verbatim — replicating them
+    // without a key remap would duplicate primary keys and multiply every
+    // join that touches them
+    scale("region", Map.empty, outParts = 1, copies = 1)
+    scale("nation", Map.empty, outParts = 1, copies = 1)
     scale("customer", Map("c_custkey" -> custStride))
     scale("supplier", Map("s_suppkey" -> suppStride), outParts = 2)
     scale("part", Map("p_partkey" -> partStride), outParts = 2)
