@@ -882,6 +882,258 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
         .select(col("media_id"), col("dim"), round(col("val"), 6).as("val"))),
+
+    // ---- beyond-reference: TPC-H composite suite (Q1-Q22 shapes the -----
+    // fixture schema can express; partsupp/commitdate-dependent queries
+    // Q2/Q11/Q12/Q16/Q20/Q21 are out of scope by schema). Each one pins a
+    // distinct plan shape the 100 TB engine must get right: partial
+    // aggregation (q1), non-equi semi join (q4), dim-first join ordering
+    // (q7/q8/q9), outer-join double aggregation (q13), self-join scalar
+    // max (q15), pre-aggregated correlated threshold (q17), having-semi
+    // fact reduction (q18), disjunctive pushdown (q19), scalar-threshold
+    // anti join (q22).
+    "q1_pricing_summary" -> ((s, dir) =>
+      // TPC-H Q1: the map-side-combine benchmark - 8 aggregates over a
+      // 6-value group space; partial aggregation collapses 600k rows to
+      // 6 per task BEFORE the exchange, so the shuffle is O(tasks), not
+      // O(rows), at any scale.
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") <= lit("2001-09-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+    "q4_priority_exists" -> { (s, dir) =>
+      // TPC-H Q4 shape (l_commitdate/receiptdate absent: "late" =
+      // shipped >60 days after order). EXISTS = left_semi with the
+      // non-equi lateness predicate riding the orderkey hash join - the
+      // probe side streams and no order row ever duplicates.
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1997-04-01").cast("date"))
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate").cast("date") > date_add(o("o_orderdate").cast("date"), 60),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+    "q7_volume_shipping" -> { (s, dir) =>
+      // TPC-H Q7: bidirectional nation-pair trade volume. Both nation dims
+      // are pre-filtered to the two names BEFORE their joins (each kills
+      // ~92% of fact rows at the broadcast probe); only the cross-pair
+      // disjunction - which genuinely needs both sides - runs post-join.
+      val two = Seq("NATION_1", "NATION_2")
+      val n1 = broadcast(Tables.nation(s, dir).filter(col("n_name").isin(two: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, dir).filter(col("n_name").isin(two: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date")
+          .between(lit("1996-01-01").cast("date"), lit("1997-12-31").cast("date")))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+    },
+    "q8_market_share" -> { (s, dir) =>
+      // TPC-H Q8: one nation's share of PROMO-part volume into ASIA
+      // customers. part is filtered 6x before its join; region/nation
+      // broadcast unconditionally (bounded dims, as in q5); the share is
+      // a conditional-sum ratio - one aggregate pass, no second join.
+      val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_type") === "PROMO")
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate").cast("date")
+            .between(lit("1996-01-01").cast("date"), lit("1997-12-31").cast("date"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))),
+          col("c_nationkey") === col("c_nk"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", volume).otherwise(lit(0.0)))
+            / sum(volume), 4).as("mkt_share"))
+    },
+    "q9_product_profit" -> { (s, dir) =>
+      // TPC-H Q9 shape (no partsupp: supply cost modeled as 60% of
+      // retail price). Profit per supplier nation per year; part filter
+      // first, nation broadcast, single aggregation.
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+          .select("p_partkey", "p_retailprice"), col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - lit(0.6) * col("p_retailprice") * col("l_quantity")), 4).as("sum_profit"))
+    },
+    "q10_returned_items" -> { (s, dir) =>
+      // TPC-H Q10: top-20 customers by returned revenue in a quarter.
+      // Date filter reaches the orders scan, returnflag the lineitem scan;
+      // TakeOrderedAndProject caps the driver at 20 rows.
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+            col("o_orderdate").cast("date") < lit("1997-04-01").cast("date")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    },
+    "q13_order_count_dist" -> { (s, dir) =>
+      // TPC-H Q13: customer order-count distribution. The ON-clause
+      // priority filter is applied to orders BEFORE the left join
+      // (equivalent, and it shrinks the shuffled side); count(o_orderkey)
+      // keeps 0-order customers via the preserved null row.
+      val c = Tables.customer(s, dir).select("c_custkey")
+      val o = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "5-LOW")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+    "q14_promo_revenue" -> ((s, dir) =>
+      // TPC-H Q14: promo share of one month's revenue - conditional-sum
+      // ratio in a single aggregate pass over the month's scan slice.
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1997-03-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-04-01").cast("date"))
+        .join(Tables.part(s, dir).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) * sum(
+          when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0)))
+          / sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("promo_revenue"))),
+    "q15_top_supplier" -> { (s, dir) =>
+      // TPC-H Q15: supplier(s) with max quarterly revenue. The max rides a
+      // 1-row broadcast back onto the 100-row aggregate as an EQUI join on
+      // the rounded revenue (both sides from the same computed set, so
+      // double equality is exact) - no window over a single partition.
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-04-01").cast("date"))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+      Tables.supplier(s, dir)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    },
+    "q17_small_quantity" -> { (s, dir) =>
+      // TPC-H Q17: revenue lost to small-quantity orders of one brand.
+      // The correlated per-part avg is a pre-aggregation JOINED back on
+      // partkey - and it is computed only over the brand's parts (the
+      // brand semi-filter is applied before BOTH consumers; semantically
+      // identical, ~60x less aggregated).
+      val brandParts = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#12").select("p_partkey")
+      val l = Tables.lineitem(s, dir)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val cut = l.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.5) * avg(col("l_quantity"))).as("qty_cut"))
+      l.join(cut, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_cut"))
+        .agg(round(sum(col("l_extendedprice")) / lit(7.0), 4).as("avg_yearly"))
+    },
+    "q18_large_orders" -> { (s, dir) =>
+      // TPC-H Q18: large-volume orders. The HAVING subquery becomes a
+      // left_semi of orders against the pre-aggregated big-order keys, so
+      // the 3-way join only ever sees qualifying orders.
+      val l = Tables.lineitem(s, dir)
+      val big = l.groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+        .filter(col("sq") > 150).select("b_orderkey")
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("b_orderkey"), "left_semi")
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+    "q19_disjunctive" -> { (s, dir) =>
+      // TPC-H Q19 shape (no p_container: brand x size x quantity arms).
+      // The cross-side disjunction stays on the join output; each side
+      // ALSO gets its redundant per-side disjunction explicitly
+      // (brand/size arms -> part scan, quantity arms -> lineitem scan) so
+      // the scans prune without relying on CNF inference.
+      val arm1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)
+      val arm2 = col("p_brand") === "Brand#20" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)
+      val arm3 = col("p_brand") === "Brand#5" && col("p_size").between(1, 50) &&
+        col("l_quantity").between(20, 30)
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity").between(1, 11) ||
+          col("l_quantity").between(10, 20) || col("l_quantity").between(20, 30))
+        .join(Tables.part(s, dir).filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)) ||
+            (col("p_brand") === "Brand#20" && col("p_size").between(1, 25)) ||
+            (col("p_brand") === "Brand#5" && col("p_size").between(1, 50))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(arm1 || arm2 || arm3)
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+    },
+    "q22_idle_customers" -> { (s, dir) =>
+      // TPC-H Q22 shape (no c_phone: "wealthy and idle" = above-average
+      // balance, no order since 2000). The global avg is a 1-row
+      // broadcast threshold (reviewed BNLJ, PlanSweep allowlist); the
+      // idleness test is a left_anti against the date-pruned order scan.
+      val c = Tables.customer(s, dir)
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+      c.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 4).as("totacctbal"))
+    },
   )
 
   /** Shared by sim_topk_ivf and sim_topk_ivf_persisted: the persisted-index
@@ -2212,5 +2464,146 @@ object SparkEntry {
         |SELECT media_id, CAST(j AS INT) AS dim,
         |       round(((checksum + j) % 97) / 97.0, 6) AS val
         |FROM c, (SELECT unnest(generate_series(0, 3)) AS j)""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 4) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+        |         AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+        |GROUP BY 1, 2""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND CAST(l.l_shipdate AS DATE) >
+        |                    CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             EXTRACT(year FROM l_shipdate) AS l_year,
+        |             l_extendedprice * (1 - l_discount) AS volume
+        |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+        |             (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND CAST(l_shipdate AS DATE)
+        |            BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        |       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+        |             / sum(volume), 4) AS mkt_share
+        |FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |             l_extendedprice * (1 - l_discount) AS volume,
+        |             n2.n_name AS supp_nation
+        |      FROM part JOIN lineitem ON p_partkey = l_partkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region ON n1.n_regionkey = r_regionkey
+        |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |        AND CAST(o_orderdate AS DATE)
+        |            BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+        |GROUP BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+        |FROM (SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+        |             l_extendedprice * (1 - l_discount)
+        |               - 0.6 * p_retailprice * l_quantity AS amount
+        |      FROM part JOIN lineitem ON p_partkey = l_partkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN nation ON s_nationkey = n_nationkey
+        |      WHERE p_type = 'STANDARD')
+        |GROUP BY 1, 2""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 4, 5
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q13_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '5-LOW'
+        |      GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                              THEN l_extendedprice * (1 - l_discount)
+        |                              ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-03-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#12'
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 50
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |       round(sum(c_acctbal), 4) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -210,6 +210,42 @@ class PlanGuardSpec extends SparkSpec {
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q1_pricing_summary: partial aggregation collapses the scan before the exchange") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q1_pricing_summary")
+    // two HashAggregates (partial below / final above) around exactly one
+    // exchange: the map side reduces 600k rows to 6 per task, so the
+    // shuffle is O(tasks x groups) at any scale
+    assert(collectAll(p) { case a: HashAggregateExec => a }.size == 2,
+      s"expected partial+final hash aggregate:\n$p")
+    assert(shuffles(p) <= 1)
+  }
+
+  test("q4/q18: EXISTS and HAVING-IN plan as semi joins — no order row duplicates") {
+    val plans = Seq("q4_priority_exists", "q18_large_orders").map(q => q -> plan(q))
+    for ((q, p) <- plans)
+      assert(p.toString.contains("LeftSemi"),
+        s"$q must reduce orders through a left-semi join:\n$p")
+  }
+
+  test("q19_disjunctive: per-side disjunction arms reach both scans") {
+    val p = plan("q19_disjunctive")
+    val pushed = collectAll(p) { case s: FileSourceScanExec => s }
+      .flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("p_brand") && pushed.contains("l_quantity"),
+      s"brand arms must push to part, quantity arms to lineitem: $pushed")
+  }
+
+  test("q22_idle_customers: idleness is a left-anti join on the date-pruned order scan") {
+    val p = plan("q22_idle_customers")
+    assert(p.toString.contains("LeftAnti"),
+      s"q22 must plan the NOT EXISTS as a left-anti join:\n$p")
+    val pushed = collectAll(p) { case s: FileSourceScanExec => s }
+      .flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("o_orderdate"),
+      s"the idleness date filter must reach the orders scan: $pushed")
+  }
+
   test("sim_topk_pq: codebook and distance table broadcast; no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val p = plan("sim_topk_pq")
