@@ -1134,6 +1134,57 @@ object SparkEntry {
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 4).as("totacctbal"))
     },
+
+    // ---- beyond-reference: table maintenance + sparse retrieval ----------
+    "maint_compact" -> { (s, dir) =>
+      // small-file compaction end to end: fragment orders into 48 tiny
+      // files (the post-ingest swamp insertIgnore leaves behind), compact
+      // to size-targeted orderkey-clustered files through the crash-safe
+      // swap, read back through the same table path. The oracle is the
+      // ORIGINAL table: compaction must change layout, never content.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_compact_q").toString + "/orders"
+      Tables.orders(s, dir).repartition(48).write.parquet(root)
+      graft.icenet.TableOps.compact(s, root,
+        targetBytes = 512L * 1024, sortCols = Seq("o_orderkey"))
+      graft.icenet.TableOps.read(s, root)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    },
+    "maint_partition_stats" -> ((s, dir) =>
+      // file-skipping manifest: per-ship-year min/max/null/count envelope
+      // of the fact columns a planner prunes on (TableOps.partitionStats;
+      // pruneCandidates consumes it - TableOpsSpec pins the skip set)
+      graft.icenet.TableOps.partitionStats(
+        Tables.lineitem(s, dir)
+          .withColumn("ship_year", year(col("l_shipdate").cast("date")).cast("long")),
+        "ship_year", Seq("l_orderkey", "l_quantity"))),
+    "text_bm25" -> ((s, dir) =>
+      // sparse retrieval: BM25 top-20 against a fixed query-term set
+      // (TextAnalysis.bm25 - one doc_id exchange + bounded broadcasts)
+      graft.ops.TextAnalysis.bm25(Tables.documents(s, dir),
+        Seq("spark", "window", "merge"))),
+    "w8_dist_functions" -> ((s, dir) =>
+      // value-based rank family: percent_rank/cume_dist/dense_rank are
+      // tie-stable (depend on the VALUE ordering, not row order), so they
+      // are deterministic under an order-by with duplicates - unlike
+      // row_number, which needs the full tiebreak (w1's fix)
+      Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_mktsegment"),
+        round(percent_rank().over(
+          Window.partitionBy("c_mktsegment").orderBy("c_acctbal")), 6).as("pct_rank"),
+        round(cume_dist().over(
+          Window.partitionBy("c_mktsegment").orderBy("c_acctbal")), 6).as("cume"),
+        dense_rank().over(
+          Window.partitionBy("c_mktsegment").orderBy("c_acctbal"))
+          .cast("long").as("drank"))),
+    "a12_cube" -> ((s, dir) =>
+      // full CUBE lattice over the two lineitem flags: all four grouping
+      // sets in one Expand pass - the OLAP rollup surface beyond
+      // a6_rollup's hierarchy and a9's explicit sets
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))),
   )
 
   /** Shared by sim_topk_ivf and sim_topk_ivf_persisted: the persisted-index
@@ -2605,5 +2656,52 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
         |GROUP BY 1""".stripMargin,
+    "maint_compact" ->
+      // compaction changes layout, never content: the oracle is the source
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderpriority
+        |FROM orders""".stripMargin,
+    "maint_partition_stats" ->
+      """SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+        |       min(l_orderkey) AS min_l_orderkey,
+        |       max(l_orderkey) AS max_l_orderkey,
+        |       count(*) - count(l_orderkey) AS nulls_l_orderkey,
+        |       min(l_quantity) AS min_l_quantity,
+        |       max(l_quantity) AS max_l_quantity,
+        |       count(*) - count(l_quantity) AS nulls_l_quantity,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin,
+    "text_bm25" ->
+      """WITH terms AS (SELECT doc_id,
+        |                      unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |               FROM documents),
+        |tfall AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
+        |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+        |qtf AS (SELECT * FROM tfall WHERE token IN ('spark', 'window', 'merge')),
+        |df AS (SELECT token, count(*) AS df FROM qtf GROUP BY 1)
+        |SELECT doc_id,
+        |       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+        |         AS bm25
+        |FROM qtf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN stats
+        |GROUP BY 1
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin,
+    "w8_dist_functions" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       round(percent_rank() OVER (
+        |         PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS pct_rank,
+        |       round(cume_dist() OVER (
+        |         PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cume,
+        |       CAST(dense_rank() OVER (
+        |         PARTITION BY c_mktsegment ORDER BY c_acctbal) AS BIGINT) AS drank
+        |FROM customer""".stripMargin,
+    "a12_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
   )
 }

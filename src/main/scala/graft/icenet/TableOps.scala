@@ -1,7 +1,7 @@
 package graft.icenet
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Keyed-table write semantics over parquet directories — the Spark
@@ -525,6 +525,38 @@ object TableOps {
     plain.join(ndv, Seq("column_name"))
       .select("column_name", "min_value", "max_value", "n_nulls", "ndv")
   }
+
+  /** Per-partition file-skipping statistics: min/max/null-count of
+    * `statCols` plus row count, grouped by the partition key — the
+    * manifest metadata a lakehouse (Iceberg/Delta) keeps per data file,
+    * here at partition granularity. A planner consults this O(#partitions)
+    * table instead of opening files: a predicate whose range misses a
+    * partition's [min, max] skips it entirely ([[pruneCandidates]]).
+    *
+    * Plan: ONE hash aggregate over the scan (partial agg collapses each
+    * task to O(#partitions) rows pre-exchange); the stats table is bounded
+    * by partition count, never data size. Columns stay NUMERIC (no string
+    * rendering) so the table is cross-engine stable and directly usable in
+    * range comparisons.
+    */
+  def partitionStats(df: DataFrame, partCol: String, statCols: Seq[String]): DataFrame = {
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** File-skipping decision from a [[partitionStats]] table: the partitions
+    * a range predicate `lo <= col <= hi` can possibly touch — i.e. those
+    * whose [min, max] envelope intersects [lo, hi]. Runs on the O(#parts)
+    * stats table, so the pruning decision itself costs nothing at scale.
+    */
+  def pruneCandidates(
+      stats: DataFrame, partCol: String, statCol: String,
+      lo: Column, hi: Column): DataFrame =
+    stats.filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
+      .select(col(partCol))
 
   /** CDC changelog -> snapshot compaction: given an ordered change stream
     * (upserts and deletes per key), compute the current table state — the

@@ -532,4 +532,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("dim"),
         round(col("v") / col("nrm"), 6).as("val"))
   }
+
+  /** Okapi BM25 relevance of every document against a fixed query-term set
+    * — the sparse-retrieval scorer a training pipeline uses for targeted
+    * corpus selection (mine the documents most relevant to a domain before
+    * paying for dedup/quality passes on everything). k1/b are Robertson's
+    * standard defaults.
+    *
+    * Plan shape at scale: the (doc, term) counts and per-doc lengths ride
+    * ONE doc_id exchange (dl derives from the already-reduced tf rows, not
+    * a second pass over tokens); df is O(|queryTerms|) and the corpus
+    * stats are a 1-row broadcast — so the whole scorer is one shuffle plus
+    * bounded broadcasts, nothing corpus-pairwise. The top-k exit is a
+    * TakeOrdered, never a global sort.
+    */
+  def bm25(
+      docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val repart = docs.repartition(col("doc_id"))
+    val tf = repart.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val qtf = tf.filter(col("token").isin(queryTerms: _*))
+    val df = qtf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("n_docs"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    // operand order mirrors the DuckDB oracle exactly: (b*dl)/avgdl then
+    // +(1-b), so the IEEE result is bit-identical cross-engine
+    val lenNorm = lit(b) * col("dl") / col("avgdl") + (1.0 - b)
+    val termScore = idf * col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * lenNorm)
+    qtf.join(dl, "doc_id")
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(termScore), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+  }
 }

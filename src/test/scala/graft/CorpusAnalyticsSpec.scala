@@ -278,4 +278,22 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(got._1 == 3L)
     assert(math.abs(got._2 - want) < 1e-4)
   }
+
+  test("bm25 ranks by query-term density, is length-normalized, drops no-hit docs") {
+    val docs = Seq(
+      (1L, "spark spark spark"), // dense in the query term, short
+      (2L, "spark noise noise noise noise noise noise noise"), // one hit, long
+      (3L, "noise only noise"), // no hits: must be absent
+      (4L, "spark spark noise")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, Seq("spark"), topK = 10)
+      .select("doc_id", "bm25").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 2L),
+      "short all-hit doc first, long single-hit doc last, no-hit doc absent")
+    // hand-check doc 2: tf=1, df=3, n=4, dl=8, avgdl=(3+8+3+3)/4
+    val idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1.0)
+    val want = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 8.0 / 4.25))
+    val d2 = got.find(_._1 == 2L).get._2
+    assert(math.abs(d2 - want) < 1e-4, s"got $d2, want $want")
+  }
 }

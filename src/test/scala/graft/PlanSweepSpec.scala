@@ -35,7 +35,9 @@ class PlanSweepSpec extends SparkSpec {
     "sim_topk_brute", "sim_topk_agg", "sim_topk_ivf", "sim_topk_ivf_kmeans",
     "sim_topk_ivf_mp", "sim_topk_ivf_persisted", "dq_check", "corpus_drift",
     // q22's wealth threshold: customer x a 1-row global-average broadcast
-    "q22_idle_customers")
+    "q22_idle_customers",
+    // bm25's corpus stats (avgdl, n_docs): a 1-row broadcast
+    "text_bm25")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

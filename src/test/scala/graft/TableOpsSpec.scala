@@ -369,6 +369,28 @@ class TableOpsSpec extends SparkSpec {
     assert(snap == Map(1L -> 12, 3L -> 33))
   }
 
+  test("partitionStats envelope + pruneCandidates skip non-intersecting partitions") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq(
+      (1L, 10L, Some(1.0)), (1L, 20L, None), // part 1: k in [10,20], one null v
+      (2L, 30L, Some(2.0)), (2L, 40L, Some(3.0)), // part 2: k in [30,40]
+      (3L, 90L, Some(4.0)) // part 3: k = 90
+    ).toDF("p", "k", "v")
+    val stats = TableOps.partitionStats(df, "p", Seq("k", "v"))
+    val byPart = stats.collect().map(r => r.getAs[Long]("p") -> r).toMap
+    assert(byPart(1L).getAs[Long]("min_k") == 10L)
+    assert(byPart(1L).getAs[Long]("max_k") == 20L)
+    assert(byPart(1L).getAs[Long]("nulls_v") == 1L)
+    assert(byPart(1L).getAs[Long]("n_rows") == 2L)
+    // a predicate on k in [25, 50] can only touch partition 2: partitions
+    // 1 and 3 are skipped from the stats alone, no file ever opened
+    val survivors = TableOps.pruneCandidates(stats, "p", "k", lit(25L), lit(50L))
+      .as[Long].collect().toSet
+    assert(survivors == Set(2L))
+    // a point lookup below every envelope prunes everything
+    assert(TableOps.pruneCandidates(stats, "p", "k", lit(0L), lit(5L)).count() == 0)
+  }
+
   test("columnStats collects min/max/nulls/ndv in one long-form pass") {
     val df = Seq(
       (Some(3), Some("x")), (Some(1), None), (None, Some("y")), (Some(3), Some("x"))
