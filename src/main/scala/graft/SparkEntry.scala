@@ -507,6 +507,12 @@ object SparkEntry {
       graft.ops.Similarity.sqTopK(Tables.embeddings(s, dir))),
     "sim_topk_pq" -> ((s, dir) =>
       graft.ops.Similarity.pqTopK(Tables.embeddings(s, dir))),
+    "sim_topk_ivfpq" -> ((s, dir) =>
+      // IVF cell restriction x PQ code scoring: the compounding layout
+      // (per-query work O(n*m/C)) - the sf1 stress run measured pqTopK's
+      // exhaustive ADC at 13x its sf0.1 cost while the IVF family stayed
+      // flat; this composite is the production answer to that curve
+      graft.ops.Similarity.ivfPqTopK(Tables.embeddings(s, dir))),
 
     // ---- beyond-reference: event-time analytics (streaming.EventAggs;
     //      batch-equivalent plans of the streaming transforms) -------------
@@ -2083,6 +2089,64 @@ object SparkEntry {
         |  SELECT query_id, vec_id AS neighbor_id, round(sum(d), 6) AS approx_dist
         |  FROM codes JOIN dt USING (sub_m, code)
         |  WHERE vec_id <> query_id GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, approx_dist, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 5""".stripMargin,
+    "sim_topk_ivfpq" -> // IVF cell restriction x PQ ADC scoring
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rvec
+        |            FROM embeddings),
+        |nrm AS (SELECT vec_id, rvec, sqrt(
+        |          list_aggregate(list_transform(rvec, x -> x*x), 'sum')) AS nr FROM v0),
+        |cent AS (SELECT vec_id AS cent_id, rvec AS cvec, nr AS cnorm
+        |         FROM nrm WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(rvec)),
+        |            i -> rvec[i]*cvec[i]), 'sum') / (nr*cnorm), 6) AS c_cos
+        |        FROM nrm CROSS JOIN cent),
+        |cellof AS (SELECT vec_id, cent_id AS cell FROM
+        |            (SELECT *, row_number() OVER (
+        |               PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+        |           WHERE rn = 1),
+        |v AS (SELECT vec_id, list_transform(rvec, x -> x / nr) AS vec FROM nrm),
+        |sub AS (
+        |  SELECT vec_id, sm AS sub_m, vec[sm*w+1 : sm*w+w] AS sub
+        |  FROM (SELECT vec_id, vec, len(vec)//16 AS w FROM v),
+        |       (SELECT unnest(generate_series(0, 15)) AS sm)),
+        |book AS (SELECT vec_id AS cent_id, sub_m, sub AS csub FROM sub WHERE vec_id < 64),
+        |codes AS (
+        |  SELECT vec_id, sub_m, cent_id AS code FROM (
+        |    SELECT s.vec_id, s.sub_m, b.cent_id,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub_m ORDER BY
+        |             round((
+        |               list_aggregate(list_transform(generate_series(1, len(s.sub)),
+        |                 i -> s.sub[i]*s.sub[i]), 'sum')
+        |               - 2 * list_aggregate(list_transform(generate_series(1, len(s.sub)),
+        |                 i -> s.sub[i]*b.csub[i]), 'sum')
+        |               + list_aggregate(list_transform(generate_series(1, len(b.csub)),
+        |                 i -> b.csub[i]*b.csub[i]), 'sum')) * 1000000),
+        |             b.cent_id) AS rn
+        |    FROM sub s JOIN book b USING (sub_m))
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, sub_m, sub AS qsub FROM sub WHERE vec_id % 50 = 0),
+        |dt AS (
+        |  SELECT query_id, sub_m, cent_id AS code,
+        |         round(
+        |           list_aggregate(list_transform(generate_series(1, len(qsub)),
+        |             i -> qsub[i]*qsub[i]), 'sum')
+        |           - 2 * list_aggregate(list_transform(generate_series(1, len(qsub)),
+        |             i -> qsub[i]*csub[i]), 'sum')
+        |           + list_aggregate(list_transform(generate_series(1, len(csub)),
+        |             i -> csub[i]*csub[i]), 'sum'), 6) AS d
+        |  FROM q JOIN book USING (sub_m)),
+        |scored AS (
+        |  SELECT dt.query_id, codes.vec_id AS neighbor_id,
+        |         round(sum(dt.d), 6) AS approx_dist
+        |  FROM codes
+        |  JOIN cellof cv ON codes.vec_id = cv.vec_id
+        |  JOIN dt ON codes.sub_m = dt.sub_m AND codes.code = dt.code
+        |  JOIN cellof cq ON dt.query_id = cq.vec_id AND cv.cell = cq.cell
+        |  WHERE codes.vec_id <> dt.query_id GROUP BY 1, 2)
         |SELECT query_id, neighbor_id, approx_dist, CAST(rn AS BIGINT) AS rnk
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rn FROM scored)

@@ -275,14 +275,16 @@ object Similarity {
     * squared norm is precomputed here for the same reason: the candidate
     * join then evaluates ONE dot per pair instead of three.
     */
-  private def subVectors(v: DataFrame, idCol: String, m: Int): DataFrame = {
+  private def subVectors(
+      v: DataFrame, idCol: String, m: Int, carry: Seq[String] = Nil): DataFrame = {
     val subd = (size(col("vec")) / m).cast("int")
     val dot = graft.functions.VectorFunctions.dot _
-    v.select(col(idCol), col("norm"), posexplode(
+    val carried = carry.map(col)
+    v.select(Seq(col(idCol), col("norm")) ++ carried :+ posexplode(
         array((0 until m).map(i => slice(col("vec"), lit(i) * subd + 1, subd)): _*))
-      .as(Seq("sub_m", "sub_raw")))
-      .select(col(idCol), col("sub_m"),
-        transform(col("sub_raw"), x => x / col("norm")).as("sub"))
+      .as(Seq("sub_m", "sub_raw")): _*)
+      .select(Seq(col(idCol), col("sub_m"),
+        transform(col("sub_raw"), x => x / col("norm")).as("sub")) ++ carried: _*)
       .withColumn("sn2", dot(col("sub"), col("sub")))
   }
 
@@ -319,7 +321,8 @@ object Similarity {
     */
   private val PackBase = 1L << 20
 
-  private def pqEncodeAssigned(subs: DataFrame, book: DataFrame): DataFrame = {
+  private def pqEncodeAssigned(
+      subs: DataFrame, book: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val dot = graft.functions.VectorFunctions.dot _
     // |s|^2 and |c|^2 ride in from subVectors/pqCodebook (computed once per
     // side), so the n x codebookSize candidate stream evaluates exactly one
@@ -330,13 +333,18 @@ object Similarity {
     // (sorts the n x codebookSize candidate stream; measured 4.5 s at
     // sf0.1), while a long min is a codegen'd hash aggregate with map-side
     // combine. Same argmin: lexicographic (micro-d2, cent_id) order is
-    // exactly the packed long's order.
+    // exactly the packed long's order. `carry` columns (functionally
+    // dependent on vec_id, e.g. the IVF cell) ride the groupBy keys so no
+    // second join has to re-attach them to the n x m code rows.
+    val carried = carry.map(col)
     subs.join(broadcast(book), Seq("sub_m"))
-      .select(col("vec_id"), col("sub_m"),
+      .select(Seq(col("vec_id"), col("sub_m"),
         (round(d2 * 1e6).cast("long") * PackBase + col("cent_id")).as("packed"))
-      .groupBy("vec_id", "sub_m")
+        ++ carried: _*)
+      .groupBy(Seq(col("vec_id"), col("sub_m")) ++ carried: _*)
       .agg(min(col("packed")).as("p"))
-      .select(col("vec_id"), col("sub_m"), (col("p") % PackBase).as("code"))
+      .select(Seq(col("vec_id"), col("sub_m"), (col("p") % PackBase).as("code"))
+        ++ carried: _*)
   }
 
   /** PQ top-k via asymmetric distance computation (ADC): queries stay
@@ -372,6 +380,54 @@ object Similarity {
     val scored = codes
       .join(graft.operators.Broadcasting.checked(dtable, tag = "pq distance table"),
         Seq("sub_m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(round(sum(col("d")), 6).as("approx_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF-PQ composite — the production 100 TB ANN layout (FAISS IVFPQ):
+    * the corpus is partitioned into IVF cells AND PQ-encoded, and a query
+    * scores ONLY its probed cell's code lists via the ADC table. Relative
+    * to [[pqTopK]]'s exhaustive ADC scan the scored stream shrinks from
+    * n x m rows to (n/C) x m; relative to [[ivfTopK]] the per-candidate
+    * cost drops from a full-dimension dot product to m table lookups —
+    * compounding to the layout where a 100 TB corpus is servable from a
+    * fraction of the nodes with per-query work O(n·m/C).
+    *
+    * Plumbing: the cell label rides the encode aggregate's keys
+    * (`carry`) and the probe cell rides the broadcast distance table, so
+    * cell restriction adds ZERO exchanges over pqTopK — same bounded
+    * broadcasts (centroids, codebook, distance table), nothing all-pairs.
+    * Ranking and tie rules match pqTopK (approx L2 asc, neighbor_id asc).
+    */
+  def ivfPqTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50,
+      nCentroids: Int = 16, m: Int = 16, codebookSize: Int = 64): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dot _
+    val v = withNorm(embeddings)
+    val cells = assignCells(v, seedCentroids(v, nCentroids), 1)
+    val book = pqCodebook(v, m, codebookSize)
+    val codes = pqEncodeAssigned(
+      subVectors(cells, "vec_id", m, carry = Seq("cell")), book, carry = Seq("cell"))
+    val qcells = cells.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val qsubs = subVectors(
+      v.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+        .select(col("vec_id").as("query_id"), col("vec"), col("norm")),
+      "query_id", m)
+      .select(col("query_id"), col("sub_m"),
+        col("sub").as("qsub"), col("sn2").as("qn2"))
+    val dtable = qsubs.join(book, Seq("sub_m"))
+      .select(col("query_id"), col("sub_m"), col("cent_id").as("code"),
+        round(col("qn2") - lit(2.0) * dot(col("qsub"), col("csub")) + col("cn2"), 6)
+          .as("d"))
+      .join(qcells, "query_id") // probe cell rides the broadcast table
+    val scored = codes
+      .join(graft.operators.Broadcasting.checked(dtable, tag = "ivfpq distance table"),
+        Seq("sub_m", "code", "cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(round(sum(col("d")), 6).as("approx_dist"))

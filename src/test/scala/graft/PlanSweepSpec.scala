@@ -37,7 +37,10 @@ class PlanSweepSpec extends SparkSpec {
     // q22's wealth threshold: customer x a 1-row global-average broadcast
     "q22_idle_customers",
     // bm25's corpus stats (avgdl, n_docs): a 1-row broadcast
-    "text_bm25")
+    "text_bm25",
+    // ivfpq's centroid attachment: the same bounded 16-centroid fan-out
+    // as the rest of the IVF family
+    "sim_topk_ivfpq")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

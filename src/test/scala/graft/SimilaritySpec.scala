@@ -104,6 +104,27 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rnk").collect().toSet)
   }
 
+  test("ivfpq: candidates confined to the query's cell; ADC distances agree with pq") {
+    val got = Similarity.ivfPqTopK(emb)
+    // every returned neighbor shares the query's IVF cell
+    val cells = Similarity.ivfAssign(emb).select(col("vec_id"), col("cell"))
+    val crossCell = got
+      .join(cells.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("cell", "qcell"), "query_id")
+      .join(cells.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .filter(col("cell") =!= col("qcell"))
+    assert(crossCell.count() == 0, "a neighbor escaped the probed cell")
+    // within the cell, the ADC distance is EXACTLY pqTopK's for the same
+    // pair (same codes, same table) - the composite changes the candidate
+    // set, never the metric
+    val pqAll = Similarity.pqTopK(emb, k = Int.MaxValue)
+      .select(col("query_id"), col("neighbor_id"),
+        col("approx_dist").as("pq_dist"))
+    val joined = got.join(pqAll, Seq("query_id", "neighbor_id"))
+    assert(joined.count() == got.count())
+    assert(joined.filter(col("approx_dist") =!= col("pq_dist")).count() == 0)
+  }
+
   test("persisted IVF index: query path matches the inline ivfTopK exactly") {
     val root = tmpDir("ivfidx")
     Similarity.buildIvfIndex(emb, root)
