@@ -1170,6 +1170,26 @@ object SparkEntry {
       // (TextAnalysis.bm25 - one doc_id exchange + bounded broadcasts)
       graft.ops.TextAnalysis.bm25(Tables.documents(s, dir),
         Seq("spark", "window", "merge"))),
+    "text_chunk" -> ((s, dir) =>
+      // RAG chunking: 32-token windows every 24 tokens, zero shuffles
+      graft.ops.TextAnalysis.chunkDocuments(Tables.documents(s, dir))),
+    "q16_parts_suppliers" -> { (s, dir) =>
+      // TPC-H Q16 shape (lineitem stands in for partsupp): distinct
+      // supplier count per part attribute group, suppliers on the
+      // "complaints" list (negative balance) excluded via NOT IN =
+      // left_anti; the distinct rides the group-by exchange.
+      val negSupp = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#12" &&
+            col("p_size").isin(1, 5, 9, 14, 23))
+          .select("p_partkey", "p_brand", "p_type", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .join(negSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
     "w8_dist_functions" -> ((s, dir) =>
       // value-based rank family: percent_rank/cume_dist/dense_rank are
       // tie-stable (depend on the VALUE ordering, not row order), so they
@@ -2753,6 +2773,21 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 20""".stripMargin,
+    "text_chunk" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents),
+        |starts AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS s
+        |           FROM toks)
+        |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+        |       CAST(least(32, len(t) - s) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(t[s+1 : s+32], ' ') AS chunk_text
+        |FROM starts""".stripMargin,
+    "q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#12' AND p_size IN (1, 5, 9, 14, 23)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "w8_dist_functions" ->
       """SELECT c_custkey, c_mktsegment,
         |       round(percent_rank() OVER (

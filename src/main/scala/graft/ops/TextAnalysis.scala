@@ -533,6 +533,28 @@ object TextAnalysis {
         round(col("v") / col("nrm"), 6).as("val"))
   }
 
+  /** RAG/pretraining document chunking: overlapping token windows of
+    * `chunkSize` tokens every `stride` tokens (stride < chunkSize =>
+    * overlap of chunkSize - stride; tail chunks run shorter, never empty).
+    * The retrieval-corpus mate of [[packSequences]]: packing concatenates
+    * docs into fixed blocks for training, chunking splits docs into
+    * overlapping windows for indexing.
+    *
+    * Narrow end to end — tokenize, explode the start offsets, slice —
+    * so it runs at scan speed over any corpus size with zero shuffles.
+    */
+  def chunkDocuments(
+      docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(stride))).as("s"))
+      .select(col("doc_id"),
+        (col("s") / stride).cast("long").as("chunk_idx"),
+        least(lit(chunkSize), size(col("t")) - col("s")).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("t"), col("s") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+
   /** Okapi BM25 relevance of every document against a fixed query-term set
     * — the sparse-retrieval scorer a training pipeline uses for targeted
     * corpus selection (mine the documents most relevant to a domain before

@@ -279,6 +279,24 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(math.abs(got._2 - want) < 1e-4)
   }
 
+  test("chunkDocuments: overlap, short tails, and sub-window docs") {
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"w$i").mkString(" ")), // 80 tokens: 4 chunks
+      (2L, "a b c") // 3 tokens: one short chunk
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, chunkSize = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0, 24, 48, 72 -> lengths 32, 32, 32, 8
+    assert(d1.map(_._3).toSeq == Seq(32L, 32L, 32L, 8L))
+    // consecutive chunks overlap by chunkSize - stride = 8 tokens
+    assert(d1(0)._4.split(" ").takeRight(8).toSeq ==
+      d1(1)._4.split(" ").take(8).toSeq)
+    assert(d1(3)._4 == (73 to 80).map(i => s"w$i").mkString(" "))
+    // a doc shorter than one window yields exactly one whole-doc chunk
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
+  }
+
   test("bm25 ranks by query-term density, is length-normalized, drops no-hit docs") {
     val docs = Seq(
       (1L, "spark spark spark"), // dense in the query term, short

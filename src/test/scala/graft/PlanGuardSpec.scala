@@ -131,6 +131,10 @@ class PlanGuardSpec extends SparkSpec {
       assert(shuffles(plan(q)) == 0, s"$q must run at scan speed")
   }
 
+  test("text_chunk: tokenize-explode-slice stays narrow — zero shuffles") {
+    assert(shuffles(plan("text_chunk")) == 0)
+  }
+
   test("events_funnel: whole funnel rides ONE data shuffle") {
     // executed plan: window/agg exchanges come from EnsureRequirements.
     // Expected: 1 user_id exchange feeding windows + per-user collapse,
