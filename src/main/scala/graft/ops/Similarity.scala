@@ -538,6 +538,27 @@ object Similarity {
     (centsV, cellsV)
   }
 
+  /** Incremental index maintenance: assigns ONLY the `newVectors` batch
+    * against the index's STORED centroids and commits the union as a new
+    * cells snapshot — the append path that keeps a 100 TB index current
+    * without re-assigning the corpus (cost: one narrow pass over the
+    * batch + the union write; the existing assignments are re-written but
+    * never re-computed; at scale the cells table would be partitioned by
+    * cell so the append only rewrites touched partitions). Because the
+    * centroids are the frozen originals, an append-then-query is
+    * bit-identical to a full rebuild over the union corpus with those
+    * centroids (SimilaritySpec pins this), and old snapshot versions stay
+    * queryable during and after the append (reader lease).
+    */
+  def appendToIvfIndex(newVectors: DataFrame, path: String): Long = {
+    val spark = newVectors.sparkSession
+    val cents = localize(graft.icenet.Snapshots.read(spark, s"$path/centroids"))
+    val existing = graft.icenet.Snapshots.read(spark, s"$path/cells")
+    val appended = assignCells(withNorm(newVectors), cents, nProbe = 1)
+    graft.icenet.Snapshots.commit(
+      spark, s"$path/cells", existing.unionByName(appended))
+  }
+
   /** Top-k against a PERSISTED index: queries are assigned with the stored
     * centroids and scored only against their cell's stored vectors — the
     * corpus-side assignment work was paid once at [[buildIvfIndex]] time.

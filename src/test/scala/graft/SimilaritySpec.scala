@@ -133,6 +133,23 @@ class SimilaritySpec extends SparkSpec {
     assert(fromIndex.exceptAll(inline).isEmpty && inline.exceptAll(fromIndex).isEmpty)
   }
 
+  test("appendToIvfIndex: append+query is bit-identical to a rebuild over the union") {
+    val root = tmpDir("ivfappend")
+    // initial build holds the first 300 vectors (includes all centroid
+    // seeds, vec_id < 16); the remaining 200 arrive as a later batch
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 300), root)
+    val v1 = Similarity.ivfTopKFromIndex(emb, root).collect().toSet
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= 300), root)
+    val appended = Similarity.ivfTopKFromIndex(emb, root)
+    // frozen centroids => append == rebuild over the union corpus
+    val rebuilt = tmpDir("ivfrebuild")
+    Similarity.buildIvfIndex(emb, rebuilt)
+    assert(appended.exceptAll(Similarity.ivfTopKFromIndex(emb, rebuilt)).isEmpty)
+    assert(Similarity.ivfTopKFromIndex(emb, rebuilt).exceptAll(appended).isEmpty)
+    // the appended index sees MORE candidates than the partial one did
+    assert(appended.collect().toSet != v1)
+  }
+
   test("persisted IVF index versions: a rebuild is a new snapshot, the old stays queryable") {
     val root = tmpDir("ivfidx")
     val (_, cellsV1) = Similarity.buildIvfIndex(emb, root)
