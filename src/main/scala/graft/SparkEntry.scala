@@ -1157,6 +1157,23 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderpriority")
     },
+    "j11_range_join" -> { (s, dir) =>
+      // keyless range join: clicks within +-30 min of ANY error event.
+      // Naive Spark plans this BETWEEN as a nested loop (O(n*m)); the
+      // binned rewrite (operators.RangeJoin) makes it a hash join on the
+      // hour bin + exact verify - output-sensitive cost from stock
+      // machinery (PlanGuardSpec pins no-BNLJ).
+      val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+        .select(col("event_id"), col("event_type"), unix_millis(col("ts")).as("tms"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          (col("tms") - 1800000L).as("lo"), (col("tms") + 1800000L).as("hi"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("tms"))
+      graft.operators.RangeJoin
+        .pointInInterval(clicks, "tms", errors, "lo", "hi", binWidth = 3600000L)
+        .groupBy("error_id").agg(count(lit(1)).as("n_nearby"))
+    },
     "maint_partition_stats" -> ((s, dir) =>
       // file-skipping manifest: per-ship-year min/max/null/count envelope
       // of the fact columns a planner prunes on (TableOps.partitionStats;
@@ -2745,6 +2762,15 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       o_orderpriority
         |FROM orders""".stripMargin,
+    "j11_range_join" ->
+      """WITH ev AS (SELECT event_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+        |            FROM events WHERE ts IS NOT NULL),
+        |err AS (SELECT event_id AS error_id, tms - 1800000 AS lo, tms + 1800000 AS hi
+        |        FROM ev WHERE event_type = 'error'),
+        |clk AS (SELECT event_id AS click_id, tms FROM ev WHERE event_type = 'click')
+        |SELECT error_id, count(*) AS n_nearby
+        |FROM err JOIN clk ON tms BETWEEN lo AND hi
+        |GROUP BY 1""".stripMargin,
     "maint_partition_stats" ->
       """SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
         |       min(l_orderkey) AS min_l_orderkey,

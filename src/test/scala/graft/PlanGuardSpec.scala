@@ -113,7 +113,10 @@ class PlanGuardSpec extends SparkSpec {
 
   test("join-shaped corpus ops never plan a cartesian product") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
-    for (q <- Seq("decontaminate", "j8_interval_join", "dedup_ngram_jaccard")) {
+    // j11: the binned rewrite's whole purpose is turning the keyless
+    // BETWEEN (which alone can only nested-loop) into a hash join on __bin
+    for (q <- Seq("decontaminate", "j8_interval_join", "dedup_ngram_jaccard",
+        "j11_range_join")) {
       val p = plan(q)
       assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
         s"$q must not plan a cartesian product")
