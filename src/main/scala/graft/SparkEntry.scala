@@ -1124,6 +1124,95 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("revenue"))
     },
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      // TPC-H Q2 shape (no partsupp: unit cost derived as each supplier's
+      // average realized price). Min-cost-per-group JOIN-BACK: the
+      // per-part minimum re-joins the cost table on (part, cost) equality
+      // - and both the cost agg and the min run over the lineitem slice
+      // already semi-filtered by the part predicate (q17's trick), not
+      // the full fact table.
+      val parts = Tables.part(s, dir)
+        .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val li = Tables.lineitem(s, dir)
+        .join(parts, col("l_partkey") === col("p_partkey"))
+      val cost = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(round(avg(col("l_extendedprice") / col("l_quantity")), 4)
+          .as("unit_cost"))
+      val best = cost.groupBy(col("l_partkey").as("b_partkey"))
+        .agg(min(col("unit_cost")).as("min_cost_v"))
+      cost
+        .join(best, col("b_partkey") === col("l_partkey") &&
+          col("unit_cost") === col("min_cost_v"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .orderBy(col("s_acctbal").desc, col("l_partkey").asc, col("s_name").asc)
+        .limit(100)
+        .select(col("l_partkey").as("p_partkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"), col("unit_cost").as("min_cost"))
+    },
+    "q11_important_stock" -> { (s, dir) =>
+      // TPC-H Q11 shape (shipped value stands in for stock value): the
+      // per-(nation, part) value filtered by a GLOBAL-share threshold.
+      // The threshold is a 1-row broadcast over the value table's own
+      // re-aggregation (reviewed BNLJ, PlanSweep allowlist).
+      val value = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "l_partkey")
+        .agg(round(sum(col("l_extendedprice") * col("l_quantity")), 4)
+          .as("part_value"))
+      val thresh = value.agg((lit(0.0001) * sum(col("part_value"))).as("thresh"))
+      value.join(broadcast(thresh), col("part_value") > col("thresh"))
+        .orderBy(col("part_value").desc, col("n_name").asc, col("l_partkey").asc)
+        .limit(100)
+        .select("n_name", "l_partkey", "part_value")
+    },
+    "q12_late_priority" -> { (s, dir) =>
+      // TPC-H Q12 shape (no l_shipmode: classified by order priority
+      // instead): late-shipment line counts per ship year, split
+      // high/low priority - the conditional-count pair rides ONE
+      // aggregate pass over the joined slice.
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate").cast("date") >
+          date_add(col("o_orderdate").cast("date"), 90))
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+    },
+    "q21_waiting_supplier" -> { (s, dir) =>
+      // TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+      // multi-supplier finished order. The classic EXISTS + NOT EXISTS
+      // pair over the same table collapses into ONE grouped pass: late
+      // flags per (order, supplier), then per-order counts decide
+      // "others exist" (n_supp > 1) and "no other was late" (n_late = 1)
+      // - two exchanges total, no correlated re-scans of lineitem.
+      val late = col("l_shipdate").cast("date") >
+        date_add(col("o_orderdate").cast("date"), 90)
+      val flagged = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(late, 1).otherwise(0)).as("is_late"))
+      val perOrder = flagged.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"),
+          max(when(col("is_late") === 1, col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+      perOrder
+        .join(Tables.supplier(s, dir), col("late_supp") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    },
     "q22_idle_customers" -> { (s, dir) =>
       // TPC-H Q22 shape (no c_phone: "wealthy and idle" = above-average
       // balance, no order since 2000). The global avg is a 1-row
@@ -2749,6 +2838,65 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 50
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_size <= 10 AND p_type = 'STANDARD')
+        |  GROUP BY 1, 2),
+        |best AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY 1)
+        |SELECT cost.l_partkey AS p_partkey, s_name, s_acctbal, n_name,
+        |       unit_cost AS min_cost
+        |FROM cost
+        |JOIN best ON best.l_partkey = cost.l_partkey AND unit_cost = best.min_cost
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |ORDER BY s_acctbal DESC, p_partkey, s_name
+        |LIMIT 100""".stripMargin,
+    "q11_important_stock" ->
+      """WITH value AS (
+        |  SELECT n_name, l_partkey,
+        |         round(sum(l_extendedprice * l_quantity), 4) AS part_value
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, l_partkey, part_value
+        |FROM value
+        |WHERE part_value > (SELECT 0.0001 * sum(part_value) FROM value)
+        |ORDER BY part_value DESC, n_name, l_partkey
+        |LIMIT 100""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+        |GROUP BY 1""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH flagged AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         max(CASE WHEN CAST(l_shipdate AS DATE) >
+        |                       CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+        |                  THEN 1 ELSE 0 END) AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |per_order AS (
+        |  SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late,
+        |         max(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+        |  FROM flagged GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM per_order JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "q22_idle_customers" ->
       """SELECT c_nationkey, count(*) AS numcust,
         |       round(sum(c_acctbal), 4) AS totacctbal

@@ -40,7 +40,10 @@ class PlanSweepSpec extends SparkSpec {
     "text_bm25",
     // ivfpq's centroid attachment: the same bounded 16-centroid fan-out
     // as the rest of the IVF family
-    "sim_topk_ivfpq")
+    "sim_topk_ivfpq",
+    // q11's global-share threshold: a 1-row broadcast over the value
+    // table's re-aggregation
+    "q11_important_stock")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)
