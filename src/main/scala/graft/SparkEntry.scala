@@ -1166,7 +1166,10 @@ object SparkEntry {
         .groupBy("n_name", "l_partkey")
         .agg(round(sum(col("l_extendedprice") * col("l_quantity")), 4)
           .as("part_value"))
-      val thresh = value.agg((lit(0.0001) * sum(col("part_value"))).as("thresh"))
+      // threshold = 3x the mean group value: scale-INVARIANT selectivity
+      // (a fixed share of the global total goes vacuous as the group count
+      // grows - measured empty at sf0.1 with the classic 0.0001 form)
+      val thresh = value.agg((lit(3.0) * avg(col("part_value"))).as("thresh"))
       value.join(broadcast(thresh), col("part_value") > col("thresh"))
         .orderBy(col("part_value").desc, col("n_name").asc, col("l_partkey").asc)
         .limit(100)
@@ -2866,7 +2869,7 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT n_name, l_partkey, part_value
         |FROM value
-        |WHERE part_value > (SELECT 0.0001 * sum(part_value) FROM value)
+        |WHERE part_value > (SELECT 3.0 * avg(part_value) FROM value)
         |ORDER BY part_value DESC, n_name, l_partkey
         |LIMIT 100""".stripMargin,
     "q12_late_priority" ->
