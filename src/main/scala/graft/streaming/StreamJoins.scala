@@ -88,4 +88,42 @@ object StreamJoins {
         col(s"r.$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $lookBack") &&
         col(s"r.$tsCol") <= col(s"l.$tsCol"))
   }
+
+  /** KEYLESS point-in-interval join for streams — the binned trick of
+    * [[graft.operators.RangeJoin]] carried to Structured Streaming, where
+    * it is not an optimization but what makes the join POSSIBLE at all: a
+    * stream-stream join demands an equality condition, and a pure
+    * `t BETWEEN anchor-before AND anchor+after` has none. The time bin
+    * supplies it: anchors explode to their overlapped bins (bounded —
+    * (before+after)/binMs + 1 rows per anchor), points map to exactly one
+    * bin (so no post-join dedup), the bins join as the required equality,
+    * and the event-time range condition between the two sides lets the
+    * watermark expire both state stores. On batch frames the same code is
+    * a plain binned range join (what the spec's truth side runs).
+    */
+  def rangeJoinBinned(
+      points: DataFrame, pointTs: String,
+      anchors: DataFrame, anchorTs: String,
+      beforeMs: Long, afterMs: Long, binMs: Long,
+      watermark: String = "2 hours"): DataFrame = {
+    require(binMs > 0 && beforeMs >= 0 && afterMs >= 0,
+      "binMs must be positive and the range offsets non-negative")
+    val p = (if (points.isStreaming) points.withWatermark(pointTs, watermark)
+      else points)
+      .withColumn("__bin", floor(unix_millis(col(pointTs)) / binMs).cast("long"))
+      .as("p")
+    val a = (if (anchors.isStreaming) anchors.withWatermark(anchorTs, watermark)
+      else anchors)
+      .withColumn("__bin", explode(sequence(
+        floor((unix_millis(col(anchorTs)) - beforeMs) / binMs).cast("long"),
+        floor((unix_millis(col(anchorTs)) + afterMs) / binMs).cast("long"))))
+      .as("a")
+    p.join(a,
+      col("p.__bin") === col("a.__bin") &&
+        col(s"p.$pointTs") >= col(s"a.$anchorTs") -
+          expr(s"INTERVAL $beforeMs MILLISECONDS") &&
+        col(s"p.$pointTs") <= col(s"a.$anchorTs") +
+          expr(s"INTERVAL $afterMs MILLISECONDS"))
+      .drop("__bin")
+  }
 }

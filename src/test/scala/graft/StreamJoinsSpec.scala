@@ -51,6 +51,48 @@ class StreamJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rangeJoinBinned: keyless batch/stream parity; bins never change results") {
+    val clicks = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:15:00")), // in window of anchor 100
+      (2L, Timestamp.valueOf("2024-01-01 10:29:00")), // in window, crosses hour bin
+      (3L, Timestamp.valueOf("2024-01-01 11:31:00")), // 1 min past anchor 100's window
+      (4L, Timestamp.valueOf("2024-01-01 23:55:00"))  // in window of anchor 200 only
+    ).toDF("click_id", "ts")
+    val errors = Seq(
+      (100L, Timestamp.valueOf("2024-01-01 10:45:00")),
+      (200L, Timestamp.valueOf("2024-01-02 00:10:00")) // window crosses midnight
+    ).toDF("error_id", "ets")
+    val HalfHour = 1800000L
+    def run(p: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      StreamJoins.rangeJoinBinned(p, "ts", a, "ets",
+        beforeMs = HalfHour, afterMs = HalfHour, binMs = 3600000L)
+        .select(col("click_id"), col("error_id"))
+    val batch = run(clicks, errors).as[(Long, Long)].collect().toSet
+    assert(batch == Set((1L, 100L), (2L, 100L), (4L, 200L)))
+    // a different bin width changes cost, never results
+    assert(StreamJoins.rangeJoinBinned(clicks, "ts", errors, "ets",
+        HalfHour, HalfHour, binMs = 600000L)
+      .select(col("click_id"), col("error_id"))
+      .as[(Long, Long)].collect().toSet == batch)
+
+    // same pairs through streaming sides
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Timestamp)]
+    val aMem = MemoryStream[(Long, Timestamp)]
+    val joined = run(pMem.toDF().toDF("click_id", "ts"),
+      aMem.toDF().toDF("error_id", "ets"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("rangejoin").start()
+    try {
+      pMem.addData(clicks.as[(Long, Timestamp)].collect().toSeq: _*)
+      aMem.addData(errors.as[(Long, Timestamp)].collect().toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("rangejoin")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("intervalJoin on streams keeps bounded state (watermark present in plan)") {
     implicit val sqlCtx = spark.sqlContext
     val lMem = MemoryStream[(Long, Timestamp)]
