@@ -1313,6 +1313,36 @@ object SparkEntry {
         dense_rank().over(
           Window.partitionBy("c_mktsegment").orderBy("c_acctbal"))
           .cast("long").as("drank"))),
+    "w9_value_windows" -> { (s, dir) =>
+      // value-position window family: first/last/nth over a per-customer
+      // full frame (last/nth REQUIRE the unbounded-following frame - the
+      // default running frame silently returns the current row instead,
+      // the classic window bug this query pins cross-engine)
+      val ordered = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      val full = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        first(col("o_totalprice")).over(ordered).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+    },
+    "p14_array_funcs" -> ((s, dir) =>
+      // higher-order array surface over the token arrays: distinct,
+      // lambda filter, transform-sum, intersect, existential - all
+      // narrow, all expressible in DuckDB's list_* family (counts and
+      // flags only: element ORDER of set-like results is engine-specific)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          size(array_distinct(col("t"))).as("n_distinct"),
+          size(filter(col("t"), x => length(x) > 4)).as("n_long"),
+          aggregate(transform(col("t"), x => length(x).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("total_chars"),
+          size(array_intersect(col("t"),
+            array(lit("spark"), lit("data"), lit("table")))).as("n_kw"),
+          exists(col("t"), x => length(x) > 7).as("has_long"))),
     "a12_cube" -> ((s, dir) =>
       // full CUBE lattice over the two lineitem flags: all four grouping
       // sets in one Expand pass - the OLAP rollup surface beyond
@@ -2974,6 +3004,31 @@ object SparkEntry {
         |       CAST(dense_rank() OVER (
         |         PARTITION BY c_mktsegment ORDER BY c_acctbal) AS BIGINT) AS drank
         |FROM customer""".stripMargin,
+    "w9_value_windows" ->
+      """SELECT o_orderkey, o_custkey,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       last_value(o_totalprice) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS last_price,
+        |       nth_value(o_totalprice, 2) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "p14_array_funcs" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+        |       CAST(len(list_filter(t, x -> length(x) > 4)) AS INT) AS n_long,
+        |       CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+        |            AS BIGINT) AS total_chars,
+        |       CAST(len(list_distinct(list_intersect(t, ['spark', 'data', 'table'])))
+        |            AS INT) AS n_kw,
+        |       len(list_filter(t, x -> length(x) > 7)) > 0 AS has_long
+        |FROM toks""".stripMargin,
     "a12_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       round(sum(l_quantity), 4) AS sum_qty
