@@ -507,6 +507,11 @@ object SparkEntry {
       graft.ops.Similarity.sqTopK(Tables.embeddings(s, dir))),
     "sim_topk_pq" -> ((s, dir) =>
       graft.ops.Similarity.pqTopK(Tables.embeddings(s, dir))),
+    "dedup_embedding_adaptive" -> ((s, dir) =>
+      // cell count grows with the corpus (C^2 >= n): pair work ~n^1.5,
+      // where dedup_embedding's fixed C=16 measured 10.2x at the sf1
+      // stress run. Same metric, same threshold - only the blocking scales.
+      graft.ops.Dedup.embeddingNearDupsAdaptive(Tables.embeddings(s, dir))),
     "sim_topk_ivfpq" -> ((s, dir) =>
       // IVF cell restriction x PQ code scoring: the compounding layout
       // (per-query work O(n*m/C)) - the sf1 stress run measured pqTopK's
@@ -2195,6 +2200,33 @@ object SparkEntry {
         |n AS (SELECT vec_id, vec,
         |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
         |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm FROM n WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, vec, nrm, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
+        |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
+        |        FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM
+        |          (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+        |         WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        round(list_aggregate(list_transform(generate_series(1, len(a.vec)),
+        |          i -> a.vec[i]*b.vec[i]), 'sum') / (a.nrm*b.nrm), 6) AS cos_sim
+        |      FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim > 0.35""".stripMargin,
+    "dedup_embedding_adaptive" ->
+      // same as dedup_embedding, with C = smallest ladder power of two
+      // whose square covers the corpus (integer arithmetic both engines)
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |cc AS (SELECT CAST(min(p) AS INT) AS c FROM
+        |         (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+        |                         8192, 16384, 32768, 65536]) AS p), nn
+        |       WHERE CAST(p AS BIGINT) * p >= n),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm
+        |      FROM n, cc WHERE vec_id < cc.c),
         |asg AS (SELECT vec_id, vec, nrm, cent_id,
         |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
         |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos

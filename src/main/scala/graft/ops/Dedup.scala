@@ -693,4 +693,28 @@ object Dedup {
           col("a.vec"), col("b.vec"), col("a.norm"), col("b.norm")).as("cos_sim"))
       .filter(col("cos_sim") > minCos)
   }
+
+  /** Power-of-two cell-count ladder shared with the oracle SQL: C =
+    * smallest entry with C^2 >= n. Integer arithmetic only, so both
+    * engines compute the identical C (a float `ceil(log2(sqrt(n)))` can
+    * disagree across engines exactly at power-of-two boundaries).
+    */
+  private val CellLadder: Seq[Int] =
+    Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+
+  /** [[embeddingNearDups]] with the cell count GROWING with the corpus:
+    * C = smallest power of two with C^2 >= n (floor 16), capping expected
+    * intra-cell pair work at ~n^1.5 where the fixed C=16 curve is n^2/16
+    * — the sf1 stress run measured that fixed curve at 10.2x cost for 10x
+    * data, which this variant is the production answer to. The corpus
+    * count is a single 1-row action (the same bounded-driver-state class
+    * as Broadcasting's probe), and at 65536 cells the ladder serves
+    * corpora to ~4.3e9 vectors before it would need another rung.
+    */
+  def embeddingNearDupsAdaptive(
+      embeddings: DataFrame, minCos: Double = 0.35): DataFrame = {
+    val n = embeddings.count()
+    val c = CellLadder.find(p => p.toLong * p >= n).getOrElse(CellLadder.last)
+    embeddingNearDups(embeddings, minCos, nCentroids = c)
+  }
 }

@@ -31,7 +31,8 @@ class PlanSweepSpec extends SparkSpec {
   private val reviewedNestedLoop = Set(
     "text_tfidf", "j3_cross_join", "sim_topk_sq8", "corpus_stats", "mix_plan",
     "skew_hot_keys",
-    "dedup_embedding", "dedup_embedding_lsh", "embedding_outliers",
+    "dedup_embedding", "dedup_embedding_adaptive", "dedup_embedding_lsh",
+    "embedding_outliers",
     "sim_topk_brute", "sim_topk_agg", "sim_topk_ivf", "sim_topk_ivf_kmeans",
     "sim_topk_ivf_mp", "sim_topk_ivf_persisted", "dq_check", "corpus_drift",
     // q22's wealth threshold: customer x a 1-row global-average broadcast
