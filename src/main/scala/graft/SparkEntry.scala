@@ -507,6 +507,10 @@ object SparkEntry {
       graft.ops.Similarity.sqTopK(Tables.embeddings(s, dir))),
     "sim_topk_pq" -> ((s, dir) =>
       graft.ops.Similarity.pqTopK(Tables.embeddings(s, dir))),
+    "sim_hard_negatives" -> ((s, dir) =>
+      // contrastive-training negative mining: most-similar different-label
+      // cell-mates per query (Similarity.hardNegatives)
+      graft.ops.Similarity.hardNegatives(Tables.embeddings(s, dir))),
     "dedup_embedding_adaptive" -> ((s, dir) =>
       // cell count grows with the corpus (C^2 >= n): pair work ~n^1.5,
       // where dedup_embedding's fixed C=16 measured 10.2x at the sf1
@@ -2213,6 +2217,33 @@ object SparkEntry {
         |          i -> a.vec[i]*b.vec[i]), 'sum') / (a.nrm*b.nrm), 6) AS cos_sim
         |      FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim > 0.35""".stripMargin,
+    "sim_hard_negatives" -> // IVF cells + different-label filter + top-3
+      """WITH v AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm FROM n WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, label, vec, nrm, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
+        |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
+        |        FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, label, vec, nrm, cent_id AS cell FROM
+        |          (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+        |         WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, vec AS qvec,
+        |             nrm AS qnorm, cell
+        |      FROM cell WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, m.vec_id AS neighbor_id, m.label AS neg_label,
+        |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |          i -> qvec[i]*m.vec[i]), 'sum') / (qnorm*m.nrm), 6) AS cos_sim
+        |      FROM cell m JOIN q USING (cell)
+        |      WHERE m.vec_id <> q.query_id AND m.label <> q.qlabel)
+        |SELECT query_id, neighbor_id, neg_label, cos_sim, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+        |WHERE rn <= 3""".stripMargin,
     "dedup_embedding_adaptive" ->
       // same as dedup_embedding, with C = smallest ladder power of two
       // whose square covers the corpus (integer arithmetic both engines)

@@ -139,15 +139,20 @@ object Similarity {
     v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
 
-  private def assignCells(v: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+  private def assignCells(
+      v: DataFrame, cents: DataFrame, nProbe: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("c_cos").desc, col("cent_id").asc)
+    val carried = carry.map(col)
     v.join(broadcast(cents))
-      .select(col("vec_id"), col("vec"), col("norm"), col("cent_id"),
+      .select(Seq(col("vec_id"), col("vec"), col("norm"), col("cent_id"),
         cosine(col("vec"), col("cvec"), col("norm"), col("cnorm")).as("c_cos"))
+        ++ carried: _*)
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= nProbe)
-      .select(col("vec_id"), col("vec"), col("norm"), col("cent_id").as("cell"))
+      .select(Seq(col("vec_id"), col("vec"), col("norm"),
+        col("cent_id").as("cell")) ++ carried: _*)
   }
 
   /** Spherical k-means centroid refinement: `iters` Lloyd iterations from
@@ -387,6 +392,33 @@ object Similarity {
       .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Hard-negative mining for contrastive training: each query vector's
+    * top-k most SIMILAR cell-mates with a DIFFERENT label — the
+    * highest-loss negatives a contrastive/metric-learning objective wants
+    * (random negatives are trivially separable; the hard ones are near
+    * the decision boundary by construction). Same IVF blocking, guarded
+    * query broadcast, and rank/tie discipline as [[ivfTopK]]; the label
+    * pair-filter rides the scoring join, costing nothing extra.
+    */
+  def hardNegatives(
+      embeddings: DataFrame, k: Int = 3, queryMod: Int = 50,
+      nCentroids: Int = 16): DataFrame = {
+    val v = withNorm(embeddings) // withColumn-based: label survives
+    val corpus = assignCells(v, seedCentroids(v, nCentroids), nProbe = 1,
+      carry = Seq("label"))
+    val q = corpus.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("norm").as("qnorm"), col("cell"), col("label").as("qlabel"))
+    val scored = corpus
+      .join(graft.operators.Broadcasting.checked(q, tag = "hard-negative queries"),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** IVF-PQ composite — the production 100 TB ANN layout (FAISS IVFPQ):

@@ -34,6 +34,7 @@ class PlanSweepSpec extends SparkSpec {
     "dedup_embedding", "dedup_embedding_adaptive", "dedup_embedding_lsh",
     "embedding_outliers",
     "sim_topk_brute", "sim_topk_agg", "sim_topk_ivf", "sim_topk_ivf_kmeans",
+    "sim_hard_negatives",
     "sim_topk_ivf_mp", "sim_topk_ivf_persisted", "dq_check", "corpus_drift",
     // q22's wealth threshold: customer x a 1-row global-average broadcast
     "q22_idle_customers",

@@ -104,6 +104,21 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rnk").collect().toSet)
   }
 
+  test("hardNegatives: never returns the query's own label, ranks by similarity") {
+    val got = Similarity.hardNegatives(emb)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val crossLabel = got
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "qlabel"), "query_id")
+      .filter(col("neg_label") === col("qlabel"))
+    assert(crossLabel.count() == 0, "a same-label vector leaked into the negatives")
+    // rnk ordering is by cos_sim desc within each query
+    val bad = got.as("x").join(got.as("y"),
+        col("x.query_id") === col("y.query_id") && col("x.rnk") < col("y.rnk"))
+      .filter(col("x.cos_sim") < col("y.cos_sim"))
+    assert(bad.count() == 0)
+  }
+
   test("ivfpq: candidates confined to the query's cell; ADC distances agree with pq") {
     val got = Similarity.ivfPqTopK(emb)
     // every returned neighbor shares the query's IVF cell
