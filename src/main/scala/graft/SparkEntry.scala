@@ -507,6 +507,11 @@ object SparkEntry {
       graft.ops.Similarity.sqTopK(Tables.embeddings(s, dir))),
     "sim_topk_pq" -> ((s, dir) =>
       graft.ops.Similarity.pqTopK(Tables.embeddings(s, dir))),
+    "dedup_prefix_filter" -> ((s, dir) =>
+      // exact-recall near-dup pairs via PPJoin prefix filtering; the
+      // oracle computes ground truth over ALL sharing pairs, so the hash
+      // match certifies the prefix candidates missed nothing
+      graft.ops.Dedup.prefixFilterPairs(Tables.documents(s, dir))),
     "sim_hard_negatives" -> ((s, dir) =>
       // contrastive-training negative mining: most-similar different-label
       // cell-mates per query (Similarity.hardNegatives)
@@ -2217,6 +2222,22 @@ object SparkEntry {
         |          i -> a.vec[i]*b.vec[i]), 'sum') / (a.nrm*b.nrm), 6) AS cos_sim
         |      FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim > 0.35""".stripMargin,
+    "dedup_prefix_filter" -> // ground truth over ALL gram-sharing pairs
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |           FROM documents),
+        |idx AS (SELECT doc_id, a,
+        |          unnest(generate_series(1, greatest(len(a) - 2, 0))) AS i FROM t),
+        |grams AS (SELECT DISTINCT doc_id,
+        |            a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS w FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+        |          FROM grams a JOIN grams b ON a.w = b.w AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |             round(isect / (sa.sz + sb.sz - isect), 6) AS jaccard
+        |      FROM inter JOIN sz sa ON doc_a = sa.doc_id
+        |      JOIN sz sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin,
     "sim_hard_negatives" -> // IVF cells + different-label filter + top-3
       """WITH v AS (SELECT vec_id, label,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

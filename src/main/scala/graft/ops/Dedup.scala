@@ -694,6 +694,55 @@ object Dedup {
       .filter(col("cos_sim") > minCos)
   }
 
+  /** Prefix-filtered set-similarity self-join (PPJoin-style): exact
+    * word-n-gram Jaccard pairs above `minJaccard`, with candidates
+    * generated by joining only each doc's PREFIX — its first
+    * `|d| - ceil(t·|d|) + 1` grams under the global rare-first order
+    * (document frequency asc, gram asc). The prefix lemma (Chaudhuri et
+    * al.) guarantees any pair with Jaccard >= t shares a prefix gram, so
+    * unlike MinHash/SimHash banding this candidate generator has EXACT
+    * recall — which the oracle proves structurally: the DuckDB side
+    * computes ground truth over ALL gram-sharing pairs, so the hash match
+    * certifies zero misses.
+    *
+    * Scale: candidates join on the RAREST grams (df-ascending order), so
+    * bucket sizes are small by construction rather than by a cap; the
+    * worst case — a clique of identical docs — is output-sensitive
+    * (candidates ~ true pairs, which are themselves quadratic in the
+    * clique). Verification touches candidate pairs only. The df join and
+    * per-doc rank ride the gram/doc exchanges; both prefix sides are
+    * merge-hinted so ReuseExchange computes the prep once.
+    */
+  def prefixFilterPairs(
+      docs: DataFrame, minJaccard: Double = 0.6, n: Int = 3): DataFrame = {
+    val grams = gramStream(docs, n, Nil).distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val gdf = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val ranked = grams.join(gdf, "gram")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("gdf").asc, col("gram").asc)))
+      .join(sizes, "doc_id")
+    val pref = ranked
+      .filter(col("pos") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .select(col("doc_id"), col("gram"))
+    val cand = pref.hint("merge").as("a")
+      .join(pref.hint("merge").as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val isect = cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("isect"))
+    isect
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("isect") / (col("na") + col("nb") - col("isect")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Power-of-two cell-count ladder shared with the oracle SQL: C =
     * smallest entry with C^2 >= n. Integer arithmetic only, so both
     * engines compute the identical C (a float `ceil(log2(sqrt(n)))` can

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import graft.ops.Dedup
 
 /** Dedup-operator specs beyond the DuckDB oracles: signature-level
@@ -181,6 +181,30 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((6L, 0L, 0.0)))
     assert(got(4L) == ((5L, 5L, 1.0)))
     assert(got(5L) == ((9L, 0L, 0.0)))
+  }
+
+  test("prefixFilterPairs: exact recall vs the naive all-pairs join") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g z"), // 5 of 9 union grams shared with 1 -> 0.555
+      (3L, "a b c d e f g h"), // exact dup of 1 -> jaccard 1.0
+      (4L, "p q r s t u v w"), // disjoint
+      (5L, "p q r s t u v w x") // 6/7 grams of 4 shared -> 6/8 = 0.75
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterPairs(docs, minJaccard = 0.6, n = 2)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // bigram truth: (1,3) identical -> 1.0; (2,3) mirrors (1,2) -> 0.75;
+    // (4,5): 7 shared bigrams of union 8 -> 0.875; all >= 0.6
+    assert(got.map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    assert(got.find(p => p._1 == 1L && p._2 == 3L).get._3 == 1.0)
+    // parity with Dedup's own unblocked n-gram join at the same threshold
+    // (ngramJaccardPairs blocks by lang+tok0, which this corpus satisfies)
+    val truth = Dedup.ngramJaccardPairs(
+        docs.withColumn("lang", lit("xx")), minJaccard = 0.6)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == truth, s"prefix filter diverged: got $got, want $truth")
   }
 
   test("spanDupFraction covers overlapping and gapped occurrences exactly") {
