@@ -527,6 +527,41 @@ object SparkEntry {
       // exhaustive ADC at 13x its sf0.1 cost while the IVF family stayed
       // flat; this composite is the production answer to that curve
       graft.ops.Similarity.ivfPqTopK(Tables.embeddings(s, dir))),
+    "dedup_edit_distance" -> ((s, dir) =>
+      // PassJoin segment signatures: exact-recall edit-distance pairs
+      // over 40-char prefix keys; the oracle computes ALL pairs directly,
+      // so the hash match certifies the segment join missed nothing
+      graft.ops.Dedup.editDistancePairs(Tables.documents(s, dir))),
+    "assoc_basket_pairs" -> ((s, dir) =>
+      // market-basket co-occurrence: top-20 part pairs by support, with
+      // lift; pair fan-out bounded per basket, ReuseExchange'd self-join
+      graft.ops.Association.basketPairs(Tables.lineitem(s, dir))),
+    "graph_pagerank" -> ((s, dir) =>
+      // 3-iteration PageRank over the supplier<->part bipartite graph in
+      // 1e-12 FIXED POINT: integer arithmetic is order-independent, so
+      // the distributed sum hash-matches DuckDB's bit-for-bit - the
+      // cross-engine promise floating-point PageRank cannot make
+      graft.ops.Graph.pageRank(Tables.lineitem(s, dir))),
+    "q_skyline" -> ((s, dir) =>
+      // Pareto frontier on (price min, size max): distinct-x reduction +
+      // bucketed prefix-max - never the O(n^2) dominance anti-join the
+      // oracle is allowed to use at fixture scale
+      operators.Skyline.skyline2D(
+        Tables.part(s, dir), "p_retailprice", "p_size")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))),
+    "incr_agg_merge" -> { (s, dir) =>
+      // incremental view maintenance: standing daily partials (orders
+      // before 2000) + a new batch's partials, merged - proving the
+      // algebraic state composes to exactly the full recompute (oracle)
+      val orders = Tables.orders(s, dir)
+      val cut = lit("2000-01-01").cast("date")
+      val standing = graft.ops.IncrementalAgg.dailyOrderPartials(
+        orders.filter(col("o_orderdate").cast("date") < cut))
+      val batch = graft.ops.IncrementalAgg.dailyOrderPartials(
+        orders.filter(col("o_orderdate").cast("date") >= cut))
+      graft.ops.IncrementalAgg.finalizeDaily(
+        graft.ops.IncrementalAgg.mergePartials(Seq(standing, batch)))
+    },
 
     // ---- beyond-reference: event-time analytics (streaming.EventAggs;
     //      batch-equivalent plans of the streaming transforms) -------------
@@ -1396,6 +1431,73 @@ object SparkEntry {
       |WHERE rn <= 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_edit_distance" -> // ground truth over ALL pairs: recall cert
+      """WITH ky AS (SELECT doc_id,
+        |              rpad(lower(substr(trim(text), 1, 40)), 40, '#') AS key
+        |            FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.key, b.key) AS INT) AS edit_dist
+        |FROM ky a JOIN ky b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.key, b.key) <= 3""".stripMargin,
+    "assoc_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |               FROM lineitem),
+        |pairs AS (SELECT a.item AS part_a, b.item AS part_b,
+        |                 count(*) AS pair_cnt
+        |          FROM items a JOIN items b
+        |            ON a.basket = b.basket AND a.item < b.item
+        |          GROUP BY 1, 2),
+        |supp AS (SELECT item, count(*) AS cnt FROM items GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM items)
+        |SELECT part_a, part_b, pair_cnt,
+        |       round(CAST(pair_cnt AS DOUBLE) * n_baskets
+        |             / (sa.cnt * sb.cnt), 6) AS lift
+        |FROM pairs
+        |JOIN supp sa ON pairs.part_a = sa.item
+        |JOIN supp sb ON pairs.part_b = sb.item
+        |CROSS JOIN nb
+        |ORDER BY pair_cnt DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
+    "graph_pagerank" -> // 3 unrolled iterations, 1e-12 fixed point:
+      // integer // and * only, so both engines are bit-identical
+      """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS u, l_partkey*2+1 AS v
+        |            FROM lineitem),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM deg),
+        |ed AS (SELECT e.u, e.v, d.deg FROM e JOIN deg d ON e.u = d.u),
+        |r0 AS (SELECT u AS node, 1000000000000 // n AS rk
+        |       FROM deg CROSS JOIN n),
+        |c1 AS (SELECT ed.v AS node, CAST(sum(r.rk // ed.deg) AS BIGINT) AS c
+        |       FROM ed JOIN r0 r ON ed.u = r.node GROUP BY 1),
+        |r1 AS (SELECT node, (150000000000 // n) + (c * 85) // 100 AS rk
+        |       FROM c1 CROSS JOIN n),
+        |c2 AS (SELECT ed.v AS node, CAST(sum(r.rk // ed.deg) AS BIGINT) AS c
+        |       FROM ed JOIN r1 r ON ed.u = r.node GROUP BY 1),
+        |r2 AS (SELECT node, (150000000000 // n) + (c * 85) // 100 AS rk
+        |       FROM c2 CROSS JOIN n),
+        |c3 AS (SELECT ed.v AS node, CAST(sum(r.rk // ed.deg) AS BIGINT) AS c
+        |       FROM ed JOIN r2 r ON ed.u = r.node GROUP BY 1),
+        |r3 AS (SELECT node, (150000000000 // n) + (c * 85) // 100 AS rk
+        |       FROM c3 CROSS JOIN n)
+        |SELECT node, rk AS rank_fp FROM r3
+        |ORDER BY rk DESC, node LIMIT 20""".stripMargin,
+    "q_skyline" -> // the O(n^2) dominance form the Spark plan must NOT use
+      """SELECT p_partkey, p_retailprice, p_size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice
+        |         OR b.p_size > a.p_size))""".stripMargin,
+    "incr_agg_merge" -> // full recompute: the merged partials must equal it
+      """SELECT CAST(o_orderdate AS DATE) AS day,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice) / count(*), 4) AS avg_order
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
     "latest_view" ->
       """WITH latest AS (
         |  SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice

@@ -795,4 +795,70 @@ object Dedup {
     val c = CellLadder.find(p => p.toLong * p >= n).getOrElse(CellLadder.last)
     embeddingNearDups(embeddings, minCos, nCentroids = c)
   }
+
+  /** Edit-distance near-dup pairs over each document's normalized
+    * `width`-char prefix key, PassJoin-style (Li et al., segment
+    * signatures): all pairs with `levenshtein(key_a, key_b) <= k`.
+    *
+    * Candidate generation is EXACT-recall by the pigeonhole lemma: k
+    * edits between two equal-length strings leave at least one of k+1
+    * disjoint segments of A untouched, and the net indel shift before it
+    * is at most k — so B contains that segment verbatim at a start
+    * offset within ±k of its home position. Each doc therefore emits its
+    * k+1 fixed segments as PROBES and, per segment slot, the 2k+1
+    * shifted same-length windows as INDEX entries; a (probe == index)
+    * equi-join on (slot, substring) yields a candidate superset, and the
+    * final `levenshtein <= k` filter is the exact semantics itself. The
+    * oracle certifies recall structurally (it computes ALL pairs
+    * directly), the same proof shape as [[prefixFilterPairs]].
+    *
+    * Keys are `rpad(lower(substring(trim(text), 1, width)), width, '#')`
+    * — fixed width keeps the lemma's equal-length precondition total
+    * (the fixture's shortest doc already exceeds `width`, so padding is
+    * a totality guard, not a semantic choice).
+    *
+    * Scale: per-doc emission is (k+1) + (k+1)(2k+1) bounded rows — O(n)
+    * — and the join keys are `width/(k+1)`-char substrings, far more
+    * selective than q-grams (a 10-char segment match is already a
+    * near-dup signal), so candidate buckets are small without a cap.
+    * Verification runs on candidates only; `levenshtein` is a codegen'd
+    * built-in on both engines. The key set feeds probe, index, and
+    * verify — localCheckpoint materializes the (narrow, n × width bytes)
+    * relation once, the same three-consumer device [[prefixFilterPairs]]
+    * documents.
+    */
+  def editDistancePairs(
+      docs: DataFrame, k: Int = 3, width: Int = 40): DataFrame = {
+    require(width % (k + 1) == 0, s"width=$width must divide into ${k + 1} segments")
+    val segLen = width / (k + 1)
+    val keys = docs.select(col("doc_id"),
+      rpad(lower(substring(trim(col("text")), 1, width)), width, "#").as("key"))
+      .localCheckpoint()
+    val probes = keys.select(col("doc_id"), posexplode(array(
+      (0 to k).map(j => substring(col("key"), j * segLen + 1, segLen)): _*))
+      .as(Seq("slot", "sub")))
+    val index = keys.select(col("doc_id"), explode(array(
+      (for {
+        j <- 0 to k
+        d <- -k to k
+        start = j * segLen + 1 + d
+        if start >= 1 && start + segLen - 1 <= width
+      } yield struct(lit(j).as("slot"),
+        substring(col("key"), start, segLen).as("sub"))): _*)).as("w"))
+      .select(col("doc_id"), col("w.slot").as("slot"), col("w.sub").as("sub"))
+      .distinct()
+    val cand = probes.as("a")
+      .join(index.as("b"),
+        col("a.slot") === col("b.slot") && col("a.sub") === col("b.sub") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(keys.select(col("doc_id").as("doc_a"), col("key").as("ka")), "doc_a")
+      .join(keys.select(col("doc_id").as("doc_b"), col("key").as("kb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ka"), col("kb")).as("edit_dist"))
+      .filter(col("edit_dist") <= k)
+  }
 }

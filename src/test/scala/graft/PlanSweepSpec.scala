@@ -45,7 +45,12 @@ class PlanSweepSpec extends SparkSpec {
     "sim_topk_ivfpq",
     // q11's global-share threshold: a 1-row broadcast over the value
     // table's re-aggregation
-    "q11_important_stock")
+    "q11_important_stock",
+    // skyline's bucket bounds: a 1-row (xmin, xmax) broadcast onto the
+    // distinct-x aggregate
+    "q_skyline",
+    // basket lift's denominator: a 1-row basket-count broadcast
+    "assoc_basket_pairs")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)
