@@ -562,6 +562,24 @@ object SparkEntry {
       graft.ops.IncrementalAgg.finalizeDaily(
         graft.ops.IncrementalAgg.mergePartials(Seq(standing, batch)))
     },
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      // mergeable KMV distinct sketch: per-month estimates + an 'ALL' row
+      // built by MERGING the monthly sketches (never re-reading orders) -
+      // the sketch state is exact hashes, so DuckDB certifies estimate
+      // AND merge bit-for-bit (impossible with HLL registers)
+      graft.ops.Sketches.kmvDistinctRollup(Tables.orders(s, dir),
+        date_format(col("o_orderdate").cast("date"), "yyyy-MM"),
+        col("o_custkey"))),
+    "graph_triangles" -> ((s, dir) =>
+      // degree-oriented triangle census of the co-purchase graph: each
+      // triangle is ONE wedge+probe, wedge fan-out O(m^1.5) even on
+      // power-law degrees - never the naive per-vertex wedge explosion
+      graft.ops.Graph.triangleStats(Tables.lineitem(s, dir))),
+    "assoc_frequent_triples" -> ((s, dir) =>
+      // A-priori frequent token triples at 25% corpus support: L1
+      // restriction BEFORE pair fan-out (monotonicity), fraction-based
+      // threshold as a 1-row broadcast
+      graft.ops.Association.frequentTriples(Tables.documents(s, dir))),
 
     // ---- beyond-reference: event-time analytics (streaming.EventAggs;
     //      batch-equivalent plans of the streaming transforms) -------------
@@ -1498,6 +1516,81 @@ object SparkEntry {
         |       round(sum(o_totalprice) / count(*), 4) AS avg_order
         |FROM orders
         |GROUP BY 1""".stripMargin,
+    "sketch_kmv_distinct" -> // same KMV sketch from the same 60-bit hashes;
+      // the ALL row here is computed over all hashes directly, certifying
+      // the Spark side's sketch-MERGE path against first principles
+      """WITH h AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS grp,
+        |                  o_custkey,
+        |                  CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+        |                       AS BIGINT) AS hv
+        |           FROM orders),
+        |dh AS (SELECT DISTINCT grp, hv FROM h),
+        |rk AS (SELECT grp, hv,
+        |              row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn,
+        |              count(*) OVER (PARTITION BY grp) AS m
+        |       FROM dh),
+        |per AS (SELECT grp,
+        |               CASE WHEN max(m) < 64 THEN max(m)
+        |                    ELSE CAST(floor(63.0 * 1152921504606846976.0 /
+        |                         max(CASE WHEN rn = 64 THEN hv END)) AS BIGINT)
+        |               END AS est_distinct
+        |        FROM rk WHERE rn <= 64 GROUP BY grp),
+        |ex AS (SELECT grp, count(DISTINCT o_custkey) AS exact_distinct
+        |       FROM h GROUP BY grp),
+        |ga AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+        |              count(*) OVER () AS m
+        |       FROM (SELECT DISTINCT hv FROM h)),
+        |gall AS (SELECT 'ALL' AS grp,
+        |                CASE WHEN max(m) < 64 THEN max(m)
+        |                     ELSE CAST(floor(63.0 * 1152921504606846976.0 /
+        |                          max(CASE WHEN rn = 64 THEN hv END)) AS BIGINT)
+        |                END AS est_distinct,
+        |                (SELECT count(DISTINCT o_custkey) FROM h) AS exact_distinct
+        |         FROM ga WHERE rn <= 64)
+        |SELECT per.grp, CAST(per.est_distinct AS BIGINT) AS est_distinct,
+        |       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+        |FROM per JOIN ex ON per.grp = ex.grp
+        |UNION ALL
+        |SELECT grp, CAST(est_distinct AS BIGINT), CAST(exact_distinct AS BIGINT)
+        |FROM gall
+        |ORDER BY grp""".stripMargin,
+    "graph_triangles" -> // direct triple-join census: the O(wedges) form
+      // the fixture affords, certifying the oriented plan's count
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |               FROM lineitem),
+        |e AS (SELECT DISTINCT a.item AS u, b.item AS v
+        |      FROM items a JOIN items b
+        |        ON a.basket = b.basket AND a.item < b.item),
+        |deg AS (SELECT n, count(*) AS deg
+        |        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |tri AS (SELECT count(*) AS t FROM e ab
+        |        JOIN e bc ON bc.u = ab.v
+        |        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+        |wed AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS w FROM deg)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT t FROM tri) AS n_triangles,
+        |       round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6)
+        |         AS clustering""".stripMargin,
+    "assoc_frequent_triples" -> // same L1 restriction (answer-preserving
+      // by A-priori monotonicity), then the direct triple join
+      """WITH d AS (SELECT DISTINCT doc_id,
+        |             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |           FROM documents),
+        |n AS (SELECT ceil(count(DISTINCT doc_id) * 0.25) AS min_sup FROM d),
+        |l1 AS (SELECT token FROM d CROSS JOIN n
+        |       GROUP BY token, min_sup HAVING count(*) >= min_sup),
+        |i AS (SELECT * FROM d WHERE token IN (SELECT token FROM l1))
+        |SELECT a.token AS tok_a, b.token AS tok_b, c.token AS tok_c,
+        |       count(*) AS support
+        |FROM i a
+        |JOIN i b ON a.doc_id = b.doc_id AND a.token < b.token
+        |JOIN i c ON a.doc_id = c.doc_id AND b.token < c.token
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) >= (SELECT min_sup FROM n)
+        |ORDER BY support DESC, tok_a, tok_b, tok_c
+        |LIMIT 20""".stripMargin,
     "latest_view" ->
       """WITH latest AS (
         |  SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice

@@ -144,5 +144,14 @@ object VectorFunctions {
         }
         TopKAggregate(exprs(0), exprs(1), k).toAggregateExpression()
       }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_kmv", exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv k must be an integer literal, got $other")
+        }
+        KmvAggregate(exprs(0), k).toAggregateExpression()
+      }, "built-in")
   }
 }

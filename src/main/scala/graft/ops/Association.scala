@@ -68,4 +68,53 @@ object Association {
       .orderBy(col("pair_cnt").desc, col("part_a").asc, col("part_b").asc)
       .limit(topK)
   }
+
+  /** Frequent token triples over the document corpus, A-priori style
+    * (Agrawal & Srikant): `(tok_a, tok_b, tok_c, support)` for every
+    * triple co-occurring in at least `minSupportPct` of documents, top
+    * `topK` by support.
+    *
+    * The threshold is a FRACTION of the corpus, not an absolute count —
+    * absolute thresholds go vacuous or explosive as the corpus scales
+    * (the q11 lesson). It reaches the plan as a 1-row broadcast, never a
+    * driver-side collect.
+    *
+    * A-priori monotonicity does the pruning: a triple can only be
+    * frequent if every item in it is (L1) — so the item relation is
+    * semi-joined down to frequent tokens BEFORE any pair fan-out. The
+    * candidate space then shrinks from C(vocab, 3) per doc to
+    * C(frequent-in-doc, 3), and the per-doc fan-out joins key on doc_id
+    * (co-located, ReuseExchange'd — the [[basketPairs]] idiom). Counting
+    * is one groupBy over the generated triples with the support filter
+    * applied before the top-k heap (TakeOrdered, not a global sort).
+    * The oracle applies the same (provably answer-preserving) L1
+    * restriction, so both engines count the identical candidate set.
+    */
+  def frequentTriples(
+      docs: DataFrame, minSupportPct: Double = 0.25,
+      topK: Int = 20): DataFrame = {
+    val items = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("token"))
+    val threshold = docs.agg(
+      ceil(count(lit(1)) * minSupportPct).as("min_sup"))
+    val l1 = items.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(threshold))
+      .filter(col("cnt") >= col("min_sup"))
+      .select("token")
+    val freq = items.join(l1, Seq("token"), "left_semi")
+    val triples = freq.hint("merge").as("a")
+      .join(freq.hint("merge").as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+      .join(freq.hint("merge").as("c"),
+        col("a.doc_id") === col("c.doc_id") && col("b.token") < col("c.token"))
+      .groupBy(col("a.token").as("tok_a"), col("b.token").as("tok_b"),
+        col("c.token").as("tok_c"))
+      .agg(count(lit(1)).as("support"))
+    triples.crossJoin(broadcast(threshold))
+      .filter(col("support") >= col("min_sup"))
+      .select("tok_a", "tok_b", "tok_c", "support")
+      .orderBy(col("support").desc, col("tok_a").asc, col("tok_b").asc,
+        col("tok_c").asc)
+      .limit(topK)
+  }
 }

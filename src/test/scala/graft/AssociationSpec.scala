@@ -48,4 +48,46 @@ class AssociationSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect()
     assert(capped.toSet == alone.toSet)
   }
+
+  // docs: tokens a b c frequent (3/4 docs each as a triple); d rare
+  private def docs = Seq(
+    (1L, "a b c d"),
+    (2L, "a b c"),
+    (3L, "c b a a"), // duplicate token collapses; order irrelevant
+    (4L, "a d")
+  ).toDF("doc_id", "text")
+
+  test("frequent triples match a brute-force count over all triples") {
+    val got = Association.frequentTriples(docs, minSupportPct = 0.5, topK = 100)
+      .as[(String, String, String, Long)].collect().toSet
+    // brute force: every token triple's doc support, threshold ceil(4*0.5)=2
+    val itemSets = Map(1L -> Set("a", "b", "c", "d"), 2L -> Set("a", "b", "c"),
+      3L -> Set("a", "b", "c"), 4L -> Set("a", "d"))
+    val vocab = itemSets.values.flatten.toSet.toSeq.sorted
+    val expected = (for {
+      i <- vocab.indices; j <- i + 1 until vocab.size; l <- j + 1 until vocab.size
+      t = (vocab(i), vocab(j), vocab(l))
+      sup = itemSets.values.count(s => s(t._1) && s(t._2) && s(t._3))
+      if sup >= 2
+    } yield (t._1, t._2, t._3, sup.toLong)).toSet
+    assert(got == expected)
+    assert(got == Set(("a", "b", "c", 3L)))
+  }
+
+  test("A-priori L1 restriction drops infrequent-token triples, not answers") {
+    // token d appears in 2/4 docs at 75% threshold -> not L1-frequent; no
+    // triple containing it can be frequent, and none survives
+    val got = Association.frequentTriples(docs, minSupportPct = 0.75, topK = 100)
+      .as[(String, String, String, Long)].collect()
+    // a: 4 docs, b: 3, c: 3 -> threshold 3; triple (a,b,c) support 3 stays
+    assert(got.toSeq == Seq(("a", "b", "c", 3L)))
+  }
+
+  test("triple order is lexicographic within the triple and stable overall") {
+    val rows = Association.frequentTriples(docs, minSupportPct = 0.25, topK = 100)
+      .as[(String, String, String, Long)].collect()
+    rows.foreach { case (a, b, c, _) => assert(a < b && b < c) }
+    val sorted = rows.sortBy { case (a, b, c, s) => (-s, a, b, c) }
+    assert(rows.toSeq == sorted.toSeq)
+  }
 }

@@ -62,4 +62,64 @@ class GraphSpec extends SparkSpec {
     assert(total > Graph.RankScale - 1000L)
     assert(ranks.forall(_._2 > 0L))
   }
+
+  /** Brute-force triangle census over an explicit undirected edge set. */
+  private def bruteTriangles(edges: Set[(Long, Long)]): (Long, Long, Long) = {
+    val canon = edges.map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+    val nodes = canon.flatMap(e => Seq(e._1, e._2))
+    val adj = canon.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2) }
+    val triangles = (for {
+      (u, v) <- canon
+      w <- adj(u) if w > v && adj(v).contains(w)
+    } yield 1).size.toLong
+    val wedges = adj.values.map(n => n.size.toLong * (n.size - 1) / 2).sum
+    (nodes.size.toLong, triangles, wedges)
+  }
+
+  test("triangle census matches brute force on a hand-built graph") {
+    // baskets induce co-purchase edges: {1,2,3} is a triangle; {3,4} and
+    // {4,5} dangle; basket {1,2} duplicates an existing edge (collapses)
+    val li = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 3L), (101L, 4L),
+      (102L, 4L), (102L, 5L),
+      (103L, 1L), (103L, 2L)
+    ).toDF("l_orderkey", "l_partkey")
+    val edges = Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val (n, tris, wedges) = bruteTriangles(edges)
+    val row = Graph.triangleStats(li)
+      .as[(Long, Long, Long, Double)].head()
+    assert(row._1 == n)
+    assert(row._2 == edges.size.toLong)
+    assert(row._3 == tris && tris == 1L)
+    assert(math.abs(row._4 - 3.0 * tris / wedges) < 1e-6)
+  }
+
+  test("triangle count is parallelism-invariant and counts each once") {
+    // K4 has exactly 4 triangles; built from overlapping baskets
+    val k4 = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), // triangle 1-2-3 via one basket
+      (2L, 1L), (2L, 4L),
+      (3L, 2L), (3L, 4L),
+      (4L, 3L), (4L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    // edges: basket1 gives 12,13,23; basket2: 14; basket3: 24; basket4: 34
+    // = K4 -> 4 triangles, 6 edges, clustering 1.0
+    val a = Graph.triangleStats(k4.repartition(1))
+      .as[(Long, Long, Long, Double)].head()
+    val b = Graph.triangleStats(k4.repartition(5))
+      .as[(Long, Long, Long, Double)].head()
+    assert(a == b)
+    assert(a._2 == 6L && a._3 == 4L)
+    assert(math.abs(a._4 - 1.0) < 1e-9)
+  }
+
+  test("mega-basket guard drops oversized baskets from the edge set") {
+    val small = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("l_orderkey", "l_partkey")
+    val mega = (1L to 60L).map(p => (9L, p)).toDF("l_orderkey", "l_partkey")
+    val capped = Graph.triangleStats(small.unionByName(mega), maxBasketSize = 10)
+      .as[(Long, Long, Long, Double)].head()
+    assert(capped._2 == 3L && capped._3 == 1L) // only the small triangle
+  }
 }

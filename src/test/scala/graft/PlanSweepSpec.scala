@@ -50,7 +50,14 @@ class PlanSweepSpec extends SparkSpec {
     // distinct-x aggregate
     "q_skyline",
     // basket lift's denominator: a 1-row basket-count broadcast
-    "assoc_basket_pairs")
+    "assoc_basket_pairs",
+    // KMV rollup's ALL row: 1-row exact-count broadcast onto the merged
+    // (single-row) sketch
+    "sketch_kmv_distinct",
+    // triangle census: the final stats row composes 1-row aggregates
+    "graph_triangles",
+    // A-priori support threshold: a 1-row min_sup broadcast
+    "assoc_frequent_triples")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

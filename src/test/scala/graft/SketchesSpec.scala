@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.KmvAggregate
+import graft.ops.Sketches
+
+/** KMV sketch: merge identity (the property that makes it a rollup
+  * primitive), exact-below-k semantics, estimate error on a known
+  * cardinality, and the SQL registration.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merging per-group sketches equals sketching the union directly") {
+    val df = (1 to 5000).map(i => (s"g${i % 7}", i.toLong)).toDF("grp", "v")
+      .withColumn("hv", Sketches.hash60(col("v")))
+    val direct = df.agg(KmvAggregate.kmv(col("hv"), 64)).as[Seq[Long]].head()
+    val merged = df.groupBy("grp").agg(KmvAggregate.kmv(col("hv"), 64).as("sk"))
+      .select(explode(col("sk")).as("hv"))
+      .agg(KmvAggregate.kmv(col("hv"), 64)).as[Seq[Long]].head()
+    assert(merged == direct)
+    assert(direct.length == 64 && direct == direct.sorted && direct.distinct == direct)
+  }
+
+  test("below k distinct values the sketch is the exact distinct set") {
+    val df = (1 to 1000).map(i => (i % 10).toLong).toDF("v")
+      .withColumn("hv", Sketches.hash60(col("v")))
+    val sk = df.agg(KmvAggregate.kmv(col("hv"), 64).as("sk"))
+    assert(sk.select(size(col("sk"))).as[Int].head() == 10)
+    val est = sk.select(Sketches.kmvEstimate(col("sk"), 64)).as[Long].head()
+    assert(est == 10L)
+  }
+
+  test("estimate lands within the KMV error envelope on a known cardinality") {
+    // n = 20000 distinct, k = 64: relative standard error ~ 1/sqrt(k-2)
+    // ~ 12.7%; 4 sigma is a deterministic-safe bound (the hash is fixed,
+    // so this is a one-time check of THIS hash function, not a flaky one)
+    val df = (1 to 20000).map(_.toLong).toDF("v")
+      .withColumn("hv", Sketches.hash60(col("v")))
+    val est = df.agg(KmvAggregate.kmv(col("hv"), 64).as("sk"))
+      .select(Sketches.kmvEstimate(col("sk"), 64)).as[Long].head()
+    assert(math.abs(est - 20000L) < 20000 * 0.51, s"est=$est")
+  }
+
+  test("rollup output: one row per group plus a merged ALL row") {
+    val df = (1 to 3000)
+      .map(i => (s"2024-0${1 + i % 3}", (i % 500).toLong))
+      .toDF("m", "v")
+    val out = Sketches.kmvDistinctRollup(df, col("m"), col("v"), k = 64)
+      .as[(String, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq("2024-01", "2024-02", "2024-03", "ALL"))
+    val all = out.last
+    assert(all._3 == 500L) // exact distinct
+    assert(math.abs(all._2 - 500L) < 500 * 0.51)
+    // per-group exact counts sum >= global (overlap), each est near exact
+    out.dropRight(1).foreach { case (_, est, exact) =>
+      assert(math.abs(est - exact) <= math.max(1L, (exact * 0.51).toLong))
+    }
+  }
+
+  test("graft_kmv is registered for SQL users") {
+    graft.functions.VectorFunctions.register(spark)
+    (1 to 100).map(_.toLong).toDF("v").createOrReplaceTempView("kmv_in")
+    val arr = spark.sql(
+      """SELECT graft_kmv(CAST(conv(substring(md5(CAST(v AS STRING)), 1, 15),
+        |16, 10) AS BIGINT), 16) AS sk FROM kmv_in""".stripMargin)
+      .as[Seq[Long]].head()
+    assert(arr.length == 16 && arr == arr.sorted)
+  }
+}
