@@ -1417,6 +1417,73 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))),
+
+    // ---- round 6b: feature scaling, dependence stats, curation policy ----
+    "feat_standardize" -> ((s, dir) =>
+      // per-group z-score: O(groups) stats broadcast onto a narrow clamp
+      graft.ops.Features.standardize(Tables.lineitem(s, dir),
+        "l_returnflag", "l_extendedprice",
+        idCols = Seq("l_orderkey", "l_linenumber"))),
+    "feat_robust_scale" -> ((s, dir) =>
+      // median/IQR scaling - the outlier-insensitive standardization
+      graft.ops.Features.robustScale(Tables.lineitem(s, dir),
+        "l_returnflag", "l_extendedprice",
+        idCols = Seq("l_orderkey", "l_linenumber"))),
+    "ts_interpolate" -> { (s, dir) =>
+      // linear interpolation across calendar gaps (vs gap_fill's
+      // step/carry-forward) on the same sparse daily rollup
+      val daily = graft.streaming.EventAggs
+        .dailyUserRollup(Tables.events(s, dir))
+        .filter(col("user_id") % 20 === 0)
+      graft.ops.Temporal.interpolate(daily, "user_id", "d", "n_events")
+    },
+    "stat_mutual_info" -> ((s, dir) =>
+      // does event_type carry information about the JSON device field -
+      // the leakage/feature-dependence probe in nats
+      graft.ops.Stats.mutualInfo(
+        Tables.events(s, dir).withColumn("device",
+          get_json_object(col("props"), "$.device")),
+        "event_type", "device")),
+    "stat_chi_square" -> ((s, dir) =>
+      graft.ops.Stats.chiSquare(
+        Tables.events(s, dir).withColumn("device",
+          get_json_object(col("props"), "$.device")),
+        "event_type", "device")),
+    "stat_corr_matrix" -> ((s, dir) =>
+      // all pairwise correlations in ONE scan (fused corr aggregates)
+      graft.ops.Stats.corrMatrix(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // cluster via the MinHash pipeline, then pick each cluster's
+      // longest member - the keep/drop decision step after clustering
+      graft.ops.Dedup.keepBest(docs,
+        graft.ops.Dedup.connectedComponents(
+          graft.ops.Dedup.minhashCandidates(docs)))
+    }),
+    "dedup_containment" -> ((s, dir) =>
+      // one-sided n-gram containment: catches near-supersets that
+      // Jaccard's union-normalization hides
+      graft.ops.Dedup.containmentPairs(Tables.documents(s, dir))),
+    "curate_token_budget" -> ((s, dir) =>
+      // best docs by quality until the token budget is spent
+      graft.ops.TextAnalysis.tokenBudget(Tables.documents(s, dir),
+        budget = 20000L)),
+    "mix_temperature" -> ((s, dir) =>
+      // p_i ~ n_i^0.5 source flattening - the multilingual mixing formula
+      graft.ops.TextAnalysis.mixTemperature(Tables.documents(s, dir))),
+    "text_normalize" -> ((s, dir) =>
+      // canonical lowercase/punct-strip normalization + md5 dedup key
+      graft.ops.TextAnalysis.normalize(Tables.documents(s, dir))),
+    "vocab_top_p" -> ((s, dir) =>
+      // nucleus vocabulary cutoff at half the corpus token mass
+      graft.ops.TextAnalysis.vocabTopP(Tables.documents(s, dir))),
+    "events_retention" -> ((s, dir) =>
+      // cohort retention triangle: first-seen date x day offset
+      graft.streaming.EventAggs.retention(Tables.events(s, dir))),
+    "events_paths" -> ((s, dir) =>
+      // most frequent 3-step behavioral paths per user stream
+      graft.streaming.EventAggs.topPaths(Tables.events(s, dir))),
   )
 
   /** Shared by sim_topk_ivf and sim_topk_ivf_persisted: the persisted-index
@@ -3313,5 +3380,224 @@ object SparkEntry {
         |       round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // ---- round 6b ---------------------------------------------------------
+    "feat_standardize" ->
+      """WITH st AS (SELECT l_returnflag, avg(l_extendedprice) AS mu,
+        |                   stddev_pop(l_extendedprice) AS sigma
+        |            FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+        |       round((l.l_extendedprice - st.mu) /
+        |             (CASE WHEN st.sigma <> 0 THEN st.sigma END), 6) AS z
+        |FROM lineitem l JOIN st USING (l_returnflag)""".stripMargin,
+    "feat_robust_scale" ->
+      """WITH st AS (SELECT l_returnflag,
+        |              quantile_cont(l_extendedprice, 0.5) AS med,
+        |              quantile_cont(l_extendedprice, 0.75)
+        |                - quantile_cont(l_extendedprice, 0.25) AS iqr
+        |            FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+        |       round((l.l_extendedprice - st.med) /
+        |             (CASE WHEN st.iqr <> 0 THEN st.iqr END), 6) AS scaled
+        |FROM lineitem l JOIN st USING (l_returnflag)""".stripMargin,
+    "ts_interpolate" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_events
+        |               FROM events WHERE user_id % 20 = 0 GROUP BY 1, 2),
+        |spine AS (SELECT user_id,
+        |                 CAST(unnest(generate_series(min(d), max(d),
+        |                   INTERVAL 1 DAY)) AS DATE) AS d
+        |          FROM daily GROUP BY user_id),
+        |j AS (SELECT s.user_id, s.d, daily.n_events
+        |      FROM spine s LEFT JOIN daily USING (user_id, d)),
+        |f AS (SELECT user_id, d, n_events IS NOT NULL AS is_observed, n_events,
+        |        last_value(n_events IGNORE NULLS) OVER wb AS pv,
+        |        last_value(CASE WHEN n_events IS NOT NULL THEN d END IGNORE NULLS)
+        |          OVER wb AS pd,
+        |        first_value(n_events IGNORE NULLS) OVER wf AS nv,
+        |        first_value(CASE WHEN n_events IS NOT NULL THEN d END IGNORE NULLS)
+        |          OVER wf AS nd
+        |      FROM j
+        |      WINDOW wb AS (PARTITION BY user_id ORDER BY d
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wf AS (PARTITION BY user_id ORDER BY d
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, d, is_observed,
+        |       round(CASE WHEN is_observed THEN n_events
+        |                  WHEN pv IS NULL THEN nv
+        |                  WHEN nv IS NULL THEN pv
+        |                  ELSE pv + (nv - pv) * date_diff('day', pd, d)
+        |                       / date_diff('day', pd, nd) END, 6) AS n_events
+        |FROM f""".stripMargin,
+    "stat_mutual_info" ->
+      """WITH e AS (SELECT event_type AS x,
+        |                  json_extract_string(props, '$.device') AS y
+        |           FROM events
+        |           WHERE event_type IS NOT NULL
+        |             AND json_extract_string(props, '$.device') IS NOT NULL),
+        |joint AS (SELECT x, y, count(*) AS nxy FROM e GROUP BY 1, 2),
+        |xm AS (SELECT x, sum(nxy) AS nx FROM joint GROUP BY 1),
+        |ym AS (SELECT y, sum(nxy) AS ny FROM joint GROUP BY 1),
+        |t AS (SELECT sum(nxy) AS n FROM joint)
+        |SELECT round(sum((nxy / CAST(n AS DOUBLE)) *
+        |         ln((nxy * n) / CAST(nx * ny AS DOUBLE))), 6) AS mutual_info_nats
+        |FROM joint JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN t""".stripMargin,
+    "stat_chi_square" ->
+      """WITH e AS (SELECT event_type AS x,
+        |                  json_extract_string(props, '$.device') AS y
+        |           FROM events
+        |           WHERE event_type IS NOT NULL
+        |             AND json_extract_string(props, '$.device') IS NOT NULL),
+        |joint AS (SELECT x, y, count(*) AS nxy FROM e GROUP BY 1, 2),
+        |xm AS (SELECT x, sum(nxy) AS nx FROM joint GROUP BY 1),
+        |ym AS (SELECT y, sum(nxy) AS ny FROM joint GROUP BY 1),
+        |t AS (SELECT sum(nxy) AS n FROM joint)
+        |SELECT round(sum(CAST(nxy AS DOUBLE) * nxy * n / (nx * CAST(ny AS DOUBLE)))
+        |         - any_value(n), 6) AS chi_square,
+        |       CAST((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1) AS BIGINT) AS dof
+        |FROM joint JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN t""".stripMargin,
+    "stat_corr_matrix" ->
+      """WITH c AS (SELECT
+        |  round(corr(l_quantity, l_extendedprice), 6) AS c0,
+        |  round(corr(l_quantity, l_discount), 6) AS c1,
+        |  round(corr(l_quantity, l_tax), 6) AS c2,
+        |  round(corr(l_extendedprice, l_discount), 6) AS c3,
+        |  round(corr(l_extendedprice, l_tax), 6) AS c4,
+        |  round(corr(l_discount, l_tax), 6) AS c5
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, c0 AS corr FROM c
+        |UNION ALL SELECT 'l_quantity', 'l_discount', c1 FROM c
+        |UNION ALL SELECT 'l_quantity', 'l_tax', c2 FROM c
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount', c3 FROM c
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax', c4 FROM c
+        |UNION ALL SELECT 'l_discount', 'l_tax', c5 FROM c""".stripMargin,
+    "dedup_keep_best" ->
+      // the dedup_components closure, then each cluster's argmax by
+      // (n_chars desc, doc_id asc) + member count
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
+        |              FROM documents),
+        |sh AS (SELECT doc_id, list_transform(generate_series(0, len(tokens)-3), i ->
+        |         concat_ws(' ', tokens[i+1], tokens[i+2], tokens[i+3])) AS shingles
+        |       FROM toks WHERE len(tokens) >= 3),
+        |hb AS (SELECT doc_id, list_transform(shingles, s ->
+        |         CAST('0x' || substr(md5(s),1,7) AS BIGINT)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, list_transform(generate_series(1,16), i ->
+        |          list_aggregate(list_transform(hs, h -> (h *
+        |            ([28515171, 35901835, 164504155, 224835733, 159545229, 129086779,
+        |              21665025, 258530763, 97673641, 249307291, 192052219, 93357247,
+        |              95312455, 108715649, 24414505, 158868827])[i] +
+        |            ([142629328, 83632441, 250955955, 96322194, 250268010, 34277798,
+        |              256159453, 123742706, 182912951, 248297849, 222161486, 81337654,
+        |              192810783, 177914584, 67363176, 151635781])[i])
+        |            % 268435459), 'min')) AS sig
+        |        FROM hb),
+        |bands AS (SELECT doc_id, j,
+        |            concat_ws('|', sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]) AS bucket
+        |          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj),
+        |ok AS (SELECT j, bucket FROM bands GROUP BY 1, 2 HAVING count(*) <= 100),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a
+        |          JOIN ok ON ok.j = a.j AND ok.bucket = a.bucket
+        |          JOIN bands b
+        |            ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS comp
+        |         FROM reach GROUP BY src),
+        |r AS (SELECT c.comp, d.doc_id, d.n_chars,
+        |        row_number() OVER (PARTITION BY c.comp
+        |          ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY c.comp) AS n_members
+        |      FROM comp c JOIN documents d USING (doc_id))
+        |SELECT comp, doc_id AS keep_doc, n_chars,
+        |       CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1""".stripMargin,
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text),'\s+') AS tokens
+        |           FROM documents),
+        |g AS (SELECT doc_id, lang, tokens[1] AS tok0,
+        |        list_distinct(list_transform(generate_series(0, len(tokens)-2), i ->
+        |          concat_ws(' ', tokens[i+1], tokens[i+2]))) AS grams
+        |      FROM t WHERE len(tokens) >= 2),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS isect,
+        |        len(a.grams) AS na, len(b.grams) AS nb
+        |      FROM g a JOIN g b
+        |        ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       round(isect / CAST(na AS DOUBLE), 6) AS containment_a,
+        |       round(isect / CAST(nb AS DOUBLE), 6) AS containment_b
+        |FROM p
+        |WHERE round(isect / CAST(na AS DOUBLE), 6) >= 0.5
+        |   OR round(isect / CAST(nb AS DOUBLE), 6) >= 0.5""".stripMargin,
+    "curate_token_budget" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
+        |           FROM documents),
+        |q AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |        round(least(1.0, len(toks)/50.0)*0.4
+        |          + (len(list_filter(toks, w -> list_contains(
+        |              ['the','a','and','of','to','in','is','that'], w)))
+        |             / CAST(len(toks) AS DOUBLE))*0.3
+        |          + (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))*0.3, 6)
+        |          AS quality
+        |      FROM t),
+        |c AS (SELECT doc_id, n_tokens, quality,
+        |        CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum_tokens
+        |      FROM q)
+        |SELECT doc_id, n_tokens, quality, cum_tokens
+        |FROM c WHERE cum_tokens <= 20000""".stripMargin,
+    "mix_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total,
+        |             sum(pow(n_docs, 0.5)) AS z FROM c)
+        |SELECT source, n_docs,
+        |       round(n_docs / n_total, 6) AS raw_share,
+        |       round(pow(n_docs, 0.5) / z, 6) AS tempered_share,
+        |       round(pow(n_docs, 0.5) / z / (n_docs / n_total), 6) AS sample_factor
+        |FROM c CROSS JOIN t""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 \t\n]', ' ', 'g'), '[ \t\n]+', ' ', 'g')) AS norm_text,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 \t\n]', ' ', 'g'), '[ \t\n]+', ' ', 'g'))) AS norm_key
+        |FROM documents""".stripMargin,
+    "vocab_top_p" ->
+      """WITH v AS (SELECT unnest(regexp_split_to_array(trim(text),'\s+')) AS token
+        |           FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+        |r AS (SELECT token, n, total,
+        |        CAST(sum(n) OVER w AS BIGINT) AS cum
+        |      FROM c CROSS JOIN t
+        |      WINDOW w AS (ORDER BY n DESC, token
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT token, n, round(cum / total, 6) AS cum_mass
+        |FROM r WHERE (cum - n) / total < 0.5""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |           WHERE user_id IS NOT NULL),
+        |c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+        |SELECT c.cohort, CAST(date_diff('day', c.cohort, e.d) AS INT) AS offset_days,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |WHERE date_diff('day', c.cohort, e.d) <= 7
+        |GROUP BY 1, 2""".stripMargin,
+    "events_paths" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |             lead(event_type, 1) OVER w AS e2,
+        |             lead(event_type, 2) OVER w AS e3
+        |           FROM events WHERE user_id IS NOT NULL
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type AS step1, e2 AS step2, e3 AS step3, count(*) AS n
+        |FROM s WHERE e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3
+        |LIMIT 20""".stripMargin,
   )
 }

@@ -518,6 +518,70 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** One-sided n-gram containment: |A∩B| / |A| per ordered pair — the
+    * near-SUPERSET detector Jaccard misses (a doc quoted whole inside a
+    * much larger one has high containment but low Jaccard, because the
+    * union is dominated by the big doc). Emits both directions' scores
+    * per unordered pair; keep iff either side is ≥ `minContainment`.
+    *
+    * Same subquadratic plan as [[ngramJaccardPairs]] (blocked self-join on
+    * shared grams, merge-hinted for exchange reuse); only the final
+    * normalization differs — divide by each side's own gram count instead
+    * of the union.
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = Seq(lead(col("w"), 1).over(w).as("l1"),
+      first(col("w")).over(w).as("tok0"))
+    val grams = tokenStream(docs, Seq("lang"))
+      .select(col("doc_id") +: col("lang") +: col("w") +: leads: _*)
+      .filter(col("l1").isNotNull)
+      .select(col("doc_id"), col("lang"), col("tok0"),
+        concat_ws(" ", col("w"), col("l1")).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val a = grams.hint("merge").as("a")
+    val b = grams.hint("merge").as("b")
+    val isects = a.join(b,
+        col("a.lang") === col("b.lang") && col("a.tok0") === col("b.tok0") &&
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("isect"))
+    val sa = sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na"))
+    val sb = sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"))
+    isects.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("isect") / col("na").cast("double"), 6).as("containment_a"),
+        round(col("isect") / col("nb").cast("double"), 6).as("containment_b"))
+      .filter(col("containment_a") >= minContainment ||
+        col("containment_b") >= minContainment)
+  }
+
+  /** Duplicate-cluster representative selection: given the
+    * [[connectedComponents]] labeling, keep each cluster's best document
+    * (longest by `rankCol`, smallest doc_id on ties — a total order) and
+    * report the cluster size. The decision step that turns a dedup
+    * clustering into an actual keep/drop list.
+    *
+    * One aggregate over the O(clustered docs) label table joined to the
+    * doc metadata: the argmax is a struct-max (max of (rank, −doc_id)),
+    * so no window buffering and full map-side partial aggregation. Docs
+    * outside any cluster are implicitly kept and not emitted.
+    */
+  def keepBest(docs: DataFrame, components: DataFrame,
+      rankCol: String = "n_chars"): DataFrame =
+    components
+      .join(docs.select(col("doc_id"), col(rankCol)), "doc_id")
+      .groupBy("comp")
+      .agg(
+        max(struct(col(rankCol).as("r"), (-col("doc_id")).as("negid")))
+          .as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("comp"),
+        (-col("__best").getField("negid")).as("keep_doc"),
+        col("__best").getField("r").as(rankCol),
+        col("n_members"))
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word `n`-grams with ANY benchmark document — the
     * train/eval overlap check every training-data pipeline must run before

@@ -44,4 +44,56 @@ object Features {
         round(least(greatest(col(valueCol), col("p_lo")), col("p_hi")), 6)
           .as("clamped")): _*)
   }
+
+  /** Per-group z-score standardization: (x − μ)/σ with population σ
+    * (`stddev_pop` — the n-denominator variant both engines define
+    * identically; `stddev_samp` would also match but population is the
+    * ML-normalization convention). Groups with zero variance emit NULL
+    * (division by zero) rather than an arbitrary zero — the caller
+    * decides whether constant features are droppable.
+    *
+    * Same plan as [[winsorize]]: one grouped aggregate → O(groups) stats
+    * broadcast back onto a narrow row-side transform. The window-function
+    * formulation (`avg(x) OVER (PARTITION BY g)`) would buffer whole
+    * groups per task; this shape partial-aggregates map-side and never
+    * holds more than O(groups) state.
+    */
+  def standardize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCols: Seq[String]): DataFrame = {
+    val stats = df.groupBy(groupCol).agg(
+      avg(col(valueCol)).as("mu"),
+      stddev_pop(col(valueCol)).as("sigma"))
+    df.join(broadcast(stats), groupCol)
+      .select(idCols.map(col) ++ Seq(
+        col(groupCol), col(valueCol),
+        round((col(valueCol) - col("mu")) /
+          when(col("sigma") =!= 0, col("sigma")), 6).as("z")): _*)
+  }
+
+  /** Per-group robust scaling: (x − median)/IQR — the outlier-insensitive
+    * sibling of [[standardize]] (sklearn's RobustScaler). Median and both
+    * quartiles come out of ONE exact-percentile buffer per group (same
+    * single-buffer trick as [[winsorize]]; `approx_percentile` is the
+    * bounded-memory 100 TB drop-in with an identical plan). Zero-IQR
+    * groups emit NULL, matching [[standardize]]'s zero-variance contract.
+    */
+  def robustScale(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCols: Seq[String]): DataFrame = {
+    val stats = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, array(0.25, 0.5, 0.75))").as("__qs"))
+      .select(col(groupCol),
+        col("__qs").getItem(1).as("med"),
+        (col("__qs").getItem(2) - col("__qs").getItem(0)).as("iqr"))
+    df.join(broadcast(stats), groupCol)
+      .select(idCols.map(col) ++ Seq(
+        col(groupCol), col(valueCol),
+        round((col(valueCol) - col("med")) /
+          when(col("iqr") =!= 0, col("iqr")), 6).as("scaled")): _*)
+  }
 }

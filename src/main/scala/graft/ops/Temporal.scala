@@ -67,4 +67,46 @@ object Temporal {
         col(valueCol).isNotNull.as("is_observed"),
         last(col(valueCol), ignoreNulls = true).over(w).as(valueCol))
   }
+
+  /** Linear interpolation over a densified series: like [[gapFill]] but
+    * gap rows get the straight line between the surrounding observations
+    * instead of a carried-forward step. The time-series resampling
+    * primitive (pandas' `interpolate(method='time')`).
+    *
+    * Plan: the same per-key spine join, then TWO frames over the ONE key
+    * exchange — last observed (value, date) looking back, first observed
+    * looking forward; interpolated = prev + (next−prev)·elapsed/span.
+    * Rows before the first / after the last observation have only one
+    * anchor and carry it flat. Window frames reuse the exchange, so this
+    * is still a single-shuffle operator.
+    */
+  def interpolate(
+      df: DataFrame, keyCol: String, dateCol: String,
+      valueCol: String): DataFrame = {
+    val spine = df.groupBy(keyCol).agg(
+      min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as(dateCol))
+    val back = Window.partitionBy(keyCol).orderBy(dateCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keyCol).orderBy(dateCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDate = when(col(valueCol).isNotNull, col(dateCol))
+    val joined = spine.join(df, Seq(keyCol, dateCol), "left")
+      .select(col(keyCol), col(dateCol),
+        col(valueCol).isNotNull.as("is_observed"), col(valueCol))
+      .withColumn("__pv", last(col(valueCol), ignoreNulls = true).over(back))
+      .withColumn("__pd", last(obsDate, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col(valueCol), ignoreNulls = true).over(fwd))
+      .withColumn("__nd", first(obsDate, ignoreNulls = true).over(fwd))
+    joined.select(col(keyCol), col(dateCol), col("is_observed"),
+      round(
+        when(col("is_observed"), col(valueCol))
+          .when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            datediff(col(dateCol), col("__pd")) /
+            datediff(col("__nd"), col("__pd"))),
+        6).as(valueCol))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline (beyond-reference
@@ -592,5 +593,89 @@ object TextAnalysis {
       .agg(round(sum(termScore), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(topK)
+  }
+
+  /** Canonical text normalization: lowercase, strip non-alphanumeric
+    * punctuation to spaces, collapse whitespace runs, trim — plus the md5
+    * of the normalized form as the canonical-dedup key (the aggressive
+    * sibling of [[fingerprint]], which only normalizes spacing/case).
+    * Pure narrow projection: normalization happens at scan speed and the
+    * key is pushable into any downstream exact-dedup groupBy.
+    *
+    * Character classes are spelled in explicit ranges (`[^a-z0-9 ]`, no
+    * `\\w`/`\\s` shorthands) so Java-regex Spark and RE2 DuckDB agree
+    * byte-for-byte.
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 \\t\\n]", " "),
+      "[ \\t\\n]+", " "))
+    docs.select(col("doc_id"), norm.as("norm_text"), md5(norm).as("norm_key"))
+  }
+
+  /** Token-budget-constrained corpus selection: rank docs by quality
+    * (desc, doc_id tiebreak for a total order), admit greedily until the
+    * cumulative token count exceeds `budget` — "the best N tokens we can
+    * afford", the standard data-selection step when compute, not data,
+    * is the binding constraint.
+    *
+    * The running sum is a global-order window — a single-partition sort
+    * at the limit. That is the correct parity formulation; at 100 TB the
+    * same plan runs on a pre-aggregated (quality-bucket, tokens) table or
+    * via [[graft.operators.GlobalRowNumber]]'s two-pass
+    * partition-offset scheme (rank within range partitions, broadcast
+    * per-partition token subtotals, add the prefix) — the greedy
+    * admission is associative over a range partitioning by quality.
+    */
+  def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val t = tokens(col("text"))
+    val scored = docs.select(col("doc_id"), size(t).as("n_tokens"),
+      qualityScore(t).as("quality"))
+    val w = Window.orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Temperature-flattened source mix (the multilingual-sampling formula:
+    * p_i ∝ n_i^alpha): raise each source's corpus share to `alpha` < 1 and
+    * renormalize, boosting low-resource sources. Output per source: raw
+    * share, tempered share, and the up/down-sampling factor a pipeline
+    * applies to hit it. O(#sources) state after one grouped count; the
+    * normalizing constant is a broadcast single row.
+    */
+  def mixTemperature(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val totals = broadcast(counts.agg(
+      sum("n_docs").cast("double").as("n_total"),
+      sum(pow(col("n_docs"), alpha)).as("z")))
+    counts.crossJoin(totals)
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs") / col("n_total"), 6).as("raw_share"),
+        round(pow(col("n_docs"), alpha) / col("z"), 6).as("tempered_share"),
+        round(pow(col("n_docs"), alpha) / col("z") /
+          (col("n_docs") / col("n_total")), 6).as("sample_factor"))
+  }
+
+  /** Nucleus (top-p) vocabulary cutoff: the smallest prefix of the
+    * frequency-sorted vocabulary whose cumulative probability mass
+    * reaches `p` — tokenizer-vocab and sampling-truncation sizing. A
+    * token is kept iff the mass STRICTLY before it is < p (the standard
+    * nucleus rule, so the boundary token that crosses `p` is included).
+    * The vocab count is one corpus aggregate; the running mass is a
+    * window over the O(vocab) aggregated table, not the corpus.
+    */
+  def vocabTopP(docs: DataFrame, p: Double = 0.5): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = broadcast(counts.agg(sum("n").cast("double").as("total")))
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(total)
+      .withColumn("__cum", sum(col("n")).over(w))
+      .filter((col("__cum") - col("n")) / col("total") < p)
+      .select(col("token"), col("n"),
+        round(col("__cum") / col("total"), 6).as("cum_mass"))
   }
 }

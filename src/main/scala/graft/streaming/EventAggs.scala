@@ -139,4 +139,46 @@ object EventAggs {
     events.groupBy(col("event_type")).agg(
       approx_count_distinct(col("user_id"), rsd).as("approx_users"),
       count(lit(1)).as("n_events"))
+
+  /** Cohort retention: users grouped by first-seen date, distinct users
+    * active again `offset` days later for each offset ≤ `maxOffsetDays` —
+    * the classic retention triangle in long form. Two exchanges, both on
+    * bounded state: the per-user first-seen aggregate (O(users)), and the
+    * (cohort, offset) distinct-count whose key space is
+    * O(days × maxOffset). The cohort join hits the per-user table on its
+    * existing user_id exchange.
+    */
+  def retention(events: DataFrame, maxOffsetDays: Int = 7): DataFrame = {
+    val e = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+    val cohorts = e.groupBy("user_id").agg(min("d").as("cohort"))
+    e.join(cohorts, "user_id")
+      .withColumn("offset_days", datediff(col("d"), col("cohort")))
+      .filter(col("offset_days") <= maxOffsetDays)
+      .groupBy("cohort", "offset_days")
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  /** Top event-type trigrams: each user's event stream in (ts, event_id)
+    * order contributes its consecutive 3-step paths; output the `k` most
+    * frequent paths — the "what do users do next" behavioral summary.
+    * The path build is two leads over ONE user_id exchange (no
+    * per-user collect_list buffering — state per row is O(1)); the count
+    * is a second, already-reduced aggregate, and the top-k moves only
+    * O(paths) rows through a TakeOrdered.
+    */
+  def topPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
 }

@@ -218,4 +218,37 @@ class DedupSpec extends SparkSpec {
     assert(got(6L) == 6L, "two disjoint occurrences cover 2n tokens")
     assert(got(7L) == 3L)
   }
+
+  test("containmentPairs: a quoted subset scores 1.0 one-way, low the other") {
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " " + (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, small, "en"),
+      (2L, big, "en"),
+      (3L, "unrelated words entirely different content here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.containmentPairs(docs, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 1's 4 bigrams all appear in doc 2 -> containment_a = 1.0; the
+    // big doc's containment is 4/24
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L))._1 == 1.0)
+    assert(got((1L, 2L))._2 < 0.5,
+      "jaccard would be ~0.17 here - the asymmetric metric is the point")
+  }
+
+  test("keepBest: longest member wins, doc_id breaks ties, sizes reported") {
+    val docs = Seq(
+      (1L, 100L), (2L, 300L), (3L, 300L), // cluster A: 2 and 3 tie on length
+      (4L, 50L), (5L, 10L)                // cluster B
+    ).toDF("doc_id", "n_chars")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "comp")
+    val got = Dedup.keepBest(docs, comps)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 300L, 3L)), "tie at 300 chars -> smaller doc_id")
+    assert(got(4L) == ((4L, 50L, 2L)))
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.EventAggs
+
+/** Behavioral event analytics: cohort retention and top path trigrams
+  * against hand-built event streams.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("retention: cohort is first-seen day, offsets count distinct users") {
+    val events = Seq(
+      // user 1: cohort Jan 1, returns day 1 and day 2 (twice on day 2)
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 0.0, "{}"),
+      (2L, 1L, ts("2024-01-02 10:00:00"), "view", 0.0, "{}"),
+      (3L, 1L, ts("2024-01-03 10:00:00"), "view", 0.0, "{}"),
+      (4L, 1L, ts("2024-01-03 11:00:00"), "click", 0.0, "{}"),
+      // user 2: same cohort, only day 0
+      (5L, 2L, ts("2024-01-01 09:00:00"), "view", 0.0, "{}"),
+      // user 3: later cohort, beyond-window activity excluded
+      (6L, 3L, ts("2024-01-05 09:00:00"), "view", 0.0, "{}"),
+      (7L, 3L, ts("2024-01-20 09:00:00"), "view", 0.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val got = EventAggs.retention(events, maxOffsetDays = 7)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got(("2024-01-01", 0)) == 2L)
+    assert(got(("2024-01-01", 1)) == 1L)
+    assert(got(("2024-01-01", 2)) == 1L, "two same-day events count one user")
+    assert(got(("2024-01-05", 0)) == 1L)
+    assert(!got.contains(("2024-01-05", 15)), "offset beyond window excluded")
+  }
+
+  test("topPaths: trigrams follow per-user (ts, event_id) order across users") {
+    def e(id: Long, user: Long, t: String, typ: String) =
+      (id, user, ts(t), typ, 0.0, "{}")
+    val events = Seq(
+      e(1, 1, "2024-01-01 10:00:00", "view"),
+      e(2, 1, "2024-01-01 10:01:00", "click"),
+      e(3, 1, "2024-01-01 10:02:00", "purchase"),
+      e(4, 2, "2024-01-01 11:00:00", "view"),
+      e(5, 2, "2024-01-01 11:01:00", "click"),
+      e(6, 2, "2024-01-01 11:02:00", "purchase"),
+      e(7, 2, "2024-01-01 11:03:00", "view"),
+      // same-timestamp tie inside user 3: event_id orders it
+      e(8, 3, "2024-01-01 12:00:00", "view"),
+      e(9, 3, "2024-01-01 12:00:00", "click"),
+      e(10, 3, "2024-01-01 12:00:00", "error")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val got = EventAggs.topPaths(events, k = 10)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got(("view", "click", "purchase")) == 2L)
+    assert(got(("click", "purchase", "view")) == 1L)
+    assert(got(("view", "click", "error")) == 1L, "tie resolved by event_id")
+    assert(got.size == 3, "paths never span users")
+  }
+}

@@ -57,7 +57,16 @@ class PlanSweepSpec extends SparkSpec {
     // triangle census: the final stats row composes 1-row aggregates
     "graph_triangles",
     // A-priori support threshold: a 1-row min_sup broadcast
-    "assoc_frequent_triples")
+    "assoc_frequent_triples",
+    // contingency-total attachment: a 1-row sum(nxy) broadcast onto the
+    // O(|X|x|Y|) joint table
+    "stat_mutual_info", "stat_chi_square",
+    // temperature mix normalizer: a 1-row (n_total, z) broadcast onto the
+    // O(#sources) count table
+    "mix_temperature",
+    // nucleus cutoff denominator: a 1-row token-mass broadcast onto the
+    // O(vocab) count table
+    "vocab_top_p")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

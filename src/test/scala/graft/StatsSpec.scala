@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.Stats
+
+/** Dependence statistics: mutual information and chi-square against
+  * hand-computable contingency tables, correlation matrix against known
+  * linear relationships.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mutualInfo: independent columns score 0, determined columns score H(X)") {
+    // X uniform over {a,b}, Y = X -> I(X;Y) = H(X) = ln 2; Y constant -> 0
+    val dependent = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("b", "b"))
+      .toDF("x", "y")
+    val mi = Stats.mutualInfo(dependent, "x", "y")
+      .first().getDouble(0)
+    assert(math.abs(mi - math.log(2)) < 1e-6)
+
+    // perfectly independent 2x2: every cell = joint of its marginals
+    val indep = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    assert(Stats.mutualInfo(indep, "x", "y").first().getDouble(0) == 0.0)
+  }
+
+  test("mutualInfo drops null categories rather than counting them") {
+    val withNulls = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"),
+      (null, "u"), ("a", null)).toDF("x", "y")
+    assert(Stats.mutualInfo(withNulls, "x", "y").first().getDouble(0) == 0.0)
+  }
+
+  test("chiSquare: 0 on independence, n on perfect 2x2 dependence, dof right") {
+    val indep = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val r0 = Stats.chiSquare(indep, "x", "y").first()
+    assert(math.abs(r0.getDouble(0)) < 1e-9)
+    assert(r0.getLong(1) == 1L)
+
+    // X==Y on a 2x2 grid: chi-square = n
+    val dep = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("b", "b")).toDF("x", "y")
+    val r1 = Stats.chiSquare(dep, "x", "y").first()
+    assert(math.abs(r1.getDouble(0) - 4.0) < 1e-9)
+  }
+
+  test("corrMatrix: one pass yields +1 / -1 / 0 for known relationships") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0),
+      (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0),
+      (4.0, 8.0, -4.0, 5.0)
+    ).toDF("a", "b", "c", "d")
+    val got = Stats.corrMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got(("a", "b")) == 1.0)
+    assert(got(("a", "c")) == -1.0)
+    assert(got(("b", "c")) == -1.0)
+    assert(got.size == 3, "strict upper triangle: k(k-1)/2 pairs")
+  }
+
+  test("corrMatrix reads the data once: a single Aggregate in the plan") {
+    val df = Seq((1.0, 2.0, 3.0), (2.0, 1.0, 5.0)).toDF("a", "b", "c")
+    val plan = Stats.corrMatrix(df, Seq("a", "b", "c"))
+      .queryExecution.optimizedPlan.toString
+    val aggs = "Aggregate".r.findAllIn(plan).size
+    assert(aggs == 1, s"expected one fused aggregate, plan:\n$plan")
+  }
+}

@@ -61,4 +61,33 @@ class TemporalSpec extends SparkSpec {
     assert(got((1L, "2024-01-04")) == ((true, 7L)))
     assert(got((2L, "2024-01-10")) == ((true, 1L)))
   }
+
+  test("interpolate: straight line through gaps, flat beyond the anchors") {
+    val daily = Seq(
+      (1L, Date.valueOf("2024-01-01"), 1L),
+      (1L, Date.valueOf("2024-01-04"), 7L), // gap of 2: expect 3, 5
+      (1L, Date.valueOf("2024-01-05"), 4L)
+    ).toDF("user_id", "d", "n")
+    val got = Temporal.interpolate(daily, "user_id", "d", "n")
+      .select("d", "is_observed", "n")
+      .as[(Date, Boolean, Double)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3))).toMap
+    assert(got("2024-01-01") == ((true, 1.0)))
+    assert(got("2024-01-02") == ((false, 3.0)))
+    assert(got("2024-01-03") == ((false, 5.0)))
+    assert(got("2024-01-04") == ((true, 7.0)))
+    assert(got("2024-01-05") == ((true, 4.0)))
+  }
+
+  test("interpolate: fractional slopes round at 6, observed rows stay exact") {
+    val daily = Seq(
+      (1L, Date.valueOf("2024-01-01"), 0L),
+      (1L, Date.valueOf("2024-01-04"), 1L) // slope 1/3
+    ).toDF("user_id", "d", "n")
+    val got = Temporal.interpolate(daily, "user_id", "d", "n")
+      .select("d", "n").as[(Date, Double)].collect()
+      .map(r => r._1.toString -> r._2).toMap
+    assert(got("2024-01-02") == 0.333333)
+    assert(got("2024-01-03") == 0.666667)
+  }
 }
