@@ -1484,6 +1484,45 @@ object SparkEntry {
     "events_paths" -> ((s, dir) =>
       // most frequent 3-step behavioral paths per user stream
       graft.streaming.EventAggs.topPaths(Tables.events(s, dir))),
+    "j12_salted_join" -> ((s, dir) => {
+      // the SkewJoin salting escape hatch, oracle-certified: the salted
+      // plan must produce EXACTLY the plain join's rows (the salt spreads
+      // the maximally-skewed event_type key over 8 reducers and then
+      // vanishes)
+      val events = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"))
+      val dim = events.select(col("event_type")).distinct()
+        .withColumn("type_len", length(col("event_type")))
+      operators.SkewJoin.saltedInnerJoin(events, dim, Seq("event_type"))
+    }),
+    "sketch_cms_heavy" -> ((s, dir) =>
+      // count-min sketch frequency estimates for the hottest keys,
+      // certified one-sided (est >= exact) against the exact counts
+      graft.ops.Sketches.cmsHeavyHitters(
+        Tables.events(s, dir), "user_id")),
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup-style: embedding near-dup pairs -> transitive clusters
+      // -> keep the min-id representative per cluster
+      val comps = graft.ops.Dedup.connectedComponents(
+        graft.ops.Dedup.embeddingNearDups(Tables.embeddings(s, dir))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      comps.select(col("doc_id").as("vec_id"), col("comp"),
+        (col("doc_id") === col("comp")).as("is_kept"))
+    }),
+    "retrieval_rank_fusion" -> ((s, dir) =>
+      // reciprocal-rank fusion of the BM25 pool and the quality-prior
+      // pool — both TakeOrdered exits, so the fusion touches O(poolK)
+      // rows however large the corpus
+      graft.ops.Retrieval.rankFusion(Tables.documents(s, dir),
+        Seq("spark", "window", "merge"))),
+    "retrieval_stopwords" -> ((s, dir) =>
+      // corpus-driven stopword induction: document-frequency ratio >= 0.4
+      graft.ops.Retrieval.stopwordInduction(Tables.documents(s, dir))),
+    "retrieval_range_search" -> ((s, dir) =>
+      // radius query: ALL neighbors with cosine >= 0.3, IVF-blocked so
+      // each query scans 1/C of the corpus
+      graft.ops.Retrieval.rangeSearch(Tables.embeddings(s, dir))),
   )
 
   /** Shared by sim_topk_ivf and sim_topk_ivf_persisted: the persisted-index
@@ -3599,5 +3638,123 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY n DESC, step1, step2, step3
         |LIMIT 20""".stripMargin,
+    "j12_salted_join" ->
+      // the salt is invisible in the result: oracle is the PLAIN join
+      """SELECT e.event_id, e.event_type,
+        |       CAST(length(e.event_type) AS INT) AS type_len
+        |FROM events e WHERE e.event_type IS NOT NULL""".stripMargin,
+    "sketch_cms_heavy" ->
+      """WITH k AS (SELECT user_id AS key FROM events WHERE user_id IS NOT NULL),
+        |rows_ AS (SELECT key, j,
+        |            CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+        |              CAST(key AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS bucket
+        |          FROM k CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj),
+        |sk AS (SELECT j, bucket, count(*) AS cnt FROM rows_ GROUP BY 1, 2),
+        |probes AS (SELECT key, count(*) AS exact_cnt FROM k GROUP BY 1
+        |           ORDER BY exact_cnt DESC, key LIMIT 20),
+        |pb AS (SELECT p.key, p.exact_cnt, j,
+        |         CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+        |           CAST(p.key AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS bucket
+        |       FROM probes p CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj)
+        |SELECT pb.key, pb.exact_cnt, min(sk.cnt) AS est_cnt
+        |FROM pb JOIN sk USING (j, bucket)
+        |GROUP BY 1, 2""".stripMargin,
+    "dedup_semantic" ->
+      // the dedup_embedding pair pipeline, closed transitively, min-id kept
+      """WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm FROM n WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, vec, nrm, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
+        |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
+        |        FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM
+        |          (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+        |         WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |      FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |      WHERE round(list_aggregate(list_transform(generate_series(1, len(a.vec)),
+        |          i -> a.vec[i]*b.vec[i]), 'sum') / (a.nrm*b.nrm), 6) > 0.35),
+        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM p
+        |          UNION SELECT vec_b, vec_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS vec_id, least(src, min(dst)) AS comp,
+        |       src = least(src, min(dst)) AS is_kept
+        |FROM reach GROUP BY src""".stripMargin,
+    "retrieval_rank_fusion" ->
+      // text_bm25's pool (widened to 50) fused with the quality-prior
+      // pool via RRF (k=60), ranks from each pool's own ordering
+      """WITH terms AS (SELECT doc_id,
+        |                      unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |               FROM documents),
+        |tfall AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
+        |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+        |qtf AS (SELECT * FROM tfall WHERE token IN ('spark', 'window', 'merge')),
+        |dfq AS (SELECT token, count(*) AS df FROM qtf GROUP BY 1),
+        |lexpool AS (SELECT doc_id,
+        |         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |                   * tf * 2.2 / (tf + 1.2 * (0.75 * dl / avgdl + 0.25))), 6)
+        |           AS bm25
+        |       FROM qtf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN stats
+        |       GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |lex AS (SELECT doc_id, CAST(row_number() OVER
+        |          (ORDER BY bm25 DESC, doc_id) AS INT) AS r_lex FROM lexpool),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |         FROM documents),
+        |qv AS (SELECT doc_id,
+        |         round(least(1.0, len(t)/50.0)*0.4
+        |           + (len(list_filter(t, w -> list_contains(
+        |               ['the','a','and','of','to','in','is','that'], w)))
+        |              / CAST(len(t) AS DOUBLE))*0.3
+        |           + (len(list_distinct(t)) / CAST(len(t) AS DOUBLE))*0.3, 6) AS q
+        |       FROM toks),
+        |qualpool AS (SELECT doc_id, q FROM qv ORDER BY q DESC, doc_id LIMIT 50),
+        |qual AS (SELECT doc_id, CAST(row_number() OVER
+        |           (ORDER BY q DESC, doc_id) AS INT) AS r_qual FROM qualpool),
+        |f AS (SELECT coalesce(lex.doc_id, qual.doc_id) AS doc_id, r_lex, r_qual,
+        |        round(coalesce(1.0 / (60 + r_lex), 0.0)
+        |            + coalesce(1.0 / (60 + r_qual), 0.0), 6) AS rrf
+        |      FROM lex FULL OUTER JOIN qual ON lex.doc_id = qual.doc_id)
+        |SELECT doc_id, r_lex, r_qual, rrf FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "retrieval_stopwords" ->
+      """WITH terms AS (SELECT DISTINCT doc_id,
+        |                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |               FROM documents),
+        |d AS (SELECT token, count(*) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        |SELECT token, df, round(df / n_docs, 6) AS df_ratio
+        |FROM d CROSS JOIN n WHERE df / n_docs >= 0.4""".stripMargin,
+    "retrieval_range_search" ->
+      // dedup_embedding's IVF cell CTE, queried by radius instead of pairs
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm FROM n WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, vec, nrm, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
+        |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
+        |        FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM
+        |          (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+        |         WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm, cell
+        |      FROM cell WHERE vec_id % 50 = 0)
+        |SELECT q.query_id, c.vec_id AS neighbor_id,
+        |       round(list_aggregate(list_transform(generate_series(1, len(c.vec)),
+        |         i -> q.qvec[i]*c.vec[i]), 'sum') / (q.qnorm*c.nrm), 6) AS cos_sim
+        |FROM cell c JOIN q USING (cell)
+        |WHERE c.vec_id <> q.query_id
+        |  AND round(list_aggregate(list_transform(generate_series(1, len(c.vec)),
+        |        i -> q.qvec[i]*c.vec[i]), 'sum') / (q.qnorm*c.nrm), 6) >= 0.3""".stripMargin,
   )
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-layer operators above the scoring primitives: list fusion,
+  * vocabulary policy, and similarity range queries — the pieces that turn
+  * individual scorers ([[TextAnalysis.bm25]], [[Similarity]]'s ANN
+  * family) into a usable corpus-mining surface.
+  */
+object Retrieval {
+
+  /** Reciprocal-rank fusion of two retrieval lists — the standard
+    * score-free way to combine heterogeneous signals (here: BM25 lexical
+    * relevance and the corpus quality prior; the same shape fuses any
+    * k lists). Each list contributes 1/(kRrf + rank) for its members;
+    * docs appearing in only one list keep that single term (full outer
+    * join, the other side contributes 0).
+    *
+    * Scale: both candidate pools are top-`poolK` TakeOrdered exits, so
+    * the fusion join touches O(poolK) rows however large the corpus —
+    * rank windows run on the pools, never the data. Deterministic:
+    * every ordering carries the doc_id tiebreak.
+    */
+  def rankFusion(
+      docs: DataFrame, queryTerms: Seq[String],
+      kRrf: Int = 60, poolK: Int = 50, topK: Int = 20): DataFrame = {
+    val lexPool = TextAnalysis.bm25(docs, queryTerms, topK = poolK)
+    val wLex = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    val lex = lexPool.select(col("doc_id"),
+      row_number().over(wLex).as("r_lex"))
+    val qualPool = docs
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(TextAnalysis.tokens(col("text"))).as("q"))
+      .orderBy(col("q").desc, col("doc_id").asc).limit(poolK)
+    val wQual = Window.orderBy(col("q").desc, col("doc_id").asc)
+    val qual = qualPool.select(col("doc_id"),
+      row_number().over(wQual).as("r_qual"))
+    lex.join(qual, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_qual"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("r_qual")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Corpus-driven stopword induction: tokens whose document frequency
+    * ratio is ≥ `dfRatio` — the data-dependent twin of a fixed stopword
+    * list (built once per corpus, then fed to BM25/TF-IDF/dedup prefix
+    * filters as the exclusion set). One distinct-ified (doc, token)
+    * exchange + an O(vocab) aggregate; the corpus size attaches as a
+    * 1-row broadcast.
+    */
+  def stopwordInduction(docs: DataFrame, dfRatio: Double = 0.4): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .distinct()
+    val df = terms.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs")))
+    df.crossJoin(n)
+      .filter(col("df") / col("n_docs") >= dfRatio)
+      .select(col("token"), col("df"),
+        round(col("df") / col("n_docs"), 6).as("df_ratio"))
+  }
+
+  /** Cosine range search: ALL neighbors with similarity ≥ `minCos` for
+    * each query vector — the radius-query sibling of the top-k family
+    * (dedup wants "everything closer than t", not "the 5 closest").
+    * IVF-blocked like [[Similarity.ivfTopK]]: each query scans only its
+    * own cell, 1/C of the corpus; no window, no limit — output size is
+    * the true result size.
+    */
+  def rangeSearch(
+      embeddings: DataFrame, minCos: Double = 0.3,
+      queryMod: Int = 50, nCentroids: Int = 16): DataFrame = {
+    val cells = Similarity.ivfAssign(embeddings, nCentroids)
+    val q = cells.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("norm").as("qnorm"), col("cell"))
+    cells.join(q, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Similarity.cosine(col("qvec"), col("vec"), col("qnorm"), col("norm"))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+}

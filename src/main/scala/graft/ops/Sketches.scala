@@ -77,4 +77,48 @@ object Sketches {
           col("exact_distinct")))
       .orderBy("grp")
   }
+
+  /** Count-min-sketch frequency estimation, certified against exact
+    * counts: build a d×w CMS over `keyCol` (bucket hashes are md5-derived
+    * and engine-reproducible, like every hash here), then answer the top
+    * `topK` hottest keys from the SKETCH — est = min over the d rows of
+    * that key's bucket count. Output per probe key:
+    * `(key, exact_cnt, est_cnt)` with the one-sided guarantee
+    * est ≥ exact, which the oracle certifies end-to-end because both
+    * engines build the identical sketch.
+    *
+    * Why it matters at 100 TB: the sketch is O(d·w) state regardless of
+    * key cardinality, additive across partitions (one partial-aggregable
+    * groupBy), and answers ANY key's frequency after one pass — the
+    * always-on frequency monitor where an exact per-key count table is
+    * itself data-sized. The exact side here exists only as the oracle's
+    * certificate.
+    *
+    * Plan: the bucket stream is a narrow d-way explode; the sketch
+    * aggregate carries O(d·w) rows; probes (top-k exact keys) join the
+    * broadcast sketch. Nothing after the two aggregates scales with the
+    * data.
+    */
+  def cmsHeavyHitters(
+      df: DataFrame, keyCol: String,
+      d: Int = 4, w: Int = 256, topK: Int = 20): DataFrame = {
+    def bucket(j: Column, key: Column): Column =
+      conv(substring(md5(concat(j.cast("string"), lit(":"),
+        key.cast("string"))), 1, 8), 16, 10).cast("long") % w
+    val keys = df.filter(col(keyCol).isNotNull).select(col(keyCol).as("key"))
+    val rows = keys.select(col("key"),
+      explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("j"), bucket(col("j"), col("key")).as("bucket"))
+    val sketch = rows.groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+    val probes = keys.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("key").asc)
+      .limit(topK)
+    probes
+      .select(col("key"), col("exact_cnt"),
+        explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("bucket", bucket(col("j"), col("key")))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("key", "exact_cnt")
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
 }

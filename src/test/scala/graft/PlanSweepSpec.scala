@@ -66,7 +66,16 @@ class PlanSweepSpec extends SparkSpec {
     "mix_temperature",
     // nucleus cutoff denominator: a 1-row token-mass broadcast onto the
     // O(vocab) count table
-    "vocab_top_p")
+    "vocab_top_p",
+    // dedup_embedding's bounded 16-centroid attachment, reused by the
+    // semantic-dedup composition
+    "dedup_semantic",
+    // same bounded 16-centroid broadcast, radius-query variant
+    "retrieval_range_search",
+    // bm25's 1-row corpus-stats broadcast inside the fused lexical pool
+    "retrieval_rank_fusion",
+    // 1-row corpus-size broadcast onto the O(vocab) df table
+    "retrieval_stopwords")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Retrieval
+
+/** Retrieval-layer semantics: RRF fusion arithmetic and membership,
+  * stopword-induction threshold behavior, and range-search completeness
+  * against a brute-force scan of the same IVF cells.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("rankFusion: doc in both pools gets both rank terms; single-pool docs keep one") {
+    // doc 1 matches the query terms AND is high quality; doc 2 only
+    // matches lexically; doc 3 is only high quality (long, stopword-rich)
+    val corpus = docs(
+      1L -> "the spark window merge of the spark and the window is that it is in the merge",
+      2L -> "spark window merge",
+      3L -> ("the a and of to in is that " * 8).trim,
+      4L -> "zzz yyy xxx")
+    val got = Retrieval.rankFusion(corpus, Seq("spark", "window", "merge"),
+      poolK = 3, topK = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getDouble(3)))).toMap
+
+    val (rLex1, rQual1, rrf1) = got(1L)
+    assert(rLex1.isDefined && rQual1.isDefined,
+      "doc 1 must appear in both pools")
+    val expected1 = BigDecimal(
+      1.0 / (60 + rLex1.get.asInstanceOf[Int]) +
+        1.0 / (60 + rQual1.get.asInstanceOf[Int]))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rrf1 - expected1) < 1e-9, s"rrf mismatch: $rrf1 vs $expected1")
+
+    // doc 3 contains none of the query terms, so it can never enter the
+    // BM25 pool (pool membership requires >= 1 matching term) — its rrf
+    // is exactly the single quality term
+    val (rLex3, rQual3, rrf3) = got(3L)
+    assert(rLex3.isEmpty && rQual3.isDefined,
+      "doc 3 is quality-only: no query terms")
+    assert(rrf3 == BigDecimal(1.0 / (60 + rQual3.get.asInstanceOf[Int]))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("rankFusion: both-pool membership dominates equal single-pool ranks") {
+    // a doc ranked r in BOTH pools beats any doc ranked r in one pool
+    val corpus = docs(
+      1L -> "the spark window merge of the spark and the window is in the merge to a",
+      2L -> "spark spark window window merge merge spark window merge spark",
+      3L -> "qqq")
+    val rows = Retrieval.rankFusion(corpus, Seq("spark", "window", "merge"),
+      poolK = 2, topK = 3).collect()
+    val order = rows.map(_.getLong(0)).toSeq
+    val rrfOf = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(order.head == 1L || rrfOf(1L) >= rrfOf.values.max - 1e-9,
+      s"dual-pool doc 1 should lead: $order")
+  }
+
+  test("stopwordInduction: threshold is inclusive and ratio-exact") {
+    val corpus = docs(
+      1L -> "the cat sat",
+      2L -> "the dog ran",
+      3L -> "the cat slept",
+      4L -> "a bird flew",
+      5L -> "the a end")
+    // df: the=4/5=0.8, cat=2/5=0.4 (inclusive boundary), a=2/5=0.4,
+    // everything else 1/5
+    val got = Retrieval.stopwordInduction(corpus, dfRatio = 0.4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set("the", "cat", "a"))
+    assert(got("the") == ((4L, 0.8)))
+    assert(got("cat") == ((2L, 0.4)), "boundary df ratio must be kept")
+  }
+
+  test("rangeSearch: matches brute-force within-cell scan, excludes self, honors radius") {
+    val dim = 8
+    val vecs = (0L until 120L).map { i =>
+      val base = Array.tabulate(dim)(d =>
+        math.sin(i * 0.37 + d * 1.3).toFloat)
+      (i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = Retrieval.rangeSearch(vecs, minCos = 0.3, queryMod = 40,
+      nCentroids = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute force over the SAME cell assignment
+    val cells = graft.ops.Similarity.ivfAssign(vecs, nCentroids = 4)
+    val byCell = cells.select("vec_id", "cell", "vec", "norm").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3)))
+    val queries = byCell.filter(_._1 % 40 == 0)
+    val expected = (for {
+      (qid, qcell, qv, qn) <- queries.iterator
+      (nid, ncell, nv, nn) <- byCell.iterator
+      if ncell == qcell && nid != qid
+      cos = BigDecimal(qv.zip(nv).map { case (a, b) => a * b }.sum / (qn * nn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos >= 0.3
+    } yield (qid, nid)).toSet
+    assert(got == expected)
+    assert(got.forall { case (q, n) => q != n })
+  }
+}

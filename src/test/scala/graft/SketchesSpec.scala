@@ -68,4 +68,26 @@ class SketchesSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(arr.length == 16 && arr == arr.sorted)
   }
+
+  test("CMS heavy hitters: estimates are one-sided and exact without collisions") {
+    // 5 distinct keys into a 256-bucket sketch: collision probability per
+    // (row, pair) is tiny and the seeds are fixed, so est == exact here
+    val df = (Seq.fill(50)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(10)(3L) ++
+      Seq(4L, 5L)).toDF("k")
+    val got = Sketches.cmsHeavyHitters(df, "k", topK = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((50L, 50L)))
+    assert(got(2L) == ((30L, 30L)))
+    assert(got.forall { case (_, (exact, est)) => est >= exact },
+      "CMS never underestimates")
+  }
+
+  test("CMS heavy hitters: forced collisions overestimate, never underestimate") {
+    // width 1 forces every key into the same bucket on every row: each
+    // estimate becomes the total row count - the degenerate worst case
+    val df = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val got = Sketches.cmsHeavyHitters(df, "k", w = 1, topK = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.values.forall(_ == 4L))
+  }
 }
