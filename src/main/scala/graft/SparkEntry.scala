@@ -1523,6 +1523,42 @@ object SparkEntry {
       // radius query: ALL neighbors with cosine >= 0.3, IVF-blocked so
       // each query scans 1/C of the corpus
       graft.ops.Retrieval.rangeSearch(Tables.embeddings(s, dir))),
+    "retrieval_inverted_index" -> ((s, dir) =>
+      // token -> sorted posting list + aligned tfs; df computed BEFORE the
+      // collect so stopword-scale lists never materialize
+      graft.ops.Retrieval.invertedIndex(Tables.documents(s, dir))),
+    "sim_knn_classify" -> ((s, dir) =>
+      // majority-vote label prediction over each query's top-5 neighbors,
+      // scored against the query's own label
+      graft.ops.Similarity.knnClassify(Tables.embeddings(s, dir))),
+    "stat_ols" -> ((s, dir) =>
+      // per-returnflag OLS of extendedprice on quantity from one grouped
+      // co-moment pass
+      graft.ops.Stats.groupedOls(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
+    "stat_ab_delta" -> ((s, dir) =>
+      // ratio-metric A/B z-test, delta-method variance over user-level sums
+      graft.ops.Stats.abDeltaTest(Tables.events(s, dir))),
+    "feat_target_encode" -> ((s, dir) =>
+      // smoothed mean-target encoding table per event_type (alpha = 20)
+      graft.ops.Features.targetEncode(Tables.events(s, dir),
+        "event_type", "value")),
+    "curate_curriculum" -> ((s, dir) =>
+      // round-robin-by-quality training order: rank-in-source via ONE
+      // GlobalRowNumber pass + O(sources) offsets, interleave as arithmetic
+      graft.ops.TextAnalysis.curriculumOrder(Tables.documents(s, dir))),
+    "text_negative_samples" -> ((s, dir) =>
+      // unigram^0.75 negative sampling: integer CDF + binned range join
+      graft.ops.TextAnalysis.negativeSamples(Tables.documents(s, dir))),
+    "feat_woe_binning" -> ((s, dir) =>
+      // decile weight-of-evidence of event value against the purchase label
+      graft.ops.Features.woeBinning(
+        Tables.events(s, dir).withColumn("is_purchase",
+          col("event_type") === "purchase"),
+        "value", "is_purchase")),
+    "events_markov" -> ((s, dir) =>
+      // Laplace-smoothed event-type transition matrix over user sequences
+      graft.streaming.EventAggs.markovTransitions(Tables.events(s, dir))),
   )
 
   /** Shared by sim_topk_ivf and sim_topk_ivf_persisted: the persisted-index
@@ -3756,5 +3792,167 @@ object SparkEntry {
         |WHERE c.vec_id <> q.query_id
         |  AND round(list_aggregate(list_transform(generate_series(1, len(c.vec)),
         |        i -> q.qvec[i]*c.vec[i]), 'sum') / (q.qnorm*c.nrm), 6) >= 0.3""".stripMargin,
+    "retrieval_inverted_index" ->
+      """WITH terms AS (SELECT doc_id,
+        |                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |               FROM documents),
+        |tf AS (SELECT token, doc_id, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |kept AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        |         FROM tf GROUP BY 1 HAVING count(*) <= 500)
+        |SELECT token, df, total_tf,
+        |       list(doc_id ORDER BY doc_id) AS postings,
+        |       list(tf ORDER BY doc_id) AS tfs
+        |FROM tf JOIN kept USING (token)
+        |GROUP BY token, df, total_tf""".stripMargin,
+    "sim_knn_classify" ->
+      // sim_topk_brute's CTE, then label vote (votes desc, label asc) and
+      // compare against the query's own label
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm FROM n
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |          i -> qvec[i]*vec[i]), 'sum') / (qnorm*nrm), 6) AS cos_sim
+        |      FROM n CROSS JOIN q WHERE vec_id <> query_id),
+        |tk AS (SELECT query_id, neighbor_id
+        |       FROM (SELECT *, row_number() OVER (
+        |               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+        |             FROM s)
+        |       WHERE rn <= 5),
+        |lv AS (SELECT t.query_id, e.label, count(*) AS votes
+        |       FROM tk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+        |       GROUP BY 1, 2),
+        |w AS (SELECT query_id, label AS pred_label, votes,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY votes DESC, label) AS rw FROM lv)
+        |SELECT w.query_id, e.label AS true_label, w.pred_label, w.votes,
+        |       e.label = w.pred_label AS correct
+        |FROM w JOIN embeddings e ON e.vec_id = w.query_id
+        |WHERE w.rw = 1""".stripMargin,
+    "stat_ols" ->
+      """SELECT l_returnflag AS grp, count(*) AS n,
+        |       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        |       round(pow(corr(l_extendedprice, l_quantity), 2), 6) AS r2
+        |FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "stat_ab_delta" ->
+      // user-level sums -> per-variant moments -> delta-method ratio
+      // variance; variant = md5 bucket parity (split_assign's scheme)
+      """WITH u AS (SELECT user_id, sum(value) AS x,
+        |             CAST(count(*) AS DOUBLE) AS y,
+        |             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+        |               AS BIGINT) % 2 AS variant
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |           GROUP BY user_id),
+        |v AS (SELECT variant, count(*) AS n_users, avg(x) AS mx, avg(y) AS my,
+        |        var_samp(x) AS vx, var_samp(y) AS vy, covar_samp(x, y) AS cxy
+        |      FROM u GROUP BY 1),
+        |r AS (SELECT variant, n_users, mx / my AS ratio,
+        |        (vx / (my*my) - 2*mx*cxy / pow(my, 3)
+        |          + mx*mx*vy / pow(my, 4)) / n_users AS var_r
+        |      FROM v)
+        |SELECT round(max(CASE WHEN variant = 0 THEN ratio END), 6) AS ratio_a,
+        |       round(max(CASE WHEN variant = 1 THEN ratio END), 6) AS ratio_b,
+        |       round(max(CASE WHEN variant = 1 THEN ratio END)
+        |           - max(CASE WHEN variant = 0 THEN ratio END), 6) AS diff,
+        |       round((max(CASE WHEN variant = 1 THEN ratio END)
+        |            - max(CASE WHEN variant = 0 THEN ratio END))
+        |         / sqrt(max(CASE WHEN variant = 0 THEN var_r END)
+        |              + max(CASE WHEN variant = 1 THEN var_r END)), 6) AS z_score,
+        |       CAST(sum(n_users) AS BIGINT) AS n_users
+        |FROM r""".stripMargin,
+    "feat_target_encode" ->
+      """WITH c AS (SELECT event_type AS category, count(*) AS n, sum(value) AS s
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |           GROUP BY 1),
+        |g AS (SELECT sum(s) / sum(n) AS prior FROM c)
+        |SELECT category, n, round(s / n, 6) AS raw_mean,
+        |       round((s + 20.0 * prior) / (n + 20.0), 6) AS encoded
+        |FROM c CROSS JOIN g""".stripMargin,
+    "curate_curriculum" ->
+      // per-source quality rank + round-robin interleave arithmetic; the
+      // oracle uses the plain per-source window the Spark side avoids
+      """WITH t AS (SELECT doc_id, source,
+        |             regexp_split_to_array(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |q AS (SELECT doc_id, source,
+        |        round(least(1.0, len(tk)/50.0)*0.4
+        |          + (len(list_filter(tk, w -> list_contains(
+        |              ['the','a','and','of','to','in','is','that'], w)))
+        |             / CAST(len(tk) AS DOUBLE))*0.3
+        |          + (len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE))*0.3, 6)
+        |          AS q
+        |      FROM t),
+        |r AS (SELECT doc_id, source,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |               ORDER BY q DESC, doc_id) AS BIGINT) AS rank_in_source
+        |      FROM q),
+        |s AS (SELECT source,
+        |        CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx,
+        |        CAST(count(*) OVER () AS BIGINT) AS n_sources
+        |      FROM (SELECT DISTINCT source FROM documents))
+        |SELECT r.doc_id, r.source, r.rank_in_source,
+        |       (r.rank_in_source - 1) * s.n_sources + s.src_idx AS global_pos
+        |FROM r JOIN s USING (source)""".stripMargin,
+    "text_negative_samples" ->
+      // identical integer CDF; the lookup is a direct BETWEEN join (the
+      // Spark side's bin hashing is plan-only, invisible in the result)
+      """WITH c AS (SELECT token, count(*) AS cnt
+        |           FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |                   AS token FROM documents)
+        |           GROUP BY 1),
+        |m AS (SELECT token, cnt,
+        |        CAST(round(pow(cnt, 0.75) * 1e6, 0) AS BIGINT) AS w FROM c),
+        |i AS (SELECT token, cnt,
+        |        CAST(sum(w) OVER (ORDER BY token ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS cum_hi,
+        |        CAST(sum(w) OVER (ORDER BY token ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) - w AS BIGINT) AS cum_lo
+        |      FROM m),
+        |t AS (SELECT max(cum_hi) + 1 AS total FROM i),
+        |d AS (SELECT s.i AS draw_id,
+        |        CAST(CAST('0x' || substr(md5(CAST(s.i AS VARCHAR)), 1, 15)
+        |          AS BIGINT) % (SELECT total FROM t) AS BIGINT) AS u
+        |      FROM generate_series(0, 99) s(i))
+        |SELECT d.draw_id, d.u, i.token, i.cnt
+        |FROM d JOIN i ON d.u BETWEEN i.cum_lo AND i.cum_hi""".stripMargin,
+    "feat_woe_binning" ->
+      """WITH d AS (SELECT value,
+        |             event_type = 'purchase' AS is_purchase
+        |           FROM events
+        |           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT quantile_cont(value,
+        |               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM d),
+        |binned AS (SELECT is_purchase,
+        |             CAST(len(list_filter(bs, x -> x < value)) AS BIGINT) AS bin
+        |           FROM d CROSS JOIN b),
+        |cells AS (SELECT bin,
+        |            sum(CASE WHEN is_purchase THEN 1 ELSE 0 END) AS n_pos,
+        |            sum(CASE WHEN is_purchase THEN 0 ELSE 1 END) AS n_neg
+        |          FROM binned GROUP BY 1),
+        |tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM cells)
+        |SELECT bin, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |       round(ln(((n_pos + 0.5) / (tp + 0.5)) /
+        |                ((n_neg + 0.5) / (tn + 0.5))), 6) AS woe
+        |FROM cells CROSS JOIN tot""".stripMargin,
+    "events_markov" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS to_type
+        |           FROM events WHERE user_id IS NOT NULL),
+        |cells AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |          WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT from_type, sum(n) AS n_from FROM cells GROUP BY 1),
+        |kk AS (SELECT count(DISTINCT to_type) AS k FROM cells)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       round((c.n + 1.0) / (t.n_from + 1.0 * k.k), 6) AS p
+        |FROM cells c JOIN tt t USING (from_type) CROSS JOIN kk k""".stripMargin,
   )
 }

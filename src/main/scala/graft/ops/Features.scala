@@ -73,6 +73,69 @@ object Features {
           when(col("sigma") =!= 0, col("sigma")), 6).as("z")): _*)
   }
 
+  /** Smoothed target encoding: each category's mean target, shrunk toward
+    * the global mean with pseudo-count `alpha` —
+    * enc = (Σy + α·prior)/(n + α). Rare categories collapse to the prior
+    * (no overfit to 3-row categories); frequent ones keep their own mean.
+    * The output IS the O(categories) encoding table — the row-side apply
+    * is a broadcast-join lookup the caller composes when needed.
+    *
+    * One size-of-data grouped aggregate; the prior is re-aggregated from
+    * the O(categories) table (never a second data pass) and attaches as a
+    * 1-row broadcast. NULL categories and NULL targets are excluded on
+    * both engines by the same explicit filter.
+    */
+  def targetEncode(
+      df: DataFrame, catCol: String, targetCol: String,
+      alpha: Double = 20.0): DataFrame = {
+    val cats = df
+      .filter(col(catCol).isNotNull && col(targetCol).isNotNull)
+      .groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"), sum(col(targetCol)).as("s"))
+    val prior = cats.agg((sum("s") / sum("n")).as("prior"))
+    cats.crossJoin(broadcast(prior))
+      .select(col("category"), col("n"),
+        round(col("s") / col("n"), 6).as("raw_mean"),
+        round((col("s") + lit(alpha) * col("prior")) / (col("n") + lit(alpha)), 6)
+          .as("encoded"))
+  }
+
+  /** Weight-of-evidence binning: quantile-bin `valueCol` into `nBins`
+    * buckets and score each bin's ln((pos share)/(neg share)) against the
+    * boolean `posCol` — the credit-scoring/feature-screening measure of
+    * how strongly a numeric feature separates a binary label (its sum over
+    * bins weighted by share difference is Information Value).
+    *
+    * Bins are defined by VALUE against the exact quantile bounds
+    * (`bin = #bounds strictly below x`), not by row position: `ntile`
+    * would split tied values by arbitrary row order and never reproduce
+    * cross-engine. Laplace 0.5 keeps empty-side bins finite.
+    *
+    * Plan: one percentile aggregate (a 1-row bounds broadcast), a narrow
+    * codegen'd bin assignment, one O(bins) grouped aggregate; totals
+    * re-aggregate from the bin table and attach as a 1-row broadcast —
+    * after the two aggregates nothing scales with the data.
+    */
+  def woeBinning(
+      df: DataFrame, valueCol: String, posCol: String,
+      nBins: Int = 10): DataFrame = {
+    val d = df.filter(col(valueCol).isNotNull && col(posCol).isNotNull)
+    val probs = (1 until nBins).map(i => i.toDouble / nBins)
+    val bounds = d.agg(
+      expr(s"percentile($valueCol, array(${probs.mkString(",")}))").as("bs"))
+    val binned = d.crossJoin(broadcast(bounds))
+      .select(col(posCol),
+        size(filter(col("bs"), b => b < col(valueCol))).cast("long").as("bin"))
+    val cells = binned.groupBy("bin").agg(
+      sum(when(col(posCol), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col(posCol), 0L).otherwise(1L)).as("n_neg"))
+    val tot = cells.agg(sum("n_pos").as("tp"), sum("n_neg").as("tn"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        round(log(((col("n_pos") + 0.5) / (col("tp") + 0.5)) /
+          ((col("n_neg") + 0.5) / (col("tn") + 0.5))), 6).as("woe"))
+  }
+
   /** Per-group robust scaling: (x − median)/IQR — the outlier-insensitive
     * sibling of [[standardize]] (sklearn's RobustScaler). Median and both
     * quartiles come out of ONE exact-percentile buffer per group (same

@@ -66,6 +66,35 @@ object Retrieval {
         round(col("df") / col("n_docs"), 6).as("df_ratio"))
   }
 
+  /** Inverted-index build: token → (df, total_tf, sorted posting list,
+    * aligned per-posting tf) — the materialized retrieval structure BM25
+    * and decontamination query against, built as a table so it can be
+    * snapshotted/partitioned like any other.
+    *
+    * The scale hazard of posting lists is the head of the Zipf curve: the
+    * posting list for "the" is corpus-sized. Defense: document frequency
+    * is computed FIRST (partial-aggregable counts, never a list), and only
+    * tokens with df ≤ `maxDf` reach the collect — stopword-scale lists are
+    * never materialized (they carry no retrieval signal; BM25's idf ≈ 0
+    * there). Three exchanges, all keyed on token, only the last carries
+    * lists and only for capped tokens.
+    */
+  def invertedIndex(docs: DataFrame, maxDf: Int = 500): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val kept = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+      .filter(col("df") <= maxDf)
+    tf.join(kept, Seq("token"))
+      .groupBy("token", "df", "total_tf")
+      .agg(sort_array(collect_list(struct(col("doc_id").as("d"), col("tf").as("t"))))
+        .as("ps"))
+      .select(col("token"), col("df"), col("total_tf"),
+        transform(col("ps"), p => p.getField("d")).as("postings"),
+        transform(col("ps"), p => p.getField("t")).as("tfs"))
+  }
+
   /** Cosine range search: ALL neighbors with similarity ≥ `minCos` for
     * each query vector — the radius-query sibling of the top-k family
     * (dedup wants "everything closer than t", not "the 5 closest").

@@ -114,6 +114,39 @@ object Similarity {
         col("pair.score").as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** k-NN label classification for the query subset: each query's label is
+    * predicted by majority vote over its [[bruteForceTopK]] neighbors
+    * (ties: most votes, then lowest label), compared against the query's
+    * own label. The standard embedding-space eval — "do my vectors cluster
+    * by label?" — and, run against an unlabeled split, the label-propagation
+    * primitive for weak supervision.
+    *
+    * Plan: the top-k output is O(queries×k) and BOTH label attachments
+    * broadcast that bounded side against the corpus-sized label table —
+    * the corpus is never shuffled. The vote aggregate and winner window
+    * run on O(queries×labels) rows. Swap the brute scorer for
+    * [[ivfTopK]] at corpus scale; the vote tail is scorer-agnostic.
+    */
+  def knnClassify(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val topk = bruteForceTopK(embeddings, k, queryMod)
+    val votes = labels.withColumnRenamed("vec_id", "neighbor_id")
+      .join(graft.operators.Broadcasting.checked(topk, tag = "knn top-k pairs"),
+        Seq("neighbor_id"))
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("label").asc)
+    val pred = votes.withColumn("rw", row_number().over(w))
+      .filter(col("rw") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+    labels
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"))
+      .join(graft.operators.Broadcasting.checked(pred, tag = "knn predictions"),
+        Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("votes"), (col("true_label") === col("pred_label")).as("correct"))
+  }
+
   /** IVF cell assignment: each vector labeled with its `nProbe` nearest of
     * `nCentroids` centroids (centroids = the lowest vec_ids — a
     * deterministic stand-in for a k-means pass, which would run offline at

@@ -93,4 +93,101 @@ object Stats {
       .map { case ((a, b), k) => s"'$a', '$b', c_$k" }.mkString(", ")
     m.select(expr(s"stack(${pairs.size}, $triples) AS (col_x, col_y, corr)"))
   }
+
+  /** Per-group simple OLS of `yCol` on `xCol`: slope, intercept, and r²
+    * from the numerically-stable co-moment aggregates (`covar_pop`,
+    * `var_pop`, `corr` — the same shifted-moment accumulators DuckDB's
+    * `regr_*` family uses, so 6-decimal parity holds). The per-group
+    * trend-line primitive behind drift detection ("is quality declining
+    * with document age in this source?") and metric forecasting.
+    *
+    * ONE partial-aggregable grouped pass over the data; every derived
+    * statistic is arithmetic on the O(groups) moment table. Zero-variance
+    * groups (vertical line) emit NULL slope/intercept rather than ±Inf —
+    * same contract as [[Features.standardize]]'s zero-sigma rule. Rows
+    * with a NULL in either column are excluded up front: Spark's corr
+    * skips null PAIRS while count(*) would not, so the explicit filter
+    * keeps `n` consistent with the moments on both engines.
+    */
+  def groupedOls(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val m = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col(xCol)).as("mx"), avg(col(yCol)).as("my"),
+        covar_pop(col(yCol), col(xCol)).as("cxy"),
+        stddev_pop(col(xCol)).as("sx"),
+        stddev_pop(col(yCol)).as("sy"))
+    // Pearson r spelled out as cxy/(sx·sy) instead of corr(): same
+    // accumulators, but the when() guards keep ANSI mode from raising
+    // DIVIDE_BY_ZERO on constant columns (corr's internal division has no
+    // such escape) — degenerate groups emit NULL instead of killing the job
+    val slope = col("cxy") / when(col("sx") =!= 0, col("sx") * col("sx"))
+    val r = col("cxy") /
+      (when(col("sx") =!= 0, col("sx")) * when(col("sy") =!= 0, col("sy")))
+    m.select(col("grp"), col("n"),
+      round(slope, 6).as("slope"),
+      round(col("my") - slope * col("mx"), 6).as("intercept"),
+      round(r * r, 6).as("r2"))
+  }
+
+  /** Ratio-metric A/B test with delta-method variance — the standard
+    * large-scale experimentation analysis (Deng et al., KDD'18 lineage):
+    * users are deterministically split 50/50 by md5 (the same bucket
+    * scheme as [[TextAnalysis.splitAssign]]), the metric is the RATIO of
+    * per-user sums Σx/Σy (here: value per event), whose variance is NOT
+    * the naive iid variance because both numerator and denominator are
+    * random — the delta method gives
+    * var(x̄/ȳ) ≈ (σx²/ȳ² − 2·x̄·σxy/ȳ³ + x̄²·σy²/ȳ⁴)/n over USER-level
+    * sums (users are the iid unit; events within a user are not).
+    *
+    * Plan: one size-of-data grouped aggregate to O(users) sums, one
+    * O(users)→2-row moment aggregate, then a 2-row→1-row conditional
+    * aggregation — no joins at all. Both exchanges partial-aggregate
+    * map-side; nothing after the first exchange scales with the data.
+    * Output: one row (ratio_a, ratio_b, diff, z_score, n_users).
+    */
+  def abDeltaTest(
+      events: DataFrame, userCol: String = "user_id",
+      valueCol: String = "value"): DataFrame = {
+    val variant = pmod(
+      conv(substring(md5(col(userCol).cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(2))
+    val users = events
+      .filter(col(userCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(sum(col(valueCol)).as("x"), count(lit(1)).cast("double").as("y"))
+      .withColumn("variant", variant)
+    val moments = users.groupBy("variant").agg(
+      count(lit(1)).as("n_users"),
+      avg("x").as("mx"), avg("y").as("my"),
+      var_samp("x").as("vx"), var_samp("y").as("vy"),
+      covar_samp("x", "y").as("cxy"))
+    val perVariant = moments.select(
+      col("variant"), col("n_users"),
+      (col("mx") / col("my")).as("ratio"),
+      ((col("vx") / (col("my") * col("my"))
+        - lit(2.0) * col("mx") * col("cxy") / pow(col("my"), 3)
+        + col("mx") * col("mx") * col("vy") / pow(col("my"), 4))
+        / col("n_users")).as("var_r"))
+    perVariant
+      .agg(
+        max(when(col("variant") === 0, col("ratio"))).as("ra"),
+        max(when(col("variant") === 1, col("ratio"))).as("rb"),
+        max(when(col("variant") === 0, col("var_r"))).as("va"),
+        max(when(col("variant") === 1, col("var_r"))).as("vb"),
+        sum(col("n_users")).as("n_users"))
+      .select(
+        round(col("ra"), 6).as("ratio_a"),
+        round(col("rb"), 6).as("ratio_b"),
+        round(col("rb") - col("ra"), 6).as("diff"),
+        // when() guard: two zero-variance variants yield NULL, not an
+        // ANSI DIVIDE_BY_ZERO
+        round((col("rb") - col("ra")) /
+          when(col("va") + col("vb") =!= 0, sqrt(col("va") + col("vb"))), 6)
+          .as("z_score"),
+        col("n_users"))
+  }
 }

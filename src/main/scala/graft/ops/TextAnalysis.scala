@@ -678,4 +678,72 @@ object TextAnalysis {
       .select(col("token"), col("n"),
         round(col("__cum") / col("total"), 6).as("cum_mass"))
   }
+
+  /** Curriculum interleave: a global training order where the k-th best
+    * document of EVERY source appears before any source's (k+1)-th — the
+    * round-robin-by-quality ordering that keeps early training batches
+    * source-diverse instead of dominated by whichever source sorts first.
+    *
+    * The scale trick: rank-within-source is NOT a per-source window (a
+    * data-sized partition per source single-tasks at corpus scale).
+    * Instead ONE [[graft.operators.GlobalRowNumber]] pass orders the whole
+    * corpus by (source, quality desc, doc_id) — parallel range exchange,
+    * no single-partition sort — and each source's rank is recovered as
+    * `global_id − source_offset`, with offsets a running sum over the
+    * O(sources) count table. `global_pos = (rank−1)·n_sources + src_idx`
+    * is then pure arithmetic: the interleave needs no second sort at all.
+    */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      qualityScore(tokens(col("text"))).as("q"))
+    val numbered = graft.operators.GlobalRowNumber.withGlobalRowNumber(
+      scored, "gid", Seq(col("source").asc, col("q").desc, col("doc_id").asc))
+    val w = Window.orderBy("source")
+    val srcs = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .select(col("source"),
+        coalesce(sum("n_src").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("offset"),
+        (row_number().over(w) - 1).cast("long").as("src_idx"),
+        count(lit(1)).over().cast("long").as("n_sources"))
+    numbered.join(broadcast(srcs), "source")
+      .select(col("doc_id"), col("source"),
+        (col("gid") - col("offset")).as("rank_in_source"),
+        ((col("gid") - col("offset") - 1) * col("n_sources") + col("src_idx"))
+          .as("global_pos"))
+  }
+
+  /** Zipf-tempered negative sampling (word2vec's unigram^0.75): `nDraws`
+    * deterministic draws from the tempered unigram distribution, via an
+    * integer CDF + the binned [[graft.operators.RangeJoin]] — the
+    * contrastive-negatives generator for embedding training.
+    *
+    * Every step is integer-exact cross-engine: masses are
+    * round(cnt^0.75·1e6) longs, the CDF is an integer running sum over the
+    * O(vocab) count table (vocab-bounded window, same contract as
+    * [[vocabTopP]]), draws are md5-derived uniforms mod total mass, and
+    * the CDF lookup is the bin-hashed range join (O(draws + vocab·spanBins),
+    * never draws×vocab). The 1-row total-mass collect is bounded state,
+    * same contract as the IVF centroid localize.
+    */
+  def negativeSamples(docs: DataFrame, nDraws: Int = 100): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val massed = counts.withColumn("w",
+      round(pow(col("cnt"), 0.75) * 1e6, 0).cast("long"))
+    val cw = Window.orderBy("token")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intervals = massed
+      .withColumn("cum_hi", sum("w").over(cw) - 1)
+      .withColumn("cum_lo", col("cum_hi") - col("w") + 1)
+      .select("token", "cnt", "cum_lo", "cum_hi")
+    val total = intervals.agg(max("cum_hi")).head().getLong(0) + 1
+    val draws = docs.sparkSession.range(nDraws).select(
+      col("id").as("draw_id"),
+      (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % total).as("u"))
+    graft.operators.RangeJoin.pointInInterval(
+        draws, "u", intervals, "cum_lo", "cum_hi",
+        binWidth = math.max(1L, total / 256), maxBinsPerInterval = 64)
+      .select(col("draw_id"), col("u"), col("token"), col("cnt"))
+  }
 }

@@ -167,6 +167,35 @@ object EventAggs {
     * is a second, already-reduced aggregate, and the top-k moves only
     * O(paths) rows through a TakeOrdered.
     */
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current), Laplace-smoothed with pseudo-count
+    * `alpha` over the observed destination set — the behavioral model
+    * behind next-action prediction and anomalous-session scoring
+    * (a session's likelihood is the product of its transition probs).
+    *
+    * Same exchange discipline as [[topPaths]]: ONE user-keyed window with
+    * O(1) state per row (a single lead) builds the bigrams; the transition
+    * counts, per-source totals, and destination-set size are all
+    * aggregates of the O(types²) cell table, attached back by broadcast.
+    */
+  def markovTransitions(events: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cells = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("from_type").agg(sum("n").as("n_from"))
+    val k = cells.agg(count_distinct(col("to_type")).as("k"))
+    cells.join(broadcast(totals), "from_type")
+      .crossJoin(broadcast(k))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round((col("n") + alpha) / (col("n_from") + lit(alpha) * col("k")), 6)
+          .as("p"))
+  }
+
   def topPaths(events: DataFrame, k: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))

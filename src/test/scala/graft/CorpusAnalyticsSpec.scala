@@ -217,6 +217,60 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(got(21L) == 1000.0)
   }
 
+  test("targetEncode shrinks rare categories toward the global prior") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 100.0)).toDF("c", "v")
+    val got = graft.ops.Features.targetEncode(df, "c", "v", alpha = 3.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // prior = 130/3, so alpha * prior = 130: encoded_a = (30+130)/5 = 32,
+    // encoded_b = (100+130)/4 = 57.5 — the singleton moves far toward the
+    // prior while the 2-row category moves less
+    assert(got("a").getDouble(2) == 15.0 && got("a").getDouble(3) == 32.0)
+    assert(got("b").getLong(1) == 1L && got("b").getDouble(3) == 57.5)
+  }
+
+  test("curriculumOrder: round-robin interleave, within-source ranks by quality") {
+    // two sources x two docs; "good" docs carry distinct tokens + stopwords
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog today", "sA"),
+      (2L, "x x x x x x x x x x", "sA"),
+      (3L, "and every token of this sentence is distinct here", "sB"),
+      (4L, "y y y y y y y y y y", "sB"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.TextAnalysis.curriculumOrder(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("sA", 1L, 0L)) && got(3L) == (("sB", 1L, 1L)),
+      "both sources' best docs precede every rank-2 doc")
+    assert(got(2L) == (("sA", 2L, 2L)) && got(4L) == (("sB", 2L, 3L)))
+  }
+
+  test("woeBinning: perfectly separating feature gives symmetric signed woe") {
+    // values 1..100, positive iff > 50, two bins at the median: bin 0 is
+    // all-negative, bin 1 all-positive
+    val df = (1 to 100).map(v => (v.toDouble, v > 50)).toDF("v", "pos")
+    val got = graft.ops.Features.woeBinning(df, "v", "pos", nBins = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val (p0, n0, w0) = got(0L)
+    val (p1, n1, w1) = got(1L)
+    assert(p0 == 0L && n0 == 50L && p1 == 50L && n1 == 0L)
+    assert(w0 < 0 && w1 > 0 && w1 == -w0, "Laplace smoothing keeps woe finite and symmetric")
+  }
+
+  test("negativeSamples: draws follow the tempered unigram mass, deterministically") {
+    val docs = Seq((1L, "z z z z z z z z a b")).toDF("doc_id", "text")
+    val run1 = graft.ops.TextAnalysis.negativeSamples(docs, nDraws = 100)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sorted
+    val run2 = graft.ops.TextAnalysis.negativeSamples(docs, nDraws = 100)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sorted
+    assert(run1.length == 100, "every draw resolves to exactly one token")
+    assert(run1.toSeq == run2.toSeq, "md5-derived draws are reproducible")
+    val byTok = run1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byTok.keySet.subsetOf(Set("a", "b", "z")))
+    // z holds ~70% of the tempered mass (8^0.75 of 8^0.75 + 2)
+    assert(byTok("z") > 50, s"dominant token under-drawn: $byTok")
+  }
+
   test("tokenEntropy: uniform docs hit ln(k), repeats score 0") {
     val docs = Seq(
       (1L, "a b c d"),      // 4 distinct of 4 -> ln 4

@@ -58,4 +58,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(("view", "click", "error")) == 1L, "tie resolved by event_id")
     assert(got.size == 3, "paths never span users")
   }
+
+  test("markovTransitions: Laplace-smoothed probs over the observed destinations") {
+    def e(id: Long, user: Long, t: String, typ: String) =
+      (id, user, ts(t), typ, 0.0, "{}")
+    // user 1: a -> b -> a -> b gives cells (a,b)=2, (b,a)=1; k = 2
+    val events = Seq(
+      e(1, 1, "2024-01-01 10:00:00", "a"),
+      e(2, 1, "2024-01-01 10:01:00", "b"),
+      e(3, 1, "2024-01-01 10:02:00", "a"),
+      e(4, 1, "2024-01-01 10:03:00", "b")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val got = EventAggs.markovTransitions(events)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("a", "b")) == ((2L, 0.75)))     // (2+1)/(2+2)
+    assert(got(("b", "a")) == ((1L, 0.666667))) // (1+1)/(1+2)
+    assert(got.size == 2)
+  }
 }

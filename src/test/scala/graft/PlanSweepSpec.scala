@@ -75,7 +75,15 @@ class PlanSweepSpec extends SparkSpec {
     // bm25's 1-row corpus-stats broadcast inside the fused lexical pool
     "retrieval_rank_fusion",
     // 1-row corpus-size broadcast onto the O(vocab) df table
-    "retrieval_stopwords")
+    "retrieval_stopwords",
+    // brute-family scorer: bounded query-set broadcast, non-equi scored join
+    "sim_knn_classify",
+    // 1-row global-prior broadcast onto the O(categories) encoding table
+    "feat_target_encode",
+    // 1-row quantile-bounds + 1-row totals broadcasts
+    "feat_woe_binning",
+    // 1-row destination-set-size broadcast onto the O(types^2) cell table
+    "events_markov")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

@@ -103,4 +103,18 @@ class RetrievalSpec extends SparkSpec {
     assert(got == expected)
     assert(got.forall { case (q, n) => q != n })
   }
+
+  test("invertedIndex: sorted postings, aligned tfs, df cap drops hot tokens") {
+    import spark.implicits._
+    val docs = Seq((3L, "b b a"), (1L, "a the"), (2L, "b the"), (4L, "the"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Retrieval.invertedIndex(docs, maxDf = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3), r.getSeq[Long](4)))).toMap
+    // "the" has df 3 > cap: its posting list is never built
+    assert(got.keySet == Set("a", "b"))
+    assert(got("a") == ((2L, 2L, Seq(1L, 3L), Seq(1L, 1L))))
+    // doc 3 contributes tf 2 for "b", and postings stay doc_id-sorted
+    assert(got("b") == ((2L, 3L, Seq(2L, 3L), Seq(1L, 2L))))
+  }
 }

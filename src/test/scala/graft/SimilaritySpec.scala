@@ -174,4 +174,32 @@ class SimilaritySpec extends SparkSpec {
     val v2 = graft.icenet.Snapshots.read(spark, s"$root/cells", Some(cellsV2))
     assert(v1.count() > v2.count(), "old index version remains readable")
   }
+
+  test("knnClassify: majority vote predicts the cluster label") {
+    import spark.implicits._
+    // query 0 sits in the label-7 cluster; with k = 5 its neighbors vote
+    // 3 (label 7) to 2 (label 9)
+    val rows = Seq(
+      (0L, Array(1f, 0f), 7),
+      (1L, Array(0.99f, 0.1f), 7),
+      (2L, Array(0.98f, 0.15f), 7),
+      (3L, Array(0.97f, 0.2f), 7),
+      (4L, Array(0.6f, 0.8f), 9),
+      (5L, Array(0.55f, 0.83f), 9)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(rows, k = 5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getInt(1) == 7 && r.getInt(2) == 7
+      && r.getLong(3) == 3L && r.getBoolean(4))
+  }
+
+  test("knnClassify tie-break: equal votes go to the lowest label") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1f, 0f), 9),
+      (1L, Array(0.99f, 0.05f), 8),
+      (2L, Array(0.98f, 0.1f), 3)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnClassify(rows, k = 2).collect().head
+    assert(r.getInt(2) == 3 && r.getLong(3) == 1L && !r.getBoolean(4))
+  }
 }

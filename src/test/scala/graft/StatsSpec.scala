@@ -65,4 +65,39 @@ class StatsSpec extends SparkSpec {
     val aggs = "Aggregate".r.findAllIn(plan).size
     assert(aggs == 1, s"expected one fused aggregate, plan:\n$plan")
   }
+
+  test("groupedOls recovers an exact line and nulls out zero-variance groups") {
+    // group a: y = 2x + 1 exactly -> slope 2, intercept 1, r2 1
+    // group b: x constant -> vertical line, slope/intercept NULL
+    val df = Seq(("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0),
+      ("b", 4.0, 1.0), ("b", 4.0, 9.0)).toDF("g", "x", "y")
+    val got = Stats.groupedOls(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 3L && a.getDouble(2) == 2.0
+      && a.getDouble(3) == 1.0 && a.getDouble(4) == 1.0)
+    val b = got("b")
+    assert(b.getLong(1) == 2L && b.isNullAt(2) && b.isNullAt(3))
+  }
+
+  test("groupedOls excludes null pairs from n and the moments alike") {
+    val df = Seq(("a", Some(1.0), Some(3.0)), ("a", Some(2.0), Some(5.0)),
+      ("a", Option.empty[Double], Some(9.0)), ("a", Some(9.0), Option.empty[Double]))
+      .toDF("g", "x", "y")
+    val r = Stats.groupedOls(df, "g", "x", "y").collect().head
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 2.0 && r.getDouble(3) == 1.0)
+  }
+
+  test("abDeltaTest: value proportional to events gives equal ratios, zero diff") {
+    // every event carries value 2.5, so each user's x = 2.5 * y exactly and
+    // both variants' ratio metrics collapse to 2.5 with diff 0
+    val events = (1L to 40L)
+      .flatMap(u => Seq.fill((u % 5 + 1).toInt)((u, 2.5)))
+      .toDF("user_id", "value")
+    val r = Stats.abDeltaTest(events).collect().head
+    assert(math.abs(r.getDouble(0) - 2.5) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 2.5) < 1e-9)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getLong(4) == 40L, "every user lands in exactly one variant")
+  }
 }
