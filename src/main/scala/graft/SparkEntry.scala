@@ -1559,6 +1559,14 @@ object SparkEntry {
     "events_markov" -> ((s, dir) =>
       // Laplace-smoothed event-type transition matrix over user sequences
       graft.streaming.EventAggs.markovTransitions(Tables.events(s, dir))),
+    "sim_recall_report" -> ((s, dir) =>
+      // per-query recall@3 of the IVF index against the brute ground truth
+      graft.ops.Similarity.recallReport(Tables.embeddings(s, dir))),
+    "feat_cdf_table" -> ((s, dir) =>
+      // per-returnflag empirical CDF of quantity over the (group, value)
+      // aggregate — O(distinct values) windows, never O(rows)
+      graft.ops.Features.cdfTable(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity")),
   )
 
   /** Shared by sim_topk_ivf and sim_topk_ivf_persisted: the persisted-index
@@ -3954,5 +3962,63 @@ object SparkEntry {
         |SELECT c.from_type, c.to_type, c.n,
         |       round((c.n + 1.0) / (t.n_from + 1.0 * k.k), 6) AS p
         |FROM cells c JOIN tt t USING (from_type) CROSS JOIN kk k""".stripMargin,
+    "sim_recall_report" ->
+      // brute and IVF CTEs (both verbatim from their own oracles), then
+      // the per-query intersection count over the two top-3 tails
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |qb AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm FROM n
+        |       WHERE vec_id % 50 = 0),
+        |sb AS (SELECT query_id, vec_id AS neighbor_id,
+        |         round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |           i -> qvec[i]*vec[i]), 'sum') / (qnorm*nrm), 6) AS cos_sim
+        |       FROM n CROSS JOIN qb WHERE vec_id <> query_id),
+        |exact AS (SELECT query_id, neighbor_id
+        |          FROM (SELECT *, row_number() OVER (
+        |                  PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+        |                FROM sb)
+        |          WHERE rn <= 3),
+        |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm FROM n WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, vec, nrm, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
+        |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
+        |        FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM
+        |          (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+        |         WHERE rn = 1),
+        |qi AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm, cell FROM cell
+        |       WHERE vec_id % 50 = 0),
+        |si AS (SELECT query_id, m.vec_id AS neighbor_id,
+        |         round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |           i -> qvec[i]*m.vec[i]), 'sum') / (qnorm*m.nrm), 6) AS cos_sim
+        |       FROM cell m JOIN qi USING (cell) WHERE m.vec_id <> qi.query_id),
+        |approx AS (SELECT query_id, neighbor_id
+        |           FROM (SELECT *, row_number() OVER (
+        |                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+        |                 FROM si)
+        |           WHERE rn <= 3),
+        |h AS (SELECT e.query_id, count(*) AS hits
+        |      FROM exact e JOIN approx a
+        |        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |      GROUP BY 1),
+        |ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+        |SELECT ne.query_id, coalesce(h.hits, 0) AS hits,
+        |       round(coalesce(h.hits, 0) / CAST(ne.n_exact AS DOUBLE), 6) AS recall
+        |FROM ne LEFT JOIN h USING (query_id)""".stripMargin,
+    "feat_cdf_table" ->
+      """WITH c AS (SELECT l_returnflag AS grp, l_quantity AS value,
+        |             count(*) AS n_at
+        |           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT grp, CAST(sum(n_at) AS DOUBLE) AS n_grp FROM c GROUP BY 1)
+        |SELECT c.grp, c.value, c.n_at,
+        |       CAST(sum(n_at) OVER (PARTITION BY c.grp ORDER BY c.value
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |       round(CAST(sum(n_at) OVER (PARTITION BY c.grp ORDER BY c.value
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         / t.n_grp, 6) AS cdf
+        |FROM c JOIN t USING (grp)""".stripMargin,
   )
 }

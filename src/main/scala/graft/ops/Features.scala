@@ -136,6 +136,35 @@ object Features {
           ((col("n_neg") + 0.5) / (col("tn") + 0.5))), 6).as("woe"))
   }
 
+  /** Per-group empirical CDF table: for each (group, distinct value),
+    * the count at that value, the running count, and
+    * F(x) = P(X ≤ x) — the lookup table for percentile-rank transforms,
+    * quantile normalization, and drift comparison between groups.
+    *
+    * The scale contract: the running sum runs over the AGGREGATED
+    * (group, value) table, so per-group window partitions are
+    * O(distinct values), never O(rows) — right for discrete/quantized
+    * features (quantities, ratings, bucketed scores). For continuous
+    * features quantize first ([[woeBinning]]'s bounds, or rounding);
+    * a raw continuous column would regrow data-sized partitions. The
+    * per-group totals re-aggregate from the same bounded table and attach
+    * broadcast.
+    */
+  def cdfTable(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valueCol).as("value"))
+      .agg(count(lit(1)).as("n_at"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("value")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = counts.groupBy("grp").agg(sum("n_at").as("n_grp"))
+    counts.withColumn("cum_n", sum("n_at").over(w))
+      .join(broadcast(tot), "grp")
+      .select(col("grp"), col("value"), col("n_at"), col("cum_n"),
+        round(col("cum_n") / col("n_grp"), 6).as("cdf"))
+  }
+
   /** Per-group robust scaling: (x − median)/IQR — the outlier-insensitive
     * sibling of [[standardize]] (sklearn's RobustScaler). Median and both
     * quartiles come out of ONE exact-percentile buffer per group (same

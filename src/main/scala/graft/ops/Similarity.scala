@@ -545,6 +545,33 @@ object Similarity {
       Some("cell"), "ivf query set"), k)
   }
 
+  /** ANN index-quality evaluation: per-query recall@k of [[ivfTopK]]
+    * against the [[bruteForceTopK]] ground truth — the "should I trust
+    * this index?" report every ANN deployment needs before swapping the
+    * exact scorer out. recall = |approx ∩ exact| / |exact| per query.
+    *
+    * Both inputs are O(queries×k) top-k exits, so everything here — the
+    * intersection join, both counts, the fill-zero outer join — runs on
+    * bounded tails; the only data-sized work is the two scorers
+    * themselves. At corpus scale the brute side is the one-off
+    * (sampled-query) certification pass, not a steady-state cost.
+    */
+  def recallReport(
+      embeddings: DataFrame, k: Int = 3, queryMod: Int = 50,
+      nCentroids: Int = 16): DataFrame = {
+    val exact = bruteForceTopK(embeddings, k, queryMod)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(embeddings, k, queryMod, nCentroids)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_exact"), 6).as("recall"))
+  }
+
   /** IVF top-k over k-means-REFINED centroids: [[kmeansCentroids]] runs
     * `iters` deterministic Lloyd iterations from the lowest-vec_id seeds,
     * the refined means are rounded to 6 decimals (so the refined centroids

@@ -244,6 +244,18 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(got(2L) == (("sA", 2L, 2L)) && got(4L) == (("sB", 2L, 3L)))
   }
 
+  test("cdfTable: running counts over distinct values, ties collapse to one row") {
+    val df = Seq(("g", 1.0), ("g", 1.0), ("g", 2.0), ("g", 5.0), ("h", 9.0))
+      .toDF("grp", "x")
+    val got = graft.ops.Features.cdfTable(df, "grp", "x")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("g", 1.0)) == ((2L, 2L, 0.5)), "tied values share one CDF row")
+    assert(got(("g", 2.0)) == ((1L, 3L, 0.75)))
+    assert(got(("g", 5.0)) == ((1L, 4L, 1.0)))
+    assert(got(("h", 9.0)) == ((1L, 1L, 1.0)), "groups never mix")
+  }
+
   test("woeBinning: perfectly separating feature gives symmetric signed woe") {
     // values 1..100, positive iff > 50, two bins at the median: bin 0 is
     // all-negative, bin 1 all-positive

@@ -83,7 +83,10 @@ class PlanSweepSpec extends SparkSpec {
     // 1-row quantile-bounds + 1-row totals broadcasts
     "feat_woe_binning",
     // 1-row destination-set-size broadcast onto the O(types^2) cell table
-    "events_markov")
+    "events_markov",
+    // composes the brute scorer (bounded query-set broadcast) with the
+    // IVF scorer's 16-centroid fan-out
+    "sim_recall_report")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

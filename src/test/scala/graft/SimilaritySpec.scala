@@ -175,6 +175,19 @@ class SimilaritySpec extends SparkSpec {
     assert(v1.count() > v2.count(), "old index version remains readable")
   }
 
+  test("recallReport: single-cell IVF is exhaustive, so recall is exactly 1") {
+    // with nCentroids = 1 every vector shares one cell and the IVF scorer
+    // degenerates to brute force — recall@k must be 1.0 for every query
+    val got = Similarity.recallReport(emb, nCentroids = 1).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getDouble(2) == 1.0 && r.getLong(1) == 3L),
+      "exhaustive index must reproduce the exact top-k")
+    // the real 16-cell index: recall stays a valid fraction of k
+    val real = Similarity.recallReport(emb).collect()
+    assert(real.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 3L
+      && r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("knnClassify: majority vote predicts the cluster label") {
     import spark.implicits._
     // query 0 sits in the label-7 cluster; with k = 5 its neighbors vote
