@@ -1567,6 +1567,19 @@ object SparkEntry {
       // aggregate — O(distinct values) windows, never O(rows)
       graft.ops.Features.cdfTable(Tables.lineitem(s, dir),
         "l_returnflag", "l_quantity")),
+    "text_keywords" -> ((s, dir) =>
+      // per-doc top-3 TF-IDF keywords (WindowGroupLimit rank filter)
+      graft.ops.TextAnalysis.keywords(Tables.documents(s, dir))),
+    "events_rfm" -> ((s, dir) =>
+      // quartile-scored recency/frequency/monetary user segments
+      graft.streaming.EventAggs.rfmSegments(Tables.events(s, dir))),
+    "stat_jackknife" -> ((s, dir) =>
+      // one-pass block-jackknife SE of mean extendedprice over 20 md5 blocks
+      graft.ops.Stats.blockJackknife(
+        Tables.lineitem(s, dir).withColumn("rid",
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string"))),
+        "rid", "l_extendedprice")),
   )
 
   /** Shared by sim_topk_ivf and sim_topk_ivf_persisted: the persisted-index
@@ -4020,5 +4033,58 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |         / t.n_grp, 6) AS cdf
         |FROM c JOIN t USING (grp)""".stripMargin,
+    "text_keywords" ->
+      // text_tfidf's CTE, ranked per doc on the ROUNDED score
+      """WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),'\s+')) AS token
+        |               FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.token,
+        |         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tf_idf
+        |       FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf_idf, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY tf_idf DESC, token) AS rn FROM sc)
+        |WHERE rn <= 3""".stripMargin,
+    "events_rfm" ->
+      """WITH u AS (SELECT user_id, max(ts) AS last_ts, count(*) AS f,
+        |             round(sum(value), 6) AS m
+        |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ref AS (SELECT max(last_ts) AS ref_ts FROM u),
+        |base AS (SELECT user_id,
+        |           CAST(datediff('day', CAST(last_ts AS DATE),
+        |             CAST(ref_ts AS DATE)) AS DOUBLE) AS r_days,
+        |           CAST(f AS DOUBLE) AS f, m
+        |         FROM u CROSS JOIN ref),
+        |b AS (SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rb,
+        |             quantile_cont(f, [0.25, 0.5, 0.75]) AS fb,
+        |             quantile_cont(m, [0.25, 0.5, 0.75]) AS mb FROM base)
+        |SELECT user_id, CAST(r_days AS BIGINT) AS r_days,
+        |       CAST(f AS BIGINT) AS f, m,
+        |       4 - len(list_filter(rb, x -> x < r_days)) AS r_score,
+        |       1 + len(list_filter(fb, x -> x < f)) AS f_score,
+        |       1 + len(list_filter(mb, x -> x < m)) AS m_score,
+        |       CAST(4 - len(list_filter(rb, x -> x < r_days)) AS VARCHAR)
+        |         || CAST(1 + len(list_filter(fb, x -> x < f)) AS VARCHAR)
+        |         || CAST(1 + len(list_filter(mb, x -> x < m)) AS VARCHAR)
+        |         AS segment
+        |FROM base CROSS JOIN b""".stripMargin,
+    "stat_jackknife" ->
+      """WITH r AS (SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+        |             CAST(l_linenumber AS VARCHAR) AS rid,
+        |             l_extendedprice AS v
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |blocks AS (SELECT CAST('0x' || substr(md5(rid), 1, 8) AS BIGINT) % 20
+        |             AS blk, sum(v) AS s, count(*) AS n
+        |           FROM r GROUP BY 1),
+        |tot AS (SELECT sum(s) AS st, CAST(sum(n) AS BIGINT) AS nt,
+        |          count(*) AS b FROM blocks),
+        |th AS (SELECT (st - s) / (nt - n) AS theta, st, nt, b
+        |       FROM blocks CROSS JOIN tot)
+        |SELECT round(max(st) / max(nt), 6) AS mean,
+        |       round(sqrt((max(b) - 1) * var_pop(theta)), 6) AS se_jackknife,
+        |       CAST(max(b) AS BIGINT) AS n_blocks, max(nt) AS n_rows
+        |FROM th""".stripMargin,
   )
 }

@@ -219,4 +219,20 @@ object Snapshots {
       doomed.foreach(v => hfs.delete(versionDir(path, v), true))
       doomed
     }
+
+  /** Deletes EVERY uncommitted version directory — the half-written debris
+    * of crashed writers ([[expire]] only sweeps orphans below the kept
+    * range, so a crash at the head of the version sequence leaks until
+    * this runs). Safe under the table lock: a live writer holds the same
+    * lock for its whole write+commit, so any uncommitted directory visible
+    * here is abandoned by construction, never in-flight. Returns the
+    * vacuumed version numbers.
+    */
+  def vacuum(spark: SparkSession, path: String): Seq[Long] =
+    TableOps.withTableLock(spark, path) {
+      val hfs = fs(spark, new Path(path))
+      val orphans = listVersions(hfs, path).filterNot(isCommitted(hfs, path, _))
+      orphans.foreach(v => hfs.delete(versionDir(path, v), true))
+      orphans
+    }
 }

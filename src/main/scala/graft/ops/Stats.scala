@@ -133,6 +133,46 @@ object Stats {
       round(r * r, 6).as("r2"))
   }
 
+  /** Block-jackknife standard error of a mean in ONE pass: rows land in
+    * `nBlocks` md5 blocks, each block's leave-one-out mean θᵢ is computed
+    * from the O(B) block-sum table, and SE² = (B−1)·var_pop(θᵢ) — the
+    * delete-a-block jackknife. The resampling-based uncertainty estimate
+    * that actually works at 100 TB: a bootstrap would re-scan (or
+    * re-weight) the data per replicate; here ALL replicates are arithmetic
+    * on one grouped aggregate, because leave-one-out sums are just
+    * total − block.
+    *
+    * var_pop over the θᵢ (not E[θ²]−θ̄²) keeps the numerics: jackknife
+    * replicates differ in the 4th+ decimal, exactly where the naive
+    * expansion cancels catastrophically. Output one row:
+    * (mean, se_jackknife, n_blocks, n_rows).
+    */
+  def blockJackknife(
+      df: DataFrame, idCol: String, valueCol: String,
+      nBlocks: Int = 20): DataFrame = {
+    require(nBlocks >= 2, "jackknife needs at least two blocks")
+    val blk = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(nBlocks))
+    val blocks = df.filter(col(valueCol).isNotNull)
+      .groupBy(blk.as("blk"))
+      .agg(sum(col(valueCol)).as("s"), count(lit(1)).as("n"))
+    val tot = blocks.agg(
+      sum("s").as("st"), sum("n").as("nt"), count(lit(1)).as("b"))
+    blocks.crossJoin(broadcast(tot))
+      // when() guard: a degenerate single-nonempty-block input yields NULL
+      // instead of an ANSI DIVIDE_BY_ZERO
+      .select(((col("st") - col("s")) /
+          when(col("nt") =!= col("n"), col("nt") - col("n"))).as("theta"),
+        col("st"), col("nt"), col("b"))
+      .groupBy("st", "nt", "b")
+      .agg(var_pop(col("theta")).as("v"))
+      .select(
+        round(col("st") / col("nt"), 6).as("mean"),
+        round(sqrt((col("b") - 1) * col("v")), 6).as("se_jackknife"),
+        col("b").as("n_blocks"), col("nt").as("n_rows"))
+  }
+
   /** Ratio-metric A/B test with delta-method variance — the standard
     * large-scale experimentation analysis (Deng et al., KDD'18 lineage):
     * users are deterministically split 50/50 by md5 (the same bucket

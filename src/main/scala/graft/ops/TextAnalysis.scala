@@ -159,6 +159,27 @@ object TextAnalysis {
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6).as("tf_idf"))
   }
 
+  /** Per-document keyword extraction: each doc's top-`k` tokens by
+    * [[tfIdf]] score (ties: higher score, then lexicographic token) — the
+    * cheap, deterministic document tagger for faceting, routing, and
+    * weak topic labels.
+    *
+    * The rank window partitions by doc_id over the (doc, token) aggregate:
+    * partition size is a DOCUMENT's distinct-token count (bounded by doc
+    * length, never corpus-sized), and the rank-≤-k filter plans Spark's
+    * WindowGroupLimit pushdown (the w7 pattern — per-partition top-k heaps
+    * below the exchange). Ranking keys on the ROUNDED score, so the order
+    * is engine-stable.
+    */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf_idf").desc, col("token").asc)
+    tfIdf(docs)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("tf_idf"), col("rnk"))
+  }
+
   /** Per-document token entropy (nats): H = ln(n) - Σ c·ln(c) / n over the
     * doc's token frequencies — the information-density signal that
     * separates natural prose (high) from boilerplate and keyword stuffing

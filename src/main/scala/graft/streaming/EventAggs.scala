@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-time analytics over the `events` stream table — the streaming
@@ -167,6 +167,52 @@ object EventAggs {
     * is a second, already-reduced aggregate, and the top-k moves only
     * O(paths) rows through a TakeOrdered.
     */
+  /** RFM user segmentation: per-user Recency (days since last event,
+    * against the corpus max date), Frequency (event count), Monetary
+    * (value sum), each scored 1–4 by its quartile across users, plus the
+    * concatenated segment code ("444" = recent, frequent, high-value).
+    *
+    * Scores bin by VALUE against quartile bounds (`1 + #bounds strictly
+    * below x`, recency inverted so fresher = higher) — `ntile` would
+    * split tied users by row order and never reproduce cross-engine; the
+    * bound rule puts every tied user in the same bucket on both engines.
+    *
+    * Plan: ONE size-of-data grouped aggregate to the O(users) table; the
+    * reference date, then all nine quartile bounds, come from two bounded
+    * re-aggregations of it (1-row broadcasts); scoring is a narrow
+    * codegen'd projection. Nothing after the first exchange scales with
+    * the data.
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val users = events.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      // m rounded AT the aggregate: downstream quartile bounds and score
+      // comparisons then run on engine-identical doubles (an unrounded sum
+      // could flip a boundary user's bucket via summation-order ULPs)
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("f"),
+        round(sum(col("value")), 6).as("m"))
+    val ref = users.agg(max(col("last_ts")).as("ref_ts"))
+    val base = users.crossJoin(broadcast(ref))
+      .select(col("user_id"),
+        datediff(to_date(col("ref_ts")), to_date(col("last_ts")))
+          .cast("double").as("r_days"),
+        col("f").cast("double").as("f"), col("m"))
+    val bounds = base.agg(
+      expr("percentile(r_days, array(0.25, 0.5, 0.75))").as("rb"),
+      expr("percentile(f, array(0.25, 0.5, 0.75))").as("fb"),
+      expr("percentile(m, array(0.25, 0.5, 0.75))").as("mb"))
+    def below(bs: Column, x: Column): Column =
+      size(filter(bs, b => b < x)).cast("long")
+    base.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("r_days").cast("long").as("r_days"),
+        col("f").cast("long").as("f"), col("m"),
+        (lit(4L) - below(col("rb"), col("r_days"))).as("r_score"),
+        (lit(1L) + below(col("fb"), col("f"))).as("f_score"),
+        (lit(1L) + below(col("mb"), col("m"))).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * P(next event type | current), Laplace-smoothed with pseudo-count
     * `alpha` over the observed destination set — the behavioral model

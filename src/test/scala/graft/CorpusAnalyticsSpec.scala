@@ -244,6 +244,19 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(got(2L) == (("sA", 2L, 2L)) && got(4L) == (("sB", 2L, 3L)))
   }
 
+  test("keywords: per-doc top-k by tf-idf with lexicographic tie-break") {
+    // n_docs = 2: idf = ln(3/(df+1)) — df-2 tokens score 0, df-1 score ln(1.5)
+    val docs = Seq(
+      (1L, "rare rare common zeta"),
+      (2L, "common common alpha beta")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.keywords(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getString(1)).toMap
+    assert(got((1L, 1L)) == "rare" && got((1L, 2L)) == "zeta")
+    assert(got((2L, 1L)) == "alpha" && got((2L, 2L)) == "beta",
+      "equal scores fall back to token order")
+    assert(got.size == 4)
+  }
+
   test("cdfTable: running counts over distinct values, ties collapse to one row") {
     val df = Seq(("g", 1.0), ("g", 1.0), ("g", 2.0), ("g", 5.0), ("h", 9.0))
       .toDF("grp", "x")

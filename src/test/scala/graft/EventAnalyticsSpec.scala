@@ -59,6 +59,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.size == 3, "paths never span users")
   }
 
+  test("rfmSegments: clean quartiles score 1..4 on every axis") {
+    // user k: k events of value 10k each, last active day 9+k — so f, m
+    // rise with k while recency falls, and every axis scores k for user k
+    val rows = for {
+      k <- 1 to 4
+      j <- 1 to k
+    } yield ((k * 10 + j).toLong, k.toLong,
+      ts(f"2024-01-${9 + k}%02d 0$j:00:00"), "view", k * 10.0, "{}")
+    val events = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val got = EventAggs.rfmSegments(events)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(7)))).toMap
+    assert(got(1L) == ((3L, 1L, 10.0, "111")))
+    assert(got(2L) == ((2L, 2L, 40.0, "222")))
+    assert(got(3L) == ((1L, 3L, 90.0, "333")))
+    assert(got(4L) == ((0L, 4L, 160.0, "444")))
+  }
+
   test("markovTransitions: Laplace-smoothed probs over the observed destinations") {
     def e(id: Long, user: Long, t: String, typ: String) =
       (id, user, ts(t), typ, 0.0, "{}")

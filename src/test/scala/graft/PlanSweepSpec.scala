@@ -86,7 +86,13 @@ class PlanSweepSpec extends SparkSpec {
     "events_markov",
     // composes the brute scorer (bounded query-set broadcast) with the
     // IVF scorer's 16-centroid fan-out
-    "sim_recall_report")
+    "sim_recall_report",
+    // text_tfidf's 1-row n_docs broadcast under the keyword rank window
+    "text_keywords",
+    // 1-row reference-date + quartile-bounds broadcasts onto O(users)
+    "events_rfm",
+    // 1-row block-totals broadcast onto the O(B) block table
+    "stat_jackknife")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

@@ -53,6 +53,22 @@ class SnapshotsSpec extends SparkSpec {
     assert(commitN(t, 2) == 8L, "next version counts past the orphan")
   }
 
+  test("vacuum removes every crash orphan and nothing committed") {
+    val t = tmpDir("snap")
+    commitN(t, 1)
+    commitN(t, 2)
+    // crash debris at the HEAD of the sequence — beyond expire's reach
+    hfs(t).mkdirs(new Path(t, "_versions/v00000009"))
+    hfs(t).mkdirs(new Path(t, "_versions/v00000011"))
+    assert(Snapshots.vacuum(spark, t) == Seq(9L, 11L))
+    assert(!hfs(t).exists(new Path(t, "_versions/v00000009")))
+    assert(Snapshots.history(spark, t).map(_._1) == Seq(1L, 2L),
+      "committed versions survive")
+    assert(Snapshots.read(spark, t).count() == 2)
+    assert(Snapshots.vacuum(spark, t).isEmpty, "idempotent once clean")
+    assert(commitN(t, 3) == 3L, "vacuumed numbers are reusable again")
+  }
+
   test("stale or missing pointer: readers fall back to the max committed version") {
     val t = tmpDir("snap")
     commitN(t, 1); commitN(t, 2)

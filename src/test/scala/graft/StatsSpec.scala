@@ -88,6 +88,18 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getDouble(2) == 2.0 && r.getDouble(3) == 1.0)
   }
 
+  test("blockJackknife: constant values give exact mean and zero SE") {
+    val df = (1 to 40).map(i => (s"row-$i", 7.5)).toDF("rid", "v")
+    val r = Stats.blockJackknife(df, "rid", "v").collect().head
+    assert(r.getDouble(0) == 7.5 && r.getDouble(1) == 0.0)
+    assert(r.getLong(3) == 40L)
+    assert(r.getLong(2) >= 2L && r.getLong(2) <= 20L,
+      "only nonempty md5 blocks count")
+    intercept[IllegalArgumentException] {
+      Stats.blockJackknife(df, "rid", "v", nBlocks = 1)
+    }
+  }
+
   test("abDeltaTest: value proportional to events gives equal ratios, zero diff") {
     // every event carries value 2.5, so each user's x = 2.5 * y exactly and
     // both variants' ratio metrics collapse to 2.5 with diff 0
