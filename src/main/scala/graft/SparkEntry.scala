@@ -1580,6 +1580,15 @@ object SparkEntry {
           concat(col("l_orderkey").cast("string"), lit("-"),
             col("l_linenumber").cast("string"))),
         "rid", "l_extendedprice")),
+    "stat_power" -> ((s, dir) =>
+      // users/arm to detect a 2% ratio-metric lift at alpha .05 / power .8
+      graft.ops.Stats.powerAnalysis(Tables.events(s, dir))),
+    "events_stickiness" -> ((s, dir) =>
+      // DAU over trailing-7-day WAU via the explode-forward distinct trick
+      graft.streaming.EventAggs.stickiness(Tables.events(s, dir))),
+    "curate_dataset_card" -> ((s, dir) =>
+      // one-row release summary: volume, composition, quality, dup rate
+      graft.ops.TextAnalysis.datasetCard(Tables.documents(s, dir))),
   )
 
   /** Shared by sim_topk_ivf and sim_topk_ivf_persisted: the persisted-index
@@ -4086,5 +4095,56 @@ object SparkEntry {
         |       round(sqrt((max(b) - 1) * var_pop(theta)), 6) AS se_jackknife,
         |       CAST(max(b) AS BIGINT) AS n_blocks, max(nt) AS n_rows
         |FROM th""".stripMargin,
+    "stat_power" ->
+      """WITH u AS (SELECT user_id, sum(value) AS x,
+        |             CAST(count(*) AS DOUBLE) AS y
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |           GROUP BY 1),
+        |m AS (SELECT count(*) AS n_users, avg(x) AS mx, avg(y) AS my,
+        |        var_samp(x) AS vx, var_samp(y) AS vy, covar_samp(x, y) AS cxy
+        |      FROM u),
+        |d AS (SELECT n_users, mx / my AS ratio,
+        |        vx / (my*my) - 2*mx*cxy / pow(my, 3)
+        |          + mx*mx*vy / pow(my, 4) AS sigma2
+        |      FROM m)
+        |SELECT round(ratio, 6) AS ratio,
+        |       round(sqrt(sigma2), 6) AS sigma_user,
+        |       round(ratio * 0.02, 6) AS mde_abs,
+        |       CAST(ceil(pow(1.959964 + 0.841621, 2) * 2.0 * sigma2
+        |         / pow(ratio * 0.02, 2)) AS BIGINT) AS n_per_arm,
+        |       n_users
+        |FROM d""".stripMargin,
+    "events_stickiness" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |            FROM events WHERE user_id IS NOT NULL),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |cw AS (SELECT DISTINCT user_id, CAST(w AS DATE) AS wday
+        |       FROM du, unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |         INTERVAL 1 DAY)) t(w)),
+        |wau AS (SELECT wday, count(*) AS wau FROM cw GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |       round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.wday""".stripMargin,
+    "curate_dataset_card" ->
+      """WITH p AS (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+        |             round(least(1.0, len(regexp_split_to_array(trim(text), '\s+'))/50.0)*0.4
+        |               + (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                   w -> list_contains(['the','a','and','of','to','in','is','that'], w)))
+        |                  / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE))*0.3
+        |               + (len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |                  / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE))*0.3, 6)
+        |               AS q,
+        |             lang, source, md5(text) AS fp
+        |           FROM documents)
+        |SELECT count(*) AS n_docs,
+        |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |       count(DISTINCT source) AS n_sources,
+        |       count(DISTINCT lang) AS n_langs,
+        |       round(avg(q), 6) AS mean_quality,
+        |       round(quantile_cont(nt, 0.5), 6) AS median_tokens,
+        |       round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6)
+        |         AS exact_dup_rate
+        |FROM p""".stripMargin,
   )
 }

@@ -173,6 +173,45 @@ object Stats {
         col("b").as("n_blocks"), col("nt").as("n_rows"))
   }
 
+  /** Experiment sizing from live data: users per arm needed to detect a
+    * relative lift `mde` in the ratio metric Σvalue/Σevents at α = 0.05
+    * (two-sided) and 80% power, using the SAME delta-method user-level
+    * variance [[abDeltaTest]] tests with — so the sizing and the eventual
+    * test agree on what "variance" means. n/arm =
+    * (z_{α/2}+z_β)²·2σ²ᵤ / (mde·ratio)², σ²ᵤ the per-user delta-method
+    * variance of the linearized ratio.
+    *
+    * One size-of-data user aggregate → one 1-row moment aggregate →
+    * arithmetic. Output one row:
+    * (ratio, sigma_user, mde_abs, n_per_arm, n_users).
+    */
+  def powerAnalysis(
+      events: DataFrame, mde: Double = 0.02, userCol: String = "user_id",
+      valueCol: String = "value"): DataFrame = {
+    val users = events
+      .filter(col(userCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(sum(col(valueCol)).as("x"), count(lit(1)).cast("double").as("y"))
+    val zSum = 1.959964 + 0.841621 // z_{0.025} + z_{0.20}
+    users
+      .agg(count(lit(1)).as("n_users"),
+        avg("x").as("mx"), avg("y").as("my"),
+        var_samp("x").as("vx"), var_samp("y").as("vy"),
+        covar_samp("x", "y").as("cxy"))
+      .select(col("n_users"), (col("mx") / col("my")).as("ratio"),
+        (col("vx") / (col("my") * col("my"))
+          - lit(2.0) * col("mx") * col("cxy") / pow(col("my"), 3)
+          + col("mx") * col("mx") * col("vy") / pow(col("my"), 4))
+          .as("sigma2"))
+      .select(
+        round(col("ratio"), 6).as("ratio"),
+        round(sqrt(col("sigma2")), 6).as("sigma_user"),
+        round(col("ratio") * mde, 6).as("mde_abs"),
+        ceil(lit(zSum * zSum) * lit(2.0) * col("sigma2") /
+          pow(col("ratio") * mde, 2)).cast("long").as("n_per_arm"),
+        col("n_users"))
+  }
+
   /** Ratio-metric A/B test with delta-method variance — the standard
     * large-scale experimentation analysis (Deng et al., KDD'18 lineage):
     * users are deterministically split 50/50 by md5 (the same bucket

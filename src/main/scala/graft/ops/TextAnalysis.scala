@@ -700,6 +700,38 @@ object TextAnalysis {
         round(col("__cum") / col("total"), 6).as("cum_mass"))
   }
 
+  /** One-row dataset card: the corpus summary a release ships with —
+    * volume (docs, tokens), composition (sources, languages), quality
+    * (mean score, median length), and integrity (exact-duplicate rate
+    * over md5 text fingerprints).
+    *
+    * Plan: one pass to a narrow projection, then a single global
+    * aggregate. The three COUNT(DISTINCT)s make Catalyst plan an Expand
+    * (a bounded 4× row multiply of the NARROW projection — linear, and
+    * the projection is a few columns, not the text). The exact median
+    * buffers per-task like [[Features.winsorize]]; `approx_percentile`
+    * is the documented 100 TB drop-in with the same plan.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs
+      .select(size(t).cast("long").as("nt"), qualityScore(t).as("q"),
+        col("lang"), col("source"), md5(col("text")).as("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("lang")).as("n_langs"),
+        round(avg("q"), 6).as("mean_quality"),
+        expr("percentile(nt, 0.5)").as("median_tokens"),
+        count_distinct(col("fp")).as("distinct_texts"))
+      .select(col("n_docs"), col("n_tokens"), col("n_sources"),
+        col("n_langs"), col("mean_quality"),
+        round(col("median_tokens"), 6).as("median_tokens"),
+        round(lit(1.0) - col("distinct_texts") / col("n_docs").cast("double"), 6)
+          .as("exact_dup_rate"))
+  }
+
   /** Curriculum interleave: a global training order where the k-th best
     * document of EVERY source appears before any source's (k+1)-th — the
     * round-robin-by-quality ordering that keeps early training batches

@@ -167,6 +167,30 @@ object EventAggs {
     * is a second, already-reduced aggregate, and the top-k moves only
     * O(paths) rows through a TakeOrdered.
     */
+  /** DAU / trailing-7-day WAU stickiness per day — the engagement ratio
+    * (1/7 = every user once a week, 1 = everyone daily). The trailing
+    * distinct count never re-scans windows: each (day, user) activity row
+    * is exploded to the ≤7 future days it supports and distinct-counted
+    * there — turning a sliding DISTINCT (which no engine aggregates
+    * incrementally) into two plain hash aggregates. Cost is a bounded 7×
+    * multiply of the already-deduplicated (day, user) table, not of the
+    * raw events.
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val dayUsers = events.filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = dayUsers.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = dayUsers
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .distinct()
+      .groupBy("wday").agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau"), 6).as("stickiness"))
+  }
+
   /** RFM user segmentation: per-user Recency (days since last event,
     * against the corpus max date), Frequency (event count), Monetary
     * (value sum), each scored 1–4 by its quartile across users, plus the

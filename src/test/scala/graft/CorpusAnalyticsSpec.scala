@@ -244,6 +244,20 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(got(2L) == (("sA", 2L, 2L)) && got(4L) == (("sB", 2L, 3L)))
   }
 
+  test("datasetCard: volume, composition, quality, and dup rate in one row") {
+    val docs = Seq(
+      (1L, "a b", "en", "s1"),
+      (2L, "a b", "en", "s1"), // exact duplicate of doc 1
+      (3L, "c d e f", "en", "s2")).toDF("doc_id", "text", "lang", "source")
+    val r = graft.ops.TextAnalysis.datasetCard(docs).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 8L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L)
+    // q("a b") = .04*.4 + .5*.3 + 1*.3 = .466; q("c d e f") = .032 + .3
+    assert(r.getDouble(4) == 0.421333)
+    assert(r.getDouble(5) == 2.0)
+    assert(r.getDouble(6) == 0.333333, "one of three texts is a dup")
+  }
+
   test("keywords: per-doc top-k by tf-idf with lexicographic tie-break") {
     // n_docs = 2: idf = ln(3/(df+1)) — df-2 tokens score 0, df-1 score ln(1.5)
     val docs = Seq(

@@ -77,6 +77,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(4L) == ((0L, 4L, 160.0, "444")))
   }
 
+  test("stickiness: trailing-7-day WAU counts a user once per window") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 0.0, "{}"),
+      (2L, 2L, ts("2024-01-01 11:00:00"), "view", 0.0, "{}"),
+      (3L, 2L, ts("2024-01-03 09:00:00"), "view", 0.0, "{}"),
+      (4L, 2L, ts("2024-01-03 10:00:00"), "click", 0.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val got = EventAggs.stickiness(events)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("2024-01-01") == ((2L, 2L, 1.0)))
+    // day 3: DAU = u2 only; WAU = both (u1's day-1 activity supports it;
+    // u2's two activity days count once)
+    assert(got("2024-01-03") == ((1L, 2L, 0.5)))
+    assert(got.size == 2, "only days with activity appear")
+  }
+
   test("markovTransitions: Laplace-smoothed probs over the observed destinations") {
     def e(id: Long, user: Long, t: String, typ: String) =
       (id, user, ts(t), typ, 0.0, "{}")

@@ -100,6 +100,20 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("powerAnalysis: detecting a smaller lift needs ~4x the users") {
+    // per-user value varies, so sigma2 > 0 and the sizing is real
+    val events = (1L to 60L)
+      .flatMap(u => Seq.fill((u % 3 + 1).toInt)((u, (u % 7).toDouble)))
+      .toDF("user_id", "value")
+    val n2 = Stats.powerAnalysis(events, mde = 0.02).collect().head
+    val n4 = Stats.powerAnalysis(events, mde = 0.04).collect().head
+    assert(n2.getLong(4) == 60L)
+    assert(n2.getDouble(1) > 0, "user-level sigma is positive")
+    // n scales with 1/mde^2: halving the detectable lift quadruples n
+    val ratio = n2.getLong(3).toDouble / n4.getLong(3)
+    assert(ratio > 3.9 && ratio < 4.1, s"expected ~4x, got $ratio")
+  }
+
   test("abDeltaTest: value proportional to events gives equal ratios, zero diff") {
     // every event carries value 2.5, so each user's x = 2.5 * y exactly and
     // both variants' ratio metrics collapse to 2.5 with diff 0
