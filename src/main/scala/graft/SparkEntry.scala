@@ -1589,6 +1589,16 @@ object SparkEntry {
     "curate_dataset_card" -> ((s, dir) =>
       // one-row release summary: volume, composition, quality, dup rate
       graft.ops.TextAnalysis.datasetCard(Tables.documents(s, dir))),
+    "events_attribution" -> ((s, dir) =>
+      // last-touch credit: each purchase joined as-of to the user's
+      // latest preceding touch (AsOfJoin; same-ts touches deduped arg-max)
+      graft.streaming.EventAggs.lastTouchAttribution(Tables.events(s, dir))),
+    "events_changepoint" -> ((s, dir) =>
+      // CUSUM level-shift scan over the daily event-count series
+      graft.streaming.EventAggs.changepoint(Tables.events(s, dir))),
+    "graph_degrees" -> ((s, dir) =>
+      // co-purchase degree histogram + Hill power-law tail index
+      graft.ops.Graph.degreeStats(Tables.lineitem(s, dir))),
   )
 
   /** Shared by sim_topk_ivf and sim_topk_ivf_persisted: the persisted-index
@@ -4146,5 +4156,48 @@ object SparkEntry {
         |       round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6)
         |         AS exact_dup_rate
         |FROM p""".stripMargin,
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events
+        |           WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS touch_ts,
+        |        arg_max(event_id, event_id) AS touch_id,
+        |        arg_max(event_type, event_id) AS touch_type
+        |      FROM events
+        |      WHERE event_type <> 'purchase' AND user_id IS NOT NULL
+        |      GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts, p.value, t.touch_id, t.touch_type
+        |FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.user_id AND p.ts >= t.touch_ts""".stripMargin,
+    "events_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |                 CAST(count(*) AS DOUBLE) AS n
+        |               FROM events GROUP BY 1),
+        |s AS (SELECT round(avg(n), 6) AS mu, count(*) AS days FROM daily),
+        |c AS (SELECT day, round(sum(n - mu) OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cusum,
+        |        mu, days
+        |      FROM daily CROSS JOIN s)
+        |SELECT day AS change_day, cusum, mu AS mean_daily, days
+        |FROM c ORDER BY abs(cusum) DESC, day LIMIT 1""".stripMargin,
+    "graph_degrees" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |               FROM lineitem),
+        |sized AS (SELECT basket, item FROM
+        |            (SELECT *, count(*) OVER (PARTITION BY basket) AS bsz
+        |             FROM items)
+        |          WHERE bsz <= 1000),
+        |e AS (SELECT DISTINCT a.item AS u, b.item AS v
+        |      FROM sized a JOIN sized b
+        |        ON a.basket = b.basket AND a.item < b.item),
+        |deg AS (SELECT n, count(*) AS deg FROM
+        |          (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |hist AS (SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1),
+        |al AS (SELECT round(1.0 + sum(n_nodes) /
+        |         nullif(sum(n_nodes * ln(deg / 10.0)), 0), 6) AS alpha_hill
+        |       FROM hist WHERE deg >= 10)
+        |SELECT hist.deg, hist.n_nodes, al.alpha_hill
+        |FROM hist CROSS JOIN al""".stripMargin,
   )
 }

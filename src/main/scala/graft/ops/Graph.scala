@@ -106,8 +106,13 @@ object Graph {
     * [[Association.basketPairs]]. Final stats are 1-row aggregates
     * (cross joins of 1-row frames, PlanSweep-reviewed).
     */
-  def triangleStats(
-      lineitem: DataFrame, maxBasketSize: Int = 1000): DataFrame = {
+  /** The deduplicated co-purchase edge list (parts adjacent iff a basket
+    * holds both) with the mega-basket guard — shared by [[triangleStats]]
+    * and [[degreeStats]]. localCheckpointed: every consumer fans out from
+    * the materialized partitions.
+    */
+  private[ops] def coPurchaseEdges(
+      lineitem: DataFrame, maxBasketSize: Int): DataFrame = {
     val items = lineitem
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .distinct()
@@ -116,12 +121,18 @@ object Graph {
         org.apache.spark.sql.expressions.Window.partitionBy("basket")))
       .filter(col("bsz") <= maxBasketSize)
       .drop("bsz")
-    val edges = sized.hint("merge").as("a")
+    sized.hint("merge").as("a")
       .join(sized.hint("merge").as("b"),
         col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
       .select(col("a.item").as("u"), col("b.item").as("v"))
       .distinct()
-      .localCheckpoint() // feeds degree + orientation + closing-edge probe
+      .localCheckpoint()
+  }
+
+  def triangleStats(
+      lineitem: DataFrame, maxBasketSize: Int = 1000): DataFrame = {
+    val edges = coPurchaseEdges(lineitem, maxBasketSize)
+    // feeds degree + orientation + closing-edge probe
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -150,5 +161,35 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("wedges"), 6)
           .as("clustering"))
+  }
+
+  /** Degree histogram of the co-purchase graph with the Hill tail-index
+    * estimate attached: one row per distinct degree `(deg, n_nodes)` plus
+    * `alpha_hill` = 1 + n_tail / Σ ln(d/dmin) over nodes with
+    * d ≥ `dMin` — the standard check of whether the interaction graph is
+    * power-law (α ≈ 2–3) before trusting any sampling scheme calibrated
+    * on it (a heavy tail means hub-driven skew in every downstream join).
+    *
+    * Degrees re-aggregate from the edge list (two exchanges over edges);
+    * the histogram and the Hill sum are both O(distinct degrees); alpha
+    * attaches as a 1-row broadcast.
+    */
+  def degreeStats(
+      lineitem: DataFrame, dMin: Int = 10,
+      maxBasketSize: Int = 1000): DataFrame = {
+    val edges = coPurchaseEdges(lineitem, maxBasketSize)
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val hist = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+    // when() guard: a tail sitting entirely AT dMin has zero log-sum —
+    // alpha is undefined (NULL), not an ANSI DIVIDE_BY_ZERO
+    val alpha = hist.filter(col("deg") >= dMin)
+      .agg(sum(col("n_nodes")).as("nt"),
+        sum(col("n_nodes") * log(col("deg") / lit(dMin.toDouble))).as("ls"))
+      .select(round(lit(1.0) + col("nt") / when(col("ls") =!= 0, col("ls")), 6)
+        .as("alpha_hill"))
+    hist.crossJoin(broadcast(alpha))
+      .select(col("deg"), col("n_nodes"), col("alpha_hill"))
   }
 }

@@ -167,6 +167,59 @@ object EventAggs {
     * is a second, already-reduced aggregate, and the top-k moves only
     * O(paths) rows through a TakeOrdered.
     */
+  /** Last-touch attribution: each purchase annotated with the user's
+    * latest non-purchase event at-or-before it — the credit-assignment
+    * query behind every "which channel drove this?" report, built on
+    * [[graft.operators.AsOfJoin]] (ONE user-keyed exchange + window, no
+    * per-purchase scans).
+    *
+    * Touches are first collapsed to one per (user, ts) — arg-max event_id
+    * — because as-of semantics pick "the latest right row ≤ t" and two
+    * touches at the SAME timestamp would otherwise leave the winner to
+    * engine-internal sort stability. The dedup rides the same user
+    * exchange the as-of window needs.
+    */
+  def lastTouchAttribution(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val touches = events
+      .filter(col("event_type") =!= "purchase" && col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("ts").as("touch_ts"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("touch_ts"),
+        col("m.event_id").as("touch_id"), col("m.event_type").as("touch_type"))
+    graft.operators.AsOfJoin.leftAsOf(
+      purchases, touches, "user_id", "ts", "touch_ts",
+      Seq("touch_id", "touch_type"))
+  }
+
+  /** CUSUM changepoint scan over the daily event-count series: the day
+    * with the largest |running sum of (count − mean)| is where the level
+    * shift happened (Page's cumulative-sum statistic). Output one row:
+    * the change day, its CUSUM value, the series mean, and the day count.
+    *
+    * The series is the O(days) daily aggregate, so the ordered running
+    * sum is a bounded unpartitioned window (same contract as
+    * [[graft.ops.TextAnalysis.vocabTopP]]); the mean attaches as a 1-row
+    * broadcast and is ROUNDED first so the cusum — and therefore the
+    * argmax day — is engine-exact, not ULP-sensitive.
+    */
+  def changepoint(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val stats = daily.agg(
+      round(avg("n"), 6).as("mu"), count(lit(1)).as("days"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("cusum", round(sum(col("n") - col("mu")).over(w), 6))
+      .orderBy(abs(col("cusum")).desc, col("day").asc).limit(1)
+      .select(col("day").as("change_day"), col("cusum"),
+        col("mu").as("mean_daily"), col("days"))
+  }
+
   /** DAU / trailing-7-day WAU stickiness per day — the engagement ratio
     * (1/7 = every user once a week, 1 = everyone daily). The trailing
     * distinct count never re-scans windows: each (day, user) activity row

@@ -77,6 +77,41 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(4L) == ((0L, 4L, 160.0, "444")))
   }
 
+  test("lastTouchAttribution: latest preceding touch wins; same-ts ties by event_id") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 0.0, "{}"),
+      (2L, 1L, ts("2024-01-01 11:00:00"), "click", 0.0, "{}"),
+      (3L, 1L, ts("2024-01-01 12:00:00"), "purchase", 9.0, "{}"),
+      // user 2: purchase BEFORE any touch -> unattributed
+      (4L, 2L, ts("2024-01-01 08:00:00"), "purchase", 5.0, "{}"),
+      (5L, 2L, ts("2024-01-01 09:00:00"), "view", 0.0, "{}"),
+      // user 3: two touches at the SAME instant -> higher event_id wins
+      (6L, 3L, ts("2024-01-01 10:00:00"), "view", 0.0, "{}"),
+      (7L, 3L, ts("2024-01-01 10:00:00"), "error", 0.0, "{}"),
+      (8L, 3L, ts("2024-01-01 10:30:00"), "purchase", 2.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val got = EventAggs.lastTouchAttribution(events)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(4)).map(_.toString.toLong), Option(r.getString(5))))).toMap
+    assert(got(3L) == ((Some(2L), Some("click"))))
+    assert(got(4L) == ((None, None)), "no preceding touch, no credit")
+    assert(got(8L) == ((Some(7L), Some("error"))), "tie resolved by event_id")
+  }
+
+  test("changepoint: CUSUM peaks at the level shift") {
+    // daily counts 1,1,5,5 -> mu 3, cusum -2,-4,-2,0: day 2 is the shift
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-02 10:00:00"))) ++
+      (3 to 7).map(i => (i.toLong, ts("2024-01-03 10:00:00"))) ++
+      (8 to 12).map(i => (i.toLong, ts("2024-01-04 10:00:00")))
+    val events = rows.map { case (id, t) => (id, 1L, t, "view", 0.0, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = EventAggs.changepoint(events).collect().head
+    assert(r.getDate(0).toString == "2024-01-02")
+    assert(r.getDouble(1) == -4.0 && r.getDouble(2) == 3.0 && r.getLong(3) == 4L)
+  }
+
   test("stickiness: trailing-7-day WAU counts a user once per window") {
     val events = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00"), "view", 0.0, "{}"),

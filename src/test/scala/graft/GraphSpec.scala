@@ -122,4 +122,24 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].head()
     assert(capped._2 == 3L && capped._3 == 1L) // only the small triangle
   }
+
+  test("degreeStats: histogram over edge degrees, Hill alpha on the tail") {
+    // edges (a,b), (a,c): degrees a=2, b=c=1 -> hist {1: 2 nodes, 2: 1}
+    val li = Seq(
+      (100L, 1L), (100L, 2L),
+      (101L, 1L), (101L, 2L), // duplicate edge collapses
+      (102L, 1L), (102L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Graph.degreeStats(li, dMin = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == 2L && got(2L)._1 == 1L)
+    // alpha = 1 + 3 / (2*ln(1) + 1*ln(2)) rounded to 6
+    val expected = BigDecimal(1.0 + 3.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._2 == expected)
+
+    // tail entirely below dMin: alpha is NULL, never a divide-by-zero
+    val sparse = Graph.degreeStats(li, dMin = 10).collect()
+    assert(sparse.forall(_.isNullAt(2)))
+  }
 }

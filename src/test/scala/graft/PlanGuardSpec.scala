@@ -211,6 +211,14 @@ class PlanGuardSpec extends SparkSpec {
       s"expected a Partial WindowGroupLimit below the exchange:\n$limits")
   }
 
+  test("text_keywords: the rank filter plans a Partial WindowGroupLimit") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val p = plan("text_keywords")
+    val limits = collectAll(p) { case w: WindowGroupLimitExec => w }
+    assert(limits.exists(_.mode.toString.contains("Partial")),
+      s"per-doc top-k must keep k rows per doc below the exchange:\n$p")
+  }
+
   test("snapshot_diff: one full-outer sort-merge join, no cartesian") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     val p = plan("snapshot_diff")

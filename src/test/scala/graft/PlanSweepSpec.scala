@@ -92,7 +92,11 @@ class PlanSweepSpec extends SparkSpec {
     // 1-row reference-date + quartile-bounds broadcasts onto O(users)
     "events_rfm",
     // 1-row block-totals broadcast onto the O(B) block table
-    "stat_jackknife")
+    "stat_jackknife",
+    // 1-row series-mean broadcast onto the O(days) daily table
+    "events_changepoint",
+    // 1-row Hill-alpha broadcast onto the O(degrees) histogram
+    "graph_degrees")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)
