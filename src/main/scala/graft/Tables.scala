@@ -13,19 +13,27 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects outright unless read as a raw long. We read nanos-as-long and
-    * rebuild a proper micros TimestampType column, so downstream code sees a
-    * normal timestamp (generator granularity is coarser than 1 us, so the
-    * truncation is lossless).
+  /** `events.parquet` has stored `ts` as parquet TIMESTAMP(NANOS) in some
+    * fixture generations (which Spark 4 rejects unless read as a raw long)
+    * and TIMESTAMP(MICROS) in others. Normalize whatever is on disk to a
+    * session-zoned micros TimestampType so downstream code sees one type:
+    * nanos arrive as long (via `nanosAsLong`) and are rebuilt with integer
+    * DIV — epoch-ns values (~1.7e18) exceed double's 2^53 integer range, so
+    * floating division would be off by up to 1 us — while micros arrive as
+    * TIMESTAMP_NTZ and cast losslessly under the UTC session zone.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    // integer DIV, not `/`: epoch-ns values (~1.7e18) exceed double's 2^53
-    // integer range, so floating division is off by up to 1 us.
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
