@@ -1599,6 +1599,33 @@ object SparkEntry {
     "graph_degrees" -> ((s, dir) =>
       // co-purchase degree histogram + Hill power-law tail index
       graft.ops.Graph.degreeStats(Tables.lineitem(s, dir))),
+    "stat_km_survival" -> ((s, dir) =>
+      // Kaplan-Meier purchase-lifetime curve; quiet >7d before the purchase
+      // horizon = churned (full event log has no quiet users — vacuous)
+      graft.ops.Stats.kaplanMeier(
+        Tables.events(s, dir).filter(col("event_type") === "purchase"))),
+    "stat_gini" -> ((s, dir) =>
+      // spend-concentration Gini over per-user totals (GlobalRowNumber rank)
+      graft.ops.Stats.gini(
+        Tables.events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .groupBy("user_id").agg(sum("value").as("x")),
+        "x")),
+    "dq_benford" -> ((s, dir) =>
+      // Benford first-digit audit of extendedprice (string-exact digits)
+      graft.ops.Expectations.benfordDigits(
+        Tables.lineitem(s, dir), "l_extendedprice")),
+    "feat_calibration" -> ((s, dir) => {
+      // reliability table: sigmoid(first embedding dim) scoring label==0
+      val emb = Tables.embeddings(s, dir).select(
+        // x8 gain: raw first components sit in [-0.37, 0.36], which sigmoid
+        // maps into just two of the ten bins; the gain spreads the scores
+        (lit(1.0) / (lit(1.0)
+          + exp(lit(-8.0) * col("embedding").getItem(0).cast("double"))))
+          .as("s"),
+        when(col("label") === 0, 1.0).otherwise(0.0).as("y"))
+      graft.ops.Features.calibrationTable(emb, "s", "y")
+    }),
   )
 
   /** Shared by sim_topk_ivf and sim_topk_ivf_persisted: the persisted-index
@@ -4199,5 +4226,66 @@ object SparkEntry {
         |       FROM hist WHERE deg >= 10)
         |SELECT hist.deg, hist.n_nodes, al.alpha_hill
         |FROM hist CROSS JOIN al""".stripMargin,
+    "stat_km_survival" ->
+      """WITH pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+        |              max(CAST(ts AS DATE)) AS ld
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        |            GROUP BY 1),
+        |h AS (SELECT max(ld) AS h FROM pu),
+        |obs AS (SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+        |          CASE WHEN ld < h - INTERVAL 7 DAY THEN 1 ELSE 0 END AS ev
+        |        FROM pu CROSS JOIN h),
+        |byt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+        |          CAST(count(*) - sum(ev) AS BIGINT) AS c
+        |        FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM byt),
+        |risk AS (SELECT t, d,
+        |           n_total - COALESCE(CAST(sum(d + c) OVER (ORDER BY t
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             AS BIGINT), 0) AS n_risk
+        |         FROM byt CROSS JOIN tot),
+        |f AS (SELECT t, d, n_risk,
+        |        1.0 - CAST(d AS DOUBLE) / n_risk AS factor FROM risk),
+        |s AS (SELECT t, d, n_risk,
+        |        CASE WHEN min(factor) OVER (ORDER BY t) = 0 THEN 0.0
+        |             ELSE round(exp(sum(ln(CASE WHEN factor > 0 THEN factor
+        |               ELSE 1 END)) OVER (ORDER BY t)), 6) END AS survival
+        |      FROM f)
+        |SELECT t AS duration_days, d AS n_events, n_risk, survival
+        |FROM s WHERE d > 0""".stripMargin,
+    "stat_gini" ->
+      """WITH u AS (SELECT user_id, sum(value) AS x FROM events
+        |           WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |           GROUP BY 1),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i
+        |      FROM u)
+        |SELECT round(2.0 * sum(i * x) / (count(*) * sum(x))
+        |         - (count(*) + 1.0) / count(*), 6) AS gini,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(x), 6) AS total
+        |FROM r""".stripMargin,
+    "dq_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice)
+        |             AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |           FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL
+        |             AND l_extendedprice >= 1),
+        |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM c)
+        |SELECT digit, n_obs,
+        |       round(CAST(n_obs AS DOUBLE) / n_total, 6) AS p_obs,
+        |       round(log10(1.0 + 1.0 / digit), 6) AS p_exp,
+        |       round(abs(CAST(n_obs AS DOUBLE) / n_total
+        |         - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+        |FROM c CROSS JOIN t""".stripMargin,
+    "feat_calibration" ->
+      """WITH s AS (SELECT 1.0 / (1.0 + exp(-8.0 * CAST(embedding[1]
+        |             AS DOUBLE))) AS s,
+        |           CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+        |           FROM embeddings)
+        |SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+        |       count(*) AS n, round(avg(s), 6) AS mean_score,
+        |       round(avg(y), 6) AS frac_pos
+        |FROM s GROUP BY 1""".stripMargin,
   )
 }

@@ -121,6 +121,35 @@ object Expectations {
       (col("n_violations") === 0).as("pass"))
   }
 
+  /** Benford's-law first-digit audit of a positive numeric column — the
+    * classic fabricated-data / unit-mixing screen for financial-style
+    * amounts. One row per leading digit 1..9 with the observed count and
+    * share next to the Benford expectation log10(1 + 1/d) and the absolute
+    * deviation.
+    *
+    * The leading digit is taken from the DECIMAL STRING of the truncated
+    * value (values < 1 are excluded), not from floor(log10(x)) powers —
+    * string extraction is integer-exact and engine-portable, while libm
+    * log10 differs across engines by an ulp exactly at the decade
+    * boundaries where the digit flips. Plan: one size-of-data aggregate to
+    * a 9-row table, then arithmetic with the total on a 1-row broadcast.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val total = counts.agg(sum("n_obs").as("n_total")) // 1 row
+    val pObs = col("n_obs") / col("n_total")
+    val pExp = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+    counts.crossJoin(broadcast(total)).select(
+      col("digit"), col("n_obs"),
+      round(pObs, 6).as("p_obs"),
+      round(pExp, 6).as("p_exp"),
+      round(abs(pObs - pExp), 6).as("abs_dev"))
+  }
+
   /** Escapes a value for a single-quoted Spark SQL string literal. */
   private def escStr(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")

@@ -188,4 +188,26 @@ object Features {
         round((col(valueCol) - col("med")) /
           when(col("iqr") =!= 0, col("iqr")), 6).as("scaled")): _*)
   }
+
+  /** Model-calibration (reliability) table: bucket a [0,1] score column
+    * into `bins` equal-width bins and report, per bin, the count, the mean
+    * predicted score, and the observed positive rate — the table behind a
+    * reliability diagram and the input to Platt/isotonic recalibration.
+    * A perfectly calibrated scorer has mean_score ~= frac_pos per bin.
+    *
+    * `labelCol` must be 0/1 numeric. Scores exactly 1.0 fold into the top
+    * bin. Plan: one narrow projection, one size-of-data grouped aggregate
+    * to O(bins) rows — nothing else.
+    */
+  def calibrationTable(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame =
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("double").as("y"))
+      .groupBy(least(floor(col("s") * bins).cast("long"), lit(bins - 1L))
+        .as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg("s"), 6).as("mean_score"),
+        round(avg("y"), 6).as("frac_pos"))
 }

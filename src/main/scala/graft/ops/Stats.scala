@@ -269,4 +269,78 @@ object Stats {
           .as("z_score"),
         col("n_users"))
   }
+
+  /** Kaplan-Meier survival estimator over entity lifetimes derived from an
+    * event log: lifetime = days between an entity's first and last event;
+    * the lifetime is an observed "death" when the entity went quiet at
+    * least `censorDays` before the log's horizon (max date), otherwise it
+    * is right-censored (still alive when observation ended). Output: one
+    * row per event time with the at-risk count and the KM survival
+    * estimate S(t) = prod over event times <= t of (1 - d_i/n_i).
+    *
+    * Plan: one size-of-data grouped aggregate to O(entities) lifetimes,
+    * a second aggregate to O(distinct durations), then cumulative windows
+    * over that bounded table (durations are day-granular, bounded by the
+    * observation span — never data-sized), with the horizon and the
+    * entity total riding 1-row broadcasts. The product is computed as
+    * exp(sum(ln(factor))) so it stays a cumulative-sum window; a zero
+    * factor (everyone at risk dies) is handled by a cumulative-min guard
+    * instead of ln(0), which Spark nulls and DuckDB rejects.
+    */
+  def kaplanMeier(
+      events: DataFrame, idCol: String = "user_id",
+      tsCol: String = "ts", censorDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perEntity = events
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), to_date(col(tsCol)).as("day"))
+      .groupBy("id")
+      .agg(min("day").as("fd"), max("day").as("ld"))
+    val horizon = perEntity.agg(max("ld").as("h")) // 1 row
+    val obs = perEntity.crossJoin(broadcast(horizon)).select(
+      datediff(col("ld"), col("fd")).cast("long").as("t"),
+      when(col("ld") < date_sub(col("h"), censorDays), 1L).otherwise(0L)
+        .as("ev"))
+    val byT = obs.groupBy("t")
+      .agg(sum("ev").as("d"), (count(lit(1)) - sum("ev")).as("c"))
+    val total = byT.agg(sum(col("d") + col("c")).as("n_total")) // 1 row
+    val cum = Window.orderBy("t")
+    val prior = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("n_total")
+        - coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+      .withColumn("factor",
+        lit(1.0) - col("d").cast("double") / col("n_risk"))
+      .withColumn("survival",
+        when(min("factor").over(cum) === 0.0, lit(0.0)).otherwise(
+          round(exp(sum(log(when(col("factor") > 0, col("factor"))
+            .otherwise(1.0))).over(cum)), 6)))
+      .filter(col("d") > 0) // report event times only, AFTER the windows
+      .select(col("t").as("duration_days"), col("d").as("n_events"),
+        col("n_risk"), col("survival"))
+  }
+
+  /** Gini coefficient of a value distribution (spend concentration,
+    * corpus-source imbalance): with values sorted ascending and 1-based
+    * ranks i, G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. Rank ties are broken
+    * arbitrarily — tied values contribute x*(sum of their ranks), which is
+    * permutation-invariant, so the statistic is still deterministic.
+    *
+    * Plan: ranking rides [[graft.operators.GlobalRowNumber]]'s range
+    * exchange (the scalable global sort — no single-partition window), and
+    * the statistic is one final scalar aggregate. One row out.
+    */
+  def gini(df: DataFrame, valueCol: String): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("x"))
+    val ranked = graft.operators.GlobalRowNumber
+      .withGlobalRowNumber(vals, "i", Seq(col("x")))
+    ranked.agg(
+      round(lit(2.0) * sum(col("i") * col("x"))
+        / (count(lit(1)) * sum("x"))
+        - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"),
+      count(lit(1)).as("n"),
+      round(sum("x"), 6).as("total"))
+  }
 }

@@ -407,4 +407,17 @@ class CorpusAnalyticsSpec extends SparkSpec {
     val d2 = got.find(_._1 == 2L).get._2
     assert(math.abs(d2 - want) < 1e-4, s"got $d2, want $want")
   }
+
+  test("calibrationTable: equal-width bins, score 1.0 folds into the top bin") {
+    val scored = Seq(
+      (0.05, 1.0), (0.05, 0.0), // bin 0, frac_pos .5
+      (0.55, 0.0),              // bin 5
+      (0.95, 1.0), (1.00, 1.0)  // bin 9 (1.0 folds down), frac_pos 1
+    ).toDF("s", "y")
+    val got = graft.ops.Features.calibrationTable(scored, "s", "y")
+      .select("bin", "n", "mean_score", "frac_pos")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 0.05, 0.5), (5L, 1L, 0.55, 0.0), (9L, 2L, 0.975, 1.0)))
+  }
 }

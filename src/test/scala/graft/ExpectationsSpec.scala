@@ -92,4 +92,16 @@ class ExpectationsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 5L))) // only the id-3 extra copy; NULLs exempt
   }
+
+  test("benfordDigits: string-exact leading digits, sub-1 values excluded") {
+    val vals = Seq(123.45, 0.5, 9876.0, 1.0, 55.0, Double.NaN)
+      .toDF("v").filter(!isnan(col("v")))
+    val got = benfordDigits(vals, "v")
+      .select("digit", "n_obs", "p_obs", "p_exp")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // 0.5 excluded; digits: 1 (123.45), 9 (9876), 1 (1.0), 5 (55) -> n=4
+    assert(got.map(t => (t._1, t._2)) == Seq((1, 2L), (5, 1L), (9, 1L)))
+    assert(got.head._3 == 0.5) // p_obs(1) = 2/4
+    assert(math.abs(got.head._4 - math.log10(2.0)) < 1e-6)
+  }
 }

@@ -126,4 +126,45 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0)
     assert(r.getLong(4) == 40L, "every user lands in exactly one variant")
   }
+
+  test("kaplanMeier: hand-computed curve with censoring") {
+    import org.apache.spark.sql.functions.to_timestamp
+    // horizon = Jan 31; churned iff last event before Jan 24 (censorDays=7)
+    // u1,u2: t=1 churned; u3: t=10 churned; u4,u5: censored (active at end)
+    val events = Seq(
+      ("u1", "2024-01-01"), ("u1", "2024-01-02"),
+      ("u2", "2024-01-01"), ("u2", "2024-01-02"),
+      ("u3", "2024-01-01"), ("u3", "2024-01-11"),
+      ("u4", "2024-01-21"), ("u4", "2024-01-31"),
+      ("u5", "2024-01-30"), ("u5", "2024-01-31")
+    ).toDF("user_id", "d").select($"user_id", to_timestamp($"d").as("ts"))
+    val got = Stats.kaplanMeier(events)
+      .select("duration_days", "n_events", "n_risk", "survival")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // t=1: 5 at risk, 2 die -> S=0.6; t=10: 2 at risk (u3,u4), 1 dies -> 0.3
+    assert(got == Seq((1L, 2L, 5L, 0.6), (10L, 1L, 2L, 0.3)))
+  }
+
+  test("kaplanMeier: total death at the last event time drives S to 0") {
+    import org.apache.spark.sql.functions.to_timestamp
+    // uh pins the horizon (t=0, censored); u1,u2 churn at t=2 — at t=2 both
+    // remaining at-risk users die, factor 0, and the ln(0) guard must kick in
+    val events = Seq(
+      ("uh", "2024-01-31"),
+      ("u1", "2024-01-01"), ("u1", "2024-01-03"),
+      ("u2", "2024-01-01"), ("u2", "2024-01-03")
+    ).toDF("user_id", "d").select($"user_id", to_timestamp($"d").as("ts"))
+    val got = Stats.kaplanMeier(events)
+      .select("duration_days", "n_events", "n_risk", "survival")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 2L, 2L, 0.0)))
+  }
+
+  test("gini: 0 for equal values, (n-1)/n for total concentration, 0.25 known") {
+    def g(xs: Seq[Double]): Double =
+      Stats.gini(xs.toDF("x"), "x").first().getDouble(0)
+    assert(g(Seq(5.0, 5.0, 5.0, 5.0)) == 0.0)
+    assert(g(Seq(0.0, 0.0, 0.0, 10.0)) == 0.75)
+    assert(g(Seq(1.0, 2.0, 3.0, 4.0)) == 0.25)
+  }
 }
