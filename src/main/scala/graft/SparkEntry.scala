@@ -1615,6 +1615,16 @@ object SparkEntry {
       // Benford first-digit audit of extendedprice (string-exact digits)
       graft.ops.Expectations.benfordDigits(
         Tables.lineitem(s, dir), "l_extendedprice")),
+    "ts_ewma" -> ((s, dir) =>
+      // truncated-kernel EWMA of each user's value series (span 8, a=.5)
+      graft.ops.Temporal.ewma(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "value")),
+    "dq_k_anonymity" -> ((s, dir) =>
+      // re-identification risk of (lang, source, size-bucket) quasi-ids
+      graft.ops.Expectations.kAnonymity(
+        Tables.documents(s, dir)
+          .withColumn("sz", expr("n_chars div 200")),
+        Seq("lang", "source", "sz"), k = 5)),
     "feat_calibration" -> ((s, dir) => {
       // reliability table: sigmoid(first embedding dim) scoring label==0
       val emb = Tables.embeddings(s, dir).select(
@@ -4278,6 +4288,33 @@ object SparkEntry {
         |       round(abs(CAST(n_obs AS DOUBLE) / n_total
         |         - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
         |FROM c CROSS JOIN t""".stripMargin,
+    "ts_ewma" ->
+      """WITH e AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |l AS (SELECT user_id, ts, event_id, value,
+        |        list(value) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id
+        |          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lst
+        |      FROM e)
+        |SELECT user_id, ts, event_id, value,
+        |       round(list_aggregate(list_transform(
+        |           generate_series(1, len(lst)),
+        |           i -> lst[i] * pow(0.5, len(lst) - i)), 'sum')
+        |         / ((1.0 - pow(0.5, len(lst))) / 0.5), 6) AS ewma
+        |FROM l""".stripMargin,
+    "dq_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, n_chars // 200 AS sz,
+        |             count(*) AS n
+        |           FROM documents GROUP BY 1, 2, 3)
+        |SELECT 5 AS k, CAST(sum(n) AS BIGINT) AS n_rows,
+        |       count(*) AS n_groups,
+        |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_groups_at_risk,
+        |       COALESCE(CAST(sum(CASE WHEN n < 5 THEN n END) AS BIGINT), 0)
+        |         AS n_rows_at_risk,
+        |       round(COALESCE(CAST(sum(CASE WHEN n < 5 THEN n END)
+        |           AS BIGINT), 0) / CAST(sum(n) AS DOUBLE), 6) AS risk_share
+        |FROM g""".stripMargin,
     "feat_calibration" ->
       """WITH s AS (SELECT 1.0 / (1.0 + exp(-8.0 * CAST(embedding[1]
         |             AS DOUBLE))) AS s,

@@ -150,6 +150,30 @@ object Expectations {
       round(abs(pObs - pExp), 6).as("abs_dev"))
   }
 
+  /** k-anonymity audit: group the table by its quasi-identifier columns
+    * and report how much of it sits in groups smaller than `k` — the
+    * re-identification risk screen run before releasing or training on
+    * user-adjacent data. One summary row: row/group totals, the number of
+    * at-risk groups, the rows inside them, and their share.
+    *
+    * Plan: one size-of-data grouped aggregate to O(groups), one scalar
+    * aggregate over that. Rows-at-risk is the quantity to act on
+    * (suppress, generalize, or drop those groups before release).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    sizes.agg(
+      sum("n").as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      sum(when(col("n") < k, 1L).otherwise(0L)).as("n_groups_at_risk"),
+      coalesce(sum(when(col("n") < k, col("n"))), lit(0L))
+        .as("n_rows_at_risk"))
+      .select(lit(k).as("k"), col("n_rows"), col("n_groups"),
+        col("n_groups_at_risk"), col("n_rows_at_risk"),
+        round(col("n_rows_at_risk") / col("n_rows"), 6).as("risk_share"))
+  }
+
   /** Escapes a value for a single-quoted Spark SQL string literal. */
   private def escStr(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")

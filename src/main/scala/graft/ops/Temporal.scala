@@ -109,4 +109,42 @@ object Temporal {
             datediff(col("__nd"), col("__pd"))),
         6).as(valueCol))
   }
+
+  /** Exponentially-weighted moving average over each key's ordered series,
+    * with a finite kernel: element j steps back of the current row weighs
+    * (1-alpha)^j, truncated at `span` rows and renormalized over the
+    * weights actually present (so series starts are unbiased, not damped
+    * toward zero).
+    *
+    * The infinite-memory EWMA recursion y_t = a·x_t + (1-a)·y_{t-1} is not
+    * a window aggregate (and its sum-rewrite needs (1-a)^(-rank), which
+    * overflows doubles after ~1000 rows); the truncated kernel IS one: a
+    * `collect_list` over a `span`-row frame plus a higher-order-function
+    * dot product with the geometric weights — O(span) state per row, all
+    * riding ONE exchange on the key. The geometric tail beyond `span` rows
+    * carries weight (1-a)^span (0.4% at the 8/0.5 default), which is the
+    * truncation error bound. Null values are excluded up front
+    * (collect_list would silently skip them and misalign the weights).
+    */
+  def ewma(
+      df: DataFrame, keyCol: String, orderCol: String, tieCol: String,
+      valueCol: String, alpha: Double = 0.5, span: Int = 8): DataFrame = {
+    require(alpha > 0 && alpha < 1 && span > 0)
+    val q = 1.0 - alpha
+    val frame = Window.partitionBy(keyCol)
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), col(orderCol), col(tieCol),
+        col(valueCol).cast("double").as(valueCol))
+      .withColumn("__l", collect_list(col(valueCol)).over(frame))
+      .withColumn("__m", size(col("__l")).cast("double"))
+      .withColumn("__num", aggregate(
+        zip_with(col("__l"), sequence(lit(1), size(col("__l"))),
+          (x, i) => x * pow(lit(q), col("__m") - i.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+      .select(col(keyCol), col(orderCol), col(tieCol), col(valueCol),
+        round(col("__num") /
+          ((lit(1.0) - pow(lit(q), col("__m"))) / (1.0 - q)), 6).as("ewma"))
+  }
 }

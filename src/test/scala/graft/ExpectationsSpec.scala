@@ -104,4 +104,16 @@ class ExpectationsSpec extends SparkSpec {
     assert(got.head._3 == 0.5) // p_obs(1) = 2/4
     assert(math.abs(got.head._4 - math.log10(2.0)) < 1e-6)
   }
+
+  test("kAnonymity: counts groups and rows below k") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
+      .zipWithIndex.toDF("qid", "i")
+    val r = kAnonymity(df, Seq("qid"), k = 3).collect().head
+    assert(r.getInt(0) == 3)        // k
+    assert(r.getLong(1) == 9L)      // n_rows
+    assert(r.getLong(2) == 3L)      // n_groups
+    assert(r.getLong(3) == 2L)      // groups b, c at risk
+    assert(r.getLong(4) == 3L)      // their 3 rows
+    assert(r.getDouble(5) == 0.333333)
+  }
 }

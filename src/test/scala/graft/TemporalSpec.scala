@@ -90,4 +90,28 @@ class TemporalSpec extends SparkSpec {
     assert(got("2024-01-02") == 0.333333)
     assert(got("2024-01-03") == 0.666667)
   }
+
+  test("ewma: renormalized geometric weights, exact hand values") {
+    val df = Seq(
+      ("a", 1L, 1L, 1.0), ("a", 2L, 2L, 2.0), ("a", 3L, 3L, 4.0),
+      ("b", 1L, 4L, 10.0) // second key: no cross-key leakage
+    ).toDF("k", "t", "id", "x")
+    val got = Temporal.ewma(df, "k", "t", "id", "x")
+      .select("k", "t", "ewma").as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // a@1: 1; a@2: (0.5*1 + 2)/1.5; a@3: (0.25 + 1 + 4)/1.75; b@1: 10
+    assert(got(("a", 1L)) == 1.0)
+    assert(got(("a", 2L)) == 1.666667)
+    assert(got(("a", 3L)) == 3.0)
+    assert(got(("b", 1L)) == 10.0)
+  }
+
+  test("ewma: span truncates the kernel and renormalizes over it") {
+    val df = Seq(("a", 1L, 1L, 1.0), ("a", 2L, 2L, 2.0), ("a", 3L, 3L, 4.0))
+      .toDF("k", "t", "id", "x")
+    val got = Temporal.ewma(df, "k", "t", "id", "x", span = 2)
+      .select("t", "ewma").as[(Long, Double)].collect().toMap
+    // t=3 sees only [2, 4]: (0.5*2 + 4) / 1.5
+    assert(got(3L) == 3.333333)
+  }
 }
