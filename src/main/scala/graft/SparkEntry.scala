@@ -1619,6 +1619,20 @@ object SparkEntry {
       // truncated-kernel EWMA of each user's value series (span 8, a=.5)
       graft.ops.Temporal.ewma(
         Tables.events(s, dir), "user_id", "ts", "event_id", "value")),
+    "ts_acf" -> ((s, dir) =>
+      // autocorrelation of the daily event-count series at lags 1..7
+      graft.ops.Temporal.acf(
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("cnt")),
+        "day", "cnt")),
+    "ts_seasonal" -> ((s, dir) =>
+      // STL-lite: 7-day centered trend, day-of-week seasonal, residual
+      graft.ops.Temporal.seasonalDecompose(
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("cnt")),
+        "day", "cnt")),
     "dq_k_anonymity" -> ((s, dir) =>
       // re-identification risk of (lang, source, size-bucket) quasi-ids
       graft.ops.Expectations.kAnonymity(
@@ -4302,6 +4316,41 @@ object SparkEntry {
         |           i -> lst[i] * pow(0.5, len(lst) - i)), 'sum')
         |         / ((1.0 - pow(0.5, len(lst))) / 0.5), 6) AS ewma
         |FROM l""".stripMargin,
+    "ts_acf" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |             CAST(count(*) AS DOUBLE) AS x
+        |           FROM events GROUP BY 1),
+        |l AS (SELECT x,
+        |        lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
+        |        lag(x, 3) OVER w AS y3, lag(x, 4) OVER w AS y4,
+        |        lag(x, 5) OVER w AS y5, lag(x, 6) OVER w AS y6,
+        |        lag(x, 7) OVER w AS y7
+        |      FROM d WINDOW w AS (ORDER BY day)),
+        |s AS (SELECT 1 AS lag, x, y1 AS y FROM l
+        |      UNION ALL SELECT 2, x, y2 FROM l
+        |      UNION ALL SELECT 3, x, y3 FROM l
+        |      UNION ALL SELECT 4, x, y4 FROM l
+        |      UNION ALL SELECT 5, x, y5 FROM l
+        |      UNION ALL SELECT 6, x, y6 FROM l
+        |      UNION ALL SELECT 7, x, y7 FROM l)
+        |SELECT lag, round(corr(x, y), 6) AS acf, count(*) AS n_pairs
+        |FROM s WHERE y IS NOT NULL GROUP BY 1""".stripMargin,
+    "ts_seasonal" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |             CAST(count(*) AS DOUBLE) AS v
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT day, v,
+        |        CASE WHEN count(*) OVER w7 = 7
+        |             THEN avg(v) OVER w7 END AS trend,
+        |        CAST(dayofweek(day) AS INT) AS dow
+        |      FROM d WINDOW w7 AS (ORDER BY day
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |si AS (SELECT dow, avg(v - trend) AS seasonal FROM t
+        |       WHERE trend IS NOT NULL GROUP BY 1)
+        |SELECT t.day, t.dow, t.v AS cnt, round(t.trend, 6) AS trend,
+        |       round(si.seasonal, 6) AS seasonal,
+        |       round(t.v - t.trend - si.seasonal, 6) AS residual
+        |FROM t LEFT JOIN si USING (dow)""".stripMargin,
     "dq_k_anonymity" ->
       """WITH g AS (SELECT lang, source, n_chars // 200 AS sz,
         |             count(*) AS n

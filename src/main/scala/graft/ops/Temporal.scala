@@ -147,4 +147,62 @@ object Temporal {
         round(col("__num") /
           ((lit(1.0) - pow(lit(q), col("__m"))) / (1.0 - q)), 6).as("ewma"))
   }
+
+  /** Autocorrelation function of an aggregated series: Pearson correlation
+    * of the series with itself at row lags 1..`maxLag`. Input is the
+    * ALREADY-AGGREGATED series (e.g. daily counts) — one row per step;
+    * the lag is by row order of `orderCol`, so calendar gaps shift the
+    * alignment (aggregate onto a gap-free spine first if that matters).
+    *
+    * Plan: the input is O(steps) (bounded by the observation span, never
+    * data-sized), so the unpartitioned lag windows and the O(maxLag)
+    * grouped corr are all bounded-state; the only size-of-data work is
+    * whatever aggregate produced the series upstream.
+    */
+  def acf(df: DataFrame, orderCol: String, valueCol: String,
+      maxLag: Int = 7): DataFrame = {
+    val w = Window.orderBy(orderCol) // bounded: O(steps) rows
+    val lagged = (1 to maxLag).foldLeft(
+      df.select(col(orderCol), col(valueCol).cast("double").as("__x"))) {
+      (acc, l) => acc.withColumn(s"__y$l", lag(col("__x"), l).over(w))
+    }
+    val stacked = lagged.select(col("__x"), expr(
+      (1 to maxLag).map(l => s"$l, __y$l")
+        .mkString(s"stack($maxLag, ", ", ", ") as (lag, __y)")))
+      .filter(col("__y").isNotNull)
+    stacked.groupBy("lag")
+      .agg(round(corr("__x", "__y"), 6).as("acf"),
+        count(lit(1)).as("n_pairs"))
+  }
+
+  /** Classical additive seasonal decomposition of a daily series:
+    * trend = centered 7-day moving average (null at the edges where the
+    * window is partial), seasonal = mean detrended value per day-of-week
+    * (0=Sunday), residual = value − trend − seasonal. The STL-lite
+    * monitoring decomposition — is Monday low because of seasonality or is
+    * something wrong?
+    *
+    * Input is the aggregated daily table, so every window here runs on
+    * O(days) rows; the 7-row seasonal index joins back broadcast. Counts
+    * being integers keeps the moving-average sums order-exact across
+    * engines.
+    */
+  def seasonalDecompose(
+      df: DataFrame, dayCol: String, valueCol: String): DataFrame = {
+    val frame = Window.orderBy(dayCol).rowsBetween(-3, 3)
+    val base = df.select(col(dayCol), col(valueCol).cast("double").as("__v"))
+      .withColumn("__trend",
+        when(count(lit(1)).over(frame) === 7, avg("__v").over(frame)))
+      .withColumn("__dow", dayofweek(col(dayCol)) - 1)
+    val seasonal = base.filter(col("__trend").isNotNull)
+      .groupBy("__dow")
+      .agg(avg(col("__v") - col("__trend")).as("__seasonal"))
+    base.join(broadcast(seasonal), Seq("__dow"), "left")
+      .select(col(dayCol), col("__dow").as("dow"),
+        col("__v").as(valueCol),
+        round(col("__trend"), 6).as("trend"),
+        round(col("__seasonal"), 6).as("seasonal"),
+        round(col("__v") - col("__trend") - col("__seasonal"), 6)
+          .as("residual"))
+  }
 }

@@ -114,4 +114,35 @@ class TemporalSpec extends SparkSpec {
     // t=3 sees only [2, 4]: (0.5*2 + 4) / 1.5
     assert(got(3L) == 3.333333)
   }
+
+  test("acf: alternating series gives -1 at lag 1 and +1 at lag 2") {
+    val series = (1 to 10)
+      .map(t => (t.toLong, if (t % 2 == 1) 1.0 else 2.0)).toDF("t", "v")
+    val got = Temporal.acf(series, "t", "v", maxLag = 2)
+      .select("lag", "acf", "n_pairs").as[(Int, Double, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, -1.0, 9L), (2, 1.0, 8L)))
+  }
+
+  test("seasonalDecompose: pure weekly pattern decomposes exactly") {
+    // 21 days from Mon Jan 1; Sundays spike to 17, everything else 10:
+    // full-window trend = (6*10 + 17)/7 = 11, seasonal = +6 Sun / -1 rest,
+    // residual 0 wherever the trend is defined
+    val days = (0 until 21).map { i =>
+      val d = Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      val v = if (java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+        .getDayOfWeek == java.time.DayOfWeek.SUNDAY) 17.0 else 10.0
+      (d, v)
+    }.toDF("day", "v")
+    val rows = Temporal.seasonalDecompose(days, "day", "v")
+      .select("day", "dow", "trend", "seasonal", "residual")
+      .as[(Date, Int, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1.toString -> r).toMap
+    assert(rows("2024-01-01")._3.isEmpty, "edge day has no full window")
+    val wed = rows("2024-01-10")
+    assert((wed._3, wed._4, wed._5) == (Some(11.0), Some(-1.0), Some(0.0)))
+    assert(rows("2024-01-14")._2 == 0, "Sunday maps to dow 0")
+    assert(rows("2024-01-14")._4.contains(6.0))
+    assert(rows("2024-01-14")._5.contains(0.0))
+  }
 }
