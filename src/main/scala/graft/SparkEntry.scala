@@ -1619,6 +1619,19 @@ object SparkEntry {
       // truncated-kernel EWMA of each user's value series (span 8, a=.5)
       graft.ops.Temporal.ewma(
         Tables.events(s, dir), "user_id", "ts", "event_id", "value")),
+    "stat_lorenz" -> ((s, dir) =>
+      // decile shares of per-user spend (the Gini's distributional detail)
+      graft.ops.Stats.lorenz(
+        Tables.events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .groupBy("user_id").agg(sum("value").as("x")),
+        "x")),
+    "events_ltv" -> ((s, dir) =>
+      // cohort lifetime-value curve: cumulative revenue per signup cohort
+      graft.streaming.EventAggs.ltvCurve(Tables.events(s, dir))),
+    "events_user_snapshot" -> ((s, dir) =>
+      // per-user model features: recency, 7/28d frequency, value, breadth
+      graft.streaming.EventAggs.userSnapshot(Tables.events(s, dir))),
     "ts_acf" -> ((s, dir) =>
       // autocorrelation of the daily event-count series at lags 1..7
       graft.ops.Temporal.acf(
@@ -4316,6 +4329,56 @@ object SparkEntry {
         |           i -> lst[i] * pow(0.5, len(lst) - i)), 'sum')
         |         / ((1.0 - pow(0.5, len(lst))) / 0.5), 6) AS ewma
         |FROM l""".stripMargin,
+    "stat_lorenz" ->
+      """WITH u AS (SELECT user_id, sum(value) AS x FROM events
+        |           WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |           GROUP BY 1),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i
+        |      FROM u),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS tx FROM r),
+        |b AS (SELECT CAST((10 * i + n - 1) // n AS INT) AS bucket, x, tx
+        |      FROM r CROSS JOIN t),
+        |g AS (SELECT bucket, count(*) AS n, sum(x) AS bv, max(tx) AS tx
+        |      FROM b GROUP BY 1)
+        |SELECT bucket, n, round(bv, 6) AS value_sum,
+        |       round(bv / tx, 6) AS value_share,
+        |       round(sum(bv) OVER (ORDER BY bucket) / tx, 6) AS cum_share
+        |FROM g""".stripMargin,
+    "events_ltv" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, value
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
+        |s AS (SELECT cohort, count(*) AS cohort_users FROM c GROUP BY 1),
+        |r AS (SELECT cohort,
+        |        CAST(date_diff('day', cohort, d) AS INT) AS age_days,
+        |        sum(value) AS revenue
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE date_diff('day', cohort, d) <= 30 GROUP BY 1, 2),
+        |w AS (SELECT cohort, age_days, revenue,
+        |        sum(revenue) OVER (PARTITION BY cohort ORDER BY age_days)
+        |          AS cum
+        |      FROM r)
+        |SELECT w.cohort, w.age_days, round(w.revenue, 6) AS revenue,
+        |       round(w.cum, 6) AS cum_revenue, s.cohort_users,
+        |       round(w.cum / s.cohort_users, 6) AS ltv_per_user
+        |FROM w JOIN s USING (cohort)""".stripMargin,
+    "events_user_snapshot" ->
+      """WITH h AS (SELECT max(CAST(ts AS DATE)) AS h FROM events
+        |           WHERE user_id IS NOT NULL),
+        |e AS (SELECT user_id, CAST(ts AS DATE) AS d, value, event_type
+        |      FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id,
+        |       CAST(date_diff('day', max(d), max(h)) AS INT)
+        |         AS days_since_last,
+        |       count(*) AS n_events,
+        |       CAST(sum(CASE WHEN date_diff('day', d, h) < 7
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_events_7d,
+        |       CAST(sum(CASE WHEN date_diff('day', d, h) < 28
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_events_28d,
+        |       round(sum(COALESCE(value, 0)), 6) AS total_value,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+        |FROM e CROSS JOIN h GROUP BY user_id""".stripMargin,
     "ts_acf" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day,
         |             CAST(count(*) AS DOUBLE) AS x

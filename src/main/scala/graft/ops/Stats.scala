@@ -331,6 +331,37 @@ object Stats {
     * exchange (the scalable global sort — no single-partition window), and
     * the statistic is one final scalar aggregate. One row out.
     */
+  /** Lorenz-curve bucket table — the distributional detail behind [[gini]]:
+    * rank the values ascending, cut the ranking into `buckets` equal-count
+    * slices, and report each slice's share and cumulative share of the
+    * total ("the bottom 50% of users carry 8% of spend"). Bucket
+    * assignment is pure integer arithmetic on the rank (ceil(b·i/n)), so
+    * it is engine-exact, and rank ties across a boundary carry equal
+    * values — every aggregate is tie-permutation-invariant.
+    *
+    * Plan: same GlobalRowNumber range exchange as [[gini]], one grouped
+    * aggregate to O(buckets), one cumulative window on that bounded table.
+    */
+  def lorenz(df: DataFrame, valueCol: String, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("x"))
+    val ranked = graft.operators.GlobalRowNumber
+      .withGlobalRowNumber(vals, "__i", Seq(col("x")))
+    val tot = ranked.agg(count(lit(1)).as("__n"), sum("x").as("__tx"))
+    val grouped = ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        expr(s"CAST(($buckets * __i + __n - 1) DIV __n AS INT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("x").as("__bv"), max("__tx").as("__tx"))
+    grouped
+      .withColumn("__cum", sum("__bv").over(Window.orderBy("bucket")))
+      .select(col("bucket"), col("n"),
+        round(col("__bv"), 6).as("value_sum"),
+        round(col("__bv") / col("__tx"), 6).as("value_share"),
+        round(col("__cum") / col("__tx"), 6).as("cum_share"))
+  }
+
   def gini(df: DataFrame, valueCol: String): DataFrame = {
     val vals = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("x"))

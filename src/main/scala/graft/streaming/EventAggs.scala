@@ -159,6 +159,62 @@ object EventAggs {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** Cohort LTV (lifetime-value) curve: users grouped by first-seen date,
+    * revenue accumulated by days-since-signup — the "how much is a day-0
+    * cohort worth by day 14" table that retention counts can't answer.
+    * Output per (cohort, age_days): that day's revenue, the running
+    * cumulative, the cohort size, and cumulative revenue per cohort user.
+    *
+    * Plan: first-seen is one user-keyed aggregate, re-joined onto the
+    * events (both sides ride the same user_id exchange); the curve is a
+    * grouped aggregate to O(cohorts·ages) plus a cumulative window on that
+    * bounded table, cohort sizes broadcast.
+    */
+  def ltvCurve(events: DataFrame, maxAgeDays: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("d"), col("value"))
+    val cohorts = e.groupBy("user_id").agg(min("d").as("cohort"))
+    val sizes = cohorts.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_users"))
+    val rev = e.join(cohorts, "user_id")
+      .withColumn("age_days", datediff(col("d"), col("cohort")))
+      .filter(col("age_days") <= maxAgeDays)
+      .groupBy("cohort", "age_days")
+      .agg(sum("value").as("__rev"))
+    val w = Window.partitionBy("cohort").orderBy("age_days")
+    rev.withColumn("__cum", sum("__rev").over(w))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("age_days"),
+        round(col("__rev"), 6).as("revenue"),
+        round(col("__cum"), 6).as("cum_revenue"),
+        col("cohort_users"),
+        round(col("__cum") / col("cohort_users"), 6).as("ltv_per_user"))
+  }
+
+  /** Per-user feature snapshot as of the log horizon: recency, frequency
+    * at two lookback windows, monetary total, and behavioral breadth — the
+    * feature-store row a churn/propensity model trains on. One user-keyed
+    * aggregate with conditional sums; the horizon rides a 1-row broadcast.
+    */
+  def userSnapshot(events: DataFrame): DataFrame = {
+    val e = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+        col("value"), col("event_type"))
+    val horizon = e.agg(max("d").as("h")) // 1 row
+    e.crossJoin(broadcast(horizon))
+      .groupBy("user_id")
+      .agg(
+        datediff(max("h"), max("d")).as("days_since_last"),
+        count(lit(1)).as("n_events"),
+        sum(when(datediff(col("h"), col("d")) < 7, 1L).otherwise(0L))
+          .as("n_events_7d"),
+        sum(when(datediff(col("h"), col("d")) < 28, 1L).otherwise(0L))
+          .as("n_events_28d"),
+        round(sum(coalesce(col("value"), lit(0.0))), 6).as("total_value"),
+        countDistinct("event_type").as("n_event_types"))
+  }
+
   /** Top event-type trigrams: each user's event stream in (ts, event_id)
     * order contributes its consecutive 3-step paths; output the `k` most
     * frequent paths — the "what do users do next" behavioral summary.

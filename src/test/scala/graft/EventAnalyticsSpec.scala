@@ -146,4 +146,39 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(("b", "a")) == ((1L, 0.666667))) // (1+1)/(1+2)
     assert(got.size == 2)
   }
+
+  test("ltvCurve: cohorted cumulative revenue and per-user LTV") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "purchase", 5.0, "{}"),
+      (2L, 1L, ts("2024-01-02 10:00:00"), "purchase", 3.0, "{}"),
+      (3L, 2L, ts("2024-01-01 12:00:00"), "purchase", 2.0, "{}"),
+      (4L, 3L, ts("2024-01-02 09:00:00"), "purchase", 4.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val got = EventAggs.ltvCurve(events)
+      .select("cohort", "age_days", "revenue", "cum_revenue", "cohort_users",
+        "ltv_per_user")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // Jan-1 cohort: u1+u2 spend 7 on day 0, u1 adds 3 on day 1
+    assert(got(("2024-01-01", 0)) == ((7.0, 7.0, 2L, 3.5)))
+    assert(got(("2024-01-01", 1)) == ((3.0, 10.0, 2L, 5.0)))
+    assert(got(("2024-01-02", 0)) == ((4.0, 4.0, 1L, 4.0)))
+  }
+
+  test("userSnapshot: recency, windowed frequency, value, breadth") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 1.0, "{}"),
+      (2L, 1L, ts("2024-01-10 10:00:00"), "purchase", 2.5, "{}"),
+      (3L, 2L, ts("2024-01-10 09:00:00"), "view", 4.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val got = EventAggs.userSnapshot(events)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getLong(6)))).toMap
+    // horizon = Jan 10; u1's Jan-1 view is outside 7d but inside 28d
+    assert(got(1L) == ((0, 2L, 1L, 2L, 3.5, 2L)))
+    assert(got(2L) == ((0, 1L, 1L, 1L, 4.0, 1L)))
+  }
 }

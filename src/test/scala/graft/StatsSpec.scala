@@ -167,4 +167,12 @@ class StatsSpec extends SparkSpec {
     assert(g(Seq(0.0, 0.0, 0.0, 10.0)) == 0.75)
     assert(g(Seq(1.0, 2.0, 3.0, 4.0)) == 0.25)
   }
+
+  test("lorenz: equal-count buckets with exact shares and cumulative") {
+    val got = Stats.lorenz(Seq(1.0, 2.0, 3.0, 4.0).toDF("x"), "x",
+      buckets = 2)
+      .select("bucket", "n", "value_sum", "value_share", "cum_share")
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, 2L, 3.0, 0.3, 0.3), (2, 2L, 7.0, 0.7, 1.0)))
+  }
 }
