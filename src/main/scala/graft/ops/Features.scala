@@ -199,6 +199,44 @@ object Features {
     * bin. Plan: one narrow projection, one size-of-data grouped aggregate
     * to O(bins) rows — nothing else.
     */
+  /** Population stability index between a reference slice (`refCol` true)
+    * and the current slice of the same column — the standard model-input
+    * drift monitor. Bin edges are the reference slice's quantiles, so the
+    * reference shares are ~1/bins by construction and PSI sums the
+    * (current−ref)·ln(current/ref) surprise per bin (shares floored at
+    * `floorP` so an empty bin contributes a large finite term, not ±inf).
+    * Rule of thumb: total < 0.1 stable, > 0.25 action.
+    *
+    * Plan: ONE pass for the conditional quantile bounds (1-row broadcast;
+    * exact `percentile` here, `approx_percentile` is the 100 TB drop-in),
+    * one narrow bin-assignment projection, one O(bins) aggregate. Output
+    * is the per-bin table; total PSI = sum(psi_term).
+    */
+  def psi(df: DataFrame, valueCol: String, refCol: String,
+      bins: Int = 10, floorP: Double = 1e-6): DataFrame = {
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val bounds = df.agg(expr(
+      s"percentile(CASE WHEN $refCol THEN $valueCol END, " +
+        s"array(${probs.mkString(",")}))").as("__bs"))
+    val rs = col("__nr") / col("__tr")
+    val cs = col("__nc") / col("__tc")
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(
+        size(filter(col("__bs"), x => x < col(valueCol))).as("bin"),
+        when(col(refCol), 1L).otherwise(0L).as("__ir"))
+      .groupBy("bin")
+      .agg(sum("__ir").as("__nr"), (count(lit(1)) - sum("__ir")).as("__nc"))
+      .crossJoin(broadcast(
+        df.filter(col(valueCol).isNotNull).agg(
+          sum(when(col(refCol), 1L).otherwise(0L)).as("__tr"),
+          sum(when(col(refCol), 0L).otherwise(1L)).as("__tc"))))
+      .select(col("bin"), col("__nr").as("n_ref"), col("__nc").as("n_cur"),
+        round(rs, 6).as("ref_share"), round(cs, 6).as("cur_share"),
+        round((cs - rs) * log(greatest(cs, lit(floorP))
+          / greatest(rs, lit(floorP))), 6).as("psi_term"))
+  }
+
   def calibrationTable(
       df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame =

@@ -321,6 +321,43 @@ object Stats {
         col("n_risk"), col("survival"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov test: the max vertical distance between
+    * the empirical CDFs of `valueCol` in groups `a` and `b` of `groupCol`,
+    * with the asymptotic one-term p-value 2·exp(−2·D²·n_a·n_b/(n_a+n_b))
+    * (clamped at 1) — "did the length distribution shift between these two
+    * sources". One row out.
+    *
+    * Plan: one size-of-data aggregate to per-distinct-value counts for
+    * both groups at once (conditional sums — the input is scanned once),
+    * then cumulative windows over the O(distinct values) table. Like
+    * [[graft.ops.Features.cdfTable]], the contract is a quantized value
+    * column — quantize continuous doubles first or the distinct table is
+    * the data.
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("__ca"),
+        when(col(groupCol) === b, 1L).otherwise(0L).as("__cb"))
+    val counts = base.groupBy("v")
+      .agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    val tot = counts.agg(sum("__na").as("__ta"), sum("__nb").as("__tb"))
+    val w = Window.orderBy("v") // O(distinct values) rows
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__diff", abs(
+        sum("__na").over(w) / col("__ta")
+          - sum("__nb").over(w) / col("__tb")))
+      .agg(max("__diff").as("__d"),
+        max("__ta").as("n_a"), max("__tb").as("n_b"))
+      .select(round(col("__d"), 6).as("d_stat"), col("n_a"), col("n_b"),
+        round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("__d")
+          * col("__d") * col("n_a") * col("n_b")
+          / (col("n_a") + col("n_b")))), 6).as("p_value"))
+  }
+
   /** Gini coefficient of a value distribution (spend concentration,
     * corpus-source imbalance): with values sorted ascending and 1-based
     * ranks i, G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. Rank ties are broken
