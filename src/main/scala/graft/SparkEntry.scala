@@ -1349,6 +1349,42 @@ object SparkEntry {
     "text_chunk" -> ((s, dir) =>
       // RAG chunking: 32-token windows every 24 tokens, zero shuffles
       graft.ops.TextAnalysis.chunkDocuments(Tables.documents(s, dir))),
+    "q20_excess_stock" -> { (s, dir) =>
+      // TPC-H Q20 shape (lineitem stands in for partsupp): the 1995 "stock
+      // year" aggregate per (part, supplier) plays ps_availqty; the
+      // correlated agg-subquery (half of 1996 demand per the same keys)
+      // attaches by equi-join on BOTH keys — an empty demand group yields
+      // no row, matching the scalar-subquery NULL-comparison semantics —
+      // and the qualifying supplier set semi-joins into supplier, which
+      // then equi-joins the broadcast nation dim. Nothing here is a
+      // cartesian: the correlation keys become shuffle keys, so the plan
+      // is two co-keyed aggregates + one join per level at any scale.
+      val li = Tables.lineitem(s, dir)
+      val larges = Tables.part(s, dir)
+        .filter(col("p_name").startsWith("large")).select("p_partkey")
+      val avail = li
+        .filter(col("l_shipdate").cast("date") >= lit("1995-01-01").cast("date")
+          && col("l_shipdate").cast("date") < lit("1996-01-01").cast("date"))
+        .join(larges, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("avail_qty"))
+      val demand = li
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date")
+          && col("l_shipdate").cast("date") < lit("1997-01-01").cast("date"))
+        .join(larges, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((sum("l_quantity") * 0.5).as("half_qty"))
+      val excess = avail.join(demand, Seq("l_partkey", "l_suppkey"))
+        .filter(col("avail_qty") > col("half_qty"))
+        .select("l_suppkey").distinct()
+      val nations = broadcast(Tables.nation(s, dir)
+        .filter(col("n_name").isin((0 to 4).map(i => s"NATION_$i"): _*))
+        .select("n_nationkey"))
+      Tables.supplier(s, dir)
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(nations, col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    },
     "q16_parts_suppliers" -> { (s, dir) =>
       // TPC-H Q16 shape (lineitem stands in for partsupp): distinct
       // supplier count per part attribute group, suppliers on the
@@ -1663,6 +1699,18 @@ object SparkEntry {
         when(col("label") === 0, 1.0).otherwise(0.0).as("y"))
       graft.ops.Features.calibrationTable(emb, "s", "y")
     }),
+    "stat_ks" -> ((s, dir) =>
+      // two-sample KS: did the doc-length distribution shift en -> fr?
+      graft.ops.Stats.ksTest(
+        Tables.documents(s, dir), "lang", "n_chars", "en", "fr")),
+    "feat_psi" -> ((s, dir) =>
+      // input-drift monitor: PSI of order value, pre-1997 as reference
+      graft.ops.Features.psi(
+        Tables.orders(s, dir).select(
+          col("o_totalprice"),
+          (col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+            .as("__ref")),
+        "o_totalprice", "__ref")),
   )
 
   /** Shared by sim_topk_ivf and sim_topk_ivf_persisted: the persisted-index
@@ -1755,11 +1803,14 @@ object SparkEntry {
         |    AND b.p_size >= a.p_size
         |    AND (b.p_retailprice < a.p_retailprice
         |         OR b.p_size > a.p_size))""".stripMargin,
-    "incr_agg_merge" -> // full recompute: the merged partials must equal it
+    "incr_agg_merge" -> // full recompute: the merged partials must equal it.
+      // DECIMAL(18,2) mirrors the Spark partial state - the sum is exact,
+      // so merge order cannot drift an ulp; cast to double only at the end.
       """SELECT CAST(o_orderdate AS DATE) AS day,
-        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |       count(*) AS n_orders,
-        |       round(sum(o_totalprice) / count(*), 4) AS avg_order
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |             / count(*), 4) AS avg_order
         |FROM orders
         |GROUP BY 1""".stripMargin,
     "sketch_kmv_distinct" -> // same KMV sketch from the same 60-bit hashes;
@@ -3514,6 +3565,27 @@ object SparkEntry {
         |       CAST(least(32, len(t) - s) AS BIGINT) AS n_chunk_tokens,
         |       array_to_string(t[s+1 : s+32], ' ') AS chunk_text
         |FROM starts""".stripMargin,
+    "q20_excess_stock" -> // the classic nested form: correlated scalar
+      // subquery inside the IN — DuckDB decorrelates it to the same
+      // two-aggregate join the Spark plan declares
+      """SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+        |                 'NATION_4')
+        |  AND s_suppkey IN (
+        |    SELECT ps.l_suppkey
+        |    FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS avail_qty
+        |          FROM lineitem
+        |          WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        |            AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+        |            AND l_partkey IN (SELECT p_partkey FROM part
+        |                              WHERE p_name LIKE 'large%')
+        |          GROUP BY 1, 2) ps
+        |    WHERE ps.avail_qty > (
+        |      SELECT 0.5 * sum(l_quantity) FROM lineitem
+        |      WHERE l_partkey = ps.l_partkey AND l_suppkey = ps.l_suppkey
+        |        AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'))""".stripMargin,
     "q16_parts_suppliers" ->
       """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
         |FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -3904,8 +3976,8 @@ object SparkEntry {
         |kept AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
         |         FROM tf GROUP BY 1 HAVING count(*) <= 500)
         |SELECT token, df, total_tf,
-        |       list(doc_id ORDER BY doc_id) AS postings,
-        |       list(tf ORDER BY doc_id) AS tfs
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
+        |       string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id) AS tfs
         |FROM tf JOIN kept USING (token)
         |GROUP BY token, df, total_tf""".stripMargin,
     "sim_knn_classify" ->
@@ -4431,10 +4503,54 @@ object SparkEntry {
       """WITH s AS (SELECT 1.0 / (1.0 + exp(-8.0 * CAST(embedding[1]
         |             AS DOUBLE))) AS s,
         |           CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
-        |           FROM embeddings)
+        |           FROM embeddings
+        |           WHERE embedding[1] IS NOT NULL AND label IS NOT NULL)
         |SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
         |       count(*) AS n, round(avg(s), 6) AS mean_score,
         |       round(avg(y), 6) AS frac_pos
         |FROM s GROUP BY 1""".stripMargin,
+    "stat_ks" -> // same conditional-CDF construction from first principles
+      """WITH base AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ca,
+        |         CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS cb
+        |  FROM documents WHERE lang IN ('en', 'fr') AND n_chars IS NOT NULL),
+        |counts AS (SELECT v, sum(ca) AS na, sum(cb) AS nb FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |               CAST(sum(nb) AS BIGINT) AS tb FROM counts),
+        |cum AS (SELECT abs(CAST(sum(na) OVER (ORDER BY v) AS DOUBLE) / ta
+        |             - CAST(sum(nb) OVER (ORDER BY v) AS DOUBLE) / tb) AS diff,
+        |               ta, tb
+        |        FROM counts, tot),
+        |d AS (SELECT max(diff) AS ds, max(ta) AS na2, max(tb) AS nb2 FROM cum)
+        |SELECT round(ds, 6) AS d_stat, na2 AS n_a, nb2 AS n_b,
+        |       round(least(1.0, 2.0 * exp(-2.0 * ds * ds * na2 * nb2
+        |                                  / (na2 + nb2))), 6) AS p_value
+        |FROM d""".stripMargin,
+    "feat_psi" -> // reference-quantile bins (quantile_cont = Spark's
+      // percentile, both type-7 linear interpolation), shares + surprise
+      """WITH o AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+        |                  (CAST(o_orderdate AS DATE) < DATE '1997-01-01') AS r
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (SELECT quantile_cont(CASE WHEN r THEN v END,
+        |        [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM o),
+        |binned AS (SELECT CAST(len(list_filter(b.bs, x -> x < o.v)) AS INT)
+        |                    AS bin,
+        |                  CASE WHEN o.r THEN 1 ELSE 0 END AS ir
+        |           FROM o, b),
+        |g AS (SELECT bin, CAST(sum(ir) AS BIGINT) AS nr,
+        |             CAST(count(*) - sum(ir) AS BIGINT) AS nc
+        |      FROM binned GROUP BY 1),
+        |t AS (SELECT CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+        |             CAST(sum(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS tc
+        |      FROM o)
+        |SELECT bin, nr AS n_ref, nc AS n_cur,
+        |       round(CAST(nr AS DOUBLE) / tr, 6) AS ref_share,
+        |       round(CAST(nc AS DOUBLE) / tc, 6) AS cur_share,
+        |       round((CAST(nc AS DOUBLE) / tc - CAST(nr AS DOUBLE) / tr)
+        |             * ln(greatest(CAST(nc AS DOUBLE) / tc, 1e-6)
+        |                  / greatest(CAST(nr AS DOUBLE) / tr, 1e-6)), 6)
+        |         AS psi_term
+        |FROM g, t""".stripMargin,
   )
 }

@@ -189,16 +189,6 @@ object Features {
           when(col("iqr") =!= 0, col("iqr")), 6).as("scaled")): _*)
   }
 
-  /** Model-calibration (reliability) table: bucket a [0,1] score column
-    * into `bins` equal-width bins and report, per bin, the count, the mean
-    * predicted score, and the observed positive rate — the table behind a
-    * reliability diagram and the input to Platt/isotonic recalibration.
-    * A perfectly calibrated scorer has mean_score ~= frac_pos per bin.
-    *
-    * `labelCol` must be 0/1 numeric. Scores exactly 1.0 fold into the top
-    * bin. Plan: one narrow projection, one size-of-data grouped aggregate
-    * to O(bins) rows — nothing else.
-    */
   /** Population stability index between a reference slice (`refCol` true)
     * and the current slice of the same column — the standard model-input
     * drift monitor. Bin edges are the reference slice's quantiles, so the
@@ -237,6 +227,16 @@ object Features {
           / greatest(rs, lit(floorP))), 6).as("psi_term"))
   }
 
+  /** Model-calibration (reliability) table: bucket a [0,1] score column
+    * into `bins` equal-width bins and report, per bin, the count, the mean
+    * predicted score, and the observed positive rate — the table behind a
+    * reliability diagram and the input to Platt/isotonic recalibration.
+    * A perfectly calibrated scorer has mean_score ~= frac_pos per bin.
+    *
+    * `labelCol` must be 0/1 numeric. Scores exactly 1.0 fold into the top
+    * bin. Plan: one narrow projection, one size-of-data grouped aggregate
+    * to O(bins) rows — nothing else.
+    */
   def calibrationTable(
       df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame =

@@ -18,13 +18,21 @@ import org.apache.spark.sql.functions._
   *
   * The derived average stays exact under merging because it is computed
   * from the merged sums, never averaged across partials.
+  *
+  * The partial state is DECIMAL(18,2), not double: double addition is not
+  * associative, so merged double partials can drift an ulp from the full
+  * recompute and `round` amplifies that at a .005 boundary. Mergeable
+  * state must be exact — decimal sums are associative, so any merge order
+  * reproduces the one-pass sum bit-for-bit. Presentation casts to double
+  * only after the exact arithmetic is done.
   */
 object IncrementalAgg {
 
   /** Per-day (sum, count) partial state for the orders fact. */
   def dailyOrderPartials(orders: DataFrame): DataFrame =
     orders.groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum("o_totalprice").as("rev_sum"), count(lit(1)).as("n_orders"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_sum"),
+        count(lit(1)).as("n_orders"))
 
   /** Fold any number of partial states into one: union + re-aggregate.
     * Map-side combine collapses each input's groups before the exchange,
@@ -35,10 +43,14 @@ object IncrementalAgg {
       .groupBy("day")
       .agg(sum("rev_sum").as("rev_sum"), sum("n_orders").as("n_orders"))
 
-  /** Presentation view over the state: rounded revenue + derived average. */
+  /** Presentation view over the state: revenue + derived average, cast to
+    * double only after the exact decimal arithmetic (the sum is already
+    * 2-dp exact; the average divides the exact sum in double, which is
+    * deterministic given identical inputs in any engine).
+    */
   def finalizeDaily(state: DataFrame): DataFrame =
     state.select(col("day"),
-      round(col("rev_sum"), 2).as("revenue"),
+      col("rev_sum").cast("double").as("revenue"),
       col("n_orders"),
-      round(col("rev_sum") / col("n_orders"), 4).as("avg_order"))
+      round(col("rev_sum").cast("double") / col("n_orders"), 4).as("avg_order"))
 }

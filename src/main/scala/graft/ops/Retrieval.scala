@@ -78,6 +78,11 @@ object Retrieval {
     * never materialized (they carry no retrieval signal; BM25's idf ≈ 0
     * there). Three exchanges, all keyed on token, only the last carries
     * lists and only for capped tokens.
+    *
+    * Output contract: `postings`/`tfs` are comma-joined STRINGS, not
+    * arrays — the index is a table, and flat column types keep it
+    * readable by any consumer (and canonicalizable by row-hash tooling)
+    * without nested-type support.
     */
   def invertedIndex(docs: DataFrame, maxDf: Int = 500): DataFrame = {
     val tf = docs
@@ -91,8 +96,10 @@ object Retrieval {
       .agg(sort_array(collect_list(struct(col("doc_id").as("d"), col("tf").as("t"))))
         .as("ps"))
       .select(col("token"), col("df"), col("total_tf"),
-        transform(col("ps"), p => p.getField("d")).as("postings"),
-        transform(col("ps"), p => p.getField("t")).as("tfs"))
+        array_join(transform(col("ps"), p => p.getField("d").cast("string")), ",")
+          .as("postings"),
+        array_join(transform(col("ps"), p => p.getField("t").cast("string")), ",")
+          .as("tfs"))
   }
 
   /** Cosine range search: ALL neighbors with similarity ≥ `minCos` for

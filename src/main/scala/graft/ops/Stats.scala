@@ -358,16 +358,6 @@ object Stats {
           / (col("n_a") + col("n_b")))), 6).as("p_value"))
   }
 
-  /** Gini coefficient of a value distribution (spend concentration,
-    * corpus-source imbalance): with values sorted ascending and 1-based
-    * ranks i, G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. Rank ties are broken
-    * arbitrarily — tied values contribute x*(sum of their ranks), which is
-    * permutation-invariant, so the statistic is still deterministic.
-    *
-    * Plan: ranking rides [[graft.operators.GlobalRowNumber]]'s range
-    * exchange (the scalable global sort — no single-partition window), and
-    * the statistic is one final scalar aggregate. One row out.
-    */
   /** Lorenz-curve bucket table — the distributional detail behind [[gini]]:
     * rank the values ascending, cut the ranking into `buckets` equal-count
     * slices, and report each slice's share and cumulative share of the
@@ -395,19 +385,37 @@ object Stats {
       .withColumn("__cum", sum("__bv").over(Window.orderBy("bucket")))
       .select(col("bucket"), col("n"),
         round(col("__bv"), 6).as("value_sum"),
-        round(col("__bv") / col("__tx"), 6).as("value_share"),
-        round(col("__cum") / col("__tx"), 6).as("cum_share"))
+        // all-zero totals yield NULL shares, not IEEE inf (engine-agnostic)
+        round(when(col("__tx") =!= 0, col("__bv") / col("__tx")), 6)
+          .as("value_share"),
+        round(when(col("__tx") =!= 0, col("__cum") / col("__tx")), 6)
+          .as("cum_share"))
   }
 
+  /** Gini coefficient of a value distribution (spend concentration,
+    * corpus-source imbalance): with values sorted ascending and 1-based
+    * ranks i, G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. Rank ties are broken
+    * arbitrarily — tied values contribute x*(sum of their ranks), which is
+    * permutation-invariant, so the statistic is still deterministic.
+    *
+    * Degenerate inputs (empty, or all-zero values) yield a NULL gini —
+    * guarded explicitly so both engines agree instead of diverging on
+    * IEEE inf-vs-NULL division behavior.
+    *
+    * Plan: ranking rides [[graft.operators.GlobalRowNumber]]'s range
+    * exchange (the scalable global sort — no single-partition window), and
+    * the statistic is one final scalar aggregate. One row out.
+    */
   def gini(df: DataFrame, valueCol: String): DataFrame = {
     val vals = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("x"))
     val ranked = graft.operators.GlobalRowNumber
       .withGlobalRowNumber(vals, "i", Seq(col("x")))
     ranked.agg(
-      round(lit(2.0) * sum(col("i") * col("x"))
-        / (count(lit(1)) * sum("x"))
-        - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"),
+      round(when(sum("x") =!= 0,
+        lit(2.0) * sum(col("i") * col("x"))
+          / (count(lit(1)) * sum("x"))
+          - (count(lit(1)) + lit(1.0)) / count(lit(1))), 6).as("gini"),
       count(lit(1)).as("n"),
       round(sum("x"), 6).as("total"))
   }

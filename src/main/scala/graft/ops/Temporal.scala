@@ -134,7 +134,10 @@ object Temporal {
     val frame = Window.partitionBy(keyCol)
       .orderBy(col(orderCol), col(tieCol))
       .rowsBetween(-(span - 1), Window.currentRow)
-    df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+    // null order keys sort first in Spark but last in most SQL engines —
+    // exclude them so frame alignment is engine-agnostic
+    df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull
+        && col(orderCol).isNotNull)
       .select(col(keyCol), col(orderCol), col(tieCol),
         col(valueCol).cast("double").as(valueCol))
       .withColumn("__l", collect_list(col(valueCol)).over(frame))
@@ -162,8 +165,10 @@ object Temporal {
   def acf(df: DataFrame, orderCol: String, valueCol: String,
       maxLag: Int = 7): DataFrame = {
     val w = Window.orderBy(orderCol) // bounded: O(steps) rows
+    // null order keys would shift every lag alignment engine-dependently
     val lagged = (1 to maxLag).foldLeft(
-      df.select(col(orderCol), col(valueCol).cast("double").as("__x"))) {
+      df.filter(col(orderCol).isNotNull)
+        .select(col(orderCol), col(valueCol).cast("double").as("__x"))) {
       (acc, l) => acc.withColumn(s"__y$l", lag(col("__x"), l).over(w))
     }
     val stacked = lagged.select(col("__x"), expr(

@@ -420,4 +420,30 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(got == Seq(
       (0L, 2L, 0.05, 0.5), (5L, 1L, 0.55, 0.0), (9L, 2L, 0.975, 1.0)))
   }
+
+  test("psi: identical slices land every bin at equal shares and zero terms") {
+    // ref and cur are both 1..100: ref-quantile bins hold 10 ref and 10 cur
+    // values each, so every psi_term is exactly 0
+    val df = ((1 to 100).map(v => (v.toDouble, true))
+      ++ (1 to 100).map(v => (v.toDouble, false))).toDF("v", "r")
+    val got = graft.ops.Features.psi(df, "v", "r")
+      .select("bin", "n_ref", "n_cur", "ref_share", "cur_share", "psi_term")
+      .as[(Int, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == 10)
+    assert(got.forall { case (_, nr, nc, rs, cs, t) =>
+      nr == 10L && nc == 10L && rs == 0.1 && cs == 0.1 && t == 0.0 })
+  }
+
+  test("psi: a hard shift concentrates current mass and raises total PSI") {
+    // current slice sits entirely above the reference's top decile edge
+    val df = ((1 to 100).map(v => (v.toDouble, true))
+      ++ (201 to 300).map(v => (v.toDouble, false))).toDF("v", "r")
+    val rows = graft.ops.Features.psi(df, "v", "r")
+      .select("bin", "n_cur", "psi_term")
+      .as[(Int, Long, Double)].collect()
+    // all 100 current values fall past every edge -> bin 9
+    assert(rows.filter(_._1 == 9).map(_._2).sum == 100L)
+    val total = rows.map(_._3).sum
+    assert(total > 0.25, s"shift must trip the action threshold, got $total")
+  }
 }

@@ -261,6 +261,20 @@ class PlanGuardSpec extends SparkSpec {
       s"the idleness date filter must reach the orders scan: $pushed")
   }
 
+  test("q20_excess_stock: semi joins at both levels, pushed dates, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("q20_excess_stock")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty
+      && collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"the correlated subquery must decorrelate to keyed joins:\n$p")
+    assert(p.toString.contains("LeftSemi"),
+      s"part filter and supplier qualification must plan as semi joins:\n$p")
+    val pushed = collectAll(p) { case s: FileSourceScanExec => s }
+      .flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate"),
+      s"stock/demand year windows must reach the lineitem scans: $pushed")
+  }
+
   test("sim_topk_pq: codebook and distance table broadcast; no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val p = plan("sim_topk_pq")

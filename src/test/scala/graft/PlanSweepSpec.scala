@@ -96,7 +96,19 @@ class PlanSweepSpec extends SparkSpec {
     // 1-row series-mean broadcast onto the O(days) daily table
     "events_changepoint",
     // 1-row Hill-alpha broadcast onto the O(degrees) histogram
-    "graph_degrees")
+    "graph_degrees",
+    // 1-row first-digit total broadcast onto the 9-row digit histogram
+    "dq_benford",
+    // 1-row (n, total) broadcast onto the O(buckets) Lorenz table
+    "stat_lorenz",
+    // 1-row at-risk-total broadcast onto the O(event-times) risk table
+    "stat_km_survival",
+    // 1-row observation-horizon broadcast onto the O(users) snapshot
+    "events_user_snapshot",
+    // 1-row group-totals broadcast onto the O(distinct values) CDF table
+    "stat_ks",
+    // 1-row quantile-bounds + 1-row slice-totals broadcasts
+    "feat_psi")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

@@ -110,11 +110,12 @@ class RetrievalSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val got = graft.ops.Retrieval.invertedIndex(docs, maxDf = 2).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getSeq[Long](3), r.getSeq[Long](4)))).toMap
+        r.getString(3), r.getString(4)))).toMap
     // "the" has df 3 > cap: its posting list is never built
     assert(got.keySet == Set("a", "b"))
-    assert(got("a") == ((2L, 2L, Seq(1L, 3L), Seq(1L, 1L))))
+    // postings/tfs are the flat comma-joined output contract (gate-hashable)
+    assert(got("a") == ((2L, 2L, "1,3", "1,1")))
     // doc 3 contributes tf 2 for "b", and postings stay doc_id-sorted
-    assert(got("b") == ((2L, 3L, Seq(2L, 3L), Seq(1L, 2L))))
+    assert(got("b") == ((2L, 3L, "2,3", "1,2")))
   }
 }

@@ -175,4 +175,45 @@ class StatsSpec extends SparkSpec {
       .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1, 2L, 3.0, 0.3, 0.3), (2, 2L, 7.0, 0.7, 1.0)))
   }
+
+  test("gini and lorenz: all-zero values yield NULL ratios, never inf") {
+    val zeros = Seq(0.0, 0.0, 0.0).toDF("x")
+    val g = Stats.gini(zeros, "x").first()
+    assert(g.isNullAt(g.fieldIndex("gini")))
+    val l = Stats.lorenz(zeros, "x", buckets = 3).collect()
+    assert(l.forall(r => r.isNullAt(r.fieldIndex("value_share"))
+      && r.isNullAt(r.fieldIndex("cum_share"))))
+  }
+
+  test("ksTest: disjoint supports give D=1 with the exact asymptotic p") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4), ("a", 1))
+      .toDF("g", "v")
+    val r = Stats.ksTest(df, "g", "v", "a", "b").first()
+    assert(r.getDouble(0) == 1.0) // d_stat
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L) // n_a, n_b
+    // p = 2*exp(-2 * 1 * 3*2/5) = 2*exp(-2.4)
+    val want = math.min(1.0, 2.0 * math.exp(-2.4))
+    assert(math.abs(r.getDouble(3) - want) < 1e-6)
+  }
+
+  test("ksTest: identical samples give D=0, p clamped to 1; nulls dropped") {
+    val df = Seq(("a", java.lang.Integer.valueOf(1)),
+      ("a", java.lang.Integer.valueOf(7)),
+      ("b", java.lang.Integer.valueOf(1)),
+      ("b", java.lang.Integer.valueOf(7)),
+      ("a", null.asInstanceOf[java.lang.Integer]),
+      ("c", java.lang.Integer.valueOf(99))) // other group: excluded
+      .toDF("g", "v")
+    val r = Stats.ksTest(df, "g", "v", "a", "b").first()
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("ksTest: one-sided shift is the CDF gap at the crossover") {
+    // a = {1,2,3,4}, b = {3,4,5,6}: max gap at v=2 -> |2/4 - 0/4| = 0.5
+    val df = (Seq(1, 2, 3, 4).map(("a", _)) ++ Seq(3, 4, 5, 6).map(("b", _)))
+      .toDF("g", "v")
+    assert(Stats.ksTest(df, "g", "v", "a", "b").first().getDouble(0) == 0.5)
+  }
 }
