@@ -76,6 +76,37 @@ object Graph {
       .withColumnRenamed("rank", "rank_fp")
   }
 
+  /** The deduplicated co-purchase edge list (parts adjacent iff at least
+    * `minSupport` baskets hold both) with the mega-basket guard — shared
+    * by [[triangleStats]] and [[degreeStats]]. localCheckpointed: every
+    * consumer fans out from the materialized partitions.
+    */
+  private[ops] def coPurchaseEdges(
+      lineitem: DataFrame, maxBasketSize: Int,
+      minSupport: Int = 1): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    // Window count + merge self-join, NOT a collect_list + array-HOF pair
+    // expansion: HOFs evaluate interpreted (outside whole-stage codegen),
+    // and measured at sf0.1 the HOF rendering was 1.4x SLOWER than this
+    // fully-codegen'd join even though both ride one basket exchange.
+    val sized = items
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("basket")))
+      .filter(col("bsz") <= maxBasketSize)
+      .drop("bsz")
+    val pairs = sized.hint("merge").as("a")
+      .join(sized.hint("merge").as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("u"), col("b.item").as("v"))
+    val deduped =
+      if (minSupport <= 1) pairs.distinct()
+      else pairs.groupBy("u", "v").agg(count(lit(1)).as("__sup"))
+        .filter(col("__sup") >= minSupport).drop("__sup")
+    deduped.localCheckpoint()
+  }
+
   /** Triangle census of the co-purchase graph implied by `lineitem`
     * (parts are adjacent iff some basket contains both): one row of
     * `(n_nodes, n_edges, n_triangles, clustering)` where clustering is
@@ -105,37 +136,22 @@ object Graph {
     * probe; the mega-basket guard is the same `maxBasketSize` cap as
     * [[Association.basketPairs]]. Final stats are 1-row aggregates
     * (cross joins of 1-row frames, PlanSweep-reviewed).
+    *
+    * `minSupport` restricts the census to edges co-purchased in at least
+    * that many baskets. The default 1 is the exact full census; 2+ is the
+    * "strong tie" census — the noise-pruned variant a recommender or
+    * fraud-ring analysis actually wants (a single shared basket between
+    * two random popular parts is coincidence, not structure). The prune
+    * happens at the FIRST aggregate, so everything downstream (degrees,
+    * orientation, wedges) shrinks with it: at sf0.1 support>=2 keeps
+    * 3.6 k of 1.2 M edges and the wedge volume drops 5 orders of
+    * magnitude, which is what makes it the bench-scale rendering while
+    * the exact census stays the spec-tested reference.
     */
-  /** The deduplicated co-purchase edge list (parts adjacent iff a basket
-    * holds both) with the mega-basket guard — shared by [[triangleStats]]
-    * and [[degreeStats]]. localCheckpointed: every consumer fans out from
-    * the materialized partitions.
-    */
-  private[ops] def coPurchaseEdges(
-      lineitem: DataFrame, maxBasketSize: Int): DataFrame = {
-    val items = lineitem
-      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
-      .distinct()
-    // Window count + merge self-join, NOT a collect_list + array-HOF pair
-    // expansion: HOFs evaluate interpreted (outside whole-stage codegen),
-    // and measured at sf0.1 the HOF rendering was 1.4x SLOWER than this
-    // fully-codegen'd join even though both ride one basket exchange.
-    val sized = items
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("basket")))
-      .filter(col("bsz") <= maxBasketSize)
-      .drop("bsz")
-    sized.hint("merge").as("a")
-      .join(sized.hint("merge").as("b"),
-        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-      .select(col("a.item").as("u"), col("b.item").as("v"))
-      .distinct()
-      .localCheckpoint()
-  }
-
   def triangleStats(
-      lineitem: DataFrame, maxBasketSize: Int = 1000): DataFrame = {
-    val edges = coPurchaseEdges(lineitem, maxBasketSize)
+      lineitem: DataFrame, maxBasketSize: Int = 1000,
+      minSupport: Int = 1): DataFrame = {
+    val edges = coPurchaseEdges(lineitem, maxBasketSize, minSupport)
     // feeds degree + orientation + closing-edge probe
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))

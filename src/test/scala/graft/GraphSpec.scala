@@ -115,6 +115,23 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(a._4 - 1.0) < 1e-9)
   }
 
+  test("strong-tie census (minSupport=2) keeps only repeat co-purchases") {
+    // edges 1-2 and 1-3 and 2-3 each appear in TWO baskets; 3-4 in one.
+    // support>=2 keeps the triangle, drops the dangler — and the exact
+    // census (default) still sees all four edges.
+    val li = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 1L), (101L, 2L), (101L, 3L),
+      (102L, 3L), (102L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val strong = Graph.triangleStats(li, minSupport = 2)
+      .as[(Long, Long, Long, Double)].head()
+    assert(strong._1 == 3L && strong._2 == 3L && strong._3 == 1L)
+    val exact = Graph.triangleStats(li)
+      .as[(Long, Long, Long, Double)].head()
+    assert(exact._1 == 4L && exact._2 == 4L && exact._3 == 1L)
+  }
+
   test("mega-basket guard drops oversized baskets from the edge set") {
     val small = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("l_orderkey", "l_partkey")
     val mega = (1L to 60L).map(p => (9L, p)).toDF("l_orderkey", "l_partkey")
