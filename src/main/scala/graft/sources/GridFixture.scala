@@ -70,6 +70,17 @@ object GridFixture {
         flat(meanAt), flat(stddevAt), recordTime = true)
     }
 
+  /** Same logical content as a NetCDF-4/HDF5 container (superblock v0,
+    * contiguous f64 datasets) — decodes to the bit-identical DataFrame, so
+    * the `gridded_ingest_hdf5` oracle proves the HDF5 byte path against
+    * DuckDB end to end, exactly like the classic `.nc` fixture does.
+    */
+  def ensureWrittenH5(path: String): String =
+    ensureWith(path) { tmp =>
+      Hdf5Netcdf.write(tmp, TimesMicros, Leadtimes, Yc, Xc,
+        flat(meanAt), flat(stddevAt))
+    }
+
   private def ensureWith(path: String)(write: String => Unit): String =
     synchronized {
       val f = new java.io.File(path)
@@ -90,4 +101,7 @@ object GridFixture {
   def defaultNcPath: String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_grid_fixture_v1.nc").getAbsolutePath
+  def defaultH5Path: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_grid_fixture_h5_v1.nc").getAbsolutePath
 }

@@ -14,15 +14,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 for gridded forecast tensors — the engine-native ingest
   * path for the reference's NetCDF input (SURVEY.md S2,
-  * processor.py:121-190). Two container codecs share the chassis, sniffed
-  * by magic ([[GridCodec]]): real NetCDF classic (CDF-1/CDF-2) decoded in
-  * pure JVM bytes ([[NetcdfClassic]] — `.nc`, the reference's actual file
-  * type), and `.grid` — a minimal self-describing binary tensor with the
-  * SAME logical shape: dims (time, leadtime, yc, xc) + variables
-  * (sic_mean, sic_stddev). NetCDF-4/HDF5 containers would need an external
-  * library (absent in this offline build) and fail loudly at the magic
-  * check. The Spark integration (table, schema, partition planning, column
-  * pruning, long-form flatten) is codec-agnostic.
+  * processor.py:121-190). Three container codecs share the chassis,
+  * sniffed by magic ([[GridCodec]]): real NetCDF classic (CDF-1/CDF-2)
+  * decoded in pure JVM bytes ([[NetcdfClassic]] — `.nc`, the reference's
+  * actual file type), the contiguous/uncompressed slice of NetCDF-4/HDF5
+  * ([[Hdf5Netcdf]] — what fixed-shape uncompressed xarray/netCDF4 output
+  * occupies; chunked/deflate variants fail loudly naming the feature), and
+  * `.grid` — a minimal self-describing binary tensor with the SAME logical
+  * shape: dims (time, leadtime, yc, xc) + variables (sic_mean,
+  * sic_stddev). The Spark integration (table, schema, partition planning,
+  * column pruning, long-form flatten) is codec-agnostic.
   *
   * ==NetCDF-to-seam mapping (what a real codec replaces, item by item)==
   * The IceNet files (opened with `xarray.open_dataset`,
@@ -227,26 +228,38 @@ private[sources] class GriddedPartitionReader(
 object GridCodec {
   val Extensions: Seq[String] = Seq(".grid", ".nc")
 
-  private def isNetcdf(path: String): Boolean = {
+  private sealed trait Kind
+  private case object Classic extends Kind // CDF-1/CDF-2
+  private case object Hdf5 extends Kind // NetCDF-4 container (bounded slice)
+  private case object Grid extends Kind // GRD1
+
+  private def sniff(path: String): Kind = {
     val p = new org.apache.hadoop.fs.Path(path)
     val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
     try {
-      val magic = new Array[Byte](4)
+      val magic = new Array[Byte](8)
       in.readFully(0L, magic)
-      magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F' &&
-        (magic(3) == 1 || magic(3) == 2)
+      if (magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F' &&
+        (magic(3) == 1 || magic(3) == 2)) Classic
+      else if (magic.sameElements(Hdf5Netcdf.Signature)) Hdf5
+      else Grid
     } finally in.close()
   }
 
-  def readHeader(path: String): GridFile.Header =
-    if (isNetcdf(path)) NetcdfClassic.readGridHeader(path)
-    else GridFile.readHeader(path)
+  def readHeader(path: String): GridFile.Header = sniff(path) match {
+    case Classic => NetcdfClassic.readGridHeader(path)
+    case Hdf5 => Hdf5Netcdf.readGridHeader(path)
+    case Grid => GridFile.readHeader(path)
+  }
 
   def readSlice(
       path: String, timeIdx: Int,
       needMean: Boolean = true, needStddev: Boolean = true): GridFile.GridSlice =
-    if (isNetcdf(path)) NetcdfClassic.readGridSlice(path, timeIdx, needMean, needStddev)
-    else GridFile.readSlice(path, timeIdx, needMean, needStddev)
+    sniff(path) match {
+      case Classic => NetcdfClassic.readGridSlice(path, timeIdx, needMean, needStddev)
+      case Hdf5 => Hdf5Netcdf.readGridSlice(path, timeIdx, needMean, needStddev)
+      case Grid => GridFile.readSlice(path, timeIdx, needMean, needStddev)
+    }
 }
 
 /** The `.grid` container codec — the ONLY piece a real NetCDF integration

@@ -1,0 +1,143 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.sources.{GridFile, Hdf5Netcdf, NetcdfClassic}
+
+/** NetCDF-4/HDF5 contiguous-slice decoding — the bounded bite of the one
+  * remaining input-surface gap. Fixtures are byte-authored by
+  * [[Hdf5Netcdf.write]] (a from-spec serializer of superblock v0 +
+  * symbol-table group + v1 object headers + contiguous layouts, not a
+  * library), then decoded through the SAME DSv2 `gridded` chassis as
+  * `.grid` and classic `.nc`: f64/f32 data, `_FillValue` masking, CF time
+  * units, column-pruned slice I/O, bit-parity with the `.grid` codec, and
+  * LOUD rejection of the out-of-scope dialects (newer superblocks, v2
+  * object headers) with messages that name the feature.
+  */
+class Hdf5NetcdfSpec extends SparkSpec {
+
+  private def us(s: String): Long = Timestamp.valueOf(s).getTime * 1000L
+
+  // same logical fixture shape as NetcdfClassicSpec: 2t x 2l x 2y x 3x,
+  // cell (y=1, x=2) masked everywhere
+  private val nT = 2; private val nL = 2; private val nY = 2; private val nX = 3
+  private val times = Array(us("2020-06-01 00:00:00"), us("2020-06-08 00:00:00"))
+  private def slab(t: Int): Array[Double] = (for {
+    l <- 0 until nL; y <- 0 until nY; x <- 0 until nX
+  } yield if (y == 1 && x == 2) Double.NaN
+          else 0.1 * (t + 1) + 0.01 * l + 0.001 * y + 0.0001 * x).toArray
+  private val mean = slab(0) ++ slab(1)
+  private val stddev = mean.map(_ / 10)
+  private val leads = Array(1, 2)
+  private val yc = Array(100.0, 125.0)
+  private val xc = Array(200.0, 225.0, 250.0)
+
+  private def readDf(path: String) = spark.read.format("gridded").load(path)
+
+  test("contiguous f64 file: full decode through the DSv2 reader") {
+    val p = tmpDir("h5") + "/fc.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev)
+    val df = readDf(p)
+    assert(df.count() == nT * nL * nY * nX)
+    val r = df.filter(col("leadtime") === 1 && col("yc") === 100.0 &&
+      col("xc") === 200.0 &&
+      col("time") === Timestamp.valueOf("2020-06-01 00:00:00")).head()
+    assert(math.abs(r.getAs[Double]("sic_mean") - 0.1) < 1e-9)
+    assert(df.filter(col("sic_mean").isNull).count() == nT * nL) // NaN cells
+    assert(df.rdd.getNumPartitions == nT) // per-slice planning carries over
+  }
+
+  test("f32 data decodes float-exactly; _FillValue cells surface as nulls") {
+    val m2 = Array.tabulate(mean.length)(i =>
+      if (i % 7 == 0) Double.NaN else (i % 64) / 64.0)
+    val p = tmpDir("h5f") + "/fc.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, m2, m2.map(_ / 2),
+      floatData = true, fillValue = Some(-999.0))
+    val df = readDf(p)
+    assert(df.count() == nT * nL * nY * nX)
+    assert(df.filter(col("sic_mean").isNull).count() ==
+      m2.count(_.isNaN)) // fill-encoded, decoded back to null
+    assert(df.filter(col("sic_mean") === -999.0).count() == 0)
+    val got = df.filter(col("leadtime") === 2 && col("yc") === 125.0 &&
+      col("xc") === 250.0 &&
+      col("time") === Timestamp.valueOf("2020-06-08 00:00:00"))
+      .head().getAs[Double]("sic_mean")
+    assert(got == (mean.length - 1) % 64 / 64.0)
+  }
+
+  test("readGridHeader reads dims without touching data") {
+    val p = tmpDir("h5h") + "/fc.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev)
+    assert(Hdf5Netcdf.readGridHeader(p) == GridFile.Header(nT, nL, nY, nX))
+  }
+
+  test("HDF5 .nc and .grid decode to identical DataFrames on same content") {
+    val dir = tmpDir("h5parity")
+    GridFile.write(s"$dir/a.grid", times, leads, yc, xc, mean, stddev)
+    Hdf5Netcdf.write(s"$dir/b.nc", times, leads, yc, xc, mean, stddev)
+    val g = readDf(s"$dir/a.grid").orderBy("time", "leadtime", "yc", "xc").collect()
+    val h = readDf(s"$dir/b.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(g.toSeq == h.toSeq)
+  }
+
+  test("all three containers union through one directory scan") {
+    val dir = tmpDir("h5mixed")
+    GridFile.write(s"$dir/a.grid", Array(times(0)), leads, yc, xc,
+      slab(0), slab(0).map(_ / 10))
+    NetcdfClassic.write(s"$dir/b.nc", Array(times(1)), leads, yc, xc,
+      slab(1), slab(1).map(_ / 10))
+    val t3 = Array(us("2020-06-15 00:00:00"))
+    Hdf5Netcdf.write(s"$dir/c.nc", t3, leads, yc, xc,
+      slab(0), slab(0).map(_ / 10))
+    val df = readDf(dir)
+    assert(df.select("time").distinct().count() == 3)
+    assert(df.count() == 3L * nL * nY * nX)
+  }
+
+  test("slice reads stay O(slice), not O(file): pruning + seeking guard") {
+    val dir = tmpDir("h5seek")
+    val t4 = Array.tabulate(4)(i => us(f"2022-01-0${i + 1} 00:00:00"))
+    val vals = Array.tabulate(4 * nL * nY * nX)(_.toDouble)
+    Hdf5Netcdf.write(s"$dir/big.nc", t4, leads, yc, xc, vals, vals.map(_ / 10))
+    val dataBytes = 2L * vals.length * 8
+    val before = Hdf5Netcdf.bytesRead.get()
+    val s = readDf(s"$dir/big.nc").agg(sum("sic_mean")).head().getDouble(0)
+    assert(s == vals.sum)
+    val delta = Hdf5Netcdf.bytesRead.get() - before
+    // per slice: superblock + group walk + headers (sub-KB each) + axes +
+    // ONE variable's slab; stddev slabs must never be fetched
+    val metaOverhead = 4 * 4096L
+    assert(delta < dataBytes / 2 + metaOverhead,
+      s"read $delta bytes; one-variable share is ${dataBytes / 2}")
+  }
+
+  test("newer dialects fail loudly with the feature named") {
+    val dir = tmpDir("h5rej")
+    val p = s"$dir/v1.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // superblock version byte (offset 8) -> 2: the 'latest format' family
+    val sb2 = bytes.clone(); sb2(8) = 2
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sb2.nc"), sb2)
+    val e1 = intercept[Exception] { readDf(s"$dir/sb2.nc").collect() }
+    assert(Option(e1.getMessage).exists(_.contains("superblock version")),
+      s"got: ${e1.getMessage}")
+    // root object header version byte (offset 96) -> 2 (OHDR-style); also
+    // clear the superblock entry's cache type (offset 72) so the walk
+    // consults the root header instead of the cached btree/heap scratch
+    val oh2 = bytes.clone(); oh2(96) = 2; oh2(72) = 0
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/oh2.nc"), oh2)
+    val e2 = intercept[Exception] { readDf(s"$dir/oh2.nc").collect() }
+    assert(Option(e2.getMessage).exists(_.contains("object header version")),
+      s"got: ${e2.getMessage}")
+  }
+
+  test("CF time units ride the same conversion as the classic codec") {
+    val p = tmpDir("h5units") + "/fc.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev)
+    val df = readDf(p).select("time").distinct()
+    assert(df.collect().map(_.getTimestamp(0)).toSet ==
+      Set(Timestamp.valueOf("2020-06-01 00:00:00"),
+        Timestamp.valueOf("2020-06-08 00:00:00")))
+  }
+}

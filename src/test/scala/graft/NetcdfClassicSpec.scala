@@ -133,12 +133,11 @@ class NetcdfClassicSpec extends SparkSpec {
       s"read $delta bytes; one-variable share is ${dataBytes / 2}")
   }
 
-  test("non-classic bytes fail loudly, never misread") {
-    val p = tmpDir("nchdf") + "/fake.nc"
-    // HDF5 superblock magic: \x89HDF\r\n\x1a\n — a NetCDF-4 file
+  test("unrecognized bytes fail loudly, never misread") {
+    val p = tmpDir("ncbad") + "/fake.nc"
+    // neither CDF, HDF5, nor GRD1 magic: must throw, never decode garbage
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
-      Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n') ++
-        new Array[Byte](64))
+      "not a tensor container, honest".getBytes ++ new Array[Byte](64))
     val e = intercept[Exception] { readDf(p).collect() }
     assert(e.getMessage != null)
   }
