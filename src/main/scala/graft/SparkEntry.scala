@@ -570,6 +570,15 @@ object SparkEntry {
       graft.ops.Sketches.kmvDistinctRollup(Tables.orders(s, dir),
         date_format(col("o_orderdate").cast("date"), "yyyy-MM"),
         col("o_custkey"))),
+    "sketch_kmv_overlap" -> ((s, dir) =>
+      // cohort-overlap from sketches alone: 1995 vs 1996 customer sets,
+      // theta-style intersection over the merged KMV union, exact
+      // intersection alongside as the oracle's certificate
+      graft.ops.Sketches.kmvOverlap(
+        Tables.orders(s, dir).select(col("o_custkey"),
+          (year(col("o_orderdate").cast("date")) === 1995).as("a"),
+          (year(col("o_orderdate").cast("date")) === 1996).as("b")),
+        col("o_custkey"), col("a"), col("b"))),
     "graph_triangles" -> ((s, dir) =>
       // degree-oriented STRONG-TIE triangle census (support >= 2): the
       // noise-pruned rendering — the support filter at the first aggregate
@@ -1828,6 +1837,50 @@ object SparkEntry {
         |             / count(*), 4) AS avg_order
         |FROM orders
         |GROUP BY 1""".stripMargin,
+    "sketch_kmv_overlap" -> // identical sketches from the identical
+      // 60-bit hashes, estimator recomputed from first principles — the
+      // merge, the theta-style sample ratio, and the exact certificate
+      // all certified bit-for-bit
+      """WITH f AS (SELECT o_custkey AS v,
+        |             max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+        |                 THEN 1 ELSE 0 END) AS a,
+        |             max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+        |                 THEN 1 ELSE 0 END) AS b
+        |           FROM orders GROUP BY 1),
+        |g AS (SELECT v, a, b,
+        |        CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT)
+        |          AS hv
+        |      FROM f WHERE a = 1 OR b = 1),
+        |ska AS (SELECT hv FROM g WHERE a = 1 ORDER BY hv LIMIT 64),
+        |skb AS (SELECT hv FROM g WHERE b = 1 ORDER BY hv LIMIT 64),
+        |sku AS (SELECT hv FROM
+        |          (SELECT hv FROM ska UNION SELECT hv FROM skb) u
+        |        ORDER BY hv LIMIT 64),
+        |ea AS (SELECT count(*) AS m, max(hv) AS kth FROM ska),
+        |eb AS (SELECT count(*) AS m, max(hv) AS kth FROM skb),
+        |eu AS (SELECT count(*) AS m, max(hv) AS kth FROM sku),
+        |cx AS (SELECT count(*) AS cnt FROM sku
+        |       WHERE hv IN (SELECT hv FROM ska)
+        |         AND hv IN (SELECT hv FROM skb)),
+        |ex AS (SELECT CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS exact_intersection FROM f)
+        |SELECT
+        |  CASE WHEN ea.m < 64 THEN ea.m
+        |       ELSE CAST(floor(63 * 1152921504606846976.0 / ea.kth) AS BIGINT)
+        |  END AS est_a,
+        |  CASE WHEN eb.m < 64 THEN eb.m
+        |       ELSE CAST(floor(63 * 1152921504606846976.0 / eb.kth) AS BIGINT)
+        |  END AS est_b,
+        |  CASE WHEN eu.m < 64 THEN eu.m
+        |       ELSE CAST(floor(63 * 1152921504606846976.0 / eu.kth) AS BIGINT)
+        |  END AS est_union,
+        |  CAST(floor(CAST(cx.cnt AS DOUBLE) *
+        |    (CASE WHEN eu.m < 64 THEN eu.m
+        |          ELSE CAST(floor(63 * 1152921504606846976.0 / eu.kth) AS BIGINT)
+        |     END) / eu.m) AS BIGINT) AS est_intersection,
+        |  round(CAST(cx.cnt AS DOUBLE) / eu.m, 6) AS jaccard,
+        |  ex.exact_intersection
+        |FROM ea, eb, eu, cx, ex""".stripMargin,
     "sketch_kmv_distinct" -> // same KMV sketch from the same 60-bit hashes;
       // the ALL row here is computed over all hashes directly, certifying
       // the Spark side's sketch-MERGE path against first principles
@@ -4431,7 +4484,8 @@ object SparkEntry {
         |FROM c CROSS JOIN t""".stripMargin,
     "ts_ewma" ->
       """WITH e AS (SELECT user_id, ts, event_id, value FROM events
-        |           WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |           WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |             AND ts IS NOT NULL),
         |l AS (SELECT user_id, ts, event_id, value,
         |        list(value) OVER (PARTITION BY user_id
         |          ORDER BY ts, event_id
@@ -4493,10 +4547,11 @@ object SparkEntry {
         |       round(sum(COALESCE(value, 0)), 6) AS total_value,
         |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
         |FROM e CROSS JOIN h GROUP BY user_id""".stripMargin,
-    "ts_acf" ->
+    "ts_acf" -> // null-day group excluded on both engines (acf filters
+      // null order keys; Spark sorts nulls first, DuckDB last)
       """WITH d AS (SELECT CAST(ts AS DATE) AS day,
         |             CAST(count(*) AS DOUBLE) AS x
-        |           FROM events GROUP BY 1),
+        |           FROM events WHERE ts IS NOT NULL GROUP BY 1),
         |l AS (SELECT x,
         |        lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
         |        lag(x, 3) OVER w AS y3, lag(x, 4) OVER w AS y4,

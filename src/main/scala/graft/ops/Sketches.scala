@@ -78,6 +78,66 @@ object Sketches {
       .orderBy("grp")
   }
 
+  /** Set-overlap estimation between two slices from KMV sketches alone —
+    * the theta-sketch-style estimator: with `U` the k-smallest hashes of
+    * A∪B (merged from the two slice sketches, never from the raw data),
+    * the members of `U` present in BOTH slice sketches are a uniform
+    * sample of the intersection below the union's threshold, so
+    * `|A∩B| ≈ |U∩A∩B| / |U| · est(A∪B)` — exact whenever the union
+    * carries fewer than k distinct values (the sketches are then the
+    * complete sets), since the ratio collapses to the true count.
+    *
+    * Output (one row): per-slice and union estimates, the intersection
+    * estimate, Jaccard, plus the exact intersection — the oracle's
+    * certificate, recomputed by DuckDB from the identical md5-derived
+    * hashes, so estimate AND merge AND estimator arithmetic are certified
+    * bit-for-bit (same reasoning as [[kmvDistinctRollup]]).
+    *
+    * Why it matters at 100 TB: "how much does this month's user base
+    * overlap with last month's" over persisted O(k) sketch state — no
+    * re-scan of either slice, no data-sized distinct join. The whole
+    * answer path after the two sketch aggregates is O(k) arrays on the
+    * driver-side plan (1-row frames).
+    *
+    * Scale: one pass over the input builds both slice sketches (partial
+    * aggregation caps map state at 2k longs); the union merge is a k-array
+    * explode; the exact certificate rides one distinct-by-value aggregate
+    * that the oracle needs anyway.
+    */
+  def kmvOverlap(
+      df: DataFrame, value: Column, inA: Column, inB: Column,
+      k: Int = 64): DataFrame = {
+    val base = df.select(value.as("v"), inA.as("ina"), inB.as("inb"))
+      .filter(col("v").isNotNull && (col("ina") || col("inb")))
+      .withColumn("hv", hash60(col("v")))
+    val sketches = base.agg(
+      KmvAggregate.kmv(when(col("ina"), col("hv")), k).as("ska"),
+      KmvAggregate.kmv(when(col("inb"), col("hv")), k).as("skb"))
+    val merged = sketches.select(
+      col("ska"), col("skb"),
+      array_sort(array_distinct(concat(col("ska"), col("skb")))).as("cat"))
+      .select(col("ska"), col("skb"),
+        slice(col("cat"), 1, k).as("sku")) // k smallest of the union
+    val exact = base.groupBy("v")
+      .agg(max("ina").as("a"), max("inb").as("b"))
+      .agg(sum(when(col("a") && col("b"), 1L).otherwise(0L))
+        .as("exact_intersection"))
+    merged.crossJoin(broadcast(exact)).select(
+      kmvEstimate(col("ska"), k).as("est_a"),
+      kmvEstimate(col("skb"), k).as("est_b"),
+      kmvEstimate(col("sku"), k).as("est_union"),
+      floor(
+        size(array_intersect(array_intersect(col("sku"), col("ska")), col("skb")))
+          .cast("double")
+          * kmvEstimate(col("sku"), k) / size(col("sku")))
+        .cast("long").as("est_intersection"),
+      // est_int / est_union collapses to the sample ratio |U∩A∩B| / |U|
+      round(
+        size(array_intersect(array_intersect(col("sku"), col("ska")), col("skb")))
+          .cast("double") / size(col("sku")), 6).as("jaccard"),
+      col("exact_intersection"))
+  }
+
   /** Count-min-sketch frequency estimation, certified against exact
     * counts: build a d×w CMS over `keyCol` (bucket hashes are md5-derived
     * and engine-reproducible, like every hash here), then answer the top

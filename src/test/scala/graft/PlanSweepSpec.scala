@@ -108,7 +108,9 @@ class PlanSweepSpec extends SparkSpec {
     // 1-row group-totals broadcast onto the O(distinct values) CDF table
     "stat_ks",
     // 1-row quantile-bounds + 1-row slice-totals broadcasts
-    "feat_psi")
+    "feat_psi",
+    // 1-row sketch frame x 1-row exact-certificate broadcast
+    "sketch_kmv_overlap")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

@@ -90,4 +90,34 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got.values.forall(_ == 4L))
   }
+
+  test("kmvOverlap: exact below k — sketches are the complete sets") {
+    import org.apache.spark.sql.functions.col
+    // A = {1..5}, B = {4..8}: union 8, intersection {4,5} = 2
+    val df = ((1L to 5L).map(v => (v, true, (4L to 8L).contains(v)))
+      ++ Seq(6L, 7L, 8L).map(v => (v, false, true))).toDF("v", "a", "b")
+    val r = Sketches.kmvOverlap(df, col("v"), col("a"), col("b")).head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L) // est_a, est_b
+    assert(r.getLong(2) == 8L) // est_union
+    assert(r.getLong(3) == 2L) // est_intersection == exact below k
+    assert(r.getDouble(4) == 0.25) // jaccard 2/8
+    assert(r.getLong(5) == 2L) // exact certificate
+  }
+
+  test("kmvOverlap: estimate tracks a known overlap within the KMV envelope") {
+    import org.apache.spark.sql.functions.col
+    // |A| = 300, |B| = 300, overlap 150 -> union 450, jaccard 1/3
+    val df = ((1L to 300L).map(v => (v, true, v > 150L))
+      ++ (301L to 450L).map(v => (v, false, true))).toDF("v", "a", "b")
+    val r = Sketches.kmvOverlap(df, col("v"), col("a"), col("b"), k = 128)
+      .head()
+    assert(r.getLong(5) == 150L, "exact certificate")
+    // KMV relative error ~ 1/sqrt(k-1) ≈ 8.9% at k=128; ~3 sigma bounds
+    // (hashes are deterministic, so this pins a concrete draw: 516/181)
+    assert(math.abs(r.getLong(2) - 450L) < 450 * 0.30, s"union ${r.getLong(2)}")
+    assert(math.abs(r.getLong(3) - 150L) < 150 * 0.45,
+      s"intersection ${r.getLong(3)}")
+    assert(r.getDouble(4) > 0.2 && r.getDouble(4) < 0.5,
+      s"jaccard ${r.getDouble(4)}")
+  }
 }
