@@ -176,6 +176,12 @@ object Hdf5Netcdf {
     Vector.fill(rank)(b.getLong())
   }
 
+  /** Lenient: returns whatever class the bytes declare. Supported-class
+    * enforcement happens at the point of use — datasets require atomic
+    * int/float, attribute VALUES of other classes (vlen/reference/compound
+    * — netCDF-4's DIMENSION_LIST/REFERENCE_LIST bookkeeping) are skipped,
+    * since the grid view matches variables by NAME and never needs them.
+    */
   private def parseDatatype(bb: ByteBuffer): Dtype = {
     val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     val classAndVersion = b.get().toInt & 0xFF
@@ -183,9 +189,6 @@ object Hdf5Netcdf {
     val bits0 = b.get().toInt & 0xFF
     b.get(); b.get() // bit fields 8-23
     val size = b.getInt()
-    require(clazz == 0 || clazz == 1 || clazz == 3,
-      s"HDF5 datatype class $clazz unsupported (atomic int/float/string " +
-        "only — compound/vlen/reference types need an external codec)")
     Dtype(clazz, size, littleEndian = (bits0 & 1) == 0)
   }
 
@@ -213,9 +216,11 @@ object Hdf5Netcdf {
 
   /** Attribute message v1/v2/v3 -> (name, value). String values decode to
     * String, numeric scalars/vectors to Vector[Double] — the same attr
-    * surface [[NetcdfClassic]] exposes.
+    * surface [[NetcdfClassic]] exposes. Unsupported value classes
+    * (vlen/reference/compound — netCDF-4 dimension-scale bookkeeping)
+    * yield None: the name is known, the value skipped.
     */
-  private def parseAttribute(bb: ByteBuffer): (String, Any) = {
+  private def parseAttribute(bb: ByteBuffer): (String, Option[Any]) = {
     val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     val version = b.get().toInt
     require(version >= 1 && version <= 3,
@@ -240,13 +245,14 @@ object Hdf5Netcdf {
     val dims = parseDataspace(
       ByteBuffer.wrap(dsBytes).order(ByteOrder.LITTLE_ENDIAN))
     val nElems = dims.product.max(1L).toInt
-    val value: Any = dtype.clazz match {
+    val value: Option[Any] = dtype.clazz match {
       case 3 =>
         val sb = new Array[Byte](dtype.size * nElems)
         b.get(sb)
-        new String(sb.takeWhile(_ != 0), "UTF-8")
-      case _ =>
-        Vector.fill(nElems)(readElem(b, dtype))
+        Some(new String(sb.takeWhile(_ != 0), "UTF-8"))
+      case 0 | 1 =>
+        Some(Vector.fill(nElems)(readElem(b, dtype)))
+      case _ => None // vlen/reference/compound bookkeeping attr: skip
     }
     (name, value)
   }
@@ -273,14 +279,26 @@ object Hdf5Netcdf {
     val msgs = readMessages(r, addr)
     require(!msgs.exists(_._1 == 0x000B),
       s"dataset $name: HDF5 filter pipeline (compression) unsupported")
+    require(!msgs.exists(_._1 == 0x0015),
+      s"dataset $name: dense (fractal-heap) attribute storage unsupported " +
+        "— attributes like CF units would be silently invisible, so fail " +
+        "loudly instead")
     val dims = msgs.find(_._1 == 0x0001).map(m => parseDataspace(m._2))
       .getOrElse(throw new IllegalArgumentException(s"$name: no dataspace"))
     val dtype = msgs.find(_._1 == 0x0003).map(m => parseDatatype(m._2))
       .getOrElse(throw new IllegalArgumentException(s"$name: no datatype"))
+    require(dtype.clazz == 0 || dtype.clazz == 1,
+      s"dataset $name: HDF5 datatype class ${dtype.clazz} unsupported " +
+        "(atomic int/float data only — compound/vlen/reference types " +
+        "need an external codec)")
     val (dataAddr, dataSize, compact) = msgs.find(_._1 == 0x0008)
       .map(m => parseLayout(m._2))
       .getOrElse(throw new IllegalArgumentException(s"$name: no data layout"))
-    val atts = msgs.filter(_._1 == 0x000C).map(m => parseAttribute(m._2)).toMap
+    val atts: Map[String, Any] = msgs.filter(_._1 == 0x000C)
+      .flatMap { m =>
+        val (n, v) = parseAttribute(m._2)
+        v.map(x => (n, x)).toSeq
+      }.toMap
     Dataset(name, dims, dtype, dataAddr, dataSize, compact, atts)
   }
 
@@ -496,7 +514,8 @@ object Hdf5Netcdf {
       path: String, timesMicros: Array[Long], leadtimes: Array[Int],
       yc: Array[Double], xc: Array[Double],
       mean: Array[Double], stddev: Array[Double],
-      floatData: Boolean = false, fillValue: Option[Double] = None): Unit = {
+      floatData: Boolean = false, fillValue: Option[Double] = None,
+      bookkeepingAttrs: Boolean = false): Unit = {
     val nt = timesMicros.length
     val (nl, ny, nx) = (leadtimes.length, yc.length, xc.length)
     require(mean.length == nt * nl * ny * nx && stddev.length == mean.length)
@@ -528,6 +547,13 @@ object Hdf5Netcdf {
     val unitsB = unitsStr.getBytes("UTF-8") :+ 0.toByte
     val fillAttr = fillValue.toSeq.map(f =>
       attr("_FillValue", dtFloat64, dataspace(Nil), new Le().f64(f).bytes))
+    // mimic netCDF-4's dimension-scale bookkeeping: a reference-class
+    // (class 7) attribute the reader must SKIP, not choke on
+    val refAttr =
+      if (!bookkeepingAttrs) Nil
+      else Seq(attr("REFERENCE_LIST",
+        new Le().u8(0x17).u8(0).u8(0).u8(0).u32(8L).bytes, // v1 class 7
+        dataspace(Nil), new Le().u64(0L).bytes))
 
     // one object header per dataset; layout message body rewritten once
     // data offsets are known (fixed 18-byte body => stable header size)
@@ -540,9 +566,9 @@ object Hdf5Netcdf {
       Spec("yc", Seq(ny.toLong), dtFloat64, 8, Nil),
       Spec("xc", Seq(nx.toLong), dtFloat64, 8, Nil),
       Spec("sic_mean", Seq(nt.toLong, nl.toLong, ny.toLong, nx.toLong),
-        dtData, dataEs, fillAttr),
+        dtData, dataEs, fillAttr ++ refAttr),
       Spec("sic_stddev", Seq(nt.toLong, nl.toLong, ny.toLong, nx.toLong),
-        dtData, dataEs, fillAttr))
+        dtData, dataEs, fillAttr ++ refAttr))
 
     def layoutMsg(addr: Long, size: Long): Array[Byte] =
       message(0x0008, new Le().u8(3).u8(1).u64(addr).u64(size).bytes)

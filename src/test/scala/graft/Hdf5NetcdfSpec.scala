@@ -132,6 +132,18 @@ class Hdf5NetcdfSpec extends SparkSpec {
       s"got: ${e2.getMessage}")
   }
 
+  test("reference-class bookkeeping attrs (DIMENSION_LIST-style) are skipped") {
+    // real netCDF-4 files attach vlen/reference attributes for dimension
+    // scales; the reader matches variables by name and must decode THROUGH
+    // them, not choke on the unsupported value type
+    val p = tmpDir("h5ref") + "/fc.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev,
+      fillValue = Some(-999.0), bookkeepingAttrs = true)
+    val df = readDf(p)
+    assert(df.count() == nT * nL * nY * nX)
+    assert(df.filter(col("sic_mean").isNull).count() == nT * nL)
+  }
+
   test("CF time units ride the same conversion as the classic codec") {
     val p = tmpDir("h5units") + "/fc.nc"
     Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev)
