@@ -770,8 +770,11 @@ object Dedup {
     * certifies zero misses.
     *
     * Scale: candidates join on the RAREST grams (df-ascending order), so
-    * bucket sizes are small by construction rather than by a cap; the
-    * worst case — a clique of identical docs — is output-sensitive
+    * bucket sizes are small by construction rather than by a cap, and the
+    * PPJoin length + positional filters prune candidates IN the join
+    * condition before the pair distinct (measured 20.8 → ~10 s steady at
+    * sf1, dropping the 10×-data ratio from 6.2× to ~3.4×); the worst
+    * case — a clique of identical docs — is output-sensitive
     * (candidates ~ true pairs, which are themselves quadratic in the
     * clique). Verification touches candidate pairs only. The df join and
     * per-doc rank ride the gram/doc exchanges; both prefix sides are
@@ -810,10 +813,27 @@ object Dedup {
         byDoc.orderBy(col("gdf").asc, col("g").asc)))
       .withColumn("sz", count(lit(1)).over(byDoc))
       .filter(col("pos") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
-      .select(col("doc_id"), col("g"))
+      .select(col("doc_id"), col("g"), col("pos"), col("sz"))
+    // PPJoin's two candidate-side prunes, both exact-recall:
+    //  - length filter: J(x,y) >= t forces t·|x| <= |y| (and symmetric);
+    //  - positional filter: a truly-similar pair needs overlap
+    //    alpha = t/(1+t)·(|x|+|y|), and at the pair's FIRST shared prefix
+    //    gram (positions px, py) at most 1 + min(|x|-px, |y|-py) common
+    //    grams can still exist — that first-gram row always passes for a
+    //    true pair, so pair-level distinct keeps exact recall even though
+    //    later shared-gram rows may be pruned.
+    // Both bounds are relaxed by 1e-9 so float rounding can only ADMIT a
+    // boundary candidate (the exact verify below decides), never drop one.
+    val eps = 1e-9
+    val alpha = lit(minJaccard / (1 + minJaccard)) *
+      (col("a.sz") + col("b.sz")) - eps
     val cand = pref.hint("merge").as("a")
       .join(pref.hint("merge").as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") >= lit(minJaccard) * col("b.sz") - eps &&
+          col("b.sz") >= lit(minJaccard) * col("a.sz") - eps &&
+          (lit(1) + least(col("a.sz") - col("a.pos"),
+            col("b.sz") - col("b.pos"))) >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact verify against per-doc gram-hash ARRAYS, built once on the
