@@ -2,19 +2,16 @@ package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Pure-JVM decoder for the CONTIGUOUS, UNCOMPRESSED slice of
-  * NetCDF-4/HDF5 — the bounded bite of the one remaining input-surface gap
+/** Pure-JVM decoder for NetCDF-4/HDF5 — the remaining input-surface gap
   * (SURVEY.md S2): the reference pins both `netCDF4` and `h5netcdf`
   * (azfunctions/requirements.txt:3-4,9), and modern xarray writes
   * HDF5-container NetCDF by default, so a day-one user's `.nc` is as
-  * likely HDF5 as classic. The full format needs a library (chunk B-trees,
-  * deflate, fractal heaps); the slice a fixed-shape uncompressed tensor
-  * file actually occupies — superblock v0, symbol-table root group,
-  * version-1 object headers, contiguous (or compact) dataset layout,
-  * atomic int/float types — is public-spec (HDF5 File Format Specification
-  * v2.x, the format's normative public document) and closed-form
-  * decodable with the same positioned ranged-read discipline as
-  * [[NetcdfClassic]] / [[GridFile]].
+  * likely HDF5 as classic. Decoded from the public HDF5 File Format
+  * Specification v2.x (the format's normative public document) with the
+  * same positioned ranged-read discipline as [[NetcdfClassic]] /
+  * [[GridFile]]; the deflate codec is the JDK's own
+  * `java.util.zip.Inflater`, so even compressed files need no external
+  * library.
   *
   * In scope (decoded):
   *  - superblock version 0 at offset 0 (libhdf5's default write format),
@@ -25,13 +22,20 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - version-1 object headers incl. continuation blocks;
   *  - dataspace v1/v2, datatype classes 0 (fixed-point) and 1 (IEEE
   *    float) in either byte order (class 3 strings inside attributes);
-  *  - data layout v3 class 1 (contiguous) and class 0 (compact);
+  *  - data layout v3: class 1 (contiguous), class 0 (compact), AND
+  *    class 2 (chunked — what unlimited-dim or compressed netCDF-4
+  *    variables use): v1 chunk B-trees (node type 1, interior levels
+  *    recursed), per-chunk filter masks, full-size zero-padded edge
+  *    chunks, hyperslab reads that fetch only intersecting chunks;
+  *  - filter pipelines v1/v2: deflate (JDK Inflater), shuffle
+  *    (byte-plane transpose), fletcher32 (verified with HDF5's
+  *    H5_checksum_fletcher32 algorithm, corrupt chunks fail loudly) —
+  *    i.e. netCDF4's default shuffle+deflate compression decodes;
   *  - attribute messages v1/v2/v3 (CF `units` on time, `_FillValue`).
   * Rejected LOUDLY, never misread: superblock v1+ ("latest format"
-  * files), v2 object headers (`OHDR`), chunked layout (class 2 — what
-  * unlimited-dim or deflate-compressed netCDF-4 variables use), filter
-  * pipelines, non-atomic data types. The error text names the feature so
-  * the user knows re-saving uncompressed/fixed-shape fixes it.
+  * files), v2 object headers (`OHDR`), other filters (szip/nbit/
+  * scaleoffset), non-atomic data types. The error text names the
+  * feature so the user knows what to re-save without.
   *
   * The grid view mirrors [[NetcdfClassic]]: datasets named
   * `time`/`leadtime`/`yc`/`xc` + `sic_mean`/`sic_stddev` (legacy
@@ -62,10 +66,20 @@ object Hdf5Netcdf {
   private[sources] case class Dtype(
       clazz: Int, size: Int, littleEndian: Boolean)
 
+  /** Data layout v3, all three storage classes. `Chunked.dims` carries the
+    * layout message's rank+1 chunk dimensions (the trailing entry is the
+    * element size, per spec); `filters` is the write-order pipeline.
+    */
+  private[sources] sealed trait Layout
+  private[sources] case class Compact(data: Array[Byte]) extends Layout
+  private[sources] case class Contiguous(addr: Long, size: Long) extends Layout
+  private[sources] case class Chunked(
+      btree: Long, dims: Vector[Long],
+      filters: Vector[(Int, Vector[Int])]) extends Layout
+
   private[sources] case class Dataset(
       name: String, dims: Vector[Long], dtype: Dtype,
-      dataAddr: Long, dataSize: Long, compact: Option[Array[Byte]],
-      atts: Map[String, Any])
+      layout: Layout, atts: Map[String, Any])
 
   // --------------------------------------------------------------- file I/O
 
@@ -192,8 +206,11 @@ object Hdf5Netcdf {
     Dtype(clazz, size, littleEndian = (bits0 & 1) == 0)
   }
 
-  /** Layout v3: contiguous -> (addr, size, None); compact -> inline bytes. */
-  private def parseLayout(bb: ByteBuffer): (Long, Long, Option[Array[Byte]]) = {
+  /** Layout v3: compact inline bytes, contiguous (addr, size), or chunked
+    * (v1 B-tree address + rank+1 chunk dims, elem size last). Filters are
+    * attached by the caller from the separate pipeline message.
+    */
+  private def parseLayout(bb: ByteBuffer): Layout = {
     val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     val version = b.get().toInt
     require(version == 3,
@@ -203,15 +220,131 @@ object Hdf5Netcdf {
         val n = b.getShort().toInt & 0xFFFF
         val data = new Array[Byte](n)
         b.get(data)
-        (Undef, n.toLong, Some(data))
+        Compact(data)
       case 1 => // contiguous
-        (b.getLong(), b.getLong(), None)
-      case 2 => throw new IllegalArgumentException(
-        "HDF5 chunked layout unsupported: chunked/compressed NetCDF-4 " +
-          "(unlimited dims or deflate) needs an external codec — re-save " +
-          "with fixed dims and no compression to read here")
+        Contiguous(b.getLong(), b.getLong())
+      case 2 => // chunked: dimensionality(1), btree addr(8), dims (4 each)
+        val ndims = b.get().toInt & 0xFF
+        val btree = b.getLong()
+        val dims = Vector.fill(ndims)(b.getInt().toLong & 0xFFFFFFFFL)
+        Chunked(btree, dims, Vector.empty)
       case c => throw new IllegalArgumentException(s"HDF5 layout class $c")
     }
+  }
+
+  /** Filter pipeline message (0x000B), v1 or v2 — the write-order list of
+    * (filter id, client data). Decoding supports deflate (1, via the
+    * JDK's Inflater), shuffle (2), and fletcher32 (3, verified); any other
+    * id fails loudly at defilter time naming the id.
+    */
+  private def parseFilters(bb: ByteBuffer): Vector[(Int, Vector[Int])] = {
+    val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    val version = b.get().toInt
+    require(version == 1 || version == 2,
+      s"HDF5 filter pipeline version $version unsupported")
+    val nf = b.get().toInt & 0xFF
+    if (version == 1) { b.getShort(); b.getInt() } // reserved
+    Vector.fill(nf) {
+      val id = b.getShort().toInt & 0xFFFF
+      val nameLen =
+        if (version == 2 && id < 256) 0 else b.getShort().toInt & 0xFFFF
+      b.getShort() // flags (bit 0 = optional; skipping is per-chunk mask)
+      val ncd = b.getShort().toInt & 0xFFFF
+      if (nameLen > 0) {
+        val padded = if (version == 1) (nameLen + 7) / 8 * 8 else nameLen
+        b.position(b.position() + padded)
+      }
+      val client = Vector.fill(ncd)(b.getInt())
+      if (version == 1 && ncd % 2 == 1) b.getInt() // pad to 8
+      (id, client)
+    }
+  }
+
+  /** HDF5's fletcher-32 (H5checksum `H5_checksum_fletcher32`): 16-bit
+    * big-endian word assembly, sums folded mod 0xFFFF, odd tail byte
+    * high-shifted. Returned as the unsigned 32-bit (sum2 << 16 | sum1).
+    */
+  private[sources] def fletcher32(data: Array[Byte], len: Int): Long = {
+    var sum1 = 0L; var sum2 = 0L
+    var idx = 0
+    var words = len / 2
+    while (words > 0) {
+      val tlen = math.min(words, 360).toInt
+      words -= tlen
+      var t = tlen
+      while (t > 0) {
+        sum1 += (((data(idx) & 0xFF) << 8) | (data(idx + 1) & 0xFF)).toLong
+        sum2 += sum1
+        idx += 2; t -= 1
+      }
+      sum1 = (sum1 & 0xFFFF) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >>> 16)
+    }
+    if ((len & 1) == 1) {
+      sum1 += ((data(len - 1) & 0xFF) << 8).toLong
+      sum2 += sum1
+      sum1 = (sum1 & 0xFFFF) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >>> 16)
+    }
+    sum1 = (sum1 & 0xFFFF) + (sum1 >>> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >>> 16)
+    ((sum2 << 16) | sum1) & 0xFFFFFFFFL
+  }
+
+  /** Undoes the filter pipeline on one raw chunk (reverse write order;
+    * `mask` bit i set = filter i was skipped for this chunk). `outBytes`
+    * is the full-size chunk byte count (edge chunks are stored full-size).
+    */
+  private[sources] def defilter(
+      raw: Array[Byte], filters: Vector[(Int, Vector[Int])], mask: Int,
+      elemSize: Int, outBytes: Int): Array[Byte] = {
+    var data = raw
+    var i = filters.size - 1
+    while (i >= 0) {
+      if ((mask & (1 << i)) == 0) filters(i)._1 match {
+        case 1 => // deflate
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(data)
+          val out = new Array[Byte](outBytes)
+          var off = 0
+          while (!inf.finished() && off < outBytes) {
+            val n = inf.inflate(out, off, outBytes - off)
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+              throw new IllegalArgumentException(
+                "HDF5 deflate chunk truncated or corrupt")
+            off += n
+          }
+          inf.end()
+          require(off == outBytes,
+            s"HDF5 deflate chunk inflated to $off of $outBytes bytes")
+          data = out
+        case 2 => // shuffle: stored as byte planes, one per element byte
+          val n = data.length / elemSize
+          val out = new Array[Byte](data.length)
+          var j = 0
+          while (j < elemSize) {
+            var k = 0
+            while (k < n) { out(k * elemSize + j) = data(j * n + k); k += 1 }
+            j += 1
+          }
+          data = out
+        case 3 => // fletcher32: 4-byte little-endian checksum appended
+          val stored = ((data(data.length - 4) & 0xFFL)) |
+            ((data(data.length - 3) & 0xFFL) << 8) |
+            ((data(data.length - 2) & 0xFFL) << 16) |
+            ((data(data.length - 1) & 0xFFL) << 24)
+          val calc = fletcher32(data, data.length - 4)
+          require(calc == stored,
+            f"HDF5 fletcher32 checksum mismatch: stored $stored%08x " +
+              f"computed $calc%08x — chunk is corrupt")
+          data = java.util.Arrays.copyOf(data, data.length - 4)
+        case other => throw new IllegalArgumentException(
+          s"HDF5 filter id $other unsupported (deflate/shuffle/fletcher32 " +
+            "only — szip/nbit/scaleoffset need an external codec)")
+      }
+      i -= 1
+    }
+    data
   }
 
   /** Attribute message v1/v2/v3 -> (name, value). String values decode to
@@ -277,8 +410,6 @@ object Hdf5Netcdf {
   /** Parses one dataset's object header into a [[Dataset]]. */
   private def readDataset(r: Reader, name: String, addr: Long): Dataset = {
     val msgs = readMessages(r, addr)
-    require(!msgs.exists(_._1 == 0x000B),
-      s"dataset $name: HDF5 filter pipeline (compression) unsupported")
     require(!msgs.exists(_._1 == 0x0015),
       s"dataset $name: dense (fractal-heap) attribute storage unsupported " +
         "— attributes like CF units would be silently invisible, so fail " +
@@ -291,16 +422,145 @@ object Hdf5Netcdf {
       s"dataset $name: HDF5 datatype class ${dtype.clazz} unsupported " +
         "(atomic int/float data only — compound/vlen/reference types " +
         "need an external codec)")
-    val (dataAddr, dataSize, compact) = msgs.find(_._1 == 0x0008)
-      .map(m => parseLayout(m._2))
+    val filters = msgs.find(_._1 == 0x000B).map(m => parseFilters(m._2))
+      .getOrElse(Vector.empty)
+    val layout = msgs.find(_._1 == 0x0008).map(m => parseLayout(m._2))
       .getOrElse(throw new IllegalArgumentException(s"$name: no data layout"))
+      match {
+        case c: Chunked => c.copy(filters = filters)
+        case other =>
+          require(filters.isEmpty,
+            s"dataset $name: filter pipeline on non-chunked layout")
+          other
+      }
     val atts: Map[String, Any] = msgs.filter(_._1 == 0x000C)
       .flatMap { m =>
         val (n, v) = parseAttribute(m._2)
         v.map(x => (n, x)).toSeq
       }.toMap
-    Dataset(name, dims, dtype, dataAddr, dataSize, compact, atts)
+    Dataset(name, dims, dtype, layout, atts)
   }
+
+  // ------------------------------------------------------------ chunk index
+
+  /** One stored chunk: N-D element offsets (rank entries, the spec's
+    * trailing element-size offset dropped), stored byte count, per-chunk
+    * filter mask, file address.
+    */
+  private case class ChunkEntry(
+      offs: Vector[Long], nbytes: Int, mask: Int, addr: Long)
+
+  /** Walks the dataset's v1 B-tree (node type 1, raw data chunks) and
+    * returns every chunk entry. Interior levels recurse through child
+    * nodes; `ndims` is the layout message's rank+1 dimensionality.
+    */
+  private def chunkEntries(
+      r: Reader, btree: Long, ndims: Int): Vector[ChunkEntry] = {
+    val keySize = 8 + 8 * ndims
+    def walk(addr: Long): Vector[ChunkEntry] = {
+      val head = r.fetch(addr, 24)
+      val sig = new Array[Byte](4); head.get(sig)
+      require(sig.sameElements("TREE".getBytes),
+        "bad HDF5 chunk B-tree signature")
+      val nodeType = head.get().toInt
+      require(nodeType == 1, s"HDF5 B-tree node type $nodeType (chunk walk)")
+      val level = head.get().toInt
+      val n = head.getShort().toInt & 0xFFFF
+      // skip left/right sibling (8+8), then n key/child pairs + final key
+      val body = r.fetch(addr + 24L, n * (keySize + 8) + keySize)
+      val entries = Vector.fill(n) {
+        val nbytes = body.getInt()
+        val mask = body.getInt()
+        val offs = Vector.fill(ndims)(body.getLong())
+        val child = body.getLong()
+        ChunkEntry(offs.dropRight(1), nbytes, mask, child)
+      }
+      if (level == 0) entries else entries.flatMap(e => walk(e.addr))
+    }
+    walk(btree)
+  }
+
+  /** Reads the hyperslab `[start, start+count)` of a chunked dataset:
+    * fetches only the chunks that intersect the box, defilters each
+    * (deflate/shuffle/fletcher32), and scatters the intersection into the
+    * row-major output. Edge chunks are stored full-size (zero-padded by
+    * the writer), per spec. I/O is O(intersecting chunk bytes), preserving
+    * the per-slice read bound the DSv2 planner relies on.
+    */
+  private def readChunked(
+      r: Reader, d: Dataset, ch: Chunked,
+      start: Vector[Long], count: Vector[Long]): Array[Double] = {
+    val rank = d.dims.size
+    val cdims = ch.dims.dropRight(1) // trailing entry is element size
+    require(cdims.size == rank,
+      s"${d.name}: chunk rank ${cdims.size} != dataspace rank $rank")
+    val es = d.dtype.size
+    val chunkBytes = (cdims.product * es).toInt
+    def strides(dims: Vector[Long]): Vector[Long] =
+      dims.scanRight(1L)(_ * _).tail
+    val dstStride = strides(count)
+    val srcStride = strides(cdims)
+    val out = new Array[Double](count.product.toInt)
+    for (e <- chunkEntries(r, ch.btree, ch.dims.size)) {
+      val lo = Vector.tabulate(rank)(i => math.max(e.offs(i), start(i)))
+      val hi = Vector.tabulate(rank)(i =>
+        math.min(e.offs(i) + cdims(i), start(i) + count(i)))
+      if ((0 until rank).forall(i => lo(i) < hi(i))) {
+        val raw = new Array[Byte](e.nbytes)
+        r.fetch(e.addr, e.nbytes).get(raw)
+        val data = defilter(raw, ch.filters, e.mask, es, chunkBytes)
+        val bb = ByteBuffer.wrap(data).order(
+          if (d.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN
+          else ByteOrder.BIG_ENDIAN)
+        // odometer over dims 0..rank-2; inner run over the last dim
+        val runLen = (hi(rank - 1) - lo(rank - 1)).toInt
+        val idx = lo.toArray
+        var done = false
+        while (!done) {
+          var srcBase = 0L; var dstBase = 0L
+          var i = 0
+          while (i < rank - 1) {
+            srcBase += (idx(i) - e.offs(i)) * srcStride(i)
+            dstBase += (idx(i) - start(i)) * dstStride(i)
+            i += 1
+          }
+          srcBase += lo(rank - 1) - e.offs(rank - 1)
+          dstBase += lo(rank - 1) - start(rank - 1)
+          var k = 0
+          while (k < runLen) {
+            out((dstBase + k).toInt) =
+              elemAt(bb, ((srcBase + k) * es).toInt, d.dtype)
+            k += 1
+          }
+          // advance the odometer (dims rank-2 down to 0)
+          var dim = rank - 2
+          var carried = true
+          while (carried && dim >= 0) {
+            idx(dim) += 1
+            if (idx(dim) < hi(dim)) carried = false
+            else { idx(dim) = lo(dim); dim -= 1 }
+          }
+          if (carried) done = true // rank-1 box: single run
+        }
+      }
+    }
+    out
+  }
+
+  /** Random-access element decode at a byte offset (buffer order must
+    * already match the dtype's endianness).
+    */
+  private def elemAt(bb: ByteBuffer, off: Int, dt: Dtype): Double =
+    (dt.clazz, dt.size) match {
+      case (0, 1) => bb.get(off).toDouble
+      case (0, 2) => bb.getShort(off).toDouble
+      case (0, 4) => bb.getInt(off).toDouble
+      case (0, 8) => bb.getLong(off).toDouble
+      case (1, 4) => bb.getFloat(off).toDouble
+      case (1, 8) => bb.getDouble(off)
+      case (c, s) => throw new IllegalArgumentException(
+        s"HDF5 element type class=$c size=$s unsupported")
+    }
 
   // ---------------------------------------------------------- group listing
 
@@ -413,19 +673,31 @@ object Hdf5Netcdf {
         val (n, addr) = required(root, names)
         readDataset(r, n, addr)
       }
-      def values(d: Dataset, from: Long, count: Int): Array[Double] = {
-        val es = d.dtype.size
-        val bb = d.compact match {
-          case Some(bytes) =>
-            ByteBuffer.wrap(bytes, (from * es).toInt, count * es)
-              .slice().order(ByteOrder.LITTLE_ENDIAN)
-          case None =>
-            require(d.dataAddr != Undef,
-              s"${d.name}: no data allocated")
-            r.fetch(d.dataAddr + from * es, count * es)
+      // hyperslab read; the non-chunked layouts only ever see dense boxes
+      // (a fixed leading index + full trailing dims, or a 1-D range), so
+      // they reduce to one positioned linear read
+      def box(
+          d: Dataset, start: Vector[Long], count: Vector[Long]): Array[Double] =
+        d.layout match {
+          case ch: Chunked => readChunked(r, d, ch, start, count)
+          case other =>
+            val strides = d.dims.scanRight(1L)(_ * _).tail
+            val from = (start zip strides).map { case (s, st) => s * st }.sum
+            val n = count.product.toInt
+            val es = d.dtype.size
+            val bb = other match {
+              case Compact(bytes) =>
+                ByteBuffer.wrap(bytes, (from * es).toInt, n * es)
+                  .slice().order(ByteOrder.LITTLE_ENDIAN)
+              case Contiguous(addr, _) =>
+                require(addr != Undef, s"${d.name}: no data allocated")
+                r.fetch(addr + from * es, n * es)
+              case _: Chunked => throw new IllegalStateException("unreachable")
+            }
+            Array.fill(n)(readElem(bb, d.dtype))
         }
-        Array.fill(count)(readElem(bb, d.dtype))
-      }
+      def values(d: Dataset, from: Long, count: Int): Array[Double] =
+        box(d, Vector(from), Vector(count.toLong))
       val timeDs = coord("time")
       val nt = timeDs.dims.head.toInt
       require(timeIdx >= 0 && timeIdx < nt,
@@ -446,7 +718,8 @@ object Hdf5Netcdf {
         require(d.dims == Vector(nt.toLong, nl.toLong, ny.toLong, nx.toLong),
           s"${d.name} dims ${d.dims} != (time, leadtime, yc, xc) = " +
             s"($nt, $nl, $ny, $nx); transposed layouts unsupported")
-        val out = values(d, timeIdx.toLong * sliceVals, sliceVals)
+        val out = box(d, Vector(timeIdx.toLong, 0L, 0L, 0L),
+          Vector(1L, nl.toLong, ny.toLong, nx.toLong))
         d.atts.get("_FillValue") match {
           case Some(fv: Vector[_]) if fv.nonEmpty =>
             val f = fv.head.asInstanceOf[Double]
@@ -506,16 +779,28 @@ object Hdf5Netcdf {
     * the IceNet tensor layout — the fixture/spec writer for the decoder
     * above, exercising exactly the in-scope feature set: superblock v0,
     * symbol-table root group (B-tree + SNOD + local heap), v1 object
-    * headers, contiguous layouts, v1 attributes (CF time units,
-    * `_FillValue`). `floatData` stores the tensors as IEEE f32 (the real
-    * files' type); time is f64 CF seconds so unit conversion is exercised.
+    * headers, contiguous OR chunked+filtered layouts, v1 attributes (CF
+    * time units, `_FillValue`). `floatData` stores the tensors as IEEE f32
+    * (the real files' type); time is f64 CF seconds so unit conversion is
+    * exercised.
+    *
+    * `chunkX` chunks the two 4-D variables as (1, nl, ny, chunkX) — one
+    * chunk row per time step, split along x (a partial edge chunk when
+    * chunkX does not divide nx, stored full-size zero-padded per spec).
+    * `filters` is the write-order pipeline applied to those chunks:
+    * 1 = deflate, 2 = shuffle, 3 = fletcher32 (netCDF4's default
+    * compression is shuffle+deflate, i.e. `Seq(2, 1)`). Unknown ids are
+    * LISTED in the pipeline message but not applied — the hook the
+    * rejection spec uses to prove unsupported filters fail loudly.
+    * Filters force chunking (chunkX defaults to nx).
     */
   def write(
       path: String, timesMicros: Array[Long], leadtimes: Array[Int],
       yc: Array[Double], xc: Array[Double],
       mean: Array[Double], stddev: Array[Double],
       floatData: Boolean = false, fillValue: Option[Double] = None,
-      bookkeepingAttrs: Boolean = false): Unit = {
+      bookkeepingAttrs: Boolean = false,
+      chunkX: Option[Int] = None, filters: Seq[Int] = Nil): Unit = {
     val nt = timesMicros.length
     val (nl, ny, nx) = (leadtimes.length, yc.length, xc.length)
     require(mean.length == nt * nl * ny * nx && stddev.length == mean.length)
@@ -570,13 +855,132 @@ object Hdf5Netcdf {
       Spec("sic_stddev", Seq(nt.toLong, nl.toLong, ny.toLong, nx.toLong),
         dtData, dataEs, fillAttr ++ refAttr))
 
+    // ---- per-spec raw data (row-major, fill-masked, final byte form) ----
+    def series(s: Spec): Int => Double = s.name match {
+      case "time" => i => timesMicros(i) / 1e6
+      case "leadtime" => i => leadtimes(i).toDouble
+      case "yc" => i => yc(i)
+      case "xc" => i => xc(i)
+      case "sic_mean" => i => mean(i)
+      case "sic_stddev" => i => stddev(i)
+    }
+    def rawFor(s: Spec): Array[Byte] = {
+      val le = new Le()
+      val f = series(s)
+      val n = s.dims.product.toInt
+      var i = 0
+      while (i < n) {
+        val v = f(i)
+        val masked = fillValue match {
+          case Some(fl) if v.isNaN && s.name.startsWith("sic_") => fl
+          case _ => v
+        }
+        if (s.es == 4 && s.name == "leadtime") le.u32(masked.toLong)
+        else if (s.es == 4) le.f32(masked.toFloat)
+        else le.f64(masked)
+        i += 1
+      }
+      le.bytes
+    }
+
+    // ---- chunking + filter application (the two 4-D vars only) ----
+    val chunkedNames: Set[String] =
+      if (chunkX.isDefined || filters.nonEmpty) Set("sic_mean", "sic_stddev")
+      else Set.empty
+    val cx = chunkX.getOrElse(nx)
+    def applyFilters(full: Array[Byte]): Array[Byte] = {
+      var data = full
+      filters.foreach {
+        case 2 => // shuffle into byte planes
+          val n = data.length / dataEs
+          val out = new Array[Byte](data.length)
+          var j = 0
+          while (j < dataEs) {
+            var k = 0
+            while (k < n) { out(j * n + k) = data(k * dataEs + j); k += 1 }
+            j += 1
+          }
+          data = out
+        case 1 => // deflate
+          val d = new java.util.zip.Deflater(6)
+          d.setInput(data); d.finish()
+          val buf = new Array[Byte](data.length + 64)
+          val bos = new java.io.ByteArrayOutputStream()
+          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+          d.end()
+          data = bos.toByteArray
+        case 3 => // fletcher32: append little-endian checksum
+          val c = fletcher32(data, data.length)
+          data = data ++ Array[Byte](c.toByte, (c >>> 8).toByte,
+            (c >>> 16).toByte, (c >>> 24).toByte)
+        case _ => () // unknown id: listed in the message, never applied
+      }
+      data
+    }
+    case class ChunkBlob(offs: Vector[Long], bytes: Array[Byte])
+    def chunksFor(s: Spec, raw: Array[Byte]): Seq[ChunkBlob] = {
+      val chunkElems = nl * ny * cx
+      for (t <- 0 until nt; x0 <- 0 until nx by cx) yield {
+        val full = new Array[Byte](chunkElems * s.es)
+        var p = 0
+        for (l <- 0 until nl; y <- 0 until ny; xi <- 0 until cx) {
+          val x = x0 + xi
+          if (x < nx) { // partial edge chunk: zero-padded to full size
+            val src = (((t * nl + l) * ny + y) * nx + x) * s.es
+            System.arraycopy(raw, src, full, p, s.es)
+          }
+          p += s.es
+        }
+        ChunkBlob(Vector(t.toLong, 0L, 0L, x0.toLong, 0L),
+          applyFilters(full))
+      }
+    }
+
+    // ---- messages ----
     def layoutMsg(addr: Long, size: Long): Array[Byte] =
       message(0x0008, new Le().u8(3).u8(1).u64(addr).u64(size).bytes)
-    def header(s: Spec, addr: Long, size: Long): Array[Byte] =
+    def chunkedLayoutMsg(btreeAddr: Long): Array[Byte] = {
+      val le = new Le().u8(3).u8(2).u8(5).u64(btreeAddr)
+      Seq(1, nl, ny, cx, dataEs).foreach(d => le.u32(d.toLong))
+      message(0x0008, le.bytes)
+    }
+    def filterMsg: Array[Byte] = {
+      val le = new Le().u8(1).u8(filters.size).u16(0).u32(0)
+      filters.foreach { id =>
+        val cd: Seq[Long] = id match {
+          case 1 => Seq(6L) // deflate level
+          case 2 => Seq(dataEs.toLong) // shuffle element size
+          case _ => Nil
+        }
+        le.u16(id).u16(0).u16(0).u16(cd.size)
+        cd.foreach(le.u32)
+        if (cd.size % 2 == 1) le.u32(0) // pad to 8
+      }
+      message(0x000B, le.bytes)
+    }
+    def header(s: Spec, addr: Long, size: Long): Array[Byte] = {
+      val layout =
+        if (chunkedNames(s.name))
+          Seq(chunkedLayoutMsg(addr)) ++
+            (if (filters.nonEmpty) Seq(filterMsg) else Nil)
+        else Seq(layoutMsg(addr, size))
       objectHeader(Seq(
         message(0x0001, dataspace(s.dims)),
-        message(0x0003, s.dt),
-        layoutMsg(addr, size)) ++ s.extraAtts)
+        message(0x0003, s.dt)) ++ layout ++ s.extraAtts)
+    }
+    def btreeNode(entries: Seq[(ChunkBlob, Long)]): Array[Byte] = {
+      val le = new Le().raw("TREE".getBytes).u8(1).u8(0).u16(entries.size)
+        .u64(Undef).u64(Undef)
+      entries.foreach { case (b, addr) =>
+        le.u32(b.bytes.length.toLong).u32(0L) // size, filter mask
+        b.offs.foreach(le.u64)
+        le.u64(addr)
+      }
+      // final key: offsets just past the addressed region
+      le.u32(0L).u32(0L)
+      Seq(nt.toLong, nl.toLong, ny.toLong, nx.toLong, 0L).foreach(le.u64)
+      le.bytes
+    }
 
     // ---- lay out the file ----
     val sbSize = 96L
@@ -598,13 +1002,27 @@ object Hdf5Netcdf {
     val snodSize = 8L + specs.size * 40L
     var cursor = snodAddr + snodSize
     val ohAddrs = specs.map { s =>
-      val len = header(s, 0L, 0L).length // layout body is fixed-size
+      val len = header(s, 0L, 0L).length // layout bodies are fixed-size
       val a = cursor; cursor += len; s.name -> a
     }.toMap
     cursor = (cursor + 7) / 8 * 8
-    val dataAddrs = specs.map { s =>
+    val raws = specs.map(s => s.name -> rawFor(s)).toMap
+    // contiguous vars: one data segment; chunked vars: blobs then B-tree
+    val contiguousAddrs = specs.filterNot(s => chunkedNames(s.name)).map { s =>
       val bytes = s.dims.product * s.es
       val a = cursor; cursor += (bytes + 7) / 8 * 8; s.name -> (a, bytes)
+    }.toMap
+    val chunkPlacement = specs.filter(s => chunkedNames(s.name)).map { s =>
+      val blobs = chunksFor(s, raws(s.name))
+      val placed = blobs.map { b =>
+        val a = cursor
+        cursor += (b.bytes.length + 7) / 8 * 8
+        (b, a)
+      }
+      val bt = cursor
+      cursor += btreeNode(placed).length
+      cursor = (cursor + 7) / 8 * 8
+      s.name -> (placed, bt)
     }.toMap
     val eof = cursor
 
@@ -633,35 +1051,23 @@ object Hdf5Netcdf {
       out.u64(nameOffsets(n)).u64(ohAddrs(n)).u32(0).u32(0)
         .u64(0L).u64(0L) // scratch
     }
-    // dataset object headers with final data addresses
+    // dataset object headers with final data / B-tree addresses
     specs.foreach { s =>
-      val (addr, bytes) = dataAddrs(s.name)
-      out.raw(header(s, addr, bytes))
+      if (chunkedNames(s.name)) out.raw(header(s, chunkPlacement(s.name)._2, 0L))
+      else {
+        val (addr, bytes) = contiguousAddrs(s.name)
+        out.raw(header(s, addr, bytes))
+      }
     }
     out.pad(8)
-    // data segments
-    def enc(s: Spec, v: Double): Unit = {
-      val masked = fillValue match {
-        case Some(f) if v.isNaN && s.name.startsWith("sic_") => f
-        case _ => v
-      }
-      if (s.es == 4 && s.name == "leadtime") out.u32(masked.toLong)
-      else if (s.es == 4) out.f32(masked.toFloat)
-      else out.f64(masked)
+    // data segments / chunk blobs / chunk B-trees, in placement order
+    specs.filterNot(s => chunkedNames(s.name)).foreach { s =>
+      out.raw(raws(s.name)).pad(8)
     }
-    def series(s: Spec): Int => Double = s.name match {
-      case "time" => i => timesMicros(i) / 1e6
-      case "leadtime" => i => leadtimes(i).toDouble
-      case "yc" => i => yc(i)
-      case "xc" => i => xc(i)
-      case "sic_mean" => i => mean(i)
-      case "sic_stddev" => i => stddev(i)
-    }
-    specs.foreach { s =>
-      val n = s.dims.product.toInt
-      val f = series(s)
-      (0 until n).foreach(i => enc(s, f(i)))
-      out.pad(8)
+    specs.filter(s => chunkedNames(s.name)).foreach { s =>
+      val (placed, _) = chunkPlacement(s.name)
+      placed.foreach { case (b, _) => out.raw(b.bytes).pad(8) }
+      out.raw(btreeNode(placed)).pad(8)
     }
     require(out.size.toLong == eof, s"writer layout drift: ${out.size} != $eof")
 

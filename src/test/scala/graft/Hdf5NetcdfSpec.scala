@@ -144,6 +144,85 @@ class Hdf5NetcdfSpec extends SparkSpec {
     assert(df.filter(col("sic_mean").isNull).count() == nT * nL)
   }
 
+  // -------------------------------------------------- chunked + filters
+
+  test("chunked layout with a partial edge chunk decodes identically") {
+    // cx=2 over nx=3 -> two chunks per (time) row, the second partial
+    // (stored full-size zero-padded per spec); B-tree walked, not guessed
+    val dir = tmpDir("h5chunk")
+    Hdf5Netcdf.write(s"$dir/a.nc", times, leads, yc, xc, mean, stddev)
+    Hdf5Netcdf.write(s"$dir/b.nc", times, leads, yc, xc, mean, stddev,
+      chunkX = Some(2))
+    val a = readDf(s"$dir/a.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    val b = readDf(s"$dir/b.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("shuffle+deflate (netCDF4's default compression) round-trips") {
+    val p = tmpDir("h5defl") + "/fc.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev,
+      floatData = true, fillValue = Some(-999.0),
+      chunkX = Some(2), filters = Seq(2, 1))
+    val df = readDf(p)
+    assert(df.count() == nT * nL * nY * nX)
+    assert(df.filter(col("sic_mean").isNull).count() == nT * nL) // NaN cells
+    val r = df.filter(col("leadtime") === 2 && col("yc") === 100.0 &&
+      col("xc") === 225.0 &&
+      col("time") === Timestamp.valueOf("2020-06-08 00:00:00")).head()
+    assert(math.abs(r.getAs[Double]("sic_mean") -
+      (0.2 + 0.01 + 0.0 + 0.0001).toFloat) < 1e-9)
+  }
+
+  test("fletcher32 checksums verify on read; a corrupted chunk fails loudly") {
+    val dir = tmpDir("h5fl")
+    val p = s"$dir/fc.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev,
+      chunkX = Some(2), filters = Seq(2, 1, 3))
+    assert(readDf(p).count() == nT * nL * nY * nX) // checksums pass
+    // locate the first raw-data chunk via its B-tree (node type 1) and
+    // flip one payload byte — the reader must refuse, not misread
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val treeAt = (0 until bytes.length - 8).find(i =>
+      bytes(i) == 'T' && bytes(i + 1) == 'R' && bytes(i + 2) == 'E' &&
+        bytes(i + 3) == 'E' && bytes(i + 4) == 1).get
+    val chunkAddr = bb.getLong(treeAt + 24 + 48) // past head + first key
+    val corrupted = bytes.clone()
+    corrupted(chunkAddr.toInt + 3) = (corrupted(chunkAddr.toInt + 3) ^ 0x5A).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.nc"), corrupted)
+    val e = intercept[Exception] { readDf(s"$dir/bad.nc").collect() }
+    assert(Option(e.getMessage).exists(_.contains("fletcher32")),
+      s"got: ${e.getMessage}")
+  }
+
+  test("unsupported filter ids are rejected loudly, naming the id") {
+    val p = tmpDir("h5szip") + "/fc.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev,
+      filters = Seq(4)) // szip: listed in the pipeline, never applied
+    val e = intercept[Exception] { readDf(p).collect() }
+    assert(Option(e.getMessage).exists(m =>
+      m.contains("filter id 4") && m.contains("external codec")),
+      s"got: ${e.getMessage}")
+  }
+
+  test("chunked reads stay O(slice): untouched variables' chunks unread") {
+    val dir = tmpDir("h5chunkseek")
+    val t4 = Array.tabulate(4)(i => us(f"2022-01-0${i + 1} 00:00:00"))
+    val vals = Array.tabulate(4 * nL * nY * nX)(_.toDouble)
+    Hdf5Netcdf.write(s"$dir/big.nc", t4, leads, yc, xc, vals, vals.map(_ / 10),
+      chunkX = Some(2), filters = Seq(2, 1))
+    val rawDataBytes = 2L * vals.length * 8
+    val before = Hdf5Netcdf.bytesRead.get()
+    val s = readDf(s"$dir/big.nc").agg(sum("sic_mean")).head().getDouble(0)
+    assert(s == vals.sum)
+    val delta = Hdf5Netcdf.bytesRead.get() - before
+    // deflated mean chunks + its B-tree + metadata; stddev chunks never
+    val metaOverhead = 4 * 4096L
+    assert(delta < rawDataBytes / 2 + metaOverhead,
+      s"read $delta bytes; one variable's raw share is ${rawDataBytes / 2}")
+  }
+
   test("CF time units ride the same conversion as the classic codec") {
     val p = tmpDir("h5units") + "/fc.nc"
     Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev)
