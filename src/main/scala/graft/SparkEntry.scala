@@ -579,6 +579,14 @@ object SparkEntry {
           (year(col("o_orderdate").cast("date")) === 1995).as("a"),
           (year(col("o_orderdate").cast("date")) === 1996).as("b")),
         col("o_custkey"), col("a"), col("b"))),
+    "sketch_sample_quantile" -> ((s, dir) =>
+      // mergeable quantile sketch: per-priority p50/p90 from a bottom-k-
+      // by-hash uniform sample (O(k) state), 'ALL' row merged FROM the
+      // per-group samples, exact rank-selected percentiles alongside as
+      // the certificate — sample membership, selection, and merge are
+      // all hash-deterministic, so DuckDB certifies bit-for-bit
+      graft.ops.Sketches.quantileSketch(Tables.orders(s, dir),
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))),
     "graph_triangles" -> ((s, dir) =>
       // degree-oriented STRONG-TIE triangle census (support >= 2): the
       // noise-pruned rendering — the support filter at the first aggregate
@@ -1881,6 +1889,60 @@ object SparkEntry {
         |  round(CAST(cx.cnt AS DOUBLE) / eu.m, 6) AS jaccard,
         |  ex.exact_intersection
         |FROM ea, eb, eu, cx, ex""".stripMargin,
+    "sketch_sample_quantile" -> // the identical bottom-k-by-hash sample
+      // (same md5-derived 60-bit hashes, same (hv, v) order), the merged
+      // ALL sample rebuilt from the per-group samples exactly as Spark
+      // merges them, and the same rank-selection arithmetic — estimate,
+      // merge, and exact certificate all bit-for-bit
+      """WITH base AS (SELECT o_orderpriority AS grp,
+        |                CAST(o_totalprice AS DOUBLE) AS v,
+        |                CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+        |                     1, 15) AS BIGINT) AS hv
+        |              FROM orders),
+        |kept AS (SELECT grp, v, hv FROM
+        |           (SELECT grp, v, hv, row_number() OVER
+        |              (PARTITION BY grp ORDER BY hv, v) AS srn FROM base)
+        |         WHERE srn <= 64),
+        |merged AS (SELECT 'ALL' AS grp, v, hv FROM
+        |             (SELECT v, hv, row_number() OVER
+        |                (ORDER BY hv, v) AS srn FROM kept)
+        |           WHERE srn <= 64),
+        |allsamp AS (SELECT grp, v FROM kept
+        |            UNION ALL SELECT grp, v FROM merged),
+        |sel AS (SELECT grp, v,
+        |          row_number() OVER (PARTITION BY grp ORDER BY v) AS vrn,
+        |          count(*) OVER (PARTITION BY grp) AS m
+        |        FROM allsamp),
+        |est AS (SELECT grp, max(m) AS m,
+        |          round(min(CASE WHEN vrn = CEIL(0.5 * m) THEN v END), 2)
+        |            AS est_p50,
+        |          round(min(CASE WHEN vrn = CEIL(0.9 * m) THEN v END), 2)
+        |            AS est_p90
+        |        FROM sel GROUP BY 1),
+        |counts AS (SELECT grp, count(*) AS n_rows FROM base GROUP BY 1
+        |           UNION ALL SELECT 'ALL', count(*) FROM base),
+        |ex AS (SELECT grp, v,
+        |         row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+        |         count(*) OVER (PARTITION BY grp) AS n
+        |       FROM base),
+        |exact_per AS (SELECT grp,
+        |         round(min(CASE WHEN rn = CEIL(0.5 * n) THEN v END), 2)
+        |           AS exact_p50,
+        |         round(min(CASE WHEN rn = CEIL(0.9 * n) THEN v END), 2)
+        |           AS exact_p90
+        |       FROM ex GROUP BY 1),
+        |exact_all AS (SELECT * FROM exact_per
+        |  UNION ALL
+        |  SELECT 'ALL' AS grp,
+        |    round(min(CASE WHEN rn = CEIL(0.5 * n) THEN v END), 2),
+        |    round(min(CASE WHEN rn = CEIL(0.9 * n) THEN v END), 2)
+        |  FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |          count(*) OVER () AS n FROM base))
+        |SELECT e.grp, c.n_rows, e.m, e.est_p50, e.est_p90,
+        |       x.exact_p50, x.exact_p90
+        |FROM est e JOIN counts c ON e.grp = c.grp
+        |JOIN exact_all x ON e.grp = x.grp
+        |ORDER BY e.grp""".stripMargin,
     "sketch_kmv_distinct" -> // same KMV sketch from the same 60-bit hashes;
       // the ALL row here is computed over all hashes directly, certifying
       // the Spark side's sketch-MERGE path against first principles

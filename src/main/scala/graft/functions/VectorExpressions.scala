@@ -153,5 +153,14 @@ object VectorFunctions {
         }
         KmvAggregate(exprs(0), k).toAggregateExpression()
       }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sample_k", exprs => {
+        val k = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_sample_k k must be an integer literal, got $other")
+        }
+        SampleKAggregate(exprs(0), exprs(1), k).toAggregateExpression()
+      }, "built-in")
   }
 }

@@ -181,4 +181,74 @@ object Sketches {
       .groupBy("key", "exact_cnt")
       .agg(min(col("cnt")).as("est_cnt"))
   }
+
+  /** Quantile sketch from a mergeable bottom-k-by-hash uniform sample
+    * ([[graft.functions.SampleKAggregate]]) — the third leg of the sketch
+    * triad (distinct = KMV, frequency = CMS, quantiles = this): per-group
+    * median/p90 estimates from O(k) state, plus a merged `'ALL'` row whose
+    * sample is re-aggregated FROM the per-group samples (explode +
+    * sample_k), never from the raw data — valid because the groups
+    * partition the rows, so bottom-k of the concatenated per-group
+    * bottom-k IS the global bottom-k.
+    *
+    * The estimate is rank selection on the sample: value at rank
+    * ceil(q·m) with the m sampled values sorted ascending — no
+    * interpolation, so the estimate is a DATA value and the whole path
+    * (hash, sample membership, selection) is engine-exact; the DuckDB
+    * oracle reproduces sample and estimate bit-for-bit. With n ≤ k the
+    * sample is the whole group and the estimate is exact. Exact
+    * percentiles ride alongside as the certification columns (per-group
+    * via a grouped window; global via the [[graft.operators
+    * .GlobalRowNumber]] range exchange, not a one-partition window).
+    *
+    * Why it matters at 100 TB: percentiles need rank information that
+    * plain aggregation can't carry; the exact path is a full sort. The
+    * sample keeps O(k) state per group through partial aggregation (the
+    * shuffle carries O(groups × k)), re-merges across any rollup level,
+    * and its rank error is O(n/√k) w.h.p. — the standard
+    * uniform-sample quantile bound.
+    */
+  def quantileSketch(
+      df: DataFrame, grp: Column, id: Column, value: Column,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.SampleKAggregate
+    val base = df.select(grp.as("grp"), value.cast("double").as("v"),
+      hash60(id).as("hv"))
+    val per = base.groupBy("grp").agg(
+      SampleKAggregate.sampleK(col("hv"), col("v"), k).as("sample"),
+      count(lit(1)).as("n_rows"))
+    val mergedSample = per.select(explode(col("sample")).as("p"))
+      .agg(SampleKAggregate.sampleK(col("p.hv"), col("p.v"), k).as("sample"))
+    val globalN = base.agg(count(lit(1)).as("n_rows"))
+    val withSample = per.select(col("grp"), col("sample"), col("n_rows"))
+      .unionByName(mergedSample.crossJoin(broadcast(globalN))
+        .select(lit("ALL").as("grp"), col("sample"), col("n_rows")))
+    def est(q: Double): Column = {
+      val vs = array_sort(expr("transform(sample, x -> x.v)"))
+      round(element_at(vs, ceil(lit(q) * size(vs)).cast("int")), 2)
+    }
+    val estDf = withSample.select(col("grp"), col("n_rows"),
+      size(col("sample")).cast("long").as("m"),
+      est(0.5).as("est_p50"), est(0.9).as("est_p90"))
+    // certification columns: exact rank-selected percentiles
+    def pick(q: Double, rn: Column, n: Column): Column =
+      round(min(when(rn === ceil(n * q), col("v"))), 2)
+    val rankedPer = base
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("grp").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+    val exactPer = rankedPer.groupBy("grp").agg(
+      pick(0.5, col("rn"), col("n")).as("exact_p50"),
+      pick(0.9, col("rn"), col("n")).as("exact_p90"))
+    val rankedAll = graft.operators.GlobalRowNumber
+      .withGlobalRowNumber(base.select(col("v")), "rn", Seq(col("v")))
+      .crossJoin(broadcast(globalN))
+    val exactAll = rankedAll.agg(
+      pick(0.5, col("rn"), col("n_rows")).as("exact_p50"),
+      pick(0.9, col("rn"), col("n_rows")).as("exact_p90"))
+      .select(lit("ALL").as("grp"), col("exact_p50"), col("exact_p90"))
+    estDf.join(exactPer.unionByName(exactAll), Seq("grp"))
+      .orderBy("grp")
+  }
 }

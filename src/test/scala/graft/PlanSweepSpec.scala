@@ -110,7 +110,11 @@ class PlanSweepSpec extends SparkSpec {
     // 1-row quantile-bounds + 1-row slice-totals broadcasts
     "feat_psi",
     // 1-row sketch frame x 1-row exact-certificate broadcast
-    "sketch_kmv_overlap")
+    "sketch_kmv_overlap",
+    // two 1-row broadcasts: the global row-count onto the (single-row)
+    // merged ALL sample, and the same count onto the GlobalRowNumber-
+    // ranked exact-certificate scan — both bounded attachments
+    "sketch_sample_quantile")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

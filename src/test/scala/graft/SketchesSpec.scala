@@ -120,4 +120,69 @@ class SketchesSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.2 && r.getDouble(4) < 0.5,
       s"jaccard ${r.getDouble(4)}")
   }
+
+  // ------------------------------------------------ sample-quantile sketch
+
+  private def quantileFixture = (1 to 3).flatMap { g =>
+    (1 to 500).map(i => (s"g$g", (g * 1000 + i).toLong, i.toDouble * g))
+  }.toDF("grp", "id", "v")
+
+  test("quantileSketch: groups of n <= k are exact (sample = whole group)") {
+    val df = (1 to 2).flatMap { g =>
+      (1 to 40).map(i => (s"g$g", (g * 100 + i).toLong, i.toDouble))
+    }.toDF("grp", "id", "v")
+    val out = Sketches.quantileSketch(df, col("grp"), col("id"), col("v"),
+      k = 64).collect().map(r => r.getString(0) -> r).toMap
+    // n=40 < k=64: est == exact for every group
+    Seq("g1", "g2").foreach { g =>
+      assert(out(g).getAs[Double]("est_p50") == out(g).getAs[Double]("exact_p50"))
+      assert(out(g).getAs[Double]("est_p90") == out(g).getAs[Double]("exact_p90"))
+      assert(out(g).getAs[Long]("m") == 40L)
+    }
+    // ALL row: 80 rows > k -> sampled, but still within the group range
+    assert(out("ALL").getAs[Long]("n_rows") == 80L)
+    assert(out("ALL").getAs[Long]("m") == 64L)
+  }
+
+  test("quantileSketch: estimates land within the uniform-sample rank bound") {
+    val out = Sketches.quantileSketch(quantileFixture,
+      col("grp"), col("id"), col("v"), k = 64).collect()
+    out.filter(_.getString(0) != "ALL").foreach { r =>
+      // rank error of a k=64 uniform sample at ~3 sigma: |F(est)-q| <
+      // 3/(2*sqrt(k)) ≈ 0.19; values are i*g over i=1..500, so the value
+      // at quantile q is ~ q*500*g and F(est) = est/(500*g)
+      val scale = r.getString(0).drop(1).toInt.toDouble
+      val f50 = r.getAs[Double]("est_p50") / (500.0 * scale)
+      val f90 = r.getAs[Double]("est_p90") / (500.0 * scale)
+      assert(math.abs(f50 - 0.5) < 0.19, s"${r.getString(0)} p50 at $f50")
+      assert(math.abs(f90 - 0.9) < 0.19, s"${r.getString(0)} p90 at $f90")
+    }
+  }
+
+  test("quantileSketch: the ALL sample merged from group samples equals " +
+    "the direct global bottom-k (merge property)") {
+    import graft.functions.SampleKAggregate
+    val base = quantileFixture.select(col("grp"), col("v").cast("double").as("v"),
+      Sketches.hash60(col("id")).as("hv"))
+    val direct = base
+      .agg(SampleKAggregate.sampleK(col("hv"), col("v"), 64).as("s"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    val merged = base.groupBy("grp")
+      .agg(SampleKAggregate.sampleK(col("hv"), col("v"), 64).as("s"))
+      .select(explode(col("s")).as("p"))
+      .agg(SampleKAggregate.sampleK(col("p.hv"), col("p.v"), 64).as("s"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(direct == merged)
+  }
+
+  test("graft_sample_k is registered for SQL users") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    df.createOrReplaceTempView("skq")
+    val arr = spark.sql("SELECT graft_sample_k(id, v, 5) AS s FROM skq")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    // bottom-5 by the "hash" column, sorted ascending
+    assert(arr.map(_.getLong(0)) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(arr.map(_.getDouble(1)) == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+  }
 }
