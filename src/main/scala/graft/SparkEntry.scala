@@ -1898,7 +1898,9 @@ object SparkEntry {
         |                CAST(o_totalprice AS DOUBLE) AS v,
         |                CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
         |                     1, 15) AS BIGINT) AS hv
-        |              FROM orders),
+        |              FROM orders
+        |              WHERE o_totalprice IS NOT NULL
+        |                AND o_orderkey IS NOT NULL),
         |kept AS (SELECT grp, v, hv FROM
         |           (SELECT grp, v, hv, row_number() OVER
         |              (PARTITION BY grp ORDER BY hv, v) AS srn FROM base)

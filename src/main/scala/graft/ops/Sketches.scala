@@ -213,8 +213,12 @@ object Sketches {
       k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.SampleKAggregate
-    val base = df.select(grp.as("grp"), value.cast("double").as("v"),
-      hash60(id).as("hv"))
+    // null value/id rows are excluded up front (mirrored in the oracle):
+    // Spark windows sort nulls first, DuckDB last, so a null row would
+    // silently shift every rank on one engine only
+    val base = df.filter(value.isNotNull && id.isNotNull)
+      .select(grp.as("grp"), value.cast("double").as("v"),
+        hash60(id).as("hv"))
     val per = base.groupBy("grp").agg(
       SampleKAggregate.sampleK(col("hv"), col("v"), k).as("sample"),
       count(lit(1)).as("n_rows"))

@@ -52,6 +52,37 @@ object EventAggs {
       .groupBy(to_date(col("ts")).as("d"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** Distinct-user KMV sketch per tumbling window — the streaming face of
+    * the mergeable sketch surface ([[graft.ops.Sketches]]): the
+    * [[graft.functions.KmvAggregate]] state rides Structured Streaming's
+    * ordinary stateful aggregation (its serialize/merge IS the state-store
+    * contract), so each window holds O(k) longs regardless of cardinality
+    * and late arrivals just merge in. Because the sketch is a pure
+    * function of the input SET — order- and batching-invariant — a
+    * stream's answer is BIT-IDENTICAL to the batch answer on the same
+    * data (StreamingSpec pins this), and persisted window sketches
+    * re-merge to day/week/all-time rollups without re-reading events:
+    * the "distinct users per hour at 100 TB/day" shape.
+    *
+    * `approx_count_distinct` (see [[approxUserCounts]]) answers the same
+    * question with HLL registers; this variant trades a little accuracy
+    * headroom for exact cross-engine determinism and downstream
+    * re-mergeability of the sketch column itself.
+    */
+  def windowedDistinctSketch(events: DataFrame, k: Int = 64,
+      watermark: String = "1 hour"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.filter(col("user_id").isNotNull)
+      .select(col("ts"), graft.ops.Sketches.hash60(col("user_id")).as("hv"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.KmvAggregate.kmv(col("hv"), k).as("sketch"))
+      .select(col("w.start").as("window_start"),
+        graft.ops.Sketches.kmvEstimate(col("sketch"), k)
+          .as("est_distinct_users"),
+        size(col("sketch")).as("sketch_size"))
+  }
+
   /** Robust daily-volume anomaly detection per event type: median/MAD
     * (median absolute deviation) instead of mean/stddev, so one spike day
     * cannot poison its own baseline. A day is anomalous when its count

@@ -68,6 +68,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinctSketch: stream answer is bit-identical to batch " +
+    "(mergeable state is arrival-order-invariant)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 300).map { i =>
+      // 3 hourly windows, duplicated users (100 distinct per window)
+      (Timestamp.valueOf(f"2024-01-01 ${10 + i % 3}%02d:30:00"),
+        (i % 100).toLong + 1000L * (i % 3))
+    }
+    val batchDf = rows.toDF("ts", "user_id")
+    val batch = EventAggs.windowedDistinctSketch(batchDf, k = 32)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getInt(2)))
+      .toSet
+    val mem = MemoryStream[(Timestamp, Long)]
+    val stream = EventAggs.windowedDistinctSketch(
+      mem.toDF().toDF("ts", "user_id"), k = 32)
+    // complete mode: the memory sink holds exactly the final per-window
+    // state after the last micro-batch — no last-row disambiguation
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("kmvwin").start()
+    try {
+      // deliver in three shuffled slices across separate micro-batches:
+      // same SET, different order and batching
+      val shuffled = rows.reverse
+      mem.addData(shuffled.take(100)); q.processAllAvailable()
+      mem.addData(shuffled.slice(100, 250)); q.processAllAvailable()
+      mem.addData(shuffled.drop(250)); q.processAllAvailable()
+      val streamed = spark.table("kmvwin")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(streamed == batch)
+      // 100 distinct users per window, k=32 -> sketch saturated at 32,
+      // estimate within the KMV envelope
+      assert(batch.forall(_._3 == 32))
+      assert(batch.forall(t => math.abs(t._2 - 100L) < 50))
+    } finally q.stop()
+  }
+
   test("windowedByType batch/stream parity on the events fixture") {
     val batch = EventAggs.windowedByType(Tables.events(spark, "/root/testdata/sf0.001"))
     assert(batch.count() > 0)
