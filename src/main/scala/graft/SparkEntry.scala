@@ -562,6 +562,34 @@ object SparkEntry {
       graft.ops.IncrementalAgg.finalizeDaily(
         graft.ops.IncrementalAgg.mergePartials(Seq(standing, batch)))
     },
+    "incr_join_maintain" -> { (s, dir) =>
+      // incremental maintenance of a JOIN view by the delta rule:
+      // V' = V_old ∪ ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB. Orders split by a
+      // date cut (fact inserts), customers split by key residue (dim
+      // inserts); the maintained view must equal the full-recompute join
+      // (oracle). Both delta sides broadcast — the standing sides are
+      // never shuffled, which is the whole point at 100 TB. Output is the
+      // view's per-segment rollup (decimal-exact sums, the
+      // incr_agg_merge lesson).
+      val cut = lit("1997-01-01").cast("date")
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_price"),
+        col("o_orderdate").cast("date").as("o_date"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val (aOld, aDelta) = (o.filter(col("o_date") < cut),
+        o.filter(col("o_date") >= cut))
+      val (bOld, bDelta) = (c.filter(col("o_custkey") % 7 =!= 0),
+        c.filter(col("o_custkey") % 7 === 0))
+      val standingView = aOld.join(bOld, "o_custkey") // stored in prod
+      val maintained = standingView.unionByName(
+        graft.ops.IncrementalAgg.joinDelta(aOld, aDelta, bOld, bDelta,
+          "o_custkey"))
+      maintained.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_price")).cast("double").as("revenue"))
+    },
     "sketch_kmv_distinct" -> ((s, dir) =>
       // mergeable KMV distinct sketch: per-month estimates + an 'ALL' row
       // built by MERGING the monthly sketches (never re-reading orders) -
@@ -1373,6 +1401,24 @@ object SparkEntry {
         Tables.lineitem(s, dir)
           .withColumn("ship_year", year(col("l_shipdate").cast("date")).cast("long")),
         "ship_year", Seq("l_orderkey", "l_quantity"))),
+    "maint_reconcile" -> { (s, dir) =>
+      // merkle-style replica repair: left = orders as-is; right = a
+      // drifted copy (deletes at k%101, payload edits at k%97, inserts at
+      // k%103 shifted by 10M). Reconcile must recover the EXACT row-level
+      // diff while shuffling only dirty-bucket rows — the oracle computes
+      // the true diff directly, certifying the bucket pruning lost nothing.
+      val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        concat_ws("#", col("o_orderstatus"),
+          col("o_custkey").cast("string")).as("payload"))
+      val kept = base.filter(col("k") % 101 =!= 0)
+        .withColumn("payload", when(col("k") % 97 === 0,
+          concat(col("payload"), lit("!"))).otherwise(col("payload")))
+      val inserts = base.filter(col("k") % 103 === 0)
+        .select((col("k") + lit(10000000L)).as("k"),
+          concat(lit("NEW#"), col("k").cast("string")).as("payload"))
+      graft.ops.Reconcile.reconcile(base, kept.unionByName(inserts),
+        "k", "payload", nBuckets = 256)
+    },
     "text_bm25" -> ((s, dir) =>
       // sparse retrieval: BM25 top-20 against a fixed query-term set
       // (TextAnalysis.bm25 - one doc_id exchange + bounded broadcasts)
@@ -1844,6 +1890,14 @@ object SparkEntry {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |             / count(*), 4) AS avg_order
         |FROM orders
+        |GROUP BY 1""".stripMargin,
+    "incr_join_maintain" -> // full-recompute join: the delta-rule union
+      // must equal it exactly (counts + decimal sums are associative).
+      """SELECT c_mktsegment,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
     "sketch_kmv_overlap" -> // identical sketches from the identical
       // 60-bit hashes, estimator recomputed from first principles — the
@@ -3678,6 +3732,25 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       o_orderpriority
         |FROM orders""".stripMargin,
+    "maint_reconcile" -> // the TRUE diff, computed directly — certifies
+      // the bucket-signature pruning dropped no differing key.
+      """WITH l AS (SELECT o_orderkey AS k,
+        |                  o_orderstatus || '#' || CAST(o_custkey AS VARCHAR)
+        |                    AS payload
+        |           FROM orders),
+        |kept AS (SELECT k, CASE WHEN k % 97 = 0 THEN payload || '!'
+        |                        ELSE payload END AS payload
+        |         FROM l WHERE k % 101 <> 0),
+        |ins AS (SELECT k + 10000000 AS k,
+        |               'NEW#' || CAST(k AS VARCHAR) AS payload
+        |        FROM l WHERE k % 103 = 0),
+        |r AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT COALESCE(l.k, r.k) AS k,
+        |       CASE WHEN r.k IS NULL THEN 'D'
+        |            WHEN l.k IS NULL THEN 'I'
+        |            ELSE 'U' END AS op
+        |FROM l FULL JOIN r ON l.k = r.k
+        |WHERE l.k IS NULL OR r.k IS NULL OR l.payload <> r.payload""".stripMargin,
     "j11_range_join" ->
       """WITH ev AS (SELECT event_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
         |            FROM events WHERE ts IS NOT NULL),

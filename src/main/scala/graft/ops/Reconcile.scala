@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Merkle-style replica reconciliation: find the row-level difference
+  * between two copies of a keyed table WITHOUT shuffling either copy in
+  * full. Classic anti-entropy (Dynamo/Cassandra repair, cross-region
+  * lakehouse sync), expressed as three declarative stages:
+  *
+  *   1. Each side folds to an O(nBuckets) signature table — one hash
+  *      aggregate per side, partial-agg collapsed before the exchange, so
+  *      the shuffle carries buckets, not rows.
+  *   2. The two signature tables (tiny) full-outer join; buckets whose
+  *      (row count, digest sum) disagree are "dirty".
+  *   3. Row-level diff runs ONLY over rows hashing into dirty buckets:
+  *      the dirty-bucket list broadcasts, each side is semi-filtered
+  *      before the key-keyed full-outer join, so the diff join shuffles
+  *      O(dirty data), not O(table).
+  *
+  * At 100 TB with 0.1 % drift, stage 3's shuffle is ~100 GB instead of
+  * 200 TB; stages 1–2 are single passes with O(buckets) state. In
+  * production stage 1's signatures would be maintained incrementally (per
+  * ingest batch, the same algebraic-partials discipline as
+  * [[IncrementalAgg]] — digest sums are associative), making repeated
+  * reconciliation O(dirty) only.
+  *
+  * The digest is the first 8 hex digits of md5 (32 bits) summed per
+  * bucket: sums of 32-bit values over any realistic bucket population stay
+  * far below Long overflow, and the (count, sum) pair makes a false-clean
+  * bucket a ~2^-32 deterministic coincidence — acceptable for repair
+  * scheduling, and certified against the exact diff by this table's
+  * oracle. Keys must be unique per side; payload is a caller-rendered
+  * string (engine-stable rendering is the caller's contract).
+  */
+object Reconcile {
+
+  /** 32-bit integer digest of a string column via md5 hex prefix —
+    * deterministic, engine-portable, and cheap (one codegen'd md5). */
+  private def digest32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def withBucket(df: DataFrame, keyCol: String, nBuckets: Int) =
+    df.withColumn("__bucket",
+      pmod(digest32(col(keyCol).cast("string")), lit(nBuckets.toLong)))
+
+  /** Stage 1: per-bucket (row count, digest sum) signature. */
+  def bucketSignatures(
+      df: DataFrame, keyCol: String, payloadCol: String,
+      nBuckets: Int): DataFrame =
+    withBucket(df, keyCol, nBuckets)
+      .withColumn("__d", digest32(concat_ws("|",
+        col(keyCol).cast("string"), col(payloadCol).cast("string"))))
+      .groupBy("__bucket")
+      .agg(count(lit(1)).as("n_rows"), sum("__d").as("sig"))
+
+  /** Stage 2: buckets whose signatures disagree (or exist on one side
+    * only). O(nBuckets) rows in, at most nBuckets out. */
+  def dirtyBuckets(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      payloadCol: String, nBuckets: Int): DataFrame = {
+    val l = bucketSignatures(left, keyCol, payloadCol, nBuckets)
+      .withColumnsRenamed(Map("n_rows" -> "ln", "sig" -> "ls"))
+    val r = bucketSignatures(right, keyCol, payloadCol, nBuckets)
+      .withColumnsRenamed(Map("n_rows" -> "rn", "sig" -> "rs"))
+    l.join(r, Seq("__bucket"), "full_outer")
+      .filter(col("ln").isNull || col("rn").isNull ||
+        col("ln") =!= col("rn") || col("ls") =!= col("rs"))
+      .select("__bucket")
+  }
+
+  /** Stage 3: the row-level diff, computed only over dirty buckets.
+    * Output: (key, op) with op ∈ I (right-only), D (left-only),
+    * U (both, payload differs) — exactly the true diff of the two tables
+    * provided no bucket signature collides (see class doc).
+    */
+  def reconcile(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      payloadCol: String, nBuckets: Int = 1 << 10): DataFrame = {
+    val dirty = dirtyBuckets(left, right, keyCol, payloadCol, nBuckets)
+    def scoped(df: DataFrame) =
+      withBucket(df, keyCol, nBuckets)
+        .join(broadcast(dirty), Seq("__bucket"), "left_semi")
+        .select(col(keyCol), col(payloadCol))
+    val l = scoped(left)
+      .withColumnsRenamed(Map(keyCol -> "__lk", payloadCol -> "__lp"))
+    val r = scoped(right)
+      .withColumnsRenamed(Map(keyCol -> "__rk", payloadCol -> "__rp"))
+    l.join(r, col("__lk") === col("__rk"), "full_outer")
+      .filter(col("__lk").isNull || col("__rk").isNull ||
+        col("__lp") =!= col("__rp"))
+      .select(coalesce(col("__lk"), col("__rk")).as(keyCol),
+        when(col("__rk").isNull, lit("D"))
+          .when(col("__lk").isNull, lit("I"))
+          .otherwise(lit("U")).as("op"))
+  }
+}

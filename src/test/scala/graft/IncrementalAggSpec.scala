@@ -53,4 +53,40 @@ class IncrementalAggSpec extends SparkSpec {
     assert(collectFinal(IncrementalAgg.mergePartials(Seq(base, empty))) ==
       collectFinal(base))
   }
+
+  // ---- joinDelta: insert-only delta rule for a join view ----
+
+  private val factAll = Seq((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c"),
+    (4L, 30, "d"), (5L, 20, "e")).toDF("fid", "k", "ftag")
+  private val dimAll = Seq((10, "X"), (20, "Y"), (40, "Z"))
+    .toDF("k", "dtag")
+
+  private def viewRows(df: DataFrame): Set[(Long, Int, String, String)] =
+    df.select("fid", "k", "ftag", "dtag")
+      .as[(Long, Int, String, String)].collect().toSet
+
+  test("joinDelta: standing view + delta equals the full-recompute join") {
+    val (aOld, aDelta) = (factAll.filter("fid <= 3"), factAll.filter("fid > 3"))
+    val (bOld, bDelta) = (dimAll.filter("k <= 10"), dimAll.filter("k > 10"))
+    val standing = aOld.join(bOld, "k")
+    val maintained = standing.unionByName(
+      IncrementalAgg.joinDelta(aOld, aDelta, bOld, bDelta, "k"))
+    assert(viewRows(maintained) == viewRows(factAll.join(dimAll, "k")))
+  }
+
+  test("joinDelta terms are disjoint: no row is produced twice") {
+    val (aOld, aDelta) = (factAll.filter("fid <= 3"), factAll.filter("fid > 3"))
+    val (bOld, bDelta) = (dimAll.filter("k <= 10"), dimAll.filter("k > 10"))
+    val standing = aOld.join(bOld, "k")
+    val maintained = standing.unionByName(
+      IncrementalAgg.joinDelta(aOld, aDelta, bOld, bDelta, "k"))
+    assert(maintained.count() == factAll.join(dimAll, "k").count())
+  }
+
+  test("joinDelta with empty deltas is empty") {
+    val none = factAll.filter("fid < 0")
+    val noDim = dimAll.filter("k < 0")
+    assert(IncrementalAgg.joinDelta(factAll, none, dimAll, noDim, "k")
+      .count() == 0)
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.Reconcile
+
+/** Merkle-style reconciliation: bucket signatures must flag exactly the
+  * buckets that drifted, and the pruned row-level diff must equal the
+  * true diff of the two tables (no false-clean losses, no phantom ops).
+  */
+class ReconcileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("k", "payload")
+
+  private val left = tbl((1L to 50L).map(k => k -> s"v$k"))
+
+  private def diffSet(df: DataFrame): Set[(Long, String)] =
+    df.as[(Long, String)].collect().toSet
+
+  test("identical replicas: no dirty buckets, empty diff") {
+    assert(Reconcile.dirtyBuckets(left, left, "k", "payload", 16)
+      .count() == 0)
+    assert(Reconcile.reconcile(left, left, "k", "payload", 16).count() == 0)
+  }
+
+  test("recovers the exact I/D/U diff") {
+    // right: delete k=7, update k=12, insert k=99
+    val right = tbl((1L to 50L).filter(_ != 7L)
+      .map(k => k -> (if (k == 12L) "CHANGED" else s"v$k")) :+ (99L -> "new"))
+    val got = diffSet(Reconcile.reconcile(left, right, "k", "payload", 16))
+    assert(got == Set((7L, "D"), (12L, "U"), (99L, "I")))
+  }
+
+  test("dirty buckets are only the buckets containing drifted keys") {
+    val right = tbl((1L to 50L).map(k =>
+      k -> (if (k == 12L) "CHANGED" else s"v$k")))
+    val dirty = Reconcile.dirtyBuckets(left, right, "k", "payload", 16)
+      .as[Long].collect().toSeq
+    assert(dirty.length == 1) // exactly the bucket key 12 hashes into
+  }
+
+  test("diff is invariant to bucket count") {
+    val right = tbl((1L to 50L).filter(_ % 5 != 0).map(k => k -> s"v$k"))
+    val expected = (1L to 50L).filter(_ % 5 == 0).map(k => (k, "D")).toSet
+    for (b <- Seq(1, 4, 64))
+      assert(diffSet(Reconcile.reconcile(left, right, "k", "payload", b))
+        == expected, s"nBuckets=$b")
+  }
+
+  test("signature table is O(buckets), not O(rows)") {
+    val sigs = Reconcile.bucketSignatures(left, "k", "payload", 8)
+    assert(sigs.count() <= 8)
+    assert(sigs.agg(org.apache.spark.sql.functions.sum("n_rows"))
+      .as[Long].head() == 50L)
+  }
+}
