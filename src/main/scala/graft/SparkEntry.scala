@@ -638,6 +638,22 @@ object SparkEntry {
       graft.streaming.EventAggs.slidingByType(Tables.events(s, dir))),
     "stream_daily_rollup" -> ((s, dir) =>
       graft.streaming.EventAggs.dailyUserRollup(Tables.events(s, dir))),
+    "stream_freq_sketch" -> ((s, dir) =>
+      // streaming face of the CMS (frequency leg of the sketch triad):
+      // per-hour-window d×w cell counts — additive state, so the batch
+      // face here is bit-identical to the streamed sketch (StreamingSpec)
+      // and DuckDB rebuilds every cell (j cast long: DuckDB series are
+      // BIGINT)
+      graft.streaming.EventAggs.windowedFrequencySketch(
+        Tables.events(s, dir), d = 4, w = 256)
+        .select(col("window_start"), col("j").cast("long").as("j"),
+          col("bucket"), col("cnt"))),
+    "stream_quantile_sketch" -> ((s, dir) =>
+      // streaming face of the sample-quantile sketch: per-hour-window
+      // bottom-k-by-hash sample, rank-selected p50/p90 — O(k) state per
+      // window, bit-identical stream/batch/DuckDB
+      graft.streaming.EventAggs.windowedQuantileSketch(
+        Tables.events(s, dir), k = 64)),
     "events_json_extract" -> ((s, dir) =>
       graft.streaming.EventAggs.extractProps(Tables.events(s, dir))),
     "events_funnel" -> ((s, dir) =>
@@ -3363,6 +3379,47 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS d, user_id, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_freq_sketch" -> // every CMS cell rebuilt: same md5 buckets,
+      // same hour-floor windows — additive counts are engine-exact
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND ts IS NOT NULL)
+        |SELECT date_trunc('hour', e.ts) AS window_start, t.j,
+        |       CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' ||
+        |            event_type), 1, 8) AS BIGINT) % 256 AS bucket,
+        |       count(*) AS cnt
+        |FROM e CROSS JOIN generate_series(0, 3) t(j)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "stream_quantile_sketch" -> // identical bottom-k-by-hash window
+      // samples (same 60-bit md5 hashes, same (hv, v) order) and the same
+      // rank-selection arithmetic — sample and estimates bit-for-bit
+      """WITH base AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |                  AS window_start,
+        |                CAST(value AS DOUBLE) AS v,
+        |                CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+        |                     1, 15) AS BIGINT) AS hv
+        |              FROM events
+        |              WHERE value IS NOT NULL AND event_id IS NOT NULL
+        |                AND ts IS NOT NULL),
+        |kept AS (SELECT window_start, v FROM
+        |           (SELECT window_start, v, row_number() OVER
+        |              (PARTITION BY window_start ORDER BY hv, v) AS srn
+        |            FROM base)
+        |         WHERE srn <= 64),
+        |sel AS (SELECT window_start, v,
+        |          row_number() OVER (PARTITION BY window_start ORDER BY v)
+        |            AS vrn,
+        |          count(*) OVER (PARTITION BY window_start) AS m
+        |        FROM kept),
+        |counts AS (SELECT window_start, count(*) AS n_rows
+        |           FROM base GROUP BY 1)
+        |SELECT s.window_start, c.n_rows, max(s.m) AS m,
+        |       round(min(CASE WHEN s.vrn = CEIL(0.5 * s.m) THEN s.v END), 2)
+        |         AS est_p50,
+        |       round(min(CASE WHEN s.vrn = CEIL(0.9 * s.m) THEN s.v END), 2)
+        |         AS est_p90
+        |FROM sel s JOIN counts c USING (window_start)
+        |GROUP BY 1, 2""".stripMargin,
     "events_json_extract" ->
       """SELECT event_id, event_type,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k

@@ -83,6 +83,75 @@ object EventAggs {
         size(col("sketch")).as("sketch_size"))
   }
 
+  /** Count-min sketch per tumbling window — the streaming face of the
+    * frequency leg of the sketch triad ([[graft.ops.Sketches
+    * .cmsHeavyHitters]] is the batch face). The sketch is maintained as
+    * an ordinary stateful aggregation over (window, row, bucket) — cell
+    * counts are additive, so partial aggregation, state-store merging,
+    * and late arrivals all compose exactly, and a stream's sketch is
+    * BIT-IDENTICAL to the batch sketch on the same data (order- and
+    * batching-invariant; StreamingSpecs pin it).
+    *
+    * State is O(windows-in-watermark × d × w) cells regardless of key
+    * cardinality — the always-on "what's hot this hour" monitor at
+    * 100 TB/day, where an exact per-key count table would itself be
+    * data-sized. Probe any key's windowed frequency downstream from the
+    * persisted cells: est = min over the d rows of its bucket count
+    * (one-sided, est ≥ exact — see the batch oracle's certificate).
+    *
+    * Bucket hashes are the same md5-derived engine-reproducible family as
+    * every hash in [[graft.ops.Sketches]].
+    */
+  def windowedFrequencySketch(events: DataFrame, keyCol: String = "event_type",
+      d: Int = 4, w: Int = 256, watermark: String = "1 hour"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.filter(col(keyCol).isNotNull)
+      .select(col("ts"),
+        explode(sequence(lit(0), lit(d - 1))).as("j"),
+        col(keyCol).cast("string").as("key"))
+      .select(col("ts"), col("j"),
+        (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("key"))), 1, 8), 16, 10).cast("long") % w).as("bucket"))
+      .groupBy(window(col("ts"), "1 hour").as("wnd"), col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("wnd.start").as("window_start"), col("j"), col("bucket"),
+        col("cnt"))
+  }
+
+  /** Per-window value-quantile sketch — the streaming face of the
+    * quantile leg ([[graft.ops.Sketches.quantileSketch]] is the batch
+    * face): the bottom-k-by-hash uniform sample
+    * ([[graft.functions.SampleKAggregate]]) rides Structured Streaming's
+    * stateful aggregation exactly like the KMV above — its
+    * serialize/merge IS the state-store contract, each window holds O(k)
+    * (hash, value) pairs at any row count, and the sample is a pure
+    * function of the input SET, so stream == batch bit-for-bit and the
+    * persisted window samples re-merge into day/week rollups without
+    * re-reading events.
+    *
+    * The estimate is rank selection on the sorted sample (a data value,
+    * no interpolation); with n ≤ k rows in a window it is exact.
+    */
+  def windowedQuantileSketch(events: DataFrame, k: Int = 64,
+      watermark: String = "1 hour"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    def est(q: Double): Column = {
+      val vs = array_sort(expr("transform(sample, x -> x.v)"))
+      round(element_at(vs, ceil(lit(q) * size(vs)).cast("int")), 2)
+    }
+    src.filter(col("value").isNotNull && col("event_id").isNotNull)
+      .select(col("ts"), col("value").cast("double").as("v"),
+        graft.ops.Sketches.hash60(col("event_id")).as("hv"))
+      .groupBy(window(col("ts"), "1 hour").as("wnd"))
+      .agg(graft.functions.SampleKAggregate.sampleK(col("hv"), col("v"), k)
+        .as("sample"), count(lit(1)).as("n_rows"))
+      .select(col("wnd.start").as("window_start"), col("n_rows"),
+        size(col("sample")).cast("long").as("m"),
+        est(0.5).as("est_p50"), est(0.9).as("est_p90"))
+  }
+
   /** Robust daily-volume anomaly detection per event type: median/MAD
     * (median absolute deviation) instead of mean/stddev, so one spike day
     * cannot poison its own baseline. A day is anomalous when its count

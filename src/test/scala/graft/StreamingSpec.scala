@@ -117,4 +117,82 @@ class StreamingSpec extends SparkSpec {
     // 1h windows sliding by 15m: each event belongs to exactly 4 windows
     assert(sliding.agg(sum("n_events")).head().getLong(0) == 4000L)
   }
+
+  test("windowedFrequencySketch: stream CMS is bit-identical to batch, " +
+    "and probes are one-sided (est >= exact)") {
+    implicit val sqlCtx = spark.sqlContext
+    val types = Seq("click", "view", "error", "purchase")
+    val rows = (1 to 400).map { i =>
+      (Timestamp.valueOf(f"2024-01-01 ${10 + i % 2}%02d:15:00"),
+        types(if (i % 10 < 6) 0 else i % 4)) // Zipf-ish: clicks dominate
+    }
+    val batchDf = rows.toDF("ts", "event_type")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getTimestamp(0).toString, r.getInt(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val batch = cells(EventAggs.windowedFrequencySketch(batchDf, d = 3, w = 32))
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = EventAggs.windowedFrequencySketch(
+      mem.toDF().toDF("ts", "event_type"), d = 3, w = 32)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cmswin").start()
+    try {
+      val shuffled = rows.reverse
+      mem.addData(shuffled.take(150)); q.processAllAvailable()
+      mem.addData(shuffled.drop(150)); q.processAllAvailable()
+      assert(cells(spark.table("cmswin")) == batch)
+    } finally q.stop()
+    // probe each (window, type) from the sketch: est = min over rows j of
+    // its bucket count; must be >= the exact count (one-sided guarantee)
+    val sketch = EventAggs.windowedFrequencySketch(batchDf, d = 3, w = 32)
+      .collect().map(r => ((r.getTimestamp(0).toString, r.getInt(1),
+        r.getLong(2)), r.getLong(3))).toMap
+    def bucket(j: Int, key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 32
+    }
+    val exact = rows.groupBy { case (ts, t) =>
+      (ts.toString.substring(0, 13), t)
+    }.map { case (_, g) => (g.head._1, g.head._2, g.size.toLong) }
+    for ((ts, t, n) <- exact) {
+      val winStart = Timestamp.valueOf(
+        ts.toString.substring(0, 13) + ":00:00").toString
+      val est = (0 until 3).map(j =>
+        sketch.getOrElse((winStart, j, bucket(j, t)), 0L)).min
+      assert(est >= n, s"($winStart, $t): est $est < exact $n")
+    }
+  }
+
+  test("windowedQuantileSketch: stream sample is bit-identical to batch; " +
+    "small windows are exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 120).map { i =>
+      // two hourly windows, 60 values each; values 1..60 per window
+      (Timestamp.valueOf(f"2024-01-01 ${10 + i % 2}%02d:40:00"),
+        (i % 2).toString + "-" + i.toString, (i / 2 % 60 + 1).toDouble)
+    }
+    val batchDf = rows.toDF("ts", "event_id", "value")
+    def out(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getTimestamp(0).toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    val batch = out(EventAggs.windowedQuantileSketch(batchDf, k = 16))
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventAggs.windowedQuantileSketch(
+      mem.toDF().toDF("ts", "event_id", "value"), k = 16)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("qwin").start()
+    try {
+      val shuffled = rows.reverse
+      mem.addData(shuffled.take(40)); q.processAllAvailable()
+      mem.addData(shuffled.slice(40, 90)); q.processAllAvailable()
+      mem.addData(shuffled.drop(90)); q.processAllAvailable()
+      assert(out(spark.table("qwin")) == batch)
+    } finally q.stop()
+    // with k >= n the sample is the whole window and estimates are exact
+    val exact = out(EventAggs.windowedQuantileSketch(batchDf, k = 128))
+    assert(exact.forall { case (_, n, m, p50, p90) =>
+      n == 60L && m == 60L && p50 == 30.0 && p90 == 54.0 })
+  }
 }
