@@ -1417,6 +1417,20 @@ object SparkEntry {
         Tables.lineitem(s, dir)
           .withColumn("ship_year", year(col("l_shipdate").cast("date")).cast("long")),
         "ship_year", Seq("l_orderkey", "l_quantity"))),
+    "hier_rollup" -> { (s, dir) =>
+      // hierarchy analytics without recursive CTEs: parts as a synthetic
+      // binary tree (parent = key div 2), per-node depth + subtree
+      // count/sum via pointer-jumping ancestor closure (O(log depth)
+      // rounds — Hierarchy.scaladoc). DuckDB's recursive CTE is the
+      // oracle; decimal sums keep the rollup engine-exact.
+      val part = Tables.part(s, dir)
+      val nodes = part.select(col("p_partkey").as("node"),
+        col("p_retailprice").cast("decimal(18,2)").as("value"))
+      val edges = part.select(col("p_partkey").as("node"),
+        expr("p_partkey div 2").as("parent")).filter(col("parent") >= 1)
+      graft.ops.Hierarchy.subtreeRollup(nodes, edges)
+        .withColumnRenamed("node", "p_partkey")
+    },
     "maint_reconcile" -> { (s, dir) =>
       // merkle-style replica repair: left = orders as-is; right = a
       // drifted copy (deletes at k%101, payload edits at k%97, inserts at
@@ -3789,6 +3803,27 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       o_orderpriority
         |FROM orders""".stripMargin,
+    "hier_rollup" -> // the recursive CTE Spark lacks: DuckDB walks the
+      // parent pointers directly; the pointer-jumped closure must agree
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS node, p_partkey // 2 AS a,
+        |         CAST(1 AS BIGINT) AS d
+        |  FROM part WHERE p_partkey // 2 >= 1
+        |  UNION ALL
+        |  SELECT node, a // 2, d + 1 FROM anc WHERE a // 2 >= 1
+        |),
+        |pairs AS (SELECT node, a FROM anc
+        |          UNION ALL SELECT p_partkey, p_partkey FROM part),
+        |roll AS (SELECT pairs.a AS node, count(*) AS n_subtree,
+        |                CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2)))
+        |                     AS DOUBLE) AS subtree_value
+        |         FROM pairs JOIN part p ON p.p_partkey = pairs.node
+        |         GROUP BY 1),
+        |dep AS (SELECT node, max(d) AS depth FROM anc GROUP BY 1)
+        |SELECT r.node AS p_partkey, COALESCE(dep.depth, CAST(0 AS BIGINT))
+        |         AS depth,
+        |       r.n_subtree, r.subtree_value
+        |FROM roll r LEFT JOIN dep ON dep.node = r.node""".stripMargin,
     "maint_reconcile" -> // the TRUE diff, computed directly — certifies
       // the bucket-signature pruning dropped no differing key.
       """WITH l AS (SELECT o_orderkey AS k,

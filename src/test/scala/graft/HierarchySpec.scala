@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.Hierarchy
+
+/** Pointer-jumping ancestor closure + subtree rollup: hand-checked trees,
+  * chain depth beyond one doubling round, forests, and the cycle guard.
+  */
+class HierarchySpec extends SparkSpec {
+  import spark.implicits._
+
+  //        1
+  //       / \
+  //      2   3
+  //     / \   \
+  //    4   5   6
+  private val treeEdges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L),
+    (6L, 3L)).toDF("node", "parent")
+  private val treeNodes = (1L to 6L).map(i => (i, BigDecimal(i)))
+    .toDF("node", "value")
+
+  private def closureSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.as[(Long, Long, Long)].collect().toSet
+
+  test("ancestorClosure: every (node, ancestor, distance) pair, nothing else") {
+    val got = closureSet(Hierarchy.ancestorClosure(treeEdges))
+    assert(got == Set((2L, 1L, 1L), (3L, 1L, 1L), (4L, 2L, 1L), (5L, 2L, 1L),
+      (6L, 3L, 1L), (4L, 1L, 2L), (5L, 1L, 2L), (6L, 1L, 2L)))
+  }
+
+  test("subtreeRollup: hand-computed depths, counts, and sums") {
+    val got = Hierarchy.subtreeRollup(treeNodes, treeEdges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((0L, 6L, 21.0))) // whole tree
+    assert(got(2L) == ((1L, 3L, 11.0))) // {2,4,5}
+    assert(got(3L) == ((1L, 2L, 9.0)))  // {3,6}
+    assert(got(4L) == ((2L, 1L, 4.0)))  // leaf
+  }
+
+  test("chain deeper than one doubling round closes completely") {
+    // 1 <- 2 <- ... <- 9: depth 8 needs 3 doubling rounds (2,4,8)
+    val chain = (2L to 9L).map(i => (i, i - 1)).toDF("node", "parent")
+    val got = closureSet(Hierarchy.ancestorClosure(chain))
+    val want = (for { n <- 2L to 9L; a <- 1L until n } yield
+      (n, a, n - a)).toSet
+    assert(got == want)
+  }
+
+  test("forest: disjoint roots roll up independently") {
+    val edges = Seq((2L, 1L), (12L, 11L)).toDF("node", "parent")
+    val nodes = Seq((1L, BigDecimal(1)), (2L, BigDecimal(2)),
+      (11L, BigDecimal(10)), (12L, BigDecimal(20))).toDF("node", "value")
+    val got = Hierarchy.subtreeRollup(nodes, edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((0L, 2L, 3.0)) && got(11L) == ((0L, 2L, 30.0)))
+  }
+
+  test("cycle trips the round cap instead of spinning") {
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("node", "parent")
+    val e = intercept[Exception] {
+      Hierarchy.ancestorClosure(cyc, maxRounds = 3).count()
+    }
+    assert(e.getMessage.contains("cycle") || e.getMessage.contains("maxRounds"))
+  }
+}
