@@ -570,8 +570,11 @@ object SparkEntry {
       // (oracle). Both delta sides broadcast — the standing sides are
       // never shuffled, which is the whole point at 100 TB. Output is the
       // view's per-segment rollup (decimal-exact sums, the
-      // incr_agg_merge lesson).
-      val cut = lit("1997-01-01").cast("date")
+      // incr_agg_merge lesson). The cut sits near the end of the order
+      // range so the delta is a realistic small batch (the broadcast
+      // side must be delta-sized for the plan to hold at scale); the
+      // oracle is the full-recompute join and is cut-independent.
+      val cut = lit("1998-01-01").cast("date")
       val o = Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_custkey"),
         col("o_totalprice").cast("decimal(18,2)").as("o_price"),

@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   * far below Long overflow, and the (count, sum) pair makes a false-clean
   * bucket a ~2^-32 deterministic coincidence — acceptable for repair
   * scheduling, and certified against the exact diff by this table's
-  * oracle. Keys must be unique per side; payload is a caller-rendered
-  * string (engine-stable rendering is the caller's contract).
+  * oracle. Keys must be unique and non-null per side (a null key cannot
+  * equi-join, so it would always report as one D plus one I); payload is
+  * a caller-rendered string (engine-stable rendering is the caller's
+  * contract).
   */
 object Reconcile {
 
