@@ -283,4 +283,34 @@ class PlanGuardSpec extends SparkSpec {
     assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
       "ADC lookup must be a broadcast hash join")
   }
+
+  test("incr_join_maintain: all three delta terms broadcast the delta side") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val p = plan("incr_join_maintain")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    // dA⋈B_old, A_old⋈dB, dA⋈dB each carry an explicit broadcast hint:
+    // the standing sides must never shuffle for the delta terms
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.size >= 3,
+      s"the delta rule's three terms must be broadcast hash joins:\n$p")
+  }
+
+  test("maint_reconcile: dirty-bucket pruning is a broadcast semi join " +
+    "on both sides") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val p = plan("maint_reconcile")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    val semis = collectAll(p) {
+      case b: BroadcastHashJoinExec if b.joinType.sql == "LEFT SEMI" => b
+    }
+    assert(semis.size >= 2,
+      s"each replica must be semi-filtered by the broadcast dirty set:\n$p")
+  }
+
+  test("hier_rollup: closure rounds and rollup stay keyed (no cartesian)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("hier_rollup")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"pointer jumping must plan equi-joins only:\n$p")
+  }
 }
