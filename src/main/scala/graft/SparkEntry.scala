@@ -542,6 +542,12 @@ object SparkEntry {
       // the distributed sum hash-matches DuckDB's bit-for-bit - the
       // cross-engine promise floating-point PageRank cannot make
       graft.ops.Graph.pageRank(Tables.lineitem(s, dir))),
+    "graph_ppr" -> ((s, dir) =>
+      // personalized PageRank: restart mass only on the seed parts
+      // (every 50th) - random-walk-with-restart proximity for
+      // related-item retrieval, same 1e-12 integer fixed point so the
+      // sparse walk hash-matches DuckDB bit-for-bit
+      graft.ops.Graph.personalizedPageRank(Tables.lineitem(s, dir))),
     "q_skyline" -> ((s, dir) =>
       // Pareto frontier on (price min, size max): distinct-x reduction +
       // bucketed prefix-max - never the O(n^2) dominance anti-join the
@@ -1903,6 +1909,42 @@ object SparkEntry {
         |       FROM ed JOIN r2 r ON ed.u = r.node GROUP BY 1),
         |r3 AS (SELECT node, (150000000000 // n) + (c * 85) // 100 AS rk
         |       FROM c3 CROSS JOIN n)
+        |SELECT node, rk AS rank_fp FROM r3
+        |ORDER BY rk DESC, node LIMIT 20""".stripMargin,
+    "graph_ppr" -> // same unrolled integer fixed point, restart mass on
+      // the seed set only; sparse rank table carried via FULL JOIN so an
+      // unreached seed keeps its restart mass
+      """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS u, l_partkey*2+1 AS v
+        |            FROM lineitem),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+        |ed AS (SELECT e.u, e.v, d.deg FROM e JOIN deg d ON e.u = d.u),
+        |seeds AS (SELECT u AS node FROM deg
+        |          WHERE u % 2 = 1 AND ((u - 1) // 2) % 50 = 0),
+        |sc AS (SELECT count(*) AS s FROM seeds),
+        |r0 AS (SELECT node, 1000000000000 // s AS rk
+        |       FROM seeds CROSS JOIN sc),
+        |c1 AS (SELECT ed.v AS node, CAST(sum(r.rk // ed.deg) AS BIGINT) AS c
+        |       FROM ed JOIN r0 r ON ed.u = r.node GROUP BY 1),
+        |r1 AS (SELECT COALESCE(c.node, sd.node) AS node,
+        |         (CASE WHEN sd.node IS NOT NULL THEN 150000000000 // s
+        |               ELSE 0 END) + (COALESCE(c.c, 0) * 85) // 100 AS rk
+        |       FROM c1 c FULL JOIN seeds sd ON c.node = sd.node
+        |       CROSS JOIN sc),
+        |c2 AS (SELECT ed.v AS node, CAST(sum(r.rk // ed.deg) AS BIGINT) AS c
+        |       FROM ed JOIN r1 r ON ed.u = r.node GROUP BY 1),
+        |r2 AS (SELECT COALESCE(c.node, sd.node) AS node,
+        |         (CASE WHEN sd.node IS NOT NULL THEN 150000000000 // s
+        |               ELSE 0 END) + (COALESCE(c.c, 0) * 85) // 100 AS rk
+        |       FROM c2 c FULL JOIN seeds sd ON c.node = sd.node
+        |       CROSS JOIN sc),
+        |c3 AS (SELECT ed.v AS node, CAST(sum(r.rk // ed.deg) AS BIGINT) AS c
+        |       FROM ed JOIN r2 r ON ed.u = r.node GROUP BY 1),
+        |r3 AS (SELECT COALESCE(c.node, sd.node) AS node,
+        |         (CASE WHEN sd.node IS NOT NULL THEN 150000000000 // s
+        |               ELSE 0 END) + (COALESCE(c.c, 0) * 85) // 100 AS rk
+        |       FROM c3 c FULL JOIN seeds sd ON c.node = sd.node
+        |       CROSS JOIN sc)
         |SELECT node, rk AS rank_fp FROM r3
         |ORDER BY rk DESC, node LIMIT 20""".stripMargin,
     "q_skyline" -> // the O(n^2) dominance form the Spark plan must NOT use

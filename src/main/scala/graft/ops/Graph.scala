@@ -76,6 +76,57 @@ object Graph {
       .withColumnRenamed("rank", "rank_fp")
   }
 
+  /** Personalized (topic-sensitive) PageRank: identical fixed-point
+    * integer arithmetic to [[pageRank]], but the restart mass goes ONLY
+    * to a seed set instead of uniformly — ranks then measure proximity
+    * to the topic, the random-walk-with-restart scoring behind
+    * related-item retrieval and seed-expansion labeling. Seeds here are
+    * every `seedEvery`-th part node (deterministic, so the DuckDB
+    * unrolled-CTE oracle reproduces the walk bit-for-bit).
+    *
+    * Same scale shape as [[pageRank]] (checkpointed edge partitions,
+    * one rank-table shuffle per iteration) with one difference: the
+    * rank table stays SPARSE — only nodes reached by the walk carry
+    * rows, so early iterations move |frontier| rows, not |V|. The
+    * restart term attaches by a full-outer join against the (small)
+    * seed table so an unreached seed still holds its restart mass.
+    */
+  def personalizedPageRank(
+      lineitem: DataFrame, seedEvery: Int = 50,
+      iters: Int = 3, topK: Int = 20): DataFrame = {
+    val once = lineitem.select(
+      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
+      .distinct()
+    val edges = once
+      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .localCheckpoint()
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "u").localCheckpoint()
+    val seeds = deg.select(col("u").as("node"))
+      .filter(col("node") % 2 === 1 &&
+        ((col("node") - 1) / 2) % seedEvery === 0)
+      .localCheckpoint() // tiny; joined every iteration
+    val s = seeds.count()
+    require(s > 0, s"personalizedPageRank: empty seed set (seedEvery=$seedEvery)")
+    val base = RankScale * 15L / 100L / s
+    var ranks = seeds.select(col("node"), lit(RankScale / s).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks, withDeg("u") === ranks("node"))
+        .select(col("v").as("node"), expr("rank div deg").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("contrib"))
+      ranks = contrib
+        .join(seeds.withColumn("__s", lit(1L)), Seq("node"), "full_outer")
+        .select(col("node"),
+          (when(col("__s").isNotNull, lit(base)).otherwise(lit(0L)) +
+            expr("(coalesce(contrib, 0L) * 85) div 100")).as("rank"))
+    }
+    ranks.orderBy(col("rank").desc, col("node").asc).limit(topK)
+      .withColumnRenamed("rank", "rank_fp")
+  }
+
   /** The deduplicated co-purchase edge list (parts adjacent iff at least
     * `minSupport` baskets hold both) with the mega-basket guard — shared
     * by [[triangleStats]] and [[degreeStats]]. localCheckpointed: every

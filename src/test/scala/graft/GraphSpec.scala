@@ -159,4 +159,34 @@ class GraphSpec extends SparkSpec {
     val sparse = Graph.degreeStats(li, dMin = 10).collect()
     assert(sparse.forall(_.isNullAt(2)))
   }
+
+  test("personalizedPageRank: hand-computed walk, restart mass on seeds only") {
+    // supplier 1 <-> part 50 (node ids 2 and 101; part 50 is the seed at
+    // seedEvery=50). Hand fixed point, deg = 1 both sides:
+    //   r0 = {101: 1e12}
+    //   r1 = {2: 850e9, 101: 150e9 (restart only)}
+    //   r2 = {2: 127.5e9, 101: 150e9 + 722.5e9 = 872.5e9}
+    //   r3 = {2: 741.625e9, 101: 150e9 + 108.375e9 = 258.375e9}
+    val li = Seq((1L, 50L)).toDF("l_suppkey", "l_partkey")
+    val got = Graph.personalizedPageRank(li, seedEvery = 50, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 741625000000L, 101L -> 258375000000L))
+  }
+
+  test("personalizedPageRank: nodes unreachable from seeds are absent " +
+    "(sparse rank table)") {
+    // component A: supp1—part50 (seeded); component B: supp2—part3 (not)
+    val li = Seq((1L, 50L), (2L, 3L)).toDF("l_suppkey", "l_partkey")
+    val nodes = Graph.personalizedPageRank(li, seedEvery = 50, iters = 3)
+      .as[(Long, Long)].collect().toMap.keySet
+    assert(nodes == Set(2L, 101L)) // B's nodes (4, 7) never enter the walk
+  }
+
+  test("personalizedPageRank: empty seed set fails loudly") {
+    val li = Seq((1L, 3L)).toDF("l_suppkey", "l_partkey")
+    val e = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(li, seedEvery = 50)
+    }
+    assert(e.getMessage.contains("seed"))
+  }
 }
