@@ -1440,6 +1440,40 @@ object SparkEntry {
       graft.ops.Hierarchy.subtreeRollup(nodes, edges)
         .withColumnRenamed("node", "p_partkey")
     },
+    "hier_distinct_rollup" -> { (s, dir) =>
+      // hierarchy x sketch composition: distinct customers per SUBTREE.
+      // Distinct counts can't sum up a tree (a customer bought in two
+      // branches must count once at the ancestor); mergeable KMV sketches
+      // can — per-node O(k) sketches merge along the ancestor closure,
+      // so the rollup never touches raw rows twice. Closure fan-out is
+      // O(n·depth·k) sketch entries (depth ≤ a few dozen in any real
+      // hierarchy); the estimate is certified by the oracle building the
+      // same bottom-k from all hashes directly (the KMV merge property).
+      val part = Tables.part(s, dir)
+      val cust = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("node"), col("l_orderkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+          "l_orderkey")
+        .select(col("node"), graft.ops.Sketches.hash60(col("o_custkey"))
+          .as("hv"))
+      val perNode = cust.groupBy("node")
+        .agg(graft.functions.KmvAggregate.kmv(col("hv"), 64).as("sk"))
+      val edges = part.select(col("p_partkey").as("node"),
+        expr("p_partkey div 2").as("parent")).filter(col("parent") >= 1)
+      val pairs = graft.ops.Hierarchy.ancestorClosure(edges)
+        .select(col("node"), col("anc"))
+        .unionByName(part.select(col("p_partkey").as("node"),
+          col("p_partkey").as("anc")))
+      pairs.join(perNode, "node")
+        .select(col("anc"), explode(col("sk")).as("hv"))
+        .groupBy("anc")
+        .agg(graft.functions.KmvAggregate.kmv(col("hv"), 64).as("sk"))
+        .select(col("anc").as("p_partkey"),
+          graft.ops.Sketches.kmvEstimate(col("sk"), 64)
+            .as("est_distinct_customers"),
+          size(col("sk")).cast("long").as("sketch_size"))
+    },
     "maint_reconcile" -> { (s, dir) =>
       // merkle-style replica repair: left = orders as-is; right = a
       // drifted copy (deletes at k%101, payload edits at k%97, inserts at
@@ -3869,6 +3903,36 @@ object SparkEntry {
         |         AS depth,
         |       r.n_subtree, r.subtree_value
         |FROM roll r LEFT JOIN dep ON dep.node = r.node""".stripMargin,
+    "hier_distinct_rollup" -> // same bottom-64 subtree sketches built
+      // from ALL hashes directly — certifying the Spark side's
+      // merge-along-closure path by the KMV merge property
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS node, p_partkey // 2 AS a,
+        |         CAST(1 AS BIGINT) AS d
+        |  FROM part WHERE p_partkey // 2 >= 1
+        |  UNION ALL
+        |  SELECT node, a // 2, d + 1 FROM anc WHERE a // 2 >= 1
+        |),
+        |pairs AS (SELECT node, a FROM anc
+        |          UNION ALL SELECT p_partkey, p_partkey FROM part),
+        |h AS (SELECT l.l_partkey AS node,
+        |             CAST('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)),
+        |                  1, 15) AS BIGINT) AS hv
+        |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sub AS (SELECT DISTINCT pairs.a AS anc, h.hv
+        |        FROM pairs JOIN h ON h.node = pairs.node),
+        |rk AS (SELECT anc, hv,
+        |              row_number() OVER (PARTITION BY anc ORDER BY hv) AS rn,
+        |              count(*) OVER (PARTITION BY anc) AS m
+        |       FROM sub)
+        |SELECT anc AS p_partkey,
+        |       CASE WHEN max(m) < 64 THEN max(m)
+        |            ELSE CAST(floor(63.0 * 1152921504606846976.0 /
+        |                 max(CASE WHEN rn = 64 THEN hv END)) AS BIGINT)
+        |       END AS est_distinct_customers,
+        |       CAST(least(max(m), 64) AS BIGINT) AS sketch_size
+        |FROM rk WHERE rn <= 64
+        |GROUP BY 1""".stripMargin,
     "maint_reconcile" -> // the TRUE diff, computed directly — certifies
       // the bucket-signature pruning dropped no differing key.
       """WITH l AS (SELECT o_orderkey AS k,

@@ -57,6 +57,30 @@ class HierarchySpec extends SparkSpec {
     assert(got(1L) == ((0L, 2L, 3.0)) && got(11L) == ((0L, 2L, 30.0)))
   }
 
+  test("subtree distinct via merged KMV sketches: shared customer counts " +
+    "once at the ancestor") {
+    import org.apache.spark.sql.functions._
+    // node 2 and node 3 are children of 1; customer 77 bought in BOTH
+    // branches, customer 88 only under node 2 — subtree distinct at the
+    // root is 2, never 3 (the thing additive rollups get wrong)
+    val perNode = Seq((2L, 77L), (2L, 88L), (3L, 77L))
+      .toDF("node", "cust")
+      .select(col("node"), graft.ops.Sketches.hash60(col("cust")).as("hv"))
+      .groupBy("node")
+      .agg(graft.functions.KmvAggregate.kmv(col("hv"), 8).as("sk"))
+    val edges = Seq((2L, 1L), (3L, 1L)).toDF("node", "parent")
+    val pairs = Hierarchy.ancestorClosure(edges).select("node", "anc")
+      .unionByName(Seq(1L, 2L, 3L).toDF("node")
+        .select(col("node"), col("node").as("anc")))
+    val got = pairs.join(perNode, "node")
+      .select(col("anc"), explode(col("sk")).as("hv"))
+      .groupBy("anc")
+      .agg(graft.functions.KmvAggregate.kmv(col("hv"), 8).as("sk"))
+      .select(col("anc"), size(col("sk")))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 2, 2L -> 2, 3L -> 1))
+  }
+
   test("cycle trips the round cap instead of spinning") {
     val cyc = Seq((1L, 2L), (2L, 1L)).toDF("node", "parent")
     val e = intercept[Exception] {
