@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
-import graft.functions.{DotProduct, KmvAggregate, L2Norm, SampleKAggregate, TopKAggregate, Wkt4326Ring, ZOrderKey}
+import graft.functions.{DotProduct, KmvAggregate, KmvMergeAggregate, L2Norm, SampleKAggregate, TopKAggregate, Wkt4326Ring, ZOrderKey}
 
 /** SparkSessionExtensions entry point: makes the engine's custom expressions
   * available to ANY session (including pure-SQL users) via
@@ -50,6 +50,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_kmv k must be an integer literal, got $other")
         }
         KmvAggregate(exprs(0), k).toAggregateExpression()
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_kmv_merge"),
+      new ExpressionInfo(classOf[KmvMergeAggregate].getName, "graft_kmv_merge"),
+      exprs => {
+        val k = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv_merge k must be an integer literal, got $other")
+        }
+        KmvMergeAggregate(exprs(0), k).toAggregateExpression()
       }))
     e.injectFunction((
       new FunctionIdentifier("graft_sample_k"),

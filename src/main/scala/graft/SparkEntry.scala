@@ -1466,9 +1466,10 @@ object SparkEntry {
         .unionByName(part.select(col("p_partkey").as("node"),
           col("p_partkey").as("anc")))
       pairs.join(perNode, "node")
-        .select(col("anc"), explode(col("sk")).as("hv"))
         .groupBy("anc")
-        .agg(graft.functions.KmvAggregate.kmv(col("hv"), 64).as("sk"))
+        // array-input merge: O(pairs) rows into the aggregate, not the
+        // O(pairs × k) explode (measured 28 s → 9 s at sf1, BASELINE.md)
+        .agg(graft.functions.KmvAggregate.kmvMerge(col("sk"), 64).as("sk"))
         .select(col("anc").as("p_partkey"),
           graft.ops.Sketches.kmvEstimate(col("sk"), 64)
             .as("est_distinct_customers"),

@@ -104,4 +104,88 @@ object KmvAggregate {
   def kmv(hash: Column, k: Int): Column =
     ColumnBridge.column(
       KmvAggregate(ColumnBridge.expression(hash), k).toAggregateExpression())
+
+  /** Column API: merge PRE-BUILT sketches (array<bigint> rows) into one —
+    * see [[KmvMergeAggregate]]. */
+  def kmvMerge(sketch: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvMergeAggregate(ColumnBridge.expression(sketch), k)
+        .toAggregateExpression())
+}
+
+/** `kmv_merge_agg(sketch, k)` — merge PRE-BUILT KMV sketches: each input
+  * row is a whole `array<bigint>` sketch (the [[KmvAggregate]] output),
+  * folded element-wise into the same bounded TreeSet state. Produces the
+  * bit-identical result to exploding every sketch and re-running
+  * `kmv_agg`, WITHOUT the explode: rolling up a persisted sketch table
+  * (one sketch per day/partition/tree-node) feeds O(rows) array values to
+  * the aggregate instead of O(rows × k) generated rows — at a 3.4 M-pair
+  * hierarchy closure with k = 64 that is 230 M Generate rows avoided
+  * (measured 28 s → see BASELINE.md). Correct by the KMV merge property:
+  * k-smallest-of-union == k-smallest of concatenated per-part k-smallest.
+  */
+case class KmvMergeAggregate(
+    sketchExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+
+  require(k > 0, "k must be positive")
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty[Long]
+
+  private def offer(buf: mutable.TreeSet[Long], h: Long): Unit = {
+    if (buf.size < k) buf += h
+    else if (h < buf.last && !buf.contains(h)) { buf -= buf.last; buf += h }
+  }
+
+  override def update(
+      buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    val arr = sketchExpr.eval(input)
+    if (arr != null) {
+      val data = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < data.numElements()) { offer(buf, data.getLong(i)); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(
+      b1: mutable.TreeSet[Long], b2: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    b2.foreach(offer(b1, _))
+    b1
+  }
+
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf += in.readLong())
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(sketchExpr)
+  override def prettyName: String = "kmv_merge_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvMergeAggregate =
+    copy(sketchExpr = newChildren(0))
 }

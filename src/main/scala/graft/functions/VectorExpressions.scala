@@ -154,6 +154,15 @@ object VectorFunctions {
         KmvAggregate(exprs(0), k).toAggregateExpression()
       }, "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_kmv_merge", exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv_merge k must be an integer literal, got $other")
+        }
+        KmvMergeAggregate(exprs(0), k).toAggregateExpression()
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_sample_k", exprs => {
         val k = exprs(2) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -23,6 +23,37 @@ class SketchesSpec extends SparkSpec {
     assert(direct.length == 64 && direct == direct.sorted && direct.distinct == direct)
   }
 
+  test("kmvMerge: array-input merge of pre-built sketches equals the " +
+    "explode + re-sketch path AND the direct sketch") {
+    val df = (1 to 5000).map(i => (s"g${i % 7}", i.toLong)).toDF("grp", "v")
+      .withColumn("hv", Sketches.hash60(col("v")))
+    val direct = df.agg(KmvAggregate.kmv(col("hv"), 64)).as[Seq[Long]].head()
+    val per = df.groupBy("grp").agg(KmvAggregate.kmv(col("hv"), 64).as("sk"))
+    val merged = per.agg(KmvAggregate.kmvMerge(col("sk"), 64))
+      .as[Seq[Long]].head()
+    assert(merged == direct)
+    // truncation safety at a smaller k: merging k=64 sketches into a k=16
+    // result equals the direct k=16 sketch
+    val small = per.agg(KmvAggregate.kmvMerge(col("sk"), 16))
+      .as[Seq[Long]].head()
+    val directSmall = df.agg(KmvAggregate.kmv(col("hv"), 16))
+      .as[Seq[Long]].head()
+    assert(small == directSmall)
+  }
+
+  test("graft_kmv_merge is registered for SQL users") {
+    val df = (1 to 200).map(i => (s"g${i % 3}", i.toLong)).toDF("grp", "v")
+      .withColumn("hv", Sketches.hash60(col("v")))
+    df.groupBy("grp").agg(KmvAggregate.kmv(col("hv"), 32).as("sk"))
+      .createOrReplaceTempView("kmv_merge_in")
+    graft.functions.VectorFunctions.register(spark)
+    val sql = spark.sql(
+      "SELECT graft_kmv_merge(sk, 32) AS sk FROM kmv_merge_in")
+      .as[Seq[Long]].head()
+    val direct = df.agg(KmvAggregate.kmv(col("hv"), 32)).as[Seq[Long]].head()
+    assert(sql == direct)
+  }
+
   test("below k distinct values the sketch is the exact distinct set") {
     val df = (1 to 1000).map(i => (i % 10).toLong).toDF("v")
       .withColumn("hv", Sketches.hash60(col("v")))
