@@ -66,8 +66,8 @@ object Sketches {
     val per = base.groupBy("grp").agg(
       KmvAggregate.kmv(col("hv"), k).as("sketch"),
       count_distinct(col("v")).as("exact_distinct"))
-    val merged = per.select(explode(col("sketch")).as("hv"))
-      .agg(KmvAggregate.kmv(col("hv"), k).as("sketch"))
+    val merged = per
+      .agg(KmvAggregate.kmvMerge(col("sketch"), k).as("sketch"))
     val globalExact = base.agg(count_distinct(col("v")).as("exact_distinct"))
     per.select(col("grp"), kmvEstimate(col("sketch"), k).as("est_distinct"),
         col("exact_distinct"))
