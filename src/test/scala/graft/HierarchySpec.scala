@@ -81,6 +81,48 @@ class HierarchySpec extends SparkSpec {
     assert(got == Map(1L -> 2, 2L -> 2, 3L -> 1))
   }
 
+  test("seeded-random forest: closure equals brute transitive closure, " +
+    "rollup equals brute subtree sums") {
+    val rnd = new scala.util.Random(0xBEEF)
+    // random forest on 120 nodes: each node's parent is a strictly lower
+    // id (acyclic by construction) or absent (root) with p = 1/8
+    val parent: Map[Long, Long] = (2L to 120L).flatMap { n =>
+      if (rnd.nextInt(8) == 0) None
+      else Some(n -> (rnd.nextInt((n - 1).toInt).toLong + 1L))
+    }.toMap
+    val values = (1L to 120L).map(n => n -> BigDecimal(rnd.nextInt(100)))
+    def ancestorsOf(n: Long): List[(Long, Long)] = { // (anc, dist)
+      var cur = n; var d = 0L
+      val out = List.newBuilder[(Long, Long)]
+      while (parent.contains(cur)) {
+        cur = parent(cur); d += 1; out += ((cur, d))
+      }
+      out.result()
+    }
+    val bruteClosure = (1L to 120L).flatMap(n =>
+      ancestorsOf(n).map { case (a, d) => (n, a, d) }).toSet
+    val edges = parent.toSeq.map { case (n, p) => (n, p) }.toDF("node", "parent")
+    val got = Hierarchy.ancestorClosure(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == bruteClosure)
+
+    val valueMap = values.toMap
+    val descendants = (1L to 120L).map { a =>
+      a -> ((1L to 120L).filter(n =>
+        n == a || ancestorsOf(n).exists(_._1 == a)))
+    }.toMap
+    val gotRoll = Hierarchy.subtreeRollup(
+        values.toDF("node", "value"), edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (a <- 1L to 120L) {
+      val ds = descendants(a)
+      val want = (ancestorsOf(a).size.toLong, ds.size.toLong,
+        ds.map(valueMap).sum.toDouble)
+      assert(gotRoll(a) == want, s"node $a")
+    }
+  }
+
   test("cycle trips the round cap instead of spinning") {
     val cyc = Seq((1L, 2L), (2L, 1L)).toDF("node", "parent")
     val e = intercept[Exception] {

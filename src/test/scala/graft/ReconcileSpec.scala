@@ -48,6 +48,29 @@ class ReconcileSpec extends SparkSpec {
         == expected, s"nBuckets=$b")
   }
 
+  test("seeded-random drift: reconcile equals the brute-force diff") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val leftRows = (1L to 500L).map(k => k -> s"v${rnd.nextInt(1000)}")
+    val rightRows = leftRows.flatMap { case (k, v) =>
+      rnd.nextInt(10) match {
+        case 0 => None                        // delete
+        case 1 => Some(k -> (v + "~"))        // update
+        case _ => Some(k -> v)                // keep
+      }
+    } ++ (1L to 500L).filter(_ => rnd.nextInt(25) == 0)
+      .map(i => (1000L + i) -> "ins")         // inserts
+    val lm = leftRows.toMap
+    val rm = rightRows.toMap
+    val expected =
+      lm.keySet.diff(rm.keySet).map(k => (k, "D")) ++
+        rm.keySet.diff(lm.keySet).map(k => (k, "I")) ++
+        lm.keySet.intersect(rm.keySet)
+          .filter(k => lm(k) != rm(k)).map(k => (k, "U"))
+    val got = diffSet(Reconcile.reconcile(
+      tbl(leftRows), tbl(rightRows.toSeq), "k", "payload", 32))
+    assert(got == expected)
+  }
+
   test("signature table is O(buckets), not O(rows)") {
     val sigs = Reconcile.bucketSignatures(left, "k", "payload", 8)
     assert(sigs.count() <= 8)
