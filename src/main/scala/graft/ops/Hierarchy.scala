@@ -54,6 +54,70 @@ object Hierarchy {
     closure
   }
 
+  /** Bottom-up level-synchronous SKETCH rollup: per-node subtree KMV
+    * sketches for ALL nodes, built by pushing each level's accumulated
+    * sketches one edge root-ward per round and re-merging with the
+    * array-input [[graft.functions.KmvMergeAggregate]].
+    *
+    * This is the DEEP-hierarchy twin of the closure-merge formulation
+    * (`hier_distinct_rollup` in SparkEntry): merging along the ancestor
+    * closure feeds O(n·depth) sketch rows to the aggregate — ideal for
+    * the shallow trees of BI hierarchies — but each sketch is touched
+    * once per ancestor LEVEL, so on deep hierarchies (threaded
+    * conversations, file trees, org chains: depth in the hundreds) the
+    * closure itself is the blow-up. Level-synchronous merging touches
+    * each node's sketch exactly twice (once as a child, once as a
+    * parent): total work O(n·k) regardless of depth, at the cost of
+    * `depth` sequential rounds. Crossover rule of thumb: closure-merge
+    * below a few dozen levels, this above.
+    *
+    * Nodes absent from `perNode` (no own rows) still relay their
+    * descendants' sketches — they start from an empty sketch.
+    * Bit-identical to the closure path and to sketching each subtree
+    * directly (HierarchySpec pins both) by KMV merge associativity.
+    *
+    * `perNode`: (node, sk array<bigint>); `edges`: (node, parent).
+    * Returns (node, sk) for every node in `edges` ∪ `perNode`.
+    */
+  def subtreeSketchRollup(
+      perNode: DataFrame, edges: DataFrame, k: Int): DataFrame = {
+    val closure = ancestorClosure(edges)
+    val depths = closure.groupBy("node").agg(max("d").as("depth"))
+    // static per-node metadata: depth (root = 0) and parent (null = root)
+    val meta = perNode.select(col("node"))
+      .unionByName(edges.select(col("node")))
+      .unionByName(edges.select(col("parent").as("node")))
+      .distinct()
+      .join(depths, Seq("node"), "left")
+      .na.fill(0L, Seq("depth"))
+      .join(edges, Seq("node"), "left") // adds nullable parent
+      .localCheckpoint()
+    val empty = array().cast("array<bigint>")
+    var sk = meta.select(col("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("sk"), empty).as("sk"))
+      .localCheckpoint()
+    val maxDepth = meta.agg(max("depth")).head().getLong(0)
+    for (lvl <- maxDepth to 1L by -1L) {
+      val lvlNodes = meta.filter(col("depth") === lvl)
+        .select(col("node"), col("parent"))
+      val pushed = sk.join(lvlNodes, "node")
+        .filter(col("parent").isNotNull)
+        .select(col("parent").as("node"), col("sk"))
+      val targets = meta.filter(col("depth") === lvl - 1).select("node")
+      val mergedTargets = sk.join(targets, "node")
+        .unionByName(pushed)
+        .groupBy("node")
+        .agg(graft.functions.KmvAggregate.kmvMerge(col("sk"), k).as("sk"))
+      sk = sk.join(meta.select("node", "depth"), "node")
+        .filter(col("depth") =!= lvl - 1)
+        .select(col("node"), col("sk"))
+        .unionByName(mergedTargets)
+        .localCheckpoint()
+    }
+    sk
+  }
+
   /** Per-node subtree rollup: depth (root = 0), descendant-or-self count,
     * and the decimal-exact subtree sum of `nodes.value`. `nodes` columns:
     * `node`, `value` (decimal — sums must be associative, the

@@ -123,6 +123,54 @@ class HierarchySpec extends SparkSpec {
     }
   }
 
+  test("level-synchronous sketch rollup is bit-identical to the closure " +
+    "merge and to sketching each subtree directly") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.KmvAggregate
+    val rnd = new scala.util.Random(0xACE)
+    val parent: Map[Long, Long] = (2L to 60L).flatMap { n =>
+      if (rnd.nextInt(6) == 0) None
+      else Some(n -> (rnd.nextInt((n - 1).toInt).toLong + 1L))
+    }.toMap
+    val edges = parent.toSeq.map { case (n, p) => (n, p) }.toDF("node", "parent")
+    // node 2n's "customers": two per node, with cross-branch overlap;
+    // node 7 carries NO rows (pure relay)
+    val rows = (1L to 60L).filter(_ != 7L).flatMap(n =>
+      Seq((n, n % 9), (n, 100L + n % 5)))
+    val perNode = rows.toDF("node", "cust")
+      .select(col("node"), graft.ops.Sketches.hash60(col("cust")).as("hv"))
+      .groupBy("node").agg(KmvAggregate.kmv(col("hv"), 8).as("sk"))
+    val level = Hierarchy.subtreeSketchRollup(perNode, edges, k = 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    // closure-merge path
+    val pairs = Hierarchy.ancestorClosure(edges).select("node", "anc")
+      .unionByName((1L to 60L).toDF("node")
+        .select(col("node"), col("node").as("anc")))
+    val viaClosure = pairs.join(perNode, "node")
+      .groupBy(col("anc").as("node"))
+      .agg(KmvAggregate.kmvMerge(col("sk"), 8).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // direct: brute subtree membership, sketch each subtree from raw rows
+    def anc(n: Long): Set[Long] = {
+      var cur = n; val out = Set.newBuilder[Long]
+      while (parent.contains(cur)) { cur = parent(cur); out += cur }
+      out.result()
+    }
+    for ((node, sk) <- viaClosure)
+      assert(level(node) == sk, s"level vs closure at node $node")
+    // direct-sketch certification on a sample (one Spark job per node)
+    for (node <- viaClosure.keys.toSeq.sorted.take(8)) {
+      val subtree = (1L to 60L).filter(m => m == node || anc(m).contains(node))
+      val direct = rows.filter(r => subtree.contains(r._1))
+        .toDF("node", "cust")
+        .select(graft.ops.Sketches.hash60(col("cust")).as("hv"))
+        .agg(KmvAggregate.kmv(col("hv"), 8)).as[Seq[Long]].head()
+      assert(viaClosure(node) == direct, s"closure vs direct at node $node")
+    }
+    // relay node with no own rows still carries its descendants
+    assert(level.contains(7L))
+  }
+
   test("cycle trips the round cap instead of spinning") {
     val cyc = Seq((1L, 2L), (2L, 1L)).toDF("node", "parent")
     val e = intercept[Exception] {
