@@ -56,6 +56,44 @@ object Reconcile {
       .groupBy("__bucket")
       .agg(count(lit(1)).as("n_rows"), sum("__d").as("sig"))
 
+  /** Incremental signature maintenance — the [[IncrementalAgg]]
+    * discipline applied to the repair state: digest sums are additive, so
+    * a batch of inserts and deletes folds into the standing signature
+    * table as signed per-bucket deltas (insert adds a digest, delete
+    * subtracts it; an update is delete-old + insert-new). Repeated
+    * reconciliation then costs O(batch) + O(buckets) per cycle — the
+    * standing tables are never rescanned.
+    */
+  def signatureDelta(
+      inserts: DataFrame, deletes: DataFrame, keyCol: String,
+      payloadCol: String, nBuckets: Int): DataFrame = {
+    def signed(df: DataFrame, sign: Long) =
+      withBucket(df, keyCol, nBuckets)
+        .withColumn("__d", digest32(concat_ws("|",
+          col(keyCol).cast("string"), col(payloadCol).cast("string"))))
+        .select(col("__bucket"), lit(sign).as("__n"),
+          (col("__d") * sign).as("__s"))
+    signed(inserts, 1L).unionByName(signed(deletes, -1L))
+      .groupBy("__bucket")
+      .agg(sum("__n").as("d_rows"), sum("__s").as("d_sig"))
+  }
+
+  /** Fold a [[signatureDelta]] into a standing [[bucketSignatures]]
+    * table. Buckets emptied by the delta (n_rows reaches 0, sig cancels
+    * to 0) are dropped, so the maintained table is row-for-row identical
+    * to recomputing [[bucketSignatures]] on the mutated data — a
+    * recompute never emits an empty bucket, and [[dirtyBuckets]]' full
+    * outer join treats missing and present-but-zero as different states.
+    */
+  def applySignatureDelta(sigs: DataFrame, delta: DataFrame): DataFrame =
+    sigs.join(delta, Seq("__bucket"), "full_outer")
+      .select(col("__bucket"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("sig"), lit(0L)) + coalesce(col("d_sig"), lit(0L)))
+          .as("sig"))
+      .filter(col("n_rows") > 0 || col("sig") =!= 0)
+
   /** Stage 2: buckets whose signatures disagree (or exist on one side
     * only). O(nBuckets) rows in, at most nBuckets out. */
   def dirtyBuckets(

@@ -71,6 +71,34 @@ class ReconcileSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("incrementally maintained signatures equal the recompute") {
+    val inserts = tbl(Seq(201L -> "a", 202L -> "b"))
+    val deletes = tbl(Seq(3L -> "v3", 17L -> "v17"))
+    val updatedOld = tbl(Seq(25L -> "v25"))
+    val updatedNew = tbl(Seq(25L -> "CHANGED"))
+    val mutated = tbl(((1L to 50L).filter(k => k != 3L && k != 17L)
+      .map(k => k -> (if (k == 25L) "CHANGED" else s"v$k"))
+      :+ (201L -> "a")) :+ (202L -> "b"))
+    val delta = Reconcile.signatureDelta(
+      inserts.unionByName(updatedNew), deletes.unionByName(updatedOld),
+      "k", "payload", 16)
+    val maintained = Reconcile.applySignatureDelta(
+      Reconcile.bucketSignatures(left, "k", "payload", 16), delta)
+      .as[(Long, Long, Long)].collect().toSet
+    val recomputed = Reconcile.bucketSignatures(mutated, "k", "payload", 16)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(maintained == recomputed)
+  }
+
+  test("applySignatureDelta drops buckets the delta empties") {
+    val one = tbl(Seq(5L -> "x"))
+    val delta = Reconcile.signatureDelta(
+      tbl(Nil), one, "k", "payload", 4) // delete the only row
+    val maintained = Reconcile.applySignatureDelta(
+      Reconcile.bucketSignatures(one, "k", "payload", 4), delta)
+    assert(maintained.count() == 0) // identical to recomputing on empty
+  }
+
   test("signature table is O(buckets), not O(rows)") {
     val sigs = Reconcile.bucketSignatures(left, "k", "payload", 8)
     assert(sigs.count() <= 8)
