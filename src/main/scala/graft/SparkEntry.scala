@@ -1426,6 +1426,13 @@ object SparkEntry {
         Tables.lineitem(s, dir)
           .withColumn("ship_year", year(col("l_shipdate").cast("date")).cast("long")),
         "ship_year", Seq("l_orderkey", "l_quantity"))),
+    "sketch_join_size" -> ((s, dir) =>
+      // planner-style join-size estimation from two O(d·w) CMS sketches
+      // (inner product per row, min over rows; one-sided est >= exact,
+      // certified by the oracle's identical sketches + exact join count)
+      graft.ops.Sketches.cmsJoinSize(
+        Tables.orders(s, dir), col("o_custkey"),
+        Tables.customer(s, dir), col("c_custkey"))),
     "hier_rollup" -> { (s, dir) =>
       // hierarchy analytics without recursive CTEs: parts as a synthetic
       // binary tree (parent = key div 2), per-node depth + subtree
@@ -3883,6 +3890,29 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       o_orderpriority
         |FROM orders""".stripMargin,
+    "sketch_join_size" -> // identical CMS sketches on both sides, same
+      // inner-product estimator, exact join count alongside
+      """WITH a AS (SELECT CAST(o_custkey AS VARCHAR) AS key FROM orders
+        |           WHERE o_custkey IS NOT NULL),
+        |b AS (SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer
+        |      WHERE c_custkey IS NOT NULL),
+        |ja AS (SELECT t.j,
+        |              CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' ||
+        |                   key), 1, 8) AS BIGINT) % 256 AS bucket,
+        |              count(*) AS ca
+        |       FROM a CROSS JOIN generate_series(0, 3) t(j) GROUP BY 1, 2),
+        |jb AS (SELECT t.j,
+        |              CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' ||
+        |                   key), 1, 8) AS BIGINT) % 256 AS bucket,
+        |              count(*) AS cb
+        |       FROM b CROSS JOIN generate_series(0, 3) t(j) GROUP BY 1, 2),
+        |est AS (SELECT ja.j, sum(ca * cb) AS row_est
+        |        FROM ja JOIN jb ON ja.j = jb.j AND ja.bucket = jb.bucket
+        |        GROUP BY 1)
+        |SELECT (SELECT CAST(min(row_est) AS BIGINT) FROM est)
+        |         AS est_join_size,
+        |       (SELECT count(*) FROM a JOIN b ON a.key = b.key)
+        |         AS exact_join_size""".stripMargin,
     "hier_rollup" -> // the recursive CTE Spark lacks: DuckDB walks the
       // parent pointers directly; the pointer-jumped closure must agree
       """WITH RECURSIVE anc AS (

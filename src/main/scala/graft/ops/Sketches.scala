@@ -182,6 +182,49 @@ object Sketches {
       .agg(min(col("cnt")).as("est_cnt"))
   }
 
+  /** Equi-join SIZE estimation from two CMS sketches — the classic
+    * sketch-based cardinality estimate a cost-based planner wants before
+    * committing to a join strategy: |A ⋈ B| = Σ_key fA(key)·fB(key), the
+    * inner product of the two frequency vectors, estimated per CMS row j
+    * as Σ_bucket cntA(j,b)·cntB(j,b) and answered as the min over the d
+    * rows. Hash collisions only ADD spurious products, so the estimate
+    * is ONE-SIDED (est ≥ exact) — certified end-to-end by the oracle,
+    * which rebuilds the identical sketches (same md5-derived buckets as
+    * every hash here) and the exact join count.
+    *
+    * Why it matters at 100 TB: the exact answer IS the join; the
+    * estimate needs one O(d·w) sketch per side — maintainable
+    * incrementally (cell counts are additive), so "how big would this
+    * join be" is answerable from standing state before any shuffle is
+    * provisioned (skew detection, broadcast-vs-shuffle choice, quota
+    * checks).
+    *
+    * Plan: two narrow d-way explodes + two O(d·w) aggregates; the
+    * product join is (d·w)×(d·w) on (j, bucket) — bounded state, nothing
+    * after the scans scales with data. Output one row:
+    * `(est_join_size, exact_join_size)`.
+    */
+  def cmsJoinSize(
+      dfA: DataFrame, keyA: Column, dfB: DataFrame, keyB: Column,
+      d: Int = 4, w: Int = 256): DataFrame = {
+    def bucket(j: Column, key: Column): Column =
+      conv(substring(md5(concat(j.cast("string"), lit(":"),
+        key.cast("string"))), 1, 8), 16, 10).cast("long") % w
+    def sketch(df: DataFrame, key: Column, cntName: String) =
+      df.filter(key.isNotNull).select(key.cast("string").as("key"))
+        .select(col("key"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+        .select(col("j"), bucket(col("j"), col("key")).as("bucket"))
+        .groupBy("j", "bucket").agg(count(lit(1)).as(cntName))
+    val estimates = sketch(dfA, keyA, "ca")
+      .join(sketch(dfB, keyB, "cb"), Seq("j", "bucket"))
+      .groupBy("j").agg(sum(col("ca") * col("cb")).as("row_est"))
+      .agg(min("row_est").as("est_join_size"))
+    val exact = dfA.select(keyA.cast("string").as("key"))
+      .join(dfB.select(keyB.cast("string").as("key")), "key")
+      .agg(count(lit(1)).as("exact_join_size"))
+    estimates.crossJoin(broadcast(exact))
+  }
+
   /** Quantile sketch from a mergeable bottom-k-by-hash uniform sample
     * ([[graft.functions.SampleKAggregate]]) — the third leg of the sketch
     * triad (distinct = KMV, frequency = CMS, quantiles = this): per-group

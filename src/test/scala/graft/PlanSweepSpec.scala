@@ -54,6 +54,9 @@ class PlanSweepSpec extends SparkSpec {
     // KMV rollup's ALL row: 1-row exact-count broadcast onto the merged
     // (single-row) sketch
     "sketch_kmv_distinct",
+    // join-size estimate: the 1-row CMS estimate crossed with the 1-row
+    // exact-count certificate
+    "sketch_join_size",
     // triangle census: the final stats row composes 1-row aggregates
     "graph_triangles",
     // A-priori support threshold: a 1-row min_sup broadcast

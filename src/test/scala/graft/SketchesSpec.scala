@@ -100,6 +100,22 @@ class SketchesSpec extends SparkSpec {
     assert(arr.length == 16 && arr == arr.sorted)
   }
 
+  test("cmsJoinSize: exact without collisions, one-sided with them") {
+    // A: key 1 x3, key 2 x2; B: key 1 x2, key 3 x4 -> |A join B| = 3*2 = 6.
+    // 256 buckets, 2 distinct keys per side: collisions are absent for
+    // these fixed seeds, so est == exact
+    val a = Seq(1L, 1L, 1L, 2L, 2L).toDF("k")
+    val b = Seq(1L, 1L, 3L, 3L, 3L, 3L).toDF("k")
+    val got = Sketches.cmsJoinSize(a, col("k"), b, col("k"))
+      .as[(Long, Long)].head()
+    assert(got == ((6L, 6L)))
+    // forced collisions (w = 1: every key in one bucket) overestimate,
+    // never underestimate: est = 5 * 6 = 30 >= 6
+    val tight = Sketches.cmsJoinSize(a, col("k"), b, col("k"), d = 2, w = 1)
+      .as[(Long, Long)].head()
+    assert(tight._1 == 30L && tight._1 >= tight._2)
+  }
+
   test("CMS heavy hitters: estimates are one-sided and exact without collisions") {
     // 5 distinct keys into a 256-bucket sketch: collision probability per
     // (row, pair) is tiny and the seeds are fixed, so est == exact here
