@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   * oracle. Keys must be unique and non-null per side (a null key cannot
   * equi-join, so it would always report as one D plus one I); payload is
   * a caller-rendered string (engine-stable rendering is the caller's
-  * contract).
+  * contract) and MAY be null — null digests distinctly from every
+  * string and compares null-safely in the diff.
   */
 object Reconcile {
 
@@ -41,6 +42,13 @@ object Reconcile {
     * deterministic, engine-portable, and cheap (one codegen'd md5). */
   private def digest32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** NULL payloads are legal and distinct from every string: `concat_ws`
+    * silently DROPS nulls (null would hash like ""), so the digest input
+    * substitutes a marker built around a control character no rendered
+    * payload contains. */
+  private def payloadForDigest(payloadCol: String): Column =
+    coalesce(col(payloadCol).cast("string"), lit("\u0001<null>"))
 
   private def withBucket(df: DataFrame, keyCol: String, nBuckets: Int) =
     df.withColumn("__bucket",
@@ -52,7 +60,7 @@ object Reconcile {
       nBuckets: Int): DataFrame =
     withBucket(df, keyCol, nBuckets)
       .withColumn("__d", digest32(concat_ws("|",
-        col(keyCol).cast("string"), col(payloadCol).cast("string"))))
+        col(keyCol).cast("string"), payloadForDigest(payloadCol))))
       .groupBy("__bucket")
       .agg(count(lit(1)).as("n_rows"), sum("__d").as("sig"))
 
@@ -70,7 +78,7 @@ object Reconcile {
     def signed(df: DataFrame, sign: Long) =
       withBucket(df, keyCol, nBuckets)
         .withColumn("__d", digest32(concat_ws("|",
-          col(keyCol).cast("string"), col(payloadCol).cast("string"))))
+          col(keyCol).cast("string"), payloadForDigest(payloadCol))))
         .select(col("__bucket"), lit(sign).as("__n"),
           (col("__d") * sign).as("__s"))
     signed(inserts, 1L).unionByName(signed(deletes, -1L))
@@ -127,8 +135,11 @@ object Reconcile {
     val r = scoped(right)
       .withColumnsRenamed(Map(keyCol -> "__rk", payloadCol -> "__rp"))
     l.join(r, col("__lk") === col("__rk"), "full_outer")
+      // null-safe payload compare: (null, "x") is a real difference and
+      // (null, null) is agreement — =!= would return null for both and
+      // silently drop the first
       .filter(col("__lk").isNull || col("__rk").isNull ||
-        col("__lp") =!= col("__rp"))
+        !(col("__lp") <=> col("__rp")))
       .select(coalesce(col("__lk"), col("__rk")).as(keyCol),
         when(col("__rk").isNull, lit("D"))
           .when(col("__lk").isNull, lit("I"))

@@ -71,6 +71,17 @@ class ReconcileSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("null payloads: distinct from empty string, null-safe in the diff") {
+    val l = Seq((1L, Some("a")), (2L, None: Option[String]),
+      (3L, Some("")), (4L, None)).toDF("k", "payload")
+    val r = Seq((1L, Some("a")), (2L, Some("x")),
+      (3L, None: Option[String]), (4L, None)).toDF("k", "payload")
+    // k=2: null -> "x" is a REAL update; k=3: "" -> null likewise (null
+    // must not hash like ""); k=4: null == null is agreement
+    val got = diffSet(Reconcile.reconcile(l, r, "k", "payload", 8))
+    assert(got == Set((2L, "U"), (3L, "U")))
+  }
+
   test("incrementally maintained signatures equal the recompute") {
     val inserts = tbl(Seq(201L -> "a", 202L -> "b"))
     val deletes = tbl(Seq(3L -> "v3", 17L -> "v17"))
