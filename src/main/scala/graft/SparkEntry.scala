@@ -3949,7 +3949,8 @@ object SparkEntry {
         |h AS (SELECT l.l_partkey AS node,
         |             CAST('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)),
         |                  1, 15) AS BIGINT) AS hv
-        |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |      WHERE o.o_custkey IS NOT NULL),
         |sub AS (SELECT DISTINCT pairs.a AS anc, h.hv
         |        FROM pairs JOIN h ON h.node = pairs.node),
         |rk AS (SELECT anc, hv,
