@@ -30,6 +30,15 @@ object Hierarchy {
     * round cap `maxRounds` fails loudly instead of spinning).
     */
   def ancestorClosure(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // parent-pointer contract: one parent per node. A DAG input would
+    // silently multiply closure paths (and double-count every subtree
+    // rollup downstream) — fail loudly instead. One O(edges) aggregate.
+    val multiParent = edges.groupBy("node")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+    require(multiParent.isEmpty,
+      "ancestorClosure: input is not a parent-pointer forest — " +
+        "some node has multiple parents (first offenders: " +
+        multiParent.select("node").limit(3).collect().mkString(", ") + ")")
     var closure = edges
       .select(col("node"), col("parent").as("anc"), lit(1L).as("d"))
       .localCheckpoint()

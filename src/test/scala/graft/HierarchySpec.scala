@@ -171,6 +171,14 @@ class HierarchySpec extends SparkSpec {
     assert(level.contains(7L))
   }
 
+  test("multi-parent input (DAG) fails loudly, never double-counts") {
+    val dag = Seq((3L, 1L), (3L, 2L)).toDF("node", "parent")
+    val e = intercept[IllegalArgumentException] {
+      Hierarchy.ancestorClosure(dag)
+    }
+    assert(e.getMessage.contains("multiple parents"))
+  }
+
   test("cycle trips the round cap instead of spinning") {
     val cyc = Seq((1L, 2L), (2L, 1L)).toDF("node", "parent")
     val e = intercept[Exception] {
