@@ -118,6 +118,31 @@ class StreamingSpec extends SparkSpec {
     assert(sliding.agg(sum("n_events")).head().getLong(0) == 4000L)
   }
 
+  test("windowedQuantileSketch: watermark drops late rows from the " +
+    "window sample (bounded streaming state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventAggs.windowedQuantileSketch(
+      mem.toDF().toDF("ts", "event_id", "value"), k = 16,
+      watermark = "1 hour")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("qwmark").start()
+    try {
+      mem.addData((Timestamp.valueOf("2024-01-01 10:05:00"), "a", 1.0))
+      mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "b", 2.0))
+      q.processAllAvailable() // watermark advances to 12:00
+      mem.addData((Timestamp.valueOf("2024-01-01 10:10:00"), "c", 99.0)) // late
+      q.processAllAvailable()
+      val tenOClock = spark.table("qwmark")
+        .filter(col("window_start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+        .groupBy("window_start").agg(max("n_rows").as("n"), max("m").as("m"))
+        .collect()
+      // the 2h-late row never entered the 10:00 window's sample
+      assert(tenOClock.map(r => (r.getLong(1), r.getLong(2))).toSet ==
+        Set((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("windowedFrequencySketch: stream CMS is bit-identical to batch, " +
     "and probes are one-sided (est >= exact)") {
     implicit val sqlCtx = spark.sqlContext
