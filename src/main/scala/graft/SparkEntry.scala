@@ -1040,6 +1040,15 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
         .select(col("media_id"), col("dim"), round(col("val"), 6).as("val"))),
+    "multimodal_image_decode" -> ((s, dir) =>
+      // REAL image decode (JDK ImageIO): each doc_id becomes a two-tone
+      // PNG whose dims/colors are arithmetic in doc_id; the decoder must
+      // really parse the PNG (inflate, filters, per-pixel reads) to
+      // reproduce the oracle's arithmetic — a decode certification, not
+      // a checksum replay. All-integer output, hash-exact.
+      graft.ops.Multimodal.ImageCodec.decodeImages(
+        graft.ops.Multimodal.pngFromDocuments(Tables.documents(s, dir)))
+        .toDF()),
 
     // ---- beyond-reference: TPC-H composite suite (Q1-Q22 shapes the -----
     // fixture schema can express; partsupp/commitdate-dependent queries
@@ -1921,8 +1930,8 @@ object SparkEntry {
         |supp AS (SELECT item, count(*) AS cnt FROM items GROUP BY 1),
         |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM items)
         |SELECT part_a, part_b, pair_cnt,
-        |       round(CAST(pair_cnt AS DOUBLE) * n_baskets
-        |             / (sa.cnt * sb.cnt), 6) AS lift
+        |       CAST((pair_cnt * n_baskets * 2000000 + sa.cnt * sb.cnt)
+        |            // (2 * sa.cnt * sb.cnt) AS DOUBLE) / 1000000.0 AS lift
         |FROM pairs
         |JOIN supp sa ON pairs.part_a = sa.item
         |JOIN supp sb ON pairs.part_b = sb.item
@@ -2000,12 +2009,17 @@ object SparkEntry {
         |         OR b.p_size > a.p_size))""".stripMargin,
     "incr_agg_merge" -> // full recompute: the merged partials must equal it.
       // DECIMAL(18,2) mirrors the Spark partial state - the sum is exact,
-      // so merge order cannot drift an ulp; cast to double only at the end.
+      // so merge order cannot drift an ulp. The 4-dp average is rounded
+      // half-up in INTEGER fixed point ((cents*200 + n) // (2n)), never
+      // round(double/n, 4): a 2-dp sum over n can hit an exact .00005 tie
+      // (264515.44125...) where Spark's decimal-string HALF_UP and
+      // DuckDB's binary-double rounding disagree by 1e-4.
       """SELECT CAST(o_orderdate AS DATE) AS day,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |       count(*) AS n_orders,
-        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |             / count(*), 4) AS avg_order
+        |       CAST((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |             * 200 + count(*)) // (2 * count(*)) AS DOUBLE)
+        |         / 10000.0 AS avg_order
         |FROM orders
         |GROUP BY 1""".stripMargin,
     "incr_join_maintain" -> // full-recompute join: the delta-rule union
@@ -2057,7 +2071,8 @@ object SparkEntry {
         |    (CASE WHEN eu.m < 64 THEN eu.m
         |          ELSE CAST(floor(63 * 1152921504606846976.0 / eu.kth) AS BIGINT)
         |     END) / eu.m) AS BIGINT) AS est_intersection,
-        |  round(CAST(cx.cnt AS DOUBLE) / eu.m, 6) AS jaccard,
+        |  CAST((cx.cnt * 2000000 + eu.m) // (2 * eu.m) AS DOUBLE) / 1000000.0
+        |    AS jaccard,
         |  ex.exact_intersection
         |FROM ea, eb, eu, cx, ex""".stripMargin,
     "sketch_sample_quantile" -> // the identical bottom-k-by-hash sample
@@ -2173,7 +2188,8 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
         |       (SELECT count(*) FROM e) AS n_edges,
         |       (SELECT t FROM tri) AS n_triangles,
-        |       round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6)
+        |       CAST((3 * (SELECT t FROM tri) * 2000000 + (SELECT w FROM wed))
+        |            // (2 * (SELECT w FROM wed)) AS DOUBLE) / 1000000.0
         |         AS clustering""".stripMargin,
     "assoc_frequent_triples" -> // same L1 restriction (answer-preserving
       // by A-priori monotonicity), then the direct triple join
@@ -2402,7 +2418,9 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(len(ngrams) AS BIGINT) AS n_ngrams,
         |       CAST(len(list_distinct(ngrams)) AS BIGINT) AS n_distinct,
-        |       round(1.0 - len(list_distinct(ngrams)) / len(ngrams), 6) AS rep_ratio
+        |       CAST(((len(ngrams) - len(list_distinct(ngrams))) * 2000000
+        |             + len(ngrams)) // (2 * len(ngrams)) AS DOUBLE) / 1000000.0
+        |         AS rep_ratio
         |FROM (
         |  SELECT doc_id,
         |         [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w) - 2)]
@@ -2480,7 +2498,8 @@ object SparkEntry {
         |           WHERE user_id IS NOT NULL)
         |SELECT user_id, cnt,
         |       CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rnk,
-        |       round(cnt / total, 6) AS share
+        |       CAST((cnt * 2000000 + total) // (2 * total) AS DOUBLE) / 1000000.0
+        |         AS share
         |FROM c, t
         |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
     "skew_histogram" ->
@@ -2492,10 +2511,11 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
         |           FROM documents)
         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
-        |  round(len(list_filter(toks, w -> list_contains(
-        |    ['the','a','and','of','to','in','is','that'], w)))
-        |    / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
-        |  round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio,
+        |  CAST((len(list_filter(toks, w -> list_contains(
+        |    ['the','a','and','of','to','in','is','that'], w))) * 2000000
+        |    + len(toks)) // (2 * len(toks)) AS DOUBLE) / 1000000.0 AS stop_ratio,
+        |  CAST((len(list_distinct(toks)) * 2000000 + len(toks))
+        |    // (2 * len(toks)) AS DOUBLE) / 1000000.0 AS distinct_ratio,
         |  round(least(1.0, len(toks)/50.0)*0.4
         |    + (len(list_filter(toks, w -> list_contains(
         |        ['the','a','and','of','to','in','is','that'], w)))
@@ -2867,8 +2887,12 @@ object SparkEntry {
         |        len(a.grams) + len(b.grams) AS tot
         |      FROM g a JOIN g b
         |        ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, round(isect / CAST(tot - isect AS DOUBLE), 6) AS jaccard
-        |FROM p WHERE round(isect / CAST(tot - isect AS DOUBLE), 6) >= 0.2""".stripMargin,
+        |SELECT doc_a, doc_b,
+        |       CAST((isect * 2000000 + (tot - isect)) // (2 * (tot - isect))
+        |            AS DOUBLE) / 1000000.0 AS jaccard
+        |FROM p
+        |WHERE CAST((isect * 2000000 + (tot - isect)) // (2 * (tot - isect))
+        |           AS DOUBLE) / 1000000.0 >= 0.2""".stripMargin,
     "decontaminate" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
         |           FROM documents),
@@ -2904,7 +2928,8 @@ object SparkEntry {
         |       FROM documents)
         |SELECT sz.doc_id, sz.n_tokens,
         |       coalesce(agg.dup_tokens, 0) AS dup_tokens,
-        |       round(coalesce(agg.dup_tokens, 0) / sz.n_tokens, 6) AS dup_fraction
+        |       CAST((coalesce(agg.dup_tokens, 0) * 2000000 + sz.n_tokens)
+        |            // (2 * sz.n_tokens) AS DOUBLE) / 1000000.0 AS dup_fraction
         |FROM sz LEFT JOIN agg USING (doc_id)""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang,
@@ -3031,7 +3056,9 @@ object SparkEntry {
         |          FROM grams a JOIN grams b ON a.w = b.w AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2),
         |j AS (SELECT doc_a, doc_b,
-        |             round(isect / (sa.sz + sb.sz - isect), 6) AS jaccard
+        |             CAST((isect * 2000000 + (sa.sz + sb.sz - isect))
+        |                  // (2 * (sa.sz + sb.sz - isect)) AS DOUBLE)
+        |               / 1000000.0 AS jaccard
         |      FROM inter JOIN sz sa ON doc_a = sa.doc_id
         |      JOIN sz sb ON doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin,
@@ -3685,6 +3712,24 @@ object SparkEntry {
         |SELECT media_id, CAST(j AS INT) AS dim,
         |       round(((checksum + j) % 97) / 97.0, 6) AS val
         |FROM c, (SELECT unnest(generate_series(0, 3)) AS j)""".stripMargin,
+    "multimodal_image_decode" -> // pure arithmetic prediction of the PNG
+      // round trip: left w/2 columns one color, rest another — only a
+      // codec that really decodes the PNG reproduces these sums.
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 64 + 1 AS INT) AS w,
+        |         CAST(doc_id % 48 + 1 AS INT) AS h,
+        |         CAST(doc_id % 64 + 1 AS INT) // 2 AS wl
+        |  FROM documents)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |       CAST(w AS BIGINT) * h AS n_pixels,
+        |       CAST(h AS BIGINT) * (wl * (doc_id % 256)
+        |         + (w - wl) * ((doc_id * 3) % 256)) AS sum_r,
+        |       CAST(h AS BIGINT) * (wl * ((doc_id * 7) % 256)
+        |         + (w - wl) * ((doc_id * 5) % 256)) AS sum_g,
+        |       CAST(h AS BIGINT) * (wl * ((doc_id * 13) % 256)
+        |         + (w - wl) * ((doc_id * 11) % 256)) AS sum_b
+        |FROM g""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,
@@ -4138,11 +4183,14 @@ object SparkEntry {
         |             wf AS (PARTITION BY user_id ORDER BY d
         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT user_id, d, is_observed,
-        |       round(CASE WHEN is_observed THEN n_events
-        |                  WHEN pv IS NULL THEN nv
-        |                  WHEN nv IS NULL THEN pv
-        |                  ELSE pv + (nv - pv) * date_diff('day', pd, d)
-        |                       / date_diff('day', pd, nd) END, 6) AS n_events
+        |       CASE WHEN is_observed THEN CAST(n_events AS DOUBLE)
+        |            WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+        |            WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+        |            ELSE CAST(((pv * date_diff('day', pd, nd)
+        |                        + (nv - pv) * date_diff('day', pd, d)) * 2000000
+        |                       + date_diff('day', pd, nd))
+        |                      // (2 * date_diff('day', pd, nd)) AS DOUBLE)
+        |                 / 1000000.0 END AS n_events
         |FROM f""".stripMargin,
     "stat_mutual_info" ->
       """WITH e AS (SELECT event_type AS x,
@@ -4244,11 +4292,13 @@ object SparkEntry {
         |      FROM g a JOIN g b
         |        ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b,
-        |       round(isect / CAST(na AS DOUBLE), 6) AS containment_a,
-        |       round(isect / CAST(nb AS DOUBLE), 6) AS containment_b
+        |       CAST((isect * 2000000 + na) // (2 * na) AS DOUBLE) / 1000000.0
+        |         AS containment_a,
+        |       CAST((isect * 2000000 + nb) // (2 * nb) AS DOUBLE) / 1000000.0
+        |         AS containment_b
         |FROM p
-        |WHERE round(isect / CAST(na AS DOUBLE), 6) >= 0.5
-        |   OR round(isect / CAST(nb AS DOUBLE), 6) >= 0.5""".stripMargin,
+        |WHERE CAST((isect * 2000000 + na) // (2 * na) AS DOUBLE) / 1000000.0 >= 0.5
+        |   OR CAST((isect * 2000000 + nb) // (2 * nb) AS DOUBLE) / 1000000.0 >= 0.5""".stripMargin,
     "curate_token_budget" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
         |           FROM documents),
@@ -4269,10 +4319,11 @@ object SparkEntry {
         |FROM c WHERE cum_tokens <= 20000""".stripMargin,
     "mix_temperature" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
-        |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total,
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
         |             sum(pow(n_docs, 0.5)) AS z FROM c)
         |SELECT source, n_docs,
-        |       round(n_docs / n_total, 6) AS raw_share,
+        |       CAST((n_docs * 2000000 + n_total) // (2 * n_total) AS DOUBLE)
+        |         / 1000000.0 AS raw_share,
         |       round(pow(n_docs, 0.5) / z, 6) AS tempered_share,
         |       round(pow(n_docs, 0.5) / z / (n_docs / n_total), 6) AS sample_factor
         |FROM c CROSS JOIN t""".stripMargin,
@@ -4287,13 +4338,15 @@ object SparkEntry {
       """WITH v AS (SELECT unnest(regexp_split_to_array(trim(text),'\s+')) AS token
         |           FROM documents),
         |c AS (SELECT token, count(*) AS n FROM v GROUP BY 1),
-        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
         |r AS (SELECT token, n, total,
         |        CAST(sum(n) OVER w AS BIGINT) AS cum
         |      FROM c CROSS JOIN t
         |      WINDOW w AS (ORDER BY n DESC, token
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT token, n, round(cum / total, 6) AS cum_mass
+        |SELECT token, n,
+        |       CAST((cum * 2000000 + total) // (2 * total) AS DOUBLE) / 1000000.0
+        |         AS cum_mass
         |FROM r WHERE (cum - n) / total < 0.5""".stripMargin,
     "events_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
@@ -4396,18 +4449,27 @@ object SparkEntry {
         |qual AS (SELECT doc_id, CAST(row_number() OVER
         |           (ORDER BY q DESC, doc_id) AS INT) AS r_qual FROM qualpool),
         |f AS (SELECT coalesce(lex.doc_id, qual.doc_id) AS doc_id, r_lex, r_qual,
-        |        round(coalesce(1.0 / (60 + r_lex), 0.0)
-        |            + coalesce(1.0 / (60 + r_qual), 0.0), 6) AS rrf
-        |      FROM lex FULL OUTER JOIN qual ON lex.doc_id = qual.doc_id)
-        |SELECT doc_id, r_lex, r_qual, rrf FROM f
+        |        CASE WHEN r_lex IS NULL OR r_qual IS NULL THEN 1
+        |             ELSE (60 + r_lex) + (60 + r_qual) END AS num,
+        |        CASE WHEN r_lex IS NULL THEN 60 + r_qual
+        |             WHEN r_qual IS NULL THEN 60 + r_lex
+        |             ELSE (60 + r_lex) * (60 + r_qual) END AS den
+        |      FROM lex FULL OUTER JOIN qual ON lex.doc_id = qual.doc_id),
+        |fr AS (SELECT doc_id, r_lex, r_qual,
+        |         CAST((num * 2000000 + den) // (2 * den) AS DOUBLE) / 1000000.0
+        |           AS rrf
+        |       FROM f)
+        |SELECT doc_id, r_lex, r_qual, rrf FROM fr
         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "retrieval_stopwords" ->
       """WITH terms AS (SELECT DISTINCT doc_id,
         |                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         |               FROM documents),
         |d AS (SELECT token, count(*) AS df FROM terms GROUP BY 1),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
-        |SELECT token, df, round(df / n_docs, 6) AS df_ratio
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT token, df,
+        |       CAST((df * 2000000 + n_docs) // (2 * n_docs) AS DOUBLE) / 1000000.0
+        |         AS df_ratio
         |FROM d CROSS JOIN n WHERE df / n_docs >= 0.4""".stripMargin,
     "retrieval_range_search" ->
       // dedup_embedding's IVF cell CTE, queried by radius instead of pairs
@@ -4593,7 +4655,8 @@ object SparkEntry {
         |tt AS (SELECT from_type, sum(n) AS n_from FROM cells GROUP BY 1),
         |kk AS (SELECT count(DISTINCT to_type) AS k FROM cells)
         |SELECT c.from_type, c.to_type, c.n,
-        |       round((c.n + 1.0) / (t.n_from + 1.0 * k.k), 6) AS p
+        |       CAST(((c.n + 1) * 2000000 + (t.n_from + k.k))
+        |            // (2 * (t.n_from + k.k)) AS DOUBLE) / 1000000.0 AS p
         |FROM cells c JOIN tt t USING (from_type) CROSS JOIN kk k""".stripMargin,
     "sim_recall_report" ->
       // brute and IVF CTEs (both verbatim from their own oracles), then
@@ -4639,19 +4702,21 @@ object SparkEntry {
         |      GROUP BY 1),
         |ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
         |SELECT ne.query_id, coalesce(h.hits, 0) AS hits,
-        |       round(coalesce(h.hits, 0) / CAST(ne.n_exact AS DOUBLE), 6) AS recall
+        |       CAST((coalesce(h.hits, 0) * 2000000 + ne.n_exact)
+        |            // (2 * ne.n_exact) AS DOUBLE) / 1000000.0 AS recall
         |FROM ne LEFT JOIN h USING (query_id)""".stripMargin,
     "feat_cdf_table" ->
       """WITH c AS (SELECT l_returnflag AS grp, l_quantity AS value,
         |             count(*) AS n_at
         |           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT grp, CAST(sum(n_at) AS DOUBLE) AS n_grp FROM c GROUP BY 1)
+        |t AS (SELECT grp, CAST(sum(n_at) AS BIGINT) AS n_grp FROM c GROUP BY 1)
         |SELECT c.grp, c.value, c.n_at,
         |       CAST(sum(n_at) OVER (PARTITION BY c.grp ORDER BY c.value
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
-        |       round(CAST(sum(n_at) OVER (PARTITION BY c.grp ORDER BY c.value
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |         / t.n_grp, 6) AS cdf
+        |       CAST((CAST(sum(n_at) OVER (PARTITION BY c.grp ORDER BY c.value
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |             * 2000000 + t.n_grp) // (2 * t.n_grp) AS DOUBLE) / 1000000.0
+        |         AS cdf
         |FROM c JOIN t USING (grp)""".stripMargin,
     "text_keywords" ->
       // text_tfidf's CTE, ranked per doc on the ROUNDED score
@@ -4735,7 +4800,8 @@ object SparkEntry {
         |         INTERVAL 1 DAY)) t(w)),
         |wau AS (SELECT wday, count(*) AS wau FROM cw GROUP BY 1)
         |SELECT dau.day, dau.dau, wau.wau,
-        |       round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+        |       CAST((dau.dau * 2000000 + wau.wau) // (2 * wau.wau) AS DOUBLE)
+        |         / 1000000.0 AS stickiness
         |FROM dau JOIN wau ON dau.day = wau.wday""".stripMargin,
     "curate_dataset_card" ->
       """WITH p AS (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS nt,
@@ -4754,8 +4820,8 @@ object SparkEntry {
         |       count(DISTINCT lang) AS n_langs,
         |       round(avg(q), 6) AS mean_quality,
         |       round(quantile_cont(nt, 0.5), 6) AS median_tokens,
-        |       round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6)
-        |         AS exact_dup_rate
+        |       CAST(((count(*) - count(DISTINCT fp)) * 2000000 + count(*))
+        |            // (2 * count(*)) AS DOUBLE) / 1000000.0 AS exact_dup_rate
         |FROM p""".stripMargin,
     "events_attribution" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
@@ -4847,7 +4913,8 @@ object SparkEntry {
         |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM c)
         |SELECT digit, n_obs,
-        |       round(CAST(n_obs AS DOUBLE) / n_total, 6) AS p_obs,
+        |       CAST((n_obs * 2000000 + n_total) // (2 * n_total) AS DOUBLE)
+        |         / 1000000.0 AS p_obs,
         |       round(log10(1.0 + 1.0 / digit), 6) AS p_exp,
         |       round(abs(CAST(n_obs AS DOUBLE) / n_total
         |         - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
@@ -4963,8 +5030,10 @@ object SparkEntry {
         |         AS n_groups_at_risk,
         |       COALESCE(CAST(sum(CASE WHEN n < 5 THEN n END) AS BIGINT), 0)
         |         AS n_rows_at_risk,
-        |       round(COALESCE(CAST(sum(CASE WHEN n < 5 THEN n END)
-        |           AS BIGINT), 0) / CAST(sum(n) AS DOUBLE), 6) AS risk_share
+        |       CAST((COALESCE(CAST(sum(CASE WHEN n < 5 THEN n END) AS BIGINT), 0)
+        |             * 2000000 + CAST(sum(n) AS BIGINT))
+        |            // (2 * CAST(sum(n) AS BIGINT)) AS DOUBLE) / 1000000.0
+        |         AS risk_share
         |FROM g""".stripMargin,
     "feat_calibration" ->
       """WITH s AS (SELECT 1.0 / (1.0 + exp(-8.0 * CAST(embedding[1]
@@ -4974,7 +5043,8 @@ object SparkEntry {
         |           WHERE embedding[1] IS NOT NULL AND label IS NOT NULL)
         |SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
         |       count(*) AS n, round(avg(s), 6) AS mean_score,
-        |       round(avg(y), 6) AS frac_pos
+        |       CAST((CAST(sum(y) AS BIGINT) * 2000000 + count(*))
+        |            // (2 * count(*)) AS DOUBLE) / 1000000.0 AS frac_pos
         |FROM s GROUP BY 1""".stripMargin,
     "stat_ks" -> // same conditional-CDF construction from first principles
       """WITH base AS (
@@ -5012,8 +5082,10 @@ object SparkEntry {
         |             CAST(sum(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS tc
         |      FROM o)
         |SELECT bin, nr AS n_ref, nc AS n_cur,
-        |       round(CAST(nr AS DOUBLE) / tr, 6) AS ref_share,
-        |       round(CAST(nc AS DOUBLE) / tc, 6) AS cur_share,
+        |       CAST((nr * 2000000 + tr) // (2 * tr) AS DOUBLE) / 1000000.0
+        |         AS ref_share,
+        |       CAST((nc * 2000000 + tc) // (2 * tc) AS DOUBLE) / 1000000.0
+        |         AS cur_share,
         |       round((CAST(nc AS DOUBLE) / tc - CAST(nr AS DOUBLE) / tr)
         |             * ln(greatest(CAST(nc AS DOUBLE) / tc, 1e-6)
         |                  / greatest(CAST(nr AS DOUBLE) / tr, 1e-6)), 6)

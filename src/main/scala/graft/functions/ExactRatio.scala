@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Exact k-dp presentation of an integer ratio, computed entirely in
+  * BIGINT arithmetic — the cross-engine-safe replacement for
+  * `round(num / den, k)` on integer inputs.
+  *
+  * `round(double, k)` is engine-dependent at exact decimal ties: a
+  * rational num/den whose lowest-terms denominator divides 10^(k+1) but
+  * not 10^k (e.g. 5/128 = 0.0390625 at k=6) renders as a digit string
+  * ending in 5 — Spark's `Round` does BigDecimal HALF_UP on the shortest
+  * decimal string of the double and rounds UP, while an engine that
+  * rounds the raw binary double (which sits an ulp off the tie) can go
+  * either way. The incr_agg_merge correctness failure of rounds 6–7 was
+  * exactly this class.
+  *
+  * The fix is to never round a double: with p = 10^k,
+  *
+  *   ratio_ek = (num·2p + den) div (2·den)      // half-up, pure BIGINT
+  *
+  * is identical in every engine (DuckDB spelling:
+  * `(num*2p + den) // (2*den)`), and ratio_ek ≤ 2^53 keeps the final
+  * `ratio_ek / p` double presentation bit-identical too. Requires
+  * num ≥ 0, den > 0 (integral `div` truncation-vs-floor conventions
+  * differ across engines for negatives).
+  */
+object ExactRatio {
+
+  /** `round(num/den, k)` half-up, exact: num, den integer-valued columns,
+    * num ≥ 0, den > 0, num ≤ ~4.6e12 at k=6 (no BIGINT overflow).
+    */
+  def exactRatio(num: Column, den: Column, k: Int): Column = {
+    require(k >= 1 && k <= 9, s"k=$k out of the supported 1..9")
+    val p = math.pow(10, k).toLong
+    val n = num.cast("long")
+    val d = den.cast("long")
+    // Catalyst IntegralDivide directly: Column has no integral divide,
+    // and double floor-division breaks past 2^53.
+    (ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.expression(n * lit(2L * p) + d),
+        ColumnBridge.expression(d * lit(2L)))
+    ).cast("double") / lit(p.toDouble))
+  }
+}

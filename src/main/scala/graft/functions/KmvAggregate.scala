@@ -181,6 +181,19 @@ case class KmvMergeAggregate(
   override def children: Seq[Expression] = Seq(sketchExpr)
   override def prettyName: String = "kmv_merge_agg"
 
+  // Fail at ANALYSIS on a mis-typed input: update() reads elements with
+  // ArrayData.getLong, which would silently produce garbage hashes for an
+  // array<int> (or any other non-bigint array) instead of an error.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    sketchExpr.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> (a KMV sketch of 64-bit " +
+            s"hashes), got ${other.simpleString}")
+    }
+
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAggregate =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAggregate =

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TopKAggregate
+import graft.functions.ExactRatio.exactRatio
 
 /** Join-key skew diagnostics — the measurement that decides whether a key
   * needs [[SkewJoin]] salting (or AQE's skew split) BEFORE a 100 TB shuffle
@@ -48,7 +49,9 @@ object SkewProfile {
         col("pair.id").as(key),
         col("pair.score").cast("long").as("cnt"),
         (col("pos") + 1).cast("long").as("rnk"),
-        round(col("pair.score") / col("total"), 6).as("share"))
+        // exact fixed point (cnt and total are integers): round(double, 6)
+        // diverges across engines when cnt/total is a true 6-dp tie
+        exactRatio(col("pair.score"), col("total"), 6).as("share"))
   }
 
   /** Key-frequency histogram in exact power-of-two buckets: for each

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
 
 /** Market-basket co-occurrence mining over a (basket, item) relation.
   *
@@ -63,8 +64,10 @@ object Association {
         "part_b")
       .crossJoin(broadcast(nBaskets))
       .select(col("part_a"), col("part_b"), col("pair_cnt"),
-        round(col("pair_cnt").cast("double") * col("n_baskets") /
-          (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+        // lift = cnt·N/(ca·cb) is an int/int rational — exact fixed
+        // point (round(double, 6) is engine-dependent at exact ties)
+        exactRatio(col("pair_cnt") * col("n_baskets"),
+          col("cnt_a") * col("cnt_b"), 6).as("lift"))
       .orderBy(col("pair_cnt").desc, col("part_a").asc, col("part_b").asc)
       .limit(topK)
   }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
 
 /** Deduplication operators for a training-data pipeline: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup.
@@ -513,7 +514,9 @@ object Dedup {
     // AQE broadcasts it automatically when it is actually small.
     isects.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(col("isect") / (col("na") + col("nb") - col("isect")).cast("double"), 6)
+        // exact fixed-point, not round(double, 6): a union of e.g. 128
+        // grams makes odd/128 a true 6-dp tie where engines disagree
+        exactRatio(col("isect"), col("na") + col("nb") - col("isect"), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
@@ -551,8 +554,8 @@ object Dedup {
     val sb = sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"))
     isects.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(col("isect") / col("na").cast("double"), 6).as("containment_a"),
-        round(col("isect") / col("nb").cast("double"), 6).as("containment_b"))
+        exactRatio(col("isect"), col("na"), 6).as("containment_a"),
+        exactRatio(col("isect"), col("nb"), 6).as("containment_b"))
       .filter(col("containment_a") >= minContainment ||
         col("containment_b") >= minContainment)
   }
@@ -660,7 +663,7 @@ object Dedup {
     sizes.join(contrib, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6)
+        exactRatio(coalesce(col("dup_tokens"), lit(0L)), col("n_tokens"), 6)
           .as("dup_fraction"))
   }
 
@@ -851,8 +854,7 @@ object Dedup {
       .join(arrays.select(col("doc_id").as("doc_b"), col("gs").as("gb"),
         col("sz").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(isect / (col("na") + col("nb") - isect).cast("double"), 6)
-          .as("jaccard"))
+        exactRatio(isect, col("na") + col("nb") - isect, 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

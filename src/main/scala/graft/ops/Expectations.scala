@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
 
 /** Data-quality expectations — declarative constraint checking over a
   * table, the Delta-constraints / Great-Expectations shape a pipeline runs
@@ -145,7 +146,7 @@ object Expectations {
     val pExp = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
     counts.crossJoin(broadcast(total)).select(
       col("digit"), col("n_obs"),
-      round(pObs, 6).as("p_obs"),
+      exactRatio(col("n_obs"), col("n_total"), 6).as("p_obs"),
       round(pExp, 6).as("p_exp"),
       round(abs(pObs - pExp), 6).as("abs_dev"))
   }
@@ -171,7 +172,7 @@ object Expectations {
         .as("n_rows_at_risk"))
       .select(lit(k).as("k"), col("n_rows"), col("n_groups"),
         col("n_groups_at_risk"), col("n_rows_at_risk"),
-        round(col("n_rows_at_risk") / col("n_rows"), 6).as("risk_share"))
+        exactRatio(col("n_rows_at_risk"), col("n_rows"), 6).as("risk_share"))
   }
 
   /** Escapes a value for a single-quoted Spark SQL string literal. */

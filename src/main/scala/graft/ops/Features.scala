@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
 
 /** Numeric feature-prep operators for a training pipeline: the
   * distribution-shaping steps that run between curation and model input.
@@ -162,7 +163,7 @@ object Features {
     counts.withColumn("cum_n", sum("n_at").over(w))
       .join(broadcast(tot), "grp")
       .select(col("grp"), col("value"), col("n_at"), col("cum_n"),
-        round(col("cum_n") / col("n_grp"), 6).as("cdf"))
+        exactRatio(col("cum_n"), col("n_grp"), 6).as("cdf"))
   }
 
   /** Per-group robust scaling: (x − median)/IQR — the outlier-insensitive
@@ -222,7 +223,8 @@ object Features {
           sum(when(col(refCol), 1L).otherwise(0L)).as("__tr"),
           sum(when(col(refCol), 0L).otherwise(1L)).as("__tc"))))
       .select(col("bin"), col("__nr").as("n_ref"), col("__nc").as("n_cur"),
-        round(rs, 6).as("ref_share"), round(cs, 6).as("cur_share"),
+        exactRatio(col("__nr"), col("__tr"), 6).as("ref_share"),
+        exactRatio(col("__nc"), col("__tc"), 6).as("cur_share"),
         round((cs - rs) * log(greatest(cs, lit(floorP))
           / greatest(rs, lit(floorP))), 6).as("psi_term"))
   }
@@ -247,5 +249,7 @@ object Features {
         .as("bin"))
       .agg(count(lit(1)).as("n"),
         round(avg("s"), 6).as("mean_score"),
-        round(avg("y"), 6).as("frac_pos"))
+        // frac_pos = n_pos/n is an int/int rational — exact fixed point
+        exactRatio(sum(col("y").cast("long")), count(lit(1)), 6)
+          .as("frac_pos"))
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
 
 /** Iterative graph analytics over relational edge lists.
   *
@@ -261,7 +262,9 @@ object Graph {
       .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
     nodesEdges.crossJoin(broadcast(triangles))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("wedges"), 6)
+        // 3t/w is an int/int rational — exact fixed point, not
+        // round(double, 6) (engine-dependent at exact 6-dp ties)
+        exactRatio(lit(3L) * col("n_triangles"), col("wedges"), 6)
           .as("clustering"))
   }
 

@@ -29,16 +29,23 @@ object Hierarchy {
     * (a cycle would never terminate in ANY closure formulation; the
     * round cap `maxRounds` fails loudly instead of spinning).
     */
-  def ancestorClosure(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def ancestorClosure(
+      edges: DataFrame, maxRounds: Int = 20,
+      validate: Boolean = true): DataFrame = {
     // parent-pointer contract: one parent per node. A DAG input would
     // silently multiply closure paths (and double-count every subtree
-    // rollup downstream) — fail loudly instead. One O(edges) aggregate.
-    val multiParent = edges.groupBy("node")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-    require(multiParent.isEmpty,
-      "ancestorClosure: input is not a parent-pointer forest — " +
-        "some node has multiple parents (first offenders: " +
-        multiParent.select("node").limit(3).collect().mkString(", ") + ")")
+    // rollup downstream) — fail loudly instead. One O(edges) aggregate;
+    // a caller that has already validated these edges (or composes
+    // several closures of the same table in one query) passes
+    // validate = false to skip the duplicate pass.
+    if (validate) {
+      val multiParent = edges.groupBy("node")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      require(multiParent.isEmpty,
+        "ancestorClosure: input is not a parent-pointer forest — " +
+          "some node has multiple parents (first offenders: " +
+          multiParent.select("node").limit(3).collect().mkString(", ") + ")")
+    }
     var closure = edges
       .select(col("node"), col("parent").as("anc"), lit(1L).as("d"))
       .localCheckpoint()
@@ -89,8 +96,9 @@ object Hierarchy {
     * Returns (node, sk) for every node in `edges` ∪ `perNode`.
     */
   def subtreeSketchRollup(
-      perNode: DataFrame, edges: DataFrame, k: Int): DataFrame = {
-    val closure = ancestorClosure(edges)
+      perNode: DataFrame, edges: DataFrame, k: Int,
+      prebuiltClosure: Option[DataFrame] = None): DataFrame = {
+    val closure = prebuiltClosure.getOrElse(ancestorClosure(edges))
     val depths = closure.groupBy("node").agg(max("d").as("depth"))
     // static per-node metadata: depth (root = 0) and parent (null = root)
     val meta = perNode.select(col("node"))
@@ -106,7 +114,10 @@ object Hierarchy {
       .join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("sk"), empty).as("sk"))
       .localCheckpoint()
-    val maxDepth = meta.agg(max("depth")).head().getLong(0)
+    // empty input → max(depth) is NULL; default 0 (no rounds) instead of
+    // an NPE, so the empty rollup is the empty frame
+    val maxDepth = Option(meta.agg(max("depth")).head()
+      .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
     for (lvl <- maxDepth to 1L by -1L) {
       val lvlNodes = meta.filter(col("depth") === lvl)
         .select(col("node"), col("parent"))
@@ -133,8 +144,10 @@ object Hierarchy {
     * [[IncrementalAgg]] lesson). One closure build + ONE grouped
     * aggregate over the closure; no per-level passes.
     */
-  def subtreeRollup(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val closure = ancestorClosure(edges)
+  def subtreeRollup(
+      nodes: DataFrame, edges: DataFrame,
+      prebuiltClosure: Option[DataFrame] = None): DataFrame = {
+    val closure = prebuiltClosure.getOrElse(ancestorClosure(edges))
     val pairs = closure.select(col("node"), col("anc"))
       .unionByName(nodes.select(col("node"), col("node").as("anc")))
     val depths = closure.groupBy("node").agg(max("d").as("depth"))

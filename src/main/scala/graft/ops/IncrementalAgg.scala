@@ -43,16 +43,28 @@ object IncrementalAgg {
       .groupBy("day")
       .agg(sum("rev_sum").as("rev_sum"), sum("n_orders").as("n_orders"))
 
-  /** Presentation view over the state: revenue + derived average, cast to
-    * double only after the exact decimal arithmetic (the sum is already
-    * 2-dp exact; the average divides the exact sum in double, which is
-    * deterministic given identical inputs in any engine).
+  /** Presentation view over the state: revenue + the derived 4-dp average.
+    *
+    * The average is rounded HALF-UP in pure integer arithmetic, never via
+    * `round(double, 4)`: a 2-dp-exact sum divided by n can land exactly on
+    * a .00005 tie (e.g. 2116123.53 / 8 = 264515.44125), and engines then
+    * disagree — Spark's `Round` does BigDecimal HALF_UP on the shortest
+    * decimal rendering of the double and rounds the tie up, while engines
+    * that round the raw binary double (which sits one ulp below the tie)
+    * round it down. Integer fixed point sidesteps the double entirely:
+    * with cents = sum×100 exact in BIGINT, the half-up 4-dp quotient is
+    *   avg_e4 = (cents×200 + n) div (2n)
+    * — identical in any engine, and ≤2⁵³ for any realistic group sum, so
+    * the final avg_e4 / 1e4 double presentation is bit-identical too.
+    * (Holds for the non-negative sums of a revenue fact; for signed sums
+    * the `div` truncation-vs-floor convention would need pinning first.)
     */
   def finalizeDaily(state: DataFrame): DataFrame =
     state.select(col("day"),
       col("rev_sum").cast("double").as("revenue"),
       col("n_orders"),
-      round(col("rev_sum").cast("double") / col("n_orders"), 4).as("avg_order"))
+      (expr("(CAST(rev_sum * 100 AS BIGINT) * 200 + n_orders) DIV (2 * n_orders)")
+        .cast("double") / lit(10000.0)).as("avg_order"))
 
   /** Delta rule for an INSERT-only inner equi-join view — the join sibling
     * of the aggregate partials above. For V = A ⋈ B and insert batches

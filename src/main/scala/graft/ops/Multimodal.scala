@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * `binary` payloads next to typed metadata, and per-batch decode /
   * feature-extraction runs as partition-local iterator transforms.
   *
-  * The Spark-side contract is real and tested — schema, batching shape,
-  * partition sizing, output schema — while the codec itself is a STUB
-  * (`FakeCodec`): this container has no image/audio libraries, so decode is
-  * a deterministic fake over the payload bytes. Swapping in a real codec
-  * (javacv, a JNI decoder, an ONNX runtime) changes ONLY the function body
-  * passed to [[decodeBatches]]; every plan around it is unchanged.
+  * IMAGE decode is REAL: [[ImageCodec]] decodes PNG/JPEG/BMP/GIF payloads
+  * with JDK `javax.imageio.ImageIO` (ships in the JDK — no external
+  * dependency) and extracts exact dimensions + per-channel pixel sums.
+  * Audio/video decode remains a STUB (`FakeCodec`): the JDK has no
+  * general audio/video codec, so those kinds use a deterministic fake
+  * over the payload bytes. Swapping in a real A/V codec (javacv, a JNI
+  * decoder, an ONNX runtime) changes ONLY the function body passed to
+  * [[decodeBatches]]; every plan around it is unchanged.
   *
   * Scale notes: payloads stay columnar parquet `binary`; decode is
   * mapPartitions (one codec init per partition, not per row — the same
@@ -32,7 +34,64 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Int,
       checksum: Long, features: Array[Float])
 
-  /** STUB codec — deterministic stand-in for image/audio decode.
+  /** Exact per-channel pixel statistics of one decoded image. All-integer
+    * output (sums, not means) so the DuckDB oracle can reproduce the
+    * values bit-for-bit with pure arithmetic — no float rounding to
+    * disagree over.
+    */
+  case class ImageStats(
+      media_id: Long, width: Int, height: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image codec on JDK `javax.imageio.ImageIO` — PNG, JPEG, BMP,
+    * GIF, with zero external dependencies. Undecodable payloads fail
+    * LOUDLY naming the row (an unreadable image in a curation pipeline is
+    * a data defect to surface, not a row to silently drop — callers that
+    * want drop semantics filter with [[selectDecodable]] first).
+    */
+  object ImageCodec {
+
+    /** Decode one payload and reduce it to exact channel sums. */
+    def decode(row: MediaRow): ImageStats = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.payload))
+      require(img != null,
+        s"media_id=${row.media_id}: payload (${row.payload.length} bytes) " +
+          "is not a decodable image (PNG/JPEG/BMP/GIF)")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(row.media_id, w, h, w.toLong * h, sr, sg, sb)
+    }
+
+    /** Partition-local batched image decode. `ImageIO.setUseCache(false)`
+      * once per partition: the default disk-backed stream cache would add
+      * a temp-file round trip per image — pure-memory decode is the right
+      * shape for a 100 TB scan where payloads already sit in the task's
+      * columnar batch.
+      */
+    def decodeImages(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map(decode)
+      }
+    }
+  }
+
+  /** STUB codec — deterministic stand-in for audio/video decode (the JDK
+    * ships no general A/V codec; images use the real [[ImageCodec]]).
     * Real implementation would decode `payload` with a native library;
     * the fake derives a checksum + fixed-width feature vector from the
     * bytes so tests can assert exact plumbing behavior.
@@ -126,6 +185,49 @@ object Multimodal {
     media.filter(col("kind") === "video" && col("n_frames") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Build a REAL-PNG media table from the documents fixture: each doc_id
+    * becomes a two-tone PNG whose dimensions and pixel colors are pure
+    * arithmetic in doc_id —
+    *   w = id%64 + 1, h = id%48 + 1,
+    *   left  columns x < w div 2: (id%256, 7id%256, 13id%256)
+    *   right columns            : (3id%256, 5id%256, 11id%256)
+    * — so a DuckDB oracle can predict the decoder's exact output
+    * (dims + channel sums) WITHOUT being able to decode PNG itself. That
+    * makes the round trip a decode certification: only a codec that
+    * really parses the PNG (zlib inflate, filter reversal, per-pixel
+    * reads) reproduces the arithmetic. Encoding is partition-local
+    * ImageIO, one in-memory buffer per row.
+    */
+  def pngFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val w = (id % 64).toInt + 1
+        val h = (id % 48).toInt + 1
+        val left = ((id % 256).toInt << 16) |
+          (((id * 7) % 256).toInt << 8) | ((id * 13) % 256).toInt
+        val right = (((id * 3) % 256).toInt << 16) |
+          (((id * 5) % 256).toInt << 8) | ((id * 11) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, if (x < w / 2) left else right)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "png", out),
+          s"no PNG writer available for doc_id=$id")
+        MediaRow(id, "image", out.toByteArray, w, h, 0, 0)
+      }
+    }
+  }
 
   /** Build a media table from the documents fixture (text bytes as payload)
     * — the shape used by tests and demos; a real deployment reads

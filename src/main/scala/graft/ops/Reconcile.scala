@@ -50,9 +50,19 @@ object Reconcile {
   private def payloadForDigest(payloadCol: String): Column =
     coalesce(col(payloadCol).cast("string"), lit("\u0001<null>"))
 
+  /** The non-null key contract is ENFORCED, not just documented: a null
+    * key would hash to a null __bucket whose signature flags dirty, yet
+    * the stage-3 equi-join on __bucket can never match null — the row
+    * would silently vanish from the diff while the bucket stayed
+    * permanently dirty. `raise_error` in the bucket expression fails the
+    * first offending row with no extra validation pass.
+    */
   private def withBucket(df: DataFrame, keyCol: String, nBuckets: Int) =
     df.withColumn("__bucket",
-      pmod(digest32(col(keyCol).cast("string")), lit(nBuckets.toLong)))
+      when(col(keyCol).isNull, raise_error(lit(
+        s"Reconcile: null key in '$keyCol' — keys must be unique and " +
+          "non-null per side (see Reconcile scaladoc)")))
+        .otherwise(pmod(digest32(col(keyCol).cast("string")), lit(nBuckets.toLong))))
 
   /** Stage 1: per-bucket (row count, digest sum) signature. */
   def bucketSignatures(

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
 
 /** Retrieval-layer operators above the scoring primitives: list fusion,
   * vocabulary policy, and similarity range queries — the pieces that turn
@@ -37,12 +38,17 @@ object Retrieval {
     val wQual = Window.orderBy(col("q").desc, col("doc_id").asc)
     val qual = qualPool.select(col("doc_id"),
       row_number().over(wQual).as("r_qual"))
+    // RRF score as an exact rational: 1/(k+rl) + 1/(k+rq) =
+    // (a+b)/(a·b) with a = k+rl, b = k+rq (single term when one rank is
+    // absent). round(double, 6) is engine-dependent at exact 6-dp ties —
+    // reachable here, e.g. a lone rank 68 gives 1/128 = 0.0078125.
+    val a = lit(kRrf) + col("r_lex")
+    val b = lit(kRrf) + col("r_qual")
+    val num = when(a.isNull || b.isNull, lit(1)).otherwise(a + b)
+    val den = when(a.isNull, b).when(b.isNull, a).otherwise(a * b)
     lex.join(qual, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("r_lex"), col("r_qual"),
-        round(
-          coalesce(lit(1.0) / (lit(kRrf) + col("r_lex")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(kRrf) + col("r_qual")), lit(0.0)),
-          6).as("rrf"))
+        exactRatio(num, den, 6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(topK)
   }
@@ -59,11 +65,11 @@ object Retrieval {
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       .distinct()
     val df = terms.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs")))
+    val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     df.crossJoin(n)
       .filter(col("df") / col("n_docs") >= dfRatio)
       .select(col("token"), col("df"),
-        round(col("df") / col("n_docs"), 6).as("df_ratio"))
+        exactRatio(col("df"), col("n_docs"), 6).as("df_ratio"))
   }
 
   /** Inverted-index build: token → (df, total_tf, sorted posting list,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`): brute-force cosine top-k as the exact baseline, and an
@@ -569,7 +570,8 @@ object Similarity {
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("hits"), lit(0L)).as("hits"),
-        round(coalesce(col("hits"), lit(0L)) / col("n_exact"), 6).as("recall"))
+        exactRatio(coalesce(col("hits"), lit(0L)), col("n_exact"), 6)
+          .as("recall"))
   }
 
   /** IVF top-k over k-means-REFINED centroids: [[kmeansCentroids]] runs

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
 
 import graft.functions.KmvAggregate
 
@@ -131,10 +132,12 @@ object Sketches {
           .cast("double")
           * kmvEstimate(col("sku"), k) / size(col("sku")))
         .cast("long").as("est_intersection"),
-      // est_int / est_union collapses to the sample ratio |U∩A∩B| / |U|
-      round(
-        size(array_intersect(array_intersect(col("sku"), col("ska")), col("skb")))
-          .cast("double") / size(col("sku")), 6).as("jaccard"),
+      // est_int / est_union collapses to the sample ratio |U∩A∩B| / |U| —
+      // an int/int rational, presented in exact fixed point (round(double)
+      // is engine-dependent at exact 6-dp ties)
+      exactRatio(
+        size(array_intersect(array_intersect(col("sku"), col("ska")), col("skb"))),
+        size(col("sku")), 6).as("jaccard"),
       col("exact_intersection"))
   }
 

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
 
 /** Temporal warehouse operators: slowly-changing-dimension history and
   * calendar gap-filling — the two shapes between a raw changelog and an
@@ -99,15 +100,19 @@ object Temporal {
       .withColumn("__pd", last(obsDate, ignoreNulls = true).over(back))
       .withColumn("__nv", first(col(valueCol), ignoreNulls = true).over(fwd))
       .withColumn("__nd", first(obsDate, ignoreNulls = true).over(fwd))
+    // The interpolated value (pv·g + (nv−pv)·Δ)/g is an exact rational
+    // for the integral, non-negative series this op targets (counts) —
+    // fixed point instead of round(double, 6), which diverges across
+    // engines when an unobserved gap hits the 2^7·5^k-day tie class.
+    val g = datediff(col("__nd"), col("__pd"))
+    val dlt = datediff(col(dateCol), col("__pd"))
     joined.select(col(keyCol), col(dateCol), col("is_observed"),
-      round(
-        when(col("is_observed"), col(valueCol))
-          .when(col("__pv").isNull, col("__nv"))
-          .when(col("__nv").isNull, col("__pv"))
-          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
-            datediff(col(dateCol), col("__pd")) /
-            datediff(col("__nd"), col("__pd"))),
-        6).as(valueCol))
+      when(col("is_observed"), col(valueCol).cast("double"))
+        .when(col("__pv").isNull, col("__nv").cast("double"))
+        .when(col("__nv").isNull, col("__pv").cast("double"))
+        .otherwise(exactRatio(
+          col("__pv") * g + (col("__nv") - col("__pv")) * dlt, g, 6))
+        .as(valueCol))
   }
 
   /** Exponentially-weighted moving average over each key's ordered series,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
 
 /** Text-analysis operators for a training-data pipeline (beyond-reference
   * surface mandated by BASELINE.json): token counting, quality scoring,
@@ -85,8 +86,10 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       size(t).as("n_tokens"),
-      round(stopHits(t, EnStop) / size(t).cast("double"), 6).as("stop_ratio"),
-      round(size(array_distinct(t)) / size(t).cast("double"), 6).as("distinct_ratio"),
+      // exact fixed point for the int/int ratios: round(double, 6) is
+      // engine-dependent when hits/n is a true 6-dp decimal tie
+      exactRatio(stopHits(t, EnStop), size(t), 6).as("stop_ratio"),
+      exactRatio(size(array_distinct(t)), size(t), 6).as("distinct_ratio"),
       qualityScore(t).as("quality"))
   }
 
@@ -518,7 +521,7 @@ object TextAnalysis {
         size(col("ngrams")).cast("long").as("n_ngrams"),
         size(array_distinct(col("ngrams"))).cast("long").as("n_distinct"))
       .withColumn("rep_ratio",
-        round(lit(1.0) - col("n_distinct") / col("n_ngrams"), 6))
+        exactRatio(col("n_ngrams") - col("n_distinct"), col("n_ngrams"), 6))
 
   /** Feature-hashing ("hashing trick") text embedding: each token maps to
     * dimension md5[0..3] mod `dim` with sign md5[4] (signed hashing keeps
@@ -669,11 +672,11 @@ object TextAnalysis {
   def mixTemperature(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val totals = broadcast(counts.agg(
-      sum("n_docs").cast("double").as("n_total"),
+      sum("n_docs").as("n_total"),
       sum(pow(col("n_docs"), alpha)).as("z")))
     counts.crossJoin(totals)
       .select(col("source"), col("n_docs"),
-        round(col("n_docs") / col("n_total"), 6).as("raw_share"),
+        exactRatio(col("n_docs"), col("n_total"), 6).as("raw_share"),
         round(pow(col("n_docs"), alpha) / col("z"), 6).as("tempered_share"),
         round(pow(col("n_docs"), alpha) / col("z") /
           (col("n_docs") / col("n_total")), 6).as("sample_factor"))
@@ -690,14 +693,14 @@ object TextAnalysis {
   def vocabTopP(docs: DataFrame, p: Double = 0.5): DataFrame = {
     val counts = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
-    val total = broadcast(counts.agg(sum("n").cast("double").as("total")))
+    val total = broadcast(counts.agg(sum("n").as("total")))
     val w = Window.orderBy(col("n").desc, col("token").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts.crossJoin(total)
       .withColumn("__cum", sum(col("n")).over(w))
       .filter((col("__cum") - col("n")) / col("total") < p)
       .select(col("token"), col("n"),
-        round(col("__cum") / col("total"), 6).as("cum_mass"))
+        exactRatio(col("__cum"), col("total"), 6).as("cum_mass"))
   }
 
   /** One-row dataset card: the corpus summary a release ships with —
@@ -728,7 +731,7 @@ object TextAnalysis {
       .select(col("n_docs"), col("n_tokens"), col("n_sources"),
         col("n_langs"), col("mean_quality"),
         round(col("median_tokens"), 6).as("median_tokens"),
-        round(lit(1.0) - col("distinct_texts") / col("n_docs").cast("double"), 6)
+        exactRatio(col("n_docs") - col("distinct_texts"), col("n_docs"), 6)
           .as("exact_dup_rate"))
   }
 

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
 
 /** Event-time analytics over the `events` stream table — the streaming
   * surface the reference lacks (SURVEY.md §2.8: its forecast_meta rollup is
@@ -397,7 +398,7 @@ object EventAggs {
       .groupBy("wday").agg(count(lit(1)).as("wau"))
     dau.join(wau, dau("day") === wau("wday"))
       .select(col("day"), col("dau"), col("wau"),
-        round(col("dau") / col("wau"), 6).as("stickiness"))
+        exactRatio(col("dau"), col("wau"), 6).as("stickiness"))
   }
 
   /** RFM user segmentation: per-user Recency (days since last event,
@@ -468,11 +469,19 @@ object EventAggs {
       .agg(count(lit(1)).as("n"))
     val totals = cells.groupBy("from_type").agg(sum("n").as("n_from"))
     val k = cells.agg(count_distinct(col("to_type")).as("k"))
+    // Laplace-smoothed (n+α)/(n_from+αk) is an exact rational for
+    // integral α (the default) — present it in exact fixed point; a
+    // fractional α falls back to the double path (its true value is not
+    // rational over 10^7, so the tie class is unreachable anyway).
+    val p =
+      if (alpha == math.rint(alpha) && alpha >= 0) {
+        val a = alpha.toLong
+        exactRatio(col("n") + lit(a), col("n_from") + lit(a) * col("k"), 6)
+      } else
+        round((col("n") + alpha) / (col("n_from") + lit(alpha) * col("k")), 6)
     cells.join(broadcast(totals), "from_type")
       .crossJoin(broadcast(k))
-      .select(col("from_type"), col("to_type"), col("n"),
-        round((col("n") + alpha) / (col("n_from") + lit(alpha) * col("k")), 6)
-          .as("p"))
+      .select(col("from_type"), col("to_type"), col("n"), p.as("p"))
   }
 
   def topPaths(events: DataFrame, k: Int = 20): DataFrame = {

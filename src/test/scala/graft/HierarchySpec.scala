@@ -171,6 +171,20 @@ class HierarchySpec extends SparkSpec {
     assert(level.contains(7L))
   }
 
+  test("empty input: sketch rollup returns empty, no NPE on max(depth)") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("node", "parent")
+    val noSketches = Seq.empty[(Long, Seq[Long])].toDF("node", "sk")
+    assert(Hierarchy.subtreeSketchRollup(noSketches, noEdges, 8).count() == 0)
+  }
+
+  test("prebuilt closure is reused (no second validation/build)") {
+    val closure = Hierarchy.ancestorClosure(treeEdges)
+    val viaPrebuilt = Hierarchy.subtreeRollup(treeNodes, treeEdges,
+      prebuiltClosure = Some(closure)).collect().toSet
+    val direct = Hierarchy.subtreeRollup(treeNodes, treeEdges).collect().toSet
+    assert(viaPrebuilt == direct)
+  }
+
   test("multi-parent input (DAG) fails loudly, never double-counts") {
     val dag = Seq((3L, 1L), (3L, 2L)).toDF("node", "parent")
     val e = intercept[IllegalArgumentException] {

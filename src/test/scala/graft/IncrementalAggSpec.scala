@@ -47,6 +47,32 @@ class IncrementalAggSpec extends SparkSpec {
     assert(leftFold == rightFold && rightFold == flat)
   }
 
+  test("avg_order rounds a decimal half-tie UP, in exact integer space") {
+    // The CORRECTNESS_r06/r07 failure class: a 2-dp-exact sum over n=8
+    // whose quotient ends exactly in 5 at the 5th decimal.
+    // 7 × 264515.44 + 264515.45 = 2116123.53; /8 = 264515.44125 — a true
+    // tie at 4 dp. round(double, 4) is engine-dependent here (Spark's
+    // decimal-string HALF_UP says .4413, rounding the binary double —
+    // one ulp below the tie — says .4412). The integer fixed-point rule
+    // (cents*200 + n) div (2n) is half-up by construction:
+    // (211612353*200 + 8) div 16 = 2645154413 → 264515.4413.
+    val tie = orders(Seq.fill(7)("2000-02-01" -> 264515.44) :+
+      ("2000-02-01" -> 264515.45))
+    val out = collectFinal(IncrementalAgg.dailyOrderPartials(tie))
+    assert(out("2000-02-01") == ((2116123.53, 8L, 264515.4413)))
+  }
+
+  test("avg_order below the tie still rounds down (half-up only at ties)") {
+    // 3 × 1.00 + 0.01 = 3.01 over 4 → 0.7525 exactly at 4 dp (no 5th
+    // decimal), and 10.00 + 0.01 over 3 → 3.336666... → 3.3367.
+    val df = orders(Seq("2000-03-01" -> 1.0, "2000-03-01" -> 1.0,
+      "2000-03-01" -> 1.0, "2000-03-01" -> 0.01,
+      "2000-03-02" -> 10.0, "2000-03-02" -> 0.01))
+    val out = collectFinal(IncrementalAgg.dailyOrderPartials(df))
+    assert(out("2000-03-01") == ((3.01, 4L, 0.7525)))
+    assert(out("2000-03-02") == ((10.01, 2L, 5.005)))
+  }
+
   test("empty batch is a no-op") {
     val base = IncrementalAgg.dailyOrderPartials(all)
     val empty = IncrementalAgg.dailyOrderPartials(all.filter("o_orderkey < 0"))

@@ -81,6 +81,89 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(e => other(e.media_id) == e.embedding.toSeq))
   }
 
+  // ---- ImageCodec: REAL PNG decode (JDK ImageIO) ----
+
+  /** Byte-author a PNG from the public spec (the NetcdfClassicSpec
+    * discipline): signature, IHDR (8-bit RGB, no interlace), one IDAT of
+    * zlib-deflated filter-0 scanlines, IEND — CRCs computed, nothing
+    * written through ImageIO. Proves the codec reads the FORMAT, not just
+    * its own writer's output.
+    */
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(data.length + 12)
+    bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(typ.getBytes("US-ASCII"))
+    crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  private def pngBytes(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val raw = new java.io.ByteArrayOutputStream
+    for (y <- 0 until h) {
+      raw.write(0) // filter type None per scanline
+      for (x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        raw.write(r); raw.write(g); raw.write(b)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray)
+    defl.finish()
+    val out = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](512)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    Array.concat(
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      chunk("IHDR", ihdr.array), chunk("IDAT", out.toByteArray),
+      chunk("IEND", Array.emptyByteArray))
+  }
+
+  test("ImageCodec decodes a byte-authored PNG exactly (dims + channel sums)") {
+    // 3x2, pixel (x,y) = (10x+1, 20y+2, 30x+y)
+    val bytes = pngBytes(3, 2, (x, y) => (10 * x + 1, 20 * y + 2, 30 * x + y))
+    val stats = Multimodal.ImageCodec.decode(
+      MediaRow(42L, "image", bytes, 3, 2, 0, 0))
+    assert(stats.media_id == 42L && stats.width == 3 && stats.height == 2)
+    assert(stats.n_pixels == 6L)
+    assert(stats.sum_r == 2L * (1 + 11 + 21))          // per row: 1,11,21
+    assert(stats.sum_g == 3L * (2 + 22))               // per col: 2 then 22
+    assert(stats.sum_b == (0 + 30 + 60) + (1 + 31 + 61))
+  }
+
+  test("ImageCodec rejects a corrupt payload loudly, naming the row") {
+    val bad = MediaRow(99L, "image", Array[Byte](1, 2, 3, 4, 5), 0, 0, 0, 0)
+    val e = intercept[IllegalArgumentException](Multimodal.ImageCodec.decode(bad))
+    assert(e.getMessage.contains("media_id=99"))
+    assert(e.getMessage.contains("not a decodable image"))
+    // and distributed: the task failure surfaces the same message
+    val ds = Seq(bad).toDS()
+    val e2 = intercept[org.apache.spark.SparkException](
+      Multimodal.ImageCodec.decodeImages(ds).collect())
+    assert(e2.getMessage.contains("media_id=99") ||
+      e2.getCause.getMessage.contains("media_id=99"))
+  }
+
+  test("pngFromDocuments round trip matches the arithmetic prediction") {
+    val decoded = Multimodal.ImageCodec.decodeImages(
+      Multimodal.pngFromDocuments(docs.limit(50))).collect()
+    assert(decoded.length == 50)
+    decoded.foreach { s =>
+      val id = s.media_id
+      val w = (id % 64).toInt + 1; val h = (id % 48).toInt + 1
+      val wl = w / 2; val wr = w - wl
+      assert(s.width == w && s.height == h && s.n_pixels == w.toLong * h)
+      assert(s.sum_r == h.toLong * (wl * (id % 256) + wr * ((id * 3) % 256)))
+      assert(s.sum_g == h.toLong * (wl * ((id * 7) % 256) + wr * ((id * 5) % 256)))
+      assert(s.sum_b == h.toLong * (wl * ((id * 13) % 256) + wr * ((id * 11) % 256)))
+    }
+  }
+
   test("embedBatches rejects a model that drops or duplicates rows") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(

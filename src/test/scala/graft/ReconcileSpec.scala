@@ -110,6 +110,19 @@ class ReconcileSpec extends SparkSpec {
     assert(maintained.count() == 0) // identical to recomputing on empty
   }
 
+  test("null key fails loudly instead of silently dropping from the diff") {
+    // a null key would bucket to null: flagged dirty but never equi-joined
+    // back, so the row would vanish from the diff with the bucket stuck
+    // dirty forever — the contract is enforced at the first offending row
+    val withNull = tbl((1L to 5L).map(k => k -> s"v$k"))
+      .union(Seq((null.asInstanceOf[java.lang.Long], "orphan"))
+        .toDF("k", "payload"))
+    val e = intercept[Exception](
+      Reconcile.bucketSignatures(withNull, "k", "payload", 16).collect())
+    assert(e.getMessage.contains("null key") ||
+      Option(e.getCause).exists(_.getMessage.contains("null key")))
+  }
+
   test("signature table is O(buckets), not O(rows)") {
     val sigs = Reconcile.bucketSignatures(left, "k", "payload", 8)
     assert(sigs.count() <= 8)

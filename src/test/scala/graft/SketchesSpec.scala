@@ -54,6 +54,16 @@ class SketchesSpec extends SparkSpec {
     assert(sql == direct)
   }
 
+  test("graft_kmv_merge rejects a non-bigint array at analysis time") {
+    // ArrayData.getLong on an array<int> would silently read garbage
+    // hashes; the type check turns that into an analysis error instead.
+    Seq(Seq(1, 2, 3)).toDF("sk").createOrReplaceTempView("kmv_bad_in")
+    graft.functions.VectorFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_kmv_merge(sk, 32) FROM kmv_bad_in").collect())
+    assert(e.getMessage.contains("array<bigint>"))
+  }
+
   test("below k distinct values the sketch is the exact distinct set") {
     val df = (1 to 1000).map(i => (i % 10).toLong).toDF("v")
       .withColumn("hv", Sketches.hash60(col("v")))
