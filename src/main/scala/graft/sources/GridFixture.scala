@@ -81,6 +81,20 @@ object GridFixture {
         flat(meanAt), flat(stddevAt))
     }
 
+  /** Same logical content in the "latest format" HDF5 dialect (superblock
+    * v3, v2 `OHDR` headers, link-message group, layout v4 with fixed-array
+    * chunk indexes, shuffle+deflate) — what `libver='latest'` writers emit.
+    * Decodes to the bit-identical DataFrame, giving the latest-format
+    * decoder its own independent-engine oracle
+    * (`gridded_ingest_hdf5_latest`).
+    */
+  def ensureWrittenH5Latest(path: String): String =
+    ensureWith(path) { tmp =>
+      Hdf5Netcdf.write(tmp, TimesMicros, Leadtimes, Yc, Xc,
+        flat(meanAt), flat(stddevAt), chunkX = Some(5), filters = Seq(2, 1),
+        latestFormat = true)
+    }
+
   private def ensureWith(path: String)(write: String => Unit): String =
     synchronized {
       val f = new java.io.File(path)
@@ -104,4 +118,7 @@ object GridFixture {
   def defaultH5Path: String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_grid_fixture_h5_v1.nc").getAbsolutePath
+  def defaultH5LatestPath: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_grid_fixture_h5_latest_v1.nc").getAbsolutePath
 }

@@ -14,28 +14,32 @@ import java.nio.{ByteBuffer, ByteOrder}
   * library.
   *
   * In scope (decoded):
-  *  - superblock version 0 at offset 0 (libhdf5's default write format),
-  *    8-byte offsets/lengths;
-  *  - the root group via its v1 B-tree + SNOD symbol nodes + local heap
-  *    (the "compact-ish" group storage every default-written netCDF-4
-  *    file uses);
-  *  - version-1 object headers incl. continuation blocks;
+  *  - superblocks version 0 (libhdf5's default write format) AND
+  *    versions 2/3 (the "latest format" family, `libver='latest'`),
+  *    8-byte offsets/lengths, lookup3-checksummed for v2/v3;
+  *  - group storage both ways: the v0-era v1 B-tree + SNOD symbol nodes
+  *    + local heap, and the latest-format compact link messages
+  *    (dense/fractal-heap link storage rejected loudly);
+  *  - object headers v1 (incl. continuation blocks) AND v2 `OHDR`
+  *    (incl. `OCHK` continuations, lookup3 checksums verified);
   *  - dataspace v1/v2, datatype classes 0 (fixed-point) and 1 (IEEE
-  *    float) in either byte order (class 3 strings inside attributes);
-  *  - data layout v3: class 1 (contiguous), class 0 (compact), AND
-  *    class 2 (chunked — what unlimited-dim or compressed netCDF-4
-  *    variables use): v1 chunk B-trees (node type 1, interior levels
-  *    recursed), per-chunk filter masks, full-size zero-padded edge
-  *    chunks, hyperslab reads that fetch only intersecting chunks;
+  *    float) in either byte order (class 3 strings inside attributes),
+  *    attribute messages v1/v2/v3;
+  *  - data layout v3 AND v4: classes compact/contiguous/chunked; chunk
+  *    indexes: v1 chunk B-trees (v3), single-chunk / implicit /
+  *    fixed-array (v4, `FAHD`/`FADB` checksummed, non-paged) — per-chunk
+  *    filter masks, full-size zero-padded edge chunks, hyperslab reads
+  *    that fetch only intersecting chunks;
   *  - filter pipelines v1/v2: deflate (JDK Inflater), shuffle
   *    (byte-plane transpose), fletcher32 (verified with HDF5's
   *    H5_checksum_fletcher32 algorithm, corrupt chunks fail loudly) —
-  *    i.e. netCDF4's default shuffle+deflate compression decodes;
-  *  - attribute messages v1/v2/v3 (CF `units` on time, `_FillValue`).
-  * Rejected LOUDLY, never misread: superblock v1+ ("latest format"
-  * files), v2 object headers (`OHDR`), other filters (szip/nbit/
-  * scaleoffset), non-atomic data types. The error text names the
-  * feature so the user knows what to re-save without.
+  *    i.e. netCDF4's default shuffle+deflate compression decodes.
+  * Rejected LOUDLY, never misread: superblock v1 (rare 1.6-era indexed
+  * variant), dense link storage, paged fixed arrays,
+  * extensible-array / v2-B-tree chunk indexes (unlimited-dim datasets
+  * under `libver='latest'`), other filters (szip/nbit/scaleoffset),
+  * non-atomic data types. The error text names the feature so the user
+  * knows what to re-save without.
   *
   * The grid view mirrors [[NetcdfClassic]]: datasets named
   * `time`/`leadtime`/`yc`/`xc` + `sic_mean`/`sic_stddev` (legacy
@@ -66,15 +70,26 @@ object Hdf5Netcdf {
   private[sources] case class Dtype(
       clazz: Int, size: Int, littleEndian: Boolean)
 
-  /** Data layout v3, all three storage classes. `Chunked.dims` carries the
-    * layout message's rank+1 chunk dimensions (the trailing entry is the
-    * element size, per spec); `filters` is the write-order pipeline.
+  /** Data layout v3/v4, all three storage classes. `Chunked.dims` carries
+    * the layout message's rank+1 chunk dimensions (the trailing entry is
+    * the element size, per spec — v3 and v4 both encode it); `filters` is
+    * the write-order pipeline; `index` is the chunk-lookup structure
+    * (v3: always a v1 B-tree; v4: one of the "latest format" indexes).
     */
   private[sources] sealed trait Layout
   private[sources] case class Compact(data: Array[Byte]) extends Layout
   private[sources] case class Contiguous(addr: Long, size: Long) extends Layout
+
+  private[sources] sealed trait ChunkIndex
+  private[sources] case class BTreeV1(addr: Long) extends ChunkIndex
+  private[sources] case class SingleChunk(
+      addr: Long, nbytes: Long, mask: Int) extends ChunkIndex
+  private[sources] case class ImplicitIndex(addr: Long) extends ChunkIndex
+  private[sources] case class FixedArrayIndex(
+      addr: Long, pageBits: Int) extends ChunkIndex
+
   private[sources] case class Chunked(
-      btree: Long, dims: Vector[Long],
+      index: ChunkIndex, dims: Vector[Long],
       filters: Vector[(Int, Vector[Int])]) extends Layout
 
   private[sources] case class Dataset(
@@ -98,53 +113,145 @@ object Hdf5Netcdf {
     }
   }
 
+  // --------------------------------------------------------------- checksum
+
+  /** Bob Jenkins' lookup3 `hashlittle` — HDF5's metadata checksum
+    * (`H5_checksum_metadata`, initval 0). Every "latest format" structure
+    * (superblock v2/v3, `OHDR`/`OCHK`, `FAHD`/`FADB`) ends with one;
+    * verified on read so corruption fails loudly, same discipline as the
+    * fletcher32 chunk filter. Pinned by the published lookup3.c test
+    * vectors in Hdf5NetcdfSpec.
+    */
+  private[graft] def lookup3(data: Array[Byte], off: Int, len: Int): Long = {
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    var a = 0xdeadbeef + len; var b = a; var c = a
+    var p = off; var n = len
+    def k(i: Int): Int = data(p + i) & 0xFF
+    while (n > 12) {
+      a += k(0) | (k(1) << 8) | (k(2) << 16) | (k(3) << 24)
+      b += k(4) | (k(5) << 8) | (k(6) << 16) | (k(7) << 24)
+      c += k(8) | (k(9) << 8) | (k(10) << 16) | (k(11) << 24)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      p += 12; n -= 12
+    }
+    if (n > 0) { // tail of 1..12 bytes, then final mix
+      var i = n - 1
+      while (i >= 0) {
+        val v = k(i) << ((i % 4) * 8)
+        (i / 4) match {
+          case 0 => a += v
+          case 1 => b += v
+          case _ => c += v
+        }
+        i -= 1
+      }
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c.toLong & 0xFFFFFFFFL
+  }
+
+  /** Fails loudly unless `stored` equals lookup3 over `data[off, off+len)`
+    * — `what` names the structure so the user knows what is corrupt.
+    */
+  private def checkSum(
+      data: Array[Byte], off: Int, len: Int, stored: Long, what: String): Unit = {
+    val calc = lookup3(data, off, len)
+    require(calc == stored,
+      f"HDF5 $what checksum mismatch: stored $stored%08x computed " +
+        f"$calc%08x — structure is corrupt")
+  }
+
   // ------------------------------------------------------------- superblock
 
-  /** Parses superblock v0 and returns the root group's object header
-    * address plus the cached (btree, heap) pair from its symbol table
-    * entry scratch space.
+  /** Parses the superblock and returns the root group's object header
+    * address plus the cached (btree, heap) pair from its v0 symbol table
+    * entry scratch space (Undef/Undef for v2/v3, whose root group is
+    * link-message or dense storage behind the header).
+    * Versions 0 (libhdf5's default) and 2/3 ("latest format" writers,
+    * `libver='latest'`) decode; v1 (rare 1.6-era indexed-storage variant)
+    * is rejected by name.
     */
   private def readSuperblock(r: Reader): (Long, Long, Long) = {
-    val bb = r.fetch(0L, 96)
+    val raw = new Array[Byte](96)
+    r.fetch(0L, 96).get(raw)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val sig = new Array[Byte](8); bb.get(sig)
     require(sig.sameElements(Signature), "not an HDF5 file (bad signature)")
     val sbVersion = bb.get().toInt
-    require(sbVersion == 0,
-      s"HDF5 superblock version $sbVersion unsupported (v0 only — " +
-        "'latest format' files need an external codec)")
-    bb.get(); bb.get(); bb.get() // freespace/root-group versions, reserved
-    bb.get() // shared header message version
-    val offSize = bb.get().toInt
-    val lenSize = bb.get().toInt
-    require(offSize == 8 && lenSize == 8,
-      s"HDF5 offset/length sizes $offSize/$lenSize unsupported (8/8 only)")
-    bb.get() // reserved
-    bb.getShort(); bb.getShort() // group leaf / internal k
-    bb.getInt() // file consistency flags
-    val base = bb.getLong()
-    require(base == 0L, s"nonzero HDF5 base address $base unsupported")
-    bb.getLong(); bb.getLong(); bb.getLong() // freespace, EOF, driver info
-    // root group symbol table entry
-    bb.getLong() // link name offset (into a heap we don't need for root)
-    val rootOh = bb.getLong()
-    val cacheType = bb.getInt()
-    bb.getInt() // reserved
-    val (btree, heap) =
-      if (cacheType == 1) (bb.getLong(), bb.getLong()) else (Undef, Undef)
-    (rootOh, btree, heap)
+    sbVersion match {
+      case 0 =>
+        bb.get(); bb.get(); bb.get() // freespace/root-group versions, reserved
+        bb.get() // shared header message version
+        val offSize = bb.get().toInt
+        val lenSize = bb.get().toInt
+        require(offSize == 8 && lenSize == 8,
+          s"HDF5 offset/length sizes $offSize/$lenSize unsupported (8/8 only)")
+        bb.get() // reserved
+        bb.getShort(); bb.getShort() // group leaf / internal k
+        bb.getInt() // file consistency flags
+        val base = bb.getLong()
+        require(base == 0L, s"nonzero HDF5 base address $base unsupported")
+        bb.getLong(); bb.getLong(); bb.getLong() // freespace, EOF, driver info
+        // root group symbol table entry
+        bb.getLong() // link name offset (into a heap we don't need for root)
+        val rootOh = bb.getLong()
+        val cacheType = bb.getInt()
+        bb.getInt() // reserved
+        val (btree, heap) =
+          if (cacheType == 1) (bb.getLong(), bb.getLong()) else (Undef, Undef)
+        (rootOh, btree, heap)
+      case 2 | 3 =>
+        val offSize = bb.get().toInt
+        val lenSize = bb.get().toInt
+        require(offSize == 8 && lenSize == 8,
+          s"HDF5 offset/length sizes $offSize/$lenSize unsupported (8/8 only)")
+        bb.get() // file consistency flags
+        val base = bb.getLong()
+        require(base == 0L, s"nonzero HDF5 base address $base unsupported")
+        bb.getLong(); bb.getLong() // superblock extension addr, EOF
+        val rootOh = bb.getLong()
+        checkSum(raw, 0, 44, bb.getLong(44) & 0xFFFFFFFFL,
+          s"superblock v$sbVersion")
+        (rootOh, Undef, Undef)
+      case v => throw new IllegalArgumentException(
+        s"HDF5 superblock version $v unsupported (v0 and v2/v3 only)")
+    }
   }
 
   // --------------------------------------------------------- object headers
 
   /** One raw header message: (type, body). Continuations are followed;
-    * bodies keep little-endian order.
+    * bodies keep little-endian order. Dispatches on the on-disk prefix:
+    * version-1 headers (default-format files) and version-2 `OHDR`
+    * headers ("latest format" writers) both decode; anything else fails
+    * loudly at the address.
     */
   private def readMessages(r: Reader, addr: Long): Vector[(Int, ByteBuffer)] = {
+    val peek = new Array[Byte](4); r.fetch(addr, 4).get(peek)
+    if (peek.sameElements("OHDR".getBytes)) readMessagesV2(r, addr)
+    else if (peek(0) == 1) readMessagesV1(r, addr)
+    else throw new IllegalArgumentException(
+      s"HDF5 object header at $addr is neither v1 nor OHDR " +
+        s"(first byte ${peek(0)})")
+  }
+
+  private def readMessagesV1(
+      r: Reader, addr: Long): Vector[(Int, ByteBuffer)] = {
     val head = r.fetch(addr, 16)
     val version = head.get().toInt
     require(version == 1,
-      s"HDF5 object header version $version unsupported (v1 only — " +
-        "'OHDR' v2 headers need an external codec)")
+      s"HDF5 object header version $version unsupported")
     head.get() // reserved
     val nMsgs = head.getShort().toInt & 0xFFFF
     head.getInt() // object reference count
@@ -171,6 +278,76 @@ object Hdf5Netcdf {
             blocks = blocks :+ ((c.getLong(), c.getLong()))
           } else out += ((msgType, body))
           remaining -= 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Version-2 object header (`OHDR`) + its `OCHK` continuation blocks —
+    * what `libver='latest'` writers emit. Checksums (lookup3) verify on
+    * every block; message counts are implicit (parse to the gap).
+    */
+  private def readMessagesV2(
+      r: Reader, addr: Long): Vector[(Int, ByteBuffer)] = {
+    val pre = new Array[Byte](16); r.fetch(addr, 16).get(pre)
+    val bb = ByteBuffer.wrap(pre).order(ByteOrder.LITTLE_ENDIAN)
+    bb.position(4) // "OHDR"
+    val version = bb.get().toInt
+    require(version == 2, s"HDF5 OHDR version $version unsupported (v2 only)")
+    val flags = bb.get().toInt & 0xFF
+    var prefixLen = 6
+    if ((flags & 0x20) != 0) prefixLen += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) prefixLen += 4 // attr storage phase thresholds
+    val szBytes = 1 << (flags & 0x03)
+    val szBuf = r.fetch(addr + prefixLen, szBytes)
+    val chunk0 = szBytes match {
+      case 1 => (szBuf.get().toInt & 0xFF).toLong
+      case 2 => (szBuf.getShort().toInt & 0xFFFF).toLong
+      case 4 => szBuf.getInt().toLong & 0xFFFFFFFFL
+      case _ => szBuf.getLong()
+    }
+    prefixLen += szBytes
+    val withOrder = (flags & 0x04) != 0 // 2-byte creation order per message
+    val msgHdr = if (withOrder) 6 else 4
+    // chunk 0: [addr, addr+prefixLen+chunk0) is checksummed; sum follows
+    val total = prefixLen + chunk0.toInt + 4
+    val raw = new Array[Byte](total); r.fetch(addr, total).get(raw)
+    val sumBuf = ByteBuffer.wrap(raw, total - 4, 4).order(ByteOrder.LITTLE_ENDIAN)
+    checkSum(raw, 0, total - 4, sumBuf.getInt().toLong & 0xFFFFFFFFL,
+      s"object header (OHDR) at $addr")
+    val out = Vector.newBuilder[(Int, ByteBuffer)]
+    // (bytes, startOffsetOfMessages, endOffset) per block
+    var blocks = List((raw, prefixLen, total - 4))
+    while (blocks.nonEmpty) {
+      val (data, start, end) = blocks.head
+      blocks = blocks.tail
+      val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+      b.position(start).limit(end)
+      while (b.remaining() >= msgHdr) {
+        val msgType = b.get().toInt & 0xFF
+        val msgSize = b.getShort().toInt & 0xFFFF
+        b.get() // message flags
+        if (withOrder) b.getShort()
+        if (b.remaining() < msgSize) {
+          b.position(b.limit()) // trailing gap (< one message header)
+        } else {
+          val body = b.slice().order(ByteOrder.LITTLE_ENDIAN)
+          body.limit(msgSize)
+          b.position(b.position() + msgSize)
+          if (msgType == 0x0010) { // continuation -> OCHK block
+            val c = body.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+            val (cOff, cLen) = (c.getLong(), c.getLong())
+            val cRaw = new Array[Byte](cLen.toInt)
+            r.fetch(cOff, cLen.toInt).get(cRaw)
+            require(cRaw(0) == 'O' && cRaw(1) == 'C' && cRaw(2) == 'H' &&
+              cRaw(3) == 'K', s"bad HDF5 OCHK signature at $cOff")
+            val cSum = ByteBuffer.wrap(cRaw, cLen.toInt - 4, 4)
+              .order(ByteOrder.LITTLE_ENDIAN).getInt().toLong & 0xFFFFFFFFL
+            checkSum(cRaw, 0, cLen.toInt - 4, cSum,
+              s"continuation block (OCHK) at $cOff")
+            blocks = blocks :+ ((cRaw, 4, cLen.toInt - 4))
+          } else if (msgType != 0x0000) out += ((msgType, body)) // skip NILs
         }
       }
     }
@@ -206,15 +383,18 @@ object Hdf5Netcdf {
     Dtype(clazz, size, littleEndian = (bits0 & 1) == 0)
   }
 
-  /** Layout v3: compact inline bytes, contiguous (addr, size), or chunked
-    * (v1 B-tree address + rank+1 chunk dims, elem size last). Filters are
-    * attached by the caller from the separate pipeline message.
+  /** Layout v3 (default format: chunk index is always a v1 B-tree) and v4
+    * ("latest format": single-chunk / implicit / fixed-array indexes;
+    * extensible-array and v2-B-tree indexes — used only by unlimited-dim
+    * datasets — rejected loudly by name). Both versions encode rank+1
+    * chunk dims with the element size last. Filters are attached by the
+    * caller from the separate pipeline message.
     */
   private def parseLayout(bb: ByteBuffer): Layout = {
     val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     val version = b.get().toInt
-    require(version == 3,
-      s"HDF5 data layout version $version unsupported (v3 only)")
+    require(version == 3 || version == 4,
+      s"HDF5 data layout version $version unsupported (v3/v4 only)")
     b.get().toInt match {
       case 0 => // compact: size(2) + data
         val n = b.getShort().toInt & 0xFFFF
@@ -223,11 +403,45 @@ object Hdf5Netcdf {
         Compact(data)
       case 1 => // contiguous
         Contiguous(b.getLong(), b.getLong())
-      case 2 => // chunked: dimensionality(1), btree addr(8), dims (4 each)
+      case 2 if version == 3 => // dimensionality(1), btree(8), dims (4 each)
         val ndims = b.get().toInt & 0xFF
         val btree = b.getLong()
         val dims = Vector.fill(ndims)(b.getInt().toLong & 0xFFFFFFFFL)
-        Chunked(btree, dims, Vector.empty)
+        Chunked(BTreeV1(btree), dims, Vector.empty)
+      case 2 => // v4 chunked: flags, ndims, enc len, dims, index type, addr
+        val flags = b.get().toInt & 0xFF
+        val ndims = b.get().toInt & 0xFF
+        val enc = b.get().toInt & 0xFF
+        def dimAt(): Long = enc match {
+          case 1 => (b.get().toInt & 0xFF).toLong
+          case 2 => (b.getShort().toInt & 0xFFFF).toLong
+          case 4 => b.getInt().toLong & 0xFFFFFFFFL
+          case 8 => b.getLong()
+          case n => throw new IllegalArgumentException(
+            s"HDF5 v4 chunk dim encoding size $n unsupported")
+        }
+        val dims = Vector.fill(ndims)(dimAt())
+        val index = (b.get().toInt & 0xFF) match {
+          case 1 => // single chunk; flags bit 1 = filtered (size+mask here)
+            if ((flags & 0x02) != 0) {
+              val nbytes = b.getLong()
+              val mask = b.getInt()
+              SingleChunk(b.getLong(), nbytes, mask)
+            } else SingleChunk(b.getLong(), dims.product, 0)
+          case 2 => ImplicitIndex(b.getLong())
+          case 3 =>
+            val pageBits = b.get().toInt & 0xFF
+            FixedArrayIndex(b.getLong(), pageBits)
+          case 4 => throw new IllegalArgumentException(
+            "HDF5 extensible-array chunk index unsupported " +
+              "(unlimited-dimension dataset — needs an external codec)")
+          case 5 => throw new IllegalArgumentException(
+            "HDF5 v2 B-tree chunk index unsupported " +
+              "(multi-unlimited-dimension dataset — needs an external codec)")
+          case t => throw new IllegalArgumentException(
+            s"HDF5 chunk indexing type $t unknown")
+        }
+        Chunked(index, dims, Vector.empty)
       case c => throw new IllegalArgumentException(s"HDF5 layout class $c")
     }
   }
@@ -454,7 +668,7 @@ object Hdf5Netcdf {
     * returns every chunk entry. Interior levels recurse through child
     * nodes; `ndims` is the layout message's rank+1 dimensionality.
     */
-  private def chunkEntries(
+  private def btreeChunkEntries(
       r: Reader, btree: Long, ndims: Int): Vector[ChunkEntry] = {
     val keySize = 8 + 8 * ndims
     def walk(addr: Long): Vector[ChunkEntry] = {
@@ -480,6 +694,112 @@ object Hdf5Netcdf {
     walk(btree)
   }
 
+  /** Row-major element offsets of every chunk in the dataset's chunk grid
+    * — the canonical linear order the v4 indexes (implicit / fixed array)
+    * store their entries in.
+    */
+  private def chunkGrid(
+      dsDims: Vector[Long], cdims: Vector[Long]): Vector[Vector[Long]] = {
+    val counts = dsDims.lazyZip(cdims).map((d, c) => ((d + c - 1) / c).toInt)
+    counts.foldLeft(Vector(Vector.empty[Long])) { (acc, n) =>
+      for (pre <- acc; i <- 0 until n) yield pre :+ i.toLong
+    }.map(coord => coord.lazyZip(cdims).map(_ * _).toVector)
+  }
+
+  /** Reads a Fixed Array chunk index (`FAHD` header + its non-paged
+    * `FADB` data block) — the index `libver='latest'` writers use for
+    * fixed-shape chunked datasets. Client 0 elements are bare chunk
+    * addresses (unfiltered); client 1 adds the stored size + filter mask.
+    * Paged data blocks (element count above 2^pageBits) are rejected
+    * loudly. Both blocks' lookup3 checksums are verified.
+    */
+  private def fixedArrayEntries(
+      r: Reader, fa: FixedArrayIndex, dsDims: Vector[Long],
+      cdims: Vector[Long], chunkBytes: Long): Vector[ChunkEntry] = {
+    if (fa.addr == Undef) return Vector.empty // never written
+    val hdrLen = 4 + 1 + 1 + 1 + 1 + 8 + 8 + 4
+    val hRaw = new Array[Byte](hdrLen); r.fetch(fa.addr, hdrLen).get(hRaw)
+    val h = ByteBuffer.wrap(hRaw).order(ByteOrder.LITTLE_ENDIAN)
+    val hSig = new Array[Byte](4); h.get(hSig)
+    require(hSig.sameElements("FAHD".getBytes),
+      s"bad HDF5 fixed-array header signature at ${fa.addr}")
+    val hVer = h.get().toInt
+    require(hVer == 0, s"HDF5 fixed-array header version $hVer unsupported")
+    val clientId = h.get().toInt
+    require(clientId == 0 || clientId == 1,
+      s"HDF5 fixed-array client id $clientId unsupported (chunk data only)")
+    val entrySize = h.get().toInt & 0xFF
+    val pageBits = h.get().toInt & 0xFF
+    val nElmts = h.getLong()
+    val dblkAddr = h.getLong()
+    checkSum(hRaw, 0, hdrLen - 4, h.getInt(hdrLen - 4).toLong & 0xFFFFFFFFL,
+      "fixed-array header (FAHD)")
+    val grid = chunkGrid(dsDims, cdims)
+    require(nElmts == grid.size,
+      s"HDF5 fixed-array element count $nElmts != chunk grid ${grid.size}")
+    if (dblkAddr == Undef) return Vector.empty
+    require(nElmts <= (1L << pageBits),
+      s"HDF5 paged fixed-array data block unsupported " +
+        s"($nElmts elements > 2^$pageBits page)")
+    val dbLen = 4 + 1 + 1 + 8 + nElmts.toInt * entrySize + 4
+    val dRaw = new Array[Byte](dbLen); r.fetch(dblkAddr, dbLen).get(dRaw)
+    val d = ByteBuffer.wrap(dRaw).order(ByteOrder.LITTLE_ENDIAN)
+    val dSig = new Array[Byte](4); d.get(dSig)
+    require(dSig.sameElements("FADB".getBytes),
+      s"bad HDF5 fixed-array data block signature at $dblkAddr")
+    val dVer = d.get().toInt
+    require(dVer == 0, s"HDF5 fixed-array data block version $dVer unsupported")
+    val dClient = d.get().toInt
+    require(dClient == clientId,
+      s"HDF5 fixed-array data block client $dClient != header $clientId")
+    d.getLong() // back-pointer to the header
+    checkSum(dRaw, 0, dbLen - 4, d.getInt(dbLen - 4).toLong & 0xFFFFFFFFL,
+      "fixed-array data block (FADB)")
+    val szBytes = entrySize - 12 // filtered: addr(8) + size + mask(4)
+    grid.flatMap { offs =>
+      val addr = d.getLong()
+      val (nbytes, mask) =
+        if (clientId == 0) (chunkBytes, 0)
+        else {
+          val sz = szBytes match {
+            case 1 => (d.get().toInt & 0xFF).toLong
+            case 2 => (d.getShort().toInt & 0xFFFF).toLong
+            case 4 => d.getInt().toLong & 0xFFFFFFFFL
+            case 8 => d.getLong()
+            case n => throw new IllegalArgumentException(
+              s"HDF5 fixed-array chunk-size field width $n unsupported")
+          }
+          (sz, d.getInt())
+        }
+      if (addr == Undef) None // unallocated chunk: all fill, skip
+      else Some(ChunkEntry(offs, nbytes.toInt, mask, addr))
+    }
+  }
+
+  /** Dispatches chunk enumeration over the layout's index structure.
+    * `cdims` excludes the trailing element-size entry; `chunkBytes` is the
+    * full stored chunk byte count.
+    */
+  private def chunkEntries(
+      r: Reader, ch: Chunked, dsDims: Vector[Long], cdims: Vector[Long],
+      chunkBytes: Long): Vector[ChunkEntry] = ch.index match {
+    case BTreeV1(addr) =>
+      if (addr == Undef) Vector.empty
+      else btreeChunkEntries(r, addr, ch.dims.size)
+    case SingleChunk(addr, nbytes, mask) =>
+      if (addr == Undef) Vector.empty
+      else Vector(ChunkEntry(cdims.map(_ => 0L), nbytes.toInt, mask, addr))
+    case ImplicitIndex(addr) =>
+      require(ch.filters.isEmpty,
+        "HDF5 implicit chunk index with a filter pipeline is malformed")
+      if (addr == Undef) Vector.empty
+      else chunkGrid(dsDims, cdims).zipWithIndex.map { case (offs, i) =>
+        ChunkEntry(offs, chunkBytes.toInt, 0, addr + i.toLong * chunkBytes)
+      }
+    case fa: FixedArrayIndex =>
+      fixedArrayEntries(r, fa, dsDims, cdims, chunkBytes)
+  }
+
   /** Reads the hyperslab `[start, start+count)` of a chunked dataset:
     * fetches only the chunks that intersect the box, defilters each
     * (deflate/shuffle/fletcher32), and scatters the intersection into the
@@ -501,7 +821,7 @@ object Hdf5Netcdf {
     val dstStride = strides(count)
     val srcStride = strides(cdims)
     val out = new Array[Double](count.product.toInt)
-    for (e <- chunkEntries(r, ch.btree, ch.dims.size)) {
+    for (e <- chunkEntries(r, ch, d.dims, cdims, chunkBytes.toLong)) {
       val lo = Vector.tabulate(rank)(i => math.max(e.offs(i), start(i)))
       val hi = Vector.tabulate(rank)(i =>
         math.min(e.offs(i) + cdims(i), start(i) + count(i)))
@@ -567,19 +887,69 @@ object Hdf5Netcdf {
   /** Walks the root group's v1 B-tree -> SNOD nodes -> local heap names and
     * returns name -> object header address for every link.
     */
+  /** "Latest format" group listing: hard Link messages (0x0006) stored
+    * compactly in the group's own header. Dense storage (links spilled to
+    * a fractal heap, signalled by a defined heap address in the Link Info
+    * message) is rejected loudly by name — netCDF-4's handful of
+    * variables per group stays compact under the default thresholds.
+    */
+  private def parseLinkGroup(
+      msgs: Vector[(Int, ByteBuffer)]): Map[String, Long] = {
+    msgs.find(_._1 == 0x0002).foreach { case (_, li0) =>
+      val li = li0.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      val v = li.get().toInt
+      require(v == 0, s"HDF5 link info version $v unsupported")
+      val flags = li.get().toInt
+      if ((flags & 0x01) != 0) li.getLong() // max creation index
+      val fractalHeap = li.getLong()
+      require(fractalHeap == Undef,
+        "HDF5 dense link storage (fractal heap) unsupported — group has " +
+          "too many links for compact storage")
+    }
+    val links = msgs.filter(_._1 == 0x0006).map { case (_, body) =>
+      val b = body.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      val v = b.get().toInt
+      require(v == 1, s"HDF5 link message version $v unsupported")
+      val flags = b.get().toInt & 0xFF
+      val linkType =
+        if ((flags & 0x08) != 0) b.get().toInt & 0xFF else 0
+      require(linkType == 0,
+        s"HDF5 link type $linkType unsupported (hard links only — " +
+          "soft/external links need an external codec)")
+      if ((flags & 0x04) != 0) b.getLong() // creation order
+      if ((flags & 0x10) != 0) b.get() // charset
+      val nameLen = (flags & 0x03) match {
+        case 0 => (b.get().toInt & 0xFF).toLong
+        case 1 => (b.getShort().toInt & 0xFFFF).toLong
+        case 2 => b.getInt().toLong & 0xFFFFFFFFL
+        case _ => b.getLong()
+      }
+      val nameB = new Array[Byte](nameLen.toInt); b.get(nameB)
+      (new String(nameB, "UTF-8"), b.getLong())
+    }
+    require(links.nonEmpty,
+      "HDF5 root group has neither a symbol table nor link messages " +
+        "(empty or unsupported group storage)")
+    links.toMap
+  }
+
   private def listRoot(r: Reader): Map[String, Long] = {
     val (rootOh, cachedBtree, cachedHeap) = readSuperblock(r)
+    var linkMap: Map[String, Long] = null
     val (btree, heap) =
       if (cachedBtree != Undef) (cachedBtree, cachedHeap)
       else {
         val msgs = readMessages(r, rootOh)
-        val st = msgs.find(_._1 == 0x0011).getOrElse(
-          throw new IllegalArgumentException(
-            "HDF5 root group has no symbol table (new-style groups " +
-              "need an external codec)"))._2.duplicate()
-          .order(ByteOrder.LITTLE_ENDIAN)
-        (st.getLong(), st.getLong())
+        msgs.find(_._1 == 0x0011) match {
+          case Some((_, st0)) =>
+            val st = st0.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+            (st.getLong(), st.getLong())
+          case None =>
+            linkMap = parseLinkGroup(msgs)
+            (Undef, Undef)
+        }
       }
+    if (linkMap != null) return linkMap
     // local heap: version + data segment address
     val hh = r.fetch(heap, 32)
     val hSig = new Array[Byte](4); hh.get(hSig)
@@ -794,13 +1164,21 @@ object Hdf5Netcdf {
     * rejection spec uses to prove unsupported filters fail loudly.
     * Filters force chunking (chunkX defaults to nx).
     */
+  /** `latestFormat` switches the container dialect to what
+    * `libver='latest'` writers emit: superblock v3, v2 `OHDR` object
+    * headers (lookup3-checksummed), compact link-message group storage,
+    * v2 dataspaces, v3 attributes, and v4 data layouts whose chunk index
+    * is a Fixed Array (or Single Chunk when the chunk covers the whole
+    * dataset). The logical content is identical to the default dialect.
+    */
   def write(
       path: String, timesMicros: Array[Long], leadtimes: Array[Int],
       yc: Array[Double], xc: Array[Double],
       mean: Array[Double], stddev: Array[Double],
       floatData: Boolean = false, fillValue: Option[Double] = None,
       bookkeepingAttrs: Boolean = false,
-      chunkX: Option[Int] = None, filters: Seq[Int] = Nil): Unit = {
+      chunkX: Option[Int] = None, filters: Seq[Int] = Nil,
+      latestFormat: Boolean = false): Unit = {
     val nt = timesMicros.length
     val (nl, ny, nx) = (leadtimes.length, yc.length, xc.length)
     require(mean.length == nt * nl * ny * nx && stddev.length == mean.length)
@@ -934,6 +1312,191 @@ object Hdf5Netcdf {
         ChunkBlob(Vector(t.toLong, 0L, 0L, x0.toLong, 0L),
           applyFilters(full))
       }
+    }
+
+    // ---- "latest format" dialect: v2 OHDR + link messages + v4 layout ----
+    if (latestFormat) {
+      // v2 message: type(1) size(2) flags(1) body — exact, unpadded
+      def msg2(msgType: Int, body: Array[Byte]): Array[Byte] =
+        new Le().u8(msgType).u16(body.length).u8(0).raw(body).bytes
+      // v2 OHDR: flags 0x01 (2-byte chunk-0 size), no times, checksummed
+      def ohdr2(msgs: Seq[Array[Byte]]): Array[Byte] = {
+        val body = msgs.flatten.toArray
+        val le = new Le().raw("OHDR".getBytes).u8(2).u8(0x01)
+          .u16(body.length).raw(body)
+        val b = le.bytes
+        new Le().raw(b).u32(lookup3(b, 0, b.length)).bytes
+      }
+      def dataspace2(dims: Seq[Long]): Array[Byte] = {
+        val le = new Le().u8(2).u8(dims.size).u8(0)
+          .u8(if (dims.isEmpty) 0 else 1)
+        dims.foreach(le.u64)
+        le.bytes
+      }
+      def attr3(name: String, dt: Array[Byte], ds: Array[Byte],
+          data: Array[Byte]): Array[Byte] = {
+        val nameB = name.getBytes("UTF-8") :+ 0.toByte
+        msg2(0x000C, new Le().u8(3).u8(0)
+          .u16(nameB.length).u16(dt.length).u16(ds.length).u8(0)
+          .raw(nameB).raw(dt).raw(ds).raw(data).bytes)
+      }
+      def attsFor(s: Spec): Seq[Array[Byte]] = {
+        val units =
+          if (s.name == "time")
+            Seq(attr3("units", dtString(unitsB.length), dataspace2(Nil), unitsB))
+          else Nil
+        val fill =
+          if (s.name.startsWith("sic_"))
+            fillValue.toSeq.map(f => attr3("_FillValue", dtFloat64,
+              dataspace2(Nil), new Le().f64(f).bytes))
+          else Nil
+        units ++ fill
+      }
+      def filterMsg2: Array[Byte] = {
+        val le = new Le().u8(2).u8(filters.size)
+        filters.foreach { id =>
+          val cd: Seq[Long] = id match {
+            case 1 => Seq(6L)
+            case 2 => Seq(dataEs.toLong)
+            case _ => Nil
+          }
+          le.u16(id).u16(0).u16(cd.size)
+          cd.foreach(le.u32)
+        }
+        msg2(0x000B, le.bytes)
+      }
+      val filtered = filters.nonEmpty
+      // v4 layouts; chunk dims carry the trailing element size, per spec
+      def layout4Contiguous(addr: Long, size: Long): Array[Byte] =
+        msg2(0x0008, new Le().u8(4).u8(1).u64(addr).u64(size).bytes)
+      def layout4Single(addr: Long, nbytes: Long, mask: Int): Array[Byte] = {
+        val le = new Le().u8(4).u8(2).u8(if (filtered) 0x02 else 0)
+          .u8(5).u8(8)
+        Seq(1L, nl.toLong, ny.toLong, cx.toLong, dataEs.toLong).foreach(le.u64)
+        le.u8(1)
+        if (filtered) { le.u64(nbytes); le.u32(mask.toLong) }
+        msg2(0x0008, le.u64(addr).bytes)
+      }
+      def layout4Fa(faAddr: Long, pageBits: Int): Array[Byte] = {
+        val le = new Le().u8(4).u8(2).u8(0).u8(5).u8(8)
+        Seq(1L, nl.toLong, ny.toLong, cx.toLong, dataEs.toLong).foreach(le.u64)
+        msg2(0x0008, le.u8(3).u8(pageBits).u64(faAddr).bytes)
+      }
+      def header2(s: Spec, addr: Long, aux: Long, mask: Int): Array[Byte] = {
+        val layout =
+          if (!chunkedNames(s.name))
+            Seq(layout4Contiguous(addr, s.dims.product * s.es))
+          else {
+            val one = nt == 1 && cx >= nx
+            val l =
+              if (one) layout4Single(addr, aux, mask)
+              else layout4Fa(addr, aux.toInt)
+            if (filtered) Seq(l, filterMsg2) else Seq(l)
+          }
+        ohdr2(Seq(
+          msg2(0x0001, dataspace2(s.dims)),
+          msg2(0x0003, s.dt)) ++ layout ++ attsFor(s))
+      }
+      // root group: link info + group info + one hard link per dataset
+      def rootOhdr(addrs: Map[String, Long]): Array[Byte] = {
+        val linkInfo = msg2(0x0002,
+          new Le().u8(0).u8(0).u64(Undef).u64(Undef).bytes)
+        val groupInfo = msg2(0x000A, new Le().u8(0).u8(0).bytes)
+        val links = specs.map { s =>
+          val nameB = s.name.getBytes("UTF-8")
+          msg2(0x0006, new Le().u8(1).u8(0).u8(nameB.length)
+            .raw(nameB).u64(addrs(s.name)).bytes)
+        }
+        ohdr2(linkInfo +: groupInfo +: links)
+      }
+
+      val raws = specs.map(s => s.name -> rawFor(s)).toMap
+      case class Placed(blobs: Seq[(ChunkBlob, Long)], fahd: Long,
+          fadb: Long, pageBits: Int)
+      // ---- lay out: superblock, root OHDR, dataset OHDRs, data ----
+      val sbSize = 48L
+      val rootAddr = sbSize
+      val rootLen = rootOhdr(specs.map(_.name -> 0L).toMap).length
+      var cursor = rootAddr + rootLen
+      val ohAddrs = specs.map { s =>
+        val len = header2(s, 0L, 0L, 0).length
+        val a = cursor; cursor += len; s.name -> a
+      }.toMap
+      cursor = (cursor + 7) / 8 * 8
+      val contiguousAddrs = specs.filterNot(s => chunkedNames(s.name)).map {
+        s =>
+          val bytes = s.dims.product * s.es
+          val a = cursor; cursor += (bytes + 7) / 8 * 8; s.name -> a
+      }.toMap
+      val chunkPlaced = specs.filter(s => chunkedNames(s.name)).map { s =>
+        val blobs = chunksFor(s, raws(s.name))
+        val placed = blobs.map { b =>
+          val a = cursor
+          cursor += (b.bytes.length + 7) / 8 * 8
+          (b, a)
+        }
+        var pb = 4
+        while ((1L << pb) < placed.size) pb += 1
+        val single = nt == 1 && cx >= nx
+        val (fahd, fadb) =
+          if (single) (Undef, Undef)
+          else {
+            val entrySize = if (filtered) 16 else 8
+            val dbLen = 4 + 1 + 1 + 8 + placed.size * entrySize + 4
+            val db = cursor; cursor += (dbLen + 7) / 8 * 8
+            val hd = cursor; cursor += 32 // FAHD is 28 bytes, 8-aligned
+            (hd, db)
+          }
+        s.name -> Placed(placed, fahd, fadb, pb)
+      }.toMap
+      val eof = cursor
+
+      val out = new Le()
+      // superblock v3: checksummed prefix
+      val sb = new Le().raw(Signature).u8(3).u8(8).u8(8).u8(0)
+        .u64(0L).u64(Undef).u64(eof).u64(rootAddr).bytes
+      out.raw(sb).u32(lookup3(sb, 0, sb.length))
+      out.raw(rootOhdr(ohAddrs))
+      specs.foreach { s =>
+        if (chunkedNames(s.name)) {
+          val p = chunkPlaced(s.name)
+          if (p.fahd == Undef) { // single chunk
+            val (b, a) = p.blobs.head
+            out.raw(header2(s, a, b.bytes.length.toLong, 0))
+          } else out.raw(header2(s, p.fahd, p.pageBits.toLong, 0))
+        } else {
+          out.raw(header2(s, contiguousAddrs(s.name), 0L, 0))
+        }
+      }
+      out.pad(8)
+      specs.filterNot(s => chunkedNames(s.name)).foreach { s =>
+        out.raw(raws(s.name)).pad(8)
+      }
+      specs.filter(s => chunkedNames(s.name)).foreach { s =>
+        val p = chunkPlaced(s.name)
+        p.blobs.foreach { case (b, _) => out.raw(b.bytes).pad(8) }
+        if (p.fahd != Undef) {
+          val entrySize = if (filtered) 16 else 8
+          val db = new Le().raw("FADB".getBytes).u8(0)
+            .u8(if (filtered) 1 else 0).u64(p.fahd)
+          p.blobs.foreach { case (b, a) =>
+            db.u64(a)
+            if (filtered) { db.u32(b.bytes.length.toLong); db.u32(0L) }
+          }
+          val dbB = db.bytes
+          out.raw(dbB).u32(lookup3(dbB, 0, dbB.length)).pad(8)
+          val hd = new Le().raw("FAHD".getBytes).u8(0)
+            .u8(if (filtered) 1 else 0).u8(entrySize).u8(p.pageBits)
+            .u64(p.blobs.size.toLong).u64(p.fadb)
+          val hdB = hd.bytes
+          out.raw(hdB).u32(lookup3(hdB, 0, hdB.length)).pad(8)
+        }
+      }
+      require(out.size.toLong == eof,
+        s"latest-format writer layout drift: ${out.size} != $eof")
+      val fos = new java.io.FileOutputStream(path)
+      try fos.write(out.bytes) finally fos.close()
+      return
     }
 
     // ---- messages ----

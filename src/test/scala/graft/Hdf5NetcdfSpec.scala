@@ -111,25 +111,144 @@ class Hdf5NetcdfSpec extends SparkSpec {
       s"read $delta bytes; one-variable share is ${dataBytes / 2}")
   }
 
-  test("newer dialects fail loudly with the feature named") {
+  test("unknown dialects fail loudly with the feature named") {
     val dir = tmpDir("h5rej")
     val p = s"$dir/v1.nc"
     Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev)
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-    // superblock version byte (offset 8) -> 2: the 'latest format' family
-    val sb2 = bytes.clone(); sb2(8) = 2
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sb2.nc"), sb2)
-    val e1 = intercept[Exception] { readDf(s"$dir/sb2.nc").collect() }
-    assert(Option(e1.getMessage).exists(_.contains("superblock version")),
-      s"got: ${e1.getMessage}")
-    // root object header version byte (offset 96) -> 2 (OHDR-style); also
-    // clear the superblock entry's cache type (offset 72) so the walk
-    // consults the root header instead of the cached btree/heap scratch
-    val oh2 = bytes.clone(); oh2(96) = 2; oh2(72) = 0
+    // superblock version byte (offset 8): 1 (1.6-era indexed variant) and
+    // 9 (unknown) both name the version; 2/3 now DECODE (tests below)
+    for (v <- Seq(1, 9)) {
+      val sbx = bytes.clone(); sbx(8) = v.toByte
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sb$v.nc"), sbx)
+      val e = intercept[Exception] { readDf(s"$dir/sb$v.nc").collect() }
+      assert(Option(e.getMessage).exists(_.contains("superblock version")),
+        s"got: ${e.getMessage}")
+    }
+    // root object header first byte (offset 96) -> 7: neither a v1 header
+    // nor an OHDR signature; also clear the superblock entry's cache type
+    // (offset 72) so the walk consults the root header, not the scratch
+    val oh2 = bytes.clone(); oh2(96) = 7; oh2(72) = 0
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/oh2.nc"), oh2)
     val e2 = intercept[Exception] { readDf(s"$dir/oh2.nc").collect() }
-    assert(Option(e2.getMessage).exists(_.contains("object header version")),
+    assert(Option(e2.getMessage).exists(_.contains("neither v1 nor OHDR")),
       s"got: ${e2.getMessage}")
+  }
+
+  // ------------------------------------ "latest format" (superblock v3)
+
+  test("lookup3 matches the published lookup3.c test vectors") {
+    // pinned from Bob Jenkins' lookup3.c self-test — the checksum every
+    // latest-format structure carries
+    assert(Hdf5Netcdf.lookup3(Array.empty[Byte], 0, 0) == 0xdeadbeefL)
+    val four = "Four score and seven years ago".getBytes("US-ASCII")
+    assert(Hdf5Netcdf.lookup3(four, 0, four.length) == 0x17770551L)
+  }
+
+  test("latest-format contiguous file decodes identically to the default") {
+    val dir = tmpDir("h5latest")
+    Hdf5Netcdf.write(s"$dir/a.nc", times, leads, yc, xc, mean, stddev)
+    Hdf5Netcdf.write(s"$dir/b.nc", times, leads, yc, xc, mean, stddev,
+      latestFormat = true)
+    val a = readDf(s"$dir/a.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    val b = readDf(s"$dir/b.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(readDf(s"$dir/b.nc").rdd.getNumPartitions == nT)
+  }
+
+  test("latest-format fixed-array chunks + shuffle+deflate round-trip") {
+    val dir = tmpDir("h5lfa")
+    Hdf5Netcdf.write(s"$dir/a.nc", times, leads, yc, xc, mean, stddev)
+    Hdf5Netcdf.write(s"$dir/b.nc", times, leads, yc, xc, mean, stddev,
+      floatData = false, chunkX = Some(2), filters = Seq(2, 1),
+      latestFormat = true)
+    val a = readDf(s"$dir/a.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    val b = readDf(s"$dir/b.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("latest-format unfiltered fixed-array chunks round-trip") {
+    val dir = tmpDir("h5lfau")
+    Hdf5Netcdf.write(s"$dir/a.nc", times, leads, yc, xc, mean, stddev)
+    Hdf5Netcdf.write(s"$dir/b.nc", times, leads, yc, xc, mean, stddev,
+      chunkX = Some(2), latestFormat = true)
+    val a = readDf(s"$dir/a.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    val b = readDf(s"$dir/b.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("latest-format single-chunk index (chunk == dataset) round-trips") {
+    val dir = tmpDir("h5lsc")
+    val t1 = Array(times(0))
+    val m1 = slab(0); val s1 = m1.map(_ / 10)
+    Hdf5Netcdf.write(s"$dir/a.nc", t1, leads, yc, xc, m1, s1)
+    // nt=1 + chunkX=nx -> one chunk covering the dataset; filtered variant
+    Hdf5Netcdf.write(s"$dir/b.nc", t1, leads, yc, xc, m1, s1,
+      chunkX = Some(nX), filters = Seq(2, 1), latestFormat = true)
+    val a = readDf(s"$dir/a.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    val b = readDf(s"$dir/b.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("latest-format f32 + _FillValue ride the v3-attribute path") {
+    val m2 = Array.tabulate(mean.length)(i =>
+      if (i % 5 == 0) Double.NaN else (i % 32) / 32.0)
+    val p = tmpDir("h5lfv") + "/fc.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, m2, m2.map(_ / 2),
+      floatData = true, fillValue = Some(-999.0), chunkX = Some(2),
+      filters = Seq(2, 1), latestFormat = true)
+    val df = readDf(p)
+    assert(df.count() == nT * nL * nY * nX)
+    assert(df.filter(col("sic_mean").isNull).count() == m2.count(_.isNaN))
+    assert(df.filter(col("sic_mean") === -999.0).count() == 0)
+  }
+
+  test("latest-format checksums verify: corrupt OHDR and superblock fail") {
+    val dir = tmpDir("h5lsum")
+    val p = s"$dir/fc.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev,
+      latestFormat = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // root OHDR begins at 48 (after the superblock): flip a message byte
+    val ohBad = bytes.clone(); ohBad(60) = (ohBad(60) ^ 0x5A).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/oh.nc"), ohBad)
+    val e1 = intercept[Exception] { readDf(s"$dir/oh.nc").collect() }
+    assert(Option(e1.getMessage).exists(m =>
+      m.contains("OHDR") && m.contains("checksum")), s"got: ${e1.getMessage}")
+    // superblock: flip the EOF field
+    val sbBad = bytes.clone(); sbBad(30) = (sbBad(30) ^ 0x5A).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sb.nc"), sbBad)
+    val e2 = intercept[Exception] { readDf(s"$dir/sb.nc").collect() }
+    assert(Option(e2.getMessage).exists(m =>
+      m.contains("superblock") && m.contains("checksum")),
+      s"got: ${e2.getMessage}")
+  }
+
+  test("latest-format chunked reads stay O(slice)") {
+    val dir = tmpDir("h5lseek")
+    val t4 = Array.tabulate(4)(i => us(f"2022-01-0${i + 1} 00:00:00"))
+    val vals = Array.tabulate(4 * nL * nY * nX)(_.toDouble)
+    Hdf5Netcdf.write(s"$dir/big.nc", t4, leads, yc, xc, vals, vals.map(_ / 10),
+      chunkX = Some(2), filters = Seq(2, 1), latestFormat = true)
+    val rawDataBytes = 2L * vals.length * 8
+    val before = Hdf5Netcdf.bytesRead.get()
+    val s = readDf(s"$dir/big.nc").agg(sum("sic_mean")).head().getDouble(0)
+    assert(s == vals.sum)
+    val delta = Hdf5Netcdf.bytesRead.get() - before
+    val metaOverhead = 4 * 4096L
+    assert(delta < rawDataBytes / 2 + metaOverhead,
+      s"read $delta bytes; one variable's raw share is ${rawDataBytes / 2}")
+  }
+
+  test("default and latest dialects union through one directory scan") {
+    val dir = tmpDir("h5ldir")
+    Hdf5Netcdf.write(s"$dir/a.nc", Array(times(0)), leads, yc, xc,
+      slab(0), slab(0).map(_ / 10))
+    Hdf5Netcdf.write(s"$dir/b.nc", Array(times(1)), leads, yc, xc,
+      slab(1), slab(1).map(_ / 10), latestFormat = true)
+    val df = readDf(dir)
+    assert(df.select("time").distinct().count() == 2)
+    assert(df.count() == 2L * nL * nY * nX)
   }
 
   test("reference-class bookkeeping attrs (DIMENSION_LIST-style) are skipped") {
