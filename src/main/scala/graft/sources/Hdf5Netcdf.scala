@@ -43,11 +43,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * The grid view mirrors [[NetcdfClassic]]: datasets named
   * `time`/`leadtime`/`yc`/`xc` + `sic_mean`/`sic_stddev` (legacy
-  * `mean`/`stddev`), dims `(time, leadtime, yc, xc)` validated by SHAPE
-  * against the coordinate lengths (HDF5 stores dim identity in
-  * DIMENSION_LIST vlen references — out of scope; an actually-transposed
-  * tensor with coincidentally matching axis lengths is undetectable here
-  * and documented as such). One `readGridSlice` fetches the axis vectors
+  * `mean`/`stddev`), dims `(time, leadtime, yc, xc)` validated by shape
+  * AND, when the file carries netCDF-4's DIMENSION_LIST attribute, by
+  * dimension IDENTITY: the vlen object references are resolved through
+  * their global heap collections (`GCOL`) to the dimension-scale object
+  * headers, so a transposed tensor with coincidentally matching axis
+  * lengths fails loudly instead of being misread. One `readGridSlice`
+  * fetches the axis vectors
   * plus exactly one `(leadtime, yc, xc)` slab per requested variable —
   * the same I/O bound the classic codec guarantees, so the
   * one-partition-per-(file, slice) planning carries over unchanged.
@@ -92,9 +94,15 @@ object Hdf5Netcdf {
       index: ChunkIndex, dims: Vector[Long],
       filters: Vector[(Int, Vector[Int])]) extends Layout
 
+  /** `dimRefs` is the decoded DIMENSION_LIST (one dimension-scale object
+    * header address per axis; empty when the file carries no attribute) —
+    * the ground truth for axis identity that the shape check alone can't
+    * establish when two axes coincide in length.
+    */
   private[sources] case class Dataset(
       name: String, dims: Vector[Long], dtype: Dtype,
-      layout: Layout, atts: Map[String, Any])
+      layout: Layout, atts: Map[String, Any],
+      dimRefs: Vector[Long] = Vector.empty)
 
   // --------------------------------------------------------------- file I/O
 
@@ -567,7 +575,11 @@ object Hdf5Netcdf {
     * (vlen/reference/compound — netCDF-4 dimension-scale bookkeeping)
     * yield None: the name is known, the value skipped.
     */
-  private def parseAttribute(bb: ByteBuffer): (String, Option[Any]) = {
+  /** Parses an attribute message's fixed header (v1/v2/v3) and returns
+    * (name, dtype, dataspace dims, buffer positioned at the value bytes).
+    */
+  private def parseAttrHeader(
+      bb: ByteBuffer): (String, Dtype, Vector[Long], ByteBuffer) = {
     val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     val version = b.get().toInt
     require(version >= 1 && version <= 3,
@@ -591,6 +603,11 @@ object Hdf5Netcdf {
     b.get(dsBytes)
     val dims = parseDataspace(
       ByteBuffer.wrap(dsBytes).order(ByteOrder.LITTLE_ENDIAN))
+    (name, dtype, dims, b)
+  }
+
+  private def parseAttribute(bb: ByteBuffer): (String, Option[Any]) = {
+    val (name, dtype, dims, b) = parseAttrHeader(bb)
     val nElems = dims.product.max(1L).toInt
     val value: Option[Any] = dtype.clazz match {
       case 3 =>
@@ -602,6 +619,68 @@ object Hdf5Netcdf {
       case _ => None // vlen/reference/compound bookkeeping attr: skip
     }
     (name, value)
+  }
+
+  /** Decodes a `DIMENSION_LIST` attribute value — netCDF-4's dimension
+    * identity record: a vlen-of-object-reference per dataset dimension,
+    * each vlen resolved through its global heap collection (`GCOL`) to
+    * the object header address(es) of the dimension-scale dataset(s)
+    * attached to that axis. Returns the FIRST referenced address per
+    * dimension (netCDF-4 attaches exactly one scale per dim); an
+    * unattached dim (empty vlen) yields Undef.
+    */
+  private def parseDimensionList(
+      r: Reader, bb: ByteBuffer): Vector[Long] = {
+    val (_, dtype, dims, b) = parseAttrHeader(bb)
+    require(dtype.clazz == 9 && dtype.size == 16,
+      s"DIMENSION_LIST datatype class=${dtype.clazz} size=${dtype.size} " +
+        "is not a vlen-of-reference")
+    val rank = dims.product.max(1L).toInt
+    Vector.fill(rank) {
+      val n = b.getInt() // sequence length
+      val gcol = b.getLong() // global heap collection address
+      val idx = b.getInt() // object index within the collection
+      if (n == 0) Undef
+      else {
+        val data = globalHeapObject(r, gcol, idx)
+        require(data.length >= 8,
+          s"DIMENSION_LIST heap object $idx shorter than one reference")
+        ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN).getLong()
+      }
+    }
+  }
+
+  /** Fetches object `idx` from the global heap collection at `addr`
+    * (`GCOL`): walks the object headers until the index matches; object
+    * index 0 marks the free-space tail.
+    */
+  private def globalHeapObject(r: Reader, addr: Long, idx: Int): Array[Byte] = {
+    val head = r.fetch(addr, 16)
+    val sig = new Array[Byte](4); head.get(sig)
+    require(sig.sameElements("GCOL".getBytes),
+      s"bad HDF5 global heap signature at $addr")
+    val version = head.get().toInt
+    require(version == 1, s"HDF5 global heap version $version unsupported")
+    head.get(); head.get(); head.get() // reserved
+    val collSize = head.getLong()
+    val body = r.fetch(addr + 16L, (collSize - 16L).toInt)
+    while (body.remaining() >= 16) {
+      val objIdx = body.getShort().toInt & 0xFFFF
+      body.getShort() // reference count
+      body.getInt() // reserved
+      val objSize = body.getLong()
+      if (objIdx == 0) { // free space: no more objects
+        body.position(body.limit())
+      } else if (objIdx == idx) {
+        val data = new Array[Byte](objSize.toInt)
+        body.get(data)
+        return data
+      } else {
+        body.position(body.position() + ((objSize + 7) / 8 * 8).toInt)
+      }
+    }
+    throw new IllegalArgumentException(
+      s"HDF5 global heap object $idx not found in collection at $addr")
   }
 
   private def readElem(b: ByteBuffer, dt: Dtype): Double = {
@@ -647,12 +726,14 @@ object Hdf5Netcdf {
             s"dataset $name: filter pipeline on non-chunked layout")
           other
       }
+    var dimRefs = Vector.empty[Long]
     val atts: Map[String, Any] = msgs.filter(_._1 == 0x000C)
       .flatMap { m =>
         val (n, v) = parseAttribute(m._2)
+        if (n == "DIMENSION_LIST") dimRefs = parseDimensionList(r, m._2)
         v.map(x => (n, x)).toSeq
       }.toMap
-    Dataset(name, dims, dtype, layout, atts)
+    Dataset(name, dims, dtype, layout, atts, dimRefs)
   }
 
   // ------------------------------------------------------------ chunk index
@@ -1088,6 +1169,19 @@ object Hdf5Netcdf {
         require(d.dims == Vector(nt.toLong, nl.toLong, ny.toLong, nx.toLong),
           s"${d.name} dims ${d.dims} != (time, leadtime, yc, xc) = " +
             s"($nt, $nl, $ny, $nx); transposed layouts unsupported")
+        // dimension IDENTITY, not just shape: when the file carries
+        // netCDF-4's DIMENSION_LIST, the referenced dimension-scale
+        // object headers must be (time, leadtime, yc, xc) in that order —
+        // a transposed tensor whose axis lengths coincide is caught here
+        // rather than silently misread
+        if (d.dimRefs.nonEmpty) {
+          val want = Vector("time", "leadtime", "yc", "xc")
+            .map(n => required(root, Seq(n))._2)
+          require(d.dimRefs == want,
+            s"${d.name}: DIMENSION_LIST references object headers " +
+              s"${d.dimRefs} but (time, leadtime, yc, xc) are at $want — " +
+              "tensor axes are transposed or bound to other dimensions")
+        }
         val out = box(d, Vector(timeIdx.toLong, 0L, 0L, 0L),
           Vector(1L, nl.toLong, ny.toLong, nx.toLong))
         d.atts.get("_FillValue") match {
@@ -1178,7 +1272,10 @@ object Hdf5Netcdf {
       floatData: Boolean = false, fillValue: Option[Double] = None,
       bookkeepingAttrs: Boolean = false,
       chunkX: Option[Int] = None, filters: Seq[Int] = Nil,
-      latestFormat: Boolean = false): Unit = {
+      latestFormat: Boolean = false,
+      dimList: Option[Seq[String]] = None): Unit = {
+    require(dimList.isEmpty || latestFormat,
+      "dimList fixtures are authored in the latest-format dialect")
     val nt = timesMicros.length
     val (nl, ny, nx) = (leadtimes.length, yc.length, xc.length)
     require(mean.length == nt * nl * ny * nx && stddev.length == mean.length)
@@ -1340,7 +1437,12 @@ object Hdf5Netcdf {
           .u16(nameB.length).u16(dt.length).u16(ds.length).u8(0)
           .raw(nameB).raw(dt).raw(ds).raw(data).bytes)
       }
-      def attsFor(s: Spec): Seq[Array[Byte]] = {
+      // vlen-of-object-reference datatype: v1 class 9 (sequence), 16-byte
+      // stored form, base type v1 class 7 (object reference), 8 bytes
+      val dtVlenRef: Array[Byte] = new Le()
+        .u8(0x19).u8(0).u8(0).u8(0).u32(16L)
+        .u8(0x17).u8(0).u8(0).u8(0).u32(8L).bytes
+      def attsFor(s: Spec, gcol: Long): Seq[Array[Byte]] = {
         val units =
           if (s.name == "time")
             Seq(attr3("units", dtString(unitsB.length), dataspace2(Nil), unitsB))
@@ -1350,7 +1452,16 @@ object Hdf5Netcdf {
             fillValue.toSeq.map(f => attr3("_FillValue", dtFloat64,
               dataspace2(Nil), new Le().f64(f).bytes))
           else Nil
-        units ++ fill
+        // netCDF-4 dimension identity: one 1-element vlen per axis, each
+        // pointing at global heap object i+1 (the i-th dim scale's address)
+        val dims =
+          if (s.name.startsWith("sic_") && dimList.isDefined) {
+            val le = new Le()
+            for (i <- 0 until 4) { le.u32(1L); le.u64(gcol); le.u32(i + 1L) }
+            Seq(attr3("DIMENSION_LIST", dtVlenRef, dataspace2(Seq(4L)),
+              le.bytes))
+          } else Nil
+        units ++ fill ++ dims
       }
       def filterMsg2: Array[Byte] = {
         val le = new Le().u8(2).u8(filters.size)
@@ -1382,7 +1493,8 @@ object Hdf5Netcdf {
         Seq(1L, nl.toLong, ny.toLong, cx.toLong, dataEs.toLong).foreach(le.u64)
         msg2(0x0008, le.u8(3).u8(pageBits).u64(faAddr).bytes)
       }
-      def header2(s: Spec, addr: Long, aux: Long, mask: Int): Array[Byte] = {
+      def header2(
+          s: Spec, addr: Long, aux: Long, mask: Int, gcol: Long): Array[Byte] = {
         val layout =
           if (!chunkedNames(s.name))
             Seq(layout4Contiguous(addr, s.dims.product * s.es))
@@ -1395,7 +1507,7 @@ object Hdf5Netcdf {
           }
         ohdr2(Seq(
           msg2(0x0001, dataspace2(s.dims)),
-          msg2(0x0003, s.dt)) ++ layout ++ attsFor(s))
+          msg2(0x0003, s.dt)) ++ layout ++ attsFor(s, gcol))
       }
       // root group: link info + group info + one hard link per dataset
       def rootOhdr(addrs: Map[String, Long]): Array[Byte] = {
@@ -1419,10 +1531,14 @@ object Hdf5Netcdf {
       val rootLen = rootOhdr(specs.map(_.name -> 0L).toMap).length
       var cursor = rootAddr + rootLen
       val ohAddrs = specs.map { s =>
-        val len = header2(s, 0L, 0L, 0).length
+        val len = header2(s, 0L, 0L, 0, 0L).length
         val a = cursor; cursor += len; s.name -> a
       }.toMap
       cursor = (cursor + 7) / 8 * 8
+      // global heap collection for DIMENSION_LIST references: header (16)
+      // + four 24-byte objects (16-byte header + one 8-byte address each)
+      val gcolAddr = if (dimList.isDefined) cursor else Undef
+      if (dimList.isDefined) cursor += 112
       val contiguousAddrs = specs.filterNot(s => chunkedNames(s.name)).map {
         s =>
           val bytes = s.dims.product * s.es
@@ -1462,13 +1578,21 @@ object Hdf5Netcdf {
           val p = chunkPlaced(s.name)
           if (p.fahd == Undef) { // single chunk
             val (b, a) = p.blobs.head
-            out.raw(header2(s, a, b.bytes.length.toLong, 0))
-          } else out.raw(header2(s, p.fahd, p.pageBits.toLong, 0))
+            out.raw(header2(s, a, b.bytes.length.toLong, 0, gcolAddr))
+          } else out.raw(header2(s, p.fahd, p.pageBits.toLong, 0, gcolAddr))
         } else {
-          out.raw(header2(s, contiguousAddrs(s.name), 0L, 0))
+          out.raw(header2(s, contiguousAddrs(s.name), 0L, 0, gcolAddr))
         }
       }
       out.pad(8)
+      dimList.foreach { order =>
+        require(order.size == 4 && order.forall(ohAddrs.contains),
+          s"dimList names $order must each name a dataset")
+        out.raw("GCOL".getBytes).u8(1).u8(0).u8(0).u8(0).u64(112L)
+        order.zipWithIndex.foreach { case (n, i) =>
+          out.u16(i + 1).u16(1).u32(0L).u64(8L).u64(ohAddrs(n))
+        }
+      }
       specs.filterNot(s => chunkedNames(s.name)).foreach { s =>
         out.raw(raws(s.name)).pad(8)
       }

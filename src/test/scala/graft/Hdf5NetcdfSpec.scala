@@ -240,6 +240,30 @@ class Hdf5NetcdfSpec extends SparkSpec {
       s"read $delta bytes; one variable's raw share is ${rawDataBytes / 2}")
   }
 
+  test("DIMENSION_LIST references resolve and certify axis identity") {
+    val p = tmpDir("h5dim") + "/fc.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev,
+      latestFormat = true,
+      dimList = Some(Seq("time", "leadtime", "yc", "xc")))
+    val df = readDf(p)
+    assert(df.count() == nT * nL * nY * nX)
+    assert(df.filter(col("sic_mean").isNull).count() == nT * nL)
+  }
+
+  test("a transposed DIMENSION_LIST with coinciding axis lengths fails loudly") {
+    // nL == nY == 2 here, so the SHAPE check alone cannot see that the
+    // leadtime and yc axes are swapped — the resolved dimension-scale
+    // references can, and must refuse to misread the tensor
+    val p = tmpDir("h5dimT") + "/fc.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev,
+      latestFormat = true,
+      dimList = Some(Seq("time", "yc", "leadtime", "xc")))
+    val e = intercept[Exception] { readDf(p).collect() }
+    assert(Option(e.getMessage).exists(m =>
+      m.contains("DIMENSION_LIST") && m.contains("transposed")),
+      s"got: ${e.getMessage}")
+  }
+
   test("default and latest dialects union through one directory scan") {
     val dir = tmpDir("h5ldir")
     Hdf5Netcdf.write(s"$dir/a.nc", Array(times(0)), leads, yc, xc,
