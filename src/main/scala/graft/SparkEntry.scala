@@ -548,6 +548,42 @@ object SparkEntry {
       // related-item retrieval, same 1e-12 integer fixed point so the
       // sparse walk hash-matches DuckDB bit-for-bit
       graft.ops.Graph.personalizedPageRank(Tables.lineitem(s, dir))),
+    "graph_bfs" -> ((s, dir) =>
+      // multi-source BFS: exact hop distances from every 10th supplier,
+      // level-synchronous with per-round min-merge so shuffle traffic is
+      // O(reached nodes), never O(paths) - the oracle's recursive CTE
+      // dedups on (node, dist) for the same reason
+      graft.ops.Graph.bfsDistances(Tables.lineitem(s, dir))),
+
+    // ---- beyond-reference: probabilistic record linkage (ops.Linkage) --
+    "link_candidates" -> { (s, dir) =>
+      // Fellegi-Sunter step 1-2: blocked candidate pairs (equi-join on
+      // (nation, balance-century) with the neighbor-block recovery pass,
+      // never all-pairs) reduced to the agreement-pattern census - the
+      // m/u-probability table a linkage model is estimated from
+      import graft.ops.Linkage._
+      val (a, b) = noisyViews(Tables.customer(s, dir))
+      candidates(a, b)
+        .groupBy("agr_name", "agr_bal", "agr_seg", "seg_missing")
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    "link_matches" -> { (s, dir) =>
+      // step 3: additive integer-weight scoring + threshold decisions;
+      // non-matches (the overwhelming mass at scale) are never
+      // materialized - only match/possible rows survive the filter
+      import graft.ops.Linkage._
+      val (a, b) = noisyViews(Tables.customer(s, dir))
+      score(candidates(a, b))
+    },
+    "link_eval" -> { (s, dir) =>
+      // step 4: precision/recall/F1 against ground truth (a_id == b_id by
+      // construction), exact e4 ratios, 1-row broadcast denominator
+      import graft.ops.Linkage._
+      val cust = Tables.customer(s, dir)
+      val (a, b) = noisyViews(cust)
+      evaluate(score(candidates(a, b)),
+        cust.agg(count(lit(1)).as("n_truth")))
+    },
     "q_skyline" -> ((s, dir) =>
       // Pareto frontier on (price min, size max): distinct-x reduction +
       // bucketed prefix-max - never the O(n^2) dominance anti-join the
@@ -2010,6 +2046,151 @@ object SparkEntry {
         |       CROSS JOIN sc)
         |SELECT node, rk AS rank_fp FROM r3
         |ORDER BY rk DESC, node LIMIT 20""".stripMargin,
+    "graph_bfs" -> // recursive CTE with UNION (not UNION ALL): dedup on
+      // (node, dist) keeps the working set O(V·depth) where a
+      // path-enumerating recursion would explode combinatorially
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT l_suppkey*2 AS u, l_partkey*2+1 AS v
+        |       FROM lineitem),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |walk AS (
+        |  SELECT DISTINCT u AS node, 0 AS dist FROM e WHERE u % 20 = 0
+        |  UNION
+        |  SELECT e.v AS node, w.dist + 1 AS dist
+        |  FROM walk w JOIN e ON e.u = w.node WHERE w.dist < 3),
+        |best AS (SELECT node, min(dist) AS d FROM walk GROUP BY 1)
+        |SELECT CAST(d AS BIGINT) AS dist, count(*) AS n_nodes
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+    "link_candidates" -> // the same blocked equi-join + neighbor-block
+      // recovery, reduced to the agreement-pattern census
+      """WITH a AS (SELECT c_custkey AS a_id, substr(c_name, 10, 9) AS a_name,
+        |             c_nationkey AS a_nation, c_acctbal AS a_bal,
+        |             c_mktsegment AS a_seg FROM customer),
+        |b AS (SELECT c_custkey AS b_id,
+        |        CASE WHEN c_custkey % 11 = 0
+        |             THEN substr(c_name, 10, 7) || substr(c_name, 18, 1)
+        |                  || substr(c_name, 17, 1)
+        |             ELSE substr(c_name, 10, 9) END AS b_name,
+        |        c_nationkey AS b_nation,
+        |        CAST(floor((c_acctbal * 100 + 50) / 100) AS BIGINT) AS b_bal,
+        |        CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |             ELSE c_mktsegment END AS b_seg
+        |      FROM customer),
+        |ab AS (SELECT *, CAST(floor(a_bal * 100 + 0.5) AS BIGINT) AS bal_l,
+        |         unnest(list_distinct([CAST(floor(a_bal / 100) AS BIGINT),
+        |           CAST(floor((a_bal - 1) / 100) AS BIGINT)])) AS blk
+        |       FROM a),
+        |bb AS (SELECT *,
+        |         unnest(list_distinct([CAST(floor(b_bal / 100) AS BIGINT),
+        |           CAST(floor((b_bal - 1) / 100) AS BIGINT)])) AS blk
+        |       FROM b),
+        |cand AS (SELECT DISTINCT a_id, b_id,
+        |           CAST(a_name = b_name AS INT) AS agr_name,
+        |           CAST(abs(bal_l - b_bal * 100) <= 50 AS INT) AS agr_bal,
+        |           coalesce(CAST(a_seg = b_seg AS INT), 0) AS agr_seg,
+        |           CAST(b_seg IS NULL AS INT) AS seg_missing
+        |         FROM ab JOIN bb
+        |           ON ab.a_nation = bb.b_nation AND ab.blk = bb.blk)
+        |SELECT agr_name, agr_bal, agr_seg, seg_missing,
+        |       count(*) AS n_pairs
+        |FROM cand GROUP BY 1, 2, 3, 4""".stripMargin,
+    "link_matches" -> // additive integer weights + thresholds; only
+      // match/possible rows survive
+      """WITH a AS (SELECT c_custkey AS a_id, substr(c_name, 10, 9) AS a_name,
+        |             c_nationkey AS a_nation, c_acctbal AS a_bal,
+        |             c_mktsegment AS a_seg FROM customer),
+        |b AS (SELECT c_custkey AS b_id,
+        |        CASE WHEN c_custkey % 11 = 0
+        |             THEN substr(c_name, 10, 7) || substr(c_name, 18, 1)
+        |                  || substr(c_name, 17, 1)
+        |             ELSE substr(c_name, 10, 9) END AS b_name,
+        |        c_nationkey AS b_nation,
+        |        CAST(floor((c_acctbal * 100 + 50) / 100) AS BIGINT) AS b_bal,
+        |        CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |             ELSE c_mktsegment END AS b_seg
+        |      FROM customer),
+        |ab AS (SELECT *, CAST(floor(a_bal * 100 + 0.5) AS BIGINT) AS bal_l,
+        |         unnest(list_distinct([CAST(floor(a_bal / 100) AS BIGINT),
+        |           CAST(floor((a_bal - 1) / 100) AS BIGINT)])) AS blk
+        |       FROM a),
+        |bb AS (SELECT *,
+        |         unnest(list_distinct([CAST(floor(b_bal / 100) AS BIGINT),
+        |           CAST(floor((b_bal - 1) / 100) AS BIGINT)])) AS blk
+        |       FROM b),
+        |cand AS (SELECT DISTINCT a_id, b_id,
+        |           CAST(a_name = b_name AS INT) AS agr_name,
+        |           CAST(abs(bal_l - b_bal * 100) <= 50 AS INT) AS agr_bal,
+        |           coalesce(CAST(a_seg = b_seg AS INT), 0) AS agr_seg,
+        |           CAST(b_seg IS NULL AS INT) AS seg_missing
+        |         FROM ab JOIN bb
+        |           ON ab.a_nation = bb.b_nation AND ab.blk = bb.blk),
+        |scored AS (SELECT a_id, b_id,
+        |             CAST(CASE WHEN agr_name = 1 THEN 24 ELSE -8 END
+        |               + CASE WHEN agr_bal = 1 THEN 10 ELSE -6 END
+        |               + CASE WHEN seg_missing = 1 THEN 0
+        |                      WHEN agr_seg = 1 THEN 6 ELSE -4 END AS INT)
+        |               AS score
+        |           FROM cand)
+        |SELECT a_id, b_id, score,
+        |       CASE WHEN score >= 30 THEN 'match' ELSE 'possible' END
+        |         AS decision
+        |FROM scored WHERE score >= 5""".stripMargin,
+    "link_eval" -> // precision/recall/F1 in exact integer e4 ratios
+      """WITH a AS (SELECT c_custkey AS a_id, substr(c_name, 10, 9) AS a_name,
+        |             c_nationkey AS a_nation, c_acctbal AS a_bal,
+        |             c_mktsegment AS a_seg FROM customer),
+        |b AS (SELECT c_custkey AS b_id,
+        |        CASE WHEN c_custkey % 11 = 0
+        |             THEN substr(c_name, 10, 7) || substr(c_name, 18, 1)
+        |                  || substr(c_name, 17, 1)
+        |             ELSE substr(c_name, 10, 9) END AS b_name,
+        |        c_nationkey AS b_nation,
+        |        CAST(floor((c_acctbal * 100 + 50) / 100) AS BIGINT) AS b_bal,
+        |        CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |             ELSE c_mktsegment END AS b_seg
+        |      FROM customer),
+        |ab AS (SELECT *, CAST(floor(a_bal * 100 + 0.5) AS BIGINT) AS bal_l,
+        |         unnest(list_distinct([CAST(floor(a_bal / 100) AS BIGINT),
+        |           CAST(floor((a_bal - 1) / 100) AS BIGINT)])) AS blk
+        |       FROM a),
+        |bb AS (SELECT *,
+        |         unnest(list_distinct([CAST(floor(b_bal / 100) AS BIGINT),
+        |           CAST(floor((b_bal - 1) / 100) AS BIGINT)])) AS blk
+        |       FROM b),
+        |cand AS (SELECT DISTINCT a_id, b_id,
+        |           CAST(a_name = b_name AS INT) AS agr_name,
+        |           CAST(abs(bal_l - b_bal * 100) <= 50 AS INT) AS agr_bal,
+        |           coalesce(CAST(a_seg = b_seg AS INT), 0) AS agr_seg,
+        |           CAST(b_seg IS NULL AS INT) AS seg_missing
+        |         FROM ab JOIN bb
+        |           ON ab.a_nation = bb.b_nation AND ab.blk = bb.blk),
+        |scored AS (SELECT a_id, b_id,
+        |             CASE WHEN agr_name = 1 THEN 24 ELSE -8 END
+        |               + CASE WHEN agr_bal = 1 THEN 10 ELSE -6 END
+        |               + CASE WHEN seg_missing = 1 THEN 0
+        |                      WHEN agr_seg = 1 THEN 6 ELSE -4 END AS score
+        |           FROM cand),
+        |cls AS (SELECT a_id, b_id,
+        |          CASE WHEN score >= 30 THEN 'match' ELSE 'possible' END
+        |            AS decision
+        |        FROM scored WHERE score >= 5),
+        |agg AS (SELECT
+        |          CAST(sum(CASE WHEN decision = 'match' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_match,
+        |          CAST(sum(CASE WHEN decision = 'match' AND a_id = b_id
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_match_true,
+        |          CAST(sum(CASE WHEN decision = 'possible' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_possible
+        |        FROM cls),
+        |t AS (SELECT count(*) AS n_truth FROM customer)
+        |SELECT n_match, n_match_true, n_possible,
+        |       CAST((n_match_true * 20000 + n_match) // (2 * n_match)
+        |         AS DOUBLE) / 10000.0 AS prec,
+        |       CAST((n_match_true * 20000 + n_truth) // (2 * n_truth)
+        |         AS DOUBLE) / 10000.0 AS recall,
+        |       CAST((n_match_true * 2 * 20000 + n_match + n_truth)
+        |         // (2 * (n_match + n_truth)) AS DOUBLE) / 10000.0 AS f1
+        |FROM agg CROSS JOIN t""".stripMargin,
     "q_skyline" -> // the O(n^2) dominance form the Spark plan must NOT use
       """SELECT p_partkey, p_retailprice, p_size
         |FROM part a

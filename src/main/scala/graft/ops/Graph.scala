@@ -128,6 +128,54 @@ object Graph {
       .withColumnRenamed("rank", "rank_fp")
   }
 
+  /** Multi-source BFS over the supplier↔part interaction graph: exact
+    * minimum hop distance from the seed set (supplier nodes whose key is
+    * a multiple of `seedEvery`), level-synchronous, capped at `maxDepth`.
+    * Returns the reachability histogram `(dist, n_nodes)` — the
+    * neighborhood-growth profile used to audit graph connectivity before
+    * sampling walks from it.
+    *
+    * Scale shape: the edge list is deduplicated, hash-partitioned once
+    * and localCheckpointed ([[pageRank]]'s discipline); each of the
+    * `maxDepth` rounds joins the CURRENT frontier (nodes first reached
+    * last round — never the full distance table) against those
+    * materialized partitions, then min-merges into the distance table.
+    * Per-round shuffle traffic is O(frontier expansion) + O(|reached|),
+    * never O(paths): the min-merge collapses path multiplicity before it
+    * can compound, which is what makes hop-3 feasible where a path-
+    * enumerating rendering (the naive recursive join) explodes
+    * combinatorially.
+    */
+  def bfsDistances(
+      lineitem: DataFrame, seedEvery: Int = 10, maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 6,
+      s"bfsDistances: maxDepth $maxDepth outside 1..6 (each level is a " +
+        "full frontier expansion; deeper sweeps want a connected-components " +
+        "formulation instead)")
+    val once = lineitem.select(
+      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
+      .distinct()
+    val edges = once
+      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .localCheckpoint()
+    // seed = supplier node (even id) with suppkey % seedEvery == 0, i.e.
+    // node % (2·seedEvery) == 0 — divisionless, so the oracle's integer
+    // arithmetic is trivially identical
+    val seeds = edges.select(col("u").as("node")).distinct()
+      .filter(col("node") % (2L * seedEvery) === 0)
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (level <- 1 to maxDepth) {
+      val frontier = dist.filter(col("dist") === (level - 1))
+      val reached = edges.join(frontier, edges("u") === frontier("node"))
+        .select(col("v").as("node"), lit(level.toLong).as("dist"))
+      dist = dist.unionByName(reached)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint() // bound lineage: each round reads bytes
+    }
+    dist.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
+  }
+
   /** The deduplicated co-purchase edge list (parts adjacent iff at least
     * `minSupport` baskets hold both) with the mega-basket guard — shared
     * by [[triangleStats]] and [[degreeStats]]. localCheckpointed: every

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
+
+/** Probabilistic record linkage (Fellegi–Sunter style): blocked candidate
+  * generation, per-field agreement scoring with additive log-odds-style
+  * integer weights, threshold classification, and evaluation against
+  * ground truth.
+  *
+  * Beyond-reference surface: the reference ingests one curated feed and
+  * never reconciles entities across sources
+  * (`/root/reference/azfunctions/processor.py` reads a single blob
+  * container); a training-data pipeline at 100 TB constantly links noisy
+  * entity tables — the same document or author arriving via two crawls
+  * with perturbed metadata — and all-pairs comparison is quadratic death.
+  * The scale discipline here is the dedup family's
+  * ([[Dedup]]): candidates exist ONLY inside a block (equi-join on
+  * blocking keys), weights are literals folded into the projection, and
+  * the evaluation is a single aggregate. The linkage never shuffles
+  * anything larger than the blocked pair set.
+  *
+  * Weights are INTEGER by design, not convenience: Fellegi–Sunter weights
+  * are log(m/u) reals, but cross-engine certification (and reproducible
+  * pipelines) want bit-stable scores, so the operator takes pre-scaled
+  * integer weights — the standard practice of fixing a scored rulebook at
+  * deploy time — and every derived ratio goes through [[exactRatio]].
+  */
+object Linkage {
+
+  /** Two deterministic "noisy registry" views of the customer table — the
+    * linkage fixture. A is the reference registry; B simulates a second
+    * import of the same entities with field noise, every perturbation a
+    * pure function of the key so an independent engine reproduces it:
+    *  - name: B drops the 'Customer#' prefix and, for key % 11 == 0,
+    *    swaps the last two digits (a transposition typo);
+    *  - balance: B rounds to whole units (import lost the cents);
+    *  - segment: B nulls it for key % 5 == 0 (field missing on import).
+    * Nation survives intact on both sides (the block key must).
+    */
+  def noisyViews(customer: DataFrame): (DataFrame, DataFrame) = {
+    val a = customer.select(
+      col("c_custkey").as("a_id"),
+      substring(col("c_name"), 10, 9).as("a_name"),
+      col("c_nationkey").as("a_nation"),
+      col("c_acctbal").as("a_bal"),
+      col("c_mktsegment").as("a_seg"))
+    val digits = substring(col("c_name"), 10, 9)
+    val swapped = concat(
+      substring(digits, 1, 7), substring(digits, 9, 1), substring(digits, 8, 1))
+    val b = customer.select(
+      col("c_custkey").as("b_id"),
+      when(col("c_custkey") % 11 === 0, swapped).otherwise(digits)
+        .as("b_name"),
+      col("c_nationkey").as("b_nation"),
+      // floor(x + 0.5) in exact cent space: acctbal is 2-dp decimal-exact,
+      // so work on cents as BIGINT (the repo's rounding-tie discipline)
+      (floor((col("c_acctbal") * 100 + 50) / lit(100)).cast("long"))
+        .as("b_bal"),
+      when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("b_seg"))
+    (a, b)
+  }
+
+  /** Blocking key: (nation, balance century). The perturbed balance can
+    * cross a century boundary, so B also blocks on the NEIGHBOR bucket
+    * when its balance sits within `slack` of the edge — the standard
+    * multi-pass blocking trick that recovers boundary pairs for the cost
+    * of ≤2 block rows per record instead of a quadratic windowed join.
+    */
+  def withBlocks(
+      df: DataFrame, bal: String, slack: Int = 1): DataFrame = {
+    val bucket = floor(col(bal) / 100).cast("long")
+    val low = floor((col(bal) - slack) / 100).cast("long")
+    df.withColumn("__block", explode(array_distinct(array(bucket, low))))
+  }
+
+  /** Blocked candidate pairs with the per-field agreement vector. The join
+    * is a pure equi-join on (nation, block) — the only pair generator in
+    * the family; no similarity all-pairs anywhere.
+    */
+  def candidates(a: DataFrame, b: DataFrame): DataFrame = {
+    val ab = withBlocks(a.withColumn("__bal_l",
+        floor(col("a_bal") * 100 + lit(0.5)).cast("long")), "a_bal")
+    val bb = withBlocks(b, "b_bal")
+    ab.join(bb,
+        ab("a_nation") === bb("b_nation") && ab("__block") === bb("__block"))
+      .select(
+        col("a_id"), col("b_id"),
+        (col("a_name") === col("b_name")).cast("int").as("agr_name"),
+        // balance agreement: |cents(a) - 100*b_bal| <= 50, i.e. b's
+        // whole-unit value is a's correctly-rounded balance
+        (abs(col("__bal_l") - col("b_bal") * 100) <= 50).cast("int")
+          .as("agr_bal"),
+        coalesce((col("a_seg") === col("b_seg")).cast("int"), lit(0))
+          .as("agr_seg"),
+        col("b_seg").isNull.cast("int").as("seg_missing"))
+      .distinct() // neighbor blocks can produce the same pair twice
+  }
+
+  /** Additive integer weights per field outcome (agree / disagree /
+    * missing). Defaults are a plausible log-odds-scaled rulebook; they are
+    * configuration, not learned here.
+    */
+  case class Weights(
+      nameAgree: Int = 24, nameDisagree: Int = -8,
+      balAgree: Int = 10, balDisagree: Int = -6,
+      segAgree: Int = 6, segDisagree: Int = -4, segMissing: Int = 0)
+
+  /** Scores candidates and classifies: score ≥ `matchAt` → 'match',
+    * ≥ `possibleAt` → 'possible', else dropped (non-matches are the
+    * overwhelming mass at scale and are never materialized).
+    */
+  def score(
+      cand: DataFrame, w: Weights = Weights(),
+      matchAt: Int = 30, possibleAt: Int = 5): DataFrame = {
+    val s =
+      when(col("agr_name") === 1, w.nameAgree).otherwise(w.nameDisagree) +
+      when(col("agr_bal") === 1, w.balAgree).otherwise(w.balDisagree) +
+      when(col("seg_missing") === 1, w.segMissing)
+        .otherwise(when(col("agr_seg") === 1, w.segAgree)
+          .otherwise(w.segDisagree))
+    cand.withColumn("score", s.cast("int"))
+      .filter(col("score") >= possibleAt)
+      .withColumn("decision",
+        when(col("score") >= matchAt, lit("match")).otherwise(lit("possible")))
+      .select("a_id", "b_id", "score", "decision")
+  }
+
+  /** Linkage quality vs the ground truth (a_id == b_id by construction):
+    * precision/recall/F1 of the 'match' class, plus the possible-class
+    * review load — one aggregate row, exact e4 ratios. `truth` is a 1-row
+    * `(n_truth)` aggregate (the reference registry's entity count),
+    * attached by broadcast like every other 1-row denominator in the
+    * suite.
+    */
+  def evaluate(scored: DataFrame, truth: DataFrame): DataFrame = {
+    val agg = scored.agg(
+      sum(when(col("decision") === "match", 1).otherwise(0)).as("n_match"),
+      sum(when(col("decision") === "match" && col("a_id") === col("b_id"), 1)
+        .otherwise(0)).as("n_match_true"),
+      sum(when(col("decision") === "possible", 1).otherwise(0))
+        .as("n_possible"))
+    agg.crossJoin(broadcast(truth)).select(
+      col("n_match"), col("n_match_true"), col("n_possible"),
+      exactRatio(col("n_match_true"), col("n_match"), 4).as("prec"),
+      exactRatio(col("n_match_true"), col("n_truth"), 4).as("recall"),
+      // F1 = 2tp / (n_match + truth): exact in one integer ratio
+      exactRatio(col("n_match_true") * 2, col("n_match") + col("n_truth"), 4)
+        .as("f1"))
+  }
+}

@@ -189,4 +189,28 @@ class GraphSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("seed"))
   }
+
+  test("bfsDistances: hand-checkable chain, min-dist not path-dist") {
+    // supp 10 (seed, node 20) - part 1 (3) - supp 1 (2) - part 2 (5);
+    // part 1 is ALSO reachable through supp 1 at hop 3, but min-merge
+    // must keep its hop-1 distance. supp 7 (14) - part 9 (19) form an
+    // unreached component that must be absent entirely.
+    val li = Seq((10L, 1L), (1L, 1L), (1L, 2L), (7L, 9L))
+      .toDF("l_suppkey", "l_partkey")
+    val got = Graph.bfsDistances(li, seedEvery = 10, maxDepth = 3)
+      .as[(Long, Long)].collect().toMap
+    // dist 0: {20}; dist 1: {3}; dist 2: {2}; dist 3: {5}
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bfsDistances: depth cap truncates, never loops") {
+    val li = Seq((10L, 1L), (1L, 1L), (1L, 2L)).toDF("l_suppkey", "l_partkey")
+    val got = Graph.bfsDistances(li, seedEvery = 10, maxDepth = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L)) // node 2 (hop 2) not reached
+    val e = intercept[IllegalArgumentException] {
+      Graph.bfsDistances(li, maxDepth = 7)
+    }
+    assert(e.getMessage.contains("maxDepth"))
+  }
 }

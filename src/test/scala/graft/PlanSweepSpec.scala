@@ -57,6 +57,9 @@ class PlanSweepSpec extends SparkSpec {
     // join-size estimate: the 1-row CMS estimate crossed with the 1-row
     // exact-count certificate
     "sketch_join_size",
+    // linkage evaluation: the 1-row n_truth denominator broadcast onto
+    // the 1-row match/possible aggregate
+    "link_eval",
     // triangle census: the final stats row composes 1-row aggregates
     "graph_triangles",
     // A-priori support threshold: a 1-row min_sup broadcast
