@@ -1024,6 +1024,17 @@ object SparkEntry {
         .select("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
           "sea_ice_concentration_mean", "sea_ice_concentration_stddev")
     },
+    "gridded_ingest_hdf5_unlim" -> { (s, dir) =>
+      // the appendable-time shape: unlimited time dimension, layout-v4
+      // extensible-array chunk index (inline + data-block elements),
+      // shuffle+deflate — what a daily-appending libver='latest' writer
+      // produces; same fixture content, same closed-form oracle
+      val path = graft.sources.GridFixture.ensureWrittenH5Unlim(
+        graft.sources.GridFixture.defaultH5UnlimPath)
+      Ingest.load(s.read.format("gridded").load(path))
+        .select("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
+          "sea_ice_concentration_mean", "sea_ice_concentration_stddev")
+    },
 
     "dq_check" -> { (s, dir) =>
       // declarative data-quality gate: row rules fused into one scan,
@@ -3885,6 +3896,28 @@ object SparkEntry {
     "gridded_ingest_hdf5_latest" -> // same closed-form regeneration again:
       // only the container dialect changed (superblock v3 / OHDR v2 /
       // layout v4 fixed-array / shuffle+deflate), never the content
+      """WITH ti AS (SELECT unnest(generate_series(0, 1)) AS t),
+        |li AS (SELECT unnest(generate_series(0, 2)) AS l),
+        |yi AS (SELECT unnest(generate_series(0, 5)) AS y),
+        |xi AS (SELECT unnest(generate_series(0, 7)) AS x),
+        |cells AS (
+        |  SELECT t, l, y, x, (7*t + 5*l + 3*y + x) % 19 AS k
+        |  FROM ti CROSS JOIN li CROSS JOIN yi CROSS JOIN xi),
+        |vals AS (
+        |  SELECT t, l, y, x,
+        |    CASE WHEN (t+l+y+x) % 11 = 0 THEN NULL ELSE k/10.0 - 0.4 END AS sic_mean,
+        |    CASE WHEN (t+l+y+x+1) % 13 = 0 THEN NULL ELSE (k*k % 7)/100.0 END AS sic_stddev
+        |  FROM cells)
+        |SELECT CAST(trunc((-262.5 + 25.0*x) * 1000) AS INT) AS xc_m,
+        |       CAST(trunc((-537.5 + 25.0*y) * 1000) AS INT) AS yc_m,
+        |       DATE '2020-03-01' + CAST(t AS INT) AS date_forecast_generated,
+        |       DATE '2020-03-01' + CAST(t + l + 1 AS INT) AS date_forecast_for,
+        |       CAST(sic_mean AS FLOAT) AS sea_ice_concentration_mean,
+        |       CAST(sic_stddev AS FLOAT) AS sea_ice_concentration_stddev
+        |FROM vals
+        |WHERE sic_mean > 0 AND sic_stddev IS NOT NULL""".stripMargin,
+    "gridded_ingest_hdf5_unlim" -> // once more: only the chunk index
+      // changed (extensible array for the unlimited time axis)
       """WITH ti AS (SELECT unnest(generate_series(0, 1)) AS t),
         |li AS (SELECT unnest(generate_series(0, 2)) AS l),
         |yi AS (SELECT unnest(generate_series(0, 5)) AS y),

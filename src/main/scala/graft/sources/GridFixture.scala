@@ -95,6 +95,18 @@ object GridFixture {
         latestFormat = true)
     }
 
+  /** Same logical content with the time dimension UNLIMITED (appendable)
+    * in the latest-format dialect — layout-v4 extensible-array chunk
+    * index, the shape a daily-appending `libver='latest'` writer
+    * produces. Oracle: `gridded_ingest_hdf5_unlim`.
+    */
+  def ensureWrittenH5Unlim(path: String): String =
+    ensureWith(path) { tmp =>
+      Hdf5Netcdf.write(tmp, TimesMicros, Leadtimes, Yc, Xc,
+        flat(meanAt), flat(stddevAt), chunkX = Some(3), filters = Seq(2, 1),
+        latestFormat = true, unlimitedTime = true)
+    }
+
   private def ensureWith(path: String)(write: String => Unit): String =
     synchronized {
       val f = new java.io.File(path)
@@ -121,4 +133,7 @@ object GridFixture {
   def defaultH5LatestPath: String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_grid_fixture_h5_latest_v1.nc").getAbsolutePath
+  def defaultH5UnlimPath: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_grid_fixture_h5_unlim_v1.nc").getAbsolutePath
 }

@@ -27,19 +27,21 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    attribute messages v1/v2/v3;
   *  - data layout v3 AND v4: classes compact/contiguous/chunked; chunk
   *    indexes: v1 chunk B-trees (v3), single-chunk / implicit /
-  *    fixed-array (v4, `FAHD`/`FADB` checksummed, non-paged) — per-chunk
-  *    filter masks, full-size zero-padded edge chunks, hyperslab reads
-  *    that fetch only intersecting chunks;
+  *    fixed-array (v4, `FAHD`/`FADB` checksummed, non-paged), AND
+  *    extensible-array (v4, `EAHD`/`EAIB`/`EADB` checksummed — the
+  *    unlimited-time appendable shape, inline + directly-addressed data
+  *    blocks) — per-chunk filter masks, full-size zero-padded edge
+  *    chunks, hyperslab reads that fetch only intersecting chunks;
   *  - filter pipelines v1/v2: deflate (JDK Inflater), shuffle
   *    (byte-plane transpose), fletcher32 (verified with HDF5's
   *    H5_checksum_fletcher32 algorithm, corrupt chunks fail loudly) —
   *    i.e. netCDF4's default shuffle+deflate compression decodes.
   * Rejected LOUDLY, never misread: superblock v1 (rare 1.6-era indexed
-  * variant), dense link storage, paged fixed arrays,
-  * extensible-array / v2-B-tree chunk indexes (unlimited-dim datasets
-  * under `libver='latest'`), other filters (szip/nbit/scaleoffset),
-  * non-atomic data types. The error text names the feature so the user
-  * knows what to re-save without.
+  * variant), dense link storage, paged fixed arrays and paged or
+  * secondary-block extensible-array regions, v2-B-tree chunk indexes
+  * (multi-unlimited-dim datasets), other filters (szip/nbit/
+  * scaleoffset), non-atomic data types. The error text names the
+  * feature so the user knows what to re-save without.
   *
   * The grid view mirrors [[NetcdfClassic]]: datasets named
   * `time`/`leadtime`/`yc`/`xc` + `sic_mean`/`sic_stddev` (legacy
@@ -89,6 +91,12 @@ object Hdf5Netcdf {
   private[sources] case class ImplicitIndex(addr: Long) extends ChunkIndex
   private[sources] case class FixedArrayIndex(
       addr: Long, pageBits: Int) extends ChunkIndex
+  /** Creation parameters ride the layout message (duplicated in the EAHD);
+    * they determine the index block's geometry, so both are kept.
+    */
+  private[sources] case class ExtensibleArrayIndex(
+      addr: Long, maxBits: Int, ibElmts: Int, sbMinPtrs: Int,
+      dbMinElmts: Int, pageBits: Int) extends ChunkIndex
 
   private[sources] case class Chunked(
       index: ChunkIndex, dims: Vector[Long],
@@ -440,9 +448,14 @@ object Hdf5Netcdf {
           case 3 =>
             val pageBits = b.get().toInt & 0xFF
             FixedArrayIndex(b.getLong(), pageBits)
-          case 4 => throw new IllegalArgumentException(
-            "HDF5 extensible-array chunk index unsupported " +
-              "(unlimited-dimension dataset — needs an external codec)")
+          case 4 =>
+            val maxBits = b.get().toInt & 0xFF
+            val ibElmts = b.get().toInt & 0xFF
+            val sbMinPtrs = b.get().toInt & 0xFF
+            val dbMinElmts = b.get().toInt & 0xFF
+            val pageBits = b.get().toInt & 0xFF
+            ExtensibleArrayIndex(
+              b.getLong(), maxBits, ibElmts, sbMinPtrs, dbMinElmts, pageBits)
           case 5 => throw new IllegalArgumentException(
             "HDF5 v2 B-tree chunk index unsupported " +
               "(multi-unlimited-dimension dataset — needs an external codec)")
@@ -857,6 +870,157 @@ object Hdf5Netcdf {
     }
   }
 
+  /** Reads an Extensible Array chunk index (`EAHD` header + `EAIB` index
+    * block + directly-addressed `EADB` data blocks) — the index
+    * `libver='latest'` writers use for a dataset with ONE unlimited
+    * dimension, i.e. the daily-append time axis. The bounded slice is the
+    * index block's reach: its inline elements plus the data blocks of the
+    * first `2·log2(sbMinPtrs)` super blocks (244 chunks at libhdf5's
+    * default parameters); secondary-block indirection and paged data
+    * blocks are rejected loudly. All three structures'
+    * lookup3 checksums are verified.
+    */
+  private def extensibleArrayEntries(
+      r: Reader, ea: ExtensibleArrayIndex, dsDims: Vector[Long],
+      cdims: Vector[Long], chunkBytes: Long): Vector[ChunkEntry] = {
+    if (ea.addr == Undef) return Vector.empty
+    def log2(v: Int): Int = {
+      require(v > 0 && (v & (v - 1)) == 0,
+        s"HDF5 extensible-array parameter $v is not a power of two")
+      java.lang.Integer.numberOfTrailingZeros(v)
+    }
+    // ---- header (EAHD): 12 prefix bytes + 6 stats + iblock addr + sum
+    val hdrLen = 12 + 6 * 8 + 8 + 4
+    val hRaw = new Array[Byte](hdrLen); r.fetch(ea.addr, hdrLen).get(hRaw)
+    val h = ByteBuffer.wrap(hRaw).order(ByteOrder.LITTLE_ENDIAN)
+    val hSig = new Array[Byte](4); h.get(hSig)
+    require(hSig.sameElements("EAHD".getBytes),
+      s"bad HDF5 extensible-array header signature at ${ea.addr}")
+    require(h.get() == 0, "HDF5 extensible-array header version unsupported")
+    val clientId = h.get().toInt
+    require(clientId == 0 || clientId == 1,
+      s"HDF5 extensible-array client id $clientId unsupported")
+    val elmtSize = h.get().toInt & 0xFF
+    val maxBits = h.get().toInt & 0xFF
+    val ibElmts = h.get().toInt & 0xFF
+    val dbMinElmts = h.get().toInt & 0xFF
+    val sbMinPtrs = h.get().toInt & 0xFF
+    h.get() // max data-block page nelmts bits (paging rejected below)
+    require(maxBits == ea.maxBits && ibElmts == ea.ibElmts &&
+      dbMinElmts == ea.dbMinElmts && sbMinPtrs == ea.sbMinPtrs,
+      "HDF5 extensible-array header parameters disagree with the layout " +
+        "message — file is corrupt")
+    h.position(h.position() + 6 * 8) // statistics
+    val iblockAddr = h.getLong()
+    checkSum(hRaw, 0, hdrLen - 4, h.getInt(hdrLen - 4).toLong & 0xFFFFFFFFL,
+      "extensible-array header (EAHD)")
+    if (iblockAddr == Undef) return Vector.empty
+    // ---- geometry: super block u holds 2^(u/2) data blocks of
+    // dbMinElmts·2^((u+1)/2) elements; the index block inlines the first
+    // ibElmts elements and directly addresses the first ibNsblks super
+    // blocks' data blocks (2·(sbMinPtrs-1) of them, per the spec identity)
+    val ibNsblks = 2 * log2(sbMinPtrs)
+    val nsblks = 1 + maxBits - log2(dbMinElmts)
+    val ndblkAddrs = 2 * (sbMinPtrs - 1)
+    val nsblkAddrs = nsblks - ibNsblks
+    val pageNelmts = 1L << (ea.pageBits & 0xFF)
+    // ---- index block (EAIB)
+    val ibLen = 4 + 1 + 1 + 8 + ibElmts * elmtSize +
+      (ndblkAddrs + nsblkAddrs) * 8 + 4
+    val iRaw = new Array[Byte](ibLen); r.fetch(iblockAddr, ibLen).get(iRaw)
+    val ib = ByteBuffer.wrap(iRaw).order(ByteOrder.LITTLE_ENDIAN)
+    val iSig = new Array[Byte](4); ib.get(iSig)
+    require(iSig.sameElements("EAIB".getBytes),
+      s"bad HDF5 extensible-array index block signature at $iblockAddr")
+    require(ib.get() == 0, "HDF5 EAIB version unsupported")
+    require(ib.get().toInt == clientId, "HDF5 EAIB client id mismatch")
+    ib.getLong() // back-pointer to the header
+    checkSum(iRaw, 0, ibLen - 4, ib.getInt(ibLen - 4).toLong & 0xFFFFFFFFL,
+      "extensible-array index block (EAIB)")
+    val szBytes = elmtSize - 12 // filtered: addr(8) + size + mask(4)
+    def parseEaElem(b: ByteBuffer): Option[(Long, Long, Int)] = {
+      val addr = b.getLong()
+      val (nbytes, mask) =
+        if (clientId == 0) (chunkBytes, 0)
+        else {
+          val sz = szBytes match {
+            case 1 => (b.get().toInt & 0xFF).toLong
+            case 2 => (b.getShort().toInt & 0xFFFF).toLong
+            case 4 => b.getInt().toLong & 0xFFFFFFFFL
+            case 8 => b.getLong()
+            case n => throw new IllegalArgumentException(
+              s"HDF5 extensible-array chunk-size field width $n unsupported")
+          }
+          (sz, b.getInt())
+        }
+      if (addr == Undef) None else Some((addr, nbytes, mask))
+    }
+    val inline = Vector.fill(ibElmts)(parseEaElem(ib))
+    val dblkAddrs = Vector.fill(ndblkAddrs)(ib.getLong())
+    val sblkAddrs = Vector.fill(nsblkAddrs)(ib.getLong())
+    // ---- data blocks (EADB), fetched lazily and cached by address
+    val offBytes = (maxBits + 7) / 8
+    val dblkCache = scala.collection.mutable.Map.empty[Long, Vector[Option[(Long, Long, Int)]]]
+    def dblkElems(addr: Long, nelmts: Int): Vector[Option[(Long, Long, Int)]] =
+      dblkCache.getOrElseUpdate(addr, {
+        require(nelmts <= pageNelmts,
+          s"HDF5 paged extensible-array data block unsupported " +
+            s"($nelmts elements > $pageNelmts page)")
+        val len = 4 + 1 + 1 + 8 + offBytes + nelmts * elmtSize + 4
+        val raw = new Array[Byte](len); r.fetch(addr, len).get(raw)
+        val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        val sig = new Array[Byte](4); b.get(sig)
+        require(sig.sameElements("EADB".getBytes),
+          s"bad HDF5 extensible-array data block signature at $addr")
+        require(b.get() == 0, "HDF5 EADB version unsupported")
+        require(b.get().toInt == clientId, "HDF5 EADB client id mismatch")
+        b.getLong() // back-pointer to the header
+        b.position(b.position() + offBytes) // block offset
+        checkSum(raw, 0, len - 4, b.getInt(len - 4).toLong & 0xFFFFFFFFL,
+          "extensible-array data block (EADB)")
+        b.position(4 + 1 + 1 + 8 + offBytes)
+        Vector.fill(nelmts)(parseEaElem(b))
+      })
+    // ---- element lookup by linear chunk index
+    def element(idx: Long): Option[(Long, Long, Int)] = {
+      if (idx < ibElmts) inline(idx.toInt)
+      else {
+        var u = 0
+        var startIdx = ibElmts.toLong
+        var startDblk = 0
+        var out: Option[(Long, Long, Int)] = null
+        while (out == null) {
+          require(u < nsblks, s"HDF5 extensible-array element $idx beyond " +
+            s"the addressable space (max_nelmts_bits=$maxBits)")
+          val ndblks = 1 << (u / 2)
+          val nelmts = dbMinElmts.toLong << ((u + 1) / 2)
+          val span = ndblks * nelmts
+          if (idx < startIdx + span) {
+            require(u < ibNsblks,
+              "HDF5 extensible-array secondary-block indirection " +
+                s"unsupported (chunk $idx lives past the index block's " +
+                "directly-addressed data blocks — re-save with fewer, " +
+                "larger chunks)")
+            val dblk = dblkAddrs(startDblk + ((idx - startIdx) / nelmts).toInt)
+            out =
+              if (dblk == Undef) None
+              else dblkElems(dblk, nelmts.toInt)(((idx - startIdx) % nelmts).toInt)
+          } else {
+            startIdx += span
+            startDblk += ndblks
+            u += 1
+          }
+        }
+        out
+      }
+    }
+    chunkGrid(dsDims, cdims).zipWithIndex.flatMap { case (offs, i) =>
+      element(i.toLong).map { case (addr, nbytes, mask) =>
+        ChunkEntry(offs, nbytes.toInt, mask, addr)
+      }
+    }
+  }
+
   /** Dispatches chunk enumeration over the layout's index structure.
     * `cdims` excludes the trailing element-size entry; `chunkBytes` is the
     * full stored chunk byte count.
@@ -879,6 +1043,8 @@ object Hdf5Netcdf {
       }
     case fa: FixedArrayIndex =>
       fixedArrayEntries(r, fa, dsDims, cdims, chunkBytes)
+    case ea: ExtensibleArrayIndex =>
+      extensibleArrayEntries(r, ea, dsDims, cdims, chunkBytes)
   }
 
   /** Reads the hyperslab `[start, start+count)` of a chunked dataset:
@@ -1273,9 +1439,12 @@ object Hdf5Netcdf {
       bookkeepingAttrs: Boolean = false,
       chunkX: Option[Int] = None, filters: Seq[Int] = Nil,
       latestFormat: Boolean = false,
-      dimList: Option[Seq[String]] = None): Unit = {
+      dimList: Option[Seq[String]] = None,
+      unlimitedTime: Boolean = false): Unit = {
     require(dimList.isEmpty || latestFormat,
       "dimList fixtures are authored in the latest-format dialect")
+    require(!unlimitedTime || latestFormat,
+      "unlimitedTime (extensible-array index) is a latest-format dialect")
     val nt = timesMicros.length
     val (nl, ny, nx) = (leadtimes.length, yc.length, xc.length)
     require(mean.length == nt * nl * ny * nx && stddev.length == mean.length)
@@ -1360,7 +1529,8 @@ object Hdf5Netcdf {
 
     // ---- chunking + filter application (the two 4-D vars only) ----
     val chunkedNames: Set[String] =
-      if (chunkX.isDefined || filters.nonEmpty) Set("sic_mean", "sic_stddev")
+      if (chunkX.isDefined || filters.nonEmpty || unlimitedTime)
+        Set("sic_mean", "sic_stddev")
       else Set.empty
     val cx = chunkX.getOrElse(nx)
     def applyFilters(full: Array[Byte]): Array[Byte] = {
@@ -1424,10 +1594,15 @@ object Hdf5Netcdf {
         val b = le.bytes
         new Le().raw(b).u32(lookup3(b, 0, b.length)).bytes
       }
-      def dataspace2(dims: Seq[Long]): Array[Byte] = {
-        val le = new Le().u8(2).u8(dims.size).u8(0)
+      def dataspace2(
+          dims: Seq[Long], unlimFirst: Boolean = false): Array[Byte] = {
+        val le = new Le().u8(2).u8(dims.size).u8(if (unlimFirst) 1 else 0)
           .u8(if (dims.isEmpty) 0 else 1)
         dims.foreach(le.u64)
+        if (unlimFirst) { // max dims: first unlimited (all-ones), rest fixed
+          le.u64(Undef)
+          dims.drop(1).foreach(le.u64)
+        }
         le.bytes
       }
       def attr3(name: String, dt: Array[Byte], ds: Array[Byte],
@@ -1493,20 +1668,36 @@ object Hdf5Netcdf {
         Seq(1L, nl.toLong, ny.toLong, cx.toLong, dataEs.toLong).foreach(le.u64)
         msg2(0x0008, le.u8(3).u8(pageBits).u64(faAddr).bytes)
       }
+      // EA creation parameters (libhdf5's defaults); layout-message order
+      // is maxBits, ibElmts, sbMinPtrs, dbMinElmts, pageBits — NOT the
+      // EAHD order
+      val EaMaxBits = 32; val EaIbElmts = 4; val EaSbMinPtrs = 4
+      val EaDbMinElmts = 16; val EaPageBits = 10
+      def layout4Ea(hdrAddr: Long): Array[Byte] = {
+        val le = new Le().u8(4).u8(2).u8(0).u8(5).u8(8)
+        Seq(1L, nl.toLong, ny.toLong, cx.toLong, dataEs.toLong).foreach(le.u64)
+        le.u8(4).u8(EaMaxBits).u8(EaIbElmts).u8(EaSbMinPtrs)
+          .u8(EaDbMinElmts).u8(EaPageBits)
+        msg2(0x0008, le.u64(hdrAddr).bytes)
+      }
       def header2(
           s: Spec, addr: Long, aux: Long, mask: Int, gcol: Long): Array[Byte] = {
         val layout =
           if (!chunkedNames(s.name))
             Seq(layout4Contiguous(addr, s.dims.product * s.es))
           else {
-            val one = nt == 1 && cx >= nx
+            val one = !unlimitedTime && nt == 1 && cx >= nx
             val l =
-              if (one) layout4Single(addr, aux, mask)
+              if (unlimitedTime) layout4Ea(addr)
+              else if (one) layout4Single(addr, aux, mask)
               else layout4Fa(addr, aux.toInt)
             if (filtered) Seq(l, filterMsg2) else Seq(l)
           }
+        // the unlimited (appendable) axis shows in the dataspace maxdims
+        // of time and every tensor that spans it
+        val unlim = unlimitedTime && (s.name == "time" || s.dims.size == 4)
         ohdr2(Seq(
-          msg2(0x0001, dataspace2(s.dims)),
+          msg2(0x0001, dataspace2(s.dims, unlimFirst = unlim)),
           msg2(0x0003, s.dt)) ++ layout ++ attsFor(s, gcol))
       }
       // root group: link info + group info + one hard link per dataset
@@ -1523,8 +1714,25 @@ object Hdf5Netcdf {
       }
 
       val raws = specs.map(s => s.name -> rawFor(s)).toMap
+      // (addr, nelmts, startIdx) per extensible-array data block
       case class Placed(blobs: Seq[(ChunkBlob, Long)], fahd: Long,
-          fadb: Long, pageBits: Int)
+          fadb: Long, pageBits: Int,
+          eaDblks: Seq[(Long, Int, Int)] = Nil, eaIblock: Long = Undef,
+          eaHdr: Long = Undef)
+      val eaElmtSize = if (filtered) 16 else 8
+      // directly-addressed data-block geometry for the first
+      // 2·log2(sbMinPtrs)=4 super blocks: (nelmts, startIdx) in order
+      val eaDblkGeom: Seq[(Int, Int)] = {
+        var start = EaIbElmts
+        for (u <- 0 until 2 * 2; d <- 0 until (1 << (u / 2))) yield {
+          val n = EaDbMinElmts << ((u + 1) / 2)
+          val g = (n, start); start += n; g
+        }
+      }
+      val eaIblockLen = 4 + 1 + 1 + 8 + EaIbElmts * eaElmtSize +
+        (2 * (EaSbMinPtrs - 1)) * 8 +
+        (1 + EaMaxBits - 4 /*log2(16)*/ - 2 * 2) * 8 + 4
+      val eaHdrLen = 12 + 6 * 8 + 8 + 4
       // ---- lay out: superblock, root OHDR, dataset OHDRs, data ----
       val sbSize = 48L
       val rootAddr = sbSize
@@ -1553,17 +1761,33 @@ object Hdf5Netcdf {
         }
         var pb = 4
         while ((1L << pb) < placed.size) pb += 1
-        val single = nt == 1 && cx >= nx
-        val (fahd, fadb) =
-          if (single) (Undef, Undef)
-          else {
-            val entrySize = if (filtered) 16 else 8
-            val dbLen = 4 + 1 + 1 + 8 + placed.size * entrySize + 4
-            val db = cursor; cursor += (dbLen + 7) / 8 * 8
-            val hd = cursor; cursor += 32 // FAHD is 28 bytes, 8-aligned
-            (hd, db)
+        if (unlimitedTime) {
+          val n = placed.size
+          require(n <= EaIbElmts + eaDblkGeom.map(_._1).sum,
+            s"extensible-array fixture writer: $n chunks exceed the " +
+              "directly-addressed space")
+          val dblks = eaDblkGeom.takeWhile(_._2 < n).map {
+            case (nelmts, start) =>
+              val len = 4 + 1 + 1 + 8 + 4 + nelmts * eaElmtSize + 4
+              val a = cursor; cursor += (len + 7) / 8 * 8
+              (a, nelmts, start)
           }
-        s.name -> Placed(placed, fahd, fadb, pb)
+          val ib = cursor; cursor += (eaIblockLen + 7) / 8 * 8
+          val hd = cursor; cursor += (eaHdrLen + 7) / 8 * 8
+          s.name -> Placed(placed, Undef, Undef, pb, dblks, ib, hd)
+        } else {
+          val single = nt == 1 && cx >= nx
+          val (fahd, fadb) =
+            if (single) (Undef, Undef)
+            else {
+              val entrySize = if (filtered) 16 else 8
+              val dbLen = 4 + 1 + 1 + 8 + placed.size * entrySize + 4
+              val db = cursor; cursor += (dbLen + 7) / 8 * 8
+              val hd = cursor; cursor += 32 // FAHD is 28 bytes, 8-aligned
+              (hd, db)
+            }
+          s.name -> Placed(placed, fahd, fadb, pb)
+        }
       }.toMap
       val eof = cursor
 
@@ -1576,7 +1800,9 @@ object Hdf5Netcdf {
       specs.foreach { s =>
         if (chunkedNames(s.name)) {
           val p = chunkPlaced(s.name)
-          if (p.fahd == Undef) { // single chunk
+          if (unlimitedTime) {
+            out.raw(header2(s, p.eaHdr, 0L, 0, gcolAddr))
+          } else if (p.fahd == Undef) { // single chunk
             val (b, a) = p.blobs.head
             out.raw(header2(s, a, b.bytes.length.toLong, 0, gcolAddr))
           } else out.raw(header2(s, p.fahd, p.pageBits.toLong, 0, gcolAddr))
@@ -1599,7 +1825,46 @@ object Hdf5Netcdf {
       specs.filter(s => chunkedNames(s.name)).foreach { s =>
         val p = chunkPlaced(s.name)
         p.blobs.foreach { case (b, _) => out.raw(b.bytes).pad(8) }
-        if (p.fahd != Undef) {
+        if (unlimitedTime) {
+          def elem(le: Le, idx: Int): Unit =
+            if (idx < p.blobs.size) {
+              val (b, a) = p.blobs(idx)
+              le.u64(a)
+              if (filtered) { le.u32(b.bytes.length.toLong); le.u32(0L) }
+            } else {
+              le.u64(Undef)
+              if (filtered) { le.u32(0L); le.u32(0L) }
+            }
+          p.eaDblks.foreach { case (addr, nelmts, start) =>
+            val db = new Le().raw("EADB".getBytes).u8(0)
+              .u8(if (filtered) 1 else 0).u64(p.eaHdr).u32(start.toLong)
+            (0 until nelmts).foreach(i => elem(db, start + i))
+            val dbB = db.bytes
+            out.raw(dbB).u32(lookup3(dbB, 0, dbB.length)).pad(8)
+          }
+          val ib = new Le().raw("EAIB".getBytes).u8(0)
+            .u8(if (filtered) 1 else 0).u64(p.eaHdr)
+          (0 until EaIbElmts).foreach(i => elem(ib, i))
+          (0 until 2 * (EaSbMinPtrs - 1)).foreach { i =>
+            ib.u64(if (i < p.eaDblks.size) p.eaDblks(i)._1 else Undef)
+          }
+          (0 until (1 + EaMaxBits - 4 - 2 * 2)).foreach(_ => ib.u64(Undef))
+          val ibB = ib.bytes
+          out.raw(ibB).u32(lookup3(ibB, 0, ibB.length)).pad(8)
+          val totalDblkBytes =
+            p.eaDblks.map(d => 4 + 1 + 1 + 8 + 4 + d._2 * eaElmtSize + 4)
+              .sum.toLong
+          val hd = new Le().raw("EAHD".getBytes).u8(0)
+            .u8(if (filtered) 1 else 0)
+            .u8(eaElmtSize).u8(EaMaxBits).u8(EaIbElmts).u8(EaDbMinElmts)
+            .u8(EaSbMinPtrs).u8(EaPageBits)
+            .u64(0L).u64(0L) // secondary blocks: none
+            .u64(p.eaDblks.size.toLong).u64(totalDblkBytes)
+            .u64(p.blobs.size.toLong).u64(p.blobs.size.toLong)
+            .u64(p.eaIblock)
+          val hdB = hd.bytes
+          out.raw(hdB).u32(lookup3(hdB, 0, hdB.length)).pad(8)
+        } else if (p.fahd != Undef) {
           val entrySize = if (filtered) 16 else 8
           val db = new Le().raw("FADB".getBytes).u8(0)
             .u8(if (filtered) 1 else 0).u64(p.fahd)

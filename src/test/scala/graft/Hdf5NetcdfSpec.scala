@@ -240,6 +240,82 @@ class Hdf5NetcdfSpec extends SparkSpec {
       s"read $delta bytes; one variable's raw share is ${rawDataBytes / 2}")
   }
 
+  test("latest-format extensible-array index: inline-only elements " +
+    "(few chunks) round-trip") {
+    // 2 times x ceil(3/2) chunks = 4 chunks: all live inline in the EAIB,
+    // no data blocks at all — the smallest appendable-time file
+    val dir = tmpDir("h5ea0")
+    Hdf5Netcdf.write(s"$dir/a.nc", times, leads, yc, xc, mean, stddev)
+    Hdf5Netcdf.write(s"$dir/b.nc", times, leads, yc, xc, mean, stddev,
+      chunkX = Some(2), latestFormat = true, unlimitedTime = true)
+    val a = readDf(s"$dir/a.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    val b = readDf(s"$dir/b.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("latest-format extensible-array index: data-block elements + " +
+    "shuffle+deflate round-trip") {
+    // 4 times x 3 chunks = 12 chunks: 4 inline + 8 in the first EADB —
+    // both the inline and the directly-addressed paths exercised, filtered
+    val dir = tmpDir("h5ea1")
+    val t4 = Array.tabulate(4)(i => us(f"2022-02-0${i + 1} 00:00:00"))
+    val vals = Array.tabulate(4 * nL * nY * nX)(i =>
+      if (i % 9 == 0) Double.NaN else (i % 41) / 41.0)
+    Hdf5Netcdf.write(s"$dir/a.nc", t4, leads, yc, xc, vals, vals.map(_ / 3))
+    Hdf5Netcdf.write(s"$dir/b.nc", t4, leads, yc, xc, vals, vals.map(_ / 3),
+      floatData = true, fillValue = Some(-999.0), chunkX = Some(1),
+      filters = Seq(2, 1), latestFormat = true, unlimitedTime = true)
+    val a = readDf(s"$dir/a.nc")
+    val b = readDf(s"$dir/b.nc")
+    assert(b.count() == 4 * nL * nY * nX)
+    assert(b.filter(col("sic_mean").isNull).count() == vals.count(_.isNaN))
+    // f32 parity against the f64 twin at float precision
+    val av = a.orderBy("time", "leadtime", "yc", "xc")
+      .select("sic_mean").collect().map(r =>
+        if (r.isNullAt(0)) Float.NaN else r.getDouble(0).toFloat)
+    val bv = b.orderBy("time", "leadtime", "yc", "xc")
+      .select("sic_mean").collect().map(r =>
+        if (r.isNullAt(0)) Float.NaN else r.getDouble(0).toFloat)
+    assert(av.length == bv.length)
+    assert(av.zip(bv).forall { case (x, y) =>
+      (x.isNaN && y.isNaN) || x == y })
+  }
+
+  test("latest-format extensible-array reads stay O(slice)") {
+    val dir = tmpDir("h5eaSeek")
+    val t4 = Array.tabulate(4)(i => us(f"2022-03-0${i + 1} 00:00:00"))
+    val vals = Array.tabulate(4 * nL * nY * nX)(_.toDouble)
+    Hdf5Netcdf.write(s"$dir/big.nc", t4, leads, yc, xc, vals, vals.map(_ / 10),
+      chunkX = Some(1), filters = Seq(2, 1), latestFormat = true,
+      unlimitedTime = true)
+    val rawDataBytes = 2L * vals.length * 8
+    val before = Hdf5Netcdf.bytesRead.get()
+    val s = readDf(s"$dir/big.nc").agg(sum("sic_mean")).head().getDouble(0)
+    assert(s == vals.sum)
+    val delta = Hdf5Netcdf.bytesRead.get() - before
+    val metaOverhead = 4 * 4096L
+    assert(delta < rawDataBytes / 2 + metaOverhead,
+      s"read $delta bytes; one variable's raw share is ${rawDataBytes / 2}")
+  }
+
+  test("extensible-array structures verify their checksums loudly") {
+    val dir = tmpDir("h5eaSum")
+    val p = s"$dir/fc.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev,
+      chunkX = Some(2), latestFormat = true, unlimitedTime = true)
+    assert(readDf(p).count() == nT * nL * nY * nX) // clean file reads
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // find the EAIB and corrupt one element byte inside it
+    val at = (0 until bytes.length - 4).find(i =>
+      bytes(i) == 'E' && bytes(i + 1) == 'A' && bytes(i + 2) == 'I' &&
+        bytes(i + 3) == 'B').get
+    val bad = bytes.clone(); bad(at + 20) = (bad(at + 20) ^ 0x5A).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.nc"), bad)
+    val e = intercept[Exception] { readDf(s"$dir/bad.nc").collect() }
+    assert(Option(e.getMessage).exists(m =>
+      m.contains("EAIB") && m.contains("checksum")), s"got: ${e.getMessage}")
+  }
+
   test("DIMENSION_LIST references resolve and certify axis identity") {
     val p = tmpDir("h5dim") + "/fc.nc"
     Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev,
