@@ -1108,6 +1108,15 @@ object SparkEntry {
       graft.ops.Multimodal.ImageCodec.decodeImages(
         graft.ops.Multimodal.pngFromDocuments(Tables.documents(s, dir)))
         .toDF()),
+    "multimodal_audio_decode" -> ((s, dir) =>
+      // REAL audio decode (JDK javax.sound): each doc_id becomes a mono
+      // 16-bit PCM WAV whose waveform is integer arithmetic in
+      // (doc_id, i); the decoder must really walk the RIFF chunks and
+      // PCM frames to reproduce the oracle's amplitude/energy sums —
+      // the audio twin of the PNG decode certification. Integer output.
+      graft.ops.Multimodal.AudioCodec.decodeAudio(
+        graft.ops.Multimodal.wavFromDocuments(Tables.documents(s, dir)))
+        .toDF()),
 
     // ---- beyond-reference: TPC-H composite suite (Q1-Q22 shapes the -----
     // fixture schema can express; partsupp/commitdate-dependent queries
@@ -3979,6 +3988,23 @@ object SparkEntry {
         |       CAST(h AS BIGINT) * (wl * ((doc_id * 13) % 256)
         |         + (w - wl) * ((doc_id * 11) % 256)) AS sum_b
         |FROM g""".stripMargin,
+    "multimodal_audio_decode" -> // pure arithmetic prediction of the WAV
+      // round trip: sample(i) = (id*31 + i*7919) % 2001 - 1000 — only a
+      // codec that really parses RIFF/PCM reproduces these sums.
+      """WITH g AS (
+        |  SELECT doc_id, CAST(doc_id % 200 + 40 AS INT) AS n,
+        |         CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate
+        |  FROM documents),
+        |s AS (
+        |  SELECT g.doc_id, g.n, g.rate,
+        |         (g.doc_id * 31 + i.i * 7919) % 2001 - 1000 AS v
+        |  FROM g JOIN LATERAL (
+        |    SELECT unnest(generate_series(0, g.n - 1)) AS i) i ON true)
+        |SELECT doc_id AS media_id, rate AS sample_rate, 1 AS channels,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST(sum(v) AS BIGINT) AS sum_amp,
+        |       CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |FROM s GROUP BY 1, 2, 3, 4""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: [[ImageCodec]] decodes PNG/JPEG/BMP/GIF payloads
   * with JDK `javax.imageio.ImageIO` (ships in the JDK — no external
   * dependency) and extracts exact dimensions + per-channel pixel sums.
-  * Audio/video decode remains a STUB (`FakeCodec`): the JDK has no
-  * general audio/video codec, so those kinds use a deterministic fake
-  * over the payload bytes. Swapping in a real A/V codec (javacv, a JNI
-  * decoder, an ONNX runtime) changes ONLY the function body passed to
-  * [[decodeBatches]]; every plan around it is unchanged.
+  * AUDIO decode is REAL too: [[AudioCodec]] decodes WAV/PCM (signed
+  * 16-bit, mono/stereo) with JDK `javax.sound.sampled` and extracts
+  * exact per-payload amplitude/energy sums. Only VIDEO decode remains a
+  * STUB (`FakeCodec`): the JDK genuinely ships no video codec. Swapping
+  * in a real one (javacv, a JNI decoder, an ONNX runtime) changes ONLY
+  * the function body passed to [[decodeBatches]]; every plan around it
+  * is unchanged.
   *
   * Scale notes: payloads stay columnar parquet `binary`; decode is
   * mapPartitions (one codec init per partition, not per row — the same
@@ -90,8 +92,74 @@ object Multimodal {
     }
   }
 
-  /** STUB codec — deterministic stand-in for audio/video decode (the JDK
-    * ships no general A/V codec; images use the real [[ImageCodec]]).
+  /** Exact per-channel sample statistics of one decoded audio payload.
+    * Integer sums (amplitude and energy), not float means, so the DuckDB
+    * oracle reproduces them bit-for-bit from the waveform's closed form.
+    */
+  case class AudioStats(
+      media_id: Long, sample_rate: Int, channels: Int, n_samples: Long,
+      sum_amp: Long, sum_sq: Long)
+
+  /** REAL audio codec on JDK `javax.sound.sampled` — WAV/PCM (signed
+    * 16-bit, mono or stereo), zero external dependencies: the same
+    * offline-constraint demolition as ImageIO for images and the pure-JVM
+    * HDF5 decoder. Undecodable payloads fail LOUDLY naming the row.
+    * Video remains the one stubbed kind ([[FakeCodec]]) — the JDK truly
+    * ships no video codec.
+    */
+  object AudioCodec {
+
+    /** Decode one payload and reduce it to exact amplitude/energy sums
+      * (summed across channels; `n_samples` is per channel).
+      */
+    def decode(row: MediaRow): AudioStats = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"media_id=${row.media_id}: payload (${row.payload.length} " +
+                s"bytes) is not decodable audio (WAV/PCM): ${e.getMessage}")
+        }
+      try {
+        val f = in.getFormat
+        require(f.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16,
+          s"media_id=${row.media_id}: ${f.getEncoding}/" +
+            s"${f.getSampleSizeInBits}-bit unsupported (PCM signed 16-bit " +
+            "only)")
+        val ch = f.getChannels
+        val bytes = in.readAllBytes()
+        val frames = bytes.length / (2 * ch)
+        var (sum, sumSq) = (0L, 0L)
+        var i = 0
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        while (i < frames * ch) {
+          val v = bb.getShort(i * 2).toLong
+          sum += v
+          sumSq += v * v
+          i += 1
+        }
+        AudioStats(row.media_id, f.getSampleRate.toInt, ch, frames, sum, sumSq)
+      } finally in.close()
+    }
+
+    /** Partition-local batched audio decode — same shape as
+      * [[ImageCodec.decodeImages]].
+      */
+    def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions(rows => rows.map(decode))
+    }
+  }
+
+  /** STUB codec — deterministic stand-in for VIDEO decode only (images
+    * decode for real via [[ImageCodec]]/ImageIO, audio via
+    * [[AudioCodec]]/javax.sound; the JDK ships no video codec).
     * Real implementation would decode `payload` with a native library;
     * the fake derives a checksum + fixed-width feature vector from the
     * bytes so tests can assert exact plumbing behavior.
@@ -225,6 +293,49 @@ object Multimodal {
         require(javax.imageio.ImageIO.write(img, "png", out),
           s"no PNG writer available for doc_id=$id")
         MediaRow(id, "image", out.toByteArray, w, h, 0, 0)
+      }
+    }
+  }
+
+  /** Canonical-PCM WAV bytes for a 16-bit LE mono waveform — the fixture
+    * serializer for [[AudioCodec]] certification (byte-authored like the
+    * CDF-1/HDF5/PNG fixtures, decoded back by the JDK's own parser).
+    */
+  def wavBytes(samples: Array[Short], rate: Int, channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * 2 * channels) // byte rate
+      .putShort((2 * channels).toShort) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Build a REAL-WAV media table from the documents fixture: each doc_id
+    * becomes a mono 16-bit PCM WAV whose waveform is pure integer
+    * arithmetic in (doc_id, sample index) —
+    *   n = id%200 + 40, rate = 8000 + (id%4)·4000,
+    *   sample(i) = (id·31 + i·7919) % 2001 − 1000
+    * — so the DuckDB oracle predicts the decoder's exact amplitude and
+    * energy sums from `generate_series` WITHOUT parsing WAV. Only a codec
+    * that really walks the RIFF chunks and PCM frames reproduces them.
+    */
+  def wavFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (id % 200).toInt + 40
+        val rate = 8000 + (id % 4).toInt * 4000
+        val samples = Array.tabulate(n)(i =>
+          ((id * 31 + i.toLong * 7919) % 2001 - 1000).toShort)
+        MediaRow(id, "audio", wavBytes(samples, rate), 0, 0, rate, n)
       }
     }
   }

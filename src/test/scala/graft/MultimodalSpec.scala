@@ -164,6 +164,65 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AudioCodec decodes a byte-authored WAV exactly (mono and stereo)") {
+    import spark.implicits._
+    // mono: hand-checkable samples
+    val mono = Multimodal.MediaRow(7L, "audio",
+      Multimodal.wavBytes(Array[Short](100, -200, 300), 8000), 0, 0, 8000, 3)
+    val m = Multimodal.AudioCodec.decode(mono)
+    assert(m == Multimodal.AudioStats(7L, 8000, 1, 3,
+      100 - 200 + 300, 100L * 100 + 200L * 200 + 300L * 300))
+    // stereo: frames interleave L/R; n_samples counts frames, sums span
+    // both channels
+    val st = Multimodal.MediaRow(8L, "audio",
+      Multimodal.wavBytes(Array[Short](10, -10, 20, -20), 44100,
+        channels = 2), 0, 0, 44100, 2)
+    val s2 = Multimodal.AudioCodec.decode(st)
+    assert(s2 == Multimodal.AudioStats(8L, 44100, 2, 2,
+      0, 2L * (10 * 10) + 2L * (20 * 20)))
+    // the whole thing through the distributed path
+    val got = Multimodal.AudioCodec.decodeAudio(
+      Seq(mono, st).toDS().repartition(2)).collect().sortBy(_.media_id)
+    assert(got.toSeq == Seq(m, s2))
+  }
+
+  test("AudioCodec rejects corrupt and unsupported payloads loudly") {
+    val junk = Multimodal.MediaRow(99L, "audio",
+      Array.tabulate[Byte](64)(_.toByte), 0, 0, 8000, 0)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.AudioCodec.decode(junk)
+    }
+    assert(e.getMessage.contains("media_id=99") &&
+      e.getMessage.contains("not decodable audio"))
+    // valid WAV container but 8-bit samples (a consistent 8-bit header:
+    // bits=8, blockAlign=1, byteRate=rate): named rejection, no misread
+    val w8 = Multimodal.wavBytes(Array[Short](1, 2), 8000)
+    val bb = java.nio.ByteBuffer.wrap(w8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(34, 8).putShort(32, 1).putInt(28, 8000)
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.AudioCodec.decode(
+        Multimodal.MediaRow(5L, "audio", w8, 0, 0, 8000, 2))
+    }
+    assert(e2.getMessage.contains("media_id=5") &&
+      e2.getMessage.contains("16-bit"), s"got: ${e2.getMessage}")
+  }
+
+  test("wavFromDocuments round trip matches the arithmetic prediction") {
+    val decoded = Multimodal.AudioCodec.decodeAudio(
+      Multimodal.wavFromDocuments(docs.limit(40))).collect()
+    assert(decoded.length == 40)
+    decoded.foreach { s =>
+      val id = s.media_id
+      val n = (id % 200).toInt + 40
+      val vs = (0 until n).map(i => (id * 31 + i.toLong * 7919) % 2001 - 1000)
+      assert(s.sample_rate == 8000 + (id % 4).toInt * 4000)
+      assert(s.channels == 1 && s.n_samples == n)
+      assert(s.sum_amp == vs.sum)
+      assert(s.sum_sq == vs.map(v => v * v).sum)
+    }
+  }
+
   test("embedBatches rejects a model that drops or duplicates rows") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(
