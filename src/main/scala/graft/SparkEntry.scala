@@ -303,6 +303,12 @@ object SparkEntry {
       graft.ops.TextAnalysis.quality(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) =>
       graft.ops.TextAnalysis.languages(Tables.documents(s, dir))),
+    "curate_quality_prune" -> ((s, dir) =>
+      // per-domain quantile pruning (the perplexity-filter shape): each
+      // language's own p75 token-count threshold, broadcast back, census
+      // of what survives - a global cutoff would over-prune low-scoring
+      // domains wholesale
+      graft.ops.TextAnalysis.qualityPrune(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) =>
       graft.ops.TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "text_hashing_embed" -> ((s, dir) =>
@@ -2588,6 +2594,19 @@ object SparkEntry {
         |       CAST(list_aggregate(list_transform(toks,
         |         w -> CAST(ceil(length(w)/4.0) AS BIGINT)), 'sum') AS BIGINT) AS bpe_tokens
         |FROM t""".stripMargin,
+    "curate_quality_prune" -> // same rank convention as a8:
+      // quantile_disc == approx_percentile at exact accuracy
+      """WITH s AS (SELECT lang,
+        |             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+        |               AS n_toks
+        |           FROM documents),
+        |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+        |             quantile_disc(n_toks, 0.75) AS thr
+        |      FROM s GROUP BY 1)
+        |SELECT s.lang, t.thr, t.n_total,
+        |       count(*) AS n_kept, CAST(sum(s.n_toks) AS BIGINT) AS toks_kept
+        |FROM s JOIN t USING (lang) WHERE s.n_toks >= t.thr
+        |GROUP BY 1, 2, 3""".stripMargin,
     "sample_weighted" ->
       """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text),'\s+') AS toks
         |           FROM documents),

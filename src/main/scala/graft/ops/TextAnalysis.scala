@@ -471,6 +471,34 @@ object TextAnalysis {
     * stratum quota — same plan, uniform partitions. The window rides the
     * single exchange; nothing is collected to the driver.
     */
+  /** Per-domain quantile pruning — the "perplexity filter" shape: score
+    * every document (here: token count), take each domain's p-quantile as
+    * its own threshold, keep documents at/above it, report the per-domain
+    * census. Per-domain thresholds are the point: a single global cutoff
+    * over-prunes whichever domain scores low wholesale (the classic
+    * quality-filter failure mode).
+    *
+    * Scale: the threshold table is O(domains) and attaches by broadcast;
+    * documents are never globally sorted — the quantile rides the
+    * GK-sketch aggregate (`approx_percentile`, exact at the a8 rank
+    * convention while groups fit the accuracy budget, bounded state
+    * regardless). At 100 TB the scored projection would be checkpointed
+    * once instead of re-scanned for the threshold and the filter pass;
+    * at bench scale two scans of a narrow projection beat the
+    * materialization.
+    */
+  def qualityPrune(docs: DataFrame, p: Double = 0.75): DataFrame = {
+    val scored = docs.select(col("lang"), size(tokens(col("text"))).as("n_toks"))
+    val thr = scored.groupBy("lang").agg(
+      count(lit(1)).as("n_total"),
+      expr(s"approx_percentile(n_toks, $p, 1000000)").as("thr"))
+    scored.join(broadcast(thr), "lang")
+      .filter(col("n_toks") >= col("thr"))
+      .groupBy("lang")
+      .agg(first("thr").as("thr"), first("n_total").as("n_total"),
+        count(lit(1)).as("n_kept"), sum("n_toks").as("toks_kept"))
+  }
+
   def stratifiedSample(docs: DataFrame, fraction: Double = 0.1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val order = Window.partitionBy("lang")

@@ -53,6 +53,24 @@ class CurationPolicySpec extends SparkSpec {
     assert(flat("small")._3 > 1.0 && flat("big")._3 < 1.0)
   }
 
+  test("qualityPrune: each domain prunes at ITS OWN quantile, not a global one") {
+    // lang a: token counts 1..4 (p75 disc = 3); lang b: 10..40 by tens
+    // (p75 = 30). A global p75 would keep ALL of b and almost none of a;
+    // per-domain keeps exactly the top quartile-and-ties of each.
+    val d = Seq(
+      (1L, "w", "a"), (2L, "w w", "a"), (3L, "w w w", "a"),
+      (4L, "w w w w", "a"),
+      (5L, ("w " * 10).trim, "b"), (6L, ("w " * 20).trim, "b"),
+      (7L, ("w " * 30).trim, "b"), (8L, ("w " * 40).trim, "b")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.qualityPrune(d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Int]("thr"), r.getAs[Long]("n_total"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("toks_kept")))).toMap
+    assert(got("a") == ((3, 4L, 2L, 7L)), s"got ${got("a")}") // keeps 3,4
+    assert(got("b") == ((30, 4L, 2L, 70L)), s"got ${got("b")}") // keeps 30,40
+  }
+
   test("vocabTopP keeps the smallest prefix reaching p, boundary token included") {
     // freqs: a=5, b=3, c=1, d=1 (total 10). p=0.5 -> mass before a is 0,
     // a alone reaches 0.5 -> keep exactly {a}
