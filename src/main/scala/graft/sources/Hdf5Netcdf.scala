@@ -1440,11 +1440,17 @@ object Hdf5Netcdf {
       chunkX: Option[Int] = None, filters: Seq[Int] = Nil,
       latestFormat: Boolean = false,
       dimList: Option[Seq[String]] = None,
-      unlimitedTime: Boolean = false): Unit = {
+      unlimitedTime: Boolean = false,
+      splitHeaders: Boolean = false,
+      implicitIndex: Boolean = false): Unit = {
     require(dimList.isEmpty || latestFormat,
       "dimList fixtures are authored in the latest-format dialect")
     require(!unlimitedTime || latestFormat,
       "unlimitedTime (extensible-array index) is a latest-format dialect")
+    require(!splitHeaders || latestFormat,
+      "splitHeaders (OCHK continuation blocks) is a latest-format dialect")
+    require(!implicitIndex || (latestFormat && filters.isEmpty && !unlimitedTime),
+      "implicitIndex is a latest-format, unfiltered, fixed-dims dialect")
     val nt = timesMicros.length
     val (nl, ny, nx) = (leadtimes.length, yc.length, xc.length)
     require(mean.length == nt * nl * ny * nx && stddev.length == mean.length)
@@ -1594,6 +1600,11 @@ object Hdf5Netcdf {
         val b = le.bytes
         new Le().raw(b).u32(lookup3(b, 0, b.length)).bytes
       }
+      // OCHK continuation block: signature + messages + checksum
+      def ochk(msgs: Seq[Array[Byte]]): Array[Byte] = {
+        val b = new Le().raw("OCHK".getBytes).raw(msgs.flatten.toArray).bytes
+        new Le().raw(b).u32(lookup3(b, 0, b.length)).bytes
+      }
       def dataspace2(
           dims: Seq[Long], unlimFirst: Boolean = false): Array[Byte] = {
         val le = new Le().u8(2).u8(dims.size).u8(if (unlimFirst) 1 else 0)
@@ -1680,15 +1691,23 @@ object Hdf5Netcdf {
           .u8(EaDbMinElmts).u8(EaPageBits)
         msg2(0x0008, le.u64(hdrAddr).bytes)
       }
+      def layout4Implicit(addr: Long): Array[Byte] = {
+        val le = new Le().u8(4).u8(2).u8(0).u8(5).u8(8)
+        Seq(1L, nl.toLong, ny.toLong, cx.toLong, dataEs.toLong).foreach(le.u64)
+        msg2(0x0008, le.u8(2).u64(addr).bytes)
+      }
       def header2(
-          s: Spec, addr: Long, aux: Long, mask: Int, gcol: Long): Array[Byte] = {
+          s: Spec, addr: Long, aux: Long, mask: Int, gcol: Long,
+          contAddr: Long = Undef): Array[Byte] = {
         val layout =
           if (!chunkedNames(s.name))
             Seq(layout4Contiguous(addr, s.dims.product * s.es))
           else {
-            val one = !unlimitedTime && nt == 1 && cx >= nx
+            val one =
+              !unlimitedTime && !implicitIndex && nt == 1 && cx >= nx
             val l =
               if (unlimitedTime) layout4Ea(addr)
+              else if (implicitIndex) layout4Implicit(addr)
               else if (one) layout4Single(addr, aux, mask)
               else layout4Fa(addr, aux.toInt)
             if (filtered) Seq(l, filterMsg2) else Seq(l)
@@ -1696,9 +1715,16 @@ object Hdf5Netcdf {
         // the unlimited (appendable) axis shows in the dataspace maxdims
         // of time and every tensor that spans it
         val unlim = unlimitedTime && (s.name == "time" || s.dims.size == 4)
-        ohdr2(Seq(
+        val core = Seq(
           msg2(0x0001, dataspace2(s.dims, unlimFirst = unlim)),
-          msg2(0x0003, s.dt)) ++ layout ++ attsFor(s, gcol))
+          msg2(0x0003, s.dt)) ++ layout
+        val atts = attsFor(s, gcol)
+        if (!splitHeaders) ohdr2(core ++ atts)
+        else { // attributes ride an OCHK continuation block
+          val contLen = ochk(atts).length.toLong
+          ohdr2(core :+ msg2(0x0010,
+            new Le().u64(contAddr).u64(contLen).bytes))
+        }
       }
       // root group: link info + group info + one hard link per dataset
       def rootOhdr(addrs: Map[String, Long]): Array[Byte] = {
@@ -1743,6 +1769,13 @@ object Hdf5Netcdf {
         val a = cursor; cursor += len; s.name -> a
       }.toMap
       cursor = (cursor + 7) / 8 * 8
+      // OCHK continuation blocks (attribute messages) when split
+      val ochkAddrs: Map[String, Long] =
+        if (!splitHeaders) Map.empty
+        else specs.map { s =>
+          val len = ochk(attsFor(s, 0L)).length
+          val a = cursor; cursor += (len + 7) / 8 * 8; s.name -> a
+        }.toMap
       // global heap collection for DIMENSION_LIST references: header (16)
       // + four 24-byte objects (16-byte header + one 8-byte address each)
       val gcolAddr = if (dimList.isDefined) cursor else Undef
@@ -1754,11 +1787,15 @@ object Hdf5Netcdf {
       }.toMap
       val chunkPlaced = specs.filter(s => chunkedNames(s.name)).map { s =>
         val blobs = chunksFor(s, raws(s.name))
+        // implicit index: chunks tightly packed at stride chunkBytes —
+        // the reader computes addresses arithmetically
         val placed = blobs.map { b =>
           val a = cursor
-          cursor += (b.bytes.length + 7) / 8 * 8
+          cursor += (if (implicitIndex) b.bytes.length.toLong
+                     else (b.bytes.length + 7) / 8 * 8)
           (b, a)
         }
+        if (implicitIndex) cursor = (cursor + 7) / 8 * 8
         var pb = 4
         while ((1L << pb) < placed.size) pb += 1
         if (unlimitedTime) {
@@ -1776,7 +1813,7 @@ object Hdf5Netcdf {
           val hd = cursor; cursor += (eaHdrLen + 7) / 8 * 8
           s.name -> Placed(placed, Undef, Undef, pb, dblks, ib, hd)
         } else {
-          val single = nt == 1 && cx >= nx
+          val single = implicitIndex || (nt == 1 && cx >= nx)
           val (fahd, fadb) =
             if (single) (Undef, Undef)
             else {
@@ -1798,19 +1835,24 @@ object Hdf5Netcdf {
       out.raw(sb).u32(lookup3(sb, 0, sb.length))
       out.raw(rootOhdr(ohAddrs))
       specs.foreach { s =>
+        val cont = ochkAddrs.getOrElse(s.name, Undef)
         if (chunkedNames(s.name)) {
           val p = chunkPlaced(s.name)
           if (unlimitedTime) {
-            out.raw(header2(s, p.eaHdr, 0L, 0, gcolAddr))
-          } else if (p.fahd == Undef) { // single chunk
+            out.raw(header2(s, p.eaHdr, 0L, 0, gcolAddr, cont))
+          } else if (p.fahd == Undef) { // single chunk or implicit base
             val (b, a) = p.blobs.head
-            out.raw(header2(s, a, b.bytes.length.toLong, 0, gcolAddr))
-          } else out.raw(header2(s, p.fahd, p.pageBits.toLong, 0, gcolAddr))
+            out.raw(header2(s, a, b.bytes.length.toLong, 0, gcolAddr, cont))
+          } else
+            out.raw(header2(s, p.fahd, p.pageBits.toLong, 0, gcolAddr, cont))
         } else {
-          out.raw(header2(s, contiguousAddrs(s.name), 0L, 0, gcolAddr))
+          out.raw(header2(s, contiguousAddrs(s.name), 0L, 0, gcolAddr, cont))
         }
       }
       out.pad(8)
+      if (splitHeaders) specs.foreach { s =>
+        out.raw(ochk(attsFor(s, gcolAddr))).pad(8)
+      }
       dimList.foreach { order =>
         require(order.size == 4 && order.forall(ohAddrs.contains),
           s"dimList names $order must each name a dataset")
@@ -1824,7 +1866,10 @@ object Hdf5Netcdf {
       }
       specs.filter(s => chunkedNames(s.name)).foreach { s =>
         val p = chunkPlaced(s.name)
-        p.blobs.foreach { case (b, _) => out.raw(b.bytes).pad(8) }
+        if (implicitIndex) {
+          p.blobs.foreach { case (b, _) => out.raw(b.bytes) }
+          out.pad(8)
+        } else p.blobs.foreach { case (b, _) => out.raw(b.bytes).pad(8) }
         if (unlimitedTime) {
           def elem(le: Le, idx: Int): Unit =
             if (idx < p.blobs.size) {

@@ -316,6 +316,68 @@ class Hdf5NetcdfSpec extends SparkSpec {
       m.contains("EAIB") && m.contains("checksum")), s"got: ${e.getMessage}")
   }
 
+  test("latest-format implicit chunk index round-trips (f64 and f32)") {
+    val dir = tmpDir("h5impl")
+    Hdf5Netcdf.write(s"$dir/a.nc", times, leads, yc, xc, mean, stddev)
+    Hdf5Netcdf.write(s"$dir/b.nc", times, leads, yc, xc, mean, stddev,
+      chunkX = Some(2), latestFormat = true, implicitIndex = true)
+    val a = readDf(s"$dir/a.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    val b = readDf(s"$dir/b.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(a.toSeq == b.toSeq)
+    // f32 twin: arithmetic chunk addressing at element size 4
+    val m2 = Array.tabulate(mean.length)(i => (i % 16) / 16.0)
+    Hdf5Netcdf.write(s"$dir/c.nc", times, leads, yc, xc, m2, m2.map(_ / 2),
+      floatData = true, chunkX = Some(1), latestFormat = true,
+      implicitIndex = true)
+    val c = readDf(s"$dir/c.nc")
+    assert(c.count() == nT * nL * nY * nX)
+    val r = c.filter(col("leadtime") === 2 && col("yc") === 125.0 &&
+      col("xc") === 250.0 &&
+      col("time") === Timestamp.valueOf("2020-06-08 00:00:00")).head()
+    assert(r.getAs[Double]("sic_mean") == (mean.length - 1) % 16 / 16.0)
+  }
+
+  test("OCHK continuation blocks: attributes decode across header chunks") {
+    // attributes (units, _FillValue, DIMENSION_LIST) ride a continuation
+    // block; fill masking + dim-identity certification must still work,
+    // proving the OCHK walk + checksum path end to end
+    val dir = tmpDir("h5ochk")
+    Hdf5Netcdf.write(s"$dir/a.nc", times, leads, yc, xc, mean, stddev,
+      fillValue = Some(-999.0), latestFormat = true, splitHeaders = true,
+      dimList = Some(Seq("time", "leadtime", "yc", "xc")))
+    val df = readDf(s"$dir/a.nc")
+    assert(df.count() == nT * nL * nY * nX)
+    assert(df.filter(col("sic_mean").isNull).count() == nT * nL) // fill seen
+    // a corrupted continuation block fails loudly naming OCHK
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/a.nc"))
+    val at = (0 until bytes.length - 4).find(i =>
+      bytes(i) == 'O' && bytes(i + 1) == 'C' && bytes(i + 2) == 'H' &&
+        bytes(i + 3) == 'K').get
+    val bad = bytes.clone(); bad(at + 6) = (bad(at + 6) ^ 0x5A).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.nc"), bad)
+    val e = intercept[Exception] { readDf(s"$dir/bad.nc").collect() }
+    assert(Option(e.getMessage).exists(m =>
+      m.contains("OCHK") && m.contains("checksum")), s"got: ${e.getMessage}")
+  }
+
+  test("superblock v2 (same layout as v3) decodes") {
+    val dir = tmpDir("h5sb2")
+    val p = s"$dir/v3.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev,
+      latestFormat = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val v2 = bytes.clone()
+    v2(8) = 2 // version byte; recompute the superblock checksum over [0,44)
+    val sum = Hdf5Netcdf.lookup3(v2, 0, 44)
+    v2(44) = sum.toByte; v2(45) = (sum >>> 8).toByte
+    v2(46) = (sum >>> 16).toByte; v2(47) = (sum >>> 24).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/v2.nc"), v2)
+    val a = readDf(p).orderBy("time", "leadtime", "yc", "xc").collect()
+    val b = readDf(s"$dir/v2.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("DIMENSION_LIST references resolve and certify axis identity") {
     val p = tmpDir("h5dim") + "/fc.nc"
     Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev,
