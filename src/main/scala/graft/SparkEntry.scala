@@ -554,6 +554,18 @@ object SparkEntry {
       // related-item retrieval, same 1e-12 integer fixed point so the
       // sparse walk hash-matches DuckDB bit-for-bit
       graft.ops.Graph.personalizedPageRank(Tables.lineitem(s, dir))),
+    // ---- beyond-reference: spatial joins (ops.Spatial) -----------------
+    "spatial_radius_join" -> ((s, dir) =>
+      // grid-blocked radius self-join: candidates only in the 3x3 cell
+      // neighborhood (bounded 9x fan-out + equi-join), never the O(n^2)
+      // distance cross join the oracle is allowed at fixture scale;
+      // integer squared distances, hash-exact
+      graft.ops.Spatial.radiusJoin(
+        graft.ops.Spatial.customerPoints(Tables.customer(s, dir)), r = 25)),
+    "spatial_density" -> ((s, dir) =>
+      // per-cell hotspot census: one hash aggregate + TakeOrdered
+      graft.ops.Spatial.density(
+        graft.ops.Spatial.customerPoints(Tables.customer(s, dir)), c = 50)),
     "graph_bfs" -> ((s, dir) =>
       // multi-source BFS: exact hop distances from every 10th supplier,
       // level-synchronous with per-round min-merge so shuffle traffic is
@@ -2087,6 +2099,25 @@ object SparkEntry {
         |best AS (SELECT node, min(dist) AS d FROM walk GROUP BY 1)
         |SELECT CAST(d AS BIGINT) AS dist, count(*) AS n_nodes
         |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+    "spatial_radius_join" -> // the oracle IS the quadratic dominance form
+      // the Spark plan must avoid: every pair, filtered by distance
+      """WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        |             CAST(c_custkey * 37 % 1000 AS BIGINT) AS x,
+        |             CAST(c_custkey * 61 % 1000 AS BIGINT) AS y
+        |           FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |         AS dist_sq
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |      <= 625""".stripMargin,
+    "spatial_density" ->
+      """WITH p AS (SELECT CAST(c_custkey * 37 % 1000 AS BIGINT) AS x,
+        |             CAST(c_custkey * 61 % 1000 AS BIGINT) AS y
+        |           FROM customer)
+        |SELECT x - x % 50 AS gx, y - y % 50 AS gy, count(*) AS n_points
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n_points DESC, gx, gy LIMIT 20""".stripMargin,
     "link_candidates" -> // the same blocked equi-join + neighbor-block
       // recovery, reduced to the agreement-pattern census
       """WITH a AS (SELECT c_custkey AS a_id, substr(c_name, 10, 9) AS a_name,
