@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
-import graft.functions.{DotProduct, KmvAggregate, KmvMergeAggregate, L2Norm, SampleKAggregate, TopKAggregate, Wkt4326Ring, ZOrderKey}
+import graft.functions.{BitmapAndCardinality, BitmapBuildAggregate, BitmapCardinality, BitmapMergeAggregate, DotProduct, KmvAggregate, KmvMergeAggregate, L2Norm, SampleKAggregate, TopKAggregate, Wkt4326Ring, ZOrderKey}
 
 /** SparkSessionExtensions entry point: makes the engine's custom expressions
   * available to ANY session (including pure-SQL users) via
@@ -62,6 +62,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KmvMergeAggregate(exprs(0), k).toAggregateExpression()
       }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bitmap"),
+      new ExpressionInfo(classOf[BitmapBuildAggregate].getName, "graft_bitmap"),
+      exprs => BitmapBuildAggregate(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bitmap_merge"),
+      new ExpressionInfo(classOf[BitmapMergeAggregate].getName, "graft_bitmap_merge"),
+      exprs => BitmapMergeAggregate(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bitmap_card"),
+      new ExpressionInfo(classOf[BitmapCardinality].getName, "graft_bitmap_card"),
+      exprs => BitmapCardinality(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bitmap_and_card"),
+      new ExpressionInfo(classOf[BitmapAndCardinality].getName, "graft_bitmap_and_card"),
+      exprs => BitmapAndCardinality(exprs(0), exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("graft_sample_k"),
       new ExpressionInfo(classOf[SampleKAggregate].getName, "graft_sample_k"),

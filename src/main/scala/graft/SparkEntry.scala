@@ -678,6 +678,19 @@ object SparkEntry {
       // all hash-deterministic, so DuckDB certifies bit-for-bit
       graft.ops.Sketches.quantileSketch(Tables.orders(s, dir),
         col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))),
+    "bitmap_distinct" -> ((s, dir) =>
+      // exact per-priority distinct customers via roaring-style compressed
+      // bitmaps, ALL row by MERGING the per-group bitmaps (never re-reading
+      // orders) — the exact twin of sketch_kmv_distinct's rollup path
+      graft.ops.Bitmaps.bitmapDistinctRollup(Tables.orders(s, dir),
+        col("o_orderpriority"), col("o_custkey"))),
+    "bitmap_retention" -> ((s, dir) =>
+      // year-over-year customer retention from per-year bitmaps alone:
+      // member/overlap counts off the serialized containers (two-pointer
+      // AND walk), churn/new by inclusion-exclusion, rates in exact fixed
+      // point — the canonical audience-segmentation bitmap workload
+      graft.ops.Bitmaps.bitmapRetention(Tables.orders(s, dir),
+        year(col("o_orderdate").cast("date")), col("o_custkey"))),
     "graph_triangles" -> ((s, dir) =>
       // degree-oriented STRONG-TIE triangle census (support >= 2): the
       // noise-pruned rendering — the support filter at the first aggregate
@@ -2419,6 +2432,43 @@ object SparkEntry {
         |SELECT grp, CAST(est_distinct AS BIGINT), CAST(exact_distinct AS BIGINT)
         |FROM gall
         |ORDER BY grp""".stripMargin,
+    "bitmap_distinct" -> // the bitmap path is exact, so the oracle is the
+      // plain distinct count — certifying build, partial-union, AND the
+      // cross-group merge (the ALL row) end to end
+      """SELECT CAST(o_orderpriority AS VARCHAR) AS grp,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL' AS grp, CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |FROM orders
+        |ORDER BY grp""".stripMargin,
+    "bitmap_retention" -> // exact pairwise set algebra from first
+      // principles: distinct (year, customer) pairs, consecutive-year
+      // self-join for the intersection, rates in the same pure-BIGINT
+      // half-up fixed point as the engine's exactRatio
+      """WITH y AS (SELECT DISTINCT
+        |             CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |             o_custkey
+        |           FROM orders WHERE o_custkey IS NOT NULL),
+        |c AS (SELECT yr, CAST(count(*) AS BIGINT) AS n FROM y GROUP BY 1),
+        |i AS (SELECT a.yr AS ya, CAST(count(*) AS BIGINT) AS n_and
+        |      FROM y a JOIN y b
+        |        ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
+        |      GROUP BY 1)
+        |SELECT ca.yr AS bucket_a, cb.yr AS bucket_b, ca.n AS n_a,
+        |       cb.n AS n_b,
+        |       COALESCE(i.n_and, 0) AS n_retained,
+        |       ca.n - COALESCE(i.n_and, 0) AS n_churned,
+        |       cb.n - COALESCE(i.n_and, 0) AS n_new,
+        |       CAST((COALESCE(i.n_and, 0) * 2000000 + ca.n) // (2 * ca.n)
+        |            AS DOUBLE) / 1000000.0 AS retention,
+        |       CAST((COALESCE(i.n_and, 0) * 2000000
+        |             + (ca.n + cb.n - COALESCE(i.n_and, 0)))
+        |            // (2 * (ca.n + cb.n - COALESCE(i.n_and, 0)))
+        |            AS DOUBLE) / 1000000.0 AS jaccard
+        |FROM c ca JOIN c cb ON cb.yr = ca.yr + 1
+        |LEFT JOIN i ON i.ya = ca.yr
+        |ORDER BY bucket_a""".stripMargin,
     "graph_triangles" -> // direct triple-join census: the O(wedges) form
       // the fixture affords, certifying the oriented plan's count on the
       // same support>=2 strong-tie edge set

@@ -171,5 +171,18 @@ object VectorFunctions {
         }
         SampleKAggregate(exprs(0), exprs(1), k).toAggregateExpression()
       }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bitmap",
+      exprs => BitmapBuildAggregate(exprs.head).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bitmap_merge",
+      exprs => BitmapMergeAggregate(exprs.head).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bitmap_card", exprs => BitmapCardinality(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bitmap_and_card",
+      exprs => BitmapAndCardinality(exprs(0), exprs(1)), "built-in")
   }
 }

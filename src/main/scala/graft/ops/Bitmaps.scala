@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bitmap
+import graft.functions.ExactRatio.exactRatio
+
+/** Bitmap-index analytics over [[graft.functions.Bitmap]] — EXACT distinct
+  * counting and set algebra from compressed, mergeable per-group state.
+  * Complements [[Sketches]]: where KMV/CMS bound state at O(k) and answer
+  * approximately, the bitmap is exact at ≤ 2 bytes (capped 8 KiB/64Ki-range)
+  * per distinct id — the right trade for dense surrogate-key spaces
+  * (user ids, dictionary codes), where "segment A AND B minus C" must be
+  * exact (billing, audience delivery) and a 100 M-member segment is a
+  * ~25 MB bitmap instead of a 800 MB hash set.
+  *
+  * Beyond-reference surface: the reference has no set-algebra operators
+  * (its SQL is single-table exact aggregation,
+  * azfunctions/InputBlobTrigger/processor.py:385-394).
+  */
+object Bitmaps {
+
+  /** Per-group exact distinct ids via bitmap, plus an `'ALL'` row whose
+    * bitmap is built by MERGING the per-group bitmaps — the persisted
+    * rollup path (re-aggregate standing bitmaps, never re-read the fact
+    * table), certified exact by the oracle's plain `count(DISTINCT ...)`.
+    *
+    * Scale: partial aggregation unions map-side bitmaps before the
+    * exchange, so the shuffle carries one compressed bitmap per
+    * (group × map task) — O(distinct/8) bytes worst case, never rows. The
+    * merge pass touches O(groups) binary values. Same shape as
+    * [[Sketches.kmvDistinctRollup]] with exactness instead of O(k) state.
+    */
+  def bitmapDistinctRollup(df: DataFrame, grp: Column, id: Column): DataFrame = {
+    val base = df.filter(id.isNotNull)
+      .select(grp.as("grp"), id.cast("long").as("id"))
+    val per = base.groupBy("grp")
+      .agg(Bitmap.bitmapBuild(col("id")).as("bm"))
+    val merged = per.agg(Bitmap.bitmapMerge(col("bm")).as("bm"))
+    per.select(col("grp"), Bitmap.bitmapCardinality(col("bm")).as("n_distinct"))
+      .unionByName(merged.select(lit("ALL").as("grp"),
+        Bitmap.bitmapCardinality(col("bm")).as("n_distinct")))
+      .orderBy("grp")
+  }
+
+  /** Year-over-year (or any ordered-bucket) audience retention from
+    * bitmaps alone: per consecutive bucket pair, |A|, |B|, |A∩B| off the
+    * two serialized bitmaps ([[Bitmap.andCardinality]]'s two-pointer
+    * container walk), with churn/new/union derived by inclusion-exclusion
+    * and the rates presented in exact fixed point ([[exactRatio]] — never
+    * `round(double)`).
+    *
+    * Why it matters at 100 TB: retention matrices over billions of users
+    * are the canonical bitmap workload — the fact table is scanned ONCE to
+    * build per-bucket bitmaps (partial-aggregated union, shuffle carries
+    * bitmaps not rows); every pairwise measure after that is bitmap
+    * algebra over O(buckets) rows. The exact alternative is a
+    * distinct-pair self-join of the fact table per pair.
+    *
+    * Output per pair (bucket, bucket+1): exact member/overlap counts +
+    * retention (|A∩B|/|A|) and jaccard (|A∩B|/|A∪B|) at 6 dp.
+    */
+  def bitmapRetention(df: DataFrame, bucket: Column, id: Column): DataFrame = {
+    val base = df.filter(id.isNotNull && bucket.isNotNull)
+      .select(bucket.cast("long").as("bucket"), id.cast("long").as("id"))
+    val per = base.groupBy("bucket")
+      .agg(Bitmap.bitmapBuild(col("id")).as("bm"))
+    val pairs = per.select(col("bucket").as("bucket_a"), col("bm").as("bm_a"))
+      .join(broadcast(per.select(col("bucket").as("bucket_b"), col("bm").as("bm_b"))),
+        col("bucket_b") === col("bucket_a") + 1L)
+    pairs.select(
+      col("bucket_a"), col("bucket_b"),
+      Bitmap.bitmapCardinality(col("bm_a")).as("n_a"),
+      Bitmap.bitmapCardinality(col("bm_b")).as("n_b"),
+      Bitmap.bitmapAndCardinality(col("bm_a"), col("bm_b")).as("n_retained"))
+      .withColumn("n_churned", col("n_a") - col("n_retained"))
+      .withColumn("n_new", col("n_b") - col("n_retained"))
+      .withColumn("retention",
+        exactRatio(col("n_retained"), col("n_a"), 6))
+      .withColumn("jaccard",
+        exactRatio(col("n_retained"),
+          col("n_a") + col("n_b") - col("n_retained"), 6))
+      .orderBy("bucket_a")
+  }
+}
