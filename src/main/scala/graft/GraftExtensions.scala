@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
-import graft.functions.{BitmapAndCardinality, BitmapBuildAggregate, BitmapCardinality, BitmapMergeAggregate, DotProduct, KmvAggregate, KmvMergeAggregate, L2Norm, SampleKAggregate, TopKAggregate, Wkt4326Ring, ZOrderKey}
+import graft.functions.{BitmapAndCardinality, BitmapBuildAggregate, BitmapCardinality, BitmapMergeAggregate, DotProduct, HllAggregate, HllEstimate, HllMergeAggregate, HllZeroRegisters, KmvAggregate, KmvMergeAggregate, L2Norm, SampleKAggregate, TopKAggregate, Wkt4326Ring, ZOrderKey}
 
 /** SparkSessionExtensions entry point: makes the engine's custom expressions
   * available to ANY session (including pure-SQL users) via
@@ -78,6 +78,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bitmap_and_card"),
       new ExpressionInfo(classOf[BitmapAndCardinality].getName, "graft_bitmap_and_card"),
       exprs => BitmapAndCardinality(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[HllAggregate].getName, "graft_hll"),
+      exprs => HllAggregate(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[HllMergeAggregate].getName, "graft_hll_merge"),
+      exprs => HllMergeAggregate(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("graft_hll_est"),
+      new ExpressionInfo(classOf[HllEstimate].getName, "graft_hll_est"),
+      exprs => HllEstimate(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_hll_zeros"),
+      new ExpressionInfo(classOf[HllZeroRegisters].getName, "graft_hll_zeros"),
+      exprs => HllZeroRegisters(exprs.head)))
     e.injectFunction((
       new FunctionIdentifier("graft_sample_k"),
       new ExpressionInfo(classOf[SampleKAggregate].getName, "graft_sample_k"),

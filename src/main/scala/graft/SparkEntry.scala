@@ -661,6 +661,15 @@ object SparkEntry {
       graft.ops.Sketches.kmvDistinctRollup(Tables.orders(s, dir),
         date_format(col("o_orderdate").cast("date"), "yyyy-MM"),
         col("o_custkey"))),
+    "sketch_hll_distinct" -> ((s, dir) =>
+      // the constant-state (2 KiB) HLL twin of sketch_kmv_distinct:
+      // identical rollup shape, register arithmetic pure-integer and
+      // engine-reproducible (md5 top-11-bit index, bitlength rho), the
+      // one floating-point step a single shared-literal division — so
+      // DuckDB certifies build, merge, AND estimator bit-for-bit
+      graft.ops.Sketches.hllDistinctRollup(Tables.orders(s, dir),
+        date_format(col("o_orderdate").cast("date"), "yyyy-MM"),
+        col("o_custkey"))),
     "sketch_kmv_overlap" -> ((s, dir) =>
       // cohort-overlap from sketches alone: 1995 vs 1996 customer sets,
       // theta-style intersection over the merged KMV union, exact
@@ -730,6 +739,31 @@ object SparkEntry {
       // window, bit-identical stream/batch/DuckDB
       graft.streaming.EventAggs.windowedQuantileSketch(
         Tables.events(s, dir), k = 64)),
+    "stream_hll_sketch" -> ((s, dir) =>
+      // streaming face of the HLL: per-hour-window distinct-user registers
+      // at a flat 2 KiB per window regardless of cardinality — stream,
+      // batch, and DuckDB registers bit-identical (pure set function)
+      graft.streaming.EventAggs.windowedDistinctHll(Tables.events(s, dir))),
+    "w10_streaks" -> { (s, dir) =>
+      // gaps-and-islands: longest consecutive-month order streak per
+      // customer (island key = month index minus per-customer rank — the
+      // classic difference-of-sequences rendering), presented as the
+      // streak-length census. Every window is keyed by customer: no
+      // global sort, no one-partition window, all three aggregates
+      // partial-aggregable — the shape survives any customer count
+      val m = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          (year(col("o_orderdate").cast("date")) * 12 +
+            month(col("o_orderdate").cast("date")) - 1).as("m"))
+        .distinct()
+      val w = Window.partitionBy("o_custkey").orderBy("m")
+      val runs = m.withColumn("island", col("m") - row_number().over(w))
+        .groupBy("o_custkey", "island").agg(count(lit(1)).as("len"))
+      runs.groupBy("o_custkey").agg(max("len").as("longest"))
+        .groupBy(col("longest").cast("long").as("streak_months"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("streak_months")
+    },
     "events_json_extract" -> ((s, dir) =>
       graft.streaming.EventAggs.extractProps(Tables.events(s, dir))),
     "events_funnel" -> ((s, dir) =>
@@ -2469,6 +2503,56 @@ object SparkEntry {
         |FROM c ca JOIN c cb ON cb.yr = ca.yr + 1
         |LEFT JOIN i ON i.ya = ca.yr
         |ORDER BY bucket_a""".stripMargin,
+    "sketch_hll_distinct" -> // same registers from the same 60-bit hashes:
+      // idx = top 11 bits, rho = 50 - bitlength(49-bit suffix), Z kept in
+      // exact BIGINT (1<<(50-mj)); the ALL row recomputed over all hashes
+      // directly certifies the Spark side's register-max MERGE path. The
+      // estimator numerator is ONE shared double literal (alpha*m^2*2^50,
+      // printed from graft.functions.Hll.EstNumerator), so the single
+      // division is identical IEEE arithmetic on both engines.
+      ("""WITH h AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS grp,
+        |                  o_custkey,
+        |                  CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+        |                       AS BIGINT) AS hv
+        |           FROM orders WHERE o_custkey IS NOT NULL),
+        |r AS (SELECT grp, hv // 562949953421312 AS idx,
+        |             hv % 562949953421312 AS sfx FROM h),
+        |m AS (SELECT grp, idx,
+        |             max(CASE WHEN sfx = 0 THEN 50
+        |                      ELSE 50 - length(bin(sfx)) END) AS mj
+        |      FROM r GROUP BY 1, 2),
+        |z AS (SELECT grp,
+        |             CAST(sum(CAST(1 AS BIGINT) << (50 - mj))
+        |               + (2048 - count(*)) * (CAST(1 AS BIGINT) << 50)
+        |               AS BIGINT) AS zs,
+        |             CAST(2048 - count(*) AS BIGINT) AS zero_regs
+        |      FROM m GROUP BY 1),
+        |ex AS (SELECT grp, CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |                AS exact_distinct
+        |       FROM h GROUP BY 1),
+        |ma AS (SELECT idx,
+        |              max(CASE WHEN sfx = 0 THEN 50
+        |                       ELSE 50 - length(bin(sfx)) END) AS mj
+        |       FROM r GROUP BY 1),
+        |za AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (50 - mj))
+        |                + (2048 - count(*)) * (CAST(1 AS BIGINT) << 50)
+        |                AS BIGINT) AS zs,
+        |              CAST(2048 - count(*) AS BIGINT) AS zero_regs
+        |       FROM ma)
+        |SELECT z.grp, CAST(floor(""".stripMargin +
+        graft.functions.Hll.EstNumerator.toString +
+        """ / z.zs) AS BIGINT) AS est_distinct,
+        |       z.zero_regs, ex.exact_distinct
+        |FROM z JOIN ex ON z.grp = ex.grp
+        |UNION ALL
+        |SELECT 'ALL' AS grp, CAST(floor(""".stripMargin +
+        graft.functions.Hll.EstNumerator.toString +
+        """ / za.zs) AS BIGINT) AS est_distinct,
+        |       za.zero_regs,
+        |       (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM h)
+        |         AS exact_distinct
+        |FROM za
+        |ORDER BY grp""".stripMargin),
     "graph_triangles" -> // direct triple-join census: the O(wedges) form
       // the fixture affords, certifying the oriented plan's count on the
       // same support>=2 strong-tie edge set
@@ -3831,6 +3915,50 @@ object SparkEntry {
         |       count(*) AS cnt
         |FROM e CROSS JOIN generate_series(0, 3) t(j)
         |GROUP BY 1, 2, 3""".stripMargin,
+    "stream_hll_sketch" -> // per-window registers rebuilt from first
+      // principles: same md5 hashes, same idx/rho integer arithmetic,
+      // exact-BIGINT Z, shared estimator literal (see sketch_hll_distinct)
+      ("""WITH base AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |                  AS window_start,
+        |                CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |                     1, 15) AS BIGINT) AS hv
+        |              FROM events
+        |              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |r AS (SELECT window_start, hv // 562949953421312 AS idx,
+        |             hv % 562949953421312 AS sfx FROM base),
+        |m AS (SELECT window_start, idx,
+        |             max(CASE WHEN sfx = 0 THEN 50
+        |                      ELSE 50 - length(bin(sfx)) END) AS mj
+        |      FROM r GROUP BY 1, 2),
+        |z AS (SELECT window_start,
+        |             CAST(sum(CAST(1 AS BIGINT) << (50 - mj))
+        |               + (2048 - count(*)) * (CAST(1 AS BIGINT) << 50)
+        |               AS BIGINT) AS zs,
+        |             CAST(2048 - count(*) AS BIGINT) AS zero_regs
+        |      FROM m GROUP BY 1)
+        |SELECT window_start, CAST(floor(""".stripMargin +
+        graft.functions.Hll.EstNumerator.toString +
+        """ / zs) AS BIGINT) AS est_distinct_users, zero_regs
+        |FROM z""".stripMargin),
+    "w10_streaks" -> // same difference-of-sequences rendering; month index
+      // and row_number both BIGINT in DuckDB, so the island key needs no
+      // casts; census keys cast to BIGINT on both sides
+      """WITH m AS (SELECT DISTINCT o_custkey,
+        |             year(CAST(o_orderdate AS DATE)) * 12
+        |               + month(CAST(o_orderdate AS DATE)) - 1 AS m
+        |           FROM orders),
+        |r AS (SELECT o_custkey, m,
+        |             m - row_number() OVER (PARTITION BY o_custkey
+        |                                    ORDER BY m) AS island
+        |      FROM m),
+        |runs AS (SELECT o_custkey, island, count(*) AS len
+        |         FROM r GROUP BY 1, 2),
+        |longest AS (SELECT o_custkey, max(len) AS longest
+        |            FROM runs GROUP BY 1)
+        |SELECT CAST(longest AS BIGINT) AS streak_months,
+        |       CAST(count(*) AS BIGINT) AS n_customers
+        |FROM longest GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "stream_quantile_sketch" -> // identical bottom-k-by-hash window
       // samples (same 60-bit md5 hashes, same (hv, v) order) and the same
       // rank-selection arithmetic — sample and estimates bit-for-bit

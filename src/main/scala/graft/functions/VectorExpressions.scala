@@ -184,5 +184,15 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "graft_bitmap_and_card",
       exprs => BitmapAndCardinality(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hll",
+      exprs => HllAggregate(exprs.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hll_merge",
+      exprs => HllMergeAggregate(exprs.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hll_est", exprs => HllEstimate(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hll_zeros", exprs => HllZeroRegisters(exprs.head), "built-in")
   }
 }

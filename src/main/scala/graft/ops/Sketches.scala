@@ -79,6 +79,42 @@ object Sketches {
       .orderBy("grp")
   }
 
+  /** HLL per-group distinct estimates plus the merged all-groups estimate —
+    * the CONSTANT-state (2 KiB/group) twin of [[kmvDistinctRollup]]: same
+    * output shape, same first-principles-certified merge path (`'ALL'`
+    * row from register-max over the per-group sketches, never a re-read),
+    * with `zero_regs` exposing the estimator regime (the raw estimate is
+    * accurate past ~2.5·m ≈ 5 k distinct; below that KMV is exact anyway).
+    * Exact counts ride alongside as the oracle's certificate.
+    *
+    * Scale: partial aggregation caps every map task at 2 KiB per group —
+    * unlike KMV's TreeSet this never grows with k, so a billion-distinct
+    * group costs what a thousand-distinct group costs; the exchange
+    * carries O(groups × 2 KiB). See [[graft.functions.Hll]] for the
+    * engine-reproducible register arithmetic.
+    */
+  def hllDistinctRollup(df: DataFrame, grp: Column, value: Column): DataFrame = {
+    import graft.functions.Hll
+    val base = df.filter(value.isNotNull)
+      .select(grp.as("grp"), value.as("v"))
+      .withColumn("hv", hash60(col("v")))
+    val per = base.groupBy("grp").agg(
+      Hll.hll(col("hv")).as("regs"),
+      count_distinct(col("v")).as("exact_distinct"))
+    val merged = per.agg(Hll.hllMerge(col("regs")).as("regs"))
+    val globalExact = base.agg(count_distinct(col("v")).as("exact_distinct"))
+    per.select(col("grp"),
+        Hll.hllEstimate(col("regs")).as("est_distinct"),
+        Hll.hllZeroRegs(col("regs")).as("zero_regs"),
+        col("exact_distinct"))
+      .unionByName(merged.crossJoin(broadcast(globalExact))
+        .select(lit("ALL").as("grp"),
+          Hll.hllEstimate(col("regs")).as("est_distinct"),
+          Hll.hllZeroRegs(col("regs")).as("zero_regs"),
+          col("exact_distinct")))
+      .orderBy("grp")
+  }
+
   /** Set-overlap estimation between two slices from KMV sketches alone —
     * the theta-sketch-style estimator: with `U` the k-smallest hashes of
     * A∪B (merged from the two slice sketches, never from the raw data),

@@ -54,6 +54,9 @@ class PlanSweepSpec extends SparkSpec {
     // KMV rollup's ALL row: 1-row exact-count broadcast onto the merged
     // (single-row) sketch
     "sketch_kmv_distinct",
+    // HLL rollup's ALL row: same reviewed 1-row exact-count broadcast onto
+    // the merged (single-row) register sketch as sketch_kmv_distinct
+    "sketch_hll_distinct",
     // join-size estimate: the 1-row CMS estimate crossed with the 1-row
     // exact-count certificate
     "sketch_join_size",

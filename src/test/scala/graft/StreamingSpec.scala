@@ -105,6 +105,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinctHll: stream answer is bit-identical to batch " +
+    "(register max-merge is arrival-order- and batching-invariant)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 300).map { i =>
+      (Timestamp.valueOf(f"2024-01-01 ${10 + i % 3}%02d:30:00"),
+        (i % 100).toLong + 1000L * (i % 3))
+    }
+    val batchDf = rows.toDF("ts", "user_id")
+    val batch = EventAggs.windowedDistinctHll(batchDf)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    val mem = MemoryStream[(Timestamp, Long)]
+    val stream = EventAggs.windowedDistinctHll(mem.toDF().toDF("ts", "user_id"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("hllwin").start()
+    try {
+      val shuffled = rows.reverse
+      mem.addData(shuffled.take(100)); q.processAllAvailable()
+      mem.addData(shuffled.slice(100, 250)); q.processAllAvailable()
+      mem.addData(shuffled.drop(250)); q.processAllAvailable()
+      val streamed = spark.table("hllwin")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(streamed == batch)
+      // 100 distinct per window: deep inside the small-range regime, so
+      // nearly all 2048 registers stay zero — the regime indicator works
+      assert(batch.forall(_._3 > 1900L))
+    } finally q.stop()
+  }
+
   test("windowedByType batch/stream parity on the events fixture") {
     val batch = EventAggs.windowedByType(Tables.events(spark, "/root/testdata/sf0.001"))
     assert(batch.count() > 0)
