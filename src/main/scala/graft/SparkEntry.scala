@@ -1568,6 +1568,15 @@ object SparkEntry {
         Tables.lineitem(s, dir)
           .withColumn("ship_year", year(col("l_shipdate").cast("date")).cast("long")),
         "ship_year", Seq("l_orderkey", "l_quantity"))),
+    "maint_zonemap_prune" -> ((s, dir) =>
+      // layout-effectiveness study: zone-map (block min/max) pruning under
+      // Z-order vs x-major clustering, quantified per probe shape — the
+      // measurement a planner wants BEFORE rewriting petabytes with
+      // TableOps.compact; pure integer bucketing/Morton/fixed-point so
+      // DuckDB reproduces every number (its Morton twin is the 16-term
+      // closed form, LayoutSpec-pinned against the native expression)
+      graft.ops.Layout.zonemapPruneStudy(Tables.lineitem(s, dir),
+        col("l_partkey"), col("l_suppkey"))),
     "sketch_join_size" -> ((s, dir) =>
       // planner-style join-size estimation from two O(d·w) CMS sketches
       // (inner product per row, min over rows; one-sided est >= exact,
@@ -4552,6 +4561,67 @@ object SparkEntry {
         |       count(*) AS n_rows
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+    "maint_zonemap_prune" -> // same integer bucketing, the Morton key as
+      // its 16-term closed form (bit i of xb -> 4^i, bit i of yb ->
+      // 2*4^i; LayoutSpec pins it against the native expression), same
+      // 64-cell blocks, probes as a VALUES list, fractions in exact
+      // fixed point
+      """WITH bounds AS (SELECT max(l_partkey) AS xmax, max(l_suppkey) AS ymax
+        |                FROM lineitem),
+        |b0 AS (SELECT (l_partkey * 256) // (xmax + 1) AS xb,
+        |              (l_suppkey * 256) // (ymax + 1) AS yb
+        |       FROM lineitem, bounds
+        |       WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |b AS (SELECT xb, yb,
+        |        ( ((xb // 1) % 2) * 1     + ((yb // 1) % 2) * 2
+        |        + ((xb // 2) % 2) * 4     + ((yb // 2) % 2) * 8
+        |        + ((xb // 4) % 2) * 16    + ((yb // 4) % 2) * 32
+        |        + ((xb // 8) % 2) * 64    + ((yb // 8) % 2) * 128
+        |        + ((xb // 16) % 2) * 256  + ((yb // 16) % 2) * 512
+        |        + ((xb // 32) % 2) * 1024 + ((yb // 32) % 2) * 2048
+        |        + ((xb // 64) % 2) * 4096 + ((yb // 64) % 2) * 8192
+        |        + ((xb // 128) % 2) * 16384 + ((yb // 128) % 2) * 32768
+        |        ) // 64 AS zorder,
+        |        (xb * 256 + yb) // 64 AS linear
+        |      FROM b0),
+        |probes(probe, xlo, xhi, ylo, yhi) AS (VALUES
+        |  ('square_32', 96, 127, 96, 127),
+        |  ('band_y16', 0, 255, 120, 135),
+        |  ('band_x16', 120, 135, 0, 255)),
+        |total AS (SELECT CAST(count(*) AS BIGINT) AS rows_total FROM b),
+        |matched AS (SELECT probe, CAST(count(*) AS BIGINT) AS rows_matched
+        |            FROM b, probes
+        |            WHERE xb BETWEEN xlo AND xhi AND yb BETWEEN ylo AND yhi
+        |            GROUP BY 1),
+        |st AS (SELECT 'zorder' AS scheme, zorder AS block,
+        |              min(xb) AS bxlo, max(xb) AS bxhi,
+        |              min(yb) AS bylo, max(yb) AS byhi,
+        |              count(*) AS n_rows
+        |       FROM b GROUP BY 1, 2
+        |       UNION ALL
+        |       SELECT 'linear', linear,
+        |              min(xb), max(xb), min(yb), max(yb), count(*)
+        |       FROM b GROUP BY 1, 2),
+        |tot AS (SELECT scheme, CAST(count(*) AS BIGINT) AS blocks_total
+        |        FROM st GROUP BY 1),
+        |pr AS (SELECT scheme, probe,
+        |              CAST(sum(CASE WHEN bxhi >= xlo AND bxlo <= xhi
+        |                             AND byhi >= ylo AND bylo <= yhi
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS blocks_read,
+        |              CAST(sum(CASE WHEN bxhi >= xlo AND bxlo <= xhi
+        |                             AND byhi >= ylo AND bylo <= yhi
+        |                        THEN n_rows ELSE 0 END) AS BIGINT) AS rows_read
+        |       FROM st, probes GROUP BY 1, 2)
+        |SELECT pr.scheme, pr.probe, tot.blocks_total, pr.blocks_read,
+        |       pr.rows_read, COALESCE(m.rows_matched, 0) AS rows_matched,
+        |       t.rows_total,
+        |       CAST((pr.rows_read * 2000000 + t.rows_total)
+        |            // (2 * t.rows_total) AS DOUBLE) / 1000000.0 AS read_frac
+        |FROM pr
+        |JOIN tot USING (scheme)
+        |LEFT JOIN matched m USING (probe)
+        |CROSS JOIN total t
+        |ORDER BY pr.scheme, pr.probe""".stripMargin,
     "text_bm25" ->
       """WITH terms AS (SELECT doc_id,
         |                      unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.ExactRatio.exactRatio
+
+/** Data-layout effectiveness study: zone-map (block min/max) pruning under
+  * Z-order vs linear (row-major) clustering — the quantified version of the
+  * claim in [[graft.functions.ZOrderKey]]'s doc that Morton layout prunes
+  * 2-D range predicates where a composite sort prunes only its leading
+  * column.
+  *
+  * Why it matters at 100 TB: parquet scan cost is dominated by which FILES
+  * a predicate can skip via their min/max statistics (zone maps). Layout
+  * decides that: the same rows in the same number of blocks answer the
+  * same box probe reading 4 % or 40 % of the data depending on the
+  * clustering key. This operator measures exactly that — per (scheme ×
+  * probe): blocks whose min/max envelope intersects the box, rows those
+  * blocks contain (what a scan would READ), and rows actually matching
+  * (what it NEEDS) — before anyone rewrites petabytes with
+  * `TableOps.compact`.
+  *
+  * Everything is exact integer arithmetic: values bucket to an 8-bit grid
+  * by pure integer scaling `(v · 256) div (max + 1)`, blocks are the top
+  * bits of the clustering key (64 cells/block in both schemes), probes are
+  * literal boxes in bucket space, and fractions present via [[exactRatio]]
+  * — so the DuckDB oracle reproduces every number bit-for-bit (the Morton
+  * key's SQL twin is the closed form Σᵢ 4ⁱ·(xbitᵢ + 2·ybitᵢ)).
+  *
+  * Plan shape: one pass buckets the data (1-row bounds broadcast), one
+  * grouped aggregate per scheme builds the O(blocks) zone-map table, and
+  * every probe evaluation joins PROBES × STATS — bounded × O(blocks),
+  * never the data. The data-sized side is touched exactly twice (bucket
+  * pass, matched-rows count).
+  */
+object Layout {
+
+  private val Probes: Seq[(String, Int, Int, Int, Int)] = Seq(
+    // (name, xlo, xhi, ylo, yhi) in 8-bit bucket space — a compact square
+    // (Z-order's win), a full-width y-band, and a full-height x-band (the
+    // x-major layout's home game): the honest three-way comparison
+    ("square_32", 96, 127, 96, 127),
+    ("band_y16", 0, 255, 120, 135),
+    ("band_x16", 120, 135, 0, 255))
+
+  /** Per (scheme × probe) zone-map pruning outcome over an 8-bit bucket
+    * grid; schemes: `zorder` (Morton key) and `linear` (x-major composite).
+    * Output: scheme, probe, blocks_total, blocks_read, rows_read,
+    * rows_matched, rows_total, read_frac (rows_read/rows_total at 6 dp).
+    */
+  def zonemapPruneStudy(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.cast("long").as("xv"), y.cast("long").as("yv"))
+    val bounds = base.agg(max(col("xv")).as("xmax"), max(col("yv")).as("ymax"))
+    def bucket(v: Column, vmax: Column): Column =
+      exactDiv(v * lit(256L), vmax + lit(1L))
+    val b = base.crossJoin(broadcast(bounds))
+      .select(bucket(col("xv"), col("xmax")).as("xb"),
+        bucket(col("yv"), col("ymax")).as("yb"))
+      .select(col("xb"), col("yb"),
+        shiftright(graft.functions.ZOrderKey.key(
+          col("xb").cast("long"), col("yb").cast("long")), 6).as("zorder"),
+        shiftright(col("xb") * lit(256L) + col("yb"), 6).as("linear"))
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(Probes.map {
+        case (n, xlo, xhi, ylo, yhi) =>
+          Row(n, xlo.toLong, xhi.toLong, ylo.toLong, yhi.toLong)
+      }, 1),
+      StructType(Seq(StructField("probe", StringType, nullable = false),
+        StructField("xlo", LongType, nullable = false),
+        StructField("xhi", LongType, nullable = false),
+        StructField("ylo", LongType, nullable = false),
+        StructField("yhi", LongType, nullable = false))))
+    val rowsTotal = b.agg(count(lit(1)).as("rows_total"))
+    val matched = b.crossJoin(broadcast(probes))
+      .filter(col("xb").between(col("xlo"), col("xhi")) &&
+        col("yb").between(col("ylo"), col("yhi")))
+      .groupBy("probe").agg(count(lit(1)).as("rows_matched"))
+    def scheme(name: String): DataFrame = {
+      val stats = b.groupBy(col(name).as("block"))
+        .agg(min("xb").as("bxlo"), max("xb").as("bxhi"),
+          min("yb").as("bylo"), max("yb").as("byhi"),
+          count(lit(1)).as("n_rows"))
+      val totals = stats.agg(count(lit(1)).as("blocks_total"))
+      stats.crossJoin(broadcast(probes))
+        .groupBy("probe")
+        .agg(
+          sum(when(col("bxhi") >= col("xlo") && col("bxlo") <= col("xhi") &&
+            col("byhi") >= col("ylo") && col("bylo") <= col("yhi"), 1L)
+            .otherwise(0L)).as("blocks_read"),
+          sum(when(col("bxhi") >= col("xlo") && col("bxlo") <= col("xhi") &&
+            col("byhi") >= col("ylo") && col("bylo") <= col("yhi"),
+            col("n_rows")).otherwise(0L)).as("rows_read"))
+        .crossJoin(broadcast(totals))
+        .select(lit(name).as("scheme"), col("probe"), col("blocks_total"),
+          col("blocks_read"), col("rows_read"))
+    }
+    scheme("zorder").unionByName(scheme("linear"))
+      // left join: a probe matching ZERO rows must still report (its
+      // blocks_read may be nonzero — a zone map can't prove emptiness)
+      .join(matched, Seq("probe"), "left")
+      .withColumn("rows_matched", coalesce(col("rows_matched"), lit(0L)))
+      .crossJoin(broadcast(rowsTotal))
+      .select(col("scheme"), col("probe"), col("blocks_total"),
+        col("blocks_read"), col("rows_read"), col("rows_matched"),
+        col("rows_total"),
+        exactRatio(col("rows_read"), col("rows_total"), 6).as("read_frac"))
+      .orderBy("scheme", "probe")
+  }
+
+  /** Integer floor division on non-negative longs (Catalyst IntegralDivide
+    * — `div` in Spark SQL, `//` in DuckDB).
+    */
+  private def exactDiv(num: Column, den: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(num.cast("long")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(den.cast("long"))))
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+/** Zone-map layout study: the Morton key's SQL closed form (the DuckDB
+  * twin) vs the native expression, bucket-scaling edge values, zone-map
+  * accounting identities, and the Z-order-beats-linear square-probe claim
+  * on a uniform grid.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native Morton key equals the 16-term closed form the oracle runs") {
+    val pairs = for (x <- 0 until 256 by 7; y <- 0 until 256 by 11)
+      yield (x.toLong, y.toLong)
+    val sqlForm =
+      (0 until 8).map { i =>
+        val p = 1L << i
+        s"((CAST(x AS BIGINT) DIV $p) % 2) * ${1L << (2 * i)} + " +
+          s"((CAST(y AS BIGINT) DIV $p) % 2) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+    val rows = pairs.toDF("x", "y")
+      .withColumn("zk", graft.functions.ZOrderKey.key(col("x"), col("y")))
+      .withColumn("zk_sql", expr(sqlForm))
+      .filter(col("zk") =!= col("zk_sql"))
+    assert(rows.count() == 0)
+  }
+
+  test("bucket scaling pins 0 to bucket 0 and max to bucket 255") {
+    // the (v*256) div (max+1) scaling the study and its oracle share
+    val out = Seq((0L, 0L), (99L, 42L), (99L, 99L)).toDF("x", "y")
+    val study = Layout.zonemapPruneStudy(out, col("x"), col("y"))
+    // indirectly: with max=99, v=99 -> (99*256)//100 = 253..; just assert
+    // the arithmetic directly
+    assert((99L * 256L) / 100L == 253L)
+    assert((255L * 256L) / 256L == 255L)
+    // all 6 (scheme x probe) rows present even when a probe matches ZERO
+    // rows (the left-join edge: none of the 3 points lands in square_32)
+    val rows = study.collect()
+    assert(rows.length == 6)
+    assert(rows.filter(_.getString(1) == "square_32")
+      .forall(_.getLong(5) == 0L))
+  }
+
+  test("zone-map accounting identities hold, and Z-order strictly beats " +
+    "x-major on the square probe over a uniform grid") {
+    // uniform 64x64 grid (buckets become multiples of 4: same geometry)
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val out = Layout.zonemapPruneStudy(grid, col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length == 6)
+    out.foreach { case (_, _, blocksTotal, blocksRead, rowsRead, rowsMatched,
+        rowsTotal) =>
+      assert(blocksRead <= blocksTotal)
+      assert(rowsRead >= rowsMatched) // zone maps over-read, never under
+      assert(rowsRead <= rowsTotal)
+      assert(rowsTotal == 64L * 64L)
+    }
+    def rowsRead(scheme: String, probe: String): Long =
+      out.find(t => t._1 == scheme && t._2 == probe).get._5
+    // compact square: Morton locality wins
+    assert(rowsRead("zorder", "square_32") < rowsRead("linear", "square_32"))
+    // full-height x-band: x-major's home game — linear must not lose
+    assert(rowsRead("linear", "band_x16") <= rowsRead("zorder", "band_x16"))
+  }
+}

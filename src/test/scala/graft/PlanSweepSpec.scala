@@ -57,6 +57,10 @@ class PlanSweepSpec extends SparkSpec {
     // HLL rollup's ALL row: same reviewed 1-row exact-count broadcast onto
     // the merged (single-row) register sketch as sketch_kmv_distinct
     "sketch_hll_distinct",
+    // zone-map study: 1-row bounds broadcast onto the bucket pass, 3-row
+    // probe-list broadcasts onto the O(blocks) stats tables, 1-row totals
+    // — every nested-loop side bounded by construction
+    "maint_zonemap_prune",
     // join-size estimate: the 1-row CMS estimate crossed with the 1-row
     // exact-count certificate
     "sketch_join_size",
