@@ -572,6 +572,12 @@ object SparkEntry {
       // O(reached nodes), never O(paths) - the oracle's recursive CTE
       // dedups on (node, dist) for the same reason
       graft.ops.Graph.bfsDistances(Tables.lineitem(s, dir))),
+    "graph_hits" -> ((s, dir) =>
+      // Kleinberg hubs & authorities on the directed supplier->part list:
+      // L1-normalized half-steps in 1e-6 integer fixed point (truncating
+      // div identical cross-engine), top-10 each side, node tiebreaks —
+      // the oracle unrolls both iterations as CTEs
+      graft.ops.Graph.hits(Tables.lineitem(s, dir))),
 
     // ---- beyond-reference: probabilistic record linkage (ops.Linkage) --
     "link_candidates" -> { (s, dir) =>
@@ -1865,6 +1871,13 @@ object SparkEntry {
     "retrieval_stopwords" -> ((s, dir) =>
       // corpus-driven stopword induction: document-frequency ratio >= 0.4
       graft.ops.Retrieval.stopwordInduction(Tables.documents(s, dir))),
+    "retrieval_phrase_search" -> ((s, dir) =>
+      // positional-index collocation mining: top bigrams via the index
+      // self-joined on (doc_id, pos+1) — one co-partitioned equi-join,
+      // never a text re-scan; fully deterministic tie chain. phraseSearch
+      // (n-token contiguous match over the same index) is RetrievalSpec-
+      // pinned on hand-planted phrases
+      graft.ops.Retrieval.topBigrams(Tables.documents(s, dir), k = 3)),
     "retrieval_range_search" -> ((s, dir) =>
       // radius query: ALL neighbors with cosine >= 0.3, IVF-blocked so
       // each query scans 1/C of the corpus
@@ -2155,6 +2168,37 @@ object SparkEntry {
         |best AS (SELECT node, min(dist) AS d FROM walk GROUP BY 1)
         |SELECT CAST(d AS BIGINT) AS dist, count(*) AS n_nodes
         |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_hits" -> // both iterations unrolled; every half-step the same
+      // integer arithmetic: raw BIGINT sums, (raw*1e6) // tot truncation
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+        |             CAST(l_partkey AS BIGINT) AS p
+        |           FROM lineitem),
+        |h0 AS (SELECT s, CAST(1000000 AS BIGINT) AS hub
+        |       FROM (SELECT DISTINCT s FROM e)),
+        |a1r AS (SELECT p, CAST(sum(hub) AS BIGINT) AS raw
+        |        FROM e JOIN h0 USING (s) GROUP BY 1),
+        |a1t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM a1r),
+        |a1 AS (SELECT p, (raw * 1000000) // tot AS auth FROM a1r, a1t),
+        |h1r AS (SELECT s, CAST(sum(auth) AS BIGINT) AS raw
+        |        FROM e JOIN a1 USING (p) GROUP BY 1),
+        |h1t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM h1r),
+        |h1 AS (SELECT s, (raw * 1000000) // tot AS hub FROM h1r, h1t),
+        |a2r AS (SELECT p, CAST(sum(hub) AS BIGINT) AS raw
+        |        FROM e JOIN h1 USING (s) GROUP BY 1),
+        |a2t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM a2r),
+        |a2 AS (SELECT p, (raw * 1000000) // tot AS auth FROM a2r, a2t),
+        |h2r AS (SELECT s, CAST(sum(auth) AS BIGINT) AS raw
+        |        FROM e JOIN a2 USING (p) GROUP BY 1),
+        |h2t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM h2r),
+        |h2 AS (SELECT s, (raw * 1000000) // tot AS hub FROM h2r, h2t),
+        |ta AS (SELECT 'auth' AS kind, p AS node, auth AS score_fp
+        |       FROM a2 ORDER BY auth DESC, p LIMIT 10),
+        |th AS (SELECT 'hub' AS kind, s AS node, hub AS score_fp
+        |       FROM h2 ORDER BY hub DESC, s LIMIT 10)
+        |SELECT kind, node, score_fp FROM ta
+        |UNION ALL
+        |SELECT kind, node, score_fp FROM th
+        |ORDER BY kind, score_fp DESC, node""".stripMargin,
     "spatial_radius_join" -> // the oracle IS the quadratic dominance form
       // the Spark plan must avoid: every pair, filtered by distance
       """WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
@@ -5044,6 +5088,21 @@ object SparkEntry {
         |       CAST((df * 2000000 + n_docs) // (2 * n_docs) AS DOUBLE) / 1000000.0
         |         AS df_ratio
         |FROM d CROSS JOIN n WHERE df / n_docs >= 0.4""".stripMargin,
+    "retrieval_phrase_search" -> // adjacent pairs straight off the token
+      // arrays (arr[i], arr[i+1]) — first-principles certification of the
+      // positional-index self-join path; identical whitespace tokenization
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+        |                    AS arr
+        |           FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(arr) - 1)) AS i,
+        |             arr
+        |      FROM d),
+        |bg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2 FROM p)
+        |SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM bg GROUP BY 1, 2
+        |ORDER BY n_occurrences DESC, n_docs DESC, w1, w2
+        |LIMIT 3""".stripMargin,
     "retrieval_range_search" ->
       // dedup_embedding's IVF cell CTE, queried by radius instead of pairs
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

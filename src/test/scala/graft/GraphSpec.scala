@@ -213,4 +213,23 @@ class GraphSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxDepth"))
   }
+
+  test("hits: one iteration on a hand graph reproduces the exact " +
+    "fixed-point values") {
+    // s1 -> {p1, p2}, s2 -> {p1}; HubScale = 1e6:
+    //   a1 raw: p1 = 2e6, p2 = 1e6; tot 3e6 -> auth p1 666666, p2 333333
+    //   h1 raw: s1 = 999999, s2 = 666666; tot 1666665
+    //     -> hub s1 = 999999e6 div 1666665 = 600000 (exact)
+    //        hub s2 = 666666e6 div 1666665 = 400000 (exact)
+    val li = Seq((1L, 101L), (1L, 102L), (2L, 101L))
+      .toDF("l_suppkey", "l_partkey")
+    val got = Graph.hits(li, iters = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("auth", 101L, 666666L), ("auth", 102L, 333333L),
+      ("hub", 1L, 600000L), ("hub", 2L, 400000L)))
+    // iters bound fails loudly
+    val e2 = intercept[IllegalArgumentException](Graph.hits(li, iters = 9))
+    assert(e2.getMessage.contains("iters"))
+  }
 }

@@ -61,6 +61,9 @@ class PlanSweepSpec extends SparkSpec {
     // probe-list broadcasts onto the O(blocks) stats tables, 1-row totals
     // — every nested-loop side bounded by construction
     "maint_zonemap_prune",
+    // HITS: each half-step's L1 total is a 1-row broadcast onto the
+    // O(nodes) score table (the pageRank-family normalization shape)
+    "graph_hits",
     // join-size estimate: the 1-row CMS estimate crossed with the 1-row
     // exact-count certificate
     "sketch_join_size",

@@ -118,4 +118,40 @@ class RetrievalSpec extends SparkSpec {
     // doc 3 contributes tf 2 for "b", and postings stay doc_id-sorted
     assert(got("b") == ((2L, 3L, "2,3", "1,2")))
   }
+
+  test("positional index: postings count equals total tokens; phrase " +
+    "search finds exactly the hand-planted contiguous occurrences") {
+    val docs = Seq(
+      (1L, "spark fast join fast join fast"),
+      (2L, "fast join nothing here"),
+      (3L, "join fast join"),
+      (4L, "fastjoin fast")).toDF("doc_id", "text")
+    val idx = Retrieval.positionalIndex(docs)
+    assert(idx.count() == 6 + 4 + 3 + 2)
+    // "fast join": doc1 twice (pos 1, 3), doc2 once at 0, doc3 once at
+    // 1 ("join FAST JOIN"); doc4's "fastjoin" must not match
+    val hits = Retrieval.phraseSearch(docs, Seq("fast", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    // 3-token phrase crosses two join steps
+    val tri = Retrieval.phraseSearch(docs, Seq("join", "fast", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tri == Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("topBigrams: census counts match brute force and the ordering is " +
+    "fully deterministic under ties") {
+    val docs = Seq(
+      (1L, "a b a b c d"),
+      (2L, "a b c d"),
+      (3L, "c d")).toDF("doc_id", "text")
+    val top = Retrieval.topBigrams(docs, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // occurrences: (a,b)=3, (c,d)=3, (b,c)=2, (b,a)=1, (d,?)...
+    // tie (a,b) vs (c,d): both 3 occurrences; docs 2 vs 3 -> (c,d) first
+    assert(top(0) == ("c", "d", 3L, 3L))
+    assert(top(1) == ("a", "b", 3L, 2L))
+    assert(top(2) == ("b", "c", 2L, 2L))
+  }
 }
