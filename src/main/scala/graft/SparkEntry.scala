@@ -750,6 +750,10 @@ object SparkEntry {
       // at a flat 2 KiB per window regardless of cardinality — stream,
       // batch, and DuckDB registers bit-identical (pure set function)
       graft.streaming.EventAggs.windowedDistinctHll(Tables.events(s, dir))),
+    "stream_bitmap_distinct" -> ((s, dir) =>
+      // EXACT windowed distinct via the bitmap union riding stateful
+      // aggregation — the billing-grade twin of the KMV/HLL window faces
+      graft.streaming.EventAggs.windowedDistinctBitmap(Tables.events(s, dir))),
     "w10_streaks" -> { (s, dir) =>
       // gaps-and-islands: longest consecutive-month order streak per
       // customer (island key = month index minus per-customer rank — the
@@ -2011,6 +2015,23 @@ object SparkEntry {
         Tables.documents(s, dir)
           .withColumn("sz", expr("n_chars div 200")),
         Seq("lang", "source", "sz"), k = 5)),
+    "dq_l_diversity" -> ((s, dir) =>
+      // k-anonymity's companion: (lang, source) groups whose size-bucket
+      // diversity falls below l=3 — large groups can still expose the
+      // sensitive attribute when every member shares one value
+      graft.ops.Expectations.lDiversity(
+        Tables.documents(s, dir)
+          .withColumn("sz", expr("n_chars div 200")),
+        Seq("lang", "source"), "sz", l = 3)),
+    "dq_fd_check" -> ((s, dir) =>
+      // functional-dependency violation census: one exactly-holding rule
+      // (orderkey is a key) and two meant-to-fail rules, with the g3-style
+      // minimum-repair-deletes measure — the profiling pass before
+      // declaring data contracts
+      graft.ops.Expectations.fdViolations(Tables.orders(s, dir), Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus")))),
     "feat_calibration" -> ((s, dir) => {
       // reliability table: sigmoid(first embedding dim) scoring label==0
       val emb = Tables.embeddings(s, dir).select(
@@ -3993,6 +4014,13 @@ object SparkEntry {
         graft.functions.Hll.EstNumerator.toString +
         """ / zs) AS BIGINT) AS est_distinct_users, zero_regs
         |FROM z""".stripMargin),
+    "stream_bitmap_distinct" -> // the bitmap path is exact, so the oracle
+      // is the plain per-window distinct count
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "w10_streaks" -> // same difference-of-sequences rendering; month index
       // and row_number both BIGINT in DuckDB, so the island key needs no
       // casts; census keys cast to BIGINT on both sides
@@ -5667,6 +5695,73 @@ object SparkEntry {
         |            // (2 * CAST(sum(n) AS BIGINT)) AS DOUBLE) / 1000000.0
         |         AS risk_share
         |FROM g""".stripMargin,
+    "dq_l_diversity" -> // same census shape over distinct-sensitive counts
+      """WITH g AS (SELECT lang, source, count(*) AS n,
+        |             count(DISTINCT n_chars // 200) AS n_sensitive
+        |           FROM documents GROUP BY 1, 2)
+        |SELECT 3 AS l, CAST(sum(n) AS BIGINT) AS n_rows,
+        |       count(*) AS n_groups,
+        |       CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_groups_at_risk,
+        |       COALESCE(CAST(sum(CASE WHEN n_sensitive < 3 THEN n END)
+        |                     AS BIGINT), 0) AS n_rows_at_risk,
+        |       CAST((COALESCE(CAST(sum(CASE WHEN n_sensitive < 3 THEN n END)
+        |                           AS BIGINT), 0)
+        |             * 2000000 + CAST(sum(n) AS BIGINT))
+        |            // (2 * CAST(sum(n) AS BIGINT)) AS DOUBLE) / 1000000.0
+        |         AS risk_share
+        |FROM g""".stripMargin,
+    "dq_fd_check" -> // per rule: (det, dep) census, then the determinant
+      // rollup with the g3 repair measure — exact integer throughout
+      """WITH p1 AS (SELECT o_orderkey AS det, o_custkey AS dep,
+        |              count(*) AS n
+        |            FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1, 2),
+        |d1 AS (SELECT det, count(*) AS n_dep, sum(n) AS n_rows_det,
+        |              max(n) AS n_majority
+        |       FROM p1 GROUP BY 1),
+        |r1 AS (SELECT 'o_orderkey->o_custkey' AS rule,
+        |              CAST(count(*) AS BIGINT) AS n_determinants,
+        |              CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS n_violating,
+        |              COALESCE(CAST(sum(CASE WHEN n_dep > 1 THEN n_rows_det
+        |                                 END) AS BIGINT), 0)
+        |                AS n_rows_violating,
+        |              COALESCE(CAST(sum(n_rows_det - n_majority) AS BIGINT),
+        |                       0) AS n_repair_deletes
+        |       FROM d1),
+        |p2 AS (SELECT o_custkey AS det, o_orderpriority AS dep,
+        |              count(*) AS n
+        |            FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+        |d2 AS (SELECT det, count(*) AS n_dep, sum(n) AS n_rows_det,
+        |              max(n) AS n_majority
+        |       FROM p2 GROUP BY 1),
+        |r2 AS (SELECT 'o_custkey->o_orderpriority' AS rule,
+        |              CAST(count(*) AS BIGINT),
+        |              CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)
+        |                   AS BIGINT),
+        |              COALESCE(CAST(sum(CASE WHEN n_dep > 1 THEN n_rows_det
+        |                                 END) AS BIGINT), 0),
+        |              COALESCE(CAST(sum(n_rows_det - n_majority) AS BIGINT),
+        |                       0)
+        |       FROM d2),
+        |p3 AS (SELECT o_orderpriority AS det, o_orderstatus AS dep,
+        |              count(*) AS n
+        |            FROM orders WHERE o_orderpriority IS NOT NULL
+        |            GROUP BY 1, 2),
+        |d3 AS (SELECT det, count(*) AS n_dep, sum(n) AS n_rows_det,
+        |              max(n) AS n_majority
+        |       FROM p3 GROUP BY 1),
+        |r3 AS (SELECT 'o_orderpriority->o_orderstatus' AS rule,
+        |              CAST(count(*) AS BIGINT),
+        |              CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)
+        |                   AS BIGINT),
+        |              COALESCE(CAST(sum(CASE WHEN n_dep > 1 THEN n_rows_det
+        |                                 END) AS BIGINT), 0),
+        |              COALESCE(CAST(sum(n_rows_det - n_majority) AS BIGINT),
+        |                       0)
+        |       FROM d3)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+        |SELECT * FROM r3 ORDER BY rule""".stripMargin,
     "feat_calibration" ->
       """WITH s AS (SELECT 1.0 / (1.0 + exp(-8.0 * CAST(embedding[1]
         |             AS DOUBLE))) AS s,

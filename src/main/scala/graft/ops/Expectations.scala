@@ -175,6 +175,71 @@ object Expectations {
         exactRatio(col("n_rows_at_risk"), col("n_rows"), 6).as("risk_share"))
   }
 
+  /** l-diversity of a sensitive column within quasi-identifier groups —
+    * k-anonymity's companion: a group can be large (k-safe) yet expose the
+    * sensitive attribute if every member shares one value. Reports, per
+    * the same census shape as [[kAnonymity]]: groups whose DISTINCT
+    * sensitive-value count falls below `l`, and the rows they contain.
+    *
+    * Scale: one grouped aggregate carrying a count_distinct (partial-agg
+    * per-group distinct sets are bounded by the sensitive domain), then an
+    * O(groups) census — no data-sized state beyond the one exchange.
+    */
+  def lDiversity(
+      df: DataFrame, quasiCols: Seq[String], sensitive: String,
+      l: Int): DataFrame = {
+    val groups = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(sensitive)).as("n_sensitive"))
+    groups.agg(
+      sum("n").as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      sum(when(col("n_sensitive") < l, 1L).otherwise(0L))
+        .as("n_groups_at_risk"),
+      coalesce(sum(when(col("n_sensitive") < l, col("n"))), lit(0L))
+        .as("n_rows_at_risk"))
+      .select(lit(l).as("l"), col("n_rows"), col("n_groups"),
+        col("n_groups_at_risk"), col("n_rows_at_risk"),
+        exactRatio(col("n_rows_at_risk"), col("n_rows"), 6).as("risk_share"))
+  }
+
+  /** Functional-dependency violation census for candidate rules A → B:
+    * per rule, the determinant values mapping to MORE than one dependent
+    * value, the rows under them, and the minimum deletions to repair
+    * (rows outside each determinant's majority dependent — the standard
+    * g3-style FD error measure, exact). The profiling pass a schema
+    * or data-contract advisor runs before declaring constraints.
+    *
+    * Scale: per rule one (A, B) grouped count + one A-grouped census —
+    * both partial-aggregated, state O(distinct A); rules are a compile-
+    * time list, so the whole check is a handful of keyed aggregates over
+    * one scan each.
+    */
+  def fdViolations(
+      df: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "fdViolations: no rules")
+    val out = rules.map { case (a, b) =>
+      val pairs = df.filter(col(a).isNotNull)
+        .groupBy(col(a).as("det"), col(b).as("dep"))
+        .agg(count(lit(1)).as("n"))
+      pairs.groupBy("det")
+        .agg(count(lit(1)).as("n_dep"), sum("n").as("n_rows_det"),
+          max("n").as("n_majority"))
+        .agg(
+          count(lit(1)).as("n_determinants"),
+          sum(when(col("n_dep") > 1, 1L).otherwise(0L))
+            .as("n_violating"),
+          coalesce(sum(when(col("n_dep") > 1, col("n_rows_det"))), lit(0L))
+            .as("n_rows_violating"),
+          coalesce(sum(col("n_rows_det") - col("n_majority")), lit(0L))
+            .as("n_repair_deletes"))
+        .select(lit(s"$a->$b").as("rule"), col("n_determinants"),
+          col("n_violating"), col("n_rows_violating"),
+          col("n_repair_deletes"))
+    }
+    out.reduce(_ unionByName _).orderBy("rule")
+  }
+
   /** Escapes a value for a single-quoted Spark SQL string literal. */
   private def escStr(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")

@@ -110,6 +110,30 @@ object EventAggs {
         Hll.hllZeroRegs(col("regs")).as("zero_regs"))
   }
 
+  /** EXACT distinct users per tumbling window via the roaring-style
+    * bitmap ([[graft.functions.Bitmap]]) riding ordinary stateful
+    * aggregation — the third distinct-counter stream face: KMV (O(k),
+    * exact below k), HLL (flat 2 KiB, ~2.3 % past 5 k), and this
+    * (EXACT at any cardinality, ≤ 2 B per distinct id). Union state
+    * composes under partial agg, state-store merge, and late arrivals,
+    * so stream == batch == the oracle's plain count DISTINCT. The fit:
+    * dense non-negative id spaces (surrogate user ids) where "exact
+    * uniques per window" is a billing/delivery number an estimate
+    * can't be.
+    */
+  def windowedDistinctBitmap(
+      events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.Bitmap
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("ts"), col("user_id").cast("long").as("uid"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(Bitmap.bitmapBuild(col("uid")).as("bm"))
+      .select(col("w.start").as("window_start"),
+        Bitmap.bitmapCardinality(col("bm")).as("n_distinct_users"))
+  }
+
   /** Count-min sketch per tumbling window — the streaming face of the
     * frequency leg of the sketch triad ([[graft.ops.Sketches
     * .cmsHeavyHitters]] is the batch face). The sketch is maintained as

@@ -116,4 +116,38 @@ class ExpectationsSpec extends SparkSpec {
     assert(r.getLong(4) == 3L)      // their 3 rows
     assert(r.getDouble(5) == 0.333333)
   }
+
+  test("lDiversity: a large-but-homogeneous group is at risk while a " +
+    "small diverse one is not") {
+    // group a: 4 rows, all sensitive=1 (k-safe, l-risky);
+    // group b: 2 rows, sensitive {1, 2} (l=2, at risk only for l=3);
+    // group c: 3 rows, sensitive {1, 2, 3} (diverse)
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 1), ("a", 1),
+      ("b", 1), ("b", 2),
+      ("c", 1), ("c", 2), ("c", 3)).toDF("q", "s")
+    val r = lDiversity(df, Seq("q"), "s", l = 3).head()
+    assert(r.getInt(0) == 3)        // l
+    assert(r.getLong(1) == 9L)      // n_rows
+    assert(r.getLong(2) == 3L)      // n_groups
+    assert(r.getLong(3) == 2L)      // a (1 value), b (2 values)
+    assert(r.getLong(4) == 6L)      // their rows
+    assert(r.getDouble(5) == 0.666667)
+  }
+
+  test("fdViolations: holding rule reports zero; violated rule counts " +
+    "determinants, rows, and g3 repair deletes exactly") {
+    // rule q->s: det a maps to {1,1,2} (majority 2 -> 1 delete),
+    // det b maps to {5} (holds), det c maps to {6,7} (1+1 -> 1 delete)
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 2),
+      ("b", 5),
+      ("c", 6), ("c", 7)).toDF("q", "s")
+      .withColumn("id", monotonically_increasing_id())
+    val byRule = fdViolations(df, Seq(("q", "s"), ("id", "q")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byRule("q->s") == ((3L, 2L, 5L, 2L)))
+    assert(byRule("id->q") == ((6L, 0L, 0L, 0L))) // id is a key: holds
+  }
 }

@@ -135,6 +135,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinctBitmap: stream answer equals batch equals exact " +
+    "count (bitmap union is arrival-order- and batching-invariant)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 300).map { i =>
+      (Timestamp.valueOf(f"2024-01-01 ${10 + i % 3}%02d:30:00"),
+        (i % 100).toLong + 1000L * (i % 3))
+    }
+    val batch = EventAggs.windowedDistinctBitmap(rows.toDF("ts", "user_id"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+    assert(batch.forall(_._2 == 100L)) // exact, not an estimate
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = EventAggs.windowedDistinctBitmap(mem.toDF().toDF("ts", "user_id"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("bmwin").start()
+    try {
+      val shuffled = rows.reverse
+      mem.addData(shuffled.take(150)); q.processAllAvailable()
+      mem.addData(shuffled.drop(150)); q.processAllAvailable()
+      val streamed = spark.table("bmwin")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("windowedByType batch/stream parity on the events fixture") {
     val batch = EventAggs.windowedByType(Tables.events(spark, "/root/testdata/sf0.001"))
     assert(batch.count() > 0)
