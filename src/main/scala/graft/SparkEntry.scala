@@ -693,6 +693,12 @@ object SparkEntry {
       // all hash-deterministic, so DuckDB certifies bit-for-bit
       graft.ops.Sketches.quantileSketch(Tables.orders(s, dir),
         col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))),
+    "corpus_vocab_growth" -> ((s, dir) =>
+      // Heaps-law checkpoints: cumulative vocabulary vs token volume at
+      // doc-count deciles — "how much new vocabulary does the next 10%
+      // of data buy"; one token->first-doc aggregate + one per-doc count,
+      // 10-row decile broadcast, type-token ratio in exact fixed point
+      graft.ops.TextAnalysis.vocabGrowth(Tables.documents(s, dir))),
     "bitmap_distinct" -> ((s, dir) =>
       // exact per-priority distinct customers via roaring-style compressed
       // bitmaps, ALL row by MERGING the per-group bitmaps (never re-reading
@@ -2540,6 +2546,30 @@ object SparkEntry {
         |SELECT grp, CAST(est_distinct AS BIGINT), CAST(exact_distinct AS BIGINT)
         |FROM gall
         |ORDER BY grp""".stripMargin,
+    "corpus_vocab_growth" -> // same integer thresholds, same two
+      // aggregates from first principles
+      """WITH tok AS (SELECT doc_id,
+        |               unnest(regexp_split_to_array(trim(text), '\s+'))
+        |                 AS token
+        |             FROM documents
+        |             WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |fs AS (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+        |pd AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+        |mx AS (SELECT max(doc_id) AS max_doc FROM pd),
+        |dec AS (SELECT d AS decile, (max_doc * d) // 10 AS thr
+        |        FROM generate_series(1, 10) t(d), mx),
+        |v AS (SELECT decile, CAST(count(*) AS BIGINT) AS vocab_size
+        |      FROM fs, dec WHERE first_doc <= thr GROUP BY 1),
+        |vol AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |        FROM pd, dec WHERE doc_id <= thr GROUP BY 1)
+        |SELECT CAST(vol.decile AS BIGINT) AS decile, vol.n_docs,
+        |       vol.total_tokens, v.vocab_size,
+        |       CAST((v.vocab_size * 2000000 + vol.total_tokens)
+        |            // (2 * vol.total_tokens) AS DOUBLE) / 1000000.0
+        |         AS type_token_ratio
+        |FROM vol JOIN v USING (decile)
+        |ORDER BY 1""".stripMargin,
     "bitmap_distinct" -> // the bitmap path is exact, so the oracle is the
       // plain distinct count — certifying build, partial-union, AND the
       // cross-group merge (the ALL row) end to end

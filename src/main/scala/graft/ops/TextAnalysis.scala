@@ -830,4 +830,52 @@ object TextAnalysis {
         binWidth = math.max(1L, total / 256), maxBinsPerInterval = 64)
       .select(col("draw_id"), col("u"), col("token"), col("cnt"))
   }
+
+  /** Vocabulary-growth (Heaps-law) checkpoints: cumulative distinct
+    * vocabulary and token volume at doc-count deciles — the corpus-scaling
+    * diagnostic behind "how much new vocabulary does the next 10 % of
+    * data buy", which prices continued crawling/dedup against returns.
+    * Sub-linear growth (Heaps V(n) ≈ K·n^β, β < 1) shows as a falling
+    * type-token ratio across the rows; the β fit itself is deliberately
+    * left out of the certified columns (log regression is libm
+    * territory — the [[graft.functions.Hll]] precedent).
+    *
+    * Checkpoints are integer thresholds `thr_d = max_doc · d / 10`
+    * (truncating div, engine-identical). The whole computation rides two
+    * facts that make it one-pass at 100 TB: a token's contribution to
+    * EVERY checkpoint is determined by its FIRST document (min(doc_id) —
+    * one partial-aggregated shuffle on token), and a document's token
+    * count contributes to the checkpoints at-or-after it (O(docs)
+    * aggregate). The decile table is a 10-row broadcast; nothing after
+    * the two aggregates scales with the corpus.
+    *
+    * Output per decile: `(decile, n_docs, total_tokens, vocab_size,
+    * type_token_ratio)` — the ratio in exact fixed point.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val firstSeen = tok.groupBy("token").agg(min("doc_id").as("first_doc"))
+    val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val maxDoc = perDoc.agg(max("doc_id").as("max_doc"))
+    val deciles = (1 to 10).map(_.toLong).toDF("decile")
+      .crossJoin(broadcast(maxDoc))
+      .select(col("decile"), expr("(max_doc * decile) div 10").as("thr"))
+    val vocab = firstSeen.crossJoin(broadcast(deciles))
+      .filter(col("first_doc") <= col("thr"))
+      .groupBy("decile").agg(count(lit(1)).as("vocab_size"))
+    val volume = perDoc.crossJoin(broadcast(deciles))
+      .filter(col("doc_id") <= col("thr"))
+      .groupBy("decile").agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"))
+    volume.join(vocab, "decile")
+      .select(col("decile"), col("n_docs"), col("total_tokens"),
+        col("vocab_size"),
+        exactRatio(col("vocab_size"), col("total_tokens"), 6)
+          .as("type_token_ratio"))
+      .orderBy("decile")
+  }
 }

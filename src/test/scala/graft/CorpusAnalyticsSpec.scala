@@ -446,4 +446,19 @@ class CorpusAnalyticsSpec extends SparkSpec {
     val total = rows.map(_._3).sum
     assert(total > 0.25, s"shift must trip the action threshold, got $total")
   }
+
+  test("vocabGrowth: hand corpus — early deciles see only doc 0, the " +
+    "last decile sees everything") {
+    // max_doc = 1: thresholds (1*d) div 10 = 0 for d in 1..9, 1 at d=10
+    val docs = Seq((0L, "a b"), (1L, "a c")).toDF("doc_id", "text")
+    val rows = graft.ops.TextAnalysis.vocabGrowth(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 10)
+    rows.filter(_._1 < 10).foreach { case (_, nDocs, nTok, vocab, ttr) =>
+      assert(nDocs == 1L && nTok == 2L && vocab == 2L && ttr == 1.0)
+    }
+    val last = rows.find(_._1 == 10L).get
+    assert(last == ((10L, 2L, 4L, 3L, 0.75)))
+  }
 }

@@ -64,6 +64,9 @@ class PlanSweepSpec extends SparkSpec {
     // HITS: each half-step's L1 total is a 1-row broadcast onto the
     // O(nodes) score table (the pageRank-family normalization shape)
     "graph_hits",
+    // vocab growth: 1-row max-doc broadcast into the 10-row decile table,
+    // which broadcasts onto the O(vocab)/O(docs) aggregates
+    "corpus_vocab_growth",
     // join-size estimate: the 1-row CMS estimate crossed with the 1-row
     // exact-count certificate
     "sketch_join_size",
