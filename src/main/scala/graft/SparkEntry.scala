@@ -693,6 +693,14 @@ object SparkEntry {
       // all hash-deterministic, so DuckDB certifies bit-for-bit
       graft.ops.Sketches.quantileSketch(Tables.orders(s, dir),
         col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))),
+    "ts_backlog_sweep" -> ((s, dir) =>
+      // sweep-line interval concurrency: peak simultaneously-open line
+      // items per supplier (open = order date until ship date), closings
+      // before openings pinned by collapsing to per-(supp, date) NET
+      // events before the keyed running sum — deterministic, O(supplier
+      // x active dates) window input, never a global sort
+      graft.ops.Temporal.backlogSweep(
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "corpus_vocab_growth" -> ((s, dir) =>
       // Heaps-law checkpoints: cumulative vocabulary vs token volume at
       // doc-count deciles — "how much new vocabulary does the next 10%
@@ -825,6 +833,22 @@ object SparkEntry {
           col("event_id").as("purchase_event_id"), col("value").as("purchase_value"))
       graft.operators.AsOfJoin.leftAsOf(
         left, right, "user_id", "ts", "ts", Seq("purchase_event_id", "purchase_value"))
+    },
+    "j5b_asof_tolerance" -> { (s, dir) =>
+      // the pandas merge_asof tolerance variant: matches staler than 30
+      // minutes are discarded (payload nulled atomically); the bound
+      // compares exact integer microseconds on both engines
+      val ev = Tables.events(s, dir)
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_event_id"),
+          col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.leftAsOfTolerance(
+        left, right, "user_id", "ts", "ts",
+        Seq("purchase_event_id", "purchase_value"),
+        toleranceMicros = 1800L * 1000000L)
     },
     "a5_count_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
@@ -2546,6 +2570,29 @@ object SparkEntry {
         |SELECT grp, CAST(est_distinct AS BIGINT), CAST(exact_distinct AS BIGINT)
         |FROM gall
         |ORDER BY grp""".stripMargin,
+    "ts_backlog_sweep" -> // same net-event collapse and keyed running sum
+      """WITH iv AS (SELECT l.l_suppkey AS supp,
+        |              CAST(o.o_orderdate AS DATE) AS odate,
+        |              CAST(l.l_shipdate AS DATE) AS ship
+        |            FROM lineitem l
+        |            JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |ev AS (SELECT supp, d, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |         SELECT supp, odate AS d, 1 AS delta FROM iv
+        |         UNION ALL
+        |         SELECT supp, ship AS d, -1 AS delta FROM iv)
+        |       GROUP BY 1, 2),
+        |sw AS (SELECT supp, d,
+        |              sum(net) OVER (PARTITION BY supp ORDER BY d
+        |                ROWS UNBOUNDED PRECEDING) AS open_now
+        |       FROM ev),
+        |pk AS (SELECT supp, d, open_now,
+        |              max(open_now) OVER (PARTITION BY supp) AS peak_open
+        |       FROM sw)
+        |SELECT supp, CAST(max(peak_open) AS BIGINT) AS peak_open,
+        |       min(d) AS peak_date
+        |FROM pk WHERE open_now = peak_open GROUP BY 1
+        |ORDER BY peak_open DESC, supp
+        |LIMIT 20""".stripMargin,
     "corpus_vocab_growth" -> // same integer thresholds, same two
       // aggregates from first principles
       """WITH tok AS (SELECT doc_id,
@@ -3829,6 +3876,21 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase')
         |SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
         |       r.purchase_event_id, r.purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "j5b_asof_tolerance" -> // ASOF match, then the same exact-microsecond
+      // staleness bound applied to BOTH payload columns at once
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type, value
+        |           FROM events WHERE event_type <> 'purchase'),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             event_id AS purchase_event_id, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
+        |       CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 1800000000
+        |            THEN r.purchase_event_id END AS purchase_event_id,
+        |       CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 1800000000
+        |            THEN r.purchase_value END AS purchase_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "a5_count_distinct" ->

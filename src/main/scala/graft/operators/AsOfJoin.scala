@@ -68,4 +68,31 @@ object AsOfJoin {
       .select(left.columns.map(col).toIndexedSeq ++
         rightPayload.map(p => col(s"__p.$p").as(p)): _*)
   }
+
+  /** [[leftAsOf]] with a staleness bound — pandas `merge_asof(...,
+    * tolerance=...)`: a match older than `toleranceMicros` is discarded
+    * (whole payload nulled AT ONCE, preserving the row-atomicity
+    * guarantee). The matched right TIME rides the payload struct
+    * internally, and the bound compares exact integer MICROSECONDS on
+    * both engines (`unix_micros` / DuckDB `epoch_us`) — a seconds-
+    * truncated comparison would disagree with an exact-interval engine
+    * on fractional-second timestamps. Same one-shuffle plan as
+    * [[leftAsOf]].
+    */
+  def leftAsOfTolerance(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String], toleranceMicros: Long): DataFrame = {
+    require(toleranceMicros >= 0, "toleranceMicros must be non-negative")
+    val rt = "__asof_rt"
+    val joined = leftAsOf(
+      left, right.withColumn(rt, col(rightTime)),
+      key, leftTime, rightTime, rightPayload :+ rt)
+    val within = col(rt).isNotNull &&
+      (unix_micros(col(leftTime).cast("timestamp")) -
+        unix_micros(col(rt).cast("timestamp"))) <= toleranceMicros
+    rightPayload.foldLeft(joined) { (df, p) =>
+      df.withColumn(p, when(within, col(p)))
+    }.drop(rt)
+  }
 }

@@ -215,4 +215,47 @@ object Temporal {
         round(col("__v") - col("__trend") - col("__seasonal"), 6)
           .as("residual"))
   }
+
+  /** Sweep-line interval concurrency: each line item is "open" from its
+    * order date until it ships — this computes, per supplier, the PEAK
+    * number of simultaneously open line items and the first date that
+    * peak is reached ("how deep did the backlog ever get"), the classic
+    * max-overlap query an interval tree answers point-wise and a sweep
+    * answers corpus-wide in one sorted pass.
+    *
+    * Convention (pinned, engine-mirrored): intervals are
+    * [order_date, ship_date) and same-date closings process BEFORE
+    * openings, so per (supplier, date) the only peak candidate is the
+    * cumulative NET sum — +1/−1 events collapse to one net row per
+    * (supplier, date) BEFORE the window, making the sweep fully
+    * deterministic (no intra-date ordering ambiguity) and the window
+    * input O(supplier × active dates), not O(line items).
+    *
+    * Scale: the orders join is keyed on orderkey; the event census is one
+    * partial-aggregated groupBy; the running sum partitions BY SUPPLIER —
+    * never a global sort; the per-supplier reduction and top-k move
+    * O(suppliers) rows. The shape survives any supplier count.
+    */
+  def backlogSweep(
+      lineitem: DataFrame, orders: DataFrame, topK: Int = 20): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_suppkey").as("supp"), col("l_shipdate").cast("date").as("ship"))
+    val o = orders.select(col("o_orderkey").as("ok"),
+      col("o_orderdate").cast("date").as("odate"))
+    val iv = li.join(o, "ok")
+    val events = iv.select(col("supp"), col("odate").as("d"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("supp"), col("ship").as("d"),
+        lit(-1L).as("delta")))
+      .groupBy("supp", "d").agg(sum("delta").as("net"))
+    val w = Window.partitionBy("supp").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = events.withColumn("open_now", sum("net").over(w))
+    val withPeak = swept.withColumn("peak_open",
+      max("open_now").over(Window.partitionBy("supp")))
+    withPeak.filter(col("open_now") === col("peak_open"))
+      .groupBy("supp")
+      .agg(max("peak_open").as("peak_open"), min("d").as("peak_date"))
+      .orderBy(col("peak_open").desc, col("supp").asc)
+      .limit(topK)
+  }
 }

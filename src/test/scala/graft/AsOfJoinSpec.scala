@@ -68,4 +68,29 @@ class AsOfJoinSpec extends SparkSpec {
         "k", "t", "rt", Seq("tag"))
     }
   }
+
+  test("tolerance: stale matches null out atomically at the exact " +
+    "microsecond boundary, fresh matches survive") {
+    // id=1 matches at 0 lag (inside any tolerance); id=2's latest match
+    // is 30:00.000001 old — ONE microsecond past a 30-minute tolerance
+    val l2 = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "x"),
+      (2L, 10L, ts("2024-01-01 12:00:00.000001"), "y")
+    ).toDF("id", "k", "t", "tag")
+    val r2 = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 100.0),
+      (10L, ts("2024-01-01 11:30:00"), 200.0)
+    ).toDF("k", "rt", "rv")
+    val tol = 1800L * 1000000L
+    val got = AsOfJoin.leftAsOfTolerance(l2, r2, "k", "t", "rt", Seq("rv"), tol)
+      .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(100.0))
+    assert(got(2L).isEmpty) // 1 microsecond past the bound
+    // exactly AT the bound is inclusive
+    val l3 = Seq((3L, 10L, ts("2024-01-01 12:00:00"), "z"))
+      .toDF("id", "k", "t", "tag")
+    val at = AsOfJoin.leftAsOfTolerance(l3, r2, "k", "t", "rt", Seq("rv"), tol)
+      .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+    assert(at(3L).contains(200.0))
+  }
 }

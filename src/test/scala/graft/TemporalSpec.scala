@@ -145,4 +145,24 @@ class TemporalSpec extends SparkSpec {
     assert(rows("2024-01-14")._4.contains(6.0))
     assert(rows("2024-01-14")._5.contains(0.0))
   }
+
+  test("backlogSweep: hand intervals — same-date close-before-open, peak " +
+    "and first peak date exact") {
+    // supplier 1: items open [d1,d3), [d1,d2), [d2,d4) — at d2 one closes
+    // and one opens (net 0), so concurrency is 2 at d1, 2 at d2, 1 at d3:
+    // peak 2 FIRST at d1. supplier 2: single item, peak 1.
+    val li = Seq(
+      (100L, 1L, "1995-01-03"), // ships d3
+      (101L, 1L, "1995-01-02"), // ships d2
+      (102L, 1L, "1995-01-04"), // ships d4 (opens d2)
+      (103L, 2L, "1995-01-05")
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = Seq(
+      (100L, "1995-01-01"), (101L, "1995-01-01"),
+      (102L, "1995-01-02"), (103L, "1995-01-01")
+    ).toDF("o_orderkey", "o_orderdate")
+    val got = Temporal.backlogSweep(li, o)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toString))
+    assert(got.toSeq == Seq((1L, 2L, "1995-01-01"), (2L, 1L, "1995-01-01")))
+  }
 }
