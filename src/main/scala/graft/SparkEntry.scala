@@ -768,6 +768,15 @@ object SparkEntry {
       // EXACT windowed distinct via the bitmap union riding stateful
       // aggregation — the billing-grade twin of the KMV/HLL window faces
       graft.streaming.EventAggs.windowedDistinctBitmap(Tables.events(s, dir))),
+    "bitmap_rolling_distinct" -> ((s, dir) =>
+      // rolling 7-day distinct users — the non-algebraic rolling aggregate
+      // solved by bitmap mergeability: per-day bitmaps unioned inside a
+      // calendar RANGE frame over the O(days) day table; data scanned once
+      graft.ops.Bitmaps.rollingDistinctUsers(Tables.events(s, dir))),
+    "events_type_bigrams" -> ((s, dir) =>
+      // first-order sequence census: consecutive event-type pairs per
+      // user stream (keyed lead window), corpus-wide counts
+      graft.streaming.EventAggs.typeBigrams(Tables.events(s, dir))),
     "w10_streaks" -> { (s, dir) =>
       // gaps-and-islands: longest consecutive-month order streak per
       // customer (island key = month index minus per-customer rank — the
@@ -3867,13 +3876,21 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
         |WHERE rn <= 3""".stripMargin,
-    "j5_asof" ->
+    "j5_asof" -> // the r dedup mirrors the operator's pinned tie
+      // semantic: among right rows sharing (user, ts), the largest
+      // payload tuple wins (ASOF alone would pick arbitrarily)
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |                  event_type, value
         |           FROM events WHERE event_type <> 'purchase'),
-        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |             event_id AS purchase_event_id, value AS purchase_value
-        |      FROM events WHERE event_type = 'purchase')
+        |r AS (SELECT user_id, ts, purchase_event_id, purchase_value FROM (
+        |        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |               event_id AS purchase_event_id,
+        |               value AS purchase_value,
+        |               row_number() OVER (PARTITION BY user_id,
+        |                 CAST(ts AS TIMESTAMP)
+        |                 ORDER BY event_id DESC, value DESC) AS rn
+        |        FROM events WHERE event_type = 'purchase')
+        |      WHERE rn = 1)
         |SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
         |       r.purchase_event_id, r.purchase_value
         |FROM l ASOF LEFT JOIN r
@@ -3883,9 +3900,15 @@ object SparkEntry {
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |                  event_type, value
         |           FROM events WHERE event_type <> 'purchase'),
-        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |             event_id AS purchase_event_id, value AS purchase_value
-        |      FROM events WHERE event_type = 'purchase')
+        |r AS (SELECT user_id, ts, purchase_event_id, purchase_value FROM (
+        |        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |               event_id AS purchase_event_id,
+        |               value AS purchase_value,
+        |               row_number() OVER (PARTITION BY user_id,
+        |                 CAST(ts AS TIMESTAMP)
+        |                 ORDER BY event_id DESC, value DESC) AS rn
+        |        FROM events WHERE event_type = 'purchase')
+        |      WHERE rn = 1)
         |SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
         |       CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 1800000000
         |            THEN r.purchase_event_id END AS purchase_event_id,
@@ -4113,6 +4136,36 @@ object SparkEntry {
         |FROM events
         |WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |GROUP BY 1""".stripMargin,
+    "bitmap_rolling_distinct" -> // exact again: each day joined to its
+      // trailing calendar week of events, distinct-counted directly
+      """WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |days AS (SELECT DISTINCT d FROM e),
+        |daily AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT)
+        |                 AS day_distinct
+        |          FROM e GROUP BY 1),
+        |rolling AS (SELECT days.d,
+        |              CAST(count(DISTINCT e.user_id) AS BIGINT)
+        |                AS rolling_7d_distinct
+        |            FROM days JOIN e
+        |              ON e.d BETWEEN days.d - 6 AND days.d
+        |            GROUP BY 1)
+        |SELECT r.d, r.rolling_7d_distinct, daily.day_distinct
+        |FROM rolling r JOIN daily USING (d)
+        |ORDER BY r.d""".stripMargin,
+    "events_type_bigrams" -> // same keyed lead over (ts, event_id) order
+      """WITH s AS (SELECT user_id, event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |               AS next_type
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |             AND event_type IS NOT NULL AND event_id IS NOT NULL)
+        |SELECT event_type AS t_a, next_type AS t_b,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "w10_streaks" -> // same difference-of-sequences rendering; month index
       // and row_number both BIGINT in DuckDB, so the island key needs no
       // casts; census keys cast to BIGINT on both sides

@@ -58,7 +58,18 @@ object AsOfJoin {
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }.select((left.columns.map(col).toIndexedSeq :+ col("__p") :+ col("__t") :+ col("__side")): _*)
     }
-    val unioned = lAug.unionByName(rAug)
+    // Right-side ties: two right rows sharing (key, time) would make the
+    // window fill pick whichever happens to sort last — partition-order
+    // nondeterminism an engine must never exhibit (caught at sf1, where
+    // the scaled fixture carries exact duplicate purchase timestamps).
+    // Pinned semantic: the LARGEST payload tuple (struct comparison =
+    // field-lexicographic, so a leading unique id makes it total) wins.
+    // Oracles mirror it with a row_number-DESC dedup of the right CTE.
+    val rAugD = rAug
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key), col("__t")).orderBy(col("__p").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val unioned = lAug.unionByName(rAugD)
 
     val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

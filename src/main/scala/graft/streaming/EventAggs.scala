@@ -548,4 +548,29 @@ object EventAggs {
       .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
       .limit(k)
   }
+
+  /** Consecutive event-type transition census per user — the first-order
+    * sequence-mining view ("what follows what"): each user's event stream
+    * ordered by (ts, event_id), adjacent type pairs counted corpus-wide.
+    * The deterministic cousin of [[markovTransitions]]'s probability
+    * matrix: raw pair counts, no normalization, full (t_a, t_b) ordering
+    * so the output needs no top-k cut (type vocabularies are small).
+    *
+    * Scale: one keyed window (per-user lead — partition sizes are a
+    * user's event count) + one partial-aggregated census over O(types²)
+    * groups. Nothing global.
+    */
+  def typeBigrams(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("t_a"), col("next_type").as("t_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("t_a", "t_b")
+  }
 }

@@ -69,6 +69,20 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("right-side ties on (key, time) resolve to the largest payload " +
+    "tuple — deterministic under any partitioning") {
+    val l2 = Seq((1L, 10L, ts("2024-01-01 12:00:00"), "x"))
+      .toDF("id", "k", "t", "tag")
+    val dupRight = Seq(
+      (10L, ts("2024-01-01 11:00:00"), 100.0),
+      (10L, ts("2024-01-01 11:00:00"), 300.0), // same instant, larger value
+      (10L, ts("2024-01-01 11:00:00"), 200.0)
+    ).toDF("k", "rt", "rv").repartition(3) // scatter the tie rows
+    val got = AsOfJoin.leftAsOf(l2, dupRight, "k", "t", "rt", Seq("rv"))
+      .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(300.0))
+  }
+
   test("tolerance: stale matches null out atomically at the exact " +
     "microsecond boundary, fresh matches survive") {
     // id=1 matches at 0 lag (inside any tolerance); id=2's latest match

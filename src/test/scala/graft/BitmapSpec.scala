@@ -102,6 +102,23 @@ class BitmapSpec extends SparkSpec {
     assert(r0.getDouble(8) == 0.4)                         // 2/5
   }
 
+  test("rollingDistinctUsers: calendar RANGE frame — a gap day shrinks " +
+    "the window instead of stretching it") {
+    import java.sql.Timestamp
+    def t(day: Int, uid: Long) =
+      (Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), uid)
+    // days 1, 2, then a gap to day 9: day 9's trailing week (3..9)
+    // must NOT see days 1-2 (a ROWS -6 frame would)
+    val ev = (Seq(t(1, 1L), t(1, 2L), t(2, 2L), t(2, 3L), t(9, 7L)))
+      .toDF("ts", "user_id")
+    val got = graft.ops.Bitmaps.rollingDistinctUsers(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 2L, 2L),   // {1,2}
+      ("2024-01-02", 3L, 2L),   // {1,2,3} cumulative within week
+      ("2024-01-09", 1L, 1L)))  // gap: only day 9's {7}
+  }
+
   test("the bitmap family is registered for SQL users") {
     (1 to 100).map(i => (s"g${i % 2}", (i % 37).toLong)).toDF("grp", "id")
       .createOrReplaceTempView("bitmap_sql_in")

@@ -181,4 +181,20 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(1L) == ((0, 2L, 1L, 2L, 3.5, 2L)))
     assert(got(2L) == ((0, 1L, 1L, 1L, 4.0, 1L)))
   }
+
+  test("typeBigrams: per-user adjacency only, (ts, event_id) tie order") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: a -> b -> a; the b/a at 10:01 tie-breaks on event_id
+      (1L, 10L, t("2024-01-01 10:00:00"), "a"),
+      (2L, 10L, t("2024-01-01 10:01:00"), "b"),
+      (3L, 10L, t("2024-01-01 10:01:00"), "a"),
+      // user 2: c alone (no pair); never pairs with user 1's stream
+      (4L, 20L, t("2024-01-01 10:00:30"), "c")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAggs.typeBigrams(ev)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(got == Map(("a", "b") -> 1L, ("b", "a") -> 1L))
+  }
 }
