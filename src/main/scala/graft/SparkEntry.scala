@@ -572,6 +572,16 @@ object SparkEntry {
       // O(reached nodes), never O(paths) - the oracle's recursive CTE
       // dedups on (node, dist) for the same reason
       graft.ops.Graph.bfsDistances(Tables.lineitem(s, dir))),
+    "graph_sssp" -> ((s, dir) =>
+      // weighted multi-source shortest paths: 3 synchronous Bellman-Ford
+      // relaxations in exact BIGINT min-plus (weight = per-pair min
+      // quantity) — the weighted twin of graph_bfs; top-20 nearest
+      graft.ops.Graph.weightedShortestPaths(Tables.lineitem(s, dir))),
+    "graph_lpa" -> ((s, dir) =>
+      // synchronous label propagation with the pinned most-frequent/
+      // min-label rule — deterministic community detection (async LPA is
+      // run-order-dependent); community-size census after 2 rounds
+      graft.ops.Graph.labelPropagation(Tables.lineitem(s, dir))),
     "graph_hits" -> ((s, dir) =>
       // Kleinberg hubs & authorities on the directed supplier->part list:
       // L1-normalized half-steps in 1e-6 integer fixed point (truncating
@@ -2228,6 +2238,53 @@ object SparkEntry {
         |best AS (SELECT node, min(dist) AS d FROM walk GROUP BY 1)
         |SELECT CAST(d AS BIGINT) AS dist, count(*) AS n_nodes
         |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_sssp" -> // three relaxations unrolled; trunc() before the
+      // weight cast (DuckDB rounds double->int, Spark truncates)
+      """WITH e0 AS (SELECT l_suppkey*2 AS u, l_partkey*2+1 AS v,
+        |              CAST(trunc(min(l_quantity)) AS BIGINT) AS w
+        |            FROM lineitem GROUP BY 1, 2),
+        |e AS (SELECT u, v, w FROM e0
+        |      UNION ALL SELECT v AS u, u AS v, w FROM e0),
+        |d0 AS (SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM e WHERE u % 20 = 0),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d0
+        |         UNION ALL
+        |         SELECT e.v AS node, d0.dist + e.w AS dist
+        |         FROM e JOIN d0 ON d0.node = e.u) GROUP BY 1),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d1
+        |         UNION ALL
+        |         SELECT e.v AS node, d1.dist + e.w AS dist
+        |         FROM e JOIN d1 ON d1.node = e.u) GROUP BY 1),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d2
+        |         UNION ALL
+        |         SELECT e.v AS node, d2.dist + e.w AS dist
+        |         FROM e JOIN d2 ON d2.node = e.u) GROUP BY 1)
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+        |ORDER BY dist, node LIMIT 20""".stripMargin,
+    "graph_lpa" -> // both rounds unrolled; identical argmax tie chain
+      """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS u, l_partkey*2+1 AS v
+        |            FROM lineitem),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+        |c1 AS (SELECT e.u, l.label, count(*) AS cnt
+        |       FROM e JOIN l0 l ON l.node = e.v GROUP BY 1, 2),
+        |l1 AS (SELECT u AS node, label FROM (
+        |         SELECT u, label, row_number() OVER (PARTITION BY u
+        |           ORDER BY cnt DESC, label) AS rn FROM c1)
+        |       WHERE rn = 1),
+        |c2 AS (SELECT e.u, l.label, count(*) AS cnt
+        |       FROM e JOIN l1 l ON l.node = e.v GROUP BY 1, 2),
+        |l2 AS (SELECT u AS node, label FROM (
+        |         SELECT u, label, row_number() OVER (PARTITION BY u
+        |           ORDER BY cnt DESC, label) AS rn FROM c2)
+        |       WHERE rn = 1),
+        |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+        |          FROM l2 GROUP BY 1)
+        |SELECT community_size, CAST(count(*) AS BIGINT) AS n_communities
+        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_hits" -> // both iterations unrolled; every half-step the same
       // integer arithmetic: raw BIGINT sums, (raw*1e6) // tot truncation
       """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,

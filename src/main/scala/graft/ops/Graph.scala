@@ -346,6 +346,96 @@ object Graph {
       .select(col("deg"), col("n_nodes"), col("alpha_hill"))
   }
 
+  /** Synchronous label propagation (community detection) with a FULLY
+    * PINNED update rule: each round, every node adopts the most frequent
+    * label among its neighbors, ties broken by the SMALLEST label —
+    * classic async LPA is run-order-dependent (useless under an oracle,
+    * and frankly under production reruns too); this synchronous
+    * deterministic variant gives the same communities on any engine,
+    * any partitioning, every run. Complements
+    * [[Dedup.connectedComponents]]: components find reachability,
+    * LPA finds DENSE regions inside a component.
+    *
+    * Output: the community-size census after `rounds` rounds —
+    * `(community_size, n_communities)` — a bounded, order-free summary.
+    *
+    * Scale: per round one keyed edge⋈label join (the pageRank shuffle
+    * shape over checkpointed edges), one (node, label) count aggregate,
+    * and one per-node argmax window whose partitions are a node's
+    * distinct neighbor-label count (bounded by degree, never global).
+    * Only the O(nodes) label table moves between rounds.
+    */
+  def labelPropagation(
+      lineitem: DataFrame, rounds: Int = 2, maxRounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= maxRounds,
+      s"labelPropagation: rounds=$rounds outside 1..$maxRounds")
+    import org.apache.spark.sql.expressions.Window
+    val once = lineitem.select(
+      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
+      .distinct()
+    val edges = once
+      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val counts = edges
+        .join(labels, edges("v") === labels("node"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("u")
+        .orderBy(col("cnt").desc, col("label").asc)
+      labels = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("u").as("node"), col("label"))
+    }
+    labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+      .groupBy("community_size").agg(count(lit(1)).as("n_communities"))
+      .orderBy("community_size")
+  }
+
+  /** Weighted multi-source shortest paths — `rounds` synchronous
+    * Bellman-Ford relaxations (min-plus over exact BIGINT weights, so
+    * every step is associative, order-free, and engine-identical; the
+    * weighted twin of [[bfsDistances]], whose hop metric can't prefer a
+    * longer-but-lighter path). Edge weight = per-pair min quantity —
+    * deterministic and integral. Distances are exact up to `rounds`
+    * hops (the standard bounded-relaxation contract; paths longer than
+    * `rounds` edges may still improve — callers size rounds to the
+    * graph's weighted diameter of interest).
+    *
+    * Output: the `topK` nearest reached nodes `(node, dist)`, ties on
+    * the node id.
+    *
+    * Scale: per round one keyed edge⋈distance join over checkpointed
+    * edge partitions + one min-combine aggregate whose shuffle carries
+    * O(reached nodes) — never O(paths); the pageRank/BFS family shape.
+    */
+  def weightedShortestPaths(
+      lineitem: DataFrame, rounds: Int = 3, topK: Int = 20,
+      maxRounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= maxRounds,
+      s"weightedShortestPaths: rounds=$rounds outside 1..$maxRounds")
+    val once = lineitem
+      .groupBy((col("l_suppkey") * 2).as("u"),
+        (col("l_partkey") * 2 + 1).as("v"))
+      .agg(min(col("l_quantity")).cast("long").as("w"))
+    val edges = once
+      .unionByName(once.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .repartition(col("u"))
+      .localCheckpoint()
+    var dist = edges.select("u").distinct().filter(col("u") % 20 === 0)
+      .select(col("u").as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.join(dist, edges("u") === dist("node"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy(col("dist").asc, col("node").asc).limit(topK)
+  }
+
   /** HITS (Kleinberg hubs & authorities) over the directed supplier→part
     * edge list: auth(p) = Σ hub(s) over in-edges, hub(s) = Σ auth(p) over
     * out-edges, L1-normalized each half-step — in 1e-6 INTEGER fixed

@@ -214,6 +214,44 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("maxDepth"))
   }
 
+  test("weightedShortestPaths: longer-but-lighter path beats the direct " +
+    "heavy edge; bounded rounds") {
+    // source node 0 (supp 0). Direct edge node0-node1 weight 5
+    // (supp0, part0, qty 5); detour node0-node3 w1 (supp0, part1),
+    // node3-node2 w1 (supp1, part1): dist(node2) = 2 < any direct route.
+    val li = Seq(
+      (0L, 0L, 5.0), (0L, 1L, 1.0), (1L, 1L, 1.0)
+    ).toDF("l_suppkey", "l_partkey", "l_quantity")
+    val got = Graph.weightedShortestPaths(li, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 0L), (3L, 1L), (2L, 2L), (1L, 5L)))
+    val e = intercept[IllegalArgumentException](
+      Graph.weightedShortestPaths(li, rounds = 99))
+    assert(e.getMessage.contains("rounds"))
+  }
+
+  test("labelPropagation: hand path graph — two synchronous rounds with " +
+    "the min-label tie rule, exact census") {
+    // Path 1-2-3 mapped through the bipartite encoding: suppliers {1},
+    // parts {101, 102}; edges s1-p101, s1-p102 is a star... use direct
+    // construction instead: supp 1 - part 1 (nodes 2, 3) and
+    // supp 2 - part 1 (nodes 4, 3): path 2-3-4.
+    // init labels: 2, 3, 4
+    // round 1: node2 nb {3} -> 3; node3 nb {2,4} tie -> 2; node4 nb {3} -> 3
+    // round 2: node2 nb {3}=2 -> 2; node3 nb {2,4}={3,3} -> 3;
+    //          node4 nb {3}=2 -> 2
+    // final labels: {2: node3} size 1... labels l2 = (2->2? let's read:
+    // node2 label 2, node3 label 3, node4 label 2 => sizes: label2 -> 2,
+    // label3 -> 1 => census: (1,1),(2,1)
+    val li = Seq((1L, 1L), (2L, 1L)).toDF("l_suppkey", "l_partkey")
+    val got = Graph.labelPropagation(li, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L)))
+    val e = intercept[IllegalArgumentException](
+      Graph.labelPropagation(li, rounds = 99))
+    assert(e.getMessage.contains("rounds"))
+  }
+
   test("hits: one iteration on a hand graph reproduces the exact " +
     "fixed-point values") {
     // s1 -> {p1, p2}, s2 -> {p1}; HubScale = 1e6:
