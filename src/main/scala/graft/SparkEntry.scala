@@ -853,6 +853,21 @@ object SparkEntry {
       graft.operators.AsOfJoin.leftAsOf(
         left, right, "user_id", "ts", "ts", Seq("purchase_event_id", "purchase_value"))
     },
+    "j5c_asof_forward" -> { (s, dir) =>
+      // forward as-of (pandas direction='forward'): each event annotated
+      // with the user's NEXT purchase at-or-after it — time negation
+      // reduces it to the backward join, losslessly (integer micros)
+      val ev = Tables.events(s, dir)
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_event_id"),
+          col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.leftAsOfForward(
+        left, right, "user_id", "ts", "ts",
+        Seq("purchase_event_id", "purchase_value"))
+    },
     "j5b_asof_tolerance" -> { (s, dir) =>
       // the pandas merge_asof tolerance variant: matches staler than 30
       // minutes are discarded (payload nulled atomically); the bound
@@ -3952,6 +3967,28 @@ object SparkEntry {
         |       r.purchase_event_id, r.purchase_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "j5c_asof_forward" -> // backward ASOF over NEGATED epoch micros IS
+      // the forward join (DuckDB ASOF only looks backward); same tie
+      // dedup as j5
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type, value,
+        |                  -epoch_us(CAST(ts AS TIMESTAMP)) AS nts
+        |           FROM events WHERE event_type <> 'purchase'),
+        |r AS (SELECT user_id, nts, purchase_event_id, purchase_value
+        |      FROM (
+        |        SELECT user_id,
+        |               -epoch_us(CAST(ts AS TIMESTAMP)) AS nts,
+        |               event_id AS purchase_event_id,
+        |               value AS purchase_value,
+        |               row_number() OVER (PARTITION BY user_id,
+        |                 CAST(ts AS TIMESTAMP)
+        |                 ORDER BY event_id DESC, value DESC) AS rn
+        |        FROM events WHERE event_type = 'purchase')
+        |      WHERE rn = 1)
+        |SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
+        |       r.purchase_event_id, r.purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.nts >= r.nts""".stripMargin,
     "j5b_asof_tolerance" -> // ASOF match, then the same exact-microsecond
       // staleness bound applied to BOTH payload columns at once
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

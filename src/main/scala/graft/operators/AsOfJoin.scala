@@ -80,6 +80,31 @@ object AsOfJoin {
         rightPayload.map(p => col(s"__p.$p").as(p)): _*)
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `right.timeCol >= left.timeCol` per key (pandas
+    * `merge_asof(direction='forward')` — "the next reading after this
+    * event"). Implemented by time negation over [[leftAsOf]]: the
+    * earliest-at-or-after match under t is exactly the
+    * latest-at-or-before match under −t (exact integer microsecond
+    * negation, so the reduction is lossless), which also hands the
+    * DuckDB oracle a spelling — ASOF JOIN only looks backward, but
+    * backward over negated epochs IS forward. Tie semantics inherit
+    * [[leftAsOf]]'s pinned rule (right rows sharing (key, time): largest
+    * payload tuple wins).
+    */
+  def leftAsOfForward(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val lt = "__asof_neg_l"
+    val rt = "__asof_neg_r"
+    leftAsOf(
+      left.withColumn(lt, -unix_micros(col(leftTime).cast("timestamp"))),
+      right.withColumn(rt, -unix_micros(col(rightTime).cast("timestamp"))),
+      key, lt, rt, rightPayload)
+      .drop(lt)
+  }
+
   /** [[leftAsOf]] with a staleness bound — pandas `merge_asof(...,
     * tolerance=...)`: a match older than `toleranceMicros` is discarded
     * (whole payload nulled AT ONCE, preserving the row-atomicity

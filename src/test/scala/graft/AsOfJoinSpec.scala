@@ -69,6 +69,20 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("forward direction: earliest at-or-after match, inclusive equal, " +
+    "nothing-after yields null") {
+    val l2 = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "eq"),      // equal-ts right
+      (2L, 10L, ts("2024-01-01 10:30:00"), "between"), // next is 11:30
+      (3L, 10L, ts("2024-01-01 12:00:00"), "after-all")
+    ).toDF("id", "k", "t", "tag")
+    val got = AsOfJoin.leftAsOfForward(l2, right, "k", "t", "rt", Seq("rv"))
+      .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(100.0)) // inclusive at the same instant
+    assert(got(2L).contains(200.0)) // the NEXT one, not the previous
+    assert(got(3L).isEmpty)         // no right row at-or-after
+  }
+
   test("right-side ties on (key, time) resolve to the largest payload " +
     "tuple — deterministic under any partitioning") {
     val l2 = Seq((1L, 10L, ts("2024-01-01 12:00:00"), "x"))
