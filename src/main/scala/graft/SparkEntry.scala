@@ -717,6 +717,24 @@ object SparkEntry {
       // of data buy"; one token->first-doc aggregate + one per-doc count,
       // 10-row decile broadcast, type-token ratio in exact fixed point
       graft.ops.TextAnalysis.vocabGrowth(Tables.documents(s, dir))),
+    "sql_function_surface" -> { (s, dir) =>
+      // the pure-SQL consumption path, certified through the gate: a
+      // spark.sql string using the registered aggregate (graft_bitmap),
+      // scalar combinator (graft_bitmap_card), and codegen'd expression
+      // (graft_zorder) — what a SQL-only user of the library runs; the
+      // oracle recomputes the Morton checksum via the 16-term closed
+      // form LayoutSpec pins against the native expression
+      graft.functions.VectorFunctions.register(s)
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sqlv")
+      s.sql("""SELECT o_orderpriority AS grp,
+              |       graft_bitmap_card(graft_bitmap(o_custkey))
+              |         AS n_distinct,
+              |       sum(graft_zorder(o_custkey % 1024, o_orderkey % 1024))
+              |         AS zsum
+              |FROM orders_sqlv
+              |GROUP BY o_orderpriority
+              |ORDER BY grp""".stripMargin)
+    },
     "bitmap_distinct" -> ((s, dir) =>
       // exact per-priority distinct customers via roaring-style compressed
       // bitmaps, ALL row by MERGING the per-group bitmaps (never re-reading
@@ -2698,6 +2716,28 @@ object SparkEntry {
         |         AS type_token_ratio
         |FROM vol JOIN v USING (decile)
         |ORDER BY 1""".stripMargin,
+    "sql_function_surface" -> // exact distinct + the Morton checksum via
+      // the closed form (bit i of x -> 4^i, bit i of y -> 2*4^i over
+      // 10-bit residues)
+      """WITH b AS (SELECT o_orderpriority, o_custkey,
+        |             o_custkey % 1024 AS x, o_orderkey % 1024 AS y
+        |           FROM orders)
+        |SELECT o_orderpriority AS grp,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |       CAST(sum(
+        |           ((x // 1) % 2) * 1       + ((y // 1) % 2) * 2
+        |         + ((x // 2) % 2) * 4       + ((y // 2) % 2) * 8
+        |         + ((x // 4) % 2) * 16      + ((y // 4) % 2) * 32
+        |         + ((x // 8) % 2) * 64      + ((y // 8) % 2) * 128
+        |         + ((x // 16) % 2) * 256    + ((y // 16) % 2) * 512
+        |         + ((x // 32) % 2) * 1024   + ((y // 32) % 2) * 2048
+        |         + ((x // 64) % 2) * 4096   + ((y // 64) % 2) * 8192
+        |         + ((x // 128) % 2) * 16384 + ((y // 128) % 2) * 32768
+        |         + ((x // 256) % 2) * 65536 + ((y // 256) % 2) * 131072
+        |         + ((x // 512) % 2) * 262144
+        |         + ((y // 512) % 2) * 524288) AS BIGINT) AS zsum
+        |FROM b GROUP BY 1
+        |ORDER BY grp""".stripMargin,
     "bitmap_distinct" -> // the bitmap path is exact, so the oracle is the
       // plain distinct count — certifying build, partial-union, AND the
       // cross-group merge (the ALL row) end to end
