@@ -2105,6 +2105,40 @@ object SparkEntry {
         Tables.documents(s, dir)
           .withColumn("sz", expr("n_chars div 200")),
         Seq("lang", "source"), "sz", l = 3)),
+    "dq_t_closeness" -> ((s, dir) =>
+      // the release-risk triad's third leg: (lang, source) groups whose
+      // size-bucket DISTRIBUTION sits further than t=1/5 from the global
+      // one (ordered-EMD) — k-large, l-diverse groups can still leak this
+      // way; exact integer EMD, no double ever formed
+      graft.ops.Expectations.tCloseness(
+        Tables.documents(s, dir)
+          .withColumn("sz", expr("n_chars div 200")),
+        Seq("lang", "source"), "sz", tNum = 1, tDen = 5)),
+    "eval_confusion" -> ((s, dir) =>
+      // thresholded confusion report of "first embedding dim predicts
+      // label < 5": one scan, all threshold cells as conditional sums,
+      // accuracy/precision/recall/F1 as exact half-up ratios
+      graft.ops.Eval.confusionReport(
+        Tables.embeddings(s, dir).select(
+          expr("CAST(CAST(embedding[0] AS DOUBLE) * 10000.0 AS BIGINT)")
+            .as("score"),
+          when(col("label") < 5, 1L).otherwise(0L).as("y")),
+        "score", "y", Seq(-2000L, -1000L, 0L, 1000L, 2000L))),
+    "eval_auc" -> ((s, dir) =>
+      // exact midrank Mann-Whitney AUC of the quantized score against
+      // label < 5 — ties half-credited, pure BIGINT; the ordered pass
+      // runs on the bounded quantized domain, never on rows
+      graft.ops.Eval.aucQuantized(
+        Tables.embeddings(s, dir).select(
+          expr("CAST(CAST(embedding[0] AS DOUBLE) * 10000.0 AS BIGINT)")
+            .as("score"),
+          when(col("label") < 5, 1L).otherwise(0L).as("y")),
+        "score", "y")),
+    "eval_mrr" -> ((s, dir) =>
+      // per-class MRR of the first same-label neighbor in brute top-10:
+      // reciprocal ranks exact over LCM(1..10)=2520; corpus never
+      // shuffled (bounded top-k pair broadcasts, knnClassify pattern)
+      graft.ops.Eval.mrrSameLabel(Tables.embeddings(s, dir))),
     "dq_fd_check" -> ((s, dir) =>
       // functional-dependency violation census: one exactly-holding rule
       // (orderkey is a key) and two meant-to-fail rules, with the g3-style
@@ -5990,6 +6024,134 @@ object SparkEntry {
         |            // (2 * CAST(sum(n) AS BIGINT)) AS DOUBLE) / 1000000.0
         |         AS risk_share
         |FROM g""".stripMargin,
+    "dq_t_closeness" -> // ordered-EMD census in exact integers: cum_v
+      // accumulates n_gv*N - n_v*n_g over the zero-filled group x value
+      // grid; violation iff t_den*sum|cum| > t_num*n_g*N*(m-1)
+      """WITH base AS (SELECT lang, source, n_chars // 200 AS v
+        |              FROM documents WHERE n_chars IS NOT NULL),
+        |tot AS (SELECT count(*) AS big_n, count(DISTINCT v) AS m
+        |        FROM base),
+        |vals AS (SELECT v, count(*) AS n_v FROM base GROUP BY 1),
+        |grp AS (SELECT lang, source, count(*) AS n_g FROM base
+        |        GROUP BY 1, 2),
+        |gvt AS (SELECT lang, source, v, count(*) AS n_gv FROM base
+        |        GROUP BY 1, 2, 3),
+        |grid AS (SELECT g.lang, g.source, g.n_g, vv.v, vv.n_v,
+        |           COALESCE(x.n_gv, 0) AS n_gv
+        |         FROM grp g CROSS JOIN vals vv
+        |         LEFT JOIN gvt x ON x.lang = g.lang
+        |           AND x.source = g.source AND x.v = vv.v),
+        |cums AS (SELECT lang, source, n_g,
+        |           sum(n_gv * (SELECT big_n FROM tot) - n_v * n_g)
+        |             OVER (PARTITION BY lang, source ORDER BY v) AS cum
+        |         FROM grid),
+        |emd AS (SELECT lang, source, max(n_g) AS n_g,
+        |          CAST(sum(abs(cum)) AS BIGINT) AS emd_num
+        |        FROM cums GROUP BY 1, 2),
+        |census AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_rows,
+        |             count(*) AS n_groups,
+        |             CAST(sum(CASE WHEN 5 * emd_num >
+        |                 1 * n_g * (SELECT big_n FROM tot)
+        |                   * ((SELECT m FROM tot) - 1)
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_at_risk,
+        |             COALESCE(CAST(sum(CASE WHEN 5 * emd_num >
+        |                 1 * n_g * (SELECT big_n FROM tot)
+        |                   * ((SELECT m FROM tot) - 1)
+        |               THEN n_g END) AS BIGINT), 0) AS n_rows_at_risk
+        |           FROM emd)
+        |SELECT CAST(1 AS BIGINT) AS t_num, CAST(5 AS BIGINT) AS t_den,
+        |       n_rows, n_groups, n_groups_at_risk, n_rows_at_risk,
+        |       CAST((n_rows_at_risk * 2000000 + n_rows) // (2 * n_rows)
+        |            AS DOUBLE) / 1000000.0 AS risk_share
+        |FROM census""".stripMargin,
+    "eval_confusion" -> // same conditional-count cells per threshold;
+      // every presented ratio is the shared exact half-up form
+      """WITH s AS (SELECT
+        |    CAST(trunc(CAST(embedding[1] AS DOUBLE) * 10000.0) AS BIGINT)
+        |      AS score,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |t(thr) AS (VALUES (-2000), (-1000), (0), (1000), (2000)),
+        |c AS (SELECT CAST(thr AS BIGINT) AS threshold,
+        |        CAST(sum(CASE WHEN score >= thr AND y = 1 THEN 1 ELSE 0
+        |          END) AS BIGINT) AS tp,
+        |        CAST(sum(CASE WHEN score >= thr AND y = 0 THEN 1 ELSE 0
+        |          END) AS BIGINT) AS fp,
+        |        CAST(sum(CASE WHEN score < thr AND y = 1 THEN 1 ELSE 0
+        |          END) AS BIGINT) AS fn,
+        |        CAST(sum(CASE WHEN score < thr AND y = 0 THEN 1 ELSE 0
+        |          END) AS BIGINT) AS tn
+        |      FROM s CROSS JOIN t GROUP BY thr)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp + fn + tn > 0 THEN
+        |    CAST(((tp + tn) * 2000000 + (tp + fp + fn + tn))
+        |         // (2 * (tp + fp + fn + tn)) AS DOUBLE) / 1000000.0
+        |  END AS accuracy,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    CAST((tp * 2000000 + (tp + fp)) // (2 * (tp + fp)) AS DOUBLE)
+        |      / 1000000.0
+        |  END AS prec,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    CAST((tp * 2000000 + (tp + fn)) // (2 * (tp + fn)) AS DOUBLE)
+        |      / 1000000.0
+        |  END AS recall,
+        |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    CAST((2 * tp * 2000000 + (2 * tp + fp + fn))
+        |         // (2 * (2 * tp + fp + fn)) AS DOUBLE) / 1000000.0
+        |  END AS f1
+        |FROM c ORDER BY threshold""".stripMargin,
+    "eval_auc" -> // midrank Mann-Whitney in BIGINT: 2*midrank =
+      // 2*|{< s}| + n(s) + 1; AUC = (S2 - P(P+1)) / (2PN) half-up
+      """WITH s AS (SELECT
+        |    CAST(trunc(CAST(embedding[1] AS DOUBLE) * 10000.0) AS BIGINT)
+        |      AS score,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |g AS (SELECT score, count(*) AS n, sum(y) AS np FROM s
+        |      GROUP BY 1),
+        |r AS (SELECT *, COALESCE(sum(n) OVER (ORDER BY score
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS cum_lt FROM g),
+        |a AS (SELECT
+        |        CAST(sum(np * (2 * cum_lt + n + 1)) AS BIGINT) AS s2,
+        |        CAST(sum(np) AS BIGINT) AS n_pos,
+        |        CAST(sum(n - np) AS BIGINT) AS n_neg,
+        |        count(*) AS n_scores
+        |      FROM r)
+        |SELECT n_pos, n_neg, n_scores,
+        |  CAST(((s2 - n_pos * (n_pos + 1)) * 2000000 + 2 * n_pos * n_neg)
+        |       // (4 * n_pos * n_neg) AS DOUBLE) / 1000000.0 AS auc
+        |FROM a""".stripMargin,
+    "eval_mrr" -> // brute top-10 (sim_topk_brute's exact CTE), first
+      // same-label rank per query, MRR exact over 2520 = LCM(1..10)
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum'))
+        |          AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, vec AS qvec,
+        |        nrm AS qnorm FROM n WHERE vec_id % 50 = 0),
+        |sc AS (SELECT query_id, q_label, vec_id AS neighbor_id,
+        |         label AS n_label,
+        |         round(list_aggregate(list_transform(
+        |             generate_series(1, len(qvec)), i -> qvec[i]*vec[i]),
+        |           'sum') / (qnorm*nrm), 6) AS cos_sim
+        |       FROM n CROSS JOIN q WHERE vec_id <> query_id),
+        |tk AS (SELECT query_id, q_label, n_label, rn FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc)
+        |       WHERE rn <= 10),
+        |fr AS (SELECT query_id, q_label,
+        |         min(CASE WHEN n_label = q_label THEN rn END) AS first_rel
+        |       FROM tk GROUP BY 1, 2)
+        |SELECT q_label AS label, count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_hit,
+        |  CAST((CAST(sum(COALESCE(2520 // first_rel, 0)) AS BIGINT)
+        |        * 2000000 + 2520 * count(*))
+        |       // (2 * 2520 * count(*)) AS DOUBLE) / 1000000.0 AS mrr
+        |FROM fr GROUP BY 1 ORDER BY label""".stripMargin,
     "dq_fd_check" -> // per rule: (det, dep) census, then the determinant
       // rollup with the g3 repair measure — exact integer throughout
       """WITH p1 AS (SELECT o_orderkey AS det, o_custkey AS dep,

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
+
+/** Model-evaluation metrics over scored/labeled data — the measurement leg
+  * of a training-data pipeline (did the embedding space, filter model, or
+  * ranking actually get better?). Everything is exact integer arithmetic so
+  * the numbers are engine-reproducible: scores are pre-quantized integers,
+  * counts are BIGINT, and every presented ratio goes through
+  * [[graft.functions.ExactRatio]] — no double is ever rounded.
+  *
+  * Reference scope note: the reference pipeline (IceNetETL) computes no
+  * model metrics; this module is part of the mandated beyond-reference
+  * training-data surface.
+  */
+object Eval {
+
+  /** Thresholded binary confusion report: for each threshold t, the
+    * tp/fp/fn/tn census of `score >= t` predicting `label == 1`, with
+    * accuracy, precision, recall, and F1 presented as exact half-up
+    * 6-dp ratios (null when the denominator is empty — e.g. precision at
+    * a threshold above every score).
+    *
+    * `scoreCol` must be integer-valued (quantize upstream — e.g.
+    * `CAST(embedding[0] * 1e4 AS BIGINT)`), `labelCol` 0/1.
+    *
+    * Plan: ONE scan — all |thresholds| x 4 cells are conditional sums in a
+    * single whole-stage-codegen'd scalar aggregate; the per-threshold rows
+    * are exploded from the one result row. No join, no second pass, state
+    * O(|thresholds|) — the shape that is identical at 100 TB.
+    */
+  def confusionReport(
+      scored: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "confusionReport: no thresholds")
+    require(thresholds.distinct.size == thresholds.size,
+      s"confusionReport: duplicate thresholds in ${thresholds.mkString(",")}")
+    val s = col(scoreCol).cast("long")
+    val y = col(labelCol).cast("long")
+    val cells = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(s >= t && y === 1L, 1L).otherwise(0L)).as(s"tp_$i"),
+        sum(when(s >= t && y === 0L, 1L).otherwise(0L)).as(s"fp_$i"),
+        sum(when(s < t && y === 1L, 1L).otherwise(0L)).as(s"fn_$i"),
+        sum(when(s < t && y === 0L, 1L).otherwise(0L)).as(s"tn_$i"))
+    }
+    val one = scored.agg(cells.head, cells.tail: _*)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"tp_$i").as("tp"),
+        col(s"fp_$i").as("fp"), col(s"fn_$i").as("fn"),
+        col(s"tn_$i").as("tn"))
+    }
+    val n = col("tp") + col("fp") + col("fn") + col("tn")
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.threshold").as("threshold"), col("r.tp").as("tp"),
+        col("r.fp").as("fp"), col("r.fn").as("fn"), col("r.tn").as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(n > 0L, exactRatio(col("tp") + col("tn"), n, 6))
+          .as("accuracy"),
+        when(col("tp") + col("fp") > 0L,
+          exactRatio(col("tp"), col("tp") + col("fp"), 6)).as("prec"),
+        when(col("tp") + col("fn") > 0L,
+          exactRatio(col("tp"), col("tp") + col("fn"), 6)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+          exactRatio(lit(2L) * col("tp"),
+            lit(2L) * col("tp") + col("fp") + col("fn"), 6)).as("f1"))
+      .orderBy("threshold")
+  }
+
+  /** Exact AUC of an integer-quantized score against a 0/1 label, via the
+    * midrank Mann-Whitney U statistic — ties get the standard half credit,
+    * and the whole computation stays in BIGINT:
+    *
+    *   2*midrank(s) = 2*|{scores < s}| + n(s) + 1
+    *   2U           = sum over positives of 2*midrank  -  P*(P+1)
+    *   AUC          = 2U / (2*P*N)          (ExactRatio half-up at 6 dp)
+    *
+    * Requires both classes present (den > 0) and n <= ~2e6 rows for the
+    * 6-dp presentation to stay inside BIGINT (4e6*P*N <= 2^63); past that,
+    * stratify and average per stratum.
+    *
+    * Plan: one grouped aggregate collapses the data to O(distinct scores)
+    * — bounded by the quantization (<= 2e4+1 values for a 1e4-quantized
+    * unit-range score), NOT by data size — then one ordered window over
+    * that bounded table (single partition by design: the win is that the
+    * rank pass runs on the quantized domain, never on rows) and a scalar
+    * aggregate. The 100 TB shape: the only data-sized stage is the first
+    * map-side-combined groupBy.
+    */
+  def aucQuantized(
+      scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = scored.groupBy(col(scoreCol).cast("long").as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("np"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.withColumn("cum_lt", coalesce(sum(col("n")).over(w), lit(0L)))
+    r.agg(
+      sum(col("np") * (lit(2L) * col("cum_lt") + col("n") + lit(1L)))
+        .as("s2"),
+      sum(col("np")).as("n_pos"),
+      sum(col("n") - col("np")).as("n_neg"),
+      count(lit(1)).as("n_scores"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        exactRatio(col("s2") - col("n_pos") * (col("n_pos") + lit(1L)),
+          lit(2L) * col("n_pos") * col("n_neg"), 6).as("auc"))
+  }
+
+  /** Per-class mean reciprocal rank of the first SAME-LABEL neighbor in
+    * each query's brute-force cosine top-`k` — the standard "does my
+    * embedding space retrieve its own class?" eval. Exact: with k <= 10
+    * every reciprocal rank is an integer over LCM(1..10) = 2520, so the
+    * MRR numerator is a BIGINT sum (a query with no same-label hit
+    * contributes 0) and the presented MRR is an ExactRatio.
+    *
+    * Plan: the ranking is [[Similarity.bruteForceTopK]] (bounded query-set
+    * broadcast, corpus scanned once); both label attachments broadcast the
+    * O(queries x k) pair table against the corpus-sized label side — the
+    * corpus is never shuffled (the knnClassify pattern). Swap in
+    * [[Similarity.ivfTopK]] at corpus scale; the metric tail is
+    * scorer-agnostic.
+    */
+  def mrrSameLabel(
+      embeddings: DataFrame, k: Int = 10, queryMod: Int = 50): DataFrame = {
+    require(k >= 1 && k <= 10,
+      s"mrrSameLabel: k=$k outside 1..10 — reciprocal ranks are exact " +
+        "over LCM(1..10)=2520; larger k needs a larger scale constant")
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val topk = Similarity.bruteForceTopK(embeddings, k, queryMod)
+      .select("query_id", "neighbor_id", "rnk")
+    val withNbr = labels
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumnRenamed("label", "n_label")
+      .join(graft.operators.Broadcasting.checked(topk, tag = "mrr top-k pairs"),
+        Seq("neighbor_id"))
+      .select("query_id", "rnk", "n_label")
+    val firstRel = labels
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("label", "q_label")
+      .join(graft.operators.Broadcasting.checked(withNbr, tag = "mrr labeled pairs"),
+        Seq("query_id"))
+      .groupBy("query_id", "q_label")
+      .agg(min(when(col("n_label") === col("q_label"), col("rnk")))
+        .as("first_rel"))
+    firstRel.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("first_rel").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(coalesce(expr("CAST(2520 AS BIGINT) div first_rel"), lit(0L)))
+          .as("rr2520"))
+      .select(col("label"), col("n_queries"), col("n_hit"),
+        exactRatio(col("rr2520"), lit(2520L) * col("n_queries"), 6).as("mrr"))
+      .orderBy("label")
+  }
+}

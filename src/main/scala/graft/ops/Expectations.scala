@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ExactRatio.exactRatio
 
@@ -200,6 +201,69 @@ object Expectations {
         .as("n_rows_at_risk"))
       .select(lit(l).as("l"), col("n_rows"), col("n_groups"),
         col("n_groups_at_risk"), col("n_rows_at_risk"),
+        exactRatio(col("n_rows_at_risk"), col("n_rows"), 6).as("risk_share"))
+  }
+
+  /** t-closeness of an ORDERED sensitive column within quasi-identifier
+    * groups — the third leg of the release-risk triad after [[kAnonymity]]
+    * and [[lDiversity]]: a group can be k-large and l-diverse yet still
+    * leak if its sensitive-value DISTRIBUTION sits far from the table's.
+    * Distance is the standard ordered-attribute Earth Mover's Distance
+    * (normalized cumulative-difference sum); a group violates when
+    * EMD > tNum/tDen.
+    *
+    * Exactness: with integer counts, EMD = Σ_v |cum_v| / (n_g·N·(m−1))
+    * where cum_v accumulates (n_gv·N − n_v·n_g) — every term BIGINT, so
+    * the violation test `tDen·Σ|cum| > tNum·n_g·N·(m−1)` is pure integer
+    * and engine-exact (no double ever formed). Bounds: Σ|cum| ≤
+    * 2·m·n_g·N, so N ≤ ~1e8 rows with m ≤ 100 distinct values stays
+    * inside BIGINT; quantize the sensitive column coarser past that.
+    * Degenerate m=1 (single-valued attribute) yields 0 > 0 = no violation
+    * — trivially t-close, which is the right answer. Null sensitive
+    * values are excluded (they have no position in the ordered domain).
+    *
+    * Plan: three grouped aggregates collapse the data to O(groups),
+    * O(values), O(groups × values); the zero-filled grid is
+    * groups × BROADCAST(values) (values bounded by the sensitive domain,
+    * never by data), the cumulative window partitions by group over m
+    * rows, and the census is O(groups). The only data-sized stages are
+    * the three map-side-combined groupBys.
+    */
+  def tCloseness(
+      df: DataFrame, quasiCols: Seq[String], sensitive: String,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0, s"tCloseness: bad threshold $tNum/$tDen")
+    val q = quasiCols.map(col)
+    val base = df.filter(col(sensitive).isNotNull)
+      .select(q :+ col(sensitive).cast("long").as("v"): _*)
+    val tot = base.agg(count(lit(1)).as("big_n"),
+      count_distinct(col("v")).as("m"))
+    val vals = base.groupBy("v").agg(count(lit(1)).as("n_v"))
+    val grp = base.groupBy(q: _*).agg(count(lit(1)).as("n_g"))
+    val gv = base.groupBy(q :+ col("v"): _*).agg(count(lit(1)).as("n_gv"))
+    val grid = grp.crossJoin(broadcast(vals))
+      .join(gv, quasiCols :+ "v", "left")
+      .withColumn("n_gv", coalesce(col("n_gv"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val w = Window.partitionBy(q: _*).orderBy(col("v"))
+    val perGroup = grid
+      .withColumn("cum",
+        sum(col("n_gv") * col("big_n") - col("n_v") * col("n_g")).over(w))
+      .groupBy(q: _*)
+      .agg(max("n_g").as("n_g"), max("big_n").as("big_n"), max("m").as("m"),
+        sum(abs(col("cum"))).as("emd_num"))
+      .withColumn("violates",
+        lit(tDen.toLong) * col("emd_num") >
+          lit(tNum.toLong) * col("n_g") * col("big_n") * (col("m") - lit(1L)))
+    perGroup.agg(
+      sum("n_g").as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      sum(when(col("violates"), 1L).otherwise(0L)).as("n_groups_at_risk"),
+      coalesce(sum(when(col("violates"), col("n_g"))), lit(0L))
+        .as("n_rows_at_risk"))
+      .select(lit(tNum.toLong).as("t_num"), lit(tDen.toLong).as("t_den"),
+        col("n_rows"), col("n_groups"), col("n_groups_at_risk"),
+        col("n_rows_at_risk"),
         exactRatio(col("n_rows_at_risk"), col("n_rows"), 6).as("risk_share"))
   }
 

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Model-eval metrics: hand-computed confusion cells, the midrank AUC on
+  * a tied example worked by hand (pair-counting cross-check), degenerate
+  * separations, and the same-label MRR rank math including the no-hit
+  * zero-contribution rule.
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("confusionReport: hand-counted cells and exact ratios") {
+    // scores/labels: (10,1) (5,1) (0,0) (-5,1) (-10,0)
+    val df = Seq((10L, 1L), (5L, 1L), (0L, 0L), (-5L, 1L), (-10L, 0L))
+      .toDF("score", "y")
+    val got = graft.ops.Eval.confusionReport(df, "score", "y", Seq(0L))
+      .select("threshold", "tp", "fp", "fn", "tn", "accuracy", "prec",
+        "recall", "f1")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    // >= 0 predicts positive: tp = {10, 5} = 2, fp = {0} = 1,
+    // fn = {-5} = 1, tn = {-10} = 1
+    // accuracy 3/5 = .6, precision 2/3 = .666667 (half-up),
+    // recall 2/3, f1 = 4/(4+1+1) = .666667
+    assert(got == Seq((0L, 2L, 1L, 1L, 1L, 0.6, 0.666667, 0.666667,
+      0.666667)))
+  }
+
+  test("confusionReport: empty-denominator metrics are null, not NaN") {
+    val df = Seq((1L, 0L), (2L, 0L)).toDF("score", "y") // no positives
+    val row = graft.ops.Eval.confusionReport(df, "score", "y", Seq(10L))
+      .select("prec", "recall", "f1").collect().head
+    // threshold above every score: tp = fp = 0 -> precision null;
+    // no positive labels at all -> recall null; f1 denominator 0 -> null
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+  }
+
+  test("aucQuantized: tied example matches hand pair-counting") {
+    // scores [1, 2, 2, 3], labels [0, 1, 0, 1]
+    // pairs (pos vs neg): 2+ vs 1 win, 2+ vs 2- tie (0.5),
+    //                     3+ vs 1 win, 3+ vs 2- win => U = 3.5, AUC = 7/8
+    val df = Seq((1L, 0L), (2L, 1L), (2L, 0L), (3L, 1L)).toDF("s", "y")
+    val got = graft.ops.Eval.aucQuantized(df, "s", "y")
+      .select("n_pos", "n_neg", "n_scores", "auc")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got == ((2L, 2L, 3L, 0.875)))
+  }
+
+  test("aucQuantized: perfect and inverted separations hit 1 and 0") {
+    val perfect = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("s", "y")
+    val inverted = Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L)).toDF("s", "y")
+    assert(graft.ops.Eval.aucQuantized(perfect, "s", "y")
+      .select("auc").as[Double].collect().head == 1.0)
+    assert(graft.ops.Eval.aucQuantized(inverted, "s", "y")
+      .select("auc").as[Double].collect().head == 0.0)
+  }
+
+  private def emb(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("mrrSameLabel: first same-label neighbor at rank 2 gives 1/2") {
+    // query = vec_id 0 (the % 50 == 0 subset); cosines to [1,0]:
+    // id 1 -> .995 (label 2), id 2 -> .958 (label 1), id 3 -> 0 (label 3),
+    // id 4 -> -1 (label 1). First label-1 hit at rank 2.
+    val df = emb(
+      (0L, Seq(1f, 0f), 1), (1L, Seq(1f, 0.1f), 2), (2L, Seq(1f, 0.3f), 1),
+      (3L, Seq(0f, 1f), 3), (4L, Seq(-1f, 0f), 1))
+    val got = graft.ops.Eval.mrrSameLabel(df)
+      .select("label", "n_queries", "n_hit", "mrr")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1, 1L, 1L, 0.5)))
+  }
+
+  test("mrrSameLabel: no same-label neighbor contributes zero, not null") {
+    val df = emb(
+      (0L, Seq(1f, 0f), 9), (1L, Seq(1f, 0.1f), 2), (2L, Seq(1f, 0.3f), 1))
+    val got = graft.ops.Eval.mrrSameLabel(df)
+      .select("label", "n_queries", "n_hit", "mrr")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((9, 1L, 0L, 0.0)))
+  }
+
+  test("mrrSameLabel: k > 10 breaks 2520-exactness and fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Eval.mrrSameLabel(emb((0L, Seq(1f), 1)), k = 11)
+    }
+    assert(e.getMessage.contains("2520"))
+  }
+
+  test("tCloseness: hand EMD — fully skewed groups violate, uniform do not") {
+    // values {0,1}, global 2/2 (N=4, m=2); group a = {0,0}, b = {1,1}
+    // group a cum: v0 -> 2*4 - 2*2 = 4, v1 -> 4 + (0 - 2*2) = 0
+    // EMD = 4 / (2*4*1) = 0.5 > 1/5 -> both groups violate
+    val df = Seq(("a", 0L), ("a", 0L), ("b", 1L), ("b", 1L)).toDF("g", "v")
+    val got = graft.ops.Expectations.tCloseness(df, Seq("g"), "v", 1, 5)
+      .select("t_num", "t_den", "n_rows", "n_groups", "n_groups_at_risk",
+        "n_rows_at_risk", "risk_share")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((1L, 5L, 4L, 2L, 2L, 4L, 1.0)))
+
+    // perfectly mirrored groups: every group's distribution == global
+    val uniform = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L))
+      .toDF("g", "v")
+    val u = graft.ops.Expectations.tCloseness(uniform, Seq("g"), "v", 1, 5)
+      .select("n_groups_at_risk", "n_rows_at_risk", "risk_share")
+      .as[(Long, Long, Double)].collect().head
+    assert(u == ((0L, 0L, 0.0)))
+  }
+
+  test("tCloseness: single-valued attribute (m=1) is trivially t-close") {
+    val df = Seq(("a", 7L), ("b", 7L)).toDF("g", "v")
+    val got = graft.ops.Expectations.tCloseness(df, Seq("g"), "v", 1, 5)
+      .select("n_groups_at_risk").as[Long].collect().head
+    assert(got == 0L)
+  }
+
+  test("tCloseness: null sensitive values are excluded from the census") {
+    val df = Seq(("a", Option(0L)), ("a", Option(0L)), ("b", Option(1L)),
+      ("b", Option.empty[Long])).toDF("g", "v")
+    val got = graft.ops.Expectations.tCloseness(df, Seq("g"), "v", 1, 5)
+      .select("n_rows").as[Long].collect().head
+    assert(got == 3L)
+  }
+}

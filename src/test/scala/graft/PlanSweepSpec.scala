@@ -133,7 +133,14 @@ class PlanSweepSpec extends SparkSpec {
     // two 1-row broadcasts: the global row-count onto the (single-row)
     // merged ALL sample, and the same count onto the GlobalRowNumber-
     // ranked exact-certificate scan — both bounded attachments
-    "sketch_sample_quantile")
+    "sketch_sample_quantile",
+    // t-closeness grid: groups x BROADCAST(sensitive-value domain —
+    // bounded by the domain, never by data) plus a 1-row (N, m) totals
+    // broadcast
+    "dq_t_closeness",
+    // composes the brute scorer (bounded query-set broadcast, non-equi
+    // scored join) — the metric tail is all equi-joins
+    "eval_mrr")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

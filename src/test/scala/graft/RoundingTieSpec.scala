@@ -92,6 +92,8 @@ class RoundingTieSpec extends SparkSpec {
       "and delta-method variance"),
     "stat_ks" -> "IRRATIONAL: p-value passes through exp",
     "ts_ewma" -> "IRRATIONAL: (1-alpha)^j kernel weights",
+    "eval_mrr" -> (CosineReason + " (MRR itself is exact fixed point " +
+      "over 2520)"),
     "dedup_embedding" -> CosineReason,
     "dedup_embedding_adaptive" -> CosineReason,
     "dedup_embedding_lsh" -> CosineReason,
