@@ -582,6 +582,13 @@ object SparkEntry {
       // min-label rule — deterministic community detection (async LPA is
       // run-order-dependent); community-size census after 2 rounds
       graft.ops.Graph.labelPropagation(Tables.lineitem(s, dir))),
+    "graph_kcore" -> ((s, dir) =>
+      // k-core census by synchronous delta peeling: degree table built
+      // once, each round decrements survivors by a broadcast of the
+      // just-removed frontier; fixed 6 sweeps (idempotent past the
+      // fixpoint, mirroring the unrolled oracle) + a loud convergence
+      // assertion so an under-provisioned cap can never ship wrong
+      graft.ops.Graph.kCore(Tables.lineitem(s, dir))),
     "graph_hits" -> ((s, dir) =>
       // Kleinberg hubs & authorities on the directed supplier->part list:
       // L1-normalized half-steps in 1e-6 integer fixed point (truncating
@@ -1660,6 +1667,12 @@ object SparkEntry {
         Tables.lineitem(s, dir)
           .withColumn("ship_year", year(col("l_shipdate").cast("date")).cast("long")),
         "ship_year", Seq("l_orderkey", "l_quantity"))),
+    "maint_bin_pack" -> ((s, dir) =>
+      // small-files compaction planner: one file per order day (size =
+      // rows*64 + 1024 exactly), date-ordered byte stream cut at 256 KiB
+      // boundaries via pure prefix sum — the plan TableOps.compact would
+      // execute; planning runs on the O(days) domain, never on rows
+      graft.ops.Layout.compactionPlan(Tables.orders(s, dir), "o_orderdate")),
     "maint_zonemap_prune" -> ((s, dir) =>
       // layout-effectiveness study: zone-map (block min/max) pruning under
       // Z-order vs x-major clustering, quantified per probe shape — the
@@ -2173,6 +2186,47 @@ object SparkEntry {
         "o_totalprice", "__ref")),
   )
 
+  /** graph_kcore oracle: synchronous peeling unrolled to the same fixed
+    * 6 rounds as [[graft.ops.Graph.kCore]] — each round recomputes induced
+    * degrees over the previous survivor set and keeps nodes at >= 16.
+    * Rounds past the fixpoint reproduce the set unchanged, so the fixed
+    * unroll is exact regardless of where convergence lands (the Spark op
+    * asserts it lands inside the cap).
+    */
+  private val KCoreSql: String = {
+    val k = 16
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references the previous one TWICE (both edge endpoints), so an
+    // un-materialized 6-round chain expands 2^6-fold — measured as a
+    // 100-CPU-minute hang at sf1 vs 0.04 s materialized at sf0.01
+    val rounds = (1 to 6).map { r =>
+      s"""n$r AS MATERIALIZED (SELECT u AS node FROM (
+         |  SELECT e.u, count(*) AS d FROM e
+         |  JOIN n${r - 1} a ON e.u = a.node
+         |  JOIN n${r - 1} b ON e.v = b.node
+         |  GROUP BY e.u) WHERE d >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey*2 AS u, l_partkey*2+1 AS v
+       |  FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+       |n0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+       |$rounds
+       |SELECT CAST($k AS BIGINT) AS k,
+       |  (SELECT count(*) FROM n0) AS n_nodes,
+       |  (SELECT count(*) FROM n6) AS n_core_nodes,
+       |  (SELECT count(*) FROM n6 WHERE node % 2 = 0) AS n_core_suppliers,
+       |  (SELECT count(*) FROM n6 WHERE node % 2 = 1) AS n_core_parts,
+       |  (SELECT CAST(count(*) // 2 AS BIGINT) FROM e
+       |     JOIN n6 a ON e.u = a.node
+       |     JOIN n6 b ON e.v = b.node) AS n_core_edges,
+       |  CAST(((SELECT count(*) FROM n6) * 2000000
+       |        + (SELECT count(*) FROM n0))
+       |       // (2 * (SELECT count(*) FROM n0)) AS DOUBLE) / 1000000.0
+       |    AS core_share""".stripMargin
+  }
+
   /** Shared by sim_topk_ivf and sim_topk_ivf_persisted: the persisted-index
     * read-back is bit-exact (double arrays round-trip parquet losslessly),
     * so both paths compute identical results.
@@ -2352,6 +2406,7 @@ object SparkEntry {
         |          FROM l2 GROUP BY 1)
         |SELECT community_size, CAST(count(*) AS BIGINT) AS n_communities
         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_kcore" -> KCoreSql,
     "graph_hits" -> // both iterations unrolled; every half-step the same
       // integer arithmetic: raw BIGINT sums, (raw*1e6) // tot truncation
       """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
@@ -4946,6 +5001,22 @@ object SparkEntry {
         |       count(*) AS n_rows
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+    "maint_bin_pack" -> // same size model and prefix-sum cut, HUGEINT
+      // sums cast back to BIGINT before the integral divide
+      """WITH f AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |             count(*) AS n_rows
+        |           FROM orders GROUP BY 1),
+        |b AS (SELECT d, n_rows, n_rows * 64 + 1024 AS bytes FROM f),
+        |c AS (SELECT *, COALESCE(sum(bytes) OVER (ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS cum_before FROM b),
+        |g AS (SELECT CAST(CAST(cum_before AS BIGINT) // 262144 AS BIGINT)
+        |        AS bin, n_rows, bytes, d FROM c)
+        |SELECT bin, count(*) AS n_files,
+        |       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |       min(d) AS d_min, max(d) AS d_max
+        |FROM g GROUP BY 1 ORDER BY bin""".stripMargin,
     "maint_zonemap_prune" -> // same integer bucketing, the Morton key as
       // its 16-term closed form (bit i of xb -> 4^i, bit i of yb ->
       // 2*4^i; LayoutSpec pins it against the native expression), same

@@ -483,4 +483,75 @@ object Graph {
     topA.unionByName(topH)
       .orderBy(col("kind"), col("score_fp").desc, col("node"))
   }
+
+  /** k-core census of the supplier↔part interaction graph: the maximal
+    * subgraph in which every node keeps degree ≥ `k`, found by synchronous
+    * peeling (each round simultaneously drops every node whose CURRENT
+    * induced degree is below `k` — the order-free rendering, so the result
+    * is a set, not a trace). One census row: total nodes, core
+    * nodes/suppliers/parts, core edges, core share. The standard density
+    * screen before sampling walks or training GNN-ish features — the
+    * k-core is where negative sampling stays informative.
+    *
+    * Peeling is DELTA-based: the full degree table is built once, and each
+    * round joins the static checkpointed edge list against only the
+    * just-REMOVED frontier (guard-broadcast — typically tiny after round
+    * one) to decrement survivor degrees. The edge list is hash-partitioned
+    * once and never reshuffled; per-round traffic is O(edges touching the
+    * frontier), not O(edges). Runs a FIXED `rounds` sweeps (idempotent
+    * after the fixpoint — exactly how the oracle unrolls) and then FAILS
+    * LOUDLY if one more peel would still remove nodes, so an
+    * under-provisioned cap can never ship a wrong census. Σd over
+    * survivors = 2·|core edges| (d is the induced degree), so the edge
+    * count needs no extra join.
+    */
+  def kCore(
+      lineitem: DataFrame, k: Int = 16, rounds: Int = 6): DataFrame = {
+    require(k >= 2, s"kCore: k=$k below 2 (k=1 keeps every non-isolate)")
+    require(rounds >= 1 && rounds <= 12,
+      s"kCore: rounds=$rounds outside 1..12 (peeling on interaction " +
+        "graphs converges in a handful of sweeps; a deeper cascade wants " +
+        "a degree-ordered sequential decomposition instead)")
+    val once = lineitem.select(
+      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
+      .distinct()
+    val edges = once
+      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .localCheckpoint()
+    var deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+      .withColumnRenamed("u", "node")
+      .localCheckpoint()
+    val nTotal = deg.count()
+    for (_ <- 1 to rounds) {
+      val removed = deg.filter(col("d") < k).select("node")
+      val lost = edges
+        .join(graft.operators.Broadcasting.checked(
+          removed.withColumnRenamed("node", "v"),
+          tag = "k-core removed frontier"), Seq("v"))
+        .groupBy("u").agg(count(lit(1)).as("lost"))
+        .withColumnRenamed("u", "node")
+      deg = deg.filter(col("d") >= k)
+        .join(lost, Seq("node"), "left")
+        .select(col("node"),
+          (col("d") - coalesce(col("lost"), lit(0L))).as("d"))
+        .localCheckpoint() // bound lineage: each round reads bytes
+    }
+    val leftover = deg.filter(col("d") < k).count()
+    require(leftover == 0,
+      s"kCore: $leftover nodes still below k=$k after $rounds rounds — " +
+        "the peeling cascade has not converged; raise `rounds` (and " +
+        "unroll the oracle to match)")
+    deg.agg(
+      count(lit(1)).as("n_core_nodes"),
+      coalesce(sum(when(col("node") % 2 === 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_core_suppliers"),
+      coalesce(sum(when(col("node") % 2 === 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_core_parts"),
+      coalesce(expr("sum(d) div 2"), lit(0L)).as("n_core_edges"))
+      .select(lit(k.toLong).as("k"), lit(nTotal).as("n_nodes"),
+        col("n_core_nodes"), col("n_core_suppliers"), col("n_core_parts"),
+        col("n_core_edges"),
+        exactRatio(col("n_core_nodes"), lit(nTotal), 6).as("core_share"))
+  }
 }

@@ -119,4 +119,44 @@ object Layout {
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(num.cast("long")),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(den.cast("long"))))
+
+  /** Small-files compaction PLAN: given one input file per `dateCol` day
+    * (the post-ingest swamp a daily writer leaves behind — size modeled
+    * exactly as `n_rows·rowBytes + headerBytes`), assign each day-file to
+    * an output bin by cutting the date-ordered byte stream at
+    * `targetBytes` boundaries: bin = floor(bytes-before / target). The
+    * streaming-concat formulation (inputs may split/merge freely — a
+    * parquet rewrite can) keeps the plan a pure prefix sum: deterministic,
+    * integer-exact, and date-clustering-preserving, where true next-fit /
+    * first-fit-decreasing is inherently sequential state. One row per
+    * output bin: file count, rows, bytes, and the date range it covers —
+    * what [[graft.icenet.TableOps.compact]] would execute.
+    *
+    * Plan shape: one data-sized grouped aggregate collapses to O(days);
+    * the cumulative window runs on that bounded day table (single
+    * partition by design — the win is that planning runs on the day
+    * domain, never on rows), then an O(bins) rollup. At 100 TB the input
+    * would be the file manifest itself — already O(files) — and the only
+    * data-sized stage disappears entirely.
+    */
+  def compactionPlan(
+      df: DataFrame, dateCol: String, rowBytes: Long = 64L,
+      headerBytes: Long = 1024L, targetBytes: Long = 262144L): DataFrame = {
+    require(rowBytes > 0 && headerBytes >= 0 && targetBytes > 0,
+      s"compactionPlan: bad size model ($rowBytes, $headerBytes, $targetBytes)")
+    val files = df
+      .groupBy(to_date(col(dateCol)).as("d"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bytes", col("n_rows") * rowBytes + headerBytes)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", exactDiv(col("cum_before"), lit(targetBytes)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+        sum("bytes").as("bin_bytes"),
+        min("d").as("d_min"), max("d").as("d_max"))
+      .orderBy("bin")
+  }
 }

@@ -270,4 +270,39 @@ class GraphSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](Graph.hits(li, iters = 9))
     assert(e2.getMessage.contains("iters"))
   }
+
+  test("kCore: one peel removes the leaf, survivors keep induced degrees") {
+    // s1 -> {p1, p2, p3}, s2 -> {p1, p2}: p3 has degree 1; peeling at
+    // k=2 drops it, s1's degree falls 3 -> 2, everyone else stays.
+    // core = {s1, s2, p1, p2}, induced edges = 4, share 4/5
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L))
+      .toDF("l_suppkey", "l_partkey")
+    val got = Graph.kCore(li, k = 2, rounds = 3)
+      .select("k", "n_nodes", "n_core_nodes", "n_core_suppliers",
+        "n_core_parts", "n_core_edges", "core_share")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((2L, 5L, 4L, 2L, 2L, 4L, 0.8)))
+  }
+
+  test("kCore: a chain cascades to an empty core, zeros not nulls") {
+    // path s1 - p1 - s2 - p2: every round exposes new degree-1 ends
+    val li = Seq((1L, 1L), (2L, 1L), (2L, 2L))
+      .toDF("l_suppkey", "l_partkey")
+    val got = Graph.kCore(li, k = 2, rounds = 3)
+      .select("n_core_nodes", "n_core_suppliers", "n_core_parts",
+        "n_core_edges", "core_share")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((0L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("kCore: an under-provisioned round cap fails loudly, never ships") {
+    // the same cascade needs 2 removal rounds; cap at 1 must throw
+    val li = Seq((1L, 1L), (2L, 1L), (2L, 2L))
+      .toDF("l_suppkey", "l_partkey")
+    val e = intercept[IllegalArgumentException](
+      Graph.kCore(li, k = 2, rounds = 1))
+    assert(e.getMessage.contains("not converged"))
+    val e2 = intercept[IllegalArgumentException](Graph.kCore(li, k = 1))
+    assert(e2.getMessage.contains("k=1"))
+  }
 }

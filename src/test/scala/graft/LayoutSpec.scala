@@ -67,4 +67,36 @@ class LayoutSpec extends SparkSpec {
     // full-height x-band: x-major's home game — linear must not lose
     assert(rowsRead("linear", "band_x16") <= rowsRead("zorder", "band_x16"))
   }
+
+  test("compactionPlan: prefix-sum cut groups day-files by hand") {
+    // rowBytes=10, header=0, target=100; day sizes 50, 60, 10:
+    // cum_before 0, 50, 110 -> bins 0, 0, 1
+    val rows = Seq.fill(5)("2024-01-01") ++ Seq.fill(6)("2024-01-02") ++
+      Seq("2024-01-03")
+    val df = rows.toDF("ts")
+    val got = Layout.compactionPlan(df, "ts", rowBytes = 10L,
+      headerBytes = 0L, targetBytes = 100L)
+      .select(col("bin"), col("n_files"), col("n_rows"), col("bin_bytes"),
+        col("d_min").cast("string"), col("d_max").cast("string"))
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 11L, 110L, "2024-01-01", "2024-01-02"),
+      (1L, 1L, 1L, 10L, "2024-01-03", "2024-01-03")))
+  }
+
+  test("compactionPlan: an oversized day still lands in ONE bin (splits " +
+    "are the executor's business, the plan never double-counts)") {
+    // day sizes 120, 300, 10 with target 100: cum_before 0, 120, 420
+    // -> bins 0, 1, 4 — bins are byte offsets, monotone, never repeated
+    val rows = Seq.fill(12)("2024-02-01") ++ Seq.fill(30)("2024-02-02") ++
+      Seq("2024-02-03")
+    val got = Layout.compactionPlan(rows.toDF("ts"), "ts", rowBytes = 10L,
+      headerBytes = 0L, targetBytes = 100L)
+      .select("bin", "n_files", "bin_bytes")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 120L), (1L, 1L, 300L), (4L, 1L, 10L)))
+    val e = intercept[IllegalArgumentException](
+      Layout.compactionPlan(rows.toDF("ts"), "ts", targetBytes = 0L))
+    assert(e.getMessage.contains("size model"))
+  }
 }
