@@ -844,6 +844,24 @@ object SparkEntry {
       graft.ops.Features.winsorize(Tables.lineitem(s, dir),
         "l_returnflag", "l_extendedprice",
         idCols = Seq("l_orderkey", "l_linenumber"))),
+    "skew_distinct_salted" -> ((s, dir) =>
+      // exact distinct parts per returnflag (3 groups, heavy per-group
+      // state — the distinct-skew scenario) by VALUE-domain salting:
+      // per-(key, id mod 32) distinct counts add exactly, so phase one is
+      // 32-way parallel bounded state and phase two an O(keys x 32) sum
+      operators.SkewProfile.saltedDistinct(
+        Tables.lineitem(s, dir), "l_returnflag", "l_partkey")),
+    "incr_distinct_maintain" -> ((s, dir) => {
+      // IVM triad's third leg: distinct is non-algebraic, so the standing
+      // state is a mergeable bitmap per group; maintained total, overlap
+      // with the batch, and net-new distinct must equal the full
+      // recompute (oracle). Batch = every 10th orderkey.
+      val o = Tables.orders(s, dir)
+      graft.ops.Bitmaps.incrementalDistinct(
+        o.filter(col("o_orderkey") % 10 =!= 0),
+        o.filter(col("o_orderkey") % 10 === 0),
+        col("o_orderpriority"), col("o_custkey"))
+    }),
     "skew_hot_keys" -> ((s, dir) =>
       // hottest join keys by exact count + corpus share (bounded-heap top-k,
       // not sort+limit) - the pre-shuffle skew diagnostic
@@ -3249,6 +3267,36 @@ object SparkEntry {
         |       round(least(greatest(l.l_extendedprice, b.p_lo), b.p_hi), 6)
         |         AS clamped
         |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
+    "skew_distinct_salted" -> // the oracle is the PLAIN distinct — the
+      // hash match certifies value-salting changes the plan, never the
+      // answer
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+        |FROM lineitem WHERE l_partkey IS NOT NULL
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "incr_distinct_maintain" -> // full recompute per side + union: the
+      // maintained bitmap totals must match counting from raw
+      """WITH b AS (SELECT o_orderpriority AS grp, o_custkey AS id
+        |           FROM orders
+        |           WHERE o_orderkey % 10 <> 0 AND o_custkey IS NOT NULL),
+        |d AS (SELECT o_orderpriority AS grp, o_custkey AS id
+        |      FROM orders
+        |      WHERE o_orderkey % 10 = 0 AND o_custkey IS NOT NULL),
+        |sb AS (SELECT grp, count(DISTINCT id) AS n_base FROM b GROUP BY 1),
+        |sd AS (SELECT grp, count(DISTINCT id) AS n_delta FROM d GROUP BY 1),
+        |st AS (SELECT grp, count(DISTINCT id) AS n_total
+        |       FROM (SELECT * FROM b UNION ALL SELECT * FROM d)
+        |       GROUP BY 1)
+        |SELECT st.grp,
+        |       COALESCE(n_base, 0) AS n_base,
+        |       COALESCE(n_delta, 0) AS n_delta,
+        |       n_total,
+        |       COALESCE(n_base, 0) + COALESCE(n_delta, 0) - n_total
+        |         AS n_already_seen,
+        |       n_total - COALESCE(n_base, 0) AS n_new_distinct
+        |FROM st LEFT JOIN sb USING (grp) LEFT JOIN sd USING (grp)
+        |ORDER BY grp""".stripMargin,
     "skew_hot_keys" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
         |            WHERE user_id IS NOT NULL GROUP BY 1),

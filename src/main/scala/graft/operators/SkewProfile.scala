@@ -54,6 +54,32 @@ object SkewProfile {
         exactRatio(col("pair.score"), col("total"), 6).as("share"))
   }
 
+  /** Exact COUNT(DISTINCT value) per key by VALUE-DOMAIN salting — the
+    * two-phase rendering that survives few-groups/heavy-state skew. Plain
+    * map-side combine collapses a hot key's COUNT/SUM stream, but a
+    * DISTINCT aggregate's partial state is a SET: with few groups, every
+    * map task carries the hot group's whole id set and the merge
+    * serializes on one reducer. Salting the VALUE (`value mod salts`)
+    * makes per-(key, salt) distinct counts ADD exactly — the salt
+    * partitions the id domain, so no id is counted twice — turning phase
+    * one into `salts`-way parallel bounded-state aggregates and phase two
+    * into an O(keys × salts) integer sum.
+    *
+    * Requires an integral, non-negative value column (ids); NULL values
+    * are excluded (count_distinct semantics) up front.
+    */
+  def saltedDistinct(
+      df: DataFrame, key: String, value: String, salts: Int = 32): DataFrame = {
+    require(salts >= 2 && salts <= 4096,
+      s"saltedDistinct: salts=$salts outside 2..4096")
+    df.filter(col(value).isNotNull)
+      .groupBy(col(key),
+        pmod(col(value).cast("long"), lit(salts.toLong)).as("__vsalt"))
+      .agg(count(lit(1)).as("__n"), count_distinct(col(value)).as("__d"))
+      .groupBy(key)
+      .agg(sum("__n").as("n_rows"), sum("__d").as("n_distinct"))
+  }
+
   /** Key-frequency histogram in exact power-of-two buckets: for each
     * `bucket_lo = 2^floor(log2(cnt))`, how many distinct keys land there
     * and how many ROWS they carry. A healthy uniform key puts all keys in

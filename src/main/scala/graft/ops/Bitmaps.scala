@@ -46,6 +46,49 @@ object Bitmaps {
       .orderBy("grp")
   }
 
+  /** Incremental maintenance of per-group EXACT distinct counts — the
+    * IVM triad's third leg after the algebraic-aggregate and join-delta
+    * rules ([[IncrementalAgg]]): distinct is NON-algebraic (new batch
+    * counts don't add — some ids were already seen), so the standing
+    * state must be a mergeable id SET. Per group: the standing bitmap
+    * (from `base`), the delta batch's bitmap, and the maintained total =
+    * |standing ∪ delta| — plus the already-seen overlap and the net-new
+    * distinct, the two numbers an ingest monitor actually wants.
+    *
+    * Scale: the base is scanned ONCE ever (its bitmaps persist — here
+    * rebuilt because the oracle recomputes from raw); each batch touches
+    * only delta rows, and the merge is bitmap algebra over O(groups)
+    * binary values. Groups may appear on either side only (full-outer
+    * stitch, absent side counts 0).
+    */
+  def incrementalDistinct(
+      base: DataFrame, delta: DataFrame, grp: Column, id: Column): DataFrame = {
+    def bms(df: DataFrame): DataFrame = df.filter(id.isNotNull)
+      .select(grp.as("grp"), id.cast("long").as("id"))
+      .groupBy("grp").agg(Bitmap.bitmapBuild(col("id")).as("bm"))
+    val standing = bms(base)
+    val deltaBm = bms(delta)
+    val merged = standing.unionByName(deltaBm)
+      .groupBy("grp").agg(Bitmap.bitmapMerge(col("bm")).as("bm"))
+    val sides = standing
+      .select(col("grp"), Bitmap.bitmapCardinality(col("bm")).as("n_base"))
+      .join(deltaBm.select(col("grp"),
+        Bitmap.bitmapCardinality(col("bm")).as("n_delta")),
+        Seq("grp"), "full_outer")
+    merged
+      .select(col("grp"), Bitmap.bitmapCardinality(col("bm")).as("n_total"))
+      .join(sides, Seq("grp"), "left")
+      .select(col("grp"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        col("n_total"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L))
+          - col("n_total")).as("n_already_seen"),
+        (col("n_total") - coalesce(col("n_base"), lit(0L)))
+          .as("n_new_distinct"))
+      .orderBy("grp")
+  }
+
   /** Year-over-year (or any ordered-bucket) audience retention from
     * bitmaps alone: per consecutive bucket pair, |A|, |B|, |A∩B| off the
     * two serialized bitmaps ([[Bitmap.andCardinality]]'s two-pointer

@@ -139,4 +139,17 @@ class BitmapSpec extends SparkSpec {
       spark.sql("SELECT graft_bitmap_merge(grp) FROM bitmap_sql_in").collect())
     assert(e.getMessage.contains("binary bitmap"))
   }
+  test("incrementalDistinct: merged totals equal recompute, sides stitch") {
+    // base: g1 {1,2,3}, g2 {10}; delta: g1 {3,4} (one seen, one new),
+    // g3 {7} (delta-only group)
+    val base = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g2", 10L))
+      .toDF("g", "id")
+    val delta = Seq(("g1", 3L), ("g1", 4L), ("g3", 7L)).toDF("g", "id")
+    val got = Bitmaps.incrementalDistinct(base, delta, col("g"), col("id"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("g1", 3L, 2L, 4L, 1L, 1L),   // 3 standing, 2 in batch, 1 overlap
+      ("g2", 1L, 0L, 1L, 0L, 0L),   // untouched by the batch
+      ("g3", 0L, 1L, 1L, 0L, 1L)))  // born in the batch
+  }
 }

@@ -68,4 +68,23 @@ class SkewProfileSpec extends SparkSpec {
     assert(top.map(_.getAs[Long]("k")).toSeq == Seq(7L, 8L))
     assert(math.abs(top.head.getAs[Double]("share") - 4.0 / 5.0) < 1e-6)
   }
+  test("saltedDistinct: value-salting reproduces the plain distinct exactly") {
+    // key a: values {1, 2, 33, 34, 2} (4 distinct, 5 rows); key b: {1} —
+    // values chosen to land in DIFFERENT salt residues (mod 32) and to
+    // repeat across rows, so both the add-across-salts and the
+    // within-salt dedup paths are exercised
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 33L), ("a", 34L), ("a", 2L),
+      ("b", 1L)).toDF("k", "v")
+    val got = SkewProfile.saltedDistinct(df, "k", "v", salts = 32)
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 5L, 4L), ("b", 1L, 1L)))
+    // nulls excluded from rows and distincts, like count_distinct
+    val withNull = Seq(("a", Option(1L)), ("a", Option.empty[Long]))
+      .toDF("k", "v")
+    assert(SkewProfile.saltedDistinct(withNull, "k", "v")
+      .as[(String, Long, Long)].collect().toSeq == Seq(("a", 1L, 1L)))
+    val e = intercept[IllegalArgumentException](
+      SkewProfile.saltedDistinct(df, "k", "v", salts = 1))
+    assert(e.getMessage.contains("salts"))
+  }
 }
