@@ -911,6 +911,22 @@ object SparkEntry {
         left, right, "user_id", "ts", "ts",
         Seq("purchase_event_id", "purchase_value"))
     },
+    "j5d_asof_nearest" -> { (s, dir) =>
+      // nearest as-of (pandas direction='nearest'): whichever purchase
+      // sits closer in time, exact integer-microsecond distances,
+      // equidistant -> backward (pinned); composed from the two
+      // directional one-shuffle passes, winner's payload taken whole
+      val ev = Tables.events(s, dir)
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_event_id"),
+          col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.leftAsOfNearest(
+        left, right, "user_id", "ts", "ts",
+        Seq("purchase_event_id", "purchase_value"))
+    },
     "j5b_asof_tolerance" -> { (s, dir) =>
       // the pandas merge_asof tolerance variant: matches staler than 30
       // minutes are discarded (payload nulled atomically); the bound
@@ -4166,6 +4182,41 @@ object SparkEntry {
         |       r.purchase_event_id, r.purchase_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.nts >= r.nts""".stripMargin,
+    "j5d_asof_nearest" -> // both directional ASOF matches (backward
+      // plain, forward over negated epochs), then a per-row integer
+      // distance pick; bus/fus (matched TIMES) decide matched-ness, so a
+      // null payload field could never masquerade as a miss
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type, value,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |                  -epoch_us(CAST(ts AS TIMESTAMP)) AS ntus
+        |           FROM events WHERE event_type <> 'purchase'),
+        |r AS (SELECT user_id, ts, epoch_us(ts) AS rus, -epoch_us(ts)
+        |        AS nrus, purchase_event_id, purchase_value FROM (
+        |        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |               event_id AS purchase_event_id,
+        |               value AS purchase_value,
+        |               row_number() OVER (PARTITION BY user_id,
+        |                 CAST(ts AS TIMESTAMP)
+        |                 ORDER BY event_id DESC, value DESC) AS rn
+        |        FROM events WHERE event_type = 'purchase')
+        |      WHERE rn = 1),
+        |b AS (SELECT l.event_id, r.purchase_event_id AS pb,
+        |        r.purchase_value AS vb, r.rus AS bus
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.tus >= r.rus),
+        |f AS (SELECT l.event_id, r.purchase_event_id AS pf,
+        |        r.purchase_value AS vf, -r.nrus AS fus
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ntus >= r.nrus)
+        |SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
+        |       CASE WHEN bus IS NOT NULL
+        |                  AND (fus IS NULL OR l.tus - bus <= fus - l.tus)
+        |            THEN pb ELSE pf END AS purchase_event_id,
+        |       CASE WHEN bus IS NOT NULL
+        |                  AND (fus IS NULL OR l.tus - bus <= fus - l.tus)
+        |            THEN vb ELSE vf END AS purchase_value
+        |FROM l JOIN b USING (event_id) JOIN f USING (event_id)""".stripMargin,
     "j5b_asof_tolerance" -> // ASOF match, then the same exact-microsecond
       // staleness bound applied to BOTH payload columns at once
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -105,6 +105,46 @@ object AsOfJoin {
       .drop(lt)
   }
 
+  /** Nearest as-of join — pandas `merge_asof(direction='nearest')`: for
+    * each left row, whichever of the latest-at-or-before and
+    * earliest-at-or-after right rows sits closer in time (exact integer
+    * microsecond distances). PINNED tie rule: equidistant candidates go
+    * BACKWARD (pandas' `bdiff <= fdiff` comparison); right rows sharing
+    * (key, time) inherit [[leftAsOf]]'s largest-payload rule. A one-sided
+    * miss (nothing before / nothing after) falls back to the other side;
+    * no right row at all leaves the payload null.
+    *
+    * Composed from the two directional passes (each the one-shuffle
+    * window plan), with the matched right TIME riding each payload struct
+    * so the pick is a per-row integer comparison; both candidate rows
+    * stay ATOMIC — the winner's payload is taken whole, never a
+    * column-wise mix of the two sides.
+    */
+  def leftAsOfNearest(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val bSuf = "__near_b"
+    val fSuf = "__near_f"
+    val bt = "__near_bt"
+    val ft = "__near_ft"
+    def renamed(suffix: String): DataFrame =
+      rightPayload.foldLeft(right)((df, p) => df.withColumnRenamed(p, p + suffix))
+    val bwd = leftAsOf(left, renamed(bSuf).withColumn(bt, col(rightTime)),
+      key, leftTime, rightTime, rightPayload.map(_ + bSuf) :+ bt)
+    val both = leftAsOfForward(bwd, renamed(fSuf).withColumn(ft, col(rightTime)),
+      key, leftTime, rightTime, rightPayload.map(_ + fSuf) :+ ft)
+    val lt = unix_micros(col(leftTime).cast("timestamp"))
+    val dBack = lt - unix_micros(col(bt).cast("timestamp"))
+    val dFwd = unix_micros(col(ft).cast("timestamp")) - lt
+    val useBack = col(bt).isNotNull && (col(ft).isNull || dBack <= dFwd)
+    val filled = rightPayload.foldLeft(both) { (d, p) =>
+      d.withColumn(p, when(useBack, col(p + bSuf)).otherwise(col(p + fSuf)))
+    }
+    filled.select(left.columns.map(col).toIndexedSeq ++
+      rightPayload.map(col): _*)
+  }
+
   /** [[leftAsOf]] with a staleness bound — pandas `merge_asof(...,
     * tolerance=...)`: a match older than `toleranceMicros` is discarded
     * (whole payload nulled AT ONCE, preserving the row-atomicity

@@ -121,4 +121,40 @@ class AsOfJoinSpec extends SparkSpec {
       .select("id", "rv").as[(Long, Option[Double])].collect().toMap
     assert(at(3L).contains(200.0))
   }
+
+  test("nearest: closer side wins, exact equidistance goes backward") {
+    val r2 = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 100.0),
+      (10L, ts("2024-01-01 11:00:00"), 200.0)
+    ).toDF("k", "rt", "rv")
+    val l2 = Seq(
+      (1L, 10L, ts("2024-01-01 10:10:00")), // 10 min back vs 50 min fwd
+      (2L, 10L, ts("2024-01-01 10:50:00")), // 50 min back vs 10 min fwd
+      (3L, 10L, ts("2024-01-01 10:30:00")), // EXACT tie -> backward
+      (4L, 10L, ts("2024-01-01 09:00:00")), // nothing before -> forward
+      (5L, 10L, ts("2024-01-01 12:00:00")), // nothing after -> backward
+      (6L, 99L, ts("2024-01-01 10:30:00"))  // no right rows at all
+    ).toDF("id", "k", "t")
+    val got = AsOfJoin.leftAsOfNearest(l2, r2, "k", "t", "rt", Seq("rv"))
+      .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(100.0))
+    assert(got(2L).contains(200.0))
+    assert(got(3L).contains(100.0)) // pinned: ties go backward
+    assert(got(4L).contains(100.0))
+    assert(got(5L).contains(200.0))
+    assert(got(6L).isEmpty)
+  }
+
+  test("nearest: one-microsecond asymmetry breaks the tie") {
+    val r2 = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 100.0),
+      (10L, ts("2024-01-01 11:00:00"), 200.0)
+    ).toDF("k", "rt", "rv")
+    // 10:30:00.000001 sits one microsecond CLOSER to 11:00 than to 10:00
+    val l2 = Seq((1L, 10L, ts("2024-01-01 10:30:00.000001")))
+      .toDF("id", "k", "t")
+    val got = AsOfJoin.leftAsOfNearest(l2, r2, "k", "t", "rt", Seq("rv"))
+      .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(200.0))
+  }
 }
