@@ -582,6 +582,11 @@ object SparkEntry {
       // min-label rule — deterministic community detection (async LPA is
       // run-order-dependent); community-size census after 2 rounds
       graft.ops.Graph.labelPropagation(Tables.lineitem(s, dir))),
+    "graph_link_predict" -> ((s, dir) =>
+      // top-20 NON-adjacent part pairs by common-neighbor Jaccard on the
+      // strong-tie graph — the wedges that did NOT close, ranked; exact
+      // integer counts, exact-ratio Jaccard, (u,v) tiebreaks
+      graft.ops.Graph.linkPrediction(Tables.lineitem(s, dir))),
     "graph_kcore" -> ((s, dir) =>
       // k-core census by synchronous delta peeling: degree table built
       // once, each round decrements survivors by a broadcast of the
@@ -2441,6 +2446,33 @@ object SparkEntry {
         |SELECT community_size, CAST(count(*) AS BIGINT) AS n_communities
         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_kcore" -> KCoreSql,
+    "graph_link_predict" -> // same strong-tie edge derivation as
+      // graph_triangles; wedge pairs per center, anti-join the edge
+      // list, exact-ratio Jaccard, identical top-20 cut
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket,
+        |                 l_partkey AS item
+        |               FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.item AS u, b.item AS v
+        |      FROM items a JOIN items b
+        |        ON a.basket = b.basket AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS MATERIALIZED (SELECT u, v FROM e
+        |                     UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS MATERIALIZED (SELECT u, count(*) AS d FROM adj GROUP BY 1),
+        |wed AS (SELECT a.v AS x, b.v AS y, count(*) AS n_common
+        |        FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+        |        GROUP BY 1, 2 HAVING count(*) >= 1),
+        |cand AS (SELECT x, y, n_common FROM wed
+        |         WHERE NOT EXISTS (SELECT 1 FROM e
+        |                           WHERE e.u = wed.x AND e.v = wed.y))
+        |SELECT cand.x AS u, cand.y AS v,
+        |       CAST(n_common AS BIGINT) AS n_common,
+        |       CAST(dx.d AS BIGINT) AS deg_u, CAST(dy.d AS BIGINT) AS deg_v,
+        |       CAST((n_common * 2000000 + (dx.d + dy.d - n_common))
+        |            // (2 * (dx.d + dy.d - n_common)) AS DOUBLE) / 1000000.0
+        |         AS jaccard
+        |FROM cand JOIN deg dx ON dx.u = cand.x JOIN deg dy ON dy.u = cand.y
+        |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
     "graph_hits" -> // both iterations unrolled; every half-step the same
       // integer arithmetic: raw BIGINT sums, (raw*1e6) // tot truncation
       """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,

@@ -484,6 +484,55 @@ object Graph {
       .orderBy(col("kind"), col("score_fp").desc, col("node"))
   }
 
+  /** Link prediction by common-neighbor Jaccard over the strong-tie
+    * co-purchase graph: the `topK` NON-adjacent part pairs ranked by
+    * |N(u)∩N(v)| / |N(u)∪N(v)| among pairs sharing at least `minCommon`
+    * neighbors — "these two parts are bought with the same things but
+    * never together", the complement of [[triangleStats]] (which counts
+    * the wedges that DID close; this ranks the ones that didn't). The
+    * standard recommender/negative-mining primitive.
+    *
+    * Exactness: common counts and degrees are integers; Jaccard presents
+    * via [[exactRatio]] and the ranking orders by that shared 6-dp value
+    * with (u, v) tiebreaks, so the top-k cut is engine-identical.
+    *
+    * Scale shape: candidate pairs come from per-center neighbor-pair
+    * expansion (one merge-join exchange on the center, like
+    * [[graft.ops.Association.basketPairs]]) — O(Σ deg²) wedges, kept
+    * tractable by the SAME two knobs the triangle census uses: the
+    * strong-tie `minSupport` cut sparsifies hubs before expansion, and
+    * `minCommon` prunes the candidate table before the degree joins.
+    * The existing-edge exclusion is one anti-join on the deduped edge
+    * list.
+    */
+  def linkPrediction(
+      lineitem: DataFrame, maxBasketSize: Int = 1000, minSupport: Int = 2,
+      minCommon: Int = 1, topK: Int = 20): DataFrame = {
+    require(minCommon >= 1, s"linkPrediction: minCommon=$minCommon < 1")
+    val edges = coPurchaseEdges(lineitem, maxBasketSize, minSupport)
+    val adj = edges.unionByName(
+      edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint() // feeds degrees AND the wedge self-join
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+    val wedges = adj.hint("merge").as("a")
+      .join(adj.hint("merge").as("b"),
+        col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .select(col("a.v").as("x"), col("b.v").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    val nonEdges = wedges.join(edges,
+      wedges("x") === edges("u") && wedges("y") === edges("v"), "left_anti")
+    nonEdges
+      .join(deg.select(col("u").as("x"), col("d").as("deg_u")), Seq("x"))
+      .join(deg.select(col("u").as("y"), col("d").as("deg_v")), Seq("y"))
+      .select(col("x").as("u"), col("y").as("v"), col("n_common"),
+        col("deg_u"), col("deg_v"),
+        exactRatio(col("n_common"),
+          col("deg_u") + col("deg_v") - col("n_common"), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u").asc, col("v").asc)
+      .limit(topK)
+  }
+
   /** k-core census of the supplier↔part interaction graph: the maximal
     * subgraph in which every node keeps degree ≥ `k`, found by synchronous
     * peeling (each round simultaneously drops every node whose CURRENT

@@ -271,6 +271,30 @@ class GraphSpec extends SparkSpec {
     assert(e2.getMessage.contains("iters"))
   }
 
+  test("linkPrediction: non-adjacent pairs ranked by exact Jaccard, " +
+    "existing edges excluded") {
+    // one basket per edge: 1-2, 1-3, 1-4, 5-2, 5-3 (support-1 graph).
+    // candidates at minCommon=2: (2,3) share {1,5} -> 2/(2+2-2) = 1.0;
+    // (1,5) share {2,3} -> 2/(3+2-2) = 0.666667
+    val li = Seq((101L, 1L), (101L, 2L), (102L, 1L), (102L, 3L),
+      (103L, 1L), (103L, 4L), (104L, 5L), (104L, 2L), (105L, 5L),
+      (105L, 3L)).toDF("l_orderkey", "l_partkey")
+    val got = Graph.linkPrediction(li, minSupport = 1, minCommon = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (2L, 3L, 2L, 2L, 2L, 1.0),
+      (1L, 5L, 2L, 3L, 2L, 0.666667)))
+    // close the 2-3 edge: the pair leaves the candidate set
+    val li2 = li.unionByName(
+      Seq((106L, 2L), (106L, 3L)).toDF("l_orderkey", "l_partkey"))
+    val got2 = Graph.linkPrediction(li2, minSupport = 1, minCommon = 2)
+      .select("u", "v").as[(Long, Long)].collect().toSeq
+    assert(!got2.contains((2L, 3L)) && got2.contains((1L, 5L)))
+    val e = intercept[IllegalArgumentException](
+      Graph.linkPrediction(li, minCommon = 0))
+    assert(e.getMessage.contains("minCommon"))
+  }
+
   test("kCore: one peel removes the leaf, survivors keep induced degrees") {
     // s1 -> {p1, p2, p3}, s2 -> {p1, p2}: p3 has degree 1; peeling at
     // k=2 drops it, s1's degree falls 3 -> 2, everyone else stays.
