@@ -1706,6 +1706,29 @@ object SparkEntry {
         Tables.lineitem(s, dir)
           .withColumn("ship_year", year(col("l_shipdate").cast("date")).cast("long")),
         "ship_year", Seq("l_orderkey", "l_quantity"))),
+    "src_csv_roundtrip" -> { (s, dir) =>
+      // text-format source surface: orders out through the CSV writer
+      // (explicit microsecond timestamp render) and back through the CSV
+      // reader with an EXPLICIT schema; the oracle is the ORIGINAL table
+      // — the hash match certifies the format layer changes nothing
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_csv_q").toString + "/orders_csv"
+      val o = Tables.orders(s, dir)
+      graft.sources.TextFormats.csvRoundTrip(o, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
+    },
+    "src_json_roundtrip" -> { (s, dir) =>
+      // same contract through the JSON-lines writer/reader
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_json_q").toString + "/orders_json"
+      val o = Tables.orders(s, dir)
+      graft.sources.TextFormats.jsonRoundTrip(o, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
+    },
     "maint_bin_pack" -> ((s, dir) =>
       // small-files compaction planner: one file per order day (size =
       // rows*64 + 1024 exactly), date-ordered byte stream cut at 256 KiB
@@ -5132,6 +5155,18 @@ object SparkEntry {
         |       count(*) AS n_rows
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+    "src_csv_roundtrip" -> // the oracle is the original table: the text
+      // format layer must change NOTHING (timestamps compared in exact
+      // integer micros)
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderpriority,
+        |       epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS order_us
+        |FROM orders""".stripMargin,
+    "src_json_roundtrip" -> // same original-table contract
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderpriority,
+        |       epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS order_us
+        |FROM orders""".stripMargin,
     "maint_bin_pack" -> // same size model and prefix-sum cut, HUGEINT
       // sums cast back to BIGINT before the integral divide
       """WITH f AS (SELECT CAST(o_orderdate AS DATE) AS d,
