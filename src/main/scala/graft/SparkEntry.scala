@@ -991,6 +991,38 @@ object SparkEntry {
           col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 4).as("sum_qty"))),
+    "a13_mode" -> ((s, dir) =>
+      // exact per-group MODE as two aggregates: value counts, then the
+      // a10-style struct-max argmax (highest count, ties to the smallest
+      // value) — no per-group sort, state one struct per group
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .groupBy("l_returnflag", "qty").agg(count(lit(1)).as("n"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("n"), (-col("qty")).as("neg_q"))).as("m"))
+        .select(col("l_returnflag"), (-col("m.neg_q")).as("mode_qty"),
+          col("m.n").as("n_mode"))),
+    "w11_percentile_disc" -> { (s, dir) =>
+      // exact DISCRETE percentiles as order statistics — the value AT
+      // rank ceil(q*n), no interpolation, no doubles; tie order among
+      // equal values cannot change the selected VALUE. The per-group
+      // sort is the exact certified baseline; at corpus scale use
+      // a8/sketch_sample_quantile and certify against this
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag").orderBy(col("qty"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy("l_returnflag")).cast("long"))
+        .groupBy("l_returnflag")
+        .agg(max("n").as("n"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("qty")))
+            .as("p50_disc"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("qty")))
+            .as("p90_disc"))
+        .orderBy("l_returnflag")
+    },
     "a10_argmax" -> ((s, dir) =>
       // per-group argmax as an AGGREGATE (not a window): max over
       // (value, -user_id) structs gives "highest value, ties to the lower
@@ -2234,6 +2266,17 @@ object SparkEntry {
         when(col("label") === 0, 1.0).otherwise(0.0).as("y"))
       graft.ops.Features.calibrationTable(emb, "s", "y")
     }),
+    "stat_spearman" -> ((s, dir) =>
+      // monotone association between per-user activity volume and type
+      // breadth: integer doubled midranks, BIGINT sufficient statistics,
+      // rho combined in identical doubles both engines (sqrt-irrational,
+      // never a tie hazard); zero variance -> NULL
+      graft.ops.Stats.spearman(
+        Tables.events(s, dir).filter(col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("x"),
+            count_distinct(col("event_type")).as("y")),
+        "x", "y")),
     "stat_ks" -> ((s, dir) =>
       // two-sample KS: did the doc-length distribution shift en -> fr?
       graft.ops.Stats.ksTest(
@@ -4393,6 +4436,69 @@ object SparkEntry {
         |       round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "a13_mode" -> // same two-aggregate shape: value census, then the
+      // count-desc/value-asc argmax
+      """SELECT l_returnflag, qty AS mode_qty, n AS n_mode FROM (
+        |  SELECT l_returnflag, qty, n, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY n DESC, qty) AS rn
+        |  FROM (SELECT l_returnflag,
+        |          CAST(trunc(l_quantity) AS BIGINT) AS qty,
+        |          count(*) AS n
+        |        FROM lineitem GROUP BY 1, 2))
+        |WHERE rn = 1""".stripMargin,
+    "w11_percentile_disc" -> // identical ceil positions in pure integers:
+      // p50 at (n+1)//2, p90 at (9n+9)//10
+      """WITH b AS (SELECT l_returnflag,
+        |             CAST(trunc(l_quantity) AS BIGINT) AS qty
+        |           FROM lineitem),
+        |r AS (SELECT l_returnflag, qty,
+        |        CAST(row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY qty) AS BIGINT) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY l_returnflag)
+        |          AS BIGINT) AS n
+        |      FROM b)
+        |SELECT l_returnflag, max(n) AS n,
+        |       max(CASE WHEN rn = (n + 1) // 2 THEN qty END) AS p50_disc,
+        |       max(CASE WHEN rn = (9 * n + 9) // 10 THEN qty END)
+        |         AS p90_disc
+        |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "stat_spearman" -> // doubled midranks per variable over the bounded
+      // per-user count domains; every cast mirrored so the double
+      // combination is bit-identical
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+        |             CAST(count(DISTINCT event_type) AS BIGINT) AS y
+        |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |gx AS (SELECT x AS v, count(*) AS nv FROM u GROUP BY 1),
+        |rx AS (SELECT v, 2 * COALESCE(sum(nv) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + nv + 1 AS a
+        |       FROM gx),
+        |gy AS (SELECT y AS v, count(*) AS nv FROM u GROUP BY 1),
+        |ry AS (SELECT v, 2 * COALESCE(sum(nv) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + nv + 1 AS b
+        |       FROM gy),
+        |p AS (SELECT CAST(rx.a AS BIGINT) AS a, CAST(ry.b AS BIGINT) AS b
+        |      FROM u JOIN rx ON u.x = rx.v JOIN ry ON u.y = ry.v),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+        |        CAST(sum(a * b) AS BIGINT) AS sab,
+        |        CAST(sum(a * a) AS BIGINT) AS saa,
+        |        CAST(sum(b * b) AS BIGINT) AS sbb
+        |      FROM p)
+        |SELECT n,
+        |  round(CASE WHEN CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+        |              AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |               - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+        |         THEN (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |              / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |                 * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+        |         END, 6) AS rho
+        |FROM s""".stripMargin,
     "a10_argmax" ->
       """SELECT event_type, user_id AS top_user, value AS top_value
         |FROM (SELECT event_type, user_id, value,

@@ -419,4 +419,57 @@ object Stats {
       count(lit(1)).as("n"),
       round(sum("x"), 6).as("total"))
   }
+
+  /** Spearman rank correlation with STANDARD midrank tie handling —
+    * Pearson over the rank vectors, the monotone-association measure
+    * that (unlike [[corrMatrix]]'s Pearson) ignores the variables'
+    * scale: right for heavy-tailed per-user counts.
+    *
+    * Exactness discipline: ranks are computed as INTEGER doubled
+    * midranks (2·midrank(v) = 2·|{< v}| + n(v) + 1, the
+    * [[Eval.aucQuantized]] trick) and all five sufficient statistics
+    * (Σa, Σb, Σab, Σa², Σb²) are BIGINT sums — exact to n ≈ 1.3e6 rows
+    * (Σa² ≤ 4n³ < 2^63). Only the final rho combines them in double,
+    * as the same expression on the same integers in both engines
+    * (identical IEEE ops → identical bits); the sqrt makes rho itself
+    * irrational, never a rounding-tie hazard. Zero variance on either
+    * side yields NULL, not NaN.
+    *
+    * Plan: per variable one grouped count to O(distinct values) + one
+    * ordered pass on that bounded domain (single partition by design —
+    * input must be pre-aggregated/quantized so domains are bounded,
+    * like the per-user count table here), then two value-keyed joins
+    * (broadcast-sized rank tables) and one scalar aggregate.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(c: String, out: String): DataFrame = {
+      val g = df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("long").as("v")).agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cum", coalesce(sum("nv").over(w), lit(0L)))
+        .select(col("v").as(c),
+          (lit(2L) * col("cum") + col("nv") + lit(1L)).as(out))
+    }
+    val pairs = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as(xCol), col(yCol).cast("long").as(yCol))
+      .join(ranked(xCol, "a"), Seq(xCol))
+      .join(ranked(yCol, "b"), Seq(yCol))
+    val s = pairs.agg(count(lit(1)).as("n"),
+      sum("a").as("sa"), sum("b").as("sb"),
+      sum(col("a") * col("b")).as("sab"),
+      sum(col("a") * col("a")).as("saa"),
+      sum(col("b") * col("b")).as("sbb"))
+    val n = col("n").cast("double")
+    val dx = n * col("saa").cast("double") -
+      col("sa").cast("double") * col("sa").cast("double")
+    val dy = n * col("sbb").cast("double") -
+      col("sb").cast("double") * col("sb").cast("double")
+    s.select(col("n"),
+      round(when(dx > 0.0 && dy > 0.0,
+        (n * col("sab").cast("double") -
+          col("sa").cast("double") * col("sb").cast("double")) /
+          (sqrt(dx) * sqrt(dy))), 6).as("rho"))
+  }
 }

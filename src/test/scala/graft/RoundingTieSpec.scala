@@ -91,6 +91,8 @@ class RoundingTieSpec extends SparkSpec {
     "stat_ab_delta" -> ("DOUBLE SUM: user value sums feed the ratio " +
       "and delta-method variance"),
     "stat_ks" -> "IRRATIONAL: p-value passes through exp",
+    "stat_spearman" -> ("IRRATIONAL: rho divides by sqrt rank variances " +
+      "(the five sufficient statistics are exact BIGINT)"),
     "ts_ewma" -> "IRRATIONAL: (1-alpha)^j kernel weights",
     "eval_mrr" -> (CosineReason + " (MRR itself is exact fixed point " +
       "over 2520)"),

@@ -216,4 +216,25 @@ class StatsSpec extends SparkSpec {
       .toDF("g", "v")
     assert(Stats.ksTest(df, "g", "v", "a", "b").first().getDouble(0) == 0.5)
   }
+
+  test("spearman: monotone maps hit ±1, a midrank tie matches the hand " +
+    "Pearson-on-ranks value") {
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(Stats.spearman(up, "x", "y")
+      .select("rho").as[Double].collect().head == 1.0)
+    val down = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(Stats.spearman(down, "x", "y")
+      .select("rho").as[Double].collect().head == -1.0)
+    // x = [1,1,2] (midranks 1.5, 1.5, 3), y = [1,2,3]: by hand
+    // rho = 18 / sqrt(18*24) = 0.8660254...
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
+    assert(Stats.spearman(tied, "x", "y")
+      .select("rho").as[Double].collect().head == 0.866025)
+  }
+
+  test("spearman: zero variance on either side is NULL, never NaN") {
+    val flat = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    val row = Stats.spearman(flat, "x", "y").select("rho").collect().head
+    assert(row.isNullAt(0))
+  }
 }
