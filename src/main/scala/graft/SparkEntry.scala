@@ -2184,6 +2184,21 @@ object SparkEntry {
     "events_user_snapshot" -> ((s, dir) =>
       // per-user model features: recency, 7/28d frequency, value, breadth
       graft.streaming.EventAggs.userSnapshot(Tables.events(s, dir))),
+    "ts_theil_sen" -> ((s, dir) =>
+      // robust trend of the daily event-count series: the median pairwise
+      // slope as an EXACT rational (med_dy, med_dx) + the identical-bits
+      // slope double; pair expansion over the bounded day domain, ranking
+      // via GlobalRowNumber — a single outlier day cannot move it
+      graft.ops.Temporal.theilSen(
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "day", "cnt")),
+    "text_collocations" -> ((s, dir) =>
+      // top-20 adjacent word pairs by exact-integer lift (the PMI order
+      // without the log): one tokenization pass, marginals re-aggregate
+      // the bigram table, total is a 1-row broadcast
+      graft.ops.TextAnalysis.collocations(Tables.documents(s, dir))),
     "ts_acf" -> ((s, dir) =>
       // autocorrelation of the daily event-count series at lags 1..7
       graft.ops.Temporal.acf(
@@ -6300,6 +6315,46 @@ object SparkEntry {
         |       round(sum(COALESCE(value, 0)), 6) AS total_value,
         |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
         |FROM e CROSS JOIN h GROUP BY user_id""".stripMargin,
+    "ts_theil_sen" -> // identical pair set, identical (slope, dy, dx)
+      // ordering, lower median at (n+1)//2; the slope double divides the
+      // same two integers on both engines
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |                 CAST(count(*) AS BIGINT) AS v
+        |               FROM events GROUP BY 1),
+        |p AS (SELECT b.v - a.v AS dy,
+        |        CAST(datediff('day', a.d, b.d) AS BIGINT) AS dx,
+        |        CAST(b.v - a.v AS DOUBLE)
+        |          / CAST(datediff('day', a.d, b.d) AS DOUBLE) AS slope
+        |      FROM daily a JOIN daily b ON a.d < b.d),
+        |r AS (SELECT *, row_number() OVER (ORDER BY slope, dy, dx) AS i,
+        |        count(*) OVER () AS np
+        |      FROM p)
+        |SELECT (SELECT count(*) FROM daily) AS n_days,
+        |       CAST(np AS BIGINT) AS n_pairs,
+        |       dy AS med_dy, dx AS med_dx, slope
+        |FROM r WHERE i = (np + 1) // 2""".stripMargin,
+    "text_collocations" -> // same split, bigrams by array position,
+      // marginals off the bigram table, exact-ratio lift
+      """WITH d AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(text), '\s+') AS a
+        |           FROM documents),
+        |bi AS (SELECT a[i] AS x, a[i+1] AS y
+        |       FROM d CROSS JOIN (SELECT unnest(generate_series(1,
+        |           (SELECT CAST(max(len(a)) AS BIGINT) FROM d))) AS i)
+        |       WHERE i <= len(a) - 1),
+        |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+        |        FROM bi GROUP BY 1, 2),
+        |cx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
+        |       FROM cxy GROUP BY 1),
+        |cy AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y
+        |       FROM cxy GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS nn FROM cxy)
+        |SELECT cxy.x, cxy.y, n_xy, n_x, n_y,
+        |       CAST((n_xy * nn * 2000000 + n_x * n_y)
+        |            // (2 * n_x * n_y) AS DOUBLE) / 1000000.0 AS lift
+        |FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot
+        |WHERE n_xy >= 5
+        |ORDER BY lift DESC, x, y LIMIT 20""".stripMargin,
     "ts_acf" -> // null-day group excluded on both engines (acf filters
       // null order keys; Spark sorts nulls first, DuckDB last)
       """WITH d AS (SELECT CAST(ts AS DATE) AS day,

@@ -258,4 +258,44 @@ object Temporal {
       .orderBy(col("peak_open").desc, col("supp").asc)
       .limit(topK)
   }
+  /** Theil–Sen robust trend estimator of a (order, value) series: the
+    * MEDIAN of all pairwise slopes (value_j − value_i)/(order_j − order_i),
+    * i < j — the slope a single outlier day cannot move, where OLS
+    * ([[graft.ops.Stats]]) bends to it. Returns the lower-median pair as an
+    * EXACT rational (med_dy, med_dx) plus the slope double (both engines
+    * divide the same two integers — identical bits; the gate's 6-dp float
+    * rounding then rounds the same double the same way, so no decimal-tie
+    * hazard arises even though the rational can land on one).
+    *
+    * Selection is deterministic: pairs ordered by (slope, dy, dx), the
+    * lower median at position (n_pairs+1) div 2; pairs agreeing on all
+    * three keys are interchangeable, so window tie order cannot change the
+    * selected VALUES.
+    *
+    * Plan: the series is pre-aggregated to O(days), so the pair expansion
+    * is a broadcast nested-loop over the BOUNDED day table — O(days²)
+    * rows derived from the day DOMAIN, never from data size (2.9M pairs
+    * for a 6-year daily series, at any corpus scale); ranking rides
+    * [[graft.operators.GlobalRowNumber]] (range-partitioned, no single
+    * 1-partition sort), and the only data-sized stage is the daily
+    * count.
+    */
+  def theilSen(daily: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val base = daily.select(
+      col(orderCol).cast("date").as("d"), col(valueCol).cast("long").as("v"))
+    val a = base.select(col("d").as("da"), col("v").as("va"))
+    val b = base.select(col("d").as("db"), col("v").as("vb"))
+    val pairs = broadcast(a).join(b, col("da") < col("db"))
+      .select((col("vb") - col("va")).as("dy"),
+        datediff(col("db"), col("da")).cast("long").as("dx"))
+      .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
+    val ranked = graft.operators.GlobalRowNumber
+      .withGlobalRowNumber(pairs, "i", Seq(col("slope"), col("dy"), col("dx")))
+      .localCheckpoint() // counted, then filtered: materialize once
+    val nPairs = ranked.count()
+    val nDays = base.count()
+    ranked.filter(col("i") === (nPairs + 1L) / 2L)
+      .select(lit(nDays).as("n_days"), lit(nPairs).as("n_pairs"),
+        col("dy").as("med_dy"), col("dx").as("med_dx"), col("slope"))
+  }
 }

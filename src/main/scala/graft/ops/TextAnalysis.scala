@@ -878,4 +878,40 @@ object TextAnalysis {
           .as("type_token_ratio"))
       .orderBy("decile")
   }
+  /** Collocation mining: the `topK` adjacent word pairs by LIFT —
+    * observed bigram count over the count expected if first and second
+    * positions were independent, `lift = n_xy·N / (n_x·n_y)` with n_x =
+    * occurrences of x as a first element, n_y = of y as second, N = total
+    * bigrams. The PMI ranking without the log (log is monotone, so the
+    * ORDER is identical and the arithmetic stays exact integer +
+    * [[graft.functions.ExactRatio]]). `minCount` floors the bigram count
+    * so one-off juxtapositions can't top the list.
+    *
+    * Plan: ONE tokenization pass (keyed lead per doc over token
+    * positions) feeds one grouped bigram count; the marginals and total
+    * re-aggregate THAT O(vocab²-observed) table, never the corpus. The
+    * total is a 1-row broadcast.
+    */
+  def collocations(
+      documents: DataFrame, minCount: Int = 5, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val cxy = toks.withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("x"), col("w2").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val cx = cxy.groupBy("x").agg(sum("n_xy").as("n_x"))
+    val cy = cxy.groupBy("y").agg(sum("n_xy").as("n_y"))
+    val tot = cxy.agg(sum("n_xy").as("nn"))
+    cxy.filter(col("n_xy") >= minCount)
+      .join(cx, "x").join(cy, "y")
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        exactRatio(col("n_xy") * col("nn"), col("n_x") * col("n_y"), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("x").asc, col("y").asc)
+      .limit(topK)
+  }
 }

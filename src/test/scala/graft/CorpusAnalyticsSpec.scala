@@ -461,4 +461,15 @@ class CorpusAnalyticsSpec extends SparkSpec {
     val last = rows.find(_._1 == 10L).get
     assert(last == ((10L, 2L, 4L, 3L, 0.75)))
   }
+  test("collocations: lift ranks attraction, ties break on the pair text") {
+    // "x y x y x z": xy lift 10/6, yx lift 2.5, xz lift 5/3 — yx first,
+    // then the exact 1.666667 tie broken x-then-y lexicographically
+    val docs = Seq((1L, "x y x y x z")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.collocations(docs, minCount = 1)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("y", "x", 2L, 2L, 2L, 2.5),
+      ("x", "y", 2L, 3L, 2L, 1.666667),
+      ("x", "z", 1L, 3L, 1L, 1.666667)))
+  }
 }

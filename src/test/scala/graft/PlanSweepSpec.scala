@@ -140,7 +140,12 @@ class PlanSweepSpec extends SparkSpec {
     "dq_t_closeness",
     // composes the brute scorer (bounded query-set broadcast, non-equi
     // scored join) — the metric tail is all equi-joins
-    "eval_mrr")
+    "eval_mrr",
+    // Theil-Sen pair expansion: nested loop over the BOUNDED day table
+    // (O(days²) from the day domain, never data-sized)
+    "ts_theil_sen",
+    // collocation lift: the 1-row bigram-total broadcast
+    "text_collocations")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

@@ -165,4 +165,24 @@ class TemporalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toString))
     assert(got.toSeq == Seq((1L, 2L, "1995-01-01"), (2L, 1L, "1995-01-01")))
   }
+  test("theilSen: median pairwise slope resists the outlier OLS bends to") {
+    import java.sql.Date
+    val daily = Seq(
+      (Date.valueOf("2024-01-01"), 0L), (Date.valueOf("2024-01-02"), 1L),
+      (Date.valueOf("2024-01-03"), 2L), (Date.valueOf("2024-01-04"), 100L)
+    ).toDF("day", "cnt")
+    // slopes: 1,1,1 among the clean days; 33.3/49.5/98 into the outlier;
+    // lower median of 6 at position 3 -> slope 1 (the robust answer)
+    val got = Temporal.theilSen(daily, "day", "cnt")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got._1 == 4L && got._2 == 6L && got._5 == 1.0)
+
+    // odd pair count: exact middle pair selected with its rational
+    val odd = Seq(
+      (Date.valueOf("2024-01-01"), 1L), (Date.valueOf("2024-01-02"), 2L),
+      (Date.valueOf("2024-01-03"), 10L)).toDF("day", "cnt")
+    val g2 = Temporal.theilSen(odd, "day", "cnt")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(g2 == ((3L, 3L, 9L, 2L, 4.5)))
+  }
 }
