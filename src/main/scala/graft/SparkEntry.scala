@@ -1236,6 +1236,15 @@ object SparkEntry {
         .select("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
           "sea_ice_concentration_mean", "sea_ice_concentration_stddev")
     },
+    "gridded_regrid" -> { (s, dir) =>
+      // spatial coarsening through the same NetCDF source: 2x2 fine cells
+      // -> one coarse cell per (time, leadtime), indices recovered exactly
+      // from the 0.5-km-multiple centres, NaN mask cells excluded like the
+      // oracle's NULLs; per block count/min/max/mean
+      val path = graft.sources.GridFixture.ensureWrittenNc(
+        graft.sources.GridFixture.defaultNcPath)
+      graft.icenet.Ingest.regrid(s.read.format("gridded").load(path))
+    },
     "gridded_ingest_hdf5" -> { (s, dir) =>
       // the same end-to-end load path through the NetCDF-4/HDF5 container
       // (superblock v0, contiguous datasets — the bounded slice Hdf5Netcdf
@@ -4829,6 +4838,34 @@ object SparkEntry {
         |       CAST(sic_stddev AS FLOAT) AS sea_ice_concentration_stddev
         |FROM vals
         |WHERE sic_mean > 0 AND sic_stddev IS NOT NULL""".stripMargin,
+    "gridded_regrid" -> // same closed-form cell regeneration, then the
+      // identical 2x2 block census (NULL where the engine sees NaN)
+      """WITH ti AS (SELECT unnest(generate_series(0, 1)) AS t),
+        |li AS (SELECT unnest(generate_series(0, 2)) AS l),
+        |yi AS (SELECT unnest(generate_series(0, 5)) AS y),
+        |xi AS (SELECT unnest(generate_series(0, 7)) AS x),
+        |cells AS (
+        |  SELECT t, l, y, x, (7*t + 5*l + 3*y + x) % 19 AS k
+        |  FROM ti CROSS JOIN li CROSS JOIN yi CROSS JOIN xi),
+        |vals AS (
+        |  SELECT t, l, y, x,
+        |    CASE WHEN (t+l+y+x) % 11 = 0 THEN NULL
+        |         ELSE k/10.0 - 0.4 END AS sic_mean
+        |  FROM cells),
+        |g AS (SELECT t, l, y // 2 AS yi_c, x // 2 AS xi_c,
+        |        count(sic_mean) AS n_cells, min(sic_mean) AS sic_min,
+        |        max(sic_mean) AS sic_max, avg(sic_mean) AS sic_avg
+        |      FROM vals GROUP BY 1, 2, 3, 4)
+        |SELECT DATE '2020-03-01' + CAST(t AS INT)
+        |         AS date_forecast_generated,
+        |       CAST(l + 1 AS BIGINT) AS leadtime,
+        |       CAST(trunc((-262.5 + 25.0 * (xi_c * 2 + 0.5)) * 1000)
+        |            AS INT) AS xc_m,
+        |       CAST(trunc((-537.5 + 25.0 * (yi_c * 2 + 0.5)) * 1000)
+        |            AS INT) AS yc_m,
+        |       CAST(n_cells AS BIGINT) AS n_cells,
+        |       sic_min, sic_max, sic_avg
+        |FROM g""".stripMargin,
     "gridded_ingest_hdf5" -> // same closed-form regeneration: the
       // container changed (HDF5), the logical content and chain did not
       // regenerates GridFixture's closed-form cell values from pure index

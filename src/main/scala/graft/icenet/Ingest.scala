@@ -92,4 +92,50 @@ object Ingest {
       .withColumn("sea_ice_concentration_stddev", col("sic_stddev").cast("float"))
       .drop("sic_mean", "sic_stddev")
   }
+  /** Spatial regrid (coarsening) of the long-form grid: `factor`×`factor`
+    * blocks of cells collapse to one coarse cell per (time, leadtime) —
+    * the preprocessing step the reference's ecosystem runs when moving
+    * between the 25 km EASE grid and coarser training resolutions. Cell
+    * indices are recovered EXACTLY from the centre coordinates (the grid's
+    * centres are multiples of 0.5 km, representable in double, so
+    * `(c − origin)/step` is an exact integer), and the coarse centre is
+    * again a multiple of 0.5 km, presented in integer metres like the
+    * ingest chain's `xc_m`.
+    *
+    * Per coarse cell: non-null fine-cell count, min/max (order-exact on
+    * doubles), and the block mean (null cells excluded; an all-null block
+    * keeps the row with n_cells = 0 and a NULL mean — masked ocean/land
+    * blocks stay visible rather than vanishing).
+    *
+    * Plan: one narrow index projection + one grouped aggregate — the
+    * same linear-in-splits shape as the rest of the ingest chain.
+    */
+  def regrid(
+      raw: DataFrame, factor: Int = 2, originXKm: Double = -262.5,
+      originYKm: Double = -537.5, stepKm: Double = 25.0): DataFrame = {
+    require(factor >= 2, s"regrid: factor=$factor below 2 (identity regrid)")
+    def coarseCentreM(idx: org.apache.spark.sql.Column, origin: Double) =
+      ((lit(origin) + lit(stepKm) *
+        (idx.cast("double") * factor + (factor - 1) / 2.0)) * 1000.0)
+        .cast("int")
+    raw
+      .groupBy(col("time"), col("leadtime"),
+        expr(s"CAST((yc - $originYKm) / $stepKm AS BIGINT) div $factor")
+          .as("yi_c"),
+        expr(s"CAST((xc - $originXKm) / $stepKm AS BIGINT) div $factor")
+          .as("xi_c"))
+      .agg(
+        // the raw tensor marks masked land/ocean cells NaN (not NULL) —
+        // fold both to missing so the block statistics skip them the way
+        // the oracle's NULLs do
+        count(when(!isnan(col("sic_mean")), col("sic_mean"))).as("n_cells"),
+        min(when(!isnan(col("sic_mean")), col("sic_mean"))).as("sic_min"),
+        max(when(!isnan(col("sic_mean")), col("sic_mean"))).as("sic_max"),
+        avg(when(!isnan(col("sic_mean")), col("sic_mean"))).as("sic_avg"))
+      .select(to_date(col("time")).as("date_forecast_generated"),
+        col("leadtime").cast("long").as("leadtime"),
+        coarseCentreM(col("xi_c"), originXKm).as("xc_m"),
+        coarseCentreM(col("yi_c"), originYKm).as("yc_m"),
+        col("n_cells"), col("sic_min"), col("sic_max"), col("sic_avg"))
+  }
 }

@@ -76,4 +76,32 @@ class IngestSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ingest.detectHemisphere(None, None, "north south"))
     intercept[IllegalArgumentException](Ingest.detectHemisphere(None, None, "equator"))
   }
+
+  test("regrid: 2x2 block census with exact index recovery and NaN mask") {
+    // one (time, leadtime), a 2x4 grid -> two coarse cells; the first
+    // block carries a NaN mask cell (excluded), the second is clean
+    val t0 = Timestamp.valueOf("2020-03-01 00:00:00")
+    val rows = Seq(
+      // block (yi_c=0, xi_c=0): cells (y0,x0)=0.1, (y0,x1)=NaN,
+      //                         (y1,x0)=0.3, (y1,x1)=0.5
+      (t0, 1, -537.5, -262.5, 0.1), (t0, 1, -537.5, -237.5, Double.NaN),
+      (t0, 1, -512.5, -262.5, 0.3), (t0, 1, -512.5, -237.5, 0.5),
+      // block (yi_c=0, xi_c=1): 0.2, 0.4, 0.6, 0.8
+      (t0, 1, -537.5, -212.5, 0.2), (t0, 1, -537.5, -187.5, 0.4),
+      (t0, 1, -512.5, -212.5, 0.6), (t0, 1, -512.5, -187.5, 0.8)
+    ).toDF("time", "leadtime", "yc", "xc", "sic_mean")
+    val got = Ingest.regrid(rows)
+      .select("xc_m", "yc_m", "n_cells", "sic_min", "sic_max", "sic_avg")
+      .as[(Int, Int, Long, Double, Double, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(got.map(g => (g._1, g._2, g._3, g._4, g._5)) == Seq(
+      (-250000, -525000, 3L, 0.1, 0.5),
+      (-200000, -525000, 4L, 0.2, 0.8)))
+    // means up to aggregation-order ulps (the gate's 6-dp rounding
+    // absorbs them; exactness there is argued from the 0.025-grid)
+    assert(math.abs(got.head._6 - 0.3) < 1e-12)
+    assert(math.abs(got(1)._6 - 0.5) < 1e-12)
+    val e = intercept[IllegalArgumentException](Ingest.regrid(rows, factor = 1))
+    assert(e.getMessage.contains("factor"))
+  }
 }
