@@ -582,6 +582,11 @@ object SparkEntry {
       // min-label rule — deterministic community detection (async LPA is
       // run-order-dependent); community-size census after 2 rounds
       graft.ops.Graph.labelPropagation(Tables.lineitem(s, dir))),
+    "graph_assortativity" -> ((s, dir) =>
+      // hub-attaches-to-hub diagnostic: Pearson over endpoint degrees of
+      // every directed edge, BIGINT sufficient statistics, identical
+      // double combination both engines (sqrt-irrational, no tie hazard)
+      graft.ops.Graph.assortativity(Tables.lineitem(s, dir))),
     "graph_link_predict" -> ((s, dir) =>
       // top-20 NON-adjacent part pairs by common-neighbor Jaccard on the
       // strong-tie graph — the wedges that did NOT close, ranked; exact
@@ -2536,6 +2541,33 @@ object SparkEntry {
         |SELECT community_size, CAST(count(*) AS BIGINT) AS n_communities
         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_kcore" -> KCoreSql,
+    "graph_assortativity" -> // identical edge set, casts mirrored so the
+      // double combination is bit-identical
+      """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS u, l_partkey*2+1 AS v
+        |            FROM lineitem),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+        |xy AS (SELECT dx.d AS x, dy.d AS y
+        |       FROM e JOIN deg dx ON dx.u = e.u JOIN deg dy ON dy.u = e.v),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(y * y) AS BIGINT) AS syy
+        |      FROM xy)
+        |SELECT n // 2 AS n_edges,
+        |  round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |              AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |              / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |         END, 6) AS assortativity
+        |FROM s""".stripMargin,
     "graph_link_predict" -> // same strong-tie edge derivation as
       // graph_triangles; wedge pairs per center, anti-join the edge
       // list, exact-ratio Jaccard, identical top-20 cut

@@ -484,6 +484,51 @@ object Graph {
       .orderBy(col("kind"), col("score_fp").desc, col("node"))
   }
 
+  /** Degree assortativity of the supplier↔part interaction graph: the
+    * Pearson correlation of endpoint degrees over all directed edges
+    * (both orientations — the standard symmetric rendering, Newman 2002).
+    * Positive: hubs attach to hubs; negative: hubs fan out to leaves —
+    * the one-number structure diagnostic read before choosing a
+    * partitioning or sampling strategy (disassortative graphs are the
+    * ones whose hub edges skew a hash-partitioned shuffle).
+    *
+    * Exactness: the five sufficient statistics are BIGINT sums over
+    * integer degrees (exact to ~1e7 edges × degree 5e5); r combines them
+    * in double as the same expression on the same integers in both
+    * engines, and the sqrt makes r irrational — never a rounding-tie
+    * hazard. Zero variance (regular graph) yields NULL, not NaN.
+    *
+    * Plan: one degree aggregate + two broadcast-sized degree joins over
+    * the once-materialized edge list + one scalar aggregate.
+    */
+  def assortativity(lineitem: DataFrame): DataFrame = {
+    val once = lineitem.select(
+      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
+      .distinct()
+    val edges = once
+      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val xy = edges
+      .join(deg.select(col("u"), col("d").as("dx")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("dy")), Seq("v"))
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum("dx").as("sx"), sum("dy").as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val n = col("n").cast("double")
+    val vx = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    s.select(expr("n div 2").as("n_edges"),
+      round(when(vx > 0.0 && vy > 0.0,
+        (n * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(vx) * sqrt(vy))), 6).as("assortativity"))
+  }
+
   /** Link prediction by common-neighbor Jaccard over the strong-tie
     * co-purchase graph: the `topK` NON-adjacent part pairs ranked by
     * |N(u)∩N(v)| / |N(u)∪N(v)| among pairs sharing at least `minCommon`

@@ -271,6 +271,21 @@ class GraphSpec extends SparkSpec {
     assert(e2.getMessage.contains("iters"))
   }
 
+  test("assortativity: a star is perfectly disassortative, a perfect " +
+    "matching has no degree variance (NULL, not NaN)") {
+    // s1 -> {p1, p2, p3}: hub degree 3 meets leaf degree 1 on every
+    // edge -> r = -1 by hand (n=6, sxy=18, sx=sy=12, sxx=syy=30)
+    val star = Seq((1L, 1L), (1L, 2L), (1L, 3L))
+      .toDF("l_suppkey", "l_partkey")
+    val got = Graph.assortativity(star)
+      .as[(Long, Option[Double])].collect().head
+    assert(got == ((3L, Some(-1.0))))
+    val matching = Seq((1L, 1L), (2L, 2L)).toDF("l_suppkey", "l_partkey")
+    val g2 = Graph.assortativity(matching)
+      .as[(Long, Option[Double])].collect().head
+    assert(g2 == ((2L, None)))
+  }
+
   test("linkPrediction: non-adjacent pairs ranked by exact Jaccard, " +
     "existing edges excluded") {
     // one basket per edge: 1-2, 1-3, 1-4, 5-2, 5-3 (support-1 graph).

@@ -93,6 +93,8 @@ class RoundingTieSpec extends SparkSpec {
     "stat_ks" -> "IRRATIONAL: p-value passes through exp",
     "stat_spearman" -> ("IRRATIONAL: rho divides by sqrt rank variances " +
       "(the five sufficient statistics are exact BIGINT)"),
+    "graph_assortativity" -> ("IRRATIONAL: r divides by sqrt degree " +
+      "variances (sufficient statistics exact BIGINT)"),
     "ts_ewma" -> "IRRATIONAL: (1-alpha)^j kernel weights",
     "eval_mrr" -> (CosineReason + " (MRR itself is exact fixed point " +
       "over 2520)"),
