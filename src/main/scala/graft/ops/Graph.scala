@@ -617,23 +617,29 @@ object Graph {
       .withColumnRenamed("u", "node")
       .localCheckpoint()
     val nTotal = deg.count()
-    for (_ <- 1 to rounds) {
-      val removed = deg.filter(col("d") < k).select("node")
-      val lost = edges
-        .join(graft.operators.Broadcasting.checked(
-          removed.withColumnRenamed("node", "v"),
-          tag = "k-core removed frontier"), Seq("v"))
-        .groupBy("u").agg(count(lit(1)).as("lost"))
-        .withColumnRenamed("u", "node")
-      deg = deg.filter(col("d") >= k)
-        .join(lost, Seq("node"), "left")
-        .select(col("node"),
-          (col("d") - coalesce(col("lost"), lit(0L))).as("d"))
-        .localCheckpoint() // bound lineage: each round reads bytes
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      val removed = deg.filter(col("d") < k).select("node").localCheckpoint()
+      // empty frontier = fixpoint; every remaining sweep is a no-op by
+      // idempotence, so exiting early computes the IDENTICAL set the
+      // oracle's full fixed unroll does — it just skips the dead rounds
+      if (removed.isEmpty) converged = true
+      else {
+        val lost = edges
+          .join(graft.operators.Broadcasting.checked(
+            removed.withColumnRenamed("node", "v"),
+            tag = "k-core removed frontier"), Seq("v"))
+          .groupBy("u").agg(count(lit(1)).as("lost"))
+          .withColumnRenamed("u", "node")
+        deg = deg.filter(col("d") >= k)
+          .join(lost, Seq("node"), "left")
+          .select(col("node"),
+            (col("d") - coalesce(col("lost"), lit(0L))).as("d"))
+          .localCheckpoint() // bound lineage: each round reads bytes
+      }
     }
-    val leftover = deg.filter(col("d") < k).count()
-    require(leftover == 0,
-      s"kCore: $leftover nodes still below k=$k after $rounds rounds — " +
+    require(converged || deg.filter(col("d") < k).count() == 0,
+      s"kCore: nodes still below k=$k after $rounds rounds — " +
         "the peeling cascade has not converged; raise `rounds` (and " +
         "unroll the oracle to match)")
     deg.agg(
