@@ -2155,6 +2155,16 @@ object SparkEntry {
     "curate_dataset_card" -> ((s, dir) =>
       // one-row release summary: volume, composition, quality, dup rate
       graft.ops.TextAnalysis.datasetCard(Tables.documents(s, dir))),
+    "events_attr_linear" -> ((s, dir) =>
+      // equal-split multi-touch credit inside the 7-day lookback, exact
+      // e6 fixed point (1e6 div n per touch) — no double ever split
+      graft.streaming.EventAggs.multiTouchAttribution(
+        Tables.events(s, dir), model = "linear")),
+    "events_attr_ushaped" -> ((s, dir) =>
+      // position-based 40/20/40: first and last 400000, middles split
+      // 200000 div (n-2); 1- and 2-touch paths degenerate per standard
+      graft.streaming.EventAggs.multiTouchAttribution(
+        Tables.events(s, dir), model = "u_shaped")),
     "events_attribution" -> ((s, dir) =>
       // last-touch credit: each purchase joined as-of to the user's
       // latest preceding touch (AsOfJoin; same-ts touches deduped arg-max)
@@ -6223,6 +6233,59 @@ object SparkEntry {
         |       CAST(((count(*) - count(DISTINCT fp)) * 2000000 + count(*))
         |            // (2 * count(*)) AS DOUBLE) / 1000000.0 AS exact_dup_rate
         |FROM p""".stripMargin,
+    "events_attr_linear" -> // identical window join, positions, and
+      // integer credit truncation
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts,
+        |             event_id AS pid
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tts,
+        |        event_id AS tid, event_type
+        |      FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT p.pid, t.event_type, t.tts, t.tid
+        |      FROM p JOIN t USING (user_id)
+        |      WHERE t.tts <= p.pts
+        |        AND t.tts >= p.pts - INTERVAL 7 DAY),
+        |r AS (SELECT *, CAST(count(*) OVER (PARTITION BY pid) AS BIGINT)
+        |        AS n FROM j),
+        |pc AS (SELECT event_type, count(*) AS n_touches,
+        |         CAST(sum(1000000 // n) AS BIGINT) AS credit_e6
+        |       FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(sum(credit_e6) AS BIGINT) AS total_e6 FROM pc)
+        |SELECT event_type, n_touches, credit_e6,
+        |       CAST((credit_e6 * 2000000 + total_e6) // (2 * total_e6)
+        |            AS DOUBLE) / 1000000.0 AS credit_share
+        |FROM pc CROSS JOIN tot ORDER BY event_type""".stripMargin,
+    "events_attr_ushaped" -> // same join; 40/20/40 with the 1- and
+      // 2-touch degenerations, middles an integer div of 200000
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts,
+        |             event_id AS pid
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tts,
+        |        event_id AS tid, event_type
+        |      FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT p.pid, t.event_type, t.tts, t.tid
+        |      FROM p JOIN t USING (user_id)
+        |      WHERE t.tts <= p.pts
+        |        AND t.tts >= p.pts - INTERVAL 7 DAY),
+        |r AS (SELECT *,
+        |        CAST(row_number() OVER (PARTITION BY pid
+        |          ORDER BY tts, tid) AS BIGINT) AS pos,
+        |        CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS n
+        |      FROM j),
+        |c AS (SELECT event_type,
+        |        CASE WHEN n = 1 THEN 1000000
+        |             WHEN n = 2 THEN 500000
+        |             WHEN pos = 1 OR pos = n THEN 400000
+        |             ELSE 200000 // (n - 2) END AS credit_e6
+        |      FROM r),
+        |pc AS (SELECT event_type, count(*) AS n_touches,
+        |         CAST(sum(credit_e6) AS BIGINT) AS credit_e6
+        |       FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(credit_e6) AS BIGINT) AS total_e6 FROM pc)
+        |SELECT event_type, n_touches, credit_e6,
+        |       CAST((credit_e6 * 2000000 + total_e6) // (2 * total_e6)
+        |            AS DOUBLE) / 1000000.0 AS credit_share
+        |FROM pc CROSS JOIN tot ORDER BY event_type""".stripMargin,
     "events_attribution" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
         |           FROM events

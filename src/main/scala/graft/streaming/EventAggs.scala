@@ -573,4 +573,59 @@ object EventAggs {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("t_a", "t_b")
   }
+  /** Multi-touch attribution over the purchase lookback window — the
+    * models beyond [[lastTouchAttribution]]'s single-touch credit:
+    * `linear` splits each purchase's credit equally across its touches;
+    * `u_shaped` gives 40 % to the first and last touch and splits the
+    * remaining 20 % across the middles (1-touch paths keep 100 %,
+    * 2-touch paths 50/50 — the standard position-based degenerations).
+    *
+    * Credit is EXACT e6 fixed point: per-touch credit is an integer
+    * `div` of 1,000,000 (identical truncation in both engines), so the
+    * per-channel totals are BIGINT sums — no double is ever split. The
+    * per-purchase remainder lost to truncation (< n·1e-6) is
+    * deterministic, identical cross-engine, and intentionally NOT
+    * redistributed (a redistribution rule would need its own tie
+    * semantics for zero gain). Purchases with no touch inside the
+    * window are excluded — last-touch's 'direct' bucket covers them.
+    *
+    * Plan: one keyed (user) join bounded by the lookback window, one
+    * keyed (purchase) window for positions, one O(channels) rollup;
+    * the credit-share denominator is a 1-row broadcast.
+    */
+  def multiTouchAttribution(
+      events: DataFrame, lookback: String = "7 days",
+      model: String = "linear"): DataFrame = {
+    require(Set("linear", "u_shaped")(model),
+      s"multiTouchAttribution: unknown model '$model'")
+    import org.apache.spark.sql.expressions.Window
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+    val touches = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_id").as("tid"), col("event_type"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("tts") <= col("pts") &&
+        col("tts") >= col("pts") - expr(s"INTERVAL $lookback"))
+    val w = Window.partitionBy("pid").orderBy(col("tts"), col("tid"))
+    val positioned = joined
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("pid"))
+        .cast("long"))
+    val credit = model match {
+      case "linear" => expr("CAST(1000000 AS BIGINT) div n")
+      case "u_shaped" => when(col("n") === 1L, 1000000L)
+        .when(col("n") === 2L, 500000L)
+        .when(col("pos") === 1L || col("pos") === col("n"), 400000L)
+        .otherwise(expr("CAST(200000 AS BIGINT) div (n - 2)"))
+    }
+    val perChannel = positioned.withColumn("credit_e6", credit)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_touches"), sum("credit_e6").as("credit_e6"))
+    val total = perChannel.agg(sum("credit_e6").as("total_e6"))
+    perChannel.crossJoin(broadcast(total))
+      .select(col("event_type"), col("n_touches"), col("credit_e6"),
+        exactRatio(col("credit_e6"), col("total_e6"), 6).as("credit_share"))
+      .orderBy("event_type")
+  }
 }

@@ -197,4 +197,36 @@ class EventAnalyticsSpec extends SparkSpec {
       .toMap
     assert(got == Map(("a", "b") -> 1L, ("b", "a") -> 1L))
   }
+
+  test("multiTouchAttribution: linear splits, u-shape 40/20/40 with " +
+    "degenerations, out-of-window touches excluded") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: three in-window touches (view, click, view) + purchase
+      (1L, 10L, t("2024-01-10 09:00:00"), "view"),
+      (2L, 10L, t("2024-01-10 10:00:00"), "click"),
+      (3L, 10L, t("2024-01-10 11:00:00"), "view"),
+      (4L, 10L, t("2024-01-10 12:00:00"), "purchase"),
+      // user 2: one in-window + one 10 days stale
+      (5L, 20L, t("2023-12-25 12:00:00"), "click"),
+      (6L, 20L, t("2024-01-04 09:00:00"), "click"),
+      (7L, 20L, t("2024-01-04 12:00:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val lin = EventAggs.multiTouchAttribution(ev, model = "linear")
+      .select("event_type", "n_touches", "credit_e6")
+      .as[(String, Long, Long)].collect().toSeq
+    // user 1: 1e6 div 3 = 333333 per touch; user 2: single 1000000
+    assert(lin == Seq(("click", 2L, 333333L + 1000000L),
+      ("view", 2L, 666666L)))
+    val u = EventAggs.multiTouchAttribution(ev, model = "u_shaped")
+      .select("event_type", "n_touches", "credit_e6")
+      .as[(String, Long, Long)].collect().toSeq
+    // user 1: first view 400000, middle click 200000, last view 400000;
+    // user 2: single touch keeps 1000000
+    assert(u == Seq(("click", 2L, 200000L + 1000000L),
+      ("view", 2L, 800000L)))
+    val e = intercept[IllegalArgumentException](
+      EventAggs.multiTouchAttribution(ev, model = "shapley"))
+    assert(e.getMessage.contains("model"))
+  }
 }

@@ -145,7 +145,9 @@ class PlanSweepSpec extends SparkSpec {
     // (O(days²) from the day domain, never data-sized)
     "ts_theil_sen",
     // collocation lift: the 1-row bigram-total broadcast
-    "text_collocations")
+    "text_collocations",
+    // attribution share denominators: the 1-row total-credit broadcast
+    "events_attr_linear", "events_attr_ushaped")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)
