@@ -6245,8 +6245,12 @@ object SparkEntry {
         |      FROM p JOIN t USING (user_id)
         |      WHERE t.tts <= p.pts
         |        AND t.tts >= p.pts - INTERVAL 7 DAY),
+        |cap AS (SELECT pid, event_type, tts, tid FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY pid
+        |            ORDER BY tts DESC, tid DESC) AS rc FROM j)
+        |        WHERE rc <= 64),
         |r AS (SELECT *, CAST(count(*) OVER (PARTITION BY pid) AS BIGINT)
-        |        AS n FROM j),
+        |        AS n FROM cap),
         |pc AS (SELECT event_type, count(*) AS n_touches,
         |         CAST(sum(1000000 // n) AS BIGINT) AS credit_e6
         |       FROM r GROUP BY 1),
@@ -6267,11 +6271,15 @@ object SparkEntry {
         |      FROM p JOIN t USING (user_id)
         |      WHERE t.tts <= p.pts
         |        AND t.tts >= p.pts - INTERVAL 7 DAY),
+        |cap AS (SELECT pid, event_type, tts, tid FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY pid
+        |            ORDER BY tts DESC, tid DESC) AS rc FROM j)
+        |        WHERE rc <= 64),
         |r AS (SELECT *,
         |        CAST(row_number() OVER (PARTITION BY pid
         |          ORDER BY tts, tid) AS BIGINT) AS pos,
         |        CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS n
-        |      FROM j),
+        |      FROM cap),
         |c AS (SELECT event_type,
         |        CASE WHEN n = 1 THEN 1000000
         |             WHEN n = 2 THEN 500000

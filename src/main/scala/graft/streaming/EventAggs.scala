@@ -589,15 +589,26 @@ object EventAggs {
     * semantics for zero gain). Purchases with no touch inside the
     * window are excluded — last-touch's 'direct' bucket covers them.
     *
+    * Attribution horizon: besides the time `lookback`, each purchase
+    * keeps only its `maxTouches` MOST RECENT touches — the knob that
+    * bounds the per-purchase join product when a user's event density
+    * grows (measured: GenScale's sf1 holds users fixed and multiplies
+    * density 10×, inflating the uncapped window join 100×, 221 k → 22 M
+    * pairs). "First touch" under the U model then means first within
+    * the horizon, the standard rendering once paths exceed the cap.
+    *
     * Plan: one keyed (user) join bounded by the lookback window, one
-    * keyed (purchase) window for positions, one O(channels) rollup;
-    * the credit-share denominator is a 1-row broadcast.
+    * keyed (purchase) window for the recency cap + positions, one
+    * O(channels) rollup; the credit-share denominator is a 1-row
+    * broadcast.
     */
   def multiTouchAttribution(
       events: DataFrame, lookback: String = "7 days",
-      model: String = "linear"): DataFrame = {
+      model: String = "linear", maxTouches: Int = 64): DataFrame = {
     require(Set("linear", "u_shaped")(model),
       s"multiTouchAttribution: unknown model '$model'")
+    require(maxTouches >= 1,
+      s"multiTouchAttribution: maxTouches=$maxTouches below 1")
     import org.apache.spark.sql.expressions.Window
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
@@ -607,8 +618,14 @@ object EventAggs {
     val joined = purchases.join(touches, Seq("user_id"))
       .filter(col("tts") <= col("pts") &&
         col("tts") >= col("pts") - expr(s"INTERVAL $lookback"))
+    val recency = Window.partitionBy("pid")
+      .orderBy(col("tts").desc, col("tid").desc)
+    val capped = joined
+      .withColumn("__recent", row_number().over(recency))
+      .filter(col("__recent") <= maxTouches)
+      .drop("__recent")
     val w = Window.partitionBy("pid").orderBy(col("tts"), col("tid"))
-    val positioned = joined
+    val positioned = capped
       .withColumn("pos", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("pid"))
         .cast("long"))
