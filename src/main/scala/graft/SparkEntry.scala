@@ -2305,6 +2305,28 @@ object SparkEntry {
         when(col("label") === 0, 1.0).otherwise(0.0).as("y"))
       graft.ops.Features.calibrationTable(emb, "s", "y")
     }),
+    "stat_cuped" -> ((s, dir) =>
+      // CUPED readout: does pre-period activity explain post-period
+      // activity enough to be worth the adjustment? theta and the exact
+      // corr² variance reduction from five BIGINT sufficient statistics,
+      // emitted as UNROUNDED identical doubles
+      graft.ops.Stats.cuped(
+        Tables.events(s, dir).filter(col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            sum(when(to_date(col("ts")) < lit("2024-01-16"), 1L)
+              .otherwise(0L)).as("x"),
+            sum(when(to_date(col("ts")) >= lit("2024-01-16"), 1L)
+              .otherwise(0L)).as("y")),
+        "x", "y")),
+    "stat_srm" -> ((s, dir) =>
+      // sample-ratio-mismatch guardrail on the md5 50/50 assignment:
+      // chi2 collapses to (2a-n)^2/n and the 95% flag is the pure
+      // integer comparison 100*(2a-n)^2 > 384*n
+      graft.ops.Stats.sampleRatioMismatch(
+        Tables.events(s, dir).filter(col("user_id").isNotNull)
+          .select("user_id").distinct(),
+        "user_id")),
     "stat_spearman" -> ((s, dir) =>
       // monotone association between per-user activity volume and type
       // breadth: integer doubled midranks, BIGINT sufficient statistics,
@@ -4528,6 +4550,56 @@ object SparkEntry {
         |       max(CASE WHEN rn = (9 * n + 9) // 10 THEN qty END)
         |         AS p90_disc
         |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "stat_cuped" -> // same sufficient statistics, same double casts —
+      // theta and the reduction are unrounded identical doubles
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(y * y) AS BIGINT) AS syy
+        |      FROM u)
+        |SELECT n AS n_units,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS theta,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |         * 100.0 END AS var_reduction_pct
+        |FROM s""".stripMargin,
+    "stat_srm" -> // same md5 spelling as split_assign's oracle; the
+      // detection flag never touches a double
+      """WITH un AS (SELECT DISTINCT user_id FROM events
+        |            WHERE user_id IS NOT NULL),
+        |b AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |        1, 4) AS BIGINT) % 2 AS b FROM un),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_a
+        |      FROM b)
+        |SELECT n AS n_units, n_a, n - n_a AS n_b,
+        |  CAST(2 * n_a - n AS DOUBLE) * CAST(2 * n_a - n AS DOUBLE)
+        |    / CAST(n AS DOUBLE) AS chi2,
+        |  100 * (2 * n_a - n) * (2 * n_a - n) > 384 * n AS srm_detected
+        |FROM s""".stripMargin,
     "stat_spearman" -> // doubled midranks per variable over the bounded
       // per-user count domains; every cast mirrored so the double
       // combination is bit-identical

@@ -472,4 +472,60 @@ object Stats {
           col("sa").cast("double") * col("sb").cast("double")) /
           (sqrt(dx) * sqrt(dy))), 6).as("rho"))
   }
+  /** CUPED variance reduction (Deng et al. 2013) over integer-valued
+    * (covariate, metric) pairs — the industry-standard pre-experiment
+    * adjustment: theta = cov(x,y)/var(x), and the variance the adjusted
+    * metric sheds is exactly corr(x,y)² — reported as a percentage, the
+    * number that decides whether CUPED is worth wiring into an
+    * experiment's readout.
+    *
+    * Exactness: [[spearman]]'s discipline — five BIGINT sufficient
+    * statistics, combined in double as the same expression on the same
+    * integers in both engines. theta and the reduction are emitted
+    * UNROUNDED: identical doubles need no rounding, and rounding a
+    * rational is exactly the cross-engine tie hazard ExactRatio exists
+    * for. Zero covariate variance yields NULLs.
+    */
+  def cuped(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val b = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val s = b.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val cxy = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    s.select(col("n").as("n_units"),
+      when(vx > 0.0, cxy / vx).as("theta"),
+      when(vx > 0.0 && vy > 0.0, cxy * cxy / (vx * vy) * lit(100.0))
+        .as("var_reduction_pct"))
+  }
+
+  /** Sample-ratio-mismatch guardrail for a 50/50 md5-hash assignment:
+    * with two cells of expected size n/2, the chi-square statistic
+    * collapses to (2a−n)²/n (df = 1), and the 95 % detection flag is the
+    * pure-integer comparison 100·(2a−n)² > 384·n — no double ever
+    * decides it. The first check an experimentation system runs: an SRM
+    * means the assignment (not the metric) is broken.
+    */
+  def sampleRatioMismatch(units: DataFrame, idCol: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(2))
+    val s = units.select(bucket.as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("b") === 0L, 1L).otherwise(0L)).as("n_a"))
+    val dev = lit(2L) * col("n_a") - col("n")
+    s.select(col("n").as("n_units"), col("n_a"),
+      (col("n") - col("n_a")).as("n_b"),
+      (dev.cast("double") * dev.cast("double") / col("n").cast("double"))
+        .as("chi2"),
+      (lit(100L) * dev * dev > lit(384L) * col("n")).as("srm_detected"))
+  }
 }

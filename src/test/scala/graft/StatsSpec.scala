@@ -232,6 +232,39 @@ class StatsSpec extends SparkSpec {
       .select("rho").as[Double].collect().head == 0.866025)
   }
 
+  test("cuped: perfect covariate gives theta = slope and 100% reduction; " +
+    "zero covariate variance gives NULLs") {
+    // y = 2x exactly: theta = cov/var = 2, corr² = 1 -> 100%
+    val perfect = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("x", "y")
+    val got = graft.ops.Stats.cuped(perfect, "x", "y")
+      .as[(Long, Double, Double)].collect().head
+    assert(got == ((3L, 2.0, 100.0)))
+    val flat = Seq((5L, 1L), (5L, 2L)).toDF("x", "y")
+    val row = graft.ops.Stats.cuped(flat, "x", "y")
+      .select("theta", "var_reduction_pct").collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
+  test("sampleRatioMismatch: counts match an independent md5 parity and " +
+    "the integer flag matches the chi2 double") {
+    val ids = (1L to 400L)
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val expA = ids.count(bucket(_) == 0).toLong
+    val df = ids.toDF("user_id")
+    val got = graft.ops.Stats.sampleRatioMismatch(df, "user_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().head
+    val n = 400L
+    val dev = 2 * expA - n
+    assert(got._1 == n && got._2 == expA && got._3 == n - expA)
+    assert(got._4 == dev.toDouble * dev.toDouble / n.toDouble)
+    assert(got._5 == (100 * dev * dev > 384 * n))
+  }
+
   test("spearman: zero variance on either side is NULL, never NaN") {
     val flat = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
     val row = Stats.spearman(flat, "x", "y").select("rho").collect().head
