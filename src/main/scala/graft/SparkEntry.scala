@@ -513,6 +513,14 @@ object SparkEntry {
       graft.ops.Similarity.sqTopK(Tables.embeddings(s, dir))),
     "sim_topk_pq" -> ((s, dir) =>
       graft.ops.Similarity.pqTopK(Tables.embeddings(s, dir))),
+    "dedup_tfidf_pairs" -> ((s, dir) =>
+      // exact TF-IDF sparse-cosine rescoring over the doc_id%5 candidate
+      // pool (the stage AFTER LSH blocking — the shared-term join is
+      // quadratic in df, so it runs on pools, never raw corpora): bigram
+      // terms, idf quantized to integer millis so dots and norms are
+      // BIGINT; the only doubles are the final sqrt/divide
+      graft.ops.Dedup.tfidfCosinePairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))),
     "dedup_prefix_filter" -> ((s, dir) =>
       // exact-recall near-dup pairs via PPJoin prefix filtering; the
       // oracle computes ground truth over ALL sharing pairs, so the hash
@@ -4052,6 +4060,41 @@ object SparkEntry {
         |          i -> a.vec[i]*b.vec[i]), 'sum') / (a.nrm*b.nrm), 6) AS cos_sim
         |      FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim > 0.35""".stripMargin,
+    "dedup_tfidf_pairs" -> // same bigram terms, same quantized idf
+      // (trunc BEFORE the cast — DuckDB casts round), BIGINT dots/norms
+      """WITH pool AS (SELECT doc_id, lang, text FROM documents
+        |              WHERE doc_id % 5 = 0),
+        |d AS (SELECT doc_id, lang,
+        |        regexp_split_to_array(trim(text), '\s+') AS a FROM pool),
+        |bi AS (SELECT doc_id, lang, a[i] || ' ' || a[i+1] AS w
+        |       FROM d CROSS JOIN (SELECT unnest(generate_series(1,
+        |           (SELECT CAST(max(len(a)) AS BIGINT) FROM d))) AS i)
+        |       WHERE i <= len(a) - 1),
+        |tf AS (SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bi GROUP BY 1, 2, 3),
+        |dft AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM pool),
+        |kept AS (SELECT lang, w,
+        |           CAST(trunc(ln(CAST(n_docs AS DOUBLE)
+        |             / CAST(df AS DOUBLE)) * 1000) AS BIGINT) AS idf_e3
+        |         FROM dft CROSS JOIN nd WHERE df * 10 <= n_docs),
+        |wt AS (SELECT tf.doc_id, tf.lang, tf.w, tf.tf * kept.idf_e3 AS wt
+        |       FROM tf JOIN kept ON tf.lang = kept.lang AND tf.w = kept.w),
+        |nr AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS nrm2
+        |       FROM wt GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           CAST(sum(a.wt * b.wt) AS BIGINT) AS dot,
+        |           CAST(count(*) AS BIGINT) AS n_shared
+        |         FROM wt a JOIN wt b ON a.lang = b.lang AND a.w = b.w
+        |           AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT doc_a, doc_b, n_shared,
+        |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm2 AS DOUBLE))
+        |        * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6) AS cos_sim
+        |FROM dots JOIN nr na ON na.doc_id = dots.doc_a
+        |          JOIN nr nb ON nb.doc_id = dots.doc_b
+        |ORDER BY cos_sim DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "dedup_prefix_filter" -> // ground truth over ALL gram-sharing pairs
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
         |           FROM documents),

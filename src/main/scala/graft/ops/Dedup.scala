@@ -947,4 +947,66 @@ object Dedup {
         levenshtein(col("ka"), col("kb")).as("edit_dist"))
       .filter(col("edit_dist") <= k)
   }
+  /** Near-dup pairs by TF-IDF-weighted sparse cosine — the lexical
+    * similarity the minhash/simhash/jaccard legs approximate, computed
+    * EXACTLY over quantized weights: idf is truncated to integer
+    * millis (`trunc(ln(N/df)·1e3)` — identical truncation of the
+    * identical double both engines), so term weights, dot products,
+    * and squared norms are all BIGINT and the only doubles are the
+    * final per-pair sqrt/divide (a single deterministic expression;
+    * an UNQUANTIZED rendering would sum doubles in shuffle order —
+    * engine-nondeterministic, invisible until a hash mismatch).
+    *
+    * Terms are word BIGRAMS (the unigram vocabulary is too small/common
+    * to discriminate — every doc shares it); weights are per-doc gram
+    * frequencies × quantized idf.
+    *
+    * Scale: the shared-term sort-merge self-join is inherently
+    * quadratic in per-term df, so this operator is the exact RESCORING
+    * stage — run it on a candidate pool (an LSH/minhash block union, a
+    * shard), never the raw corpus; the df CAP (terms in more than
+    * N/`dfCapShare` of the pool) and `minShared` bound the fan-out
+    * inside the pool, and both self-join sides reuse one exchange.
+    */
+  def tfidfCosinePairs(
+      docs: DataFrame, dfCapShare: Int = 10, minShared: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(dfCapShare >= 2, s"tfidfCosinePairs: dfCapShare=$dfCapShare")
+    val tf = gramStream(docs, 2, Seq("lang"))
+      .withColumnRenamed("gram", "w")
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("lang", "w").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val kept = dft.crossJoin(broadcast(nDocs))
+      .filter(col("df") * dfCapShare <= col("n_docs"))
+      .withColumn("idf_e3",
+        expr("CAST(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) " +
+          "* 1000 AS BIGINT)"))
+      .select("lang", "w", "idf_e3")
+    val weighted = tf.join(kept, Seq("lang", "w"))
+      .select(col("doc_id"), col("lang"), col("w"),
+        (col("tf") * col("idf_e3")).as("wt"))
+    val norms = weighted.groupBy("doc_id")
+      .agg(sum(col("wt") * col("wt")).as("nrm2"))
+    val a = weighted.hint("merge").as("a")
+    val b = weighted.hint("merge").as("b")
+    val dots = a.join(b,
+        col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.wt") * col("b.wt")).as("dot"),
+        count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm2").as("na")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm2").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(topK)
+  }
 }

@@ -251,4 +251,27 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == ((2L, 300L, 3L)), "tie at 300 chars -> smaller doc_id")
     assert(got(4L) == ((4L, 50L, 2L)))
   }
+  test("tfidfCosinePairs: hand-computed quantized-idf cosine, df cap and " +
+    "minShared prune, cap guard") {
+    // docs 1/2 share exactly 3 bigrams (a b, b c, c d) and differ in one;
+    // 8 filler docs make N = 10 so the shared grams (df = 2) survive the
+    // df*2 <= N cap while every filler gram is df = 1
+    val docs = (Seq(
+      (1L, "en", "a b c d e"),
+      (2L, "en", "a b c d f")) ++
+      (3L to 10L).map(i => (i, "en", s"u$i v$i w$i x$i"))
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ops.Dedup.tfidfCosinePairs(docs, dfCapShare = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // idf_e3: shared grams trunc(ln(10/2)*1e3) = 1609, unique = 2302;
+    // dot = 3*1609^2, nrm2 = 3*1609^2 + 2302^2 on both sides
+    val dot = 3.0 * 1609 * 1609
+    val nrm2 = 3.0 * 1609 * 1609 + 2302.0 * 2302
+    val expected = BigDecimal(dot / (math.sqrt(nrm2) * math.sqrt(nrm2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 2L, 3L, expected)))
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Dedup.tfidfCosinePairs(docs, dfCapShare = 1))
+    assert(e.getMessage.contains("dfCapShare"))
+  }
 }

@@ -147,7 +147,9 @@ class PlanSweepSpec extends SparkSpec {
     // collocation lift: the 1-row bigram-total broadcast
     "text_collocations",
     // attribution share denominators: the 1-row total-credit broadcast
-    "events_attr_linear", "events_attr_ushaped")
+    "events_attr_linear", "events_attr_ushaped",
+    // tf-idf rescoring: the 1-row pool-size broadcast under the df cap
+    "dedup_tfidf_pairs")
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

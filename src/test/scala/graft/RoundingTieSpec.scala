@@ -95,6 +95,8 @@ class RoundingTieSpec extends SparkSpec {
       "(the five sufficient statistics are exact BIGINT)"),
     "graph_assortativity" -> ("IRRATIONAL: r divides by sqrt degree " +
       "variances (sufficient statistics exact BIGINT)"),
+    "dedup_tfidf_pairs" -> ("IRRATIONAL: cosine over sqrt norms of " +
+      "quantized-idf weights (dots and norms exact BIGINT)"),
     "ts_ewma" -> "IRRATIONAL: (1-alpha)^j kernel weights",
     "eval_mrr" -> (CosineReason + " (MRR itself is exact fixed point " +
       "over 2520)"),
