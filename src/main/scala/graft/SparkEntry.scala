@@ -2231,6 +2231,27 @@ object SparkEntry {
       // without the log): one tokenization pass, marginals re-aggregate
       // the bigram table, total is a 1-row broadcast
       graft.ops.TextAnalysis.collocations(Tables.documents(s, dir))),
+    "ts_twa" -> ((s, dir) =>
+      // time-weighted average event value per user: exact BIGINT
+      // epoch-microsecond holding weights from one lead window, the
+      // grouped aggregate reuses the same exchange; single-sample users
+      // yield NULL, never NaN
+      graft.ops.Temporal.timeWeightedAvg(
+        Tables.events(s, dir), "user_id", "ts", "value", "event_id")),
+    "fifo_allocation" -> { (s, dir) =>
+      // FIFO lot matching without iteration: returns consume shipped
+      // lots per part in strict ship order via two cumulative windows
+      // and one interval-overlap join; output is the bounded
+      // lots-per-return distribution with exact BIGINT quantities
+      val li = Tables.lineitem(s, dir)
+      val cols = Seq(col("l_partkey"), col("l_quantity"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      graft.ops.Temporal.fifoAllocate(
+        li.filter(col("l_returnflag") =!= "R").select(cols: _*),
+        li.filter(col("l_returnflag") === "R").select(cols: _*),
+        "l_partkey", "l_quantity",
+        Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+    },
     "ts_acf" -> ((s, dir) =>
       // autocorrelation of the daily event-count series at lags 1..7
       graft.ops.Temporal.acf(
@@ -2335,6 +2356,22 @@ object SparkEntry {
         Tables.events(s, dir).filter(col("user_id").isNotNull)
           .select("user_id").distinct(),
         "user_id")),
+    "stat_mannwhitney" -> ((s, dir) =>
+      // rank-sum location-shift test on the same en -> fr doc-length
+      // pair stat_ks screens for distribution shift: doubled midranks,
+      // four BIGINT sufficient statistics, tie-corrected z combined in
+      // identical doubles (sqrt-irrational, never a decimal tie)
+      graft.ops.Stats.mannWhitney(
+        Tables.documents(s, dir), "lang", "n_chars", "en", "fr")),
+    "stat_permutation" -> ((s, dir) =>
+      // exact randomization p-value for the md5 assignment on per-user
+      // activity: pure-integer group-sum imbalance vs 64 salted
+      // re-assignments of the same units, p as ExactRatio — no
+      // distributional assumption, no double ever compared
+      graft.ops.Stats.permutationTest(
+        Tables.events(s, dir).filter(col("user_id").isNotNull)
+          .groupBy("user_id").agg(count(lit(1)).as("m")),
+        "user_id", "m")),
     "stat_spearman" -> ((s, dir) =>
       // monotone association between per-user activity volume and type
       // breadth: integer doubled midranks, BIGINT sufficient statistics,
@@ -4643,6 +4680,63 @@ object SparkEntry {
         |    / CAST(n AS DOUBLE) AS chi2,
         |  100 * (2 * n_a - n) * (2 * n_a - n) > 384 * n AS srm_detected
         |FROM s""".stripMargin,
+    "stat_mannwhitney" -> // same doubled-midrank construction; every
+      // cast mirrored so z is the identical double in both engines
+      """WITH base AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ca,
+        |         CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS cb
+        |  FROM documents WHERE lang IN ('en', 'fr') AND n_chars IS NOT NULL),
+        |counts AS (SELECT v, CAST(sum(ca) AS BIGINT) AS na,
+        |                  CAST(sum(cb) AS BIGINT) AS nb
+        |           FROM base GROUP BY 1),
+        |r AS (SELECT na, nb, na + nb AS nv,
+        |             2 * COALESCE(sum(na + nb) OVER (ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               + (na + nb) + 1 AS dmr
+        |      FROM counts),
+        |s AS (SELECT CAST(sum(na) AS BIGINT) AS na,
+        |             CAST(sum(nb) AS BIGINT) AS nb,
+        |             CAST(sum(na * dmr) AS BIGINT) AS r2a,
+        |             CAST(sum(nv * nv * nv - nv) AS BIGINT) AS t3
+        |      FROM r)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_a,
+        |  CASE WHEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |         * (CAST(na + nb + 1 AS DOUBLE) * CAST(na + nb AS DOUBLE)
+        |            * CAST(na + nb - 1 AS DOUBLE) - CAST(t3 AS DOUBLE))
+        |         / (12.0 * CAST(na + nb AS DOUBLE)
+        |            * CAST(na + nb - 1 AS DOUBLE)) > 0
+        |    THEN CAST(r2a - na * (na + 1) - na * nb AS DOUBLE)
+        |         / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |            * (CAST(na + nb + 1 AS DOUBLE) * CAST(na + nb AS DOUBLE)
+        |               * CAST(na + nb - 1 AS DOUBLE) - CAST(t3 AS DOUBLE))
+        |            / (12.0 * CAST(na + nb AS DOUBLE)
+        |               * CAST(na + nb - 1 AS DOUBLE)))) END AS z
+        |FROM s""".stripMargin,
+    "stat_permutation" -> // same md5 spelling as stat_srm/split_assign,
+      // salted variant appends ':k'; p is the exact-fixed-point ratio
+      """WITH u AS (SELECT CAST(user_id AS VARCHAR) AS id,
+        |             CAST(count(*) AS BIGINT) AS m
+        |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |obs AS (SELECT abs(2 * CAST(sum(CASE WHEN CAST('0x' ||
+        |            substr(md5(id), 1, 4) AS BIGINT) % 2 = 0
+        |            THEN m ELSE 0 END) AS BIGINT)
+        |          - CAST(sum(m) AS BIGINT)) AS d0 FROM u),
+        |nulls AS (SELECT abs(2 * CAST(sum(CASE WHEN CAST('0x' ||
+        |              substr(md5(id || ':' || CAST(t.k AS VARCHAR)), 1, 4)
+        |              AS BIGINT) % 2 = 0 THEN m ELSE 0 END) AS BIGINT)
+        |            - CAST(sum(m) AS BIGINT)) AS dk
+        |          FROM u, range(64) t(k) GROUP BY t.k),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS k_perms,
+        |             max(d0) AS d_obs,
+        |             CAST(sum(CASE WHEN dk >= d0 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS n_ge
+        |      FROM nulls, obs)
+        |SELECT k_perms, d_obs, n_ge,
+        |  CAST(((n_ge + 1) * 2000000 + (k_perms + 1))
+        |       // (2 * (k_perms + 1)) AS DOUBLE) / 1000000.0 AS p_value
+        |FROM s""".stripMargin,
     "stat_spearman" -> // doubled midranks per variable over the bounded
       // per-user count domains; every cast mirrored so the double
       // combination is bit-identical
@@ -6588,6 +6682,68 @@ object SparkEntry {
         |       CAST(np AS BIGINT) AS n_pairs,
         |       dy AS med_dy, dx AS med_dx, slope
         |FROM r WHERE i = (np + 1) // 2""".stripMargin,
+    "ts_twa" -> // same lead-window holding weights in exact epoch
+      // micros; the weighted mean is the only double
+      """WITH b AS (SELECT user_id AS k,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |             event_id AS tie, CAST(value AS DOUBLE) AS v
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |             AND value IS NOT NULL),
+        |w AS (SELECT k, v,
+        |        COALESCE(lead(tus) OVER (PARTITION BY k
+        |          ORDER BY tus, tie) - tus, 0) AS wt
+        |      FROM b)
+        |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(wt) AS BIGINT) AS span_us,
+        |       round(CASE WHEN sum(wt) > 0
+        |         THEN sum(v * CAST(wt AS DOUBLE))
+        |              / CAST(sum(wt) AS DOUBLE) END, 6) AS twa
+        |FROM w GROUP BY 1""".stripMargin,
+    "fifo_allocation" -> // same half-open cumulative spans and overlap
+      // join; trunc() before the BIGINT quantity casts (DuckDB rounds,
+      // Spark truncates), quantities integral so both are exact
+      """WITH sup AS (
+        |  SELECT l_partkey AS k,
+        |         CAST(trunc(l_quantity) AS BIGINT) AS q,
+        |         sum(CAST(trunc(l_quantity) AS BIGINT)) OVER (
+        |           PARTITION BY l_partkey
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        |  FROM lineitem
+        |  WHERE l_returnflag <> 'R'
+        |    AND CAST(trunc(l_quantity) AS BIGINT) > 0),
+        |dem AS (
+        |  SELECT l_partkey AS k,
+        |         CAST(trunc(l_quantity) AS BIGINT) AS q,
+        |         sum(CAST(trunc(l_quantity) AS BIGINT)) OVER (
+        |           PARTITION BY l_partkey
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+        |         row_number() OVER (
+        |           PARTITION BY l_partkey
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS dseq
+        |  FROM lineitem
+        |  WHERE l_returnflag = 'R'
+        |    AND CAST(trunc(l_quantity) AS BIGINT) > 0),
+        |pairs AS (
+        |  SELECT d.k, d.dseq, d.q AS dq,
+        |         CASE WHEN s.k IS NOT NULL THEN
+        |           least(s.hi, d.hi) - greatest(s.hi - s.q, d.hi - d.q)
+        |         END AS alloc
+        |  FROM dem d LEFT JOIN sup s
+        |    ON d.k = s.k AND s.hi > d.hi - d.q AND s.hi - s.q < d.hi),
+        |pd AS (SELECT k, dseq, max(dq) AS dq,
+        |         CAST(sum(CASE WHEN alloc IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS lots,
+        |         CAST(COALESCE(sum(alloc), 0) AS BIGINT) AS got
+        |       FROM pairs GROUP BY 1, 2)
+        |SELECT lots AS lots_per_demand,
+        |       CAST(count(*) AS BIGINT) AS n_demands,
+        |       CAST(sum(dq) AS BIGINT) AS qty_demanded,
+        |       CAST(sum(got) AS BIGINT) AS qty_allocated,
+        |       CAST(sum(dq - got) AS BIGINT) AS qty_short
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_collocations" -> // same split, bigrams by array position,
       // marginals off the bigram table, exact-ratio lift
       """WITH d AS (SELECT doc_id,

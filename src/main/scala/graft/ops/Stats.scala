@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.ExactRatio.exactRatio
+
 /** Categorical/numeric dependence statistics for corpus and feature
   * auditing: which columns carry information about which others — the
   * question behind leakage checks, feature selection, and stratification
@@ -527,5 +529,106 @@ object Stats {
       (dev.cast("double") * dev.cast("double") / col("n").cast("double"))
         .as("chi2"),
       (lit(100L) * dev * dev > lit(384L) * col("n")).as("srm_detected"))
+  }
+
+  /** Mann–Whitney rank-sum test between two groups of an integer-valued
+    * metric — the nonparametric alternative to the t-test when the
+    * distribution is skewed (doc lengths, session counts): U counts how
+    * often a group-a value beats a group-b value, and the tie-corrected
+    * normal approximation z flags a location shift.
+    *
+    * Exactness: [[spearman]]'s doubled-midrank discipline. All sufficient
+    * statistics are BIGINT — 2·R_a = Σ n_a(v)·(2·cum_before(v)+n(v)+1),
+    * the tie term T = Σ (n(v)³−n(v)), and the deviation
+    * 2·(U_a − n_a·n_b/2) = 2R_a − n_a(n_a+1) − n_a·n_b — and z combines
+    * them in double as the same expression on the same integers in both
+    * engines (sqrt-irrational, never a decimal tie). u_a is the exact
+    * half-integer 2U_a/2. Degenerate inputs (one group empty, or every
+    * value tied) yield NULL z.
+    *
+    * Plan: one size-of-data aggregate to the O(distinct values) count
+    * table (both groups in one scan), one cumulative window on that
+    * bounded table, one scalar aggregate. The contract is a quantized
+    * value column, as for [[ksTest]].
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("__ca"),
+        when(col(groupCol) === b, 1L).otherwise(0L).as("__cb"))
+    val counts = base.groupBy("v")
+      .agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+      .withColumn("__nv", col("__na") + col("__nb"))
+    val w = Window.orderBy("v") // O(distinct values) rows
+    val ranked = counts.withColumn("__dmr",
+      lit(2L) * (sum("__nv").over(w) - col("__nv"))
+        + col("__nv") + lit(1L))
+    val s = ranked.agg(
+      sum("__na").as("na"), sum("__nb").as("nb"),
+      sum(col("__na") * col("__dmr")).as("r2a"),
+      sum(col("__nv") * col("__nv") * col("__nv") - col("__nv")).as("t3"))
+    val n = col("na") + col("nb")
+    // 2·(U_a − n_a·n_b/2), exact BIGINT
+    val dev = col("r2a") - col("na") * (col("na") + lit(1L)) -
+      col("na") * col("nb")
+    // tie-corrected var(U_a), combined in double (ranges exceed BIGINT)
+    val varU = col("na").cast("double") * col("nb").cast("double") *
+      ((n + lit(1L)).cast("double") * n.cast("double") *
+        (n - lit(1L)).cast("double") - col("t3").cast("double")) /
+      (lit(12.0) * n.cast("double") * (n - lit(1L)).cast("double"))
+    s.select(col("na").as("n_a"), col("nb").as("n_b"),
+      ((col("r2a") - col("na") * (col("na") + lit(1L))).cast("double") /
+        lit(2.0)).as("u_a"),
+      when(varU > 0.0,
+        dev.cast("double") / (lit(2.0) * sqrt(varU))).as("z"))
+  }
+
+  /** Seeded randomization (permutation) test of "does the 50/50 md5
+    * assignment explain the metric?" — the exact, distribution-free
+    * companion to [[sampleRatioMismatch]]: the observed statistic is the
+    * pure-integer group-sum imbalance |2·Σ_a m − Σ m| under the unsalted
+    * assignment, the null distribution re-derives it under `perms` salted
+    * re-assignments of the SAME units, and the p-value is the exact
+    * rational (1 + #{null ≥ observed}) / (perms + 1) — no distributional
+    * assumption, no double ever compared.
+    *
+    * Plan: the per-unit metric table (already aggregated by the caller,
+    * far smaller than the raw data) is exploded ×perms and re-aggregated
+    * in one map-side-combining shuffle to O(perms) rows; the observed
+    * statistic is a 1-row broadcast onto that bounded table. At 100 TB
+    * the ×perms blow-up applies to the unit table only, never the events.
+    */
+  def permutationTest(units: DataFrame, idCol: String, metricCol: String,
+      perms: Int = 64): DataFrame = {
+    require(perms >= 1 && perms <= 10000, s"perms=$perms out of 1..10000")
+    def bucket(c: org.apache.spark.sql.Column) = pmod(
+      conv(substring(md5(c), 1, 4), 16, 10).cast("long"), lit(2))
+    val base = units.select(col(idCol).cast("string").as("__id"),
+      col(metricCol).cast("long").as("__m"))
+    val obs = base.agg(
+      sum(when(bucket(col("__id")) === 0L, col("__m")).otherwise(0L))
+        .as("__sa"),
+      sum("__m").as("__st"))
+      .select(abs(lit(2L) * col("__sa") - col("__st")).as("__d0"))
+    val nulls = base
+      .select(col("__id"), col("__m"),
+        explode(sequence(lit(0), lit(perms - 1))).as("__k"))
+      .groupBy("__k")
+      .agg(
+        sum(when(bucket(concat(col("__id"), lit(":"),
+          col("__k").cast("string"))) === 0L, col("__m")).otherwise(0L))
+          .as("__sa"),
+        sum("__m").as("__st"))
+      .select(abs(lit(2L) * col("__sa") - col("__st")).as("__dk"))
+    nulls.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("k_perms"),
+        max("__d0").as("d_obs"),
+        sum(when(col("__dk") >= col("__d0"), 1L).otherwise(0L)).as("n_ge"))
+      .select(col("k_perms"), col("d_obs"), col("n_ge"),
+        exactRatio(col("n_ge") + lit(1L), col("k_perms") + lit(1L), 6)
+          .as("p_value"))
   }
 }

@@ -280,6 +280,109 @@ object Temporal {
     * 1-partition sort), and the only data-sized stage is the daily
     * count.
     */
+  /** FIFO lot allocation — the accounting/inventory matching primitive:
+    * per key, demand rows consume supply rows in strict arrival order
+    * (cost-basis matching, returns-to-shipments, payments-to-invoices).
+    * The classic sequential loop becomes two cumulative windows and one
+    * interval-overlap join: supply row s spans [cum_s − q_s, cum_s) of the
+    * key's running total, demand row d spans [cum_d − q_d, cum_d), and d
+    * consumes min(hi) − max(lo) units from every s it overlaps — exactly
+    * the FIFO assignment, with no iteration and no driver loop.
+    *
+    * All arithmetic is BIGINT on integral quantities (cast truncates;
+    * mirror with trunc() in the oracle). Output is the bounded
+    * lots-per-demand distribution: how many demands were served from 1
+    * lot, from 2, …, and 0 for demands arriving after supply ran dry —
+    * plus their quantities and the shortfall.
+    *
+    * Plan: two windowed cumsums riding ONE exchange each on the key, then
+    * an equi-join on the key whose range predicate keeps only overlapping
+    * pairs — output cardinality is n_demand + n_splits (a demand crossing
+    * L lot boundaries emits L rows), never quadratic. Per-key skew is
+    * bounded by the key's row count, the same bound the windows already
+    * carry.
+    */
+  def fifoAllocate(
+      supply: DataFrame, demand: DataFrame, keyCol: String,
+      qtyCol: String, orderCols: Seq[String]): DataFrame = {
+    def spans(df: DataFrame, hiName: String, loName: String,
+        seqName: String): DataFrame = {
+      val w = Window.partitionBy("__k")
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.select(Seq(col(keyCol).as("__k"),
+        col(qtyCol).cast("long").as("__q")) ++ orderCols.map(col): _*)
+        .filter(col("__q") > 0L)
+        .withColumn(hiName, sum("__q").over(w))
+        .withColumn(loName, col(hiName) - col("__q"))
+        .withColumn(seqName, row_number().over(
+          Window.partitionBy("__k").orderBy(orderCols.map(col): _*))
+          .cast("long"))
+    }
+    val sup = spans(supply, "__shi", "__slo", "__sseq")
+      .select("__k", "__shi", "__slo")
+    val dem = spans(demand, "__dhi", "__dlo", "__dseq")
+      .select("__k", "__dhi", "__dlo", "__dseq")
+    // left join: a demand beyond the key's total supply keeps its row
+    // (zero lots); alloc per overlapping pair = min(hi) − max(lo)
+    val pairs = dem.join(sup,
+      dem("__k") === sup("__k") &&
+        sup("__shi") > dem("__dlo") && sup("__slo") < dem("__dhi"),
+      "left")
+      .select(dem("__k"), col("__dseq"),
+        (col("__dhi") - col("__dlo")).as("__dq"),
+        when(sup("__k").isNotNull,
+          least(col("__shi"), col("__dhi")) -
+            greatest(col("__slo"), col("__dlo"))).as("__alloc"))
+    val perDemand = pairs.groupBy(col("__k"), col("__dseq"))
+      .agg(max("__dq").as("__dq"),
+        sum(when(col("__alloc").isNotNull, 1L).otherwise(0L))
+          .as("lots_per_demand"),
+        coalesce(sum("__alloc"), lit(0L)).as("__got"))
+    perDemand.groupBy("lots_per_demand")
+      .agg(count(lit(1)).as("n_demands"),
+        sum("__dq").as("qty_demanded"),
+        sum("__got").as("qty_allocated"),
+        sum(col("__dq") - col("__got")).as("qty_short"))
+      .orderBy("lots_per_demand")
+  }
+
+  /** Time-weighted average of an irregularly-sampled series per key — the
+    * right mean when samples are state observations, not events: each
+    * value holds until the next sample, so it weighs by its holding
+    * duration (last sample weighs 0 — it holds for an unknown future).
+    * Sensor rollups, position marks, price marks all want this, and the
+    * arithmetic mean silently over-weights busy periods.
+    *
+    * Weights are exact BIGINT epoch-microsecond gaps; the weighted sum is
+    * a double (values are arbitrary doubles). A key with a single sample
+    * (zero total weight) yields NULL, never NaN.
+    *
+    * Plan: one lead window riding one exchange on the key, one grouped
+    * aggregate on the same key — the partitioning is reused, nothing
+    * re-shuffles.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy("__k").orderBy(col("__tus"), col("__tie"))
+    val base = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull
+        && col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        unix_micros(col(tsCol)).as("__tus"),
+        col(tieCol).as("__tie"),
+        col(valueCol).cast("double").as("__v"))
+    base
+      .withColumn("__w",
+        coalesce(lead("__tus", 1).over(w) - col("__tus"), lit(0L)))
+      .groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum("__w").as("span_us"),
+        round(when(sum("__w") > 0L,
+          sum(col("__v") * col("__w").cast("double")) /
+            sum("__w").cast("double")), 6).as("twa"))
+  }
+
   def theilSen(daily: DataFrame, orderCol: String, valueCol: String): DataFrame = {
     val base = daily.select(
       col(orderCol).cast("date").as("d"), col(valueCol).cast("long").as("v"))

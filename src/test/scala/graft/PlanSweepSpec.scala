@@ -73,6 +73,9 @@ class PlanSweepSpec extends SparkSpec {
     // linkage evaluation: the 1-row n_truth denominator broadcast onto
     // the 1-row match/possible aggregate
     "link_eval",
+    // permutation test: the 1-row observed-statistic broadcast onto the
+    // O(perms)=64-row null-distribution table
+    "stat_permutation",
     // triangle census: the final stats row composes 1-row aggregates
     "graph_triangles",
     // A-priori support threshold: a 1-row min_sup broadcast

@@ -98,6 +98,8 @@ class RoundingTieSpec extends SparkSpec {
     "dedup_tfidf_pairs" -> ("IRRATIONAL: cosine over sqrt norms of " +
       "quantized-idf weights (dots and norms exact BIGINT)"),
     "ts_ewma" -> "IRRATIONAL: (1-alpha)^j kernel weights",
+    "ts_twa" -> ("DOUBLE SUM: value x duration products are arbitrary " +
+      "doubles (the weights themselves are exact BIGINT micros)"),
     "eval_mrr" -> (CosineReason + " (MRR itself is exact fixed point " +
       "over 2520)"),
     "dedup_embedding" -> CosineReason,

@@ -270,4 +270,67 @@ class StatsSpec extends SparkSpec {
     val row = Stats.spearman(flat, "x", "y").select("rho").collect().head
     assert(row.isNullAt(0))
   }
+
+  test("mannWhitney: tie-free hand case U=1, z=-2/sqrt(3)") {
+    // A = {1,2,4}, B = {3,5}: R_A = 7, U_A = 7 - 3*4/2 = 1,
+    // var(U) = 3*2*(6*5*4)/(12*5*4) = 3, z = (1-3)/sqrt(3)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 4L), ("b", 3L), ("b", 5L))
+      .toDF("g", "v")
+    val r = Stats.mannWhitney(df, "g", "v", "a", "b")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(r._1 == 3L && r._2 == 2L)
+    assert(r._3 == 1.0)
+    assert(math.abs(r._4 - (-2.0 / math.sqrt(3.0))) < 1e-12)
+  }
+
+  test("mannWhitney: midrank ties carry the exact correction") {
+    // A = {1,2,2}, B = {2,3}: midrank of the three 2s is 3, R_A = 7,
+    // U_A = 1; T = 3^3-3 = 24, var(U) = 6*(120-24)/240 = 2.4
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val r = Stats.mannWhitney(df, "g", "v", "a", "b")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(r._3 == 1.0)
+    assert(math.abs(r._4 - (-2.0 / math.sqrt(2.4))) < 1e-12)
+  }
+
+  test("mannWhitney: degenerate inputs yield NULL z, never NaN") {
+    // every value tied -> zero variance
+    val tied = Seq(("a", 2L), ("a", 2L), ("b", 2L)).toDF("g", "v")
+    val r1 = Stats.mannWhitney(tied, "g", "v", "a", "b").collect().head
+    assert(r1.getDouble(2) == 1.0) // U_A = midrank sum 4 - 3
+    assert(r1.isNullAt(3))
+    // one group empty
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val r2 = Stats.mannWhitney(one, "g", "v", "a", "b").collect().head
+    assert(r2.getLong(1) == 0L && r2.isNullAt(3))
+  }
+
+  test("permutationTest: a metric equal to the assignment is extreme " +
+    "under every salted null, deterministic p = 1/65") {
+    import org.apache.spark.sql.functions._
+    val ids = (1L to 200L).toDF("user_id")
+    // metric = the unsalted assignment indicator itself: d_obs equals the
+    // full bucket-0 count, which no salted re-assignment's half-overlap
+    // imbalance can reach
+    val units = ids.select(col("user_id"),
+      when(pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long"), lit(2)) === 0L, 1L).otherwise(0L).as("m"))
+    val r = Stats.permutationTest(units, "user_id", "m")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r._1 == 64L)
+    assert(r._2 > 50L && r._2 < 150L) // d_obs = bucket-0 count of 200 ids
+    assert(r._3 == 0L)
+    assert(r._4 == 0.015385) // ExactRatio(1, 65, 6)
+    // deterministic: a second run is bit-identical
+    val again = Stats.permutationTest(units, "user_id", "m")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(again == r)
+  }
+
+  test("permutationTest: empty input returns the 0-perm row, no crash") {
+    val empty = Seq.empty[(String, Long)].toDF("user_id", "m")
+    val r = Stats.permutationTest(empty, "user_id", "m").collect().head
+    assert(r.getLong(0) == 0L)
+  }
 }

@@ -185,4 +185,44 @@ class TemporalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().head
     assert(g2 == ((3L, 3L, 9L, 2L, 4.5)))
   }
+
+  test("fifoAllocate: hand case — splits, single lots, and a shortfall") {
+    // supply lots [0,5), [5,8); demands [0,4), [4,7), [7,9):
+    // d1 -> 1 lot/4; d2 -> 2 lots/3 (1 from lot1, 2 from lot2);
+    // d3 -> 1 lot/1, short 1
+    val sup = Seq(("p", 5L, 1), ("p", 3L, 2)).toDF("k", "q", "seq")
+    val dem = Seq(("p", 4L, 1), ("p", 3L, 2), ("p", 2L, 3))
+      .toDF("k", "q", "seq")
+    val got = Temporal.fifoAllocate(sup, dem, "k", "q", Seq("seq"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 6L, 5L, 1L), (2L, 1L, 3L, 3L, 0L)))
+  }
+
+  test("fifoAllocate: demand with no supply at all lands in the 0-lot " +
+    "bucket; zero-qty rows are dropped") {
+    val sup = Seq(("a", 5L, 1), ("b", 0L, 1)).toDF("k", "q", "seq")
+    val dem = Seq(("a", 5L, 1), ("b", 2L, 1)).toDF("k", "q", "seq")
+    val got = Temporal.fifoAllocate(sup, dem, "k", "q", Seq("seq"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // a: exactly served from one lot; b: supply row was zero-qty ->
+    // dropped -> unserved
+    assert(got == Seq((0L, 1L, 2L, 0L, 2L), (1L, 1L, 5L, 5L, 0L)))
+  }
+
+  test("timeWeightedAvg: holding-duration weights, last sample weighs 0, " +
+    "single-sample key is NULL") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 10.0, 1L),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:10"), 20.0, 2L),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:30"), 99.0, 3L),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 7.0, 4L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = Temporal.timeWeightedAvg(df, "user_id", "ts", "value",
+      "event_id").orderBy("user_id").collect()
+    // user 1: (10*10s + 20*20s)/30s = 16.666667; the 99 holds 0 seconds
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 30000000L)
+    assert(got(0).getDouble(3) == 16.666667)
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 0L)
+    assert(got(1).isNullAt(3))
+  }
 }
