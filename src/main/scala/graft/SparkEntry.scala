@@ -2289,6 +2289,14 @@ object SparkEntry {
         Tables.documents(s, dir)
           .withColumn("sz", expr("n_chars div 200")),
         Seq("lang", "source"), "sz", tNum = 1, tDen = 5)),
+    "dp_count_release" -> ((s, dir) =>
+      // the release step after the k/l/t screens: per-nation customer
+      // counts with seeded inverse-CDF Laplace(1/eps) noise — both
+      // engines draw the identical double from the group key's md5, so
+      // the epsilon-DP release is reproducible and gate-checkable
+      graft.ops.Expectations.dpCountRelease(
+        Tables.customer(s, dir).select(col("c_nationkey")),
+        Seq("c_nationkey"), epsilon = 1.0)),
     "eval_confusion" -> ((s, dir) =>
       // thresholded confusion report of "first embedding dim predicts
       // label < 5": one scan, all threshold cells as conditional sums,
@@ -6873,6 +6881,23 @@ object SparkEntry {
         |       CAST((n_rows_at_risk * 2000000 + n_rows) // (2 * n_rows)
         |            AS DOUBLE) / 1000000.0 AS risk_share
         |FROM census""".stripMargin,
+    "dp_count_release" -> // same md5-seeded uniform and inverse-CDF
+      // Laplace draw — the identical double expression in both engines
+      """WITH g AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_true
+        |           FROM customer GROUP BY 1),
+        |n AS (SELECT c_nationkey, n_true,
+        |        (CAST(CAST('0x' || substr(md5(
+        |           concat_ws('|', CAST(c_nationkey AS VARCHAR))), 1, 12)
+        |           AS BIGINT) AS DOUBLE) + 0.5) / 281474976710656.0 AS u
+        |      FROM g)
+        |SELECT c_nationkey, n_true,
+        |  round(-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+        |    AS noise,
+        |  round(greatest(CAST(n_true AS DOUBLE)
+        |      + -1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)),
+        |    0.0), 6) AS n_released,
+        |  1.0 AS epsilon
+        |FROM n""".stripMargin,
     "eval_confusion" -> // same conditional-count cells per threshold;
       // every presented ratio is the shared exact half-up form
       """WITH s AS (SELECT

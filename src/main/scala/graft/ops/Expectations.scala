@@ -267,6 +267,44 @@ object Expectations {
         exactRatio(col("n_rows_at_risk"), col("n_rows"), 6).as("risk_share"))
   }
 
+  /** Differentially-private count release — the Laplace mechanism, the
+    * step AFTER the [[kAnonymity]]/[[lDiversity]]/[[tCloseness]] screens:
+    * per-group counts with Laplace(sensitivity/ε) noise added, so the
+    * released histogram satisfies ε-DP for unit sensitivity (each unit in
+    * exactly one group). Noise is drawn by inverse CDF from a uniform
+    * SEEDED off the group key's md5 — deterministic, so the release is
+    * reproducible and gate-checkable; a production release would fold a
+    * secret salt into the seed and drop `n_true` (kept here so the audit
+    * can report the noise actually added).
+    *
+    * u = (h + 0.5)/16^12 with h the first 12 md5 hex digits never hits
+    * 0.5 exactly (16^12/2 − 0.5 is not an integer), so
+    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) is always finite, and both
+    * engines evaluate the identical expression on the identical double.
+    * Released counts clamp at 0 (a negative count is not a count).
+    *
+    * Plan: one size-of-data grouped count to O(groups); the noise is
+    * per-group scalar arithmetic — nothing after the first exchange
+    * scales with the data.
+    */
+  def dpCountRelease(df: DataFrame, groupCols: Seq[String],
+      epsilon: Double = 1.0): DataFrame = {
+    require(epsilon > 0.0, s"dpCountRelease: epsilon=$epsilon must be > 0")
+    val q = groupCols.map(col)
+    val g = df.groupBy(q: _*).agg(count(lit(1)).as("n_true"))
+    val keyStr = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
+    val u = (conv(substring(md5(keyStr), 1, 12), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(281474976710656.0)
+    val c = u - lit(0.5)
+    val noise = -lit(1.0 / epsilon) * signum(c) *
+      log(lit(1.0) - lit(2.0) * abs(c))
+    g.select(q ++ Seq(col("n_true"),
+      round(noise, 6).as("noise"),
+      round(greatest(col("n_true").cast("double") + noise, lit(0.0)), 6)
+        .as("n_released"),
+      lit(epsilon).as("epsilon")): _*)
+  }
+
   /** Functional-dependency violation census for candidate rules A → B:
     * per rule, the determinant values mapping to MORE than one dependent
     * value, the rows under them, and the minimum deletions to repair

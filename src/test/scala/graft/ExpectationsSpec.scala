@@ -150,4 +150,46 @@ class ExpectationsSpec extends SparkSpec {
     assert(byRule("q->s") == ((3L, 2L, 5L, 2L)))
     assert(byRule("id->q") == ((6L, 0L, 0L, 0L))) // id is a key: holds
   }
+
+  test("dpCountRelease: noise matches an independent inverse-CDF draw " +
+    "from the key's md5, and the release is deterministic") {
+    val df = Seq("x", "x", "x", "y").toDF("g")
+    def expectedNoise(key: String, eps: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        281474976710656.0
+      val c = u - 0.5
+      -(1.0 / eps) * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+    }
+    val got = dpCountRelease(df, Seq("g"), epsilon = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    for ((k, n) <- Seq("x" -> 3L, "y" -> 1L)) {
+      val want = BigDecimal(expectedNoise(k, 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(k)._1 == n)
+      assert(got(k)._2 == want)
+      assert(got(k)._3 >= 0.0) // clamped release
+    }
+    // deterministic: a second run is bit-identical
+    val again = dpCountRelease(df, Seq("g"), epsilon = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(again == got)
+  }
+
+  test("dpCountRelease: halving epsilon doubles the noise magnitude; " +
+    "the released count never goes negative") {
+    val df = (1 to 2).map(_ => "k").toDF("g")
+    val n1 = dpCountRelease(df, Seq("g"), epsilon = 1.0)
+      .collect().head.getDouble(2)
+    val n2 = dpCountRelease(df, Seq("g"), epsilon = 0.5)
+      .collect().head.getDouble(2)
+    assert(math.abs(n2 - 2.0 * n1) < 1e-5) // rounding at 6 dp only
+    val rel = dpCountRelease(df, Seq("g"), epsilon = 0.001)
+      .collect().head.getDouble(3)
+    assert(rel >= 0.0)
+  }
 }
