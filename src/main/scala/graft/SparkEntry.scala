@@ -607,6 +607,11 @@ object SparkEntry {
       // fixpoint, mirroring the unrolled oracle) + a loud convergence
       // assertion so an under-provisioned cap can never ship wrong
       graft.ops.Graph.kCore(Tables.lineitem(s, dir))),
+    "graph_harmonic" -> ((s, dir) =>
+      // harmonic centrality of a FIXED 8-seed panel (state O(nodes*8) at
+      // any scale): level-synchronous multi-source BFS to 3 hops, the
+      // truncated harmonic sum exact over lcm 60 — no double formed
+      graft.ops.Graph.harmonicCentrality(Tables.lineitem(s, dir))),
     "graph_hits" -> ((s, dir) =>
       // Kleinberg hubs & authorities on the directed supplier->part list:
       // L1-normalized half-steps in 1e-6 integer fixed point (truncating
@@ -2578,6 +2583,43 @@ object SparkEntry {
         |best AS (SELECT node, min(dist) AS d FROM walk GROUP BY 1)
         |SELECT CAST(d AS BIGINT) AS dist, count(*) AS n_nodes
         |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_harmonic" -> // same fixed seed panel and three min-dist
+      // relaxation unrolls keyed (seed, node); harmonic exact over 60
+      """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS u, l_partkey*2+1 AS v
+        |            FROM lineitem),
+        |e AS MATERIALIZED (SELECT u, v FROM e0
+        |     UNION ALL SELECT v AS u, u AS v FROM e0),
+        |seeds AS (SELECT DISTINCT u AS s FROM e WHERE u % 20 = 0
+        |          ORDER BY u LIMIT 8),
+        |d0 AS MATERIALIZED (SELECT s, s AS node, CAST(0 AS BIGINT) AS dist
+        |                    FROM seeds),
+        |d1 AS MATERIALIZED (SELECT s, node, min(dist) AS dist FROM (
+        |        SELECT s, node, dist FROM d0
+        |        UNION ALL
+        |        SELECT d0.s, e.v AS node, d0.dist + 1 AS dist
+        |        FROM e JOIN d0 ON d0.node = e.u) GROUP BY 1, 2),
+        |d2 AS MATERIALIZED (SELECT s, node, min(dist) AS dist FROM (
+        |        SELECT s, node, dist FROM d1
+        |        UNION ALL
+        |        SELECT d1.s, e.v AS node, d1.dist + 1 AS dist
+        |        FROM e JOIN d1 ON d1.node = e.u) GROUP BY 1, 2),
+        |d3 AS MATERIALIZED (SELECT s, node, min(dist) AS dist FROM (
+        |        SELECT s, node, dist FROM d2
+        |        UNION ALL
+        |        SELECT d2.s, e.v AS node, d2.dist + 1 AS dist
+        |        FROM e JOIN d2 ON d2.node = e.u) GROUP BY 1, 2),
+        |agg AS (SELECT s,
+        |         CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_d1,
+        |         CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_d2,
+        |         CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_d3
+        |        FROM d3 WHERE dist > 0 GROUP BY 1)
+        |SELECT s AS seed, n_d1, n_d2, n_d3,
+        |  CAST(((60 * n_d1 + 30 * n_d2 + 20 * n_d3) * 2000000 + 60)
+        |       // 120 AS DOUBLE) / 1000000.0 AS harmonic
+        |FROM agg ORDER BY 1""".stripMargin,
     "graph_sssp" -> // three relaxations unrolled; trunc() before the
       // weight cast (DuckDB rounds double->int, Spark truncates)
       """WITH e0 AS (SELECT l_suppkey*2 AS u, l_partkey*2+1 AS v,

@@ -599,6 +599,65 @@ object Graph {
     * survivors = 2·|core edges| (d is the induced degree), so the edge
     * count needs no extra join.
     */
+  /** Harmonic centrality of a fixed panel of seed nodes over the
+    * supplier–part interaction graph: C(s) = Σ_{v≠s} 1/d(s,v), summed to
+    * `maxDepth` hops — the standard "how close is this node to everything"
+    * score, and the standard scale trick: centrality is estimated for a
+    * FIXED-SIZE seed panel (deterministically the lowest `seedCount`
+    * eligible supplier nodes), so BFS state is O(nodes·seedCount)
+    * regardless of data scale — never O(nodes·suppliers).
+    *
+    * The truncated harmonic sum is exact: with lcm(1..6) = 60,
+    * C = (Σ (60/d)·n_d) / 60 — pure BIGINT, presented via [[exactRatio]].
+    *
+    * Plan: level-synchronous multi-source BFS keyed (seed, node) — each
+    * level is one join frontier→edges plus one min-dist groupBy, edges
+    * localCheckpointed once and re-read; `maxDepth` ≤ 6 keeps the
+    * frontier-expansion count bounded and loud.
+    */
+  def harmonicCentrality(
+      lineitem: DataFrame, seedEvery: Int = 10, seedCount: Int = 8,
+      maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 6,
+      s"harmonicCentrality: maxDepth $maxDepth outside 1..6")
+    require(seedCount >= 1 && seedCount <= 64,
+      s"harmonicCentrality: seedCount $seedCount outside 1..64 (state " +
+        "is O(nodes*seedCount); a full-centrality sweep wants HyperBall)")
+    val once = lineitem.select(
+      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
+      .distinct()
+    val edges = once
+      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .localCheckpoint()
+    val seeds = edges.select(col("u").as("s")).distinct()
+      .filter(col("s") % (2L * seedEvery) === 0)
+      .orderBy("s").limit(seedCount)
+    var dist = seeds.select(col("s"), col("s").as("node"),
+      lit(0L).as("dist")).localCheckpoint()
+    for (level <- 1 to maxDepth) {
+      val frontier = dist.filter(col("dist") === (level - 1L))
+      val reached = edges.join(frontier, edges("u") === frontier("node"))
+        .select(frontier("s"), col("v").as("node"),
+          lit(level.toLong).as("dist"))
+      dist = dist.unionByName(reached)
+        .groupBy("s", "node").agg(min("dist").as("dist"))
+        .localCheckpoint() // bound lineage: each round reads bytes
+    }
+    val levelCounts = (1 to maxDepth).map(d =>
+      sum(when(col("dist") === d.toLong, 1L).otherwise(0L))
+        .as(s"n_d$d"))
+    val num = (1 to maxDepth).map(d =>
+      lit((60 / d).toLong) * col(s"n_d$d")).reduce(_ + _)
+    dist.filter(col("dist") > 0L)
+      .groupBy("s")
+      .agg(levelCounts.head, levelCounts.tail: _*)
+      .select(Seq(col("s").as("seed")) ++
+        (1 to maxDepth).map(d => col(s"n_d$d")) :+
+        exactRatio(num, lit(60L), 6).as("harmonic"): _*)
+      .orderBy("seed")
+  }
+
   def kCore(
       lineitem: DataFrame, k: Int = 16, rounds: Int = 6): DataFrame = {
     require(k >= 2, s"kCore: k=$k below 2 (k=1 keeps every non-isolate)")

@@ -344,4 +344,28 @@ class GraphSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](Graph.kCore(li, k = 1))
     assert(e2.getMessage.contains("k=1"))
   }
+
+  test("harmonicCentrality: hand BFS from the one eligible seed with the " +
+    "exact truncated harmonic sum") {
+    // suppliers 10, 11 -> nodes 20, 22; parts 1,2,3 -> nodes 3,5,7;
+    // seed panel (node % 20 == 0) = {20}. From 20: d1 = {3,5},
+    // d2 = {22}, d3 = {7} -> harmonic = 2/1 + 1/2 + 1/3 = 170/60
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L))
+      .toDF("l_suppkey", "l_partkey")
+    val got = Graph.harmonicCentrality(li)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((20L, 2L, 1L, 1L, 2.833333)))
+  }
+
+  test("harmonicCentrality: the seed panel is the lowest seedCount " +
+    "eligible nodes, deterministically") {
+    // suppliers 10 and 20 are both eligible (nodes 20, 40); seedCount=1
+    // must keep node 20 only
+    val li = Seq((10L, 1L), (20L, 1L), (20L, 2L))
+      .toDF("l_suppkey", "l_partkey")
+    val got = Graph.harmonicCentrality(li, seedCount = 1)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // from 20: d1 = {3}, d2 = {40}, d3 = {5} -> 60+30+20 = 110/60
+    assert(got == Seq((20L, 1L, 1L, 1L, 1.833333)))
+  }
 }
