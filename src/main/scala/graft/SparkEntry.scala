@@ -2385,6 +2385,14 @@ object SparkEntry {
         Tables.events(s, dir).filter(col("user_id").isNotNull)
           .groupBy("user_id").agg(count(lit(1)).as("m")),
         "user_id", "m")),
+    "stat_fdr" -> ((s, dir) =>
+      // multiple-comparisons guardrail: one randomization test per
+      // event_type (does the md5 assignment explain that type's
+      // per-user volume?), then the Benjamini-Hochberg step-up at 5%
+      // decided ENTIRELY in integers — the reject set is bit-identical
+      // in any engine, no p-value double ever compared
+      graft.ops.Stats.fdrScreen(
+        Tables.events(s, dir), "user_id", "event_type", count(lit(1)))),
     "stat_spearman" -> ((s, dir) =>
       // monotone association between per-user activity volume and type
       // breadth: integer doubled midranks, BIGINT sufficient statistics,
@@ -4787,6 +4795,46 @@ object SparkEntry {
         |  CAST(((n_ge + 1) * 2000000 + (k_perms + 1))
         |       // (2 * (k_perms + 1)) AS DOUBLE) / 1000000.0 AS p_value
         |FROM s""".stripMargin,
+    "stat_fdr" -> // same md5 statistic per group; the BH step-up is the
+      // same pure-integer comparison and reverse running max
+      """WITH b AS (SELECT CAST(user_id AS VARCHAR) AS id,
+        |             event_type AS g, CAST(count(*) AS BIGINT) AS m
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |           GROUP BY 1, 2),
+        |obs AS (SELECT g, abs(2 * CAST(sum(CASE WHEN CAST('0x' ||
+        |            substr(md5(id), 1, 4) AS BIGINT) % 2 = 0
+        |            THEN m ELSE 0 END) AS BIGINT)
+        |          - CAST(sum(m) AS BIGINT)) AS d0
+        |        FROM b GROUP BY 1),
+        |nulls AS (SELECT g, t.k,
+        |            abs(2 * CAST(sum(CASE WHEN CAST('0x' ||
+        |              substr(md5(id || ':' || CAST(t.k AS VARCHAR)), 1, 4)
+        |              AS BIGINT) % 2 = 0 THEN m ELSE 0 END) AS BIGINT)
+        |              - CAST(sum(m) AS BIGINT)) AS dk
+        |          FROM b, range(64) t(k) GROUP BY 1, 2),
+        |pg AS (SELECT n.g, max(o.d0) AS d_obs,
+        |         CAST(sum(CASE WHEN n.dk >= o.d0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_ge
+        |       FROM nulls n JOIN obs o ON o.g = n.g GROUP BY 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS mg FROM pg),
+        |r AS (SELECT pg.g, pg.d_obs, pg.n_ge, mm.mg,
+        |        CAST(row_number() OVER (ORDER BY n_ge, g) AS BIGINT)
+        |          AS rank
+        |      FROM pg, mm),
+        |r2 AS (SELECT *,
+        |         (100 * mg * (n_ge + 1) <= 5 * rank * 65) AS bh_pass
+        |       FROM r),
+        |f AS (SELECT *, max(CASE WHEN bh_pass THEN 1 ELSE 0 END) OVER (
+        |        ORDER BY rank DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |        AS significant
+        |      FROM r2)
+        |SELECT g AS event_type, d_obs, n_ge,
+        |  CAST(((n_ge + 1) * 2000000 + 65) // 130 AS DOUBLE) / 1000000.0
+        |    AS p_value,
+        |  rank, bh_pass, significant
+        |FROM f""".stripMargin,
     "stat_spearman" -> // doubled midranks per variable over the bounded
       // per-user count domains; every cast mirrored so the double
       // combination is bit-identical

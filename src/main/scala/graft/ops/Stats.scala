@@ -601,11 +601,17 @@ object Stats {
     * statistic is a 1-row broadcast onto that bounded table. At 100 TB
     * the ×perms blow-up applies to the unit table only, never the events.
     */
+  /** The md5 50/50 bucket shared by [[sampleRatioMismatch]],
+    * [[permutationTest]] and [[fdrScreen]] — the same spelling as the
+    * split_assign oracle.
+    */
+  private def md5Bucket(c: org.apache.spark.sql.Column) = pmod(
+    conv(substring(md5(c), 1, 4), 16, 10).cast("long"), lit(2))
+
   def permutationTest(units: DataFrame, idCol: String, metricCol: String,
       perms: Int = 64): DataFrame = {
     require(perms >= 1 && perms <= 10000, s"perms=$perms out of 1..10000")
-    def bucket(c: org.apache.spark.sql.Column) = pmod(
-      conv(substring(md5(c), 1, 4), 16, 10).cast("long"), lit(2))
+    def bucket(c: org.apache.spark.sql.Column) = md5Bucket(c)
     val base = units.select(col(idCol).cast("string").as("__id"),
       col(metricCol).cast("long").as("__m"))
     val obs = base.agg(
@@ -630,5 +636,64 @@ object Stats {
       .select(col("k_perms"), col("d_obs"), col("n_ge"),
         exactRatio(col("n_ge") + lit(1L), col("k_perms") + lit(1L), 6)
           .as("p_value"))
+  }
+
+  /** Exact Benjamini–Hochberg FDR screen over per-group randomization
+    * tests — the multiple-comparisons step every metrics dashboard skips
+    * at its peril: one [[permutationTest]]-style statistic per group
+    * (does the md5 assignment explain this group's per-unit metric?),
+    * then the BH step-up at level alphaNum/alphaDen across all m groups.
+    * EVERYTHING is integer-exact: p_(j) ≤ α·j/m is decided as
+    * alphaDen·m·(n_ge_j+1) ≤ alphaNum·j·(perms+1) — no p-value double is
+    * ever compared, so the reject set is bit-identical in any engine.
+    *
+    * Plan: one grouped count to the (unit, group) table, one ×perms
+    * explode re-aggregated in a single map-side-combining shuffle to
+    * O(groups·perms) rows, then windows over the O(groups) table. The
+    * blow-up applies to the aggregated unit×group table, never raw rows.
+    */
+  def fdrScreen(df: DataFrame, unitCol: String, groupCol: String,
+      metric: org.apache.spark.sql.Column, perms: Int = 64,
+      alphaNum: Int = 5, alphaDen: Int = 100): DataFrame = {
+    require(perms >= 1 && perms <= 10000, s"perms=$perms out of 1..10000")
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum < alphaDen,
+      s"fdrScreen: alpha $alphaNum/$alphaDen not in (0,1)")
+    val base = df.filter(col(unitCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(unitCol).cast("string").as("__id"),
+        col(groupCol).as("__g"))
+      .agg(metric.cast("long").as("__m"))
+    val obs = base.groupBy("__g")
+      .agg(abs(lit(2L) * sum(when(md5Bucket(col("__id")) === 0L,
+        col("__m")).otherwise(0L)) - sum("__m")).as("__d0"))
+    val nulls = base
+      .select(col("__g"), col("__m"),
+        explode(sequence(lit(0), lit(perms - 1))).as("__k"),
+        col("__id"))
+      .groupBy("__g", "__k")
+      .agg(abs(lit(2L) * sum(when(md5Bucket(concat(col("__id"), lit(":"),
+        col("__k").cast("string"))) === 0L, col("__m")).otherwise(0L))
+        - sum("__m")).as("__dk"))
+    val perGroup = nulls.join(obs, "__g")
+      .groupBy("__g")
+      .agg(max("__d0").as("d_obs"),
+        sum(when(col("__dk") >= col("__d0"), 1L).otherwise(0L)).as("n_ge"))
+    val m = perGroup.agg(count(lit(1)).as("__m_groups"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = perGroup.crossJoin(broadcast(m))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n_ge"), col("__g"))).cast("long"))
+      .withColumn("bh_pass",
+        lit(alphaDen.toLong) * col("__m_groups") * (col("n_ge") + lit(1L))
+          <= lit(alphaNum.toLong) * col("rank") * lit(perms + 1L))
+    ranked
+      .withColumn("significant",
+        max(when(col("bh_pass"), 1L).otherwise(0L)).over(
+          Window.orderBy(col("rank").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          === 1L)
+      .select(col("__g").as(groupCol), col("d_obs"), col("n_ge"),
+        exactRatio(col("n_ge") + lit(1L), lit(perms + 1L), 6)
+          .as("p_value"),
+        col("rank"), col("bh_pass"), col("significant"))
   }
 }

@@ -76,6 +76,9 @@ class PlanSweepSpec extends SparkSpec {
     // permutation test: the 1-row observed-statistic broadcast onto the
     // O(perms)=64-row null-distribution table
     "stat_permutation",
+    // FDR screen: the 1-row group-count broadcast onto the O(groups)
+    // per-group statistic table
+    "stat_fdr",
     // triangle census: the final stats row composes 1-row aggregates
     "graph_triangles",
     // A-priori support threshold: a 1-row min_sup broadcast

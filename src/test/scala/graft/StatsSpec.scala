@@ -333,4 +333,50 @@ class StatsSpec extends SparkSpec {
     val r = Stats.permutationTest(empty, "user_id", "m").collect().head
     assert(r.getLong(0) == 0L)
   }
+
+  test("fdrScreen: an assignment-correlated group is BH-significant at " +
+    "rank 1; zero-signal groups sit at p=1 and stay out of the reject set") {
+    import org.apache.spark.sql.functions._
+    val ids = (1L to 200L).toDF("user_id")
+    // group 'a': metric = the unsalted assignment indicator (extreme,
+    // n_ge = 0); groups 'b','c': all-zero metric -> d_obs = dk = 0 ->
+    // every null tie counts, p = 1 by construction
+    val withBucket = ids.select(col("user_id"),
+      when(pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long"), lit(2)) === 0L, 1L).otherwise(0L).as("ind"))
+    val df = Seq("a", "b", "c").map(g =>
+      withBucket.select(col("user_id"), lit(g).as("g"),
+        (if (g == "a") col("ind") else lit(0L)).as("z")))
+      .reduce(_ unionByName _)
+    val got = Stats.fdrScreen(df, "user_id", "g", sum(col("z")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getBoolean(5),
+          r.getBoolean(6))).toMap
+    // a: n_ge=0, p=1/65, rank 1; BH: 100*3*1 = 300 <= 5*1*65 = 325
+    assert(got("a") == ((0L, 0.015385, 1L, true, true)))
+    // b, c: n_ge=64, p=1, ranks 2-3, never pass, never significant
+    for (g <- Seq("b", "c")) {
+      val (nGe, p, _, pass, sig) = got(g)
+      assert(nGe == 64L && p == 1.0 && !pass && !sig)
+    }
+  }
+
+  test("fdrScreen: step-up rescues a borderline group below a stronger " +
+    "one (the BH property a per-test threshold lacks)") {
+    import org.apache.spark.sql.functions._
+    // two groups, both assignment-correlated -> both n_ge=0, ranks 1,2;
+    // rank 2 passes because 100*2*1 = 200 <= 5*2*65 = 650 — and if only
+    // rank 2's own Bonferroni-style bound held it would still reject
+    val ids = (1L to 100L).toDF("user_id")
+    val withBucket = ids.select(col("user_id"),
+      when(pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4),
+        16, 10).cast("long"), lit(2)) === 0L, 1L).otherwise(0L).as("ind"))
+    val df = Seq("a", "b").map(g =>
+      withBucket.select(col("user_id"), lit(g).as("g"), col("ind").as("z")))
+      .reduce(_ unionByName _)
+    val got = Stats.fdrScreen(df, "user_id", "g", sum(col("z")))
+      .collect().map(r => r.getString(0) -> (r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    assert(got("a") == ((true, true)) && got("b") == ((true, true)))
+  }
 }
