@@ -2294,6 +2294,18 @@ object SparkEntry {
         Tables.documents(s, dir)
           .withColumn("sz", expr("n_chars div 200")),
         Seq("lang", "source"), "sz", tNum = 1, tDen = 5)),
+    "dq_profile_drift" -> { (s, dir) =>
+      // release-gate profile drift: pre-1997 orders as the reference
+      // snapshot vs the rest — null rate and NDV per declared column,
+      // integer NDV band, identical-double null-rate alarm
+      val o = Tables.orders(s, dir)
+      val cut = col("o_orderdate").cast("date") < lit("1997-01-01")
+        .cast("date")
+      graft.ops.Expectations.profileDrift(
+        o.filter(cut), o.filter(!cut),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey",
+          "o_totalprice"))
+    },
     "dp_count_release" -> ((s, dir) =>
       // the release step after the k/l/t screens: per-nation customer
       // counts with seeded inverse-CDF Laplace(1/eps) noise — both
@@ -6971,6 +6983,58 @@ object SparkEntry {
         |       CAST((n_rows_at_risk * 2000000 + n_rows) // (2 * n_rows)
         |            AS DOUBLE) / 1000000.0 AS risk_share
         |FROM census""".stripMargin,
+    "dq_profile_drift" -> // same one-aggregate-per-snapshot profile;
+      // identical-double null-rate alarm, integer NDV band
+      """WITH oref AS (SELECT * FROM orders
+        |              WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'),
+        |ocur AS (SELECT * FROM orders
+        |         WHERE NOT (CAST(o_orderdate AS DATE) < DATE '1997-01-01')),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_ref,
+        |        CAST(count(*) - count(o_orderstatus) AS BIGINT) AS rn1,
+        |        CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS rd1,
+        |        CAST(count(*) - count(o_orderpriority) AS BIGINT) AS rn2,
+        |        CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS rd2,
+        |        CAST(count(*) - count(o_custkey) AS BIGINT) AS rn3,
+        |        CAST(count(DISTINCT o_custkey) AS BIGINT) AS rd3,
+        |        CAST(count(*) - count(o_totalprice) AS BIGINT) AS rn4,
+        |        CAST(count(DISTINCT o_totalprice) AS BIGINT) AS rd4
+        |      FROM oref),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_cur,
+        |        CAST(count(*) - count(o_orderstatus) AS BIGINT) AS cn1,
+        |        CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS cd1,
+        |        CAST(count(*) - count(o_orderpriority) AS BIGINT) AS cn2,
+        |        CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS cd2,
+        |        CAST(count(*) - count(o_custkey) AS BIGINT) AS cn3,
+        |        CAST(count(DISTINCT o_custkey) AS BIGINT) AS cd3,
+        |        CAST(count(*) - count(o_totalprice) AS BIGINT) AS cn4,
+        |        CAST(count(DISTINCT o_totalprice) AS BIGINT) AS cd4
+        |      FROM ocur),
+        |j AS (SELECT * FROM r, c),
+        |s AS (
+        |  SELECT 'o_orderstatus' AS column_name, n_ref, rn1 AS n_null_ref,
+        |         rd1 AS ndv_ref, n_cur, cn1 AS n_null_cur, cd1 AS ndv_cur
+        |  FROM j
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', n_ref, rn2, rd2, n_cur, cn2, cd2 FROM j
+        |  UNION ALL
+        |  SELECT 'o_custkey', n_ref, rn3, rd3, n_cur, cn3, cd3 FROM j
+        |  UNION ALL
+        |  SELECT 'o_totalprice', n_ref, rn4, rd4, n_cur, cn4, cd4 FROM j)
+        |SELECT column_name, n_ref, n_null_ref, ndv_ref,
+        |       n_cur, n_null_cur, ndv_cur,
+        |  CAST((n_null_ref * 2000000 + greatest(n_ref, 1))
+        |       // (2 * greatest(n_ref, 1)) AS DOUBLE) / 1000000.0
+        |    AS null_rate_ref,
+        |  CAST((n_null_cur * 2000000 + greatest(n_cur, 1))
+        |       // (2 * greatest(n_cur, 1)) AS DOUBLE) / 1000000.0
+        |    AS null_rate_cur,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+        |    abs(CAST(n_null_ref AS DOUBLE) / CAST(n_ref AS DOUBLE)
+        |        - CAST(n_null_cur AS DOUBLE) / CAST(n_cur AS DOUBLE))
+        |      > 0.01 END AS null_shift,
+        |  (2 * ndv_cur < ndv_ref OR ndv_cur > 2 * ndv_ref)
+        |    AS ndv_outside_band
+        |FROM s""".stripMargin,
     "dp_count_release" -> // same md5-seeded uniform and inverse-CDF
       // Laplace draw — the identical double expression in both engines
       """WITH g AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_true

@@ -305,6 +305,60 @@ object Expectations {
       lit(epsilon).as("epsilon")): _*)
   }
 
+  /** Per-column profile drift between two snapshots of the same table —
+    * the check a data contract runs on every release: null rate and
+    * distinct-value count per declared column, side by side, with two
+    * deterministic alarms (null-rate shift beyond `nullRateShift`, NDV
+    * outside the [½×, 2×] band). The cheap early-warning before
+    * distribution-level drift ([[graft.ops.Features.psi]]) is worth
+    * computing.
+    *
+    * The null-rate comparison is on doubles built from the same BIGINTs
+    * by the same expression in both engines — a comparison (unlike a
+    * rounding) of identical doubles is engine-exact; the NDV band is
+    * pure integer. Presented rates are [[exactRatio]] fixed point.
+    *
+    * Plan: ONE aggregate over each snapshot carries every column's
+    * metrics (count_distinct partials merge per column); the long-format
+    * stack is arithmetic over the two 1-row results. Columns are a
+    * compile-time list — never data-dependent.
+    */
+  def profileDrift(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+      nullRateShift: Double = 0.01): DataFrame = {
+    require(cols.nonEmpty, "profileDrift: no columns declared")
+    def prof(df: DataFrame, side: String): DataFrame = {
+      val aggs = Seq(count(lit(1)).as(s"n_$side")) ++ cols.flatMap(c => Seq(
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"nn_${side}_$c"),
+        count_distinct(col(c)).as(s"nd_${side}_$c")))
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val joined = prof(ref, "ref").crossJoin(broadcast(prof(cur, "cur")))
+    val rows = cols.map { cn =>
+      joined.select(
+        lit(cn).as("column_name"),
+        col("n_ref"), col(s"nn_ref_$cn").as("n_null_ref"),
+        col(s"nd_ref_$cn").as("ndv_ref"),
+        col("n_cur"), col(s"nn_cur_$cn").as("n_null_cur"),
+        col(s"nd_cur_$cn").as("ndv_cur"))
+    }
+    rows.reduce(_ unionByName _)
+      .select(col("column_name"),
+        col("n_ref"), col("n_null_ref"), col("ndv_ref"),
+        col("n_cur"), col("n_null_cur"), col("ndv_cur"),
+        exactRatio(col("n_null_ref"), greatest(col("n_ref"), lit(1L)), 6)
+          .as("null_rate_ref"),
+        exactRatio(col("n_null_cur"), greatest(col("n_cur"), lit(1L)), 6)
+          .as("null_rate_cur"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          abs(col("n_null_ref").cast("double") / col("n_ref").cast("double")
+            - col("n_null_cur").cast("double") / col("n_cur").cast("double"))
+            > lit(nullRateShift)).as("null_shift"),
+        (lit(2L) * col("ndv_cur") < col("ndv_ref")
+          || col("ndv_cur") > lit(2L) * col("ndv_ref"))
+          .as("ndv_outside_band"))
+  }
+
   /** Functional-dependency violation census for candidate rules A → B:
     * per rule, the determinant values mapping to MORE than one dependent
     * value, the rows under them, and the minimum deletions to repair

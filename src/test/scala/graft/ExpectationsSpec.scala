@@ -180,6 +180,34 @@ class ExpectationsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("profileDrift: null-rate shift and NDV band alarms fire exactly " +
+    "where the hand profile says") {
+    val ref = Seq[(Option[Int], String)](
+      (Some(1), "a"), (Some(2), "b"), (Some(3), "c"), (Some(4), "d"))
+      .toDF("x", "y")
+    // x: nulls 0/4 -> 2/4 (shift), ndv 4 -> 2 (band edge: 2*2 = 4, NOT
+    // outside); y: ndv 4 -> 1 (outside), no nulls
+    val cur = Seq[(Option[Int], String)](
+      (Some(5), "e"), (Some(5), "e"), (None, "e"), (None, "e"))
+      .toDF("x", "y")
+    val got = profileDrift(ref, cur, Seq("x", "y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6),
+          r.getDouble(8), r.getBoolean(9), r.getBoolean(10))).toMap
+    assert(got("x") == ((0L, 4L, 2L, 1L, 0.5, true, true)))
+    assert(got("y") == ((0L, 4L, 0L, 1L, 0.0, false, true)))
+  }
+
+  test("profileDrift: an empty snapshot yields NULL shift alarms, " +
+    "never NaN, and zero-denominator rates stay 0") {
+    val ref = Seq((1, "a")).toDF("x", "y")
+    val cur = ref.filter(lit(false))
+    val row = profileDrift(ref, cur, Seq("x")).collect().head
+    assert(row.getLong(4) == 0L)           // n_cur
+    assert(row.getDouble(8) == 0.0)        // null_rate_cur
+    assert(row.isNullAt(9))                // null_shift undecidable
+  }
+
   test("dpCountRelease: halving epsilon doubles the noise magnitude; " +
     "the released count never goes negative") {
     val df = (1 to 2).map(_ => "k").toDF("g")

@@ -79,6 +79,8 @@ class PlanSweepSpec extends SparkSpec {
     // FDR screen: the 1-row group-count broadcast onto the O(groups)
     // per-group statistic table
     "stat_fdr",
+    // profile drift: the two 1-row snapshot profiles crossed
+    "dq_profile_drift",
     // triangle census: the final stats row composes 1-row aggregates
     "graph_triangles",
     // A-priori support threshold: a 1-row min_sup broadcast
