@@ -668,6 +668,25 @@ object SparkEntry {
       graft.ops.IncrementalAgg.finalizeDaily(
         graft.ops.IncrementalAgg.mergePartials(Seq(standing, batch)))
     },
+    "incr_topk_maintain" -> { (s, dir) =>
+      // incremental top-k: record-selection top-k is a monoid under
+      // union-then-truncate, so the maintained view — topK(state) merged
+      // with topK(delta batch), re-truncated — must equal the full
+      // recompute (the oracle's single window). Top-10 highest-value
+      // orders per priority, orderkey tiebreak; the date cut makes the
+      // delta a realistic late batch.
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_date"))
+      val cut = lit("1998-01-01").cast("date")
+      val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+      def top(df: org.apache.spark.sql.DataFrame) =
+        graft.ops.IncrementalAgg.topK(df, Seq("o_orderpriority"), ord, 10)
+      top(top(o.filter(col("o_date") < cut))
+        .unionByName(top(o.filter(col("o_date") >= cut))))
+        .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+          col("o_totalprice"))
+    },
     "incr_join_maintain" -> { (s, dir) =>
       // incremental maintenance of a JOIN view by the delta rule:
       // V' = V_old ∪ ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB. Orders split by a
@@ -2946,6 +2965,15 @@ object SparkEntry {
         |         / 10000.0 AS avg_order
         |FROM orders
         |GROUP BY 1""".stripMargin,
+    "incr_topk_maintain" -> // full recompute: one window over ALL orders
+      // — the maintained merge must reproduce it exactly
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+        |               AS rank
+        |           FROM orders)
+        |SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+        |FROM r WHERE rank <= 10""".stripMargin,
     "incr_join_maintain" -> // full-recompute join: the delta-rule union
       // must equal it exactly (counts + decimal sums are associative).
       """SELECT c_mktsegment,

@@ -89,6 +89,27 @@ object IncrementalAgg {
     *
     * Inputs must share no column names across A and B (pre-project).
     */
+  /** Per-group top-k of RECORDS by a deterministic sort — and, because
+    * record-selection top-k is a monoid under union-then-truncate
+    * (topK(topK(A) ∪ topK(B)) = topK(A ∪ B), unlike top-k by re-aggregated
+    * measure), the same function IS the incremental maintenance rule: keep
+    * the O(groups·k) top-k table as standing state, topK each delta batch,
+    * union and re-truncate. At 100 TB a batch touches O(batch) + the state
+    * — the corpus is never rescanned.
+    *
+    * `orderCols` must totally order records within a group (include a
+    * unique tiebreak) or the selection is nondeterministic.
+    */
+  def topK(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column], k: Int): DataFrame = {
+    require(k >= 1, s"topK: k=$k below 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)
+    df.drop("rank")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def joinDelta(
       aOld: DataFrame, aDelta: DataFrame,
       bOld: DataFrame, bDelta: DataFrame,

@@ -115,4 +115,36 @@ class IncrementalAggSpec extends SparkSpec {
     assert(IncrementalAgg.joinDelta(factAll, none, dimAll, noDim, "k")
       .count() == 0)
   }
+
+  test("topK: merging per-batch top-k and re-truncating equals the full " +
+    "recompute, including cross-batch displacement and ties") {
+    import org.apache.spark.sql.functions.col
+    // group g: batch A holds [10, 9, 8], batch B [9.5, 1] — B's 9.5 must
+    // displace A's 9 in the merged top-2; tie 9.5 vs 9.5 resolved by id
+    val a = Seq(("g", 1L, 10.0), ("g", 2L, 9.0), ("g", 3L, 8.0),
+      ("h", 4L, 1.0)).toDF("grp", "id", "v")
+    val b = Seq(("g", 5L, 9.5), ("g", 6L, 1.0), ("g", 7L, 9.5))
+      .toDF("grp", "id", "v")
+    val ord = Seq(col("v").desc, col("id").asc)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.topK(df, Seq("grp"), ord, 2)
+    val maintained = top(top(a).unionByName(top(b)))
+      .select("grp", "rank", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val full = top(a.unionByName(b)).select("grp", "rank", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(maintained == full)
+    assert(full == Set(("g", 1L, 1L), ("g", 2L, 5L), ("h", 1L, 4L)))
+  }
+
+  test("topK: a stale rank column in the state is re-derived, not trusted") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val state = Seq(("g", 1L, 5.0)).toDF("grp", "id", "v")
+      .withColumn("rank", lit(99L))
+    val got = IncrementalAgg.topK(state, Seq("grp"),
+      Seq(col("v").desc, col("id")), 2).collect().head
+    assert(got.getAs[Long]("rank") == 1L)
+  }
 }
