@@ -1807,6 +1807,24 @@ object SparkEntry {
           col("o_totalprice"), col("o_orderpriority"),
           unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
     },
+    "maint_clustering_depth" -> { (s, dir) =>
+      // rewrite advisor's before-numbers: the SAME fact laid out by
+      // arrival month (every file spans most of the orderkey range) vs
+      // clustered by 64Ki orderkey buckets (disjoint envelopes) —
+      // sweep-line depth/overlap census over O(files) events, exact
+      val li = Tables.lineitem(s, dir)
+      val time = li.groupBy((year(col("l_shipdate").cast("date"))
+          * 100 + month(col("l_shipdate").cast("date"))).cast("long")
+          .as("fid"))
+        .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+        .select(lit("time_partitioned").as("layout"), col("fid"),
+          col("lo"), col("hi"))
+      val keyed = li.groupBy(expr("l_orderkey div 65536").as("fid"))
+        .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+        .select(lit("key_clustered").as("layout"), col("fid"),
+          col("lo"), col("hi"))
+      graft.ops.Layout.clusteringDepth(time.unionByName(keyed))
+    },
     "maint_bin_pack" -> ((s, dir) =>
       // small-files compaction planner: one file per order day (size =
       // rows*64 + 1024 exactly), date-ordered byte stream cut at 256 KiB
@@ -5714,6 +5732,56 @@ object SparkEntry {
         |       o_orderpriority,
         |       epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS order_us
         |FROM orders""".stripMargin,
+    "maint_clustering_depth" -> // same two layouts and sweep: closes
+      // (typ 0) before opens at a shared position, exact rational avg
+      """WITH li AS (SELECT l_orderkey,
+        |              CAST(year(CAST(l_shipdate AS DATE)) * 100
+        |                + month(CAST(l_shipdate AS DATE)) AS BIGINT) AS ym
+        |            FROM lineitem),
+        |f AS (
+        |  SELECT 'time_partitioned' AS layout, ym AS fid,
+        |         CAST(min(l_orderkey) AS BIGINT) AS lo,
+        |         CAST(max(l_orderkey) AS BIGINT) AS hi
+        |  FROM li GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'key_clustered', l_orderkey // 65536,
+        |         CAST(min(l_orderkey) AS BIGINT),
+        |         CAST(max(l_orderkey) AS BIGINT)
+        |  FROM lineitem GROUP BY 2),
+        |ev AS (SELECT layout, fid, lo AS pos, 1 AS delta, 1 AS typ FROM f
+        |       UNION ALL
+        |       SELECT layout, fid, hi + 1, -1, 0 FROM f),
+        |runs AS (SELECT layout, typ, sum(delta) OVER (PARTITION BY layout
+        |           ORDER BY pos, typ, fid
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS run
+        |         FROM ev),
+        |pairs AS (SELECT layout, CAST(sum(run - 1) AS BIGINT)
+        |            AS overlap_pairs
+        |          FROM runs WHERE typ = 1 GROUP BY 1),
+        |bypos AS (SELECT layout, pos, sum(delta) AS net FROM ev
+        |          GROUP BY 1, 2),
+        |segs AS (SELECT layout, pos,
+        |           sum(net) OVER (PARTITION BY layout ORDER BY pos)
+        |             AS depth,
+        |           lead(pos) OVER (PARTITION BY layout ORDER BY pos) - pos
+        |             AS len
+        |         FROM bypos),
+        |agg AS (SELECT layout, CAST(max(depth) AS BIGINT) AS max_depth,
+        |          CAST(sum(CASE WHEN len IS NOT NULL
+        |            THEN depth * len END) AS BIGINT) AS wsum,
+        |          min(pos) AS minp, max(pos) AS maxp
+        |        FROM segs GROUP BY 1),
+        |nf AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files FROM f
+        |       GROUP BY 1)
+        |SELECT n.layout, n.n_files, a.maxp - a.minp AS span, a.max_depth,
+        |  CAST((a.wsum * 2000000 + greatest(a.maxp - a.minp, 1))
+        |       // (2 * greatest(a.maxp - a.minp, 1)) AS DOUBLE)
+        |    / 1000000.0 AS avg_depth,
+        |  p.overlap_pairs
+        |FROM nf n JOIN agg a ON a.layout = n.layout
+        |JOIN pairs p ON p.layout = n.layout
+        |ORDER BY 1""".stripMargin,
     "maint_bin_pack" -> // same size model and prefix-sum cut, HUGEINT
       // sums cast back to BIGINT before the integral divide
       """WITH f AS (SELECT CAST(o_orderdate AS DATE) AS d,

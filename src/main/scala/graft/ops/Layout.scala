@@ -159,4 +159,57 @@ object Layout {
         min("d").as("d_min"), max("d").as("d_max"))
       .orderBy("bin")
   }
+
+  /** Clustering depth of a file layout over its sort column — the metric
+    * a table-maintenance advisor computes BEFORE deciding to rewrite:
+    * per layout, how many files' [lo, hi] key envelopes overlap each
+    * point of the key span. Depth 1 everywhere = perfectly clustered
+    * (zone maps prune to one file per point lookup); depth ≈ n_files =
+    * time-partitioned-by-arrival (every file spans the whole key range
+    * and nothing prunes). Reports max depth, the span-weighted average
+    * depth (exact rational over integer segment lengths), and the exact
+    * count of overlapping file PAIRS.
+    *
+    * Sweep-line, not pairwise: O(files) +1/−1 events, one window cumsum
+    * per layout — never the O(files²) interval self-join. Closes sort
+    * before opens at the same position (hi+1 half-open), so touching-but-
+    * disjoint envelopes count zero overlap. Input contract: one row per
+    * file with integral `lo` ≤ `hi`; `avg_depth`'s exact 6-dp form needs
+    * Σ depth·len ≤ ~4.6e12 (ExactRatio's bound) — at wider key spans
+    * present at coarser precision.
+    */
+  def clusteringDepth(files: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = files.select(col("layout"), col("fid"),
+      col("lo").cast("long").as("pos"), lit(1L).as("delta"),
+      lit(1L).as("typ"))
+      .unionByName(files.select(col("layout"), col("fid"),
+        (col("hi").cast("long") + lit(1L)).as("pos"), lit(-1L).as("delta"),
+        lit(0L).as("typ")))
+    val wRow = Window.partitionBy("layout")
+      .orderBy(col("pos"), col("typ"), col("fid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = ev.withColumn("run", sum("delta").over(wRow))
+    val pairs = runs.filter(col("typ") === 1L)
+      .groupBy("layout")
+      .agg(sum(col("run") - lit(1L)).as("overlap_pairs"))
+    val wPos = Window.partitionBy("layout").orderBy("pos")
+    val segs = ev.groupBy("layout", "pos").agg(sum("delta").as("net"))
+      .withColumn("depth", sum("net").over(wPos))
+      .withColumn("len", lead("pos", 1).over(wPos) - col("pos"))
+    val agg = segs.groupBy("layout").agg(
+      max("depth").as("max_depth"),
+      sum(when(col("len").isNotNull, col("depth") * col("len")))
+        .as("wsum"),
+      min("pos").as("minp"), max("pos").as("maxp"))
+    files.groupBy("layout").agg(count(lit(1)).as("n_files"))
+      .join(agg, "layout").join(pairs, "layout")
+      .select(col("layout"), col("n_files"),
+        (col("maxp") - col("minp")).as("span"),
+        col("max_depth"),
+        exactRatio(col("wsum"),
+          greatest(col("maxp") - col("minp"), lit(1L)), 6).as("avg_depth"),
+        col("overlap_pairs"))
+      .orderBy("layout")
+  }
 }

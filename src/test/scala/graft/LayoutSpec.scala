@@ -99,4 +99,28 @@ class LayoutSpec extends SparkSpec {
       Layout.compactionPlan(rows.toDF("ts"), "ts", targetBytes = 0L))
     assert(e.getMessage.contains("size model"))
   }
+
+  test("clusteringDepth: hand sweep — nested overlap vs disjoint files") {
+    // layout o: A=[1,10], B=[5,8] -> coverage integral 14 over span 10
+    // (avg 1.4), max depth 2, one overlapping pair;
+    // layout d: [1,4], [5,8] disjoint & touching -> depth 1, zero pairs
+    val files = Seq(
+      ("o", 1L, 1L, 10L), ("o", 2L, 5L, 8L),
+      ("d", 1L, 1L, 4L), ("d", 2L, 5L, 8L)
+    ).toDF("layout", "fid", "lo", "hi")
+    val got = Layout.clusteringDepth(files)
+      .as[(String, Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      ("d", 2L, 8L, 1L, 1.0, 0L),
+      ("o", 2L, 10L, 2L, 1.4, 1L)))
+  }
+
+  test("clusteringDepth: identical envelopes count every pair once") {
+    // three copies of [3,7]: depth 3 across the whole span, C(3,2)=3 pairs
+    val files = (1L to 3L).map(i => ("x", i, 3L, 7L))
+      .toDF("layout", "fid", "lo", "hi")
+    val r = Layout.clusteringDepth(files)
+      .as[(String, Long, Long, Long, Double, Long)].collect().head
+    assert(r == (("x", 3L, 5L, 3L, 3.0, 3L)))
+  }
 }
