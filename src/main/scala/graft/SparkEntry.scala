@@ -303,6 +303,11 @@ object SparkEntry {
       graft.ops.TextAnalysis.quality(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) =>
       graft.ops.TextAnalysis.languages(Tables.documents(s, dir))),
+    "text_readability" -> ((s, dir) =>
+      // Flesch / Flesch-Kincaid from three engine-exact integer counts
+      // (vowel-group syllable heuristic); stratifies the corpus for
+      // curriculum ordering, orthogonal to the quality composite
+      graft.ops.TextAnalysis.readability(Tables.documents(s, dir))),
     "curate_quality_prune" -> ((s, dir) =>
       // per-domain quantile pruning (the perplexity-filter shape): each
       // language's own p75 token-count threshold, broadcast back, census
@@ -3690,6 +3695,25 @@ object SparkEntry {
         |        ['the','a','and','of','to','in','is','that'], w)))
         |       / CAST(len(toks) AS DOUBLE))*0.3
         |    + (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))*0.3, 6) AS quality
+        |FROM t""".stripMargin,
+    "text_readability" -> // same three counts, identical-double indices
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS w,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS sy
+        |  FROM documents)
+        |SELECT doc_id, w AS n_words, s AS n_sentences, sy AS n_syllables,
+        |  round(CASE WHEN w > 0 THEN 206.835
+        |    - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |    - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)) END, 6)
+        |    AS flesch,
+        |  round(CASE WHEN w > 0 THEN
+        |    0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |    + 11.8 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))
+        |    - 15.59 END, 6) AS fk_grade
         |FROM t""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks

@@ -96,6 +96,39 @@ object TextAnalysis {
   def languages(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), langId(tokens(col("text"))).as("lang_pred"))
 
+  /** Classic readability indices from three integer counts — words
+    * (shared [[tokens]] split), sentences (runs of terminal punctuation,
+    * floored at 1), and the standard vowel-group syllable approximation:
+    * Flesch reading ease 206.835 − 1.015·(w/s) − 84.6·(sy/w) and
+    * Flesch–Kincaid grade 0.39·(w/s) + 11.8·(sy/w) − 15.59. A corpus-
+    * curation signal orthogonal to [[qualityScore]]: quality keeps
+    * well-formed text, readability STRATIFIES it (children's books vs
+    * case law) for curriculum ordering.
+    *
+    * The counts are engine-exact; the indices are identical-double
+    * expressions whose binary-inexact multipliers keep the 6-dp rounding
+    * off the decimal-tie class (RoundingTieSpec's NON-EXACT WEIGHTS
+    * argument). Narrow projection — scan-speed, no shuffle.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = size(tokens(col("text"))).cast("long")
+    val s = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast("long"), lit(1L))
+    val sy = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    val wps = w.cast("double") / s.cast("double")
+    val spw = sy.cast("double") / w.cast("double")
+    docs.select(col("doc_id"),
+      w.as("n_words"), s.as("n_sentences"), sy.as("n_syllables"),
+      round(when(w > 0L,
+        lit(206.835) - lit(1.015) * wps - lit(84.6) * spw), 6)
+        .as("flesch"),
+      round(when(w > 0L,
+        lit(0.39) * wps + lit(11.8) * spw - lit(15.59)), 6)
+        .as("fk_grade"))
+  }
+
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 

@@ -102,4 +102,21 @@ class CorpusPrepSpec extends SparkSpec {
     val recall = (exact intersect sq).size.toDouble / exact.size
     assert(recall >= 0.8, s"sq recall vs exact = $recall")
   }
+
+  test("readability: hand counts drive the exact Flesch/FK values; " +
+    "punctuation-free text floors sentences at 1") {
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"),
+      (2L, "no terminal punctuation here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // doc 1: w=5, s=2, vowel groups e,a,a,i,a -> sy=5
+    // flesch = 206.835 - 1.015*2.5 - 84.6*1 = 119.6975; fk = -2.815
+    assert(got.head == ((1L, 5L, 2L, 5L, 119.6975, -2.815)))
+    // doc 2: s floored at 1; w=4; sy: o,e,i,a,u,u,a,io,e,e -> count
+    val d2 = got(1)
+    assert(d2._3 == 1L && d2._2 == 4L)
+    assert(d2._5 < 119.6975) // denser syllables read harder
+  }
 }

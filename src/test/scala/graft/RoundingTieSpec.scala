@@ -83,6 +83,8 @@ class RoundingTieSpec extends SparkSpec {
     "text_lm_score" -> "IRRATIONAL: ln probabilities",
     "text_quality" -> ("NON-EXACT WEIGHTS: the composite; stop_ratio/" +
       "distinct_ratio are exact fixed point"),
+    "text_readability" -> ("NON-EXACT WEIGHTS: Flesch/FK multipliers " +
+      "(1.015, 84.6, 0.39, 11.8) are binary-inexact"),
     "text_tfidf" -> "IRRATIONAL: ln IDF",
     "mix_plan" -> ("NON-EXACT WEIGHTS: 0.025 target share literal is " +
       "binary-inexact"),
