@@ -612,6 +612,12 @@ object SparkEntry {
       // fixpoint, mirroring the unrolled oracle) + a loud convergence
       // assertion so an under-provisioned cap can never ship wrong
       graft.ops.Graph.kCore(Tables.lineitem(s, dir))),
+    "graph_feature_prop" -> ((s, dir) =>
+      // GraphSAGE-mean primitive in exact integers: part price ->
+      // supplier floor-mean -> part floor-mean-of-means; two
+      // join+groupBy message-passing rounds, state O(nodes)
+      graft.ops.Graph.featurePropagation(
+        Tables.lineitem(s, dir), Tables.part(s, dir))),
     "graph_harmonic" -> ((s, dir) =>
       // harmonic centrality of a FIXED 8-seed panel (state O(nodes*8) at
       // any scale): level-synchronous multi-source BFS to 3 hops, the
@@ -2645,6 +2651,20 @@ object SparkEntry {
         |best AS (SELECT node, min(dist) AS d FROM walk GROUP BY 1)
         |SELECT CAST(d AS BIGINT) AS dist, count(*) AS n_nodes
         |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_feature_prop" -> // same two message-passing rounds; trunc()
+      // before the BIGINT cast, // is the same floor on positives
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+        |           FROM lineitem),
+        |pf AS (SELECT p_partkey AS p,
+        |         CAST(trunc(p_retailprice) AS BIGINT) AS f
+        |       FROM part),
+        |h1 AS (SELECT e.s, CAST(sum(pf.f) AS BIGINT) // count(*) AS h
+        |       FROM e JOIN pf ON pf.p = e.p GROUP BY e.s),
+        |h2 AS (SELECT e.p,
+        |         CAST(sum(h1.h) AS BIGINT) // count(*) AS feat_2hop,
+        |         CAST(count(*) AS BIGINT) AS n_supp
+        |       FROM e JOIN h1 ON h1.s = e.s GROUP BY e.p)
+        |SELECT p AS p_partkey, feat_2hop, n_supp FROM h2""".stripMargin,
     "graph_harmonic" -> // same fixed seed panel and three min-dist
       // relaxation unrolls keyed (seed, node); harmonic exact over 60
       """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS u, l_partkey*2+1 AS v

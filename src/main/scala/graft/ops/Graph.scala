@@ -658,6 +658,35 @@ object Graph {
       .orderBy("seed")
   }
 
+  /** Two-hop neighborhood feature propagation over the supplier–part
+    * graph — the GraphSAGE-mean primitive that turns a tabular feature
+    * into a structural one: each supplier aggregates the floor-mean of
+    * its parts' integer feature, each part then aggregates the floor-mean
+    * of its suppliers' hop-1 values. Mean-of-means in pure BIGINT
+    * (`DIV`), so every hop is engine-exact — the integer discipline that
+    * makes a propagated feature column reproducible enough to join into
+    * a training set.
+    *
+    * Plan: exactly two equi-join + groupBy rounds over the deduplicated
+    * edge list — the standard message-passing shape; state is O(nodes),
+    * never O(nodes²). Parts absent from the fact are absent from the
+    * output (no neighborhood, no feature).
+    */
+  def featurePropagation(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val e = lineitem.select(col("l_suppkey").as("s"),
+      col("l_partkey").as("p")).distinct()
+    // Spark's double->long cast truncates (DuckDB's rounds — the oracle
+    // spells trunc() explicitly); prices are positive, so both floor
+    val pf = part.select(col("p_partkey").as("p"),
+      col("p_retailprice").cast("long").as("f"))
+    val h1 = e.join(pf, "p").groupBy("s")
+      .agg(expr("sum(f) DIV count(1)").as("h"))
+    e.join(h1, "s").groupBy("p")
+      .agg(expr("sum(h) DIV count(1)").as("feat_2hop"),
+        count(lit(1)).as("n_supp"))
+      .select(col("p").as("p_partkey"), col("feat_2hop"), col("n_supp"))
+  }
+
   def kCore(
       lineitem: DataFrame, k: Int = 16, rounds: Int = 6): DataFrame = {
     require(k >= 2, s"kCore: k=$k below 2 (k=1 keeps every non-isolate)")

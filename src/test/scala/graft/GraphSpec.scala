@@ -357,6 +357,20 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((20L, 2L, 1L, 1L, 2.833333)))
   }
 
+  test("featurePropagation: floor-mean of floor-means, hand-checked, " +
+    "with duplicate edges collapsed") {
+    // parts 1,2,3 priced 100, 201, 50; supplier 1 -> {1,2}, supplier
+    // 2 -> {2,3}; h1(1) = (100+201) DIV 2 = 150, h1(2) = (201+50) DIV 2
+    // = 125; part 2 sees both: (150+125) DIV 2 = 137
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (1L, 2L))
+      .toDF("l_suppkey", "l_partkey")
+    val part = Seq((1L, 100.9), (2L, 201.5), (3L, 50.0))
+      .toDF("p_partkey", "p_retailprice")
+    val got = Graph.featurePropagation(li, part)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 150L, 1L), (2L, 137L, 2L), (3L, 125L, 1L)))
+  }
+
   test("harmonicCentrality: the seed panel is the lowest seedCount " +
     "eligible nodes, deterministically") {
     // suppliers 10 and 20 are both eligible (nodes 20, 40); seedCount=1
