@@ -2146,6 +2146,12 @@ object SparkEntry {
       // (n-token contiguous match over the same index) is RetrievalSpec-
       // pinned on hand-planted phrases
       graft.ops.Retrieval.topBigrams(Tables.documents(s, dir), k = 3)),
+    "retrieval_proximity" -> ((s, dir) =>
+      // the ranking signal between exact phrase and bag-of-words: docs
+      // holding both terms ranked by minimum token gap over the same
+      // one-shuffle positional-index join as phrase search
+      graft.ops.Retrieval.proximitySearch(
+        Tables.documents(s, dir), "scan", "join")),
     "retrieval_range_search" -> ((s, dir) =>
       // radius query: ALL neighbors with cosine >= 0.3, IVF-blocked so
       // each query scans 1/C of the corpus
@@ -6340,6 +6346,25 @@ object SparkEntry {
         |FROM bg GROUP BY 1, 2
         |ORDER BY n_occurrences DESC, n_docs DESC, w1, w2
         |LIMIT 3""".stripMargin,
+    "retrieval_proximity" -> // same index join off 1-based array
+      // positions (gaps are offset-invariant), same tie chain
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+        |                    AS arr
+        |           FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS i,
+        |             arr
+        |      FROM d),
+        |idx AS (SELECT doc_id, arr[i] AS token, CAST(i AS BIGINT) AS pos
+        |        FROM p),
+        |a AS (SELECT doc_id, pos FROM idx WHERE token = 'scan'),
+        |b AS (SELECT doc_id, pos FROM idx WHERE token = 'join'),
+        |g AS (SELECT a.doc_id,
+        |        CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_gap,
+        |        CAST(count(DISTINCT a.pos) AS BIGINT) AS n_a,
+        |        CAST(count(DISTINCT b.pos) AS BIGINT) AS n_b
+        |      FROM a JOIN b ON b.doc_id = a.doc_id GROUP BY 1)
+        |SELECT doc_id, min_gap, n_a, n_b FROM g
+        |ORDER BY min_gap, doc_id LIMIT 20""".stripMargin,
     "retrieval_range_search" ->
       // dedup_embedding's IVF cell CTE, queried by radius instead of pairs
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

@@ -154,4 +154,19 @@ class RetrievalSpec extends SparkSpec {
     assert(top(1) == ("a", "b", 3L, 2L))
     assert(top(2) == ("b", "c", 2L, 2L))
   }
+
+  test("proximitySearch: min gap over all occurrence pairs, both-term " +
+    "docs only, ascending with doc-id tiebreak") {
+    val docs = Seq(
+      (1L, "x q q q y"),        // gap 4
+      (2L, "q x y q"),          // adjacent -> gap 1
+      (3L, "x q x q y x"),      // min over 3x2 pairs -> gap 1 (pos 4,5)
+      (4L, "x only here"),      // no y -> excluded
+      (5L, "y alone")           // no x -> excluded
+    ).toDF("doc_id", "text")
+    val got = Retrieval.proximitySearch(docs, "x", "y")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L, 1L, 1L), (3L, 1L, 3L, 1L),
+      (1L, 4L, 1L, 1L)))
+  }
 }
