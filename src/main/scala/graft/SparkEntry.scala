@@ -555,6 +555,34 @@ object SparkEntry {
       // market-basket co-occurrence: top-20 part pairs by support, with
       // lift; pair fan-out bounded per basket, ReuseExchange'd self-join
       graft.ops.Association.basketPairs(Tables.lineitem(s, dir))),
+    "rec_item_cosine" -> ((s, dir) =>
+      // item-item cosine from co-purchase in e6 FIXED POINT: floor over
+      // a division of identical doubles is engine-exact, and integer
+      // scores keep every downstream sum order-independent
+      graft.ops.Recommend.itemCosine(Tables.lineitem(s, dir))),
+    "rec_user_topn" -> ((s, dir) =>
+      // user top-3 item-CF recommendations: |history| x 10 truncated
+      // neighbor expansion (the production fan-out cap), integer score
+      // sums, owned items anti-joined out
+      graft.ops.Recommend.recommendItems(
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "graph_local_clustering" -> ((s, dir) =>
+      // per-node Watts-Strogatz clustering coefficient on the strong-tie
+      // graph: the oriented-wedge triangle machinery with the apex kept,
+      // per-vertex census, exact fixed-point ratio
+      graft.ops.Graph.localClustering(Tables.lineitem(s, dir))),
+    "eval_ndcg" -> ((s, dir) =>
+      // NDCG@10 of brute cosine retrieval, same-label relevance: the
+      // 1/log2(rank+1) discount QUANTIZED to an e6 integer weight table
+      // so DCG/IDCG are exact BIGINT sums (the aucQuantized discipline)
+      graft.ops.Eval.ndcgSameLabel(Tables.embeddings(s, dir))),
+    "ts_lead_lag" -> ((s, dir) =>
+      // lead-lag cross-correlation of daily orders-placed vs
+      // lines-shipped: co-moment sums exact in BIGINT, r one identical
+      // IEEE expression; lag fan-out is an in-stage sequence explode on
+      // the O(days) aggregated frame
+      graft.ops.Temporal.leadLagCorrelation(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "graph_pagerank" -> ((s, dir) =>
       // 3-iteration PageRank over the supplier<->part bipartite graph in
       // 1e-12 FIXED POINT: integer arithmetic is order-independent, so
@@ -2582,6 +2610,116 @@ object SparkEntry {
         |CROSS JOIN nb
         |ORDER BY pair_cnt DESC, part_a, part_b
         |LIMIT 20""".stripMargin,
+    "rec_item_cosine" -> // assoc_basket_pairs' pair/support CTEs, scored
+      // as floor((pair·1e6)/sqrt(ca·cb)) — identical doubles, exact floor
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |               FROM lineitem),
+        |pairs AS (SELECT a.item AS part_a, b.item AS part_b,
+        |                 count(*) AS pair_cnt
+        |          FROM items a JOIN items b
+        |            ON a.basket = b.basket AND a.item < b.item
+        |          GROUP BY 1, 2),
+        |supp AS (SELECT item, count(*) AS cnt FROM items GROUP BY 1)
+        |SELECT part_a, part_b, pair_cnt,
+        |       CAST(floor(pair_cnt * 1000000 /
+        |            sqrt(CAST(sa.cnt * sb.cnt AS DOUBLE))) AS BIGINT) AS cos_e6
+        |FROM pairs
+        |JOIN supp sa ON pairs.part_a = sa.item
+        |JOIN supp sb ON pairs.part_b = sb.item
+        |ORDER BY cos_e6 DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
+    "rec_user_topn" -> // same scored pairs, symmetrized, neighbor lists
+      // capped at 10, integer score sums, owned items excluded
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |               FROM lineitem),
+        |pairs AS (SELECT a.item AS part_a, b.item AS part_b,
+        |                 count(*) AS pair_cnt
+        |          FROM items a JOIN items b
+        |            ON a.basket = b.basket AND a.item < b.item
+        |          GROUP BY 1, 2),
+        |supp AS (SELECT item, count(*) AS cnt FROM items GROUP BY 1),
+        |scored AS (SELECT part_a, part_b,
+        |             CAST(floor(pair_cnt * 1000000 /
+        |                  sqrt(CAST(sa.cnt * sb.cnt AS DOUBLE))) AS BIGINT)
+        |               AS cos_e6
+        |           FROM pairs
+        |           JOIN supp sa ON pairs.part_a = sa.item
+        |           JOIN supp sb ON pairs.part_b = sb.item),
+        |sym AS (SELECT part_a AS item, part_b AS nbr, cos_e6 FROM scored
+        |        UNION ALL
+        |        SELECT part_b, part_a, cos_e6 FROM scored),
+        |capped AS (SELECT item, nbr, cos_e6 FROM (
+        |             SELECT item, nbr, cos_e6, row_number() OVER (
+        |               PARTITION BY item ORDER BY cos_e6 DESC, nbr) AS nrank
+        |             FROM sym)
+        |           WHERE nrank <= 10),
+        |hist AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+        |         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |cand AS (SELECT h.cust, c.nbr AS rec_part, c.cos_e6
+        |         FROM hist h JOIN capped c ON c.item = h.item
+        |         LEFT JOIN hist own
+        |           ON own.cust = h.cust AND own.item = c.nbr
+        |         WHERE own.item IS NULL),
+        |agg AS (SELECT cust, rec_part, CAST(sum(cos_e6) AS BIGINT) AS score_e6,
+        |               CAST(count(*) AS BIGINT) AS n_contrib
+        |        FROM cand GROUP BY 1, 2)
+        |SELECT cust, rec_part, score_e6, n_contrib, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY cust
+        |        ORDER BY score_e6 DESC, rec_part) AS rn FROM agg)
+        |WHERE rn <= 3""".stripMargin,
+    "graph_local_clustering" -> // same strong-tie edges as
+      // graph_triangles, direct triple-join triangle list, per-vertex
+      // unpivot census, exact fixed-point coefficient
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |               FROM lineitem),
+        |e AS (SELECT a.item AS u, b.item AS v
+        |      FROM items a JOIN items b
+        |        ON a.basket = b.basket AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n AS node, count(*) AS deg
+        |        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |t AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c FROM e ab
+        |      JOIN e bc ON bc.u = ab.v
+        |      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+        |pn AS (SELECT node, count(*) AS n_tri
+        |       FROM (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        |             UNION ALL SELECT c FROM t)
+        |       GROUP BY 1)
+        |SELECT d.node, d.deg, CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+        |       CAST((2 * COALESCE(pn.n_tri, 0) * 2000000
+        |             + d.deg * (d.deg - 1))
+        |            // (2 * d.deg * (d.deg - 1)) AS DOUBLE) / 1000000.0 AS cc
+        |FROM deg d LEFT JOIN pn ON pn.node = d.node
+        |WHERE d.deg >= 2
+        |ORDER BY cc DESC, d.node
+        |LIMIT 20""".stripMargin,
+    "ts_lead_lag" -> // co-moment sums exact in BIGINT; r is one
+      // identical IEEE expression on both engines; NULL at zero variance
+      """WITH a AS (SELECT date_diff('day', DATE '1970-01-01', o_orderdate)
+        |             AS day, CAST(count(*) AS BIGINT) AS x
+        |           FROM orders GROUP BY 1),
+        |b AS (SELECT date_diff('day', DATE '1970-01-01', l_shipdate)
+        |        AS day, CAST(count(*) AS BIGINT) AS y
+        |      FROM lineitem GROUP BY 1),
+        |l AS (SELECT CAST(unnest(generate_series(0, 30)) AS BIGINT) AS lag_d),
+        |m AS (SELECT l.lag_d, a.x, b.y
+        |      FROM a CROSS JOIN l JOIN b ON b.day = a.day + l.lag_d),
+        |s AS (SELECT lag_d, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx,
+        |             CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy,
+        |             CAST(sum(x * x) AS BIGINT) AS sx2,
+        |             CAST(sum(y * y) AS BIGINT) AS sy2
+        |      FROM m GROUP BY 1)
+        |SELECT lag_d, n AS n_days,
+        |       CASE WHEN n * sx2 - sx * sx = 0 OR n * sy2 - sy * sy = 0
+        |            THEN NULL
+        |            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |                 / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+        |                    * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
+        |       END AS r
+        |FROM s ORDER BY lag_d""".stripMargin,
     "graph_pagerank" -> // 3 unrolled iterations, 1e-12 fixed point:
       // integer // and * only, so both engines are bit-identical
       """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS u, l_partkey*2+1 AS v
@@ -7305,6 +7443,56 @@ object SparkEntry {
         |        * 2000000 + 2520 * count(*))
         |       // (2 * 2520 * count(*)) AS DOUBLE) / 1000000.0 AS mrr
         |FROM fr GROUP BY 1 ORDER BY label""".stripMargin,
+    "eval_ndcg" -> {
+      // eval_mrr's brute top-10 CTE with the 1/log2(rank+1) discount
+      // QUANTIZED to the e6 weight table — interpolated from the ONE
+      // Scala constant the plan also uses, so no SQL-side logarithm
+      val w = graft.ops.Eval.ndcgWeightsE6
+      val p = w.scanLeft(0L)(_ + _).tail
+      val wCase = w.zipWithIndex
+        .map { case (x, i) => s"WHEN ${i + 1} THEN $x" }.mkString(" ")
+      val pCase = p.zipWithIndex
+        .map { case (x, i) => s"WHEN ${i + 1} THEN $x" }.mkString(" ")
+      s"""WITH v AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, vec,
+         |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum'))
+         |          AS nrm FROM v),
+         |q AS (SELECT vec_id AS query_id, label AS q_label, vec AS qvec,
+         |        nrm AS qnorm FROM n WHERE vec_id % 50 = 0),
+         |sc AS (SELECT query_id, q_label, vec_id AS neighbor_id,
+         |         label AS n_label,
+         |         round(list_aggregate(list_transform(
+         |             generate_series(1, len(qvec)), i -> qvec[i]*vec[i]),
+         |           'sum') / (qnorm*nrm), 6) AS cos_sim
+         |       FROM n CROSS JOIN q WHERE vec_id <> query_id),
+         |tk AS (SELECT query_id, q_label, n_label, rn FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc)
+         |       WHERE rn <= 10),
+         |lc AS (SELECT label, count(*) AS n_label_total FROM v GROUP BY 1),
+         |dcg AS (SELECT query_id, q_label,
+         |          CAST(sum(CASE WHEN n_label = q_label THEN
+         |            CASE rn $wCase ELSE 0 END ELSE 0 END) AS BIGINT)
+         |            AS dcg_e6
+         |        FROM tk GROUP BY 1, 2),
+         |per AS (SELECT d.query_id, d.q_label, d.dcg_e6,
+         |          CASE WHEN lc.n_label_total >= 2 THEN
+         |            CASE least(lc.n_label_total - 1, 10) $pCase ELSE 0 END
+         |          ELSE 0 END AS idcg_e6
+         |        FROM dcg d JOIN lc ON lc.label = d.q_label)
+         |SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(dcg_e6) AS BIGINT) AS sum_dcg_e6,
+         |  CAST(sum(idcg_e6) AS BIGINT) AS sum_idcg_e6,
+         |  CASE WHEN sum(idcg_e6) > 0 THEN
+         |    CAST((CAST(sum(dcg_e6) AS BIGINT) * 2000000
+         |          + CAST(sum(idcg_e6) AS BIGINT))
+         |         // (2 * CAST(sum(idcg_e6) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0
+         |  ELSE NULL END AS ndcg_micro
+         |FROM per GROUP BY 1 ORDER BY label""".stripMargin
+    },
     "dq_fd_check" -> // per rule: (det, dep) census, then the determinant
       // rollup with the g3 repair measure — exact integer throughout
       """WITH p1 AS (SELECT o_orderkey AS det, o_custkey AS dep,

@@ -153,4 +153,71 @@ object Eval {
         exactRatio(col("rr2520"), lit(2520L) * col("n_queries"), 6).as("mrr"))
       .orderBy("label")
   }
+
+  /** e6 integer weights 1/log2(i+1), i = 1..10 — computed ONCE here and
+    * embedded verbatim in both the plan and the oracle SQL, so no
+    * cross-engine logarithm is ever evaluated (the aucQuantized
+    * discipline applied to ranking gain).
+    */
+  val ndcgWeightsE6: Seq[Long] =
+    (1 to 10).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** NDCG@k of brute-force cosine retrieval under the same-label
+    * relevance protocol ([[mrrSameLabel]]'s): binary gain, discount
+    * 1/log2(rank+1) QUANTIZED to the e6 integer weight table, so
+    * per-query DCG and ideal DCG are BIGINT sums — order-independent,
+    * hash-exact — and the per-label report is the micro-average
+    * ΣDCG/ΣIDCG in exact fixed point. IDCG@k truncates the ideal gain at
+    * min(R, k) where R = corpus same-label count minus the query itself.
+    *
+    * Scale: rides [[Similarity.bruteForceTopK]]'s guarded-broadcast
+    * scoring (the certification baseline); everything after the top-k is
+    * O(queries × k) → O(labels).
+    */
+  def ndcgSameLabel(
+      embeddings: DataFrame, k: Int = 10, queryMod: Int = 50): DataFrame = {
+    require(k >= 1 && k <= 10,
+      s"ndcgSameLabel: k=$k outside 1..10 — the e6 weight table stops at " +
+        "rank 10; extend ndcgWeightsE6 for larger cutoffs")
+    val w = ndcgWeightsE6.take(k)
+    val wArr = array(w.map(lit): _*)              // element_at(_, rnk)
+    val pArr = array(w.scanLeft(0L)(_ + _).tail.map(lit): _*) // prefix sums
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val labelSizes = labels.groupBy("label").agg(count(lit(1)).as("n_label_total"))
+    val topk = Similarity.bruteForceTopK(embeddings, k, queryMod)
+      .select("query_id", "neighbor_id", "rnk")
+    val withNbr = labels
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumnRenamed("label", "n_label")
+      .join(graft.operators.Broadcasting.checked(topk, tag = "ndcg top-k pairs"),
+        Seq("neighbor_id"))
+    val dcg = labels
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("label", "q_label")
+      .join(graft.operators.Broadcasting.checked(withNbr, tag = "ndcg labeled pairs"),
+        Seq("query_id"))
+      .groupBy("query_id", "q_label")
+      .agg(sum(when(col("n_label") === col("q_label"),
+        element_at(wArr, col("rnk").cast("int"))).otherwise(0L)).as("dcg_e6"))
+    dcg
+      .join(labelSizes.withColumnRenamed("label", "q_label"), "q_label")
+      .withColumn("r_total", col("n_label_total") - lit(1L))
+      .withColumn("idcg_e6",
+        when(col("r_total") >= 1L,
+          element_at(pArr, least(col("r_total"), lit(k.toLong)).cast("int")))
+          .otherwise(0L))
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum("dcg_e6").as("sum_dcg_e6"),
+        sum("idcg_e6").as("sum_idcg_e6"))
+      .select(col("label"), col("n_queries"), col("sum_dcg_e6"),
+        col("sum_idcg_e6"),
+        // a label whose every query is its only member has IDCG 0 —
+        // NDCG undefined, surfaced as NULL (integer div-by-zero is null
+        // in Spark but an ERROR in DuckDB, so both sides guard)
+        when(col("sum_idcg_e6") > 0L,
+          exactRatio(col("sum_dcg_e6"), col("sum_idcg_e6"), 6))
+          .otherwise(lit(null).cast("double")).as("ndcg_micro"))
+      .orderBy("label")
+  }
 }

@@ -252,7 +252,38 @@ object Graph {
       lineitem: DataFrame, maxBasketSize: Int = 1000,
       minSupport: Int = 1): DataFrame = {
     val edges = coPurchaseEdges(lineitem, maxBasketSize, minSupport)
-    // feeds degree + orientation + closing-edge probe
+    // node count + wedge denominator (orientedTriangles re-derives its
+    // own degree table from the same checkpointed edge partitions)
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val triangles = orientedTriangles(edges)
+      .agg(count(lit(1)).as("n_triangles"))
+    // `div`, not `/`: Spark's `/` on longs is double division, and a
+    // double SUM is order-dependent — integer wedge counts stay exact
+    val nodesEdges = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).cast("long").as("wedges"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+    nodesEdges.crossJoin(broadcast(triangles))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        // 3t/w is an int/int rational — exact fixed point, not
+        // round(double, 6) (engine-dependent at exact 6-dp ties)
+        exactRatio(lit(3L) * col("n_triangles"), col("wedges"), 6)
+          .as("clustering"))
+  }
+
+  /** Every triangle of the undirected `edges` graph exactly once, as
+    * (a, b, c): a is the lowest-(degree, id)-ranked vertex, b and c its
+    * rank-ordered out-neighbors. [[triangleStats]]'s degree-oriented
+    * wedge enumeration (see that scaladoc for the O(m^1.5) rationale),
+    * factored so the global census and the per-node census
+    * ([[localClustering]]) ride one implementation. The closing-edge
+    * probe is an INNER join against the unique closing-edge keys —
+    * set-equivalent to the previous semi-join (the edge list is
+    * distinct), but it lets the wedge apex ride along instead of being
+    * discarded.
+    */
+  private[graft] def orientedTriangles(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -267,14 +298,14 @@ object Graph {
         greatest(col("rku"), col("rkv")).as("dstRk"))
       .localCheckpoint() // self-joined below: materialize once
     // Closing-edge probe: the wedge set is ~30x the edge list (sf0.1:
-    // 41M wedges over 1.2M edges), so shuffling it raw into the semi-join
+    // 41M wedges over 1.2M edges), so shuffling it raw into the probe
     // IS the query's cost. Pack (src,dst) into one long (ids < 2^32 by the
     // same contract the rank key uses) and reject non-closing wedges with
     // a Bloom sketch of the edge keys BEFORE the exchange — the verify
-    // semi-join then shuffles only triangles + the fp fraction (sf0.1:
+    // join then shuffles only triangles + the fp fraction (sf0.1:
     // 1.9M + ~0.4M instead of 41M). The sketch is bounded (~1.4 MB for
     // 1.2M edges), never size-of-wedges; exactness is preserved by
-    // bloomSemiJoin's verify join.
+    // the exact verify join below.
     val packed = lit(4294967296L)
     val closing = oriented.select(
       (col("src") * packed + col("dst")).as("ek"))
@@ -299,21 +330,47 @@ object Graph {
     val wedges = oriented
       .groupBy("src")
       .agg(sort_array(collect_list(struct(col("dstRk"), col("dst")))).as("ns"))
-      .select(explode(candidates).as("ek"))
-    val triangles = wedges // exact verify: false positives die here
-      .join(closing, wedges("ek") === closing("ek"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-    // `div`, not `/`: Spark's `/` on longs is double division, and a
-    // double SUM is order-dependent — integer wedge counts stay exact
-    val nodesEdges = deg.agg(count(lit(1)).as("n_nodes"),
-      sum(expr("deg * (deg - 1) div 2")).cast("long").as("wedges"))
-      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
-    nodesEdges.crossJoin(broadcast(triangles))
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
-        // 3t/w is an int/int rational — exact fixed point, not
-        // round(double, 6) (engine-dependent at exact 6-dp ties)
-        exactRatio(lit(3L) * col("n_triangles"), col("wedges"), 6)
-          .as("clustering"))
+      .select(col("src").as("a"), explode(candidates).as("ek"))
+    wedges // exact verify: Bloom false positives die on the inner join
+      .join(closing, "ek")
+      .select(col("a"), expr("ek div 4294967296").as("b"),
+        pmod(col("ek"), packed).as("c"))
+  }
+
+  /** Per-node local clustering coefficient of the strong-tie co-purchase
+    * graph: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close each
+    * node's neighborhood is to a clique, THE per-node community-structure
+    * signal (Watts–Strogatz), where [[triangleStats]] reports only the
+    * global mean. Top `topK` by coefficient (node-id tiebreak), over
+    * nodes with deg ≥ 2 (cc undefined below).
+    *
+    * Exactness: triangle and degree counts are integers; the coefficient
+    * presents through the exact fixed-point ratio (never round(double)).
+    * Scale: identical bounds to [[triangleStats]] — O(m^1.5) wedge work
+    * under degree orientation, Bloom-prefiltered probe — plus one
+    * O(triangles) vertex-unpivot aggregate; the `minSupport` strong-tie
+    * prune collapses wedge volume before any of it.
+    */
+  def localClustering(
+      lineitem: DataFrame, maxBasketSize: Int = 1000, minSupport: Int = 2,
+      topK: Int = 20): DataFrame = {
+    val edges = coPurchaseEdges(lineitem, maxBasketSize, minSupport)
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = orientedTriangles(edges)
+    val perNode = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2L)
+      .join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("node"), col("deg"), col("n_tri"),
+        exactRatio(lit(2L) * col("n_tri"),
+          col("deg") * (col("deg") - 1L), 6).as("cc"))
+      .orderBy(col("cc").desc, col("node").asc)
+      .limit(topK)
   }
 
   /** Degree histogram of the co-purchase graph with the Hill tail-index

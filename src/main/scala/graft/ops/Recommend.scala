@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item-based collaborative filtering over the co-purchase relation —
+  * the recommendation stage a training-data platform feeds after
+  * [[Association]] mines the raw co-occurrence statistics.
+  *
+  * The reference has no recommendation surface (its single pipeline is
+  * forecast ingest, `azfunctions/InputBlobTrigger/processor.py:20-451`);
+  * this is beyond-reference training-data analytics: item-item neighbor
+  * lists and user top-N are the canonical weak-supervision signal for
+  * ranking corpora (and the classic Amazon/Sarwar item-CF shape).
+  *
+  * All similarity scores are carried as e6 FIXED POINT (BIGINT): the
+  * cosine itself is floor((pair·10⁶)/sqrt(cnt_a·cnt_b)) — floor of a
+  * division of identical doubles is engine-exact (IEEE sqrt and divide
+  * are correctly rounded), and once in integer space the downstream
+  * SUMS are order-independent, so the distributed aggregation
+  * hash-matches DuckDB bit-for-bit. Summing raw double cosines would
+  * not (aggregation-order ulps) — the incr_agg_merge lesson.
+  */
+object Recommend {
+
+  /** Item-item cosine similarity from basket co-occurrence: for each
+    * co-purchased pair, cos = n(a,b)/sqrt(n(a)·n(b)) in e6 fixed point,
+    * top `topK` by cosine. Bounded-fan-out pair generation per
+    * [[Association.basketPairs]]: the self-join keys on the BASKET, the
+    * mega-basket guard caps the quadratic term, and both sides reuse one
+    * exchange (merge hints → ReuseExchange).
+    */
+  def itemCosine(
+      lineitem: DataFrame, topK: Int = 20,
+      maxBasketSize: Int = 1000): DataFrame =
+    scoredPairs(lineitem, maxBasketSize)
+      .orderBy(col("cos_e6").desc, col("part_a").asc, col("part_b").asc)
+      .limit(topK)
+
+  /** (part_a, part_b, pair_cnt, cos_e6) for every co-purchased pair,
+    * part_a < part_b. */
+  private def scoredPairs(
+      lineitem: DataFrame, maxBasketSize: Int): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val sized = items
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("basket")))
+      .filter(col("bsz") <= maxBasketSize)
+      .drop("bsz")
+    val pairs = sized.hint("merge").as("a")
+      .join(sized.hint("merge").as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("part_a"), col("b.item").as("part_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+    val supp = sized.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    pairs
+      .join(supp.select(col("item").as("part_a"), col("cnt").as("cnt_a")),
+        "part_a")
+      .join(supp.select(col("item").as("part_b"), col("cnt").as("cnt_b")),
+        "part_b")
+      .select(col("part_a"), col("part_b"), col("pair_cnt"),
+        floor(col("pair_cnt") * lit(1000000L) /
+          sqrt((col("cnt_a") * col("cnt_b")).cast("double"))).as("cos_e6"))
+  }
+
+  /** User top-N recommendations by truncated item-neighbor expansion:
+    * each history item contributes its top-`neighborsPerItem` cosine
+    * neighbors, contributions SUM per (user, candidate) in integer
+    * space, already-owned items are anti-joined out, and row_number
+    * keeps the top `topN` per user.
+    *
+    * Scale: the neighbor CAP is the 100 TB move — production item-CF
+    * never materializes full similarity rows per user; it expands
+    * |history|·M candidates, M fixed, so the score join's fan-out is
+    * linear in the history relation. The cap itself is one row_number
+    * window riding the item exchange; scoring keys on item
+    * (co-partitioned with the capped list), the ownership anti-join and
+    * the final ranking both key on user — three exchanges total, no
+    * broadcast of anything data-sized.
+    */
+  def recommendItems(
+      lineitem: DataFrame, orders: DataFrame, topN: Int = 3,
+      neighborsPerItem: Int = 10, maxBasketSize: Int = 1000): DataFrame = {
+    val scored = scoredPairs(lineitem, maxBasketSize)
+    val sym = scored
+      .select(col("part_a").as("item"), col("part_b").as("nbr"), col("cos_e6"))
+      .unionByName(scored
+        .select(col("part_b").as("item"), col("part_a").as("nbr"),
+          col("cos_e6")))
+    val capped = sym
+      .withColumn("nrank", row_number().over(
+        Window.partitionBy("item").orderBy(col("cos_e6").desc,
+          col("nbr").asc)))
+      .filter(col("nrank") <= neighborsPerItem)
+      .drop("nrank")
+    val hist = orders
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey").as("cust"))
+      .join(lineitem.select(col("l_orderkey"), col("l_partkey").as("item")),
+        "l_orderkey")
+      .select("cust", "item")
+      .distinct()
+    val fresh = hist.join(capped, "item")
+      .select(col("cust"), col("nbr").as("rec_part"), col("cos_e6"))
+      .join(hist.select(col("cust"), col("item").as("rec_part")),
+        Seq("cust", "rec_part"), "left_anti")
+    fresh.groupBy("cust", "rec_part")
+      .agg(sum("cos_e6").as("score_e6"), count(lit(1)).as("n_contrib"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cust").orderBy(col("score_e6").desc,
+          col("rec_part").asc)).cast("long"))
+      .filter(col("rn") <= topN)
+      .orderBy(col("cust").asc, col("rn").asc)
+  }
+}

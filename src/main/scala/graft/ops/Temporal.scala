@@ -401,4 +401,52 @@ object Temporal {
       .select(lit(nDays).as("n_days"), lit(nPairs).as("n_pairs"),
         col("dy").as("med_dy"), col("dx").as("med_dx"), col("slope"))
   }
+
+  /** Lead-lag cross-correlation between two daily count series — here
+    * "orders placed" vs "lines shipped": Pearson r of (x_d, y_{d+lag})
+    * for every lag in [0, maxLag], over the days both series observe.
+    * The argmax lag reads off the dominant operational delay (TPC-H
+    * ships 1–121 days after ordering, so r should crest inside the
+    * window, not at its edge).
+    *
+    * Cross-engine exactness: both daily series are integer counts, so
+    * all five co-moment sums (Σx, Σy, Σxy, Σx², Σy²) stay in BIGINT —
+    * order-independent, hash-exact — and r is ONE identical double
+    * expression over those integers on both engines (IEEE divide/sqrt
+    * are correctly rounded; the rule that keeps [[graft.ops.Stats]]
+    * green). Zero-variance slices surface r as NULL on both sides.
+    *
+    * Scale: the series are O(days) after the first aggregates — the lag
+    * fan-out explodes a SEQUENCE on the aggregated frame (in-stage, no
+    * join against a lag table), so the shuffled volume is days × lags,
+    * independent of raw row count.
+    */
+  def leadLagCorrelation(
+      orders: DataFrame, lineitem: DataFrame, maxLag: Int = 30): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val x = orders
+      .groupBy(datediff(col("o_orderdate"), epoch).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val y = lineitem
+      .groupBy(datediff(col("l_shipdate"), epoch).cast("long").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val fanned = x
+      .withColumn("lag_d", explode(sequence(lit(0L), lit(maxLag.toLong))))
+      .withColumn("probe", col("day") + col("lag_d"))
+    val m = fanned.join(y.withColumnRenamed("day", "probe"), "probe")
+    val s = m.groupBy("lag_d").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sx2"),
+      sum(col("y") * col("y")).as("sy2"))
+    val varX = s("n") * s("sx2") - s("sx") * s("sx")
+    val varY = s("n") * s("sy2") - s("sy") * s("sy")
+    s.select(col("lag_d"), col("n").as("n_days"),
+      when(varX === 0L || varY === 0L, lit(null).cast("double"))
+        .otherwise((s("n") * s("sxy") - s("sx") * s("sy")).cast("double") /
+          (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
+        .as("r"))
+      .orderBy("lag_d")
+  }
 }

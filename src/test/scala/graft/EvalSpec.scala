@@ -122,4 +122,31 @@ class EvalSpec extends SparkSpec {
       .select("n_rows").as[Long].collect().head
     assert(got == 3L)
   }
+
+  test("ndcgSameLabel: quantized weight table and worked micro-average") {
+    // weight table pins (floor(1e6 / log2(i+1))): ranks 1..4
+    assert(graft.ops.Eval.ndcgWeightsE6.take(4) ==
+      Seq(1000000L, 630929L, 500000L, 430676L))
+    // mrr fixture: query 0 (label 1), ranked neighbors by cosine:
+    // rank1 id1 (label 2), rank2 id2 (label 1), rank3 id3 (label 3),
+    // rank4 id4 (label 1) -> DCG = W2 + W4 = 1061605
+    // R = 3 same-label vectors - self = 2 -> IDCG = W1 + W2 = 1630929
+    val df = emb(
+      (0L, Seq(1f, 0f), 1), (1L, Seq(1f, 0.1f), 2), (2L, Seq(1f, 0.3f), 1),
+      (3L, Seq(0f, 1f), 3), (4L, Seq(-1f, 0f), 1))
+    val got = graft.ops.Eval.ndcgSameLabel(df)
+      .select("label", "n_queries", "sum_dcg_e6", "sum_idcg_e6",
+        "ndcg_micro")
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    // exactRatio(1061605, 1630929, 6) = 0.650920
+    assert(got == Seq((1, 1L, 1061605L, 1630929L, 0.650920)))
+  }
+
+  test("ndcgSameLabel: a singleton-label query has IDCG 0 and NULL ndcg") {
+    val df = emb(
+      (0L, Seq(1f, 0f), 9), (1L, Seq(1f, 0.1f), 2), (2L, Seq(1f, 0.3f), 1))
+    val row = graft.ops.Eval.ndcgSameLabel(df)
+      .select("sum_dcg_e6", "sum_idcg_e6", "ndcg_micro").collect().head
+    assert(row.getLong(0) == 0L && row.getLong(1) == 0L && row.isNullAt(2))
+  }
 }

@@ -382,4 +382,27 @@ class GraphSpec extends SparkSpec {
     // from 20: d1 = {3}, d2 = {40}, d3 = {5} -> 60+30+20 = 110/60
     assert(got == Seq((20L, 1L, 1L, 1L, 1.833333)))
   }
+
+  test("localClustering: hand graph - triangle plus pendant edge") {
+    // baskets give edges {1-2, 2-3, 1-3, 1-4} at support 1
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 3L),
+      (4L, 1L), (4L, 4L)).toDF("l_orderkey", "l_partkey")
+    val got = Graph.localClustering(li, minSupport = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // node 4 excluded (deg 1); nodes 2,3: deg 2, 1 triangle -> cc 1.0;
+    // node 1: deg 3, 1 triangle -> 2/6 = .333333 (exact fixed point)
+    assert(got == Seq((2L, 2L, 1L, 1.0), (3L, 2L, 1L, 1.0),
+      (1L, 3L, 1L, 0.333333)))
+  }
+
+  test("orientedTriangles: each triangle listed once, apex preserved") {
+    // two triangles sharing edge 2-3, plus a non-triangle edge 4-5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 4L)).toDF("u", "v")
+    val got = Graph.orientedTriangles(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.size == 2)
+    assert(got.map(t => Set(t._1, t._2, t._3)) ==
+      Set(Set(1L, 2L, 3L), Set(2L, 3L, 4L)))
+  }
 }

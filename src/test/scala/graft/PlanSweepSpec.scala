@@ -149,6 +149,8 @@ class PlanSweepSpec extends SparkSpec {
     // composes the brute scorer (bounded query-set broadcast, non-equi
     // scored join) — the metric tail is all equi-joins
     "eval_mrr",
+    // same brute-scorer composition; DCG/IDCG tail is all equi-joins
+    "eval_ndcg",
     // Theil-Sen pair expansion: nested loop over the BOUNDED day table
     // (O(days²) from the day domain, never data-sized)
     "ts_theil_sen",

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.Recommend
+
+/** Item-CF: hand-computed e6 cosines, integer score sums, owned-item
+  * exclusion, and the neighbor-list cap.
+  */
+class RecommendSpec extends SparkSpec {
+  import spark.implicits._
+
+  // baskets: {1,2}, {1,2}, {1,3}, {2,3} -> n(1)=3, n(2)=3, n(3)=2
+  private def lineitem =
+    Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 3L),
+      (13L, 2L), (13L, 3L)).toDF("l_orderkey", "l_partkey")
+
+  test("itemCosine: e6 fixed-point cosine from co-purchase counts") {
+    val got = Recommend.itemCosine(lineitem)
+      .select("part_a", "part_b", "pair_cnt", "cos_e6")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cos(1,2) = 2/sqrt(9)  = .666666..  -> 666666
+    // cos(1,3) = 1/sqrt(6)  = .408248..  -> 408248 (ditto 2,3)
+    assert(got == Seq((1L, 2L, 2L, 666666L), (1L, 3L, 1L, 408248L),
+      (2L, 3L, 1L, 408248L)))
+  }
+
+  test("recommendItems: integer-sum scores, owned items excluded, " +
+    "top-N per user") {
+    // cust 100 owns {1}; cust 200 owns {1,2}
+    val orders = Seq((10L, 200L), (11L, 200L), (12L, 100L), (13L, 200L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = lineitem
+    // histories come from orders x lineitem: 100 -> {1,3}; 200 -> {1,2,3}
+    // 200 owns everything -> no recs; 100's candidates: nbrs of 1 = {2,3},
+    // nbrs of 3 = {1,2}; minus owned {1,3} -> only 2, score = cos(1,2) +
+    // cos(2,3) = 666666 + 408248, two contributors
+    val got = Recommend.recommendItems(li, orders)
+      .select("cust", "rec_part", "score_e6", "n_contrib", "rn")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 2L, 1074914L, 2L, 1L)))
+  }
+
+  test("recommendItems: neighbor cap truncates low-cosine neighbors") {
+    val orders = Seq((12L, 100L)).toDF("o_orderkey", "o_custkey")
+    // cap=1: item 1's only kept neighbor is 2 (666666 > 408248), item 3's
+    // is 1 (ties at 408248 broken by nbr asc) -> cust 100 (owns {1,3})
+    // gets only candidate 2 via item 1
+    val got = Recommend.recommendItems(lineitem, orders,
+      neighborsPerItem = 1)
+      .select("cust", "rec_part", "score_e6", "n_contrib")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 2L, 666666L, 1L)))
+  }
+}

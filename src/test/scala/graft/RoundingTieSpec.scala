@@ -104,6 +104,8 @@ class RoundingTieSpec extends SparkSpec {
       "doubles (the weights themselves are exact BIGINT micros)"),
     "eval_mrr" -> (CosineReason + " (MRR itself is exact fixed point " +
       "over 2520)"),
+    "eval_ndcg" -> (CosineReason + " (DCG/IDCG are exact BIGINT sums " +
+      "of the e6 weight table)"),
     "dedup_embedding" -> CosineReason,
     "dedup_embedding_adaptive" -> CosineReason,
     "dedup_embedding_lsh" -> CosineReason,

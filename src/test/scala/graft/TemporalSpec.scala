@@ -225,4 +225,36 @@ class TemporalSpec extends SparkSpec {
     assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 0L)
     assert(got(1).isNullAt(3))
   }
+
+  test("leadLagCorrelation: perfect correlation at the true lag, " +
+    "partial below it") {
+    // orders on days 0..3 with counts 1,2,4,3; shipments exactly one day
+    // later with the same counts -> r(lag 1) = 1 over all 4 days
+    def d(day: Int) = Date.valueOf(java.time.LocalDate.ofEpochDay(day.toLong))
+    val orders = Seq(0 -> 1, 1 -> 2, 2 -> 4, 3 -> 3)
+      .flatMap { case (day, n) => Seq.fill(n)(d(day)) }
+      .toDF("o_orderdate")
+    val li = Seq(1 -> 1, 2 -> 2, 3 -> 4, 4 -> 3)
+      .flatMap { case (day, n) => Seq.fill(n)(d(day)) }
+      .toDF("l_shipdate")
+    val byLag = Temporal.leadLagCorrelation(orders, li, maxLag = 2)
+      .as[(Long, Long, Option[Double])].collect()
+      .map { case (l, n, r) => l -> ((n, r)) }.toMap
+    // sqrt(v)*sqrt(v) reconstructs v only to 1 ulp, so r sits within an
+    // ulp of 1 — identically so in any IEEE engine (the parity the
+    // oracle relies on), hence tolerance here, exactness cross-engine
+    assert(byLag(1L)._1 == 4L &&
+      byLag(1L)._2.exists(r => math.abs(r - 1.0) < 1e-12))
+    // lag 0: 3 co-observed days (1..3): x=(2,4,3), y=(1,2,4) -> |r| < 1
+    assert(byLag(0L)._1 == 3L && byLag(0L)._2.exists(r => math.abs(r) < 1.0))
+  }
+
+  test("leadLagCorrelation: zero-variance series yield NULL r, not NaN") {
+    def d(day: Int) = Date.valueOf(java.time.LocalDate.ofEpochDay(day.toLong))
+    val orders = Seq(d(0), d(1)).toDF("o_orderdate") // constant x = 1
+    val li = Seq(d(0), d(1)).toDF("l_shipdate")
+    val got = Temporal.leadLagCorrelation(orders, li, maxLag = 0)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq((0L, 2L, None)))
+  }
 }
