@@ -583,6 +583,32 @@ object SparkEntry {
       // the O(days) aggregated frame
       graft.ops.Temporal.leadLagCorrelation(
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "ts_backtest" -> ((s, dir) =>
+      // seasonal-naive forecast backtest: forecast(d) = actual(d-7),
+      // per weekday-slot WAPE in exact fixed point over integer cents -
+      // the evaluation loop the reference's forecast ingest never closes
+      graft.ops.Temporal.seasonalNaiveBacktest(Tables.orders(s, dir))),
+    "dq_inclusion" -> ((s, dir) =>
+      // inclusion-dependency (FK-candidate) census over four candidate
+      // pairs: containment of distinct child keys in the parent key,
+      // exact ratios - schema inference for undeclared join keys
+      graft.ops.Expectations.inclusionCensus(Seq(
+        graft.ops.Expectations.Inclusion(
+          "lineitem.l_orderkey->orders.o_orderkey",
+          Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"),
+        graft.ops.Expectations.Inclusion(
+          "orders.o_custkey->customer.c_custkey",
+          Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"),
+        graft.ops.Expectations.Inclusion(
+          "lineitem.l_partkey->part.p_partkey",
+          Tables.lineitem(s, dir), "l_partkey",
+          Tables.part(s, dir), "p_partkey"),
+        graft.ops.Expectations.Inclusion(
+          "part.p_partkey->lineitem.l_partkey",
+          Tables.part(s, dir), "p_partkey",
+          Tables.lineitem(s, dir), "l_partkey")))),
     "graph_pagerank" -> ((s, dir) =>
       // 3-iteration PageRank over the supplier<->part bipartite graph in
       // 1e-12 FIXED POINT: integer arithmetic is order-independent, so
@@ -2720,6 +2746,70 @@ object SparkEntry {
         |                    * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
         |       END AS r
         |FROM s ORDER BY lag_d""".stripMargin,
+    "ts_backtest" -> // DECIMAL(18,2) daily sums (incr_agg_merge's exact
+      // pattern) so cents are BIGINT; WAPE in exact fixed point
+      """WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+        |                 CAST(o_orderdate AS DATE)) AS day,
+        |                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |                      AS BIGINT) AS cents
+        |               FROM orders GROUP BY 1),
+        |m AS (SELECT a.day, a.cents AS actual, f.cents AS forecast
+        |      FROM daily a JOIN daily f ON a.day = f.day + 7),
+        |s AS (SELECT day % 7 AS weekday_slot,
+        |        CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(abs(actual - forecast)) AS BIGINT)
+        |          AS sum_abs_err_cents,
+        |        CAST(sum(actual) AS BIGINT) AS sum_actual_cents
+        |      FROM m GROUP BY 1)
+        |SELECT weekday_slot, n_days, sum_abs_err_cents, sum_actual_cents,
+        |       CAST((sum_abs_err_cents * 2000000 + sum_actual_cents)
+        |            // (2 * sum_actual_cents) AS DOUBLE) / 1000000.0 AS wape
+        |FROM s ORDER BY weekday_slot""".stripMargin,
+    "dq_inclusion" -> // four probes, each one distinct-distinct left
+      // join + a 1-row conditional count; exact fixed-point ratios
+      """WITH probe AS (
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS rule,
+        |         CAST(count(*) AS BIGINT) AS n_child_distinct,
+        |         CAST(COALESCE(sum(CASE WHEN p.k IS NOT NULL
+        |                                THEN 1 ELSE 0 END), 0)
+        |              AS BIGINT) AS n_contained
+        |  FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem
+        |        WHERE l_orderkey IS NOT NULL) c
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders
+        |             WHERE o_orderkey IS NOT NULL) p ON p.k = c.k
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer.c_custkey',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(COALESCE(sum(CASE WHEN p.k IS NOT NULL
+        |                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM (SELECT DISTINCT o_custkey AS k FROM orders
+        |        WHERE o_custkey IS NOT NULL) c
+        |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+        |             WHERE c_custkey IS NOT NULL) p ON p.k = c.k
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part.p_partkey',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(COALESCE(sum(CASE WHEN p.k IS NOT NULL
+        |                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM (SELECT DISTINCT l_partkey AS k FROM lineitem
+        |        WHERE l_partkey IS NOT NULL) c
+        |  LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part
+        |             WHERE p_partkey IS NOT NULL) p ON p.k = c.k
+        |  UNION ALL
+        |  SELECT 'part.p_partkey->lineitem.l_partkey',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(COALESCE(sum(CASE WHEN p.k IS NOT NULL
+        |                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM (SELECT DISTINCT p_partkey AS k FROM part
+        |        WHERE p_partkey IS NOT NULL) c
+        |  LEFT JOIN (SELECT DISTINCT l_partkey AS k FROM lineitem
+        |             WHERE l_partkey IS NOT NULL) p ON p.k = c.k)
+        |SELECT rule, n_child_distinct, n_contained,
+        |       CASE WHEN n_child_distinct > 0 THEN
+        |         CAST((n_contained * 2000000 + n_child_distinct)
+        |              // (2 * n_child_distinct) AS DOUBLE) / 1000000.0
+        |       ELSE NULL END AS containment
+        |FROM probe ORDER BY rule""".stripMargin,
     "graph_pagerank" -> // 3 unrolled iterations, 1e-12 fixed point:
       // integer // and * only, so both engines are bit-identical
       """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS u, l_partkey*2+1 AS v

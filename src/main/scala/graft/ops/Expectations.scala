@@ -402,4 +402,46 @@ object Expectations {
 
   /** Escapes a value for a backtick-quoted Spark SQL identifier. */
   private def escId(s: String): String = s.replace("`", "``")
+
+  /** One inclusion-dependency probe: what fraction of `child`'s distinct
+    * `childCol` values appear in `parent`'s `parentCol`. */
+  final case class Inclusion(
+      rule: String, child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String)
+
+  /** Inclusion-dependency (FK-candidate) census — the DISCOVERY twin of
+    * the [[ForeignKey]] validation rule: instead of pass/fail against a
+    * declared key, it measures containment of each candidate pair, the
+    * schema-inference signal that surfaces undeclared join keys in a
+    * 100 TB lake (containment 1.0 = FK candidate; high-but-under-1
+    * = dirty FK worth quarantining; low = coincidental type match).
+    *
+    * Per pair: distinct child values (one shuffle), LEFT join against the
+    * distinct parent key (one shuffle, no broadcast of anything
+    * data-sized), then a single 1-row conditional-count aggregate — no
+    * cross join, so the census adds nothing to the PlanSweep surface.
+    * Ratios present through the exact fixed-point ratio.
+    */
+  def inclusionCensus(cases: Seq[Inclusion]): DataFrame = {
+    require(cases.nonEmpty, "inclusionCensus: no candidate pairs given")
+    cases.map { c =>
+      val ch = c.child.select(col(c.childCol).as("k"))
+        .filter(col("k").isNotNull).distinct()
+      val pa = c.parent.select(col(c.parentCol).as("k"))
+        .filter(col("k").isNotNull).distinct()
+        .withColumn("__in", lit(1L))
+      ch.join(pa, Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child_distinct"),
+          coalesce(sum(coalesce(col("__in"), lit(0L))), lit(0L))
+            .as("n_contained"))
+        .select(lit(c.rule).as("rule"), col("n_child_distinct"),
+          col("n_contained"),
+          // an all-null child column has nothing to contain: NULL ratio,
+          // guarded on both sides (DuckDB integer // 0 is an error)
+          when(col("n_child_distinct") > 0L,
+            exactRatio(col("n_contained"), col("n_child_distinct"), 6))
+            .otherwise(lit(null).cast("double")).as("containment"))
+    }.reduce(_ unionByName _)
+      .orderBy("rule")
+  }
 }

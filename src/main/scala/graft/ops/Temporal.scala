@@ -449,4 +449,45 @@ object Temporal {
         .as("r"))
       .orderBy("lag_d")
   }
+
+  /** Seasonal-naive forecast backtest over the daily revenue series:
+    * forecast(d) = actual(d − `period`), scored per weekday-slot
+    * (epoch_day mod 7 — an integer both engines derive identically,
+    * unlike dayofweek(), whose origin is engine-specific) with exact
+    * error accounting: revenue is DECIMAL(10,2) carried as integer
+    * cents, so Σ|err| and Σactual are BIGINT and the headline ratio is
+    * WAPE = Σ|err| / Σactual in exact fixed point — the scale-robust
+    * percentage-error metric (per-row MAPE is a sum of unlike-denominator
+    * rationals, unpresentable exactly, and blows up on near-zero days).
+    *
+    * This is the evaluation loop the reference's forecast-ingest pipeline
+    * feeds but never closes (`azfunctions/InputBlobTrigger/processor.py`
+    * ingests forecasts; nothing scores them): a calibrated baseline every
+    * real forecaster must beat.
+    *
+    * Scale: two O(days) frames after the first aggregate; the self-join
+    * on day+period and the weekday rollup are O(days) — independent of
+    * raw row count.
+    */
+  def seasonalNaiveBacktest(
+      orders: DataFrame, period: Int = 7): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val daily = orders
+      .groupBy(datediff(col("o_orderdate"), epoch).cast("long").as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val actual = daily.select(col("day"), col("cents").as("actual"))
+    val forecast = daily.select((col("day") + period).as("day"),
+      col("cents").as("forecast"))
+    actual.join(forecast, "day")
+      .groupBy(pmod(col("day"), lit(7L)).as("weekday_slot"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("actual") - col("forecast"))).as("sum_abs_err_cents"),
+        sum(col("actual")).as("sum_actual_cents"))
+      .select(col("weekday_slot"), col("n_days"), col("sum_abs_err_cents"),
+        col("sum_actual_cents"),
+        exactRatio(col("sum_abs_err_cents"), col("sum_actual_cents"), 6)
+          .as("wape"))
+      .orderBy("weekday_slot")
+  }
 }

@@ -220,4 +220,27 @@ class ExpectationsSpec extends SparkSpec {
       .collect().head.getDouble(3)
     assert(rel >= 0.0)
   }
+
+  test("inclusionCensus: containment ratios, null keys dropped, " +
+    "direction matters") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(3L), None)
+      .toDF("ck")
+    val parent = Seq(1L, 2L, 9L).toDF("pk")
+    val got = graft.ops.Expectations.inclusionCensus(Seq(
+      graft.ops.Expectations.Inclusion("c->p", child, "ck", parent, "pk"),
+      graft.ops.Expectations.Inclusion("p->c", parent, "pk", child, "ck")))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // c->p: distinct {1,2,3}, contained {1,2} -> 2/3 = .666667 half-up
+    // p->c: distinct {1,2,9}, contained {1,2} -> 2/3
+    assert(got == Seq(("c->p", 3L, 2L, 0.666667), ("p->c", 3L, 2L, 0.666667)))
+  }
+
+  test("inclusionCensus: an all-null child column yields a NULL ratio") {
+    val child = Seq[Option[Long]](None, None).toDF("ck")
+    val parent = Seq(1L).toDF("pk")
+    val row = graft.ops.Expectations.inclusionCensus(Seq(
+      graft.ops.Expectations.Inclusion("n->p", child, "ck", parent, "pk")))
+      .collect().head
+    assert(row.getLong(1) == 0L && row.getLong(2) == 0L && row.isNullAt(3))
+  }
 }

@@ -257,4 +257,19 @@ class TemporalSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].collect().toSeq
     assert(got == Seq((0L, 2L, None)))
   }
+
+  test("seasonalNaiveBacktest: hand series - exact cents and WAPE") {
+    def d(day: Int) = Date.valueOf(java.time.LocalDate.ofEpochDay(day.toLong))
+    // one order per day, days 0..8; price 100.00 on days 0..6, then
+    // 110.00 (day 7), 95.50 (day 8): only days 7 and 8 have a 7-back
+    // forecast. day 7: slot 0, err 10.00; day 8: slot 1, err 4.50
+    val orders = ((0 to 6).map(i => (d(i), 100.00)) ++
+      Seq((d(7), 110.00), (d(8), 95.50)))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = Temporal.seasonalNaiveBacktest(orders)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // wape slot0 = 1000/11000 = .090909; slot1 = 450/9550 = .047120
+    assert(got == Seq((0L, 1L, 1000L, 11000L, 0.090909),
+      (1L, 1L, 450L, 9550L, 0.047120)))
+  }
 }
