@@ -566,6 +566,26 @@ object SparkEntry {
       // sums, owned items anti-joined out
       graft.ops.Recommend.recommendItems(
         Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "graph_modularity" -> ((s, dir) =>
+      // Newman modularity of the LPA communities: did label propagation
+      // find structure? q_num/M^2 as ONE double division of exact
+      // BIGINTs - no fixed-point div, so negative Q needs no
+      // truncation-convention pinning
+      graft.ops.Graph.communityModularity(Tables.lineitem(s, dir))),
+    "rec_coverage" -> ((s, dir) =>
+      // recommender health audit: catalog coverage + max exposure share
+      // of the rec_user_topn output, exact fixed-point ratios
+      graft.ops.Recommend.coverageAudit(
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "eval_feature_auc" -> ((s, dir) =>
+      // one-pass feature screening: per-feature midrank AUC against the
+      // returned-flag label, integer-quantized scores so rank sums are
+      // exact BIGINT (the aucQuantized discipline, unpivoted in-stage)
+      graft.ops.Eval.featureAuc(Tables.lineitem(s, dir), Seq(
+        "quantity" -> col("l_quantity"),
+        "price_cents" -> (col("l_extendedprice") * 100),
+        "discount_pct" -> (col("l_discount") * 100)),
+        col("l_returnflag") === "R")),
     "graph_local_clustering" -> ((s, dir) =>
       // per-node Watts-Strogatz clustering coefficient on the strong-tie
       // graph: the oriented-wedge triangle machinery with the apex kept,
@@ -2693,6 +2713,59 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY cust
         |        ORDER BY score_e6 DESC, rec_part) AS rn FROM agg)
         |WHERE rn <= 3""".stripMargin,
+    "rec_coverage" -> // rec_user_topn's full chain, audited: coverage
+      // and exposure ratios in exact fixed point
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |               FROM lineitem),
+        |pairs AS (SELECT a.item AS part_a, b.item AS part_b,
+        |                 count(*) AS pair_cnt
+        |          FROM items a JOIN items b
+        |            ON a.basket = b.basket AND a.item < b.item
+        |          GROUP BY 1, 2),
+        |supp AS (SELECT item, count(*) AS cnt FROM items GROUP BY 1),
+        |scored AS (SELECT part_a, part_b,
+        |             CAST(floor(pair_cnt * 1000000 /
+        |                  sqrt(CAST(sa.cnt * sb.cnt AS DOUBLE))) AS BIGINT)
+        |               AS cos_e6
+        |           FROM pairs
+        |           JOIN supp sa ON pairs.part_a = sa.item
+        |           JOIN supp sb ON pairs.part_b = sb.item),
+        |sym AS (SELECT part_a AS item, part_b AS nbr, cos_e6 FROM scored
+        |        UNION ALL
+        |        SELECT part_b, part_a, cos_e6 FROM scored),
+        |capped AS (SELECT item, nbr, cos_e6 FROM (
+        |             SELECT item, nbr, cos_e6, row_number() OVER (
+        |               PARTITION BY item ORDER BY cos_e6 DESC, nbr) AS nrank
+        |             FROM sym)
+        |           WHERE nrank <= 10),
+        |hist AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+        |         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |cand AS (SELECT h.cust, c.nbr AS rec_part, c.cos_e6
+        |         FROM hist h JOIN capped c ON c.item = h.item
+        |         LEFT JOIN hist own
+        |           ON own.cust = h.cust AND own.item = c.nbr
+        |         WHERE own.item IS NULL),
+        |agg AS (SELECT cust, rec_part, CAST(sum(cos_e6) AS BIGINT) AS score_e6
+        |        FROM cand GROUP BY 1, 2),
+        |recs AS (SELECT cust, rec_part
+        |         FROM (SELECT *, row_number() OVER (PARTITION BY cust
+        |                 ORDER BY score_e6 DESC, rec_part) AS rn FROM agg)
+        |         WHERE rn <= 3),
+        |slots AS (SELECT CAST(count(*) AS BIGINT) AS n_slots,
+        |                 CAST(count(DISTINCT rec_part) AS BIGINT)
+        |                   AS n_rec_parts FROM recs),
+        |te AS (SELECT CAST(max(c) AS BIGINT) AS max_exposure
+        |       FROM (SELECT count(*) AS c FROM recs GROUP BY rec_part)),
+        |cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+        |          AS n_catalog_parts FROM lineitem)
+        |SELECT n_slots, n_rec_parts, n_catalog_parts, max_exposure,
+        |       CAST((n_rec_parts * 2000000 + n_catalog_parts)
+        |            // (2 * n_catalog_parts) AS DOUBLE) / 1000000.0
+        |         AS catalog_coverage,
+        |       CAST((max_exposure * 2000000 + n_slots)
+        |            // (2 * n_slots) AS DOUBLE) / 1000000.0
+        |         AS max_exposure_share
+        |FROM slots CROSS JOIN te CROSS JOIN cat""".stripMargin,
     "graph_local_clustering" -> // same strong-tie edges as
       // graph_triangles, direct triple-join triangle list, per-vertex
       // unpivot census, exact fixed-point coefficient
@@ -2983,6 +3056,47 @@ object SparkEntry {
         |          FROM l2 GROUP BY 1)
         |SELECT community_size, CAST(count(*) AS BIGINT) AS n_communities
         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_modularity" -> // graph_lpa's unrolled rounds (MATERIALIZED:
+      // l2 is referenced three times below - inlined CTEs would expand
+      // the round chain multiplicatively, the graph_kcore lesson), then
+      // exact BIGINT census sums and ONE double division for Q
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey*2 AS u, l_partkey*2+1 AS v
+        |  FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e),
+        |c1 AS MATERIALIZED (
+        |  SELECT e.u, l.label, count(*) AS cnt
+        |  FROM e JOIN l0 l ON l.node = e.v GROUP BY 1, 2),
+        |l1 AS MATERIALIZED (
+        |  SELECT u AS node, label FROM (
+        |    SELECT u, label, row_number() OVER (PARTITION BY u
+        |      ORDER BY cnt DESC, label) AS rn FROM c1)
+        |  WHERE rn = 1),
+        |c2 AS MATERIALIZED (
+        |  SELECT e.u, l.label, count(*) AS cnt
+        |  FROM e JOIN l1 l ON l.node = e.v GROUP BY 1, 2),
+        |l2 AS MATERIALIZED (
+        |  SELECT u AS node, label FROM (
+        |    SELECT u, label, row_number() OVER (PARTITION BY u
+        |      ORDER BY cnt DESC, label) AS rn FROM c2)
+        |  WHERE rn = 1),
+        |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m_directed FROM e),
+        |ein AS (SELECT CAST(count(*) AS BIGINT) AS e_in
+        |        FROM e JOIN l2 a ON a.node = e.u
+        |               JOIN l2 b ON b.node = e.v
+        |        WHERE a.label = b.label),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+        |dc AS (SELECT a.label, CAST(sum(d) AS BIGINT) AS d_c
+        |       FROM deg JOIN l2 a ON a.node = deg.u GROUP BY 1),
+        |ds AS (SELECT CAST(sum(d_c * d_c) AS BIGINT) AS sum_dsq,
+        |              CAST(count(*) AS BIGINT) AS n_communities FROM dc)
+        |SELECT n_communities, m_directed, e_in,
+        |       m_directed * e_in - sum_dsq AS q_num,
+        |       CAST(m_directed * e_in - sum_dsq AS DOUBLE)
+        |         / CAST(m_directed * m_directed AS DOUBLE) AS q
+        |FROM ds CROSS JOIN m2 CROSS JOIN ein""".stripMargin,
     "graph_kcore" -> KCoreSql,
     "graph_assortativity" -> // identical edge set, casts mirrored so the
       // double combination is bit-identical
@@ -7583,6 +7697,39 @@ object SparkEntry {
          |  ELSE NULL END AS ndcg_micro
          |FROM per GROUP BY 1 ORDER BY label""".stripMargin
     },
+    "eval_feature_auc" -> // trunc() before the BIGINT casts (DuckDB
+      // rounds raw double->int casts; Spark truncates); midrank rank-sum
+      // AUC per feature, all sums exact BIGINT
+      """WITH f AS (
+        |  SELECT 'quantity' AS feature,
+        |         CAST(trunc(l_quantity) AS BIGINT) AS s,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'price_cents', CAST(trunc(l_extendedprice * 100) AS BIGINT),
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount_pct', CAST(trunc(l_discount * 100) AS BIGINT),
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        |  FROM lineitem),
+        |g AS (SELECT feature, s, count(*) AS n, sum(y) AS np
+        |      FROM f GROUP BY 1, 2),
+        |r AS (SELECT *, COALESCE(sum(n) OVER (PARTITION BY feature
+        |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING), 0) AS cum_lt FROM g),
+        |a AS (SELECT feature,
+        |        CAST(sum(np * (2 * cum_lt + n + 1)) AS BIGINT) AS s2,
+        |        CAST(sum(np) AS BIGINT) AS n_pos,
+        |        CAST(sum(n - np) AS BIGINT) AS n_neg,
+        |        CAST(count(*) AS BIGINT) AS n_scores
+        |      FROM r GROUP BY 1)
+        |SELECT feature, n_pos, n_neg, n_scores,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |         CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |           / CAST(2 * n_pos * n_neg AS DOUBLE)
+        |       ELSE NULL END AS auc
+        |FROM a ORDER BY feature""".stripMargin,
     "dq_fd_check" -> // per rule: (det, dep) census, then the determinant
       // rollup with the g3 repair measure — exact integer throughout
       """WITH p1 AS (SELECT o_orderkey AS det, o_custkey AS dep,

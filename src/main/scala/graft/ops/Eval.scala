@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ExactRatio.exactRatio
@@ -219,5 +219,52 @@ object Eval {
           exactRatio(col("sum_dcg_e6"), col("sum_idcg_e6"), 6))
           .otherwise(lit(null).cast("double")).as("ndcg_micro"))
       .orderBy("label")
+  }
+
+  /** Single-pass feature screening: the tie-aware (midrank) AUC of every
+    * candidate feature against one binary label, computed per feature in
+    * ONE scan — the "which raw columns carry signal?" triage a feature
+    * platform runs before any model sees the data.
+    *
+    * `features` maps an output name to an integer-quantized score column
+    * (the [[aucQuantized]] contract: exact BIGINT rank sums need integer
+    * score groups; quantize explicitly, e.g. cents). The unpivot is an
+    * in-stage array explode — features × rows flows into ONE exchange
+    * partitioned by (feature, score), then the per-feature window and
+    * aggregate ride a feature-keyed exchange. Adding a feature adds no
+    * scan, only fan-out volume.
+    */
+  def featureAuc(
+      df: DataFrame, features: Seq[(String, Column)],
+      labelCol: Column): DataFrame = {
+    require(features.nonEmpty, "featureAuc: no features given")
+    val stacked = df.select(
+      explode(array(features.map { case (n, c) =>
+        struct(lit(n).as("feature"), c.cast("long").as("s"))
+      }: _*)).as("fs"), labelCol.cast("long").as("y"))
+      .select(col("fs.feature").as("feature"), col("fs.s").as("s"), col("y"))
+    val g = stacked.groupBy("feature", "s")
+      .agg(count(lit(1)).as("n"), sum("y").as("np"))
+    val w = Window.partitionBy("feature").orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.withColumn("cum_lt", coalesce(sum(col("n")).over(w), lit(0L)))
+    r.groupBy("feature").agg(
+      sum(col("np") * (lit(2L) * col("cum_lt") + col("n") + lit(1L)))
+        .as("s2"),
+      sum(col("np")).as("n_pos"),
+      sum(col("n") - col("np")).as("n_neg"),
+      count(lit(1)).as("n_scores"))
+      .select(col("feature"), col("n_pos"), col("n_neg"), col("n_scores"),
+        // ONE double division of exact BIGINTs, not exactRatio: the e6
+        // fixed-point rendering multiplies the rank-sum numerator
+        // (O(n_pos·n)) by 2e6 and overflows BIGINT already at ~10M rows;
+        // the direct division is identical IEEE on both engines and
+        // holds to any scale
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          (col("s2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("auc"))
+      .orderBy("feature")
   }
 }

@@ -423,9 +423,21 @@ object Graph {
     * Only the O(nodes) label table moves between rounds.
     */
   def labelPropagation(
-      lineitem: DataFrame, rounds: Int = 2, maxRounds: Int = 8): DataFrame = {
+      lineitem: DataFrame, rounds: Int = 2, maxRounds: Int = 8): DataFrame =
+    lpaLabels(lineitem, rounds, maxRounds)
+      .groupBy("label").agg(count(lit(1)).as("community_size"))
+      .groupBy("community_size").agg(count(lit(1)).as("n_communities"))
+      .orderBy("community_size")
+
+  /** Per-node community labels after `rounds` synchronous LPA rounds —
+    * the raw assignment [[labelPropagation]] histograms and
+    * [[communityModularity]] scores. See [[labelPropagation]] for the
+    * tie rule and scale shape.
+    */
+  private[graft] def lpaLabels(
+      lineitem: DataFrame, rounds: Int, maxRounds: Int = 8): DataFrame = {
     require(rounds >= 1 && rounds <= maxRounds,
-      s"labelPropagation: rounds=$rounds outside 1..$maxRounds")
+      s"lpaLabels: rounds=$rounds outside 1..$maxRounds")
     import org.apache.spark.sql.expressions.Window
     val once = lineitem.select(
       (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
@@ -446,9 +458,52 @@ object Graph {
         .filter(col("rn") === 1)
         .select(col("u").as("node"), col("label"))
     }
-    labels.groupBy("label").agg(count(lit(1)).as("community_size"))
-      .groupBy("community_size").agg(count(lit(1)).as("n_communities"))
-      .orderBy("community_size")
+    labels
+  }
+
+  /** Newman modularity of the LPA community assignment — did label
+    * propagation find real structure? Q = Σ_c [e_c/M − (d_c/M)²] over
+    * the DIRECTED edge count M = 2m (both orientations), e_c = directed
+    * edges inside community c, d_c = total degree of c's nodes.
+    *
+    * Exactness: Q presents as the single double division q_num / M² of
+    * two exact BIGINTs (q_num = M·Σe_c − Σd_c², possibly negative) —
+    * identical IEEE division on both engines, and unlike a fixed-point
+    * `div` rendering it needs no truncation convention for negatives
+    * (Spark `div` truncates toward zero, DuckDB `//` floors — a
+    * sign-dependent 1-unit divergence this formulation never touches).
+    * Bound: |q_num| ≤ M², so BIGINT holds through M ≈ 3×10⁹ directed
+    * edges; beyond that the sums need DECIMAL(38,0) — documented, not
+    * silent.
+    *
+    * Plan: two label attachments onto the edge list (the degree table
+    * rides the same label join), one O(communities) aggregate each,
+    * then 1-row composition (reviewed broadcasts).
+    */
+  def communityModularity(
+      lineitem: DataFrame, rounds: Int = 2): DataFrame = {
+    val labels = lpaLabels(lineitem, rounds).localCheckpoint()
+    val once = lineitem.select(
+      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
+      .distinct()
+    val edges = once
+      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
+    val lu = labels.select(col("node").as("u"), col("label").as("lu"))
+    val lv = labels.select(col("node").as("v"), col("label").as("lv"))
+    val eIn = edges.join(lu, "u").join(lv, "v")
+      .filter(col("lu") === col("lv"))
+      .agg(count(lit(1)).as("e_in"))
+    val m2 = edges.agg(count(lit(1)).as("m_directed"))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val dsq = deg.join(lu, "u")
+      .groupBy("lu").agg(sum("d").as("d_c"))
+      .agg(sum(col("d_c") * col("d_c")).as("sum_dsq"),
+        count(lit(1)).as("n_communities"))
+    dsq.crossJoin(broadcast(m2)).crossJoin(broadcast(eIn))
+      .select(col("n_communities"), col("m_directed"), col("e_in"),
+        (col("m_directed") * col("e_in") - col("sum_dsq")).as("q_num"),
+        ((col("m_directed") * col("e_in") - col("sum_dsq")).cast("double") /
+          (col("m_directed") * col("m_directed")).cast("double")).as("q"))
   }
 
   /** Weighted multi-source shortest paths — `rounds` synchronous

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRatio.exactRatio
 
 /** Item-based collaborative filtering over the co-purchase relation —
   * the recommendation stage a training-data platform feeds after
@@ -112,5 +113,34 @@ object Recommend {
           col("rec_part").asc)).cast("long"))
       .filter(col("rn") <= topN)
       .orderBy(col("cust").asc, col("rn").asc)
+  }
+
+  /** Coverage/diversity audit of [[recommendItems]]'s output — the
+    * recommender-health numbers a production system alarms on: what
+    * share of the catalog ever gets recommended (low coverage = popular-
+    * item feedback loop) and how concentrated exposure is (max single
+    * item share of all recommendation slots).
+    *
+    * One O(users·topN) aggregate over the recommendation table + one
+    * O(catalog) distinct; exact fixed-point ratios.
+    */
+  def coverageAudit(
+      lineitem: DataFrame, orders: DataFrame, topN: Int = 3,
+      neighborsPerItem: Int = 10): DataFrame = {
+    val recs = recommendItems(lineitem, orders, topN, neighborsPerItem)
+      .localCheckpoint() // two aggregates below fan out from it
+    val slots = recs.agg(count(lit(1)).as("n_slots"),
+      count_distinct(col("rec_part")).as("n_rec_parts"))
+    val topShare = recs.groupBy("rec_part").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("max_exposure"))
+    val catalog = lineitem.agg(
+      count_distinct(col("l_partkey")).as("n_catalog_parts"))
+    slots.crossJoin(broadcast(topShare)).crossJoin(broadcast(catalog))
+      .select(col("n_slots"), col("n_rec_parts"), col("n_catalog_parts"),
+        col("max_exposure"),
+        exactRatio(col("n_rec_parts"), col("n_catalog_parts"), 6)
+          .as("catalog_coverage"),
+        exactRatio(col("max_exposure"), col("n_slots"), 6)
+          .as("max_exposure_share"))
   }
 }

@@ -149,4 +149,23 @@ class EvalSpec extends SparkSpec {
       .select("sum_dcg_e6", "sum_idcg_e6", "ndcg_micro").collect().head
     assert(row.getLong(0) == 0L && row.getLong(1) == 0L && row.isNullAt(2))
   }
+
+  test("featureAuc: per-feature midrank AUC in one pass, constant " +
+    "feature scores 0.5") {
+    // feature a: aucQuantized's worked tied example (7/8); feature b:
+    // constant - all scores tied, AUC exactly 1/2
+    val df = Seq((1L, 0L), (2L, 1L), (2L, 0L), (3L, 1L)).toDF("a", "y")
+    val got = graft.ops.Eval.featureAuc(df,
+      Seq("a" -> col("a"), "b" -> lit(7L)), col("y") === 1L)
+      .select("feature", "n_pos", "n_neg", "n_scores", "auc")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 2L, 2L, 3L, 0.875), ("b", 2L, 2L, 1L, 0.5)))
+  }
+
+  test("featureAuc: a single-class label yields NULL AUC, not a crash") {
+    val df = Seq((1L, 1L), (2L, 1L)).toDF("a", "y")
+    val row = graft.ops.Eval.featureAuc(df, Seq("a" -> col("a")),
+      col("y") === 1L).collect().head
+    assert(row.getLong(1) == 2L && row.getLong(2) == 0L && row.isNullAt(4))
+  }
 }

@@ -405,4 +405,17 @@ class GraphSpec extends SparkSpec {
     assert(got.map(t => Set(t._1, t._2, t._3)) ==
       Set(Set(1L, 2L, 3L), Set(2L, 3L, 4L)))
   }
+
+  test("communityModularity: two disjoint edges - LPA oscillates back to " +
+    "singletons, every edge crosses, Q = -1/4 exactly") {
+    // suppliers {1,2}, parts {1,2}: edges 2-3 and 4-5 (bipartite ids);
+    // after 2 synchronous rounds each node holds its own label again, so
+    // e_in = 0, M = 4, every degree 1 -> q_num = 4*0 - 4 = -4, q = -0.25
+    // (exercises the negative-q path the double-division rendering makes
+    // convention-free)
+    val li = Seq((1L, 1L), (2L, 2L)).toDF("l_suppkey", "l_partkey")
+    val got = Graph.communityModularity(li)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((4L, 4L, 0L, -4L, -0.25)))
+  }
 }

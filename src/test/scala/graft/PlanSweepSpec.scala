@@ -83,6 +83,12 @@ class PlanSweepSpec extends SparkSpec {
     "dq_profile_drift",
     // triangle census: the final stats row composes 1-row aggregates
     "graph_triangles",
+    // modularity: the same 1-row stats composition (M, e_in onto the
+    // 1-row community-census aggregate)
+    "graph_modularity",
+    // coverage audit: three 1-row aggregates (slots, max exposure,
+    // catalog size) composed into the report row
+    "rec_coverage",
     // A-priori support threshold: a 1-row min_sup broadcast
     "assoc_frequent_triples",
     // contingency-total attachment: a 1-row sum(nxy) broadcast onto the

@@ -50,4 +50,12 @@ class RecommendSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((100L, 2L, 666666L, 1L)))
   }
+
+  test("coverageAudit: slot counts, catalog coverage, exposure share") {
+    val orders = Seq((12L, 100L)).toDF("o_orderkey", "o_custkey")
+    // single user owns {1,3} -> one rec slot (part 2); catalog = {1,2,3}
+    val got = Recommend.coverageAudit(lineitem, orders)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 3L, 1L, 0.333333, 1.0)))
+  }
 }
