@@ -416,6 +416,22 @@ object SparkEntry {
       // each labeled with its smallest member
       graft.ops.Dedup.connectedComponents(
         graft.ops.Dedup.minhashCandidates(Tables.documents(s, dir)))),
+    "dedup_method_agreement" -> { (s, dir) =>
+      // do MinHash, n-gram Jaccard, and SimHash find the SAME pairs?
+      // pairwise set sizes, intersections, and pair-set Jaccard - the
+      // meta-audit behind any cross-method recall claim
+      val docs = Tables.documents(s, dir)
+      graft.ops.Dedup.pairSetAgreement(Seq(
+        "minhash" -> graft.ops.Dedup.minhashCandidates(docs),
+        "ngram" -> graft.ops.Dedup.ngramJaccardPairs(docs),
+        "simhash" -> graft.ops.Dedup.simhashCandidates(docs)))
+    },
+    "events_pit_labels" -> ((s, dir) =>
+      // point-in-time training set: integer features strictly BEFORE the
+      // cutoff, churn label strictly from the 7-day window AFTER it -
+      // the temporal wall that keeps leakage out of offline metrics
+      graft.streaming.EventAggs.pointInTimeTrainingSet(
+        Tables.events(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
       graft.ops.Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) =>
@@ -4436,6 +4452,115 @@ object SparkEntry {
         |            'sum') AS INT) AS hamming
         |        FROM cand)
         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+    "dedup_method_agreement" -> // the three candidate chains verbatim
+      // (minhash / ngram / simhash oracles above), MATERIALIZED because
+      // each final set is referenced three times; then pairwise set
+      // algebra in exact integers
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
+        |  FROM documents),
+        |msh AS (SELECT doc_id, list_transform(generate_series(0, len(tokens)-3), i ->
+        |         concat_ws(' ', tokens[i+1], tokens[i+2], tokens[i+3])) AS shingles
+        |        FROM toks WHERE len(tokens) >= 3),
+        |mhb AS (SELECT doc_id, list_transform(shingles, s ->
+        |         CAST('0x' || substr(md5(s),1,7) AS BIGINT)) AS hs FROM msh),
+        |msig AS (SELECT doc_id, list_transform(generate_series(1,16), i ->
+        |          list_aggregate(list_transform(hs, h -> (h *
+        |            ([28515171, 35901835, 164504155, 224835733, 159545229, 129086779,
+        |              21665025, 258530763, 97673641, 249307291, 192052219, 93357247,
+        |              95312455, 108715649, 24414505, 158868827])[i] +
+        |            ([142629328, 83632441, 250955955, 96322194, 250268010, 34277798,
+        |              256159453, 123742706, 182912951, 248297849, 222161486, 81337654,
+        |              192810783, 177914584, 67363176, 151635781])[i])
+        |            % 268435459), 'min')) AS sig
+        |        FROM mhb),
+        |mbands AS (SELECT doc_id, j,
+        |            concat_ws('|', sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]) AS bucket
+        |          FROM msig CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj),
+        |mok AS (SELECT j, bucket FROM mbands GROUP BY 1, 2 HAVING count(*) <= 100),
+        |mh AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM mbands a
+        |  JOIN mok ON mok.j = a.j AND mok.bucket = a.bucket
+        |  JOIN mbands b
+        |    ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |nt AS (SELECT doc_id, lang, regexp_split_to_array(trim(text),'\s+') AS tokens
+        |       FROM documents),
+        |ngr AS (SELECT doc_id, lang, tokens[1] AS tok0,
+        |        list_distinct(list_transform(generate_series(0, len(tokens)-2), i ->
+        |          concat_ws(' ', tokens[i+1], tokens[i+2]))) AS grams
+        |        FROM nt WHERE len(tokens) >= 2),
+        |np AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS isect,
+        |        len(a.grams) + len(b.grams) AS tot
+        |       FROM ngr a JOIN ngr b
+        |         ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id),
+        |ng AS MATERIALIZED (
+        |  SELECT doc_a, doc_b FROM np
+        |  WHERE CAST((isect * 2000000 + (tot - isect)) // (2 * (tot - isect))
+        |             AS DOUBLE) / 1000000.0 >= 0.2),
+        |stoks AS (SELECT doc_id, unnest(tokens) AS w FROM toks),
+        |votes AS (SELECT doc_id, p,
+        |            sum(CASE WHEN substr(md5(w), p, 1) >= '8' THEN 1 ELSE -1 END) AS v
+        |          FROM stoks CROSS JOIN (SELECT unnest(generate_series(1,32)) AS p) pp
+        |          GROUP BY doc_id, p),
+        |sh AS (SELECT doc_id,
+        |         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
+        |       FROM votes GROUP BY doc_id),
+        |sbands AS (SELECT doc_id, simhash, j, substr(simhash, 8*j + 1, 8) AS bucket
+        |          FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj),
+        |sok AS (SELECT j, bucket FROM sbands GROUP BY 1, 2 HAVING count(*) <= 100),
+        |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                a.simhash AS sa, b.simhash AS sb
+        |         FROM sbands a
+        |         JOIN sok ON sok.j = a.j AND sok.bucket = a.bucket
+        |         JOIN sbands b
+        |           ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |sp AS MATERIALIZED (
+        |  SELECT doc_a, doc_b FROM scand
+        |  WHERE CAST(list_aggregate(list_transform(generate_series(1,32), p ->
+        |          CASE WHEN substr(sa,p,1) <> substr(sb,p,1) THEN 1 ELSE 0 END),
+        |          'sum') AS INT) <= 3),
+        |rows_ AS (
+        |  SELECT 'minhash~ngram' AS method_pair,
+        |    (SELECT count(*) FROM mh) AS n_a, (SELECT count(*) FROM ng) AS n_b,
+        |    (SELECT count(*) FROM mh JOIN ng USING (doc_a, doc_b)) AS n_common
+        |  UNION ALL
+        |  SELECT 'minhash~simhash',
+        |    (SELECT count(*) FROM mh), (SELECT count(*) FROM sp),
+        |    (SELECT count(*) FROM mh JOIN sp USING (doc_a, doc_b))
+        |  UNION ALL
+        |  SELECT 'ngram~simhash',
+        |    (SELECT count(*) FROM ng), (SELECT count(*) FROM sp),
+        |    (SELECT count(*) FROM ng JOIN sp USING (doc_a, doc_b)))
+        |SELECT method_pair, CAST(n_a AS BIGINT) AS n_a,
+        |       CAST(n_b AS BIGINT) AS n_b, CAST(n_common AS BIGINT) AS n_common,
+        |       CASE WHEN n_a + n_b - n_common > 0 THEN
+        |         CAST((n_common * 2000000 + (n_a + n_b - n_common))
+        |              // (2 * (n_a + n_b - n_common)) AS DOUBLE) / 1000000.0
+        |       ELSE NULL END AS pair_jaccard
+        |FROM rows_ ORDER BY method_pair""".stripMargin,
+    "events_pit_labels" -> // features strictly < cutoff, label strictly
+      // from [cutoff, cutoff+7d) - all integers, hash-exact
+      """WITH f AS (SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_purchases,
+        |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+        |    CAST(date_diff('day', max(CAST(ts AS DATE)), DATE '2024-01-24')
+        |         AS BIGINT) AS days_since_last,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-24 00:00:00'
+        |  GROUP BY 1),
+        |l AS (SELECT DISTINCT user_id FROM events
+        |      WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+        |        AND ts < TIMESTAMP '2024-01-31 00:00:00')
+        |SELECT f.user_id, f.n_events, f.n_purchases, f.n_active_days,
+        |       f.days_since_last, f.n_types,
+        |       CAST(CASE WHEN l.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |            AS BIGINT) AS label
+        |FROM f LEFT JOIN l ON l.user_id = f.user_id
+        |ORDER BY f.user_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text),'\s+') AS tokens
         |           FROM documents),

@@ -1009,4 +1009,36 @@ object Dedup {
       .orderBy(col("cos_sim").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(topK)
   }
+
+  /** Cross-method agreement census over candidate-pair sets — do MinHash,
+    * SimHash, and n-gram Jaccard find the SAME near-duplicates? For every
+    * method pair: set sizes, intersection, and pair-set Jaccard. The
+    * meta-audit a dedup pipeline publishes before anyone trusts one
+    * method's recall claims against another's.
+    *
+    * Each method's (doc_a, doc_b) set is distinct-ified and materialized
+    * once (localCheckpoint) — the candidate generation dominates; the
+    * census itself is one equi-join + three 1-row aggregates per method
+    * pair (reviewed broadcasts).
+    */
+  def pairSetAgreement(methods: Seq[(String, DataFrame)]): DataFrame = {
+    require(methods.size >= 2, "pairSetAgreement: need at least 2 methods")
+    val sets = methods.map { case (n, df) =>
+      n -> df.select(col("doc_a"), col("doc_b")).distinct().localCheckpoint()
+    }
+    sets.combinations(2).map { case Seq((na, a), (nb, b)) =>
+      val common = a.join(b, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val union = col("n_a") + col("n_b") - col("n_common")
+      a.agg(count(lit(1)).as("n_a"))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+        .crossJoin(broadcast(common))
+        .select(lit(s"$na~$nb").as("method_pair"), col("n_a"), col("n_b"),
+          col("n_common"),
+          // both sets empty -> undefined agreement, NULL not div-by-zero
+          when(union > 0L, exactRatio(col("n_common"), union, 6))
+            .otherwise(lit(null).cast("double")).as("pair_jaccard"))
+    }.reduce(_ unionByName _)
+      .orderBy("method_pair")
+  }
 }

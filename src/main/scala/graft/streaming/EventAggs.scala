@@ -645,4 +645,41 @@ object EventAggs {
         exactRatio(col("credit_e6"), col("total_e6"), 6).as("credit_share"))
       .orderBy("event_type")
   }
+
+  /** Point-in-time (leakage-safe) training-set construction — the
+    * churn-label factory: features computed ONLY from events strictly
+    * before `cutoff`, the label ONLY from [cutoff, cutoff + labelDays) —
+    * the temporal wall that keeps target information out of the features
+    * (the leakage class that silently inflates every offline metric).
+    * Users with no pre-cutoff activity are excluded (nothing to featurize);
+    * `label` = 1 iff the user acts inside the label window.
+    *
+    * All features are integers (counts, distinct days/types, recency in
+    * days), so the output is hash-exact cross-engine. One shuffle per
+    * side on user_id; label attaches as a left join on the same key.
+    * At 100 TB both scans prune on the ts predicate (partition/zone-map
+    * pruning on event time is the standing layout assumption).
+    */
+  def pointInTimeTrainingSet(
+      events: DataFrame, cutoff: String = "2024-01-24 00:00:00",
+      labelDays: Int = 7): DataFrame = {
+    val cut = to_timestamp(lit(cutoff))
+    val labelEnd = cut + expr(s"INTERVAL $labelDays DAYS")
+    val feats = events.filter(col("ts") < cut)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        count_distinct(to_date(col("ts"))).as("n_active_days"),
+        datediff(to_date(cut), max(to_date(col("ts"))))
+          .cast("long").as("days_since_last"),
+        count_distinct(col("event_type")).as("n_types"))
+    val labels = events
+      .filter(col("ts") >= cut && col("ts") < labelEnd)
+      .select(col("user_id")).distinct()
+      .withColumn("label", lit(1L))
+    feats.join(labels, Seq("user_id"), "left")
+      .withColumn("label", coalesce(col("label"), lit(0L)))
+      .orderBy("user_id")
+  }
 }

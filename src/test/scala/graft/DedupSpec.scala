@@ -274,4 +274,26 @@ class DedupSpec extends SparkSpec {
       graft.ops.Dedup.tfidfCosinePairs(docs, dfCapShare = 1))
     assert(e.getMessage.contains("dfCapShare"))
   }
+
+  test("pairSetAgreement: pairwise set algebra with exact Jaccard") {
+    val m1 = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val m2 = Seq((1L, 2L), (4L, 5L), (6L, 7L), (6L, 7L)) // dup collapses
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.pairSetAgreement(Seq("x" -> m1, "y" -> m2))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // |x|=3, |y|=3, common={1-2, 4-5}=2, union=4 -> 0.5
+    assert(got == Seq(("x~y", 3L, 3L, 2L, 0.5)))
+  }
+
+  test("pairSetAgreement: disjoint sets score zero, empty pair is NULL") {
+    val a = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val b = Seq((3L, 4L)).toDF("doc_a", "doc_b")
+    val e = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val z = Dedup.pairSetAgreement(Seq("a" -> a, "b" -> b))
+      .as[(String, Long, Long, Long, Double)].collect().head
+    assert(z == (("a~b", 1L, 1L, 0L, 0.0)))
+    val n = Dedup.pairSetAgreement(Seq("e1" -> e, "e2" -> e))
+      .collect().head
+    assert(n.isNullAt(4))
+  }
 }

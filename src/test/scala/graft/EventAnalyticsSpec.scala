@@ -229,4 +229,29 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAggs.multiTouchAttribution(ev, model = "shapley"))
     assert(e.getMessage.contains("model"))
   }
+
+  test("pointInTimeTrainingSet: features strictly pre-cutoff, label " +
+    "strictly from the window, no-history users excluded") {
+    val events = Seq(
+      // user 1: 2 events on 2 days before cutoff (one purchase), one
+      // event inside the label window -> label 1
+      (1L, ts("2024-01-20 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-22 11:00:00"), 1L, "purchase"),
+      (3L, ts("2024-01-25 09:00:00"), 1L, "click"),
+      // user 2: pre-cutoff only -> label 0
+      (4L, ts("2024-01-23 08:00:00"), 2L, "view"),
+      // user 3: first seen inside the window -> EXCLUDED (no features)
+      (5L, ts("2024-01-26 12:00:00"), 3L, "signup"),
+      // user 4: activity only AFTER the label window -> label 0
+      (6L, ts("2024-01-21 07:00:00"), 4L, "error"),
+      (7L, ts("2024-01-31 00:00:00"), 4L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.streaming.EventAggs.pointInTimeTrainingSet(events)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 2L, 2L, 2L, 1L), // 2 events, 1 purchase, 2 days,
+                                    // last on 01-22 -> 2 days back, 2 types
+      (2L, 1L, 0L, 1L, 1L, 1L, 0L),
+      (4L, 1L, 0L, 1L, 3L, 1L, 0L)))
+  }
 }

@@ -313,4 +313,31 @@ class PlanGuardSpec extends SparkSpec {
     assert(collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
       s"pointer jumping must plan equi-joins only:\n$p")
   }
+
+  test("rec_user_topn: ownership exclusion is an anti join; no cartesian " +
+    "or nested loop anywhere in the CF chain") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("rec_user_topn")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"item-CF must be equi-joins only:\n$p")
+    val antis = collectAll(p) {
+      case b: BroadcastHashJoinExec if b.joinType.sql == "LEFT ANTI" => b
+      case s: SortMergeJoinExec if s.joinType.sql == "LEFT ANTI" => s
+    }
+    assert(antis.nonEmpty, s"owned items must be excluded by an anti join:\n$p")
+  }
+
+  test("events_pit_labels: both sides prune on the ts predicate at the scan") {
+    val p = plan("events_pit_labels")
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    // the cutoff must reach the source as a data filter on ts (two scans,
+    // each with a pushed timestamp bound) - the 100 TB partition-pruning
+    // contract
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+    assert(scans.size >= 2 && scans.forall(
+      _.dataFilters.exists(_.references.exists(_.name == "ts"))),
+      s"feature and label scans must carry the ts bound:\n$p")
+  }
 }

@@ -89,6 +89,9 @@ class PlanSweepSpec extends SparkSpec {
     // coverage audit: three 1-row aggregates (slots, max exposure,
     // catalog size) composed into the report row
     "rec_coverage",
+    // method agreement: per method pair, three 1-row set-size aggregates
+    // composed into the census row
+    "dedup_method_agreement",
     // A-priori support threshold: a 1-row min_sup broadcast
     "assoc_frequent_triples",
     // contingency-total attachment: a 1-row sum(nxy) broadcast onto the
