@@ -1374,6 +1374,25 @@ object SparkEntry {
         .select("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
           "sea_ice_concentration_mean", "sea_ice_concentration_stddev")
     },
+    "gridded_extent" -> { (s, dir) =>
+      // sea-ice extent per (forecast date, leadtime): cells over the 15%
+      // NSIDC threshold x exact 625 km^2 cell area - the headline metric
+      // of the reference's domain, BIGINT throughout
+      val path = graft.sources.GridFixture.ensureWrittenNc(
+        graft.sources.GridFixture.defaultNcPath)
+      Ingest.iceExtent(
+        Ingest.load(s.read.format("gridded").load(path)))
+    },
+    "gridded_anomaly" -> { (s, dir) =>
+      // per-cell climatology + anomaly through the same NetCDF source:
+      // mean per (cell, leadtime) across forecast dates, anomaly = value
+      // minus climatology - the anomaly-map primitive of the reference's
+      // domain
+      val path = graft.sources.GridFixture.ensureWrittenNc(
+        graft.sources.GridFixture.defaultNcPath)
+      Ingest.climatologyAnomaly(
+        Ingest.load(s.read.format("gridded").load(path)))
+    },
     "gridded_regrid" -> { (s, dir) =>
       // spatial coarsening through the same NetCDF source: 2x2 fine cells
       // -> one coarse cell per (time, leadtime), indices recovered exactly
@@ -5762,6 +5781,60 @@ object SparkEntry {
         |       CAST(sic_stddev AS FLOAT) AS sea_ice_concentration_stddev
         |FROM vals
         |WHERE sic_mean > 0 AND sic_stddev IS NOT NULL""".stripMargin,
+    "gridded_extent" -> // same closed-form regeneration + ingest filter,
+      // integer threshold compare, exact BIGINT extent
+      """WITH ti AS (SELECT unnest(generate_series(0, 1)) AS t),
+        |li AS (SELECT unnest(generate_series(0, 2)) AS l),
+        |yi AS (SELECT unnest(generate_series(0, 5)) AS y),
+        |xi AS (SELECT unnest(generate_series(0, 7)) AS x),
+        |cells AS (
+        |  SELECT t, l, y, x, (7*t + 5*l + 3*y + x) % 19 AS k
+        |  FROM ti CROSS JOIN li CROSS JOIN yi CROSS JOIN xi),
+        |vals AS (
+        |  SELECT t, l, y, x,
+        |    CASE WHEN (t+l+y+x) % 11 = 0 THEN NULL ELSE k/10.0 - 0.4 END AS sic_mean,
+        |    CASE WHEN (t+l+y+x+1) % 13 = 0 THEN NULL ELSE (k*k % 7)/100.0 END AS sic_stddev
+        |  FROM cells),
+        |v AS (SELECT t, l, CAST(CAST(sic_mean AS FLOAT) AS DOUBLE) AS sic
+        |      FROM vals WHERE sic_mean > 0 AND sic_stddev IS NOT NULL),
+        |g AS (SELECT t, l, CAST(count(*) AS BIGINT) AS n_cells,
+        |        CAST(sum(CASE WHEN sic * 100 > 15 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_ice_cells
+        |      FROM v GROUP BY 1, 2)
+        |SELECT DATE '2020-03-01' + CAST(t AS INT) AS date_forecast_generated,
+        |       CAST(l + 1 AS BIGINT) AS leadtime, n_cells, n_ice_cells,
+        |       n_ice_cells * 625 AS extent_km2
+        |FROM g ORDER BY 1, 2""".stripMargin,
+    "gridded_anomaly" -> // same closed-form regeneration + ingest filter,
+      // then the (cell, leadtime) climatology join
+      """WITH ti AS (SELECT unnest(generate_series(0, 1)) AS t),
+        |li AS (SELECT unnest(generate_series(0, 2)) AS l),
+        |yi AS (SELECT unnest(generate_series(0, 5)) AS y),
+        |xi AS (SELECT unnest(generate_series(0, 7)) AS x),
+        |cells AS (
+        |  SELECT t, l, y, x, (7*t + 5*l + 3*y + x) % 19 AS k
+        |  FROM ti CROSS JOIN li CROSS JOIN yi CROSS JOIN xi),
+        |vals AS (
+        |  SELECT t, l, y, x,
+        |    CASE WHEN (t+l+y+x) % 11 = 0 THEN NULL ELSE k/10.0 - 0.4 END AS sic_mean,
+        |    CASE WHEN (t+l+y+x+1) % 13 = 0 THEN NULL ELSE (k*k % 7)/100.0 END AS sic_stddev
+        |  FROM cells),
+        |v AS (SELECT t, l, y, x,
+        |        CAST(sic_mean AS FLOAT) AS sic_f,
+        |        CAST(CAST(sic_mean AS FLOAT) AS DOUBLE) AS sic
+        |      FROM vals WHERE sic_mean > 0 AND sic_stddev IS NOT NULL),
+        |clim AS (SELECT l, y, x, CAST(count(*) AS BIGINT) AS n_obs,
+        |                avg(sic) AS clim_mean
+        |         FROM v GROUP BY 1, 2, 3)
+        |SELECT DATE '2020-03-01' + CAST(v.t AS INT)
+        |         AS date_forecast_generated,
+        |       CAST(v.l + 1 AS BIGINT) AS leadtime,
+        |       CAST(trunc((-262.5 + 25.0*v.x) * 1000) AS INT) AS xc_m,
+        |       CAST(trunc((-537.5 + 25.0*v.y) * 1000) AS INT) AS yc_m,
+        |       v.sic_f AS sea_ice_concentration_mean,
+        |       clim.n_obs, clim.clim_mean,
+        |       v.sic - clim.clim_mean AS anomaly
+        |FROM v JOIN clim ON clim.l = v.l AND clim.y = v.y AND clim.x = v.x""".stripMargin,
     "gridded_regrid" -> // same closed-form cell regeneration, then the
       // identical 2x2 block census (NULL where the engine sees NaN)
       """WITH ti AS (SELECT unnest(generate_series(0, 1)) AS t),

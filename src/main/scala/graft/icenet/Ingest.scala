@@ -138,4 +138,61 @@ object Ingest {
         coarseCentreM(col("yi_c"), originYKm).as("yc_m"),
         col("n_cells"), col("sic_min"), col("sic_max"), col("sic_avg"))
   }
+
+  /** Per-cell climatology + anomaly over the ingested forecast frame —
+    * the anomaly-map primitive of the reference's domain: how unusual is
+    * THIS forecast versus the same cell and leadtime across forecast
+    * dates? Climatology = mean concentration per (cell, leadtime) over
+    * forecast-generation dates; anomaly = value − climatology.
+    *
+    * The climatology join keys on the exact grouping the aggregate
+    * shuffled on, so the join rides the aggregate's exchange. The mean is
+    * a double sum over the per-cell DATE axis — bounded by calendar
+    * length (thousands), never data volume; the fixture's 2 dates make
+    * it order-free outright.
+    */
+  def climatologyAnomaly(loaded: DataFrame): DataFrame = {
+    val withLead = loaded.withColumn("leadtime",
+      datediff(col("date_forecast_for"), col("date_forecast_generated"))
+        .cast("long"))
+    val clim = withLead.groupBy("xc_m", "yc_m", "leadtime")
+      .agg(count(lit(1)).as("n_obs"),
+        avg(col("sea_ice_concentration_mean").cast("double"))
+          .as("clim_mean"))
+    withLead.join(clim, Seq("xc_m", "yc_m", "leadtime"))
+      .select(col("date_forecast_generated"), col("leadtime"),
+        col("xc_m"), col("yc_m"),
+        col("sea_ice_concentration_mean"), col("n_obs"), col("clim_mean"),
+        (col("sea_ice_concentration_mean").cast("double") -
+          col("clim_mean")).as("anomaly"))
+  }
+
+  /** Sea-ice extent per (forecast date, leadtime) — THE headline metric
+    * of the reference's domain: total area of cells whose concentration
+    * exceeds the standard 15 % threshold (NSIDC convention). Cell area is
+    * exact integer km² (25 km EASE cells → 625 km²), so the extent is a
+    * BIGINT and hash-exact; the threshold compares sic·100 against an
+    * integer, avoiding a binary-inexact 0.15 literal.
+    *
+    * One grouped aggregate over the ingested frame — linear, one shuffle
+    * on the tiny (date, leadtime) key space.
+    */
+  def iceExtent(
+      loaded: DataFrame, thresholdPct: Int = 15,
+      cellAreaKm2: Long = 625L): DataFrame = {
+    val sic = col("sea_ice_concentration_mean").cast("double")
+    val thr = lit(thresholdPct.toLong)
+    loaded
+      .withColumn("leadtime",
+        datediff(col("date_forecast_for"), col("date_forecast_generated"))
+          .cast("long"))
+      .groupBy("date_forecast_generated", "leadtime")
+      .agg(count(lit(1)).as("n_cells"),
+        // integer compare: sic*100 > 15 avoids a 0.15 double literal
+        sum(when(sic * 100 > thr, 1L).otherwise(0L)).as("n_ice_cells"))
+      .select(col("date_forecast_generated"), col("leadtime"),
+        col("n_cells"), col("n_ice_cells"),
+        (col("n_ice_cells") * lit(cellAreaKm2)).as("extent_km2"))
+      .orderBy("date_forecast_generated", "leadtime")
+  }
 }

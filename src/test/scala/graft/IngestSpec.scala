@@ -104,4 +104,46 @@ class IngestSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Ingest.regrid(rows, factor = 1))
     assert(e.getMessage.contains("factor"))
   }
+
+  test("climatologyAnomaly: per-(cell, leadtime) mean across dates, " +
+    "single-date cells anomaly zero") {
+    val loaded = Seq(
+      (1000, 2000, Date.valueOf("2020-03-01"), Date.valueOf("2020-03-02"), 0.2f),
+      (1000, 2000, Date.valueOf("2020-03-02"), Date.valueOf("2020-03-03"), 0.4f),
+      (1000, 2000, Date.valueOf("2020-03-01"), Date.valueOf("2020-03-03"), 0.5f)
+    ).toDF("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
+      "sea_ice_concentration_mean")
+    val got = Ingest.climatologyAnomaly(loaded)
+      .select("date_forecast_generated", "leadtime", "n_obs", "clim_mean",
+        "anomaly")
+      .as[(Date, Long, Long, Double, Double)].collect()
+      .map(r => (r._1.toString, r._2) -> ((r._3, r._4, r._5))).toMap
+    // leadtime 1 across both dates: clim = (0.2f + 0.4f)/2 in double
+    val clim = (0.2f.toDouble + 0.4f.toDouble) / 2
+    assert(got(("2020-03-01", 1L)) ==
+      ((2L, clim, 0.2f.toDouble - clim)))
+    assert(got(("2020-03-02", 1L)) ==
+      ((2L, clim, 0.4f.toDouble - clim)))
+    // leadtime 2 seen once: climatology = itself, anomaly exactly 0
+    assert(got(("2020-03-01", 2L)) == ((1L, 0.5f.toDouble, 0.0)))
+  }
+
+  test("iceExtent: 15% threshold census with exact integer area") {
+    val loaded = Seq(
+      // leadtime 1 on 03-01: sic 0.10 (below), 0.16, 0.9 (above) -> 2 ice
+      (1000, 2000, Date.valueOf("2020-03-01"), Date.valueOf("2020-03-02"), 0.10f),
+      (1500, 2000, Date.valueOf("2020-03-01"), Date.valueOf("2020-03-02"), 0.16f),
+      (2000, 2000, Date.valueOf("2020-03-01"), Date.valueOf("2020-03-02"), 0.90f),
+      // leadtime 2: "0.15" is not float-representable — the stored value
+      // is 0.150000005..., strictly ABOVE the threshold, and BOTH engines
+      // see the same float, so it counts (pinning the representation
+      // semantics rather than pretending the literal is exact)
+      (1000, 2000, Date.valueOf("2020-03-01"), Date.valueOf("2020-03-03"), 0.15f)
+    ).toDF("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
+      "sea_ice_concentration_mean")
+    val got = Ingest.iceExtent(loaded)
+      .select("leadtime", "n_cells", "n_ice_cells", "extent_km2")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 1250L), (2L, 1L, 1L, 625L)))
+  }
 }
