@@ -331,6 +331,11 @@ object SparkEntry {
         .limit(20)),
     "split_assign" -> ((s, dir) =>
       graft.ops.TextAnalysis.splitAssign(Tables.documents(s, dir))),
+    "split_decontaminated" -> ((s, dir) =>
+      // the shipped composition: md5 split assignment + quarantine of
+      // held-out docs sharing >= 2 word 4-grams with TRAIN - an eval
+      // split that leaks training text measures memorization
+      graft.ops.TextAnalysis.decontaminatedSplits(Tables.documents(s, dir))),
     "corpus_stats" -> ((s, dir) =>
       graft.ops.TextAnalysis.corpusStats(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) =>
@@ -4261,6 +4266,41 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS BIGINT) % 100 AS b
         |      FROM documents)""".stripMargin,
+    "split_decontaminated" -> // split_assign's md5 buckets + the
+      // decontaminate gram join restricted to heldout-vs-train
+      """WITH sp AS (SELECT doc_id,
+        |        CASE WHEN b < 90 THEN 'train'
+        |             WHEN b < 95 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM (SELECT doc_id,
+        |              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4)
+        |                   AS BIGINT) % 100 AS b
+        |            FROM documents)),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
+        |      FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |        generate_series(0, len(tokens)-4), i ->
+        |          concat_ws(' ', tokens[i+1], tokens[i+2], tokens[i+3],
+        |                    tokens[i+4]))) AS grams
+        |      FROM t WHERE len(tokens) >= 4),
+        |tg AS (SELECT DISTINCT unnest(g.grams) AS gram
+        |       FROM g JOIN sp ON sp.doc_id = g.doc_id
+        |       WHERE sp.split = 'train'),
+        |hg AS (SELECT g.doc_id, unnest(g.grams) AS gram
+        |       FROM g JOIN sp ON sp.doc_id = g.doc_id
+        |       WHERE sp.split <> 'train'),
+        |dirty AS (SELECT doc_id FROM hg JOIN tg USING (gram)
+        |          GROUP BY doc_id HAVING count(*) >= 2)
+        |SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_quarantined,
+        |       CAST(((count(*) - sum(CASE WHEN d.doc_id IS NOT NULL
+        |                                  THEN 1 ELSE 0 END)) * 2000000
+        |             + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000.0
+        |         AS clean_share
+        |FROM sp LEFT JOIN dirty d ON d.doc_id = sp.doc_id
+        |GROUP BY sp.split
+        |ORDER BY sp.split""".stripMargin,
     "corpus_stats" ->
       """WITH t AS (SELECT lang, regexp_split_to_array(trim(text),'\s+') AS toks
         |           FROM documents),

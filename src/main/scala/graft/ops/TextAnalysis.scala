@@ -947,4 +947,36 @@ object TextAnalysis {
       .orderBy(col("lift").desc, col("x").asc, col("y").asc)
       .limit(topK)
   }
+
+  /** Split assignment with contamination quarantine — the composition a
+    * training-data platform actually ships: deterministic
+    * train/val/test assignment ([[splitAssign]]), then every HELD-OUT
+    * doc sharing ≥ `minShared` distinct word `n`-grams with the TRAIN
+    * split is flagged for quarantine ([[Dedup.contamination]]'s join) —
+    * an eval split that leaks training text measures memorization, not
+    * generalization. Per split: doc count, quarantined count, and the
+    * clean share in exact fixed point (train quarantines nothing by
+    * definition — it is the contamination SOURCE).
+    *
+    * Scale shape: the split column is a scan-speed projection; the
+    * contamination check is the gram equi-join (each gram shuffles once,
+    * never pairwise in docs); the census is one O(docs) aggregate.
+    */
+  def decontaminatedSplits(
+      docs: DataFrame, n: Int = 4, minShared: Long = 2): DataFrame = {
+    val splits = splitAssign(docs).select("doc_id", "split").localCheckpoint()
+    val withSplit = docs.join(splits, "doc_id")
+    val dirty = graft.ops.Dedup.contamination(
+      withSplit.filter(col("split") =!= "train"),
+      withSplit.filter(col("split") === "train"), n, minShared)
+      .select(col("doc_id")).withColumn("__dirty", lit(1L))
+    splits.join(dirty, Seq("doc_id"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__dirty"), lit(0L))).as("n_quarantined"))
+      .select(col("split"), col("n_docs"), col("n_quarantined"),
+        exactRatio(col("n_docs") - col("n_quarantined"), col("n_docs"), 6)
+          .as("clean_share"))
+      .orderBy("split")
+  }
 }

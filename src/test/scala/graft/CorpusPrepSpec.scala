@@ -119,4 +119,25 @@ class CorpusPrepSpec extends SparkSpec {
     assert(d2._3 == 1L && d2._2 == 4L)
     assert(d2._5 < 119.6975) // denser syllables read harder
   }
+
+  test("decontaminatedSplits: held-out docs sharing 4-grams with train " +
+    "are quarantined; train never is") {
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 4), 16) % 100
+    }
+    val ids = (1L to 500L)
+    val trainId = ids.find(bucket(_) < 90).get
+    val testIds = ids.filter(bucket(_) >= 95).take(2)
+    val docs = Seq(
+      (trainId, "en", "p q r s t"),        // train source text
+      (testIds(0), "en", "p q r s t"),     // shares 2 distinct 4-grams
+      (testIds(1), "en", "u v w x y")      // clean
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ops.TextAnalysis.decontaminatedSplits(docs)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("test", 2L, 1L, 0.5), ("train", 1L, 0L, 1.0)))
+  }
 }
