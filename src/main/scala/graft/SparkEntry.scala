@@ -960,6 +960,12 @@ object SparkEntry {
       // first-order sequence census: consecutive event-type pairs per
       // user stream (keyed lead window), corpus-wide counts
       graft.streaming.EventAggs.typeBigrams(Tables.events(s, dir))),
+    "stream_lateness" -> ((s, dir) =>
+      // watermark-lateness census: how much data would a 10-minute
+      // watermark discard? late iff event time sits behind the per-type
+      // stream's running max by more than the delay; exact integer
+      // micros, one keyed window
+      graft.streaming.EventAggs.latenessCensus(Tables.events(s, dir))),
     "w10_streaks" -> { (s, dir) =>
       // gaps-and-islands: longest consecutive-month order streak per
       // customer (island key = month index minus per-customer rank — the
@@ -5656,6 +5662,23 @@ object SparkEntry {
         |FROM s WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "stream_lateness" -> // per-type running max in exact integer micros
+      // (epoch_us mirrors unix_micros); first-of-stream never late
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS tus
+        |           FROM events),
+        |w AS (SELECT event_type, tus,
+        |        max(tus) OVER (PARTITION BY event_type ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - 600000000 AS wm
+        |      FROM e),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(sum(CASE WHEN tus < wm THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_late
+        |      FROM w GROUP BY 1)
+        |SELECT event_type, n_events, n_late,
+        |       CAST((n_late * 2000000 + n_events) // (2 * n_events)
+        |            AS DOUBLE) / 1000000.0 AS late_share
+        |FROM c ORDER BY event_type""".stripMargin,
     "w10_streaks" -> // same difference-of-sequences rendering; month index
       // and row_number both BIGINT in DuckDB, so the island key needs no
       // casts; census keys cast to BIGINT on both sides

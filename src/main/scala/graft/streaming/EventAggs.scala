@@ -682,4 +682,36 @@ object EventAggs {
       .withColumn("label", coalesce(col("label"), lit(0L)))
       .orderBy("user_id")
   }
+
+  /** Watermark-lateness census — how much data would a given watermark
+    * delay discard? Each event type is its own stream (the keyed
+    * formulation that scales; a single global arrival order would funnel
+    * everything through one partition): an event is LATE iff its event
+    * time sits more than `delayMinutes` behind the maximum event time
+    * already seen in its stream (arrival order = event_id). The number a
+    * team reads before choosing `withWatermark`'s delay — too tight
+    * silently drops the tail this census makes visible.
+    *
+    * Times compare as exact integer MICROSECONDS (unix_micros /
+    * DuckDB epoch_us — the suite's timestamp-comparison rule); one
+    * running-max window and one aggregate, both riding a single
+    * event_type exchange.
+    */
+  def latenessCensus(
+      events: DataFrame, delayMinutes: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events.select(col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("tus"))
+      .withColumn("late",
+        // null watermark (first row of a stream) -> otherwise-branch 0
+        when(col("tus") < (max(col("tus")).over(w)
+          - lit(delayMinutes * 60000000L)), 1L).otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("late").as("n_late"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        exactRatio(col("n_late"), col("n_events"), 6).as("late_share"))
+      .orderBy("event_type")
+  }
 }

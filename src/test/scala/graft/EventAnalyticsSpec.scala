@@ -254,4 +254,22 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, 1L, 0L, 1L, 1L, 1L, 0L),
       (4L, 1L, 0L, 1L, 3L, 1L, 0L)))
   }
+
+  test("latenessCensus: late iff behind the per-type running max by more " +
+    "than the delay; first-of-stream never late") {
+    val events = Seq(
+      // type a, arrival by event_id: t=100min, then 95min (5min back -
+      // inside the 10min delay, on time), then 85min (15min behind the
+      // running max 100 - LATE), then 200min (new max)
+      (1L, ts("2024-01-01 01:40:00"), 7L, "a"),
+      (2L, ts("2024-01-01 01:35:00"), 7L, "a"),
+      (3L, ts("2024-01-01 01:25:00"), 7L, "a"),
+      (4L, ts("2024-01-01 03:20:00"), 7L, "a"),
+      // type b: single event - no watermark yet, never late
+      (5L, ts("2024-01-01 00:01:00"), 8L, "b")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.streaming.EventAggs.latenessCensus(events)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 4L, 1L, 0.25), ("b", 1L, 0L, 0.0)))
+  }
 }
