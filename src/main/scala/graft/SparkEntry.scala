@@ -336,6 +336,16 @@ object SparkEntry {
       // held-out docs sharing >= 2 word 4-grams with TRAIN - an eval
       // split that leaks training text measures memorization
       graft.ops.TextAnalysis.decontaminatedSplits(Tables.documents(s, dir))),
+    "corpus_novelty" -> ((s, dir) =>
+      // phrase-level novelty curve: per doc (ingestion order), share of
+      // its distinct 4-grams never seen in any earlier doc - a crawl
+      // whose novelty collapses is re-crawling itself
+      graft.ops.TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
+    "vocab_oov_rate" -> ((s, dir) =>
+      // held-out OOV: token occurrences in val/test whose token never
+      // appears in train - the coverage twin of split_decontaminated's
+      // leakage audit
+      graft.ops.TextAnalysis.oovRate(Tables.documents(s, dir))),
     "corpus_stats" -> ((s, dir) =>
       graft.ops.TextAnalysis.corpusStats(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) =>
@@ -4307,6 +4317,48 @@ object SparkEntry {
         |FROM sp LEFT JOIN dirty d ON d.doc_id = sp.doc_id
         |GROUP BY sp.split
         |ORDER BY sp.split""".stripMargin,
+    "corpus_novelty" -> // distinct 4-gram sets per doc, first doc per
+      // gram via min, per-doc novel census in exact integers
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(0, len(tokens)-4), i ->
+        |          concat_ws(' ', tokens[i+1], tokens[i+2], tokens[i+3],
+        |                    tokens[i+4])))) AS gram
+        |      FROM t WHERE len(tokens) >= 4),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        |c AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |        CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_novel
+        |      FROM g JOIN f ON f.gram = g.gram GROUP BY 1)
+        |SELECT doc_id, n_grams, n_novel,
+        |       CAST((n_novel * 2000000 + n_grams) // (2 * n_grams)
+        |            AS DOUBLE) / 1000000.0 AS novelty
+        |FROM c ORDER BY doc_id LIMIT 50""".stripMargin,
+    "vocab_oov_rate" -> // split buckets + the train-vocabulary left join
+      """WITH sp AS (SELECT doc_id,
+        |        CASE WHEN b < 90 THEN 'train'
+        |             WHEN b < 95 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM (SELECT doc_id,
+        |              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4)
+        |                   AS BIGINT) % 100 AS b
+        |            FROM documents)),
+        |tk AS (SELECT d.doc_id, sp.split,
+        |         unnest(regexp_split_to_array(trim(d.text),'\s+')) AS token
+        |       FROM documents d JOIN sp ON sp.doc_id = d.doc_id),
+        |tv AS (SELECT DISTINCT token FROM tk WHERE split = 'train'),
+        |h AS (SELECT tk.split, tk.token, tv.token AS known
+        |      FROM tk LEFT JOIN tv ON tv.token = tk.token
+        |      WHERE tk.split <> 'train')
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN known IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_oov,
+        |       CAST((sum(CASE WHEN known IS NULL THEN 1 ELSE 0 END)
+        |             * 2000000 + count(*)) // (2 * count(*))
+        |            AS DOUBLE) / 1000000.0 AS oov_rate
+        |FROM h GROUP BY split
+        |ORDER BY split""".stripMargin,
     "corpus_stats" ->
       """WITH t AS (SELECT lang, regexp_split_to_array(trim(text),'\s+') AS toks
         |           FROM documents),

@@ -141,7 +141,7 @@ object Dedup {
     * over the token stream — the sort piggybacks on the doc_id exchange, and
     * every downstream per-doc aggregate is shuffle-free (already clustered).
     */
-  private def gramStream(docs: DataFrame, n: Int, extra: Seq[String]): DataFrame = {
+  private[ops] def gramStream(docs: DataFrame, n: Int, extra: Seq[String]): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"l$k"))
     tokenStream(docs, extra)

@@ -979,4 +979,57 @@ object TextAnalysis {
           .as("clean_share"))
       .orderBy("split")
   }
+
+  /** Corpus novelty curve: for each of the first `topK` documents (in
+    * doc_id order — the ingestion-order proxy), the share of its distinct
+    * word `n`-grams never seen in ANY earlier document. The diversity
+    * signal a collection pipeline tracks as the corpus grows — a crawl
+    * whose novelty collapses is re-crawling itself ([[vocabGrowth]] is
+    * the token-level face of the same question; this is the phrase
+    * level).
+    *
+    * A gram's first document is one min-aggregate over the distinct gram
+    * stream (each gram shuffles once — never pairwise in docs); novelty
+    * is a per-doc integer count compare, share in exact fixed point.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 4, topK: Int = 50): DataFrame = {
+    val grams = graft.ops.Dedup.gramStream(docs, n, Nil).distinct()
+    val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        exactRatio(col("n_novel"), col("n_grams"), 6).as("novelty"))
+      .orderBy(col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Held-out OOV rate: token occurrences in the val/test splits whose
+    * token never appears in the TRAIN split — the tokenizer/coverage
+    * health check against [[splitAssign]]'s deterministic splits (the
+    * same splits [[decontaminatedSplits]] audits for leakage; this
+    * audits the opposite failure, a vocabulary that does not transfer).
+    *
+    * One token shuffle against the distinct train vocabulary (left join,
+    * nothing data-sized broadcast by construction), one O(splits)
+    * census; exact ratios.
+    */
+  def oovRate(docs: DataFrame): DataFrame = {
+    val splits = splitAssign(docs).select("doc_id", "split")
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(splits, "doc_id")
+    val trainVocab = toks.filter(col("split") === "train")
+      .select("token").distinct().withColumn("__known", lit(1L))
+    toks.filter(col("split") =!= "train")
+      .join(trainVocab, Seq("token"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("split"), col("n_tokens"), col("n_oov"),
+        exactRatio(col("n_oov"), col("n_tokens"), 6).as("oov_rate"))
+      .orderBy("split")
+  }
 }

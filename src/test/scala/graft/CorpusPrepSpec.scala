@@ -140,4 +140,36 @@ class CorpusPrepSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(got == Seq(("test", 2L, 1L, 0.5), ("train", 1L, 0L, 1.0)))
   }
+
+  test("ngramNovelty: first occurrence credits the earliest doc, repeats " +
+    "in the same doc collapse") {
+    val docs = Seq(
+      (1L, "en", "a b c d e"),       // grams: abcd, bcde - both novel
+      (2L, "en", "a b c d x"),       // abcd seen, bcdx novel -> 1/2
+      (3L, "en", "a b c d e")        // both grams seen -> 0
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ops.TextAnalysis.ngramNovelty(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5),
+      (3L, 2L, 0L, 0.0)))
+  }
+
+  test("oovRate: held-out tokens unseen in train are OOV occurrences") {
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 4), 16) % 100
+    }
+    val ids = (1L to 500L)
+    val trainId = ids.find(bucket(_) < 90).get
+    val testId = ids.find(bucket(_) >= 95).get
+    val docs = Seq(
+      (trainId, "en", "p q r"),
+      (testId, "en", "p q z z")   // z twice: 2 OOV occurrences of 4
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ops.TextAnalysis.oovRate(docs)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("test", 4L, 2L, 0.5)))
+  }
 }
