@@ -586,6 +586,11 @@ object SparkEntry {
       // market-basket co-occurrence: top-20 part pairs by support, with
       // lift; pair fan-out bounded per basket, ReuseExchange'd self-join
       graft.ops.Association.basketPairs(Tables.lineitem(s, dir))),
+    "assoc_rules" -> ((s, dir) =>
+      // directed association rules over the support>=2 pairs: exact
+      // confidence pair/count(antecedent), the actionable direction the
+      // symmetric lift census cannot give
+      graft.ops.Association.rules(Tables.lineitem(s, dir))),
     "rec_item_cosine" -> ((s, dir) =>
       // item-item cosine from co-purchase in e6 FIXED POINT: floor over
       // a division of identical doubles is engine-exact, and integer
@@ -2711,6 +2716,27 @@ object SparkEntry {
         |JOIN supp sb ON pairs.part_b = sb.item
         |CROSS JOIN nb
         |ORDER BY pair_cnt DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
+    "assoc_rules" -> // same pair/support CTEs, support filter, direction
+      // unpivot, exact fixed-point confidence
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |               FROM lineitem),
+        |pairs AS (SELECT a.item AS part_a, b.item AS part_b,
+        |                 count(*) AS pair_cnt
+        |          FROM items a JOIN items b
+        |            ON a.basket = b.basket AND a.item < b.item
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |supp AS (SELECT item, count(*) AS cnt FROM items GROUP BY 1),
+        |d AS (SELECT part_a AS antecedent, part_b AS consequent, pair_cnt
+        |      FROM pairs
+        |      UNION ALL
+        |      SELECT part_b, part_a, pair_cnt FROM pairs)
+        |SELECT d.antecedent, d.consequent, d.pair_cnt,
+        |       s.cnt AS cnt_a,
+        |       CAST((d.pair_cnt * 2000000 + s.cnt) // (2 * s.cnt)
+        |            AS DOUBLE) / 1000000.0 AS confidence
+        |FROM d JOIN supp s ON s.item = d.antecedent
+        |ORDER BY confidence DESC, antecedent, consequent
         |LIMIT 20""".stripMargin,
     "rec_item_cosine" -> // assoc_basket_pairs' pair/support CTEs, scored
       // as floor((pair·1e6)/sqrt(ca·cb)) — identical doubles, exact floor

@@ -120,4 +120,49 @@ object Association {
         col("tok_c").asc)
       .limit(topK)
   }
+
+  /** Association rules from the pair census: for each frequent pair,
+    * both directed rules a→b and b→a with exact confidence
+    * (pair/count(antecedent)) alongside the symmetric lift — the
+    * actionable form of [[basketPairs]] (lift says the pair is real;
+    * confidence says which direction to recommend from). Top `topK` by
+    * confidence, deterministic tie chain.
+    *
+    * Same bounded pair generation and single support join as
+    * [[basketPairs]]; the direction unpivot doubles O(pairs) rows, never
+    * the data.
+    */
+  def rules(
+      lineitem: DataFrame, minSupport: Long = 2, topK: Int = 20,
+      maxBasketSize: Int = 1000): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val sized = items
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("basket")))
+      .filter(col("bsz") <= maxBasketSize)
+      .drop("bsz")
+    val pairs = sized.hint("merge").as("a")
+      .join(sized.hint("merge").as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("part_a"), col("b.item").as("part_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minSupport)
+    val supp = sized.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val directed = pairs
+      .select(col("part_a").as("antecedent"), col("part_b").as("consequent"),
+        col("pair_cnt"))
+      .unionByName(pairs.select(col("part_b").as("antecedent"),
+        col("part_a").as("consequent"), col("pair_cnt")))
+    directed
+      .join(supp.select(col("item").as("antecedent"), col("cnt").as("cnt_a")),
+        "antecedent")
+      .select(col("antecedent"), col("consequent"), col("pair_cnt"),
+        col("cnt_a"),
+        exactRatio(col("pair_cnt"), col("cnt_a"), 6).as("confidence"))
+      .orderBy(col("confidence").desc, col("antecedent").asc,
+        col("consequent").asc)
+      .limit(topK)
+  }
 }

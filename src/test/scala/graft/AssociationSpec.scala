@@ -90,4 +90,19 @@ class AssociationSpec extends SparkSpec {
     val sorted = rows.sortBy { case (a, b, c, s) => (-s, a, b, c) }
     assert(rows.toSeq == sorted.toSeq)
   }
+
+  test("rules: directed confidence from the pair census, support floor, " +
+    "deterministic top-k") {
+    // baskets: {10,20} x3, {10,30}, {20,30} -> pair (10,20) support 3;
+    // (10,30) and (20,30) support 1 die at minSupport 2
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L),
+      (4L, 10L), (4L, 30L), (5L, 20L), (5L, 30L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Association.rules(li)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // n(10)=4, n(20)=4: 10->20 conf 3/4, 20->10 conf 3/4; tie broken by
+    // antecedent asc
+    assert(got == Seq((10L, 20L, 3L, 4L, 0.75), (20L, 10L, 3L, 4L, 0.75)))
+  }
 }
