@@ -975,6 +975,11 @@ object SparkEntry {
       // first-order sequence census: consecutive event-type pairs per
       // user stream (keyed lead window), corpus-wide counts
       graft.streaming.EventAggs.typeBigrams(Tables.events(s, dir))),
+    "events_hourly_profile" -> ((s, dir) =>
+      // diurnal fingerprint: per (type, hour-of-day) counts and exact
+      // hour shares - the seasonality baseline anomaly thresholds and
+      // capacity plans calibrate against
+      graft.streaming.EventAggs.hourlyProfile(Tables.events(s, dir))),
     "stream_lateness" -> ((s, dir) =>
       // watermark-lateness census: how much data would a 10-minute
       // watermark discard? late iff event time sits behind the per-type
@@ -5740,6 +5745,17 @@ object SparkEntry {
         |FROM s WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "events_hourly_profile" ->
+      """WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |             CAST(count(*) AS BIGINT) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS n_total
+        |      FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hod, h.n_events,
+        |       CAST((h.n_events * 2000000 + t.n_total) // (2 * t.n_total)
+        |            AS DOUBLE) / 1000000.0 AS share
+        |FROM h JOIN t ON t.event_type = h.event_type
+        |ORDER BY h.event_type, h.hod""".stripMargin,
     "stream_lateness" -> // per-type running max in exact integer micros
       // (epoch_us mirrors unix_micros); first-of-stream never late
       """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS tus

@@ -714,4 +714,26 @@ object EventAggs {
         exactRatio(col("n_late"), col("n_events"), 6).as("late_share"))
       .orderBy("event_type")
   }
+
+  /** Diurnal activity profile: per (event type, hour-of-day) counts and
+    * each hour's share of its type's traffic — the seasonality
+    * fingerprint anomaly baselines and capacity plans are calibrated
+    * against (an alert threshold that ignores the 3am trough pages
+    * nobody for real incidents and everyone at lunch).
+    *
+    * Two partial-aggregated groupBys riding one event_type exchange
+    * (the share join keys on the same grouping); shares in exact fixed
+    * point. Hours are naive-UTC on both engines (the suite's event-time
+    * convention).
+    */
+  def hourlyProfile(events: DataFrame): DataFrame = {
+    val h = events
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .groupBy("event_type", "hod").agg(count(lit(1)).as("n_events"))
+    val tot = h.groupBy("event_type").agg(sum("n_events").as("n_total"))
+    h.join(tot, "event_type")
+      .select(col("event_type"), col("hod"), col("n_events"),
+        exactRatio(col("n_events"), col("n_total"), 6).as("share"))
+      .orderBy("event_type", "hod")
+  }
 }

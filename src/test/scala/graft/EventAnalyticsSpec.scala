@@ -272,4 +272,17 @@ class EventAnalyticsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(got == Seq(("a", 4L, 1L, 0.25), ("b", 1L, 0L, 0.0)))
   }
+
+  test("hourlyProfile: per-type hour shares in exact fixed point") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:10:00"), 1L, "click"),
+      (2L, ts("2024-01-02 09:50:00"), 2L, "click"),
+      (3L, ts("2024-01-01 17:00:00"), 1L, "click"),
+      (4L, ts("2024-01-01 09:00:00"), 1L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.streaming.EventAggs.hourlyProfile(events)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("click", 9L, 2L, 0.666667), ("click", 17L, 1L, 0.333333),
+      ("view", 9L, 1L, 1.0)))
+  }
 }
