@@ -82,44 +82,114 @@ object Association {
     * (the q11 lesson). It reaches the plan as a 1-row broadcast, never a
     * driver-side collect.
     *
-    * A-priori monotonicity does the pruning: a triple can only be
-    * frequent if every item in it is (L1) — so the item relation is
-    * semi-joined down to frequent tokens BEFORE any pair fan-out. The
-    * candidate space then shrinks from C(vocab, 3) per doc to
-    * C(frequent-in-doc, 3), and the per-doc fan-out joins key on doc_id
-    * (co-located, ReuseExchange'd — the [[basketPairs]] idiom). Counting
-    * is one groupBy over the generated triples with the support filter
-    * applied before the top-k heap (TakeOrdered, not a global sort).
-    * The oracle applies the same (provably answer-preserving) L1
-    * restriction, so both engines count the identical candidate set.
+    * A-priori monotonicity does the pruning, at BOTH levels, with the
+    * paper's actual execution structure: LEVEL-WISE PASSES whose level
+    * sets are materialized artifacts, not subtrees of one plan. L1
+    * (frequent tokens) and L2 (frequent pairs) are each computed by
+    * their own bounded job and LOCALIZED to broadcast LocalRelations —
+    * the [[Similarity]] kmeans-centroid discipline. Localization is
+    * load-bearing twice over:
+    *
+    *  - PLAN HEALTH: expressing the level censuses as lazy subtrees of
+    *    the final query duplicates the (scan → explode → L1-filter →
+    *    pair-join) chain under every consumer — measured 3–4× the
+    *    two-job formulation at 10× scale even with AQE stage reuse,
+    *    because each broadcast build and each probe re-executes its own
+    *    copy of the census lineage.
+    *  - SCALE SAFETY: the level sets are support-bounded, never
+    *    corpus-bounded — Σ_tokens df(tok) = Σ_docs k_doc, so |L1| ≤
+    *    avg(k)/pct, and Σ_pairs df(pair) = Σ_docs C(k_doc, 2), so |L2| ≤
+    *    avg C(k, 2)/pct (k = distinct frequent tokens per doc). At 25%
+    *    support these are catalog-scale sets; [[MaxLocalizedLevelSet]]
+    *    enforces the bound LOUDLY (the [[graft.operators.Broadcasting]]
+    *    fail-fast contract) instead of letting an adversarial corpus OOM
+    *    the driver.
+    *
+    * The final counting pass generates candidates per doc — the (a,b)
+    * stream is semi-joined against local L2 BEFORE the c-extension, so
+    * the c-join fan-out is |L2-surviving pairs/doc| × k. Without the L2
+    * step the c-extension multiplies an already-quadratic pair stream —
+    * cubic in per-doc frequent-token density, the classic A-priori
+    * failure mode (and this suite's #1 cost center until round 9). Both
+    * prunes only DROP triples the final support filter would reject
+    * anyway (support(a,b,c) ≤ support(a,b)), so the DuckDB oracle needs
+    * no L2 clause: both engines count the identical surviving set. All
+    * per-doc joins key on doc_id (co-located, ReuseExchange'd — the
+    * [[basketPairs]] idiom); counting is one groupBy with the support
+    * filter applied before the top-k heap (TakeOrdered, never a global
+    * sort).
     */
   def frequentTriples(
       docs: DataFrame, minSupportPct: Double = 0.25,
       topK: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val items = docs.select(col("doc_id"),
       explode(array_distinct(split(trim(col("text")), "\\s+"))).as("token"))
-    val threshold = docs.agg(
-      ceil(count(lit(1)) * minSupportPct).as("min_sup"))
-    val l1 = items.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(threshold))
-      .filter(col("cnt") >= col("min_sup"))
-      .select("token")
+    // pass 0: the support threshold. A FRACTION of the corpus, not an
+    // absolute count (absolute thresholds go vacuous or explosive as the
+    // corpus scales — the q11 lesson); one count(*) action, exact
+    // integer ceil on both engines.
+    val minSup = {
+      val n = docs.count()
+      (n * minSupportPct).ceil.toLong
+    }
+    // pass 1: L1 census -> localized frequent-token set
+    val l1Local = items.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSup)
+      .select("token").as[String].take(MaxLocalizedLevelSet + 1)
+    requireBoundedLevel("L1 frequent-token", l1Local.length)
+    val l1 = broadcast(l1Local.toSeq.toDF("token"))
     val freq = items.join(l1, Seq("token"), "left_semi")
-    val triples = freq.hint("merge").as("a")
+    def pairStream: DataFrame = freq.hint("merge").as("a")
       .join(freq.hint("merge").as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+      .select(col("a.doc_id").as("doc_id"), col("a.token").as("tok_a"),
+        col("b.token").as("tok_b"))
+    // pass 2: L2 census -> localized frequent-pair set (its own job; the
+    // per-doc pair stream is generated, partially aggregated map-side to
+    // the distinct surviving pairs, and discarded — never materialized)
+    val l2Local = pairStream.groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("pcnt"))
+      .filter(col("pcnt") >= minSup)
+      .select("tok_a", "tok_b").as[(String, String)]
+      .take(MaxLocalizedLevelSet + 1)
+    requireBoundedLevel("L2 frequent-pair", l2Local.length)
+    val l2 = broadcast(l2Local.toSeq.toDF("tok_a", "tok_b"))
+    // pass 3: candidate generation + count. ONLY the (a,b) face is
+    // semi-joined against L2 — that is the prune that caps the
+    // c-extension fan-out. A (b,c)-face check here would be
+    // mathematically redundant (support(a,b,c) ≤ support(b,c), so the
+    // final support filter already rejects every triple it would drop)
+    // and measurably harmful: probing it against the GENERATED triple
+    // stream costs a per-row hash probe on the operator's biggest
+    // intermediate (3× wall at 10× scale), to shrink a partial-agg hash
+    // table that the (a,b) prune and the support filter already bound.
+    pairStream.join(l2, Seq("tok_a", "tok_b"), "left_semi").as("p")
       .join(freq.hint("merge").as("c"),
-        col("a.doc_id") === col("c.doc_id") && col("b.token") < col("c.token"))
-      .groupBy(col("a.token").as("tok_a"), col("b.token").as("tok_b"),
+        col("p.doc_id") === col("c.doc_id") && col("p.tok_b") < col("c.token"))
+      .groupBy(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"),
         col("c.token").as("tok_c"))
       .agg(count(lit(1)).as("support"))
-    triples.crossJoin(broadcast(threshold))
-      .filter(col("support") >= col("min_sup"))
+      .filter(col("support") >= minSup)
       .select("tok_a", "tok_b", "tok_c", "support")
       .orderBy(col("support").desc, col("tok_a").asc, col("tok_b").asc,
         col("tok_c").asc)
       .limit(topK)
   }
+
+  /** Hard bound on a localized A-priori level set. The support argument
+    * (scaladoc above) makes real level sets catalog-scale; a corpus that
+    * blows past this is telling you the support threshold is wrong for
+    * it, and the loud failure names the knob.
+    */
+  val MaxLocalizedLevelSet: Int = 4000000
+
+  private def requireBoundedLevel(what: String, n: Int): Unit =
+    require(n <= MaxLocalizedLevelSet,
+      s"$what set exceeds the localization bound ($n > $MaxLocalizedLevelSet " +
+        "rows); refusing to collect a level set that grows with the corpus — " +
+        "raise minSupportPct (the set is 1/pct-bounded) or restructure")
 
   /** Association rules from the pair census: for each frequent pair,
     * both directed rules a→b and b→a with exact confidence
