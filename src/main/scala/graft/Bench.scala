@@ -56,6 +56,15 @@ object Bench {
     // billed to whichever query they land on; the min is the steady-state.
     val results = names.map { name => name -> math.min(timed(name), timed(name)) }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Variance sentinel: twice now a driver record has carried a 10-16x
+    // anomalous entry that local steady state contradicted (machine-stall
+    // regime, BASELINE.md footnotes 10/13 + the r8 triples entry). Re-time
+    // this run's top-5 cost centers once more AT THE END of the suite and
+    // publish both numbers: a stalled record is then self-evident (suite
+    // number >> sentinel re-run of the same binary seconds later) instead
+    // of needing a post-hoc Diag adjudication.
+    val sentinel = results.sortBy { case (_, v) => -v }.take(5)
+      .map { case (name, suiteSec) => (name, suiteSec, timed(name)) }
     val ingest = benchIngest(spark) // runs BEFORE the suite line prints
     // The driver records only the final ~2 KB of output. 119 per-query
     // doubles at full precision is ~4.2 KB — the r5 line was head-truncated
@@ -65,8 +74,9 @@ object Bench {
     // written BEFORE the final line so nothing prints after it.
     writeDetail(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"),
       s"""{"total":${f3(total)},"n":${results.size},"queries":${jMap(results)},""" +
+        s""""sentinel":${jSentinel(sentinel)},""" +
         s""""ingest_rows_per_sec":${f3(ingest.rowsPerSec)},"sf":"$sfDir"}""")
-    println(finalLine(results, ingest, sfDir))
+    println(finalLine(results, ingest, sfDir, sentinel))
     spark.stop()
   }
 
@@ -77,16 +87,25 @@ object Bench {
     * N auto-shrunk (15→10→5→0) until the rendered line fits [[TailBudget]].
     */
   private[graft] def finalLine(
-      results: Seq[(String, Double)], ingest: IngestBench, sfDir: String): String = {
+      results: Seq[(String, Double)], ingest: IngestBench, sfDir: String,
+      sentinel: Seq[(String, Double, Double)] = Nil): String = {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val slowest = results.sortBy { case (_, v) => -v }
     def line(topN: Int): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},""" +
         s""""queries":${jMap(slowest.take(topN))},""" +
+        s""""sentinel":${jSentinel(sentinel)},""" +
         s""""ingest_rows_per_sec":${f3(ingest.rowsPerSec)},"ingest_rows":${ingest.rows},""" +
         s""""ingest_seconds":${f3(ingest.seconds)},"sf":"$sfDir"}"""
     (15 to 0 by -5).map(line).find(_.length <= TailBudget).getOrElse(line(0))
   }
+
+  /** `{"name":[suite_sec,end_of_run_sec],...}` — the dual timings whose
+    * disagreement flags a stall regime (see the sentinel comment in main).
+    */
+  private[graft] def jSentinel(s: Seq[(String, Double, Double)]): String =
+    s.map { case (k, a, b) => "\"" + k + "\":[" + f3(a) + "," + f3(b) + "]" }
+      .mkString("{", ",", "}")
 
   private[graft] def jMap(kvs: Seq[(String, Double)]): String =
     kvs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")

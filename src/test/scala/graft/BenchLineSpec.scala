@@ -17,12 +17,25 @@ class BenchLineSpec extends AnyFunSuite {
   private def fakeResults(n: Int): Seq[(String, Double)] =
     (1 to n).map(i => f"q${i}%03d_some_longish_operator_name" -> i * 0.0137)
 
+  private def fakeSentinel(n: Int): Seq[(String, Double, Double)] =
+    fakeResults(n).takeRight(5).map { case (k, v) => (k, v, v * 0.9) }
+
   test("final line fits the driver tail for 119 and 300 queries") {
     Seq(0, 1, 15, 119, 300).foreach { n =>
-      val line = Bench.finalLine(fakeResults(n), ingest, "/root/testdata/sf0.1")
+      val line = Bench.finalLine(fakeResults(n), ingest, "/root/testdata/sf0.1",
+        fakeSentinel(n))
       assert(line.length <= Bench.TailBudget, s"n=$n line is ${line.length}B")
       assert(!line.contains("\n"), "must be a single line")
     }
+  }
+
+  test("sentinel dual timings ride the final line (stall-regime evidence)") {
+    val line = Bench.finalLine(fakeResults(119), ingest, "sf", fakeSentinel(119))
+    // both numbers of the pair, 3-decimal, array-valued per query
+    assert(line.contains(
+      "\"sentinel\":{\"q115_some_longish_operator_name\":[1.576,1.418]"), line)
+    // empty sentinel still renders valid JSON
+    assert(Bench.finalLine(fakeResults(3), ingest, "sf").contains("\"sentinel\":{}"))
   }
 
   test("line is parseable JSON with the contract fields") {
