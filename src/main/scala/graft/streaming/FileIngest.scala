@@ -43,7 +43,66 @@ object FileIngest {
       .start()
   }
 
+  /** S1∘S2 composition — the reference's ACTUAL trigger input: raw NetCDF
+    * blobs (`function.json:4-10` binds the trigger to `.nc` blob PUTs;
+    * `processor.py:121` decodes each with xarray). Structured Streaming
+    * watches the directory for `.nc` files (checkpointed;
+    * `maxFilesPerTrigger = 1` = host.json's batchSize-1 serial dequeue)
+    * and each micro-batch decodes THROUGH THE ENGINE'S OWN BYTE DECODERS
+    * — the DSv2 `gridded` source (CDF-1/2 via
+    * [[graft.sources.NetcdfClassic]], NetCDF-4/HDF5 via
+    * [[graft.sources.Hdf5Netcdf]]) — then runs the full pipeline.
+    *
+    * The stream carries only file PATHS (binaryFile's `content` column
+    * is pruned away): the decode happens executor-side in the DSv2 scan
+    * with per-slice partitions and column pruning, never in a
+    * driver-held byte blob — at scale the stream is a file-arrival
+    * ledger, not a data channel. The one driver-side action per batch is
+    * the O(maxFilesPerTrigger) path collect — the same bounded class as
+    * [[graft.icenet.TableOps]]' partition-prune collect. Replay/crash
+    * semantics are [[start]]'s: checkpointed exactly-once file tracking
+    * over an idempotent pipeline (StreamingSpec asserts post-stream
+    * state == the batch path's, and replay convergence).
+    */
+  def startNc(
+      spark: SparkSession, inputDir: String, warehouse: String,
+      hemi: Hemisphere, checkpoint: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    val arrivals = spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema) // streaming sources require it explicitly
+      .option("pathGlobFilter", "*.nc")
+      .option("maxFilesPerTrigger", 1)
+      .load(inputDir)
+      .select("path")
+    val pipeline = new Pipeline(spark, warehouse, hemi)
+    val writer = arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one ingest per file, name-ordered: the reference processes one
+        // blob per invocation, and first-write-wins facts make the order
+        // observable — a multi-file batch (catch-up runs) must not
+        // interleave two drops in one ingest
+        batch.select("path").collect().map(_.getString(0)).sorted.foreach {
+          p => pipeline.ingest(spark.read.format("gridded").load(p))
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   import org.apache.spark.sql.types._
+
+  /** binaryFile's fixed schema, stated explicitly because streaming
+    * sources refuse to infer (batch `spark.read.format("binaryFile")`
+    * carries the same four fields).
+    */
+  val binaryFileSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
   val rawSchema: StructType = StructType(Seq(
     StructField("time", TimestampType),
     StructField("leadtime", IntegerType),

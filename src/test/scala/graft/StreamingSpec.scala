@@ -41,6 +41,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startNc: raw .nc blobs (classic CDF-1 + HDF5) stream through the " +
+    "byte decoders; state == batch path; replay converges") {
+    val inDir = tmpDir("ncstream_in")
+    val whStream = tmpDir("ncstream_whS")
+    val whBatch = tmpDir("ncstream_whB")
+    val ckpt = tmpDir("ncstream_ckpt")
+
+    // two real .nc drops, one per codec, different generation dates —
+    // the exact blob sequence the reference's trigger consumes
+    def writeNc(path: String, dayOffset: Int, hdf5: Boolean): Unit = {
+      val times = Array((1590969600L + dayOffset * 86400L) * 1000000L) // 2020-06-01 + d
+      val leads = Array(1, 2)
+      val yc = Array(-537.5, -512.5)
+      val xc = Array(-262.5, -237.5)
+      val mean = Array.tabulate(8)(i => 0.1 * dayOffset + 0.01 * (i + 1))
+      val sd = Array.tabulate(8)(i => 0.001 * (i + 1))
+      if (hdf5)
+        graft.sources.Hdf5Netcdf.write(path, times, leads, yc, xc, mean, sd)
+      else
+        graft.sources.NetcdfClassic.write(path, times, leads, yc, xc, mean, sd,
+          recordTime = true)
+    }
+    writeNc(s"$inDir/drop_a.nc", 0, hdf5 = false)
+
+    val q = FileIngest.startNc(spark, inDir, whStream, North, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(TableOps.read(spark, s"$whStream/north_forecast").count() == 8)
+      writeNc(s"$inDir/drop_b.nc", 7, hdf5 = true) // second blob, other codec
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch path over the same two blobs in the same order
+    val pipeB = new graft.icenet.Pipeline(spark, whBatch, North)
+    pipeB.ingest(spark.read.format("gridded").load(s"$inDir/drop_a.nc"))
+    pipeB.ingest(spark.read.format("gridded").load(s"$inDir/drop_b.nc"))
+
+    def state(wh: String, table: String): Set[String] =
+      TableOps.read(spark, s"$wh/$table").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    for (t <- Seq("north_forecast", "north_forecast_latest", "forecast_meta")) {
+      val s = state(whStream, t)
+      assert(s == state(whBatch, t), s"stream vs batch state diverges on $t")
+      assert(s.nonEmpty, s"$t empty")
+    }
+    assert(state(whStream, "north_forecast_latest")
+      .forall(_.contains("2020-06-08")), "latest view must be the second drop")
+
+    // replay: fresh checkpoint, same files, same warehouse -> fixed point
+    val before = Seq("north_forecast", "north_forecast_latest", "forecast_meta")
+      .map(t => t -> state(whStream, t)).toMap
+    val q2 = FileIngest.startNc(spark, inDir, whStream, North, tmpDir("ncstream_ckpt2"))
+    try q2.processAllAvailable() finally q2.stop()
+    for ((t, s) <- before)
+      assert(state(whStream, t) == s, s"replay must converge on $t")
+  }
+
   test("windowedByType on a stream: watermark drops data later than 1 hour") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
