@@ -107,6 +107,18 @@ object GridFixture {
         latestFormat = true, unlimitedTime = true)
     }
 
+  /** Same logical content indexed by a v2 B-TREE chunk index (layout v4
+    * type 5, `BTHD`/`BTLF`, filtered type-11 records) — the chunk index
+    * `libver='latest'` writers emit for datasets with more than one
+    * unlimited dimension. Oracle: `gridded_ingest_hdf5_bt2`.
+    */
+  def ensureWrittenH5Bt2(path: String): String =
+    ensureWith(path) { tmp =>
+      Hdf5Netcdf.write(tmp, TimesMicros, Leadtimes, Yc, Xc,
+        flat(meanAt), flat(stddevAt), chunkX = Some(5), filters = Seq(2, 1),
+        latestFormat = true, btreeV2Index = true)
+    }
+
   private def ensureWith(path: String)(write: String => Unit): String =
     synchronized {
       val f = new java.io.File(path)
@@ -136,4 +148,7 @@ object GridFixture {
   def defaultH5UnlimPath: String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_grid_fixture_h5_unlim_v1.nc").getAbsolutePath
+  def defaultH5Bt2Path: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_grid_fixture_h5_bt2_v1.nc").getAbsolutePath
 }

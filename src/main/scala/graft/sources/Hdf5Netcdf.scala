@@ -30,7 +30,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    fixed-array (v4, `FAHD`/`FADB` checksummed, non-paged), AND
   *    extensible-array (v4, `EAHD`/`EAIB`/`EADB` checksummed — the
   *    unlimited-time appendable shape, inline + directly-addressed data
-  *    blocks) — per-chunk filter masks, full-size zero-padded edge
+  *    blocks), AND v2 B-trees (v4, `BTHD`/`BTLF`/`BTIN` checksummed,
+  *    record types 10/11 — the multi-unlimited-dim shape, depth ≤ 1) —
+  *    per-chunk filter masks, full-size zero-padded edge
   *    chunks, hyperslab reads that fetch only intersecting chunks;
   *  - filter pipelines v1/v2: deflate (JDK Inflater), shuffle
   *    (byte-plane transpose), fletcher32 (verified with HDF5's
@@ -38,10 +40,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    i.e. netCDF4's default shuffle+deflate compression decodes.
   * Rejected LOUDLY, never misread: superblock v1 (rare 1.6-era indexed
   * variant), dense link storage, paged fixed arrays and paged or
-  * secondary-block extensible-array regions, v2-B-tree chunk indexes
-  * (multi-unlimited-dim datasets), other filters (szip/nbit/
-  * scaleoffset), non-atomic data types. The error text names the
-  * feature so the user knows what to re-save without.
+  * secondary-block extensible-array regions, v2 B-trees deeper than one
+  * internal level, other filters (szip/nbit/scaleoffset), non-atomic
+  * data types. The error text names the feature so the user knows what
+  * to re-save without.
   *
   * The grid view mirrors [[NetcdfClassic]]: datasets named
   * `time`/`leadtime`/`yc`/`xc` + `sic_mean`/`sic_stddev` (legacy
@@ -97,6 +99,11 @@ object Hdf5Netcdf {
   private[sources] case class ExtensibleArrayIndex(
       addr: Long, maxBits: Int, ibElmts: Int, sbMinPtrs: Int,
       dbMinElmts: Int, pageBits: Int) extends ChunkIndex
+  /** v2 B-tree chunk index (layout v4 type 5) — what `libver='latest'`
+    * writers emit for a dataset with MORE THAN ONE unlimited dimension.
+    */
+  private[sources] case class BTreeV2Index(
+      addr: Long, nodeSize: Int) extends ChunkIndex
 
   private[sources] case class Chunked(
       index: ChunkIndex, dims: Vector[Long],
@@ -346,7 +353,16 @@ object Hdf5Netcdf {
         b.get() // message flags
         if (withOrder) b.getShort()
         if (b.remaining() < msgSize) {
-          b.position(b.limit()) // trailing gap (< one message header)
+          // A gap too small to hold a message header is legal padding (the
+          // while condition already stops there). But THIS branch means a
+          // full header was parsed and its declared size overflows the
+          // block — that is a corrupt msgSize, and the spec packs real
+          // gaps with NIL messages, so reject loudly instead of silently
+          // dropping whatever the truncated tail held.
+          throw new IllegalArgumentException(
+            s"corrupt HDF5 v2 object header at $addr: message type $msgType " +
+              s"declares size $msgSize but only ${b.remaining()} bytes remain " +
+              "in its OHDR/OCHK block")
         } else {
           val body = b.slice().order(ByteOrder.LITTLE_ENDIAN)
           body.limit(msgSize)
@@ -456,9 +472,10 @@ object Hdf5Netcdf {
             val pageBits = b.get().toInt & 0xFF
             ExtensibleArrayIndex(
               b.getLong(), maxBits, ibElmts, sbMinPtrs, dbMinElmts, pageBits)
-          case 5 => throw new IllegalArgumentException(
-            "HDF5 v2 B-tree chunk index unsupported " +
-              "(multi-unlimited-dimension dataset — needs an external codec)")
+          case 5 => // v2 B-tree: node size(4), split%(1), merge%(1), addr
+            val nodeSize = b.getInt()
+            b.get(); b.get() // split/merge percents: write-side knobs only
+            BTreeV2Index(b.getLong(), nodeSize)
           case t => throw new IllegalArgumentException(
             s"HDF5 chunk indexing type $t unknown")
         }
@@ -1021,6 +1038,125 @@ object Hdf5Netcdf {
     }
   }
 
+  /** Reads a v2 B-tree chunk index (`BTHD` header + `BTLF` leaf / `BTIN`
+    * internal nodes, record types 10 unfiltered / 11 filtered) — the
+    * index `libver='latest'` writers emit for a dataset with more than
+    * one unlimited dimension. Records hold SCALED (grid-coordinate)
+    * offsets; element offsets are recovered by multiplying with the
+    * chunk dims. The bounded slice is depth ≤ 1 (root leaf, or one
+    * internal level of leaves — thousands of chunks at libhdf5's default
+    * 2 KiB node); deeper trees are rejected loudly by depth, never
+    * misread. All node checksums (lookup3, over the USED prefix — the
+    * spec stores the sum immediately after the last record) are
+    * verified. The filtered record's chunk-size field width is derived
+    * from the header's record size (= recSize − 12 − 8·rank), mirroring
+    * the spec's max-chunk-size-dependent encoding.
+    */
+  private def btree2ChunkEntries(
+      r: Reader, bt: BTreeV2Index, cdims: Vector[Long],
+      chunkBytes: Long): Vector[ChunkEntry] = {
+    if (bt.addr == Undef) return Vector.empty
+    val ndims = cdims.size
+    // ---- header (BTHD)
+    val hdrLen = 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4
+    val hRaw = new Array[Byte](hdrLen); r.fetch(bt.addr, hdrLen).get(hRaw)
+    val h = ByteBuffer.wrap(hRaw).order(ByteOrder.LITTLE_ENDIAN)
+    val hSig = new Array[Byte](4); h.get(hSig)
+    require(hSig.sameElements("BTHD".getBytes),
+      s"bad HDF5 v2 B-tree header signature at ${bt.addr}")
+    require(h.get() == 0, "HDF5 v2 B-tree header version unsupported")
+    val btType = h.get().toInt
+    require(btType == 10 || btType == 11,
+      s"HDF5 v2 B-tree record type $btType unsupported (chunk records only)")
+    val nodeSize = h.getInt()
+    require(nodeSize == bt.nodeSize,
+      s"HDF5 v2 B-tree node size $nodeSize != layout message ${bt.nodeSize}")
+    val recSize = h.getShort().toInt & 0xFFFF
+    val depth = h.getShort().toInt & 0xFFFF
+    h.get(); h.get() // split/merge percents
+    val rootAddr = h.getLong()
+    val rootNrec = h.getShort().toInt & 0xFFFF
+    h.getLong() // total records in tree
+    checkSum(hRaw, 0, hdrLen - 4, h.getInt(hdrLen - 4).toLong & 0xFFFFFFFFL,
+      "v2 B-tree header (BTHD)")
+    val szLen = if (btType == 11) recSize - 12 - 8 * ndims else 0
+    if (btType == 10)
+      require(recSize == 8 + 8 * ndims,
+        s"HDF5 v2 B-tree type-10 record size $recSize != ${8 + 8 * ndims}")
+    else require(szLen >= 1 && szLen <= 8,
+      s"HDF5 v2 B-tree type-11 record size $recSize inconsistent with " +
+        s"rank $ndims (chunk-size width $szLen)")
+    require(depth <= 1,
+      s"HDF5 v2 B-tree depth $depth unsupported (root leaf or one " +
+        "internal level only — deeper trees need an external codec)")
+    def record(b: ByteBuffer): ChunkEntry = {
+      val addr = b.getLong()
+      val (nbytes, mask) =
+        if (btType == 10) (chunkBytes, 0)
+        else {
+          val sz = szLen match {
+            case 1 => (b.get().toInt & 0xFF).toLong
+            case 2 => (b.getShort().toInt & 0xFFFF).toLong
+            case 3 => (b.get().toInt & 0xFF).toLong |
+              ((b.get().toInt & 0xFF).toLong << 8) |
+              ((b.get().toInt & 0xFF).toLong << 16)
+            case 4 => b.getInt().toLong & 0xFFFFFFFFL
+            case 8 => b.getLong()
+            case n => throw new IllegalArgumentException(
+              s"HDF5 v2 B-tree chunk-size field width $n unsupported")
+          }
+          (sz, b.getInt())
+        }
+      val scaled = Vector.fill(ndims)(b.getLong())
+      ChunkEntry(scaled.lazyZip(cdims).map(_ * _).toVector,
+        nbytes.toInt, mask, addr)
+    }
+    def leaf(addr: Long, nrec: Int): Vector[ChunkEntry] = {
+      val len = 4 + 1 + 1 + nrec * recSize + 4
+      val raw = new Array[Byte](len); r.fetch(addr, len).get(raw)
+      val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      val sig = new Array[Byte](4); b.get(sig)
+      require(sig.sameElements("BTLF".getBytes),
+        s"bad HDF5 v2 B-tree leaf signature at $addr")
+      require(b.get() == 0, "HDF5 v2 B-tree leaf version unsupported")
+      require(b.get().toInt == btType, "HDF5 v2 B-tree leaf type mismatch")
+      checkSum(raw, 0, len - 4, b.getInt(len - 4).toLong & 0xFFFFFFFFL,
+        "v2 B-tree leaf (BTLF)")
+      b.position(6)
+      Vector.fill(nrec)(record(b))
+    }
+    if (depth == 0) leaf(rootAddr, rootNrec)
+    else {
+      // one internal level: n records interleave n+1 leaf pointers, each
+      // pointer = child address + record count (width = bytes needed for
+      // the node-size-implied max leaf records, the spec's encoding)
+      val maxLeafRec = (nodeSize - 10) / recSize
+      val cntW = (63 - java.lang.Long.numberOfLeadingZeros(
+        maxLeafRec.toLong)).toInt / 8 + 1
+      val len = 4 + 1 + 1 + rootNrec * recSize +
+        (rootNrec + 1) * (8 + cntW) + 4
+      val raw = new Array[Byte](len); r.fetch(rootAddr, len).get(raw)
+      val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      val sig = new Array[Byte](4); b.get(sig)
+      require(sig.sameElements("BTIN".getBytes),
+        s"bad HDF5 v2 B-tree internal-node signature at $rootAddr")
+      require(b.get() == 0, "HDF5 v2 B-tree internal version unsupported")
+      require(b.get().toInt == btType,
+        "HDF5 v2 B-tree internal type mismatch")
+      checkSum(raw, 0, len - 4, b.getInt(len - 4).toLong & 0xFFFFFFFFL,
+        "v2 B-tree internal node (BTIN)")
+      b.position(6)
+      val recs = Vector.fill(rootNrec)(record(b))
+      val ptrs = Vector.fill(rootNrec + 1) {
+        val a = b.getLong()
+        var n = 0L
+        for (i <- 0 until cntW) n |= (b.get().toLong & 0xFF) << (8 * i)
+        (a, n.toInt)
+      }
+      ptrs.flatMap { case (a, n) => leaf(a, n) } ++ recs
+    }
+  }
+
   /** Dispatches chunk enumeration over the layout's index structure.
     * `cdims` excludes the trailing element-size entry; `chunkBytes` is the
     * full stored chunk byte count.
@@ -1045,6 +1181,8 @@ object Hdf5Netcdf {
       fixedArrayEntries(r, fa, dsDims, cdims, chunkBytes)
     case ea: ExtensibleArrayIndex =>
       extensibleArrayEntries(r, ea, dsDims, cdims, chunkBytes)
+    case bt: BTreeV2Index =>
+      btree2ChunkEntries(r, bt, cdims, chunkBytes)
   }
 
   /** Reads the hyperslab `[start, start+count)` of a chunked dataset:
@@ -1442,7 +1580,11 @@ object Hdf5Netcdf {
       dimList: Option[Seq[String]] = None,
       unlimitedTime: Boolean = false,
       splitHeaders: Boolean = false,
-      implicitIndex: Boolean = false): Unit = {
+      implicitIndex: Boolean = false,
+      btreeV2Index: Boolean = false): Unit = {
+    require(!btreeV2Index || (latestFormat && chunkX.isDefined &&
+      !unlimitedTime && !implicitIndex),
+      "btreeV2Index needs latestFormat + chunkX, sans unlimited/implicit")
     require(dimList.isEmpty || latestFormat,
       "dimList fixtures are authored in the latest-format dialect")
     require(!unlimitedTime || latestFormat,
@@ -1696,6 +1838,20 @@ object Hdf5Netcdf {
         Seq(1L, nl.toLong, ny.toLong, cx.toLong, dataEs.toLong).foreach(le.u64)
         msg2(0x0008, le.u8(2).u64(addr).bytes)
       }
+      // v2 B-tree creation parameters (libhdf5's chunk-index defaults)
+      val Bt2NodeSize = 2048; val Bt2Split = 100; val Bt2Merge = 40
+      // spec's chunk-size field width: bytes to encode the max chunk size
+      val bt2SzLen: Int =
+        (63 - java.lang.Long.numberOfLeadingZeros(
+          (nl.toLong * ny * cx * dataEs).max(1L))).toInt / 8 + 1
+      def bt2RecSize: Int =
+        if (filtered) 8 + bt2SzLen + 4 + 8 * 4 else 8 + 8 * 4
+      def layout4Bt2(hdrAddr: Long): Array[Byte] = {
+        val le = new Le().u8(4).u8(2).u8(0).u8(5).u8(8)
+        Seq(1L, nl.toLong, ny.toLong, cx.toLong, dataEs.toLong).foreach(le.u64)
+        le.u8(5).u32(Bt2NodeSize.toLong).u8(Bt2Split).u8(Bt2Merge)
+        msg2(0x0008, le.u64(hdrAddr).bytes)
+      }
       def header2(
           s: Spec, addr: Long, aux: Long, mask: Int, gcol: Long,
           contAddr: Long = Undef): Array[Byte] = {
@@ -1703,11 +1859,12 @@ object Hdf5Netcdf {
           if (!chunkedNames(s.name))
             Seq(layout4Contiguous(addr, s.dims.product * s.es))
           else {
-            val one =
-              !unlimitedTime && !implicitIndex && nt == 1 && cx >= nx
+            val one = !unlimitedTime && !implicitIndex &&
+              !btreeV2Index && nt == 1 && cx >= nx
             val l =
               if (unlimitedTime) layout4Ea(addr)
               else if (implicitIndex) layout4Implicit(addr)
+              else if (btreeV2Index) layout4Bt2(addr)
               else if (one) layout4Single(addr, aux, mask)
               else layout4Fa(addr, aux.toInt)
             if (filtered) Seq(l, filterMsg2) else Seq(l)
@@ -1813,10 +1970,19 @@ object Hdf5Netcdf {
           val hd = cursor; cursor += (eaHdrLen + 7) / 8 * 8
           s.name -> Placed(placed, Undef, Undef, pb, dblks, ib, hd)
         } else {
-          val single = implicitIndex || (nt == 1 && cx >= nx)
+          val single =
+            !btreeV2Index && (implicitIndex || (nt == 1 && cx >= nx))
           val (fahd, fadb) =
             if (single) (Undef, Undef)
-            else {
+            else if (btreeV2Index) { // depth-0 tree: one BTLF + the BTHD
+              require(placed.size <= (Bt2NodeSize - 10) / bt2RecSize,
+                s"btreeV2Index fixture writer: ${placed.size} chunks " +
+                  "exceed one leaf node")
+              val lfLen = 4 + 1 + 1 + placed.size * bt2RecSize + 4
+              val lf = cursor; cursor += (lfLen + 7) / 8 * 8
+              val hd = cursor; cursor += 40 // BTHD is 38 bytes, 8-aligned
+              (hd, lf)
+            } else {
               val entrySize = if (filtered) 16 else 8
               val dbLen = 4 + 1 + 1 + 8 + placed.size * entrySize + 4
               val db = cursor; cursor += (dbLen + 7) / 8 * 8
@@ -1907,6 +2073,30 @@ object Hdf5Netcdf {
             .u64(p.eaDblks.size.toLong).u64(totalDblkBytes)
             .u64(p.blobs.size.toLong).u64(p.blobs.size.toLong)
             .u64(p.eaIblock)
+          val hdB = hd.bytes
+          out.raw(hdB).u32(lookup3(hdB, 0, hdB.length)).pad(8)
+        } else if (btreeV2Index && p.fahd != Undef) {
+          val btType = if (filtered) 11 else 10
+          // leaf (BTLF): records in scaled-offset order = the blobs'
+          // own t-major, x-minor generation order
+          val lf = new Le().raw("BTLF".getBytes).u8(0).u8(btType)
+          p.blobs.foreach { case (b, a) =>
+            lf.u64(a)
+            if (filtered) {
+              val sz = b.bytes.length.toLong
+              (0 until bt2SzLen).foreach(i => lf.u8(((sz >> (8 * i)) & 0xFF).toInt))
+              lf.u32(0L) // filter mask: all filters applied
+            }
+            // scaled offsets: element offsets / chunk dims, rank entries
+            Seq(b.offs(0) / 1, b.offs(1) / nl, b.offs(2) / ny,
+              b.offs(3) / cx).foreach(lf.u64)
+          }
+          val lfB = lf.bytes
+          out.raw(lfB).u32(lookup3(lfB, 0, lfB.length)).pad(8)
+          val hd = new Le().raw("BTHD".getBytes).u8(0).u8(btType)
+            .u32(Bt2NodeSize.toLong).u16(bt2RecSize).u16(0 /* depth */)
+            .u8(Bt2Split).u8(Bt2Merge)
+            .u64(p.fadb).u16(p.blobs.size).u64(p.blobs.size.toLong)
           val hdB = hd.bytes
           out.raw(hdB).u32(lookup3(hdB, 0, hdB.length)).pad(8)
         } else if (p.fahd != Undef) {

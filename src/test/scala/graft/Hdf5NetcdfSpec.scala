@@ -177,6 +177,22 @@ class Hdf5NetcdfSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("latest-format v2 B-tree chunk index round-trips " +
+    "(filtered type-11 and unfiltered type-10 records)") {
+    val dir = tmpDir("h5bt2")
+    Hdf5Netcdf.write(s"$dir/a.nc", times, leads, yc, xc, mean, stddev)
+    Hdf5Netcdf.write(s"$dir/b.nc", times, leads, yc, xc, mean, stddev,
+      chunkX = Some(2), filters = Seq(2, 1), latestFormat = true,
+      btreeV2Index = true)
+    Hdf5Netcdf.write(s"$dir/c.nc", times, leads, yc, xc, mean, stddev,
+      chunkX = Some(2), latestFormat = true, btreeV2Index = true)
+    val a = readDf(s"$dir/a.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    val b = readDf(s"$dir/b.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    val c = readDf(s"$dir/c.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq == c.toSeq)
+  }
+
   test("latest-format single-chunk index (chunk == dataset) round-trips") {
     val dir = tmpDir("h5lsc")
     val t1 = Array(times(0))
