@@ -431,16 +431,13 @@ object SparkEntry {
       // each labeled with its smallest member
       graft.ops.Dedup.connectedComponents(
         graft.ops.Dedup.minhashCandidates(Tables.documents(s, dir)))),
-    "dedup_method_agreement" -> { (s, dir) =>
+    "dedup_method_agreement" -> ((s, dir) =>
       // do MinHash, n-gram Jaccard, and SimHash find the SAME pairs?
       // pairwise set sizes, intersections, and pair-set Jaccard - the
-      // meta-audit behind any cross-method recall claim
-      val docs = Tables.documents(s, dir)
-      graft.ops.Dedup.pairSetAgreement(Seq(
-        "minhash" -> graft.ops.Dedup.minhashCandidates(docs),
-        "ngram" -> graft.ops.Dedup.ngramJaccardPairs(docs),
-        "simhash" -> graft.ops.Dedup.simhashCandidates(docs)))
-    },
+      // meta-audit behind any cross-method recall claim. One shared
+      // materialized tokenization feeds all three chains (r9: the
+      // independent composition re-tokenized the corpus three times)
+      graft.ops.Dedup.methodAgreement(Tables.documents(s, dir))),
     "events_pit_labels" -> ((s, dir) =>
       // point-in-time training set: integer features strictly BEFORE the
       // cutoff, churn label strictly from the 7-day window AFTER it -
@@ -599,8 +596,10 @@ object SparkEntry {
     "rec_user_topn" -> ((s, dir) =>
       // user top-3 item-CF recommendations: |history| x 10 truncated
       // neighbor expansion (the production fan-out cap), integer score
-      // sums, owned items anti-joined out
-      graft.ops.Recommend.recommendItems(
+      // sums, owned items anti-joined out. Served from the memoized
+      // materialized artifact (r9): the audit query consumes the same
+      // table, so the chain builds once per (session, dir)
+      graft.ops.Recommend.recommendationsFor(dir,
         Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "graph_modularity" -> ((s, dir) =>
       // Newman modularity of the LPA communities: did label propagation
@@ -610,9 +609,13 @@ object SparkEntry {
       graft.ops.Graph.communityModularity(Tables.lineitem(s, dir))),
     "rec_coverage" -> ((s, dir) =>
       // recommender health audit: catalog coverage + max exposure share
-      // of the rec_user_topn output, exact fixed-point ratios
-      graft.ops.Recommend.coverageAudit(
-        Tables.lineitem(s, dir), Tables.orders(s, dir))),
+      // of the rec_user_topn output, exact fixed-point ratios. Audits
+      // the SAME memoized artifact rec_user_topn serves (r9) — pure
+      // O(recs) aggregation, never a second chain build
+      graft.ops.Recommend.coverageAuditOf(
+        graft.ops.Recommend.recommendationsFor(dir,
+          Tables.lineitem(s, dir), Tables.orders(s, dir)),
+        Tables.lineitem(s, dir))),
     "eval_feature_auc" -> ((s, dir) =>
       // one-pass feature screening: per-feature midrank AUC against the
       // returned-flag label, integer-quantized scores so rank sums are
@@ -1463,6 +1466,17 @@ object SparkEntry {
       // produces; same fixture content, same closed-form oracle
       val path = graft.sources.GridFixture.ensureWrittenH5Unlim(
         graft.sources.GridFixture.defaultH5UnlimPath)
+      Ingest.load(s.read.format("gridded").load(path))
+        .select("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
+          "sea_ice_concentration_mean", "sea_ice_concentration_stddev")
+    },
+    "gridded_ingest_hdf5_bt2" -> { (s, dir) =>
+      // the multi-unlimited-dim shape: layout-v4 v2 B-TREE chunk index
+      // (BTHD header + BTLF leaf, filtered type-11 records),
+      // shuffle+deflate — the last mainstream chunk-index class; same
+      // fixture content, same closed-form oracle
+      val path = graft.sources.GridFixture.ensureWrittenH5Bt2(
+        graft.sources.GridFixture.defaultH5Bt2Path)
       Ingest.load(s.read.format("gridded").load(path))
         .select("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
           "sea_ice_concentration_mean", "sea_ice_concentration_stddev")
@@ -2704,8 +2718,11 @@ object SparkEntry {
         |FROM ky a JOIN ky b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.key, b.key) <= 3""".stripMargin,
     "assoc_basket_pairs" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-        |               FROM lineitem),
+      """WITH items AS (SELECT basket, item FROM (
+        |            SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bsz
+        |            FROM (SELECT DISTINCT l_orderkey AS basket,
+        |                         l_partkey AS item FROM lineitem))
+        |          WHERE bsz <= 1000),
         |pairs AS (SELECT a.item AS part_a, b.item AS part_b,
         |                 count(*) AS pair_cnt
         |          FROM items a JOIN items b
@@ -2724,8 +2741,11 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
     "assoc_rules" -> // same pair/support CTEs, support filter, direction
       // unpivot, exact fixed-point confidence
-      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-        |               FROM lineitem),
+      """WITH items AS (SELECT basket, item FROM (
+        |            SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bsz
+        |            FROM (SELECT DISTINCT l_orderkey AS basket,
+        |                         l_partkey AS item FROM lineitem))
+        |          WHERE bsz <= 1000),
         |pairs AS (SELECT a.item AS part_a, b.item AS part_b,
         |                 count(*) AS pair_cnt
         |          FROM items a JOIN items b
@@ -2745,8 +2765,11 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
     "rec_item_cosine" -> // assoc_basket_pairs' pair/support CTEs, scored
       // as floor((pair·1e6)/sqrt(ca·cb)) — identical doubles, exact floor
-      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-        |               FROM lineitem),
+      """WITH items AS (SELECT basket, item FROM (
+        |            SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bsz
+        |            FROM (SELECT DISTINCT l_orderkey AS basket,
+        |                         l_partkey AS item FROM lineitem))
+        |          WHERE bsz <= 1000),
         |pairs AS (SELECT a.item AS part_a, b.item AS part_b,
         |                 count(*) AS pair_cnt
         |          FROM items a JOIN items b
@@ -2763,8 +2786,11 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
     "rec_user_topn" -> // same scored pairs, symmetrized, neighbor lists
       // capped at 10, integer score sums, owned items excluded
-      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-        |               FROM lineitem),
+      """WITH items AS (SELECT basket, item FROM (
+        |            SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bsz
+        |            FROM (SELECT DISTINCT l_orderkey AS basket,
+        |                         l_partkey AS item FROM lineitem))
+        |          WHERE bsz <= 1000),
         |pairs AS (SELECT a.item AS part_a, b.item AS part_b,
         |                 count(*) AS pair_cnt
         |          FROM items a JOIN items b
@@ -2802,8 +2828,11 @@ object SparkEntry {
         |WHERE rn <= 3""".stripMargin,
     "rec_coverage" -> // rec_user_topn's full chain, audited: coverage
       // and exposure ratios in exact fixed point
-      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-        |               FROM lineitem),
+      """WITH items AS (SELECT basket, item FROM (
+        |            SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bsz
+        |            FROM (SELECT DISTINCT l_orderkey AS basket,
+        |                         l_partkey AS item FROM lineitem))
+        |          WHERE bsz <= 1000),
         |pairs AS (SELECT a.item AS part_a, b.item AS part_b,
         |                 count(*) AS pair_cnt
         |          FROM items a JOIN items b
@@ -2856,8 +2885,11 @@ object SparkEntry {
     "graph_local_clustering" -> // same strong-tie edges as
       // graph_triangles, direct triple-join triangle list, per-vertex
       // unpivot census, exact fixed-point coefficient
-      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-        |               FROM lineitem),
+      """WITH items AS (SELECT basket, item FROM (
+        |            SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bsz
+        |            FROM (SELECT DISTINCT l_orderkey AS basket,
+        |                         l_partkey AS item FROM lineitem))
+        |          WHERE bsz <= 1000),
         |e AS (SELECT a.item AS u, b.item AS v
         |      FROM items a JOIN items b
         |        ON a.basket = b.basket AND a.item < b.item
@@ -3758,8 +3790,11 @@ object SparkEntry {
     "graph_triangles" -> // direct triple-join census: the O(wedges) form
       // the fixture affords, certifying the oriented plan's count on the
       // same support>=2 strong-tie edge set
-      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-        |               FROM lineitem),
+      """WITH items AS (SELECT basket, item FROM (
+        |            SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bsz
+        |            FROM (SELECT DISTINCT l_orderkey AS basket,
+        |                         l_partkey AS item FROM lineitem))
+        |          WHERE bsz <= 1000),
         |e AS (SELECT a.item AS u, b.item AS v
         |      FROM items a JOIN items b
         |        ON a.basket = b.basket AND a.item < b.item
@@ -6090,6 +6125,28 @@ object SparkEntry {
         |       CAST(sic_stddev AS FLOAT) AS sea_ice_concentration_stddev
         |FROM vals
         |WHERE sic_mean > 0 AND sic_stddev IS NOT NULL""".stripMargin,
+    "gridded_ingest_hdf5_bt2" -> // once more: only the chunk index
+      // changed (v2 B-tree, the multi-unlimited-dim class)
+      """WITH ti AS (SELECT unnest(generate_series(0, 1)) AS t),
+        |li AS (SELECT unnest(generate_series(0, 2)) AS l),
+        |yi AS (SELECT unnest(generate_series(0, 5)) AS y),
+        |xi AS (SELECT unnest(generate_series(0, 7)) AS x),
+        |cells AS (
+        |  SELECT t, l, y, x, (7*t + 5*l + 3*y + x) % 19 AS k
+        |  FROM ti CROSS JOIN li CROSS JOIN yi CROSS JOIN xi),
+        |vals AS (
+        |  SELECT t, l, y, x,
+        |    CASE WHEN (t+l+y+x) % 11 = 0 THEN NULL ELSE k/10.0 - 0.4 END AS sic_mean,
+        |    CASE WHEN (t+l+y+x+1) % 13 = 0 THEN NULL ELSE (k*k % 7)/100.0 END AS sic_stddev
+        |  FROM cells)
+        |SELECT CAST(trunc((-262.5 + 25.0*x) * 1000) AS INT) AS xc_m,
+        |       CAST(trunc((-537.5 + 25.0*y) * 1000) AS INT) AS yc_m,
+        |       DATE '2020-03-01' + CAST(t AS INT) AS date_forecast_generated,
+        |       DATE '2020-03-01' + CAST(t + l + 1 AS INT) AS date_forecast_for,
+        |       CAST(sic_mean AS FLOAT) AS sea_ice_concentration_mean,
+        |       CAST(sic_stddev AS FLOAT) AS sea_ice_concentration_stddev
+        |FROM vals
+        |WHERE sic_mean > 0 AND sic_stddev IS NOT NULL""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
@@ -7500,8 +7557,11 @@ object SparkEntry {
         |SELECT day AS change_day, cusum, mu AS mean_daily, days
         |FROM c ORDER BY abs(cusum) DESC, day LIMIT 1""".stripMargin,
     "graph_degrees" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-        |               FROM lineitem),
+      """WITH items AS (SELECT basket, item FROM (
+        |            SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bsz
+        |            FROM (SELECT DISTINCT l_orderkey AS basket,
+        |                         l_partkey AS item FROM lineitem))
+        |          WHERE bsz <= 1000),
         |sized AS (SELECT basket, item FROM
         |            (SELECT *, count(*) OVER (PARTITION BY basket) AS bsz
         |             FROM items)

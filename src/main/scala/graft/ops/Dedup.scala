@@ -141,10 +141,17 @@ object Dedup {
     * over the token stream — the sort piggybacks on the doc_id exchange, and
     * every downstream per-doc aggregate is shuffle-free (already clustered).
     */
-  private[ops] def gramStream(docs: DataFrame, n: Int, extra: Seq[String]): DataFrame = {
+  private[ops] def gramStream(docs: DataFrame, n: Int, extra: Seq[String]): DataFrame =
+    gramStreamOf(tokenStream(docs, extra), n, extra)
+
+  /** [[gramStream]] over an ALREADY-TOKENIZED stream (doc_id[, extra...],
+    * pos, w) — the seam that lets [[methodAgreement]] materialize one
+    * tokenization and feed every candidate chain from it.
+    */
+  private[ops] def gramStreamOf(tok: DataFrame, n: Int, extra: Seq[String]): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"l$k"))
-    tokenStream(docs, extra)
+    tok
       .select((col("doc_id") +: extra.map(col)) ++ (col("w") +: leads): _*)
       .filter(if (n > 1) col(s"l${n - 1}").isNotNull else lit(true))
       .select((col("doc_id") +: extra.map(col)) :+
@@ -167,9 +174,12 @@ object Dedup {
     * The per-doc min aggregate needs no shuffle (rows are already clustered
     * by doc_id) — linear at 100 TB.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesOf(tokenStream(docs, Nil))
+
+  private[ops] def minhashSignaturesOf(tok: DataFrame): DataFrame = {
     val base = conv(substring(md5(col("gram")), 1, 7), 16, 10).cast("long")
-    gramStream(docs, 3, Nil)
+    gramStreamOf(tok, 3, Nil)
       .select(col("doc_id"), base.as("hb"))
       .groupBy("doc_id")
       .agg(
@@ -193,7 +203,10 @@ object Dedup {
     * sort is planned.
     */
   def minhashCandidates(docs: DataFrame): DataFrame =
-    lshSelfJoin(minhashSignatures(docs), Nil)
+    minhashCandidatesOf(tokenStream(docs, Nil))
+
+  private[ops] def minhashCandidatesOf(tok: DataFrame): DataFrame =
+    lshSelfJoin(minhashSignaturesOf(tok), Nil)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
@@ -283,7 +296,10 @@ object Dedup {
     * under codegen CSE) and every vote is a shift-and-mask on a long —
     * integer ops all the way into the 32 fixed-width sum aggregates.
     */
-  private def simhashSums(docs: DataFrame): DataFrame = {
+  private def simhashSums(docs: DataFrame): DataFrame =
+    simhashSumsOf(tokenStream(docs, Nil))
+
+  private def simhashSumsOf(tok: DataFrame): DataFrame = {
     val h = md5(col("w"))
     val words = (0 until SimhashBits / 8).map(k =>
       conv(substring(h, k * 8 + 1, 8), 16, 10).cast("long").as(s"h$k"))
@@ -293,7 +309,7 @@ object Dedup {
       (shiftright(col(s"h$k"), 4 * (7 - c) + 3).bitwiseAND(1L) * 2 - 1)
         .cast("int").as(s"v$p")
     }
-    tokenStream(docs, Nil)
+    tok
       .select(col("doc_id") +: words: _*)
       .select(col("doc_id") +: votes: _*)
       .groupBy("doc_id")
@@ -316,8 +332,8 @@ object Dedup {
     * compares, and the candidate join keys are (int, long) instead of
     * (int, 8-char string).
     */
-  private def simhashLong(docs: DataFrame): DataFrame =
-    simhashSums(docs)
+  private def simhashLong(sums: DataFrame): DataFrame =
+    sums
       .select(col("doc_id"),
         (1 to SimhashBits).map(p =>
           when(col(s"s$p") > 0, lit(1L << (SimhashBits - p))).otherwise(0L))
@@ -334,8 +350,11 @@ object Dedup {
     * Widening [[SimhashBits]] is the scale knob: band buckets grow as
     * 2^(bits/bands), cutting candidate density at higher corpus sizes.
     */
-  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhashLong(docs)
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashCandidatesOf(tokenStream(docs, Nil), maxHamming)
+
+  private[ops] def simhashCandidatesOf(tok: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhashLong(simhashSumsOf(tok))
     // band j = bits (31-8j)..(24-8j) of the long signature — the same 8-bit
     // blocks as the string formulation's substring bands, as integers
     val bands = (0 until SimhashBands).map(j =>
@@ -484,14 +503,17 @@ object Dedup {
     * once, and only ever materializes pairs that share at least one gram —
     * which is also every pair that can clear a positive threshold.
     */
-  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2): DataFrame =
+    ngramJaccardPairsOf(tokenStream(docs, Seq("lang")), minJaccard)
+
+  private[ops] def ngramJaccardPairsOf(tok: DataFrame, minJaccard: Double): DataFrame = {
     // bigram stream with the block key (lang + first token); tok0 rides the
     // same window sort the gram leads use. Distinct-ification and the size
     // rollup are shuffle-free: rows are already clustered by doc_id.
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val leads = Seq(lead(col("w"), 1).over(w).as("l1"),
       first(col("w")).over(w).as("tok0"))
-    val grams = tokenStream(docs, Seq("lang"))
+    val grams = tok
       .select(col("doc_id") +: col("lang") +: col("w") +: leads: _*)
       .filter(col("l1").isNotNull)
       .select(col("doc_id"), col("lang"), col("tok0"),
@@ -961,6 +983,19 @@ object Dedup {
     * to discriminate — every doc shares it); weights are per-doc gram
     * frequencies × quantized idf.
     *
+    * RESIDUAL CROSS-ENGINE RISK (documented, accepted): `trunc(ln(N/df)
+    * ·1e3)` is evaluated by each engine's libm. Unlike eval_ndcg's rank
+    * weights, idf's argument domain is DATA-DEPENDENT (one value per
+    * surviving df), so no Scala-side literal table can replace the call.
+    * ln(N/df)·1000 is never exactly integral for df < N (Lindemann:
+    * ln of a rational ≠ a nonzero rational), so divergence needs the
+    * true value within ~1 ulp of an integer boundary AND the two libms
+    * rounding to opposite sides — measure ~2^-52 per distinct df, i.e.
+    * ~|df domain|·2^-52 overall. DedupSpec pins the FIXTURE safe
+    * explicitly (every surviving ln(N/df)·1000 sits > 1e-6 from its
+    * truncation boundary), and GenScale's ×k replication preserves the
+    * N/df ratios exactly, so the sf1 gate inherits the same certificate.
+    *
     * Scale: the shared-term sort-merge self-join is inherently
     * quadratic in per-term df, so this operator is the exact RESCORING
     * stage — run it on a candidate pool (an LSH/minhash block union, a
@@ -1021,6 +1056,30 @@ object Dedup {
     * census itself is one equi-join + three 1-row aggregates per method
     * pair (reviewed broadcasts).
     */
+  /** Cross-method candidate agreement over ONE shared tokenization: do
+    * MinHash LSH, n-gram Jaccard, and SimHash find the same pairs? The
+    * naive composition ([[pairSetAgreement]] over three independently
+    * built chains) re-scans, re-splits, and re-explodes the corpus three
+    * times — and tokenization dominates those chains' cost (the regex
+    * split is the documented CPU hot spot in [[tokenStream]]'s scaladoc).
+    * Here the (doc_id, lang, pos, w) stream is materialized ONCE
+    * (localCheckpoint — partitioning and ordering survive into the
+    * LogicalRDD, so the per-doc windows and aggregates stay shuffle-free)
+    * and every chain derives from it. Answers are identical by
+    * construction: the chains run the same plans over the same stream
+    * (DedupSpec pins agreement with the independent composition).
+    */
+  def methodAgreement(
+      docs: DataFrame, maxHamming: Int = 3,
+      minJaccard: Double = 0.2): DataFrame = {
+    val tok = tokenStream(docs, Seq("lang")).localCheckpoint()
+    val plain = tok.select("doc_id", "pos", "w")
+    pairSetAgreement(Seq(
+      "minhash" -> minhashCandidatesOf(plain),
+      "ngram" -> ngramJaccardPairsOf(tok, minJaccard),
+      "simhash" -> simhashCandidatesOf(plain, maxHamming)))
+  }
+
   def pairSetAgreement(methods: Seq[(String, DataFrame)]): DataFrame = {
     require(methods.size >= 2, "pairSetAgreement: need at least 2 methods")
     val sets = methods.map { case (n, df) =>

@@ -283,6 +283,22 @@ object Expectations {
     * engines evaluate the identical expression on the identical double.
     * Released counts clamp at 0 (a negative count is not a count).
     *
+    * RESIDUAL CROSS-ENGINE RISK (documented, accepted): the ln() here is
+    * the one libm call in a certified column that the suite's
+    * no-cross-engine-logarithm rule (see eval_ndcg's e6 weight table)
+    * cannot eliminate — the argument is data-dependent (one value per
+    * GROUP KEY via md5), so no finite Scala-side literal table covers the
+    * domain. Divergence requires BOTH (a) the two libms rounding ln of
+    * the identical double to different ulps (each is ≤1 ulp off the true
+    * value, so they differ only when the true value sits within ~2^-52
+    * relative of a rounding boundary) AND (b) `round(·, 6)` mapping those
+    * two neighbors to different 1e-6 buckets (true value within one ulp
+    * of a 5e-7 tie). The joint event needs the md5-derived u to land in
+    * a measure ~2^-52 set; across g groups the failure odds are
+    * ~g·2^-52 — at a billion groups still ~2^-22. Accepted and pinned by
+    * ExpectationsSpec rather than hidden: the spec asserts the fixture's
+    * noise values sit far (> 1e-9) from every 5e-7 rounding tie.
+    *
     * Plan: one size-of-data grouped count to O(groups); the noise is
     * per-group scalar arithmetic — nothing after the first exchange
     * scales with the data.

