@@ -1046,6 +1046,28 @@ object SparkEntry {
     "skew_histogram" -> ((s, dir) =>
       // key-frequency histogram in power-of-two buckets over the join key
       operators.SkewProfile.histogram(Tables.lineitem(s, dir), "l_partkey")),
+    "skew_salt_plan" -> ((s, dir) =>
+      // the one-row shuffle pre-flight: skew factor (max*keys/rows) and
+      // the computed salt fan-out that flattens the hot partition - the
+      // j12_salted_join prescription derived from data, not guessed
+      graft.ops.Layout.joinKeySkew(
+        Tables.events(s, dir).filter(col("user_id").isNotNull),
+        col("user_id"))),
+    "text_boilerplate" -> ((s, dir) =>
+      // CCNet-style boilerplate census over positional 4-token chunks:
+      // chunks repeated across >= 2 docs of one language (here: the
+      // near-dup pairs' shared content; the fixture's max chunk df is 2,
+      // so the production-ish df>=3 would be vacuous), top-20 by df
+      graft.ops.TextAnalysis.boilerplateChunks(Tables.documents(s, dir))),
+    "curate_boilerplate_share" -> ((s, dir) =>
+      // per-doc share of corpus-repeated chunks - the signal a curation
+      // pass strips or prunes on; exact fixed-point ratios
+      graft.ops.TextAnalysis.boilerplateShare(Tables.documents(s, dir))),
+    "sim_sq8_error" -> ((s, dir) =>
+      // SQ8 acceptance report: per-label absolute reconstruction-error
+      // stats in e6 fixed point (order-independent BIGINT sums; the only
+      // doubles are single divisions of exact integers)
+      graft.ops.Similarity.sqErrorAudit(Tables.embeddings(s, dir))),
     "j8_interval_join" -> { (s, dir) =>
       // stream-stream interval join in its batch-equivalent form: each view
       // paired with the user's purchases in the preceding hour
@@ -4171,6 +4193,78 @@ object SparkEntry {
         |SELECT CAST(1 AS BIGINT) << (length(printf('%b', cnt)) - 1) AS bucket_lo,
         |       count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt
         |FROM c GROUP BY 1""".stripMargin,
+    "skew_salt_plan" -> // same key census, rolled to the one-row shuffle
+      // pre-flight; ceil-div mirrored as floor of ONE double division
+      """WITH c AS (SELECT user_id AS k, count(*) AS cnt FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |             count(*) AS n_keys, max(cnt) AS max_cnt FROM c),
+        |h AS (SELECT min(k) AS hot_key FROM c, t WHERE cnt = max_cnt)
+        |SELECT n_rows, n_keys, hot_key, max_cnt,
+        |       CAST((max_cnt * 2000000 + n_rows) // (2 * n_rows) AS DOUBLE)
+        |         / 1000000.0 AS hot_share,
+        |       CAST((max_cnt * n_keys * 2000000 + n_rows) // (2 * n_rows)
+        |         AS DOUBLE) / 1000000.0 AS skew_factor,
+        |       CAST(floor(CAST(max_cnt * n_keys + n_rows - 1 AS DOUBLE)
+        |         / CAST(n_rows AS DOUBLE)) AS BIGINT) AS salt_factor
+        |FROM t, h""".stripMargin,
+    "text_boilerplate" -> // positional 4-token chunk census per language
+      """WITH t AS (SELECT doc_id, lang,
+        |             regexp_split_to_array(trim(text), '\s+') AS a
+        |           FROM documents),
+        |s AS (SELECT doc_id, lang, a,
+        |        unnest(generate_series(0, len(a) - 4, 4)) AS st
+        |      FROM t WHERE len(a) >= 4),
+        |c AS (SELECT DISTINCT doc_id, lang,
+        |        array_to_string(a[st+1:st+4], ' ') AS chunk FROM s)
+        |SELECT lang, chunk, count(*) AS df
+        |FROM c GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY df DESC, lang, chunk LIMIT 20""".stripMargin,
+    "curate_boilerplate_share" -> // per-doc share of census-flagged chunks
+      """WITH t AS (SELECT doc_id, lang,
+        |             regexp_split_to_array(trim(text), '\s+') AS a
+        |           FROM documents),
+        |s AS (SELECT doc_id, lang, a,
+        |        unnest(generate_series(0, len(a) - 4, 4)) AS st
+        |      FROM t WHERE len(a) >= 4),
+        |c AS (SELECT DISTINCT doc_id, lang,
+        |        array_to_string(a[st+1:st+4], ' ') AS chunk FROM s),
+        |bp AS (SELECT lang, chunk FROM c GROUP BY 1, 2 HAVING count(*) >= 2),
+        |pd AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY 1),
+        |bd AS (SELECT c.doc_id, count(*) AS n_bp FROM c
+        |       JOIN bp USING (lang, chunk) GROUP BY 1)
+        |SELECT pd.doc_id, pd.n_chunks,
+        |       COALESCE(bd.n_bp, 0) AS n_bp_chunks,
+        |       CAST((COALESCE(bd.n_bp, 0) * 2000000 + pd.n_chunks)
+        |         // (2 * pd.n_chunks) AS DOUBLE) / 1000000.0 AS bp_share
+        |FROM pd LEFT JOIN bd ON pd.doc_id = bd.doc_id
+        |ORDER BY bp_share DESC, pd.doc_id LIMIT 20""".stripMargin,
+    "sim_sq8_error" -> // sim_topk_sq8's codebook + dequantization verbatim,
+      // audited: e6-floored per-element |err| -> exact BIGINT aggregates
+      """WITH v AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |d AS (SELECT u.i AS pos, min(vec[u.i]) AS mn,
+        |             max(vec[u.i]) - min(vec[u.i]) AS span
+        |      FROM v, unnest(generate_series(1, len(vec))) AS u(i) GROUP BY u.i),
+        |cb AS (SELECT list(mn ORDER BY pos) AS mns,
+        |              list(span ORDER BY pos) AS spans FROM d),
+        |xq AS (SELECT vec_id, label, vec,
+        |         list_transform(generate_series(1, len(vec)), i ->
+        |           CASE WHEN spans[i] = 0 THEN mns[i]
+        |                ELSE mns[i] + CAST(round((vec[i] - mns[i]) * 255
+        |                     / spans[i]) AS INT) * spans[i] / 255 END) AS xqv
+        |       FROM v CROSS JOIN cb),
+        |e AS (SELECT label,
+        |        CAST(floor(abs(vec[u.i] - xqv[u.i]) * 1e6) AS BIGINT) AS err
+        |      FROM xq, unnest(generate_series(1, len(vec))) AS u(i))
+        |SELECT label, count(*) AS n_elems,
+        |       CAST(sum(err) AS BIGINT) AS sum_abs_err_e6,
+        |       max(err) AS max_abs_err_e6,
+        |       CAST(sum(err * err) AS BIGINT) AS sum_sq_err_e12,
+        |       CAST(sum(err) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS mean_abs_err_e6
+        |FROM e GROUP BY 1 ORDER BY label""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
         |           FROM documents)

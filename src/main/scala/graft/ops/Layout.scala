@@ -212,4 +212,40 @@ object Layout {
         col("overlap_pairs"))
       .orderBy("layout")
   }
+
+  /** Join-key skew audit — the pre-flight a planner (or an engineer) runs
+    * before shuffling a 100 TB fact on a key: row/key counts, the hottest
+    * key (deterministically the smallest key among the maximum-count
+    * ones), its share of all rows, the skew factor max·keys/rows (1.0 =
+    * perfectly uniform), and the salt fan-out that would flatten the hot
+    * partition back to the average (⌈max·keys/rows⌉ — the `j12_salted_join`
+    * prescription, computed instead of guessed).
+    *
+    * All exact integer arithmetic / fixed-point ratios. Plan: ONE
+    * partial-aggregated groupBy on the key, then O(keys) 1-row rollups;
+    * the hot-key argmin rides a broadcast of the 1-row max. Nothing here
+    * scales with rows beyond the first exchange.
+    */
+  def joinKeySkew(fact: DataFrame, key: Column): DataFrame = {
+    val counts = fact.select(key.cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(
+      sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    val hot = counts
+      .join(broadcast(tot.select(col("max_cnt").as("mx"))),
+        col("cnt") === col("mx"))
+      .agg(min(col("k")).as("hot_key"))
+    tot.crossJoin(broadcast(hot))
+      .select(col("n_rows"), col("n_keys"), col("hot_key"), col("max_cnt"),
+        exactRatio(col("max_cnt"), col("n_rows"), 6).as("hot_share"),
+        exactRatio(col("max_cnt") * col("n_keys"), col("n_rows"), 6)
+          .as("skew_factor"),
+        // ceil-div as floor of one double division of exact BIGINTs —
+        // identical doubles floor identically on both engines (the oracle
+        // mirrors this construction, never `//`, so no div-convention gap)
+        floor((col("max_cnt") * col("n_keys") + col("n_rows") - 1)
+          .cast("double") / col("n_rows").cast("double"))
+          .cast("long").as("salt_factor"))
+  }
 }

@@ -274,6 +274,50 @@ object Similarity {
             .otherwise(round(d * (levels - 1) / s).cast("int"))).as("qvec"))
   }
 
+  /** Quantization-error audit of [[sqQuantize]] — the acceptance report a
+    * production deployment publishes before switching serving to the 4×
+    * smaller codes: per label-group, element counts and the absolute
+    * reconstruction-error distribution (sum / max / mean, plus the sum of
+    * squares for RMSE). Errors are e6-quantized per ELEMENT
+    * (floor(|x − xq|·1e6) — floor of identical doubles is engine-exact)
+    * so every aggregate is an order-independent BIGINT sum; the only
+    * doubles presented are single divisions of exact integers. Headroom:
+    * |err_e6| ≤ span·1e6/510 ≈ 4e3, squared ≤ 1.6e7 — the squared sum
+    * stays under 2^63 beyond 10^10 elements.
+    *
+    * Plan: quantize (narrow) → join codes back to originals on vec_id
+    * (same exchange both sides) → posexplode → one partial-aggregated
+    * groupBy(label). Linear, no pairwise anything.
+    */
+  def sqErrorAudit(embeddings: DataFrame, levels: Int = 256): DataFrame = {
+    val orig = withNorm(embeddings)
+      .select(col("vec_id"), col("vec"))
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val deq = sqQuantize(embeddings, levels)
+      .select(col("vec_id"),
+        zip_with(
+          zip_with(col("qvec"), col("spans"),
+            (q, s) => q.cast("double") * s / (levels - 1)),
+          col("mns"), (d, mn) => d + mn).as("xq"))
+    orig.join(deq, Seq("vec_id"))
+      .select(col("label"),
+        posexplode(zip_with(col("vec"), col("xq"),
+          (x, y) => floor(abs(x - y) * 1e6).cast("long"))).as(Seq("pos", "e")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_elems"),
+        sum(col("e")).as("sum_abs_err_e6"),
+        max(col("e")).as("max_abs_err_e6"),
+        sum(col("e") * col("e")).as("sum_sq_err_e12"))
+      .select(col("label"), col("n_elems"), col("sum_abs_err_e6"),
+        col("max_abs_err_e6"), col("sum_sq_err_e12"),
+        // ONE double division of exact BIGINTs (engine-identical; the
+        // checker rounds 6 dp) — ExactRatio's 2e6-scaled numerator would
+        // overflow first on corpus-scale sums
+        (col("sum_abs_err_e6").cast("double") / col("n_elems").cast("double"))
+          .as("mean_abs_err_e6"))
+      .orderBy(col("label").asc)
+  }
+
   /** Brute-force cosine top-k over DEQUANTIZED [[sqQuantize]] codes — the
     * accuracy/throughput trade a quantized ANN serves: 4x less data
     * scanned per probe at a small, measurable ranking error vs the exact

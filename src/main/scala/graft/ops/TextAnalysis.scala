@@ -641,6 +641,75 @@ object TextAnalysis {
         array_join(slice(col("t"), col("s") + 1, lit(chunkSize)), " ")
           .as("chunk_text"))
 
+  /** Boilerplate chunk census — the CCNet/RefinedWeb-style line-dedup
+    * step, re-expressed over positional token chunks (the fixture corpus
+    * has no newline structure; on real documents the chunker would split
+    * on lines). A doc's text is cut into NON-overlapping `chunkTokens`
+    * windows; a chunk appearing in ≥ `minDf` distinct documents of the
+    * same language is boilerplate (headers, footers, nav text, license
+    * blocks — and in this fixture, the near-duplicate cliques' shared
+    * content). Returns the top `topK` boilerplate chunks by document
+    * frequency.
+    *
+    * Plan: tokenize + chunk are narrow (scan speed); the census is one
+    * partial-aggregated groupBy on (lang, chunk) — map-side combine
+    * collapses each partition to its distinct chunks before the
+    * exchange; the top-k is a TakeOrdered. Nothing pairwise, nothing
+    * driver-side: linear at any corpus size.
+    */
+  def boilerplateChunks(
+      docs: DataFrame, chunkTokens: Int = 4, minDf: Long = 2,
+      topK: Int = 20): DataFrame =
+    positionalChunks(docs, chunkTokens)
+      .groupBy("lang", "chunk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("lang").asc, col("chunk").asc)
+      .limit(topK)
+
+  /** Per-document boilerplate share against the [[boilerplateChunks]]
+    * census: how much of each doc is corpus-repeated content — the
+    * per-doc signal a curation pass prunes or strips on. Top `topK` by
+    * share (exact fixed-point ratio), doc_id tie-break.
+    *
+    * The census side is support-bounded (df ≥ minDf ⇒ |census| ≤
+    * total chunks / minDf, and in practice boilerplate vocabularies are
+    * tiny), so the membership join broadcasts; the per-doc rollups ride
+    * the chunk stream's doc_id clustering.
+    */
+  def boilerplateShare(
+      docs: DataFrame, chunkTokens: Int = 4, minDf: Long = 2,
+      topK: Int = 20): DataFrame = {
+    val chunks = positionalChunks(docs, chunkTokens)
+    val bp = chunks
+      .groupBy("lang", "chunk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("lang", "chunk")
+    val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val bpPerDoc = chunks.join(bp, Seq("lang", "chunk"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bp_chunks"))
+    perDoc.join(bpPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_bp_chunks"), lit(0L)).as("n_bp_chunks"),
+        exactRatio(coalesce(col("n_bp_chunks"), lit(0L)), col("n_chunks"), 6)
+          .as("bp_share"))
+      .orderBy(col("bp_share").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Distinct (doc_id, lang, chunk) rows of the non-overlapping
+    * `n`-token chunking; docs shorter than one full chunk contribute
+    * nothing (partial tails would census as noise).
+    */
+  private def positionalChunks(docs: DataFrame, n: Int): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("lang"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - n, lit(n))).as("s"))
+      .select(col("doc_id"), col("lang"),
+        array_join(slice(col("t"), col("s") + 1, lit(n)), " ").as("chunk"))
+      .distinct()
+
   /** Okapi BM25 relevance of every document against a fixed query-term set
     * — the sparse-retrieval scorer a training pipeline uses for targeted
     * corpus selection (mine the documents most relevant to a domain before

@@ -18,6 +18,75 @@ class CorpusAnalyticsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("boilerplate census: shared chunks flagged per language; partial " +
+    "tails and short docs excluded; per-doc share exact") {
+    val docs = Seq(
+      // three docs share the exact 4-token chunk "a b c d" (>= minDf 3);
+      // doc 4 shares it but in language de (censused separately, df 1);
+      // doc 5 has 9 tokens -> 2 full chunks + a dropped 1-token tail;
+      // doc 6 is 3 tokens long -> no full chunk, absent from the report
+      (1L, "a b c d x1 x2 x3 x4", "en"),
+      (2L, "a b c d y1 y2 y3 y4", "en"),
+      (3L, "a b c d z1 z2 z3 z4", "en"),
+      (4L, "a b c d w1 w2 w3 w4", "de"),
+      (5L, "a b c d a b c d tail", "en"),
+      (6L, "too short doc", "en")).toDF("doc_id", "text", "lang")
+    val census = TextAnalysis.boilerplateChunks(docs, minDf = 3)
+      .as[(String, String, Long)].collect().toSeq
+    // doc 5's duplicate chunk counts ONCE per doc (distinct), so df = 4
+    assert(census == Seq(("en", "a b c d", 4L)))
+    val share = TextAnalysis.boilerplateShare(docs, minDf = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 5: 2 chunk rows but "a b c d" twice -> 1 DISTINCT chunk, all
+    // boilerplate -> share 1.0; docs 1-3: 2 chunks, 1 boilerplate -> 0.5
+    assert(share(5L) == ((1L, 1L, 1.0)))
+    assert(share(1L) == ((2L, 1L, 0.5)))
+    assert(share(4L) == ((2L, 0L, 0.0))) // de census never reaches minDf
+    assert(!share.contains(6L))
+  }
+
+  test("joinKeySkew: hand-computed skew factor, hot-key tie-break, salt") {
+    val fact = (Seq.fill(6)(10L) ++ Seq.fill(6)(20L) ++
+      Seq(30L, 30L, 30L, 40L)).toDF("k")
+    val got = graft.ops.Layout.joinKeySkew(fact, col("k"))
+      .as[(Long, Long, Long, Long, Double, Double, Long)].collect().head
+    // 16 rows, 4 keys, max 6 (keys 10 and 20 tie -> hot_key = 10),
+    // hot_share 6/16 = 0.375, skew = 6*4/16 = 1.5, salt = ceil(1.5) = 2
+    assert(got == ((16L, 4L, 10L, 6L, 0.375, 1.5, 2L)))
+  }
+
+  test("sqErrorAudit: exact integer error accounting matches a Scala " +
+    "recomputation of the same quantizer") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 1.0f), 1),
+      (1L, Array(0.5f, -1.0f), 1),
+      (2L, Array(1.0f, 0.25f), 2))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.sqErrorAudit(df)
+      .as[(Int, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // recompute the audit in plain Scala: per-dim (mn, span) over the
+    // DOUBLE-cast values, q = round(d*255/span), xq = mn + q*span/255
+    val cols = vecs.map(_._2.map(_.toDouble))
+    val errsByLabel = vecs.zip(cols).flatMap { case ((_, _, lbl), v) =>
+      v.indices.map { i =>
+        val xs = cols.map(_(i))
+        val (mn, mx) = (xs.min, xs.max)
+        val span = mx - mn
+        val xq = if (span == 0) mn
+          else mn + math.round((v(i) - mn) * 255 / span).toDouble * span / 255
+        lbl -> math.floor(math.abs(v(i) - xq) * 1e6).toLong
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for ((lbl, errs) <- errsByLabel) {
+      val (n, s, mx2, sq) =
+        (errs.size.toLong, errs.sum, errs.max, errs.map(e => e * e).sum)
+      assert(got(lbl) == ((lbl, n, s, mx2, sq, s.toDouble / n.toDouble)),
+        s"label $lbl")
+    }
+  }
+
   test("funnel counts stages only in order and inside their windows") {
     val events = Seq(
       // u1: full conversion inside both windows

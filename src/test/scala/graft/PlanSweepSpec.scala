@@ -106,6 +106,12 @@ class PlanSweepSpec extends SparkSpec {
     // dedup_embedding's bounded 16-centroid attachment, reused by the
     // semantic-dedup composition
     "dedup_semantic",
+    // shuffle pre-flight: the 1-row totals and the 1-row hot-key argmin
+    // composed into the report row
+    "skew_salt_plan",
+    // SQ8 audit: the same 1-row (mns, spans) codebook broadcast as
+    // sim_topk_sq8, attached to every vector before the error explode
+    "sim_sq8_error",
     // same bounded 16-centroid broadcast, radius-query variant
     "retrieval_range_search",
     // bm25's 1-row corpus-stats broadcast inside the fused lexical pool
