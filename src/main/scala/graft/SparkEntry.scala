@@ -1068,6 +1068,17 @@ object SparkEntry {
       // stats in e6 fixed point (order-independent BIGINT sums; the only
       // doubles are single divisions of exact integers)
       graft.ops.Similarity.sqErrorAudit(Tables.embeddings(s, dir))),
+    "dedup_source_overlap" -> ((s, dir) =>
+      // cross-source contamination matrix: shared distinct 4-grams +
+      // overlap coefficient per source pair - mirror sites and re-crawls
+      // surface as high-overlap pairs; per-gram fan-out bounded by the
+      // SOURCE catalog (C(20,2)), never the corpus
+      graft.ops.Dedup.sourceOverlap(Tables.documents(s, dir))),
+    "dedup_yield" -> ((s, dir) =>
+      // per-language exact-dedup yield: docs/tokens before vs after
+      // keep-smallest-id dedup, token-removal share in exact fixed point
+      // - the cost/benefit line a curation run publishes
+      graft.ops.Dedup.dedupYield(Tables.documents(s, dir))),
     "j8_interval_join" -> { (s, dir) =>
       // stream-stream interval join in its batch-equivalent form: each view
       // paired with the user's purchases in the preceding hour
@@ -4239,6 +4250,48 @@ object SparkEntry {
         |         // (2 * pd.n_chunks) AS DOUBLE) / 1000000.0 AS bp_share
         |FROM pd LEFT JOIN bd ON pd.doc_id = bd.doc_id
         |ORDER BY bp_share DESC, pd.doc_id LIMIT 20""".stripMargin,
+    "dedup_source_overlap" -> // sliding 4-gram source sets, pair census
+      """WITH d AS (SELECT doc_id, source,
+        |             regexp_split_to_array(trim(text), '\s+') AS a
+        |           FROM documents),
+        |g AS (SELECT DISTINCT source, array_to_string(a[s+1:s+4], ' ') AS gram
+        |      FROM d, unnest(generate_series(0, len(a) - 4)) AS u(s)),
+        |sz AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             count(*) AS shared_grams
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared_grams,
+        |       sa.n_grams AS na, sb.n_grams AS nb,
+        |       CAST((shared_grams * 2000000 + least(sa.n_grams, sb.n_grams))
+        |         // (2 * least(sa.n_grams, sb.n_grams)) AS DOUBLE)
+        |         / 1000000.0 AS overlap_coef
+        |FROM p JOIN sz sa ON p.source_a = sa.source
+        |       JOIN sz sb ON p.source_b = sb.source
+        |ORDER BY shared_grams DESC, source_a, source_b
+        |LIMIT 20""".stripMargin,
+    "dedup_yield" -> // content-global keep-min-id dedup, per-lang yield
+      """WITH f AS (SELECT doc_id, lang,
+        |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |               AS fp,
+        |             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |           FROM documents),
+        |k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY 1),
+        |kept AS (SELECT f.* FROM f JOIN k USING (fp, doc_id)),
+        |b AS (SELECT lang, count(*) AS docs_before,
+        |             CAST(sum(n_tokens) AS BIGINT) AS tokens_before
+        |      FROM f GROUP BY 1),
+        |a AS (SELECT lang, count(*) AS docs_after,
+        |             CAST(sum(n_tokens) AS BIGINT) AS tokens_after
+        |      FROM kept GROUP BY 1)
+        |SELECT b.lang, docs_before,
+        |       COALESCE(docs_after, 0) AS docs_after, tokens_before,
+        |       COALESCE(tokens_after, 0) AS tokens_after,
+        |       CAST(((tokens_before - COALESCE(tokens_after, 0)) * 2000000
+        |         + tokens_before) // (2 * tokens_before) AS DOUBLE)
+        |         / 1000000.0 AS token_removal_share
+        |FROM b LEFT JOIN a ON b.lang = a.lang
+        |ORDER BY b.lang""".stripMargin,
     "sim_sq8_error" -> // sim_topk_sq8's codebook + dequantization verbatim,
       // audited: e6-floored per-element |err| -> exact BIGINT aggregates
       """WITH v AS (SELECT vec_id, label,

@@ -1045,6 +1045,76 @@ object Dedup {
       .limit(topK)
   }
 
+  /** Cross-source contamination matrix: for every pair of corpus sources,
+    * the number of distinct word `n`-grams they share and the overlap
+    * coefficient shared/min(|A|, |B|) — the provenance audit run before
+    * trusting "independent" crawls as independent (mirror sites, syndicated
+    * feeds, and re-crawls show up as high-overlap source pairs; the
+    * source-pairwise face of [[contamination]]).
+    *
+    * Scale: the join keys on the GRAM, and each gram's fan-out is
+    * C(sources containing it, 2) — bounded by the SOURCE CATALOG, never
+    * the corpus (20 sources ⇒ ≤ 190 pairs per gram). One distinct pass
+    * over (source, gram), one merge-hinted self-join whose sides reuse
+    * the exchange, O(source²) output. Top-k is a TakeOrdered.
+    */
+  def sourceOverlap(
+      docs: DataFrame, n: Int = 4, topK: Int = 20): DataFrame = {
+    val grams = gramStream(docs, n, Seq("source"))
+      .select("source", "gram").distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val pairs = grams.hint("merge").as("a")
+      .join(grams.hint("merge").as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"), col("n_grams").as("na")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n_grams").as("nb")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("na"), col("nb"),
+        exactRatio(col("shared_grams"), least(col("na"), col("nb")), 6)
+          .as("overlap_coef"))
+      .orderBy(col("shared_grams").desc, col("source_a").asc,
+        col("source_b").asc)
+      .limit(topK)
+  }
+
+  /** Exact-dedup yield report: per language, documents and tokens before
+    * vs after keep-smallest-id exact dedup (fingerprint = md5 of the
+    * normalized text, the [[exact]] key), with the token-removal share in
+    * exact fixed point — the cost/benefit line a curation run publishes
+    * ("dedup dropped 31% of source X's tokens") before anyone signs off
+    * on the cleaned corpus. Dedup is CONTENT-global (a dup pair spanning
+    * languages keeps one doc, attributed to the keeper's language).
+    *
+    * One narrow fingerprint projection, one min-aggregate per fingerprint
+    * (group count = distinct contents), one semi-join back, two O(langs)
+    * rollups. Linear; nothing pairwise.
+    */
+  def dedupYield(docs: DataFrame): DataFrame = {
+    val f = docs.select(col("doc_id"), col("lang"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val keepers = f.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val kept = f.join(keepers, Seq("fp", "doc_id"), "left_semi")
+    val before = f.groupBy("lang").agg(
+      count(lit(1)).as("docs_before"), sum(col("n_tokens")).as("tokens_before"))
+    val after = kept.groupBy("lang").agg(
+      count(lit(1)).as("docs_after"), sum(col("n_tokens")).as("tokens_after"))
+    before.join(after, Seq("lang"), "left")
+      .select(col("lang"), col("docs_before"),
+        coalesce(col("docs_after"), lit(0L)).as("docs_after"),
+        col("tokens_before"),
+        coalesce(col("tokens_after"), lit(0L)).as("tokens_after"),
+        exactRatio(
+          col("tokens_before") - coalesce(col("tokens_after"), lit(0L)),
+          col("tokens_before"), 6).as("token_removal_share"))
+      .orderBy(col("lang").asc)
+  }
+
   /** Cross-method agreement census over candidate-pair sets — do MinHash,
     * SimHash, and n-gram Jaccard find the SAME near-duplicates? For every
     * method pair: set sizes, intersection, and pair-set Jaccard. The

@@ -318,6 +318,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlap: hand-computed shared-gram census and coefficient") {
+    val docs = Seq(
+      // s1/s2 share exactly the 4-gram "a b c d" (s1 via doc 1, s2 via
+      // doc 3); s3 shares nothing; doc 2's repeat of the gram within s1
+      // must NOT inflate the distinct source-gram set
+      (1L, "a b c d e", "s1"),
+      (2L, "a b c d", "s1"),
+      (3L, "z a b c d", "s2"),
+      (4L, "p q r s t", "s3"),
+      (5L, "x y", "s3")) // sub-gram doc: contributes nothing
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // s1 grams: {a b c d, b c d e} (2); s2: {z a b c, a b c d} (2);
+    // shared = 1; coef = 1/min(2,2) = 0.5
+    assert(got == Seq(("s1", "s2", 1L, 2L, 2L, 0.5)))
+  }
+
+  test("dedupYield: content-global keep-min-id accounting per language") {
+    val docs = Seq(
+      // en: docs 1,2 identical (modulo case/spacing -> same fingerprint),
+      // keeper is doc 1; doc 3 unique
+      (1L, "Alpha beta  gamma", "en"),
+      (2L, "alpha beta gamma", "en"),
+      (3L, "delta epsilon", "en"),
+      // de: doc 4 duplicates doc 1's CONTENT -> dropped, attributed to
+      // en's keeper; doc 5 unique
+      (4L, "ALPHA BETA GAMMA", "de"),
+      (5L, "zeta eta theta iota", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.dedupYield(docs)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // de: before 2 docs/7 tokens, after 1 doc/4 tokens -> removal 3/7
+    // en: before 3 docs/8 tokens, after 2 docs/5 tokens -> removal 3/8
+    assert(got == Seq(
+      ("de", 2L, 1L, 7L, 4L, 0.428571),
+      ("en", 3L, 2L, 8L, 5L, 0.375)))
+  }
+
   test("methodAgreement (shared tokenization) == independent composition") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "en"),
