@@ -71,6 +71,12 @@ class RoundingTieSpec extends SparkSpec {
     "sim_recall_report" -> ("recall is exact fixed point; remaining " +
       "round-over-division is the IVF cosine scoring (IRRATIONAL: sqrt)"),
     "sim_topk_sq8" -> "IRRATIONAL: dequantized cosine via sqrt norms",
+    "sim_sq8_error" -> ("SAFE QUANTIZER ROUND: round((x-mn)*255/span) is " +
+      "the quantizer itself, evaluated on IDENTICAL doubles by both " +
+      "engines (mirrored from the certified sim_topk_sq8 oracle); a " +
+      "divergence needs the true value within 1 ulp of x.5 where the " +
+      "span is a float difference — never an exact decimal; downstream " +
+      "error columns are e6-FLOORED integers, not rounded"),
     "stat_chi_square" -> "DOUBLE SUM: chi2 terms are double products",
     "stat_gini" -> "DOUBLE SUM: sums of arbitrary event values",
     "stat_jackknife" -> "DOUBLE SUM: block sums of arbitrary doubles",
