@@ -944,6 +944,11 @@ object SparkEntry {
       graft.streaming.EventAggs.slidingByType(Tables.events(s, dir))),
     "stream_daily_rollup" -> ((s, dir) =>
       graft.streaming.EventAggs.dailyUserRollup(Tables.events(s, dir))),
+    "stream_topk_sketch" -> ((s, dir) =>
+      // fourth stream face of the sketch family: per-hour top-5 events
+      // by value via the bounded-heap TopKAggregate - O(k) state per
+      // window at any volume, stream == batch (semilattice merge)
+      graft.streaming.EventAggs.windowedTopK(Tables.events(s, dir))),
     "stream_freq_sketch" -> ((s, dir) =>
       // streaming face of the CMS (frequency leg of the sketch triad):
       // per-hour-window d×w cell counts — additive state, so the batch
@@ -5854,6 +5859,19 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS d, user_id, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_topk_sketch" -> // per-window rank under the aggregate's
+      // (value DESC, user_id ASC) contract; duplicate rows rank as
+      // duplicate heap entries on both sides
+      """WITH e AS (SELECT CAST(time_bucket(INTERVAL '1 hour',
+        |                    CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |                  user_id, value
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |             AND ts IS NOT NULL)
+        |SELECT window_start, CAST(rn AS BIGINT) AS rnk, user_id, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+        |        ORDER BY value DESC, user_id) AS rn FROM e)
+        |WHERE rn <= 5""".stripMargin,
     "stream_freq_sketch" -> // every CMS cell rebuilt: same md5 buckets,
       // same hour-floor windows — additive counts are engine-exact
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type

@@ -84,6 +84,35 @@ object EventAggs {
         size(col("sketch")).as("sketch_size"))
   }
 
+  /** Top-k events by value per tumbling window — the fourth stream face
+    * of the sketch family (frequency/CMS, distinct/KMV-HLL-bitmap,
+    * quantile/GK, and now top-k): the per-hour "largest transactions"
+    * monitor. Rides [[graft.functions.TopKAggregate]] as ordinary
+    * stateful aggregation, so each window's state is a BOUNDED k-pair
+    * heap regardless of event volume, map-side combine reduces every
+    * partition to ≤ k pairs before the exchange, and late arrivals merge
+    * in. Top-k of a union is the merge of top-ks (a semilattice, like
+    * the other sketch states), so the stream answer is bit-identical to
+    * the batch answer on the same data — StreamingSpec pins it. Output
+    * exploded to atomic (window_start, rnk, user_id, value) rows under
+    * the aggregate's deterministic (value DESC, user_id ASC) contract.
+    */
+  def windowedTopK(
+      events: DataFrame, k: Int = 5, watermark: String = "1 hour"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("value"), col("user_id"), k).as("top"))
+      .select(col("w.start").as("window_start"),
+        posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("window_start"), (col("i") + 1).cast("long").as("rnk"),
+        col("e.id").as("user_id"), col("e.score").as("value"))
+  }
+
   /** Distinct-user HLL registers per tumbling window — the constant-state
     * (2 KiB/window) streaming twin of [[windowedDistinctSketch]], built on
     * the engine-reproducible [[graft.functions.Hll]] rather than Spark's

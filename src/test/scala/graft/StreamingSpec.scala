@@ -125,6 +125,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTopK: stream answer is bit-identical to batch (top-k " +
+    "merge is a semilattice; ties break on user_id)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 120).map { i =>
+      // 2 hourly windows; values collide (i % 7) so the user_id ASC
+      // tie-break is exercised at the k boundary
+      (Timestamp.valueOf(f"2024-01-01 ${10 + i % 2}%02d:15:00"),
+        (i % 40).toLong, (i % 7).toDouble)
+    }
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val batch = shape(EventAggs.windowedTopK(
+      rows.toDF("ts", "user_id", "value"), k = 5))
+    assert(batch.size == 10) // 2 windows x top-5
+    assert(batch.forall(_._4 == 6.0)) // 7 collisions of the max value
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventAggs.windowedTopK(
+      mem.toDF().toDF("ts", "user_id", "value"), k = 5)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topkwin").start()
+    try {
+      val shuffled = rows.reverse
+      mem.addData(shuffled.take(50)); q.processAllAvailable()
+      mem.addData(shuffled.drop(50)); q.processAllAvailable()
+      assert(shape(spark.table("topkwin")) == batch)
+    } finally q.stop()
+  }
+
   test("windowedDistinctSketch: stream answer is bit-identical to batch " +
     "(mergeable state is arrival-order-invariant)") {
     implicit val sqlCtx = spark.sqlContext
