@@ -54,8 +54,7 @@ object Bench {
     // min of two timed passes: the environment shows intermittent multi-10x
     // stalls (external CPU contention / JIT storms) that would otherwise be
     // billed to whichever query they land on; the min is the steady-state.
-    val results = names.map { name => name -> math.min(timed(name), timed(name)) }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val firstPass = names.map { name => name -> math.min(timed(name), timed(name)) }
     // Variance sentinel: twice now a driver record has carried a 10-16x
     // anomalous entry that local steady state contradicted (machine-stall
     // regime, BASELINE.md footnotes 10/13 + the r8 triples entry). Re-time
@@ -63,8 +62,16 @@ object Bench {
     // publish both numbers: a stalled record is then self-evident (suite
     // number >> sentinel re-run of the same binary seconds later) instead
     // of needing a post-hoc Diag adjudication.
-    val sentinel = results.sortBy { case (_, v) => -v }.take(5)
+    val sentinel = firstPass.sortBy { case (_, v) => -v }.take(5)
       .map { case (name, suiteSec) => (name, suiteSec, timed(name)) }
+    val results = selfCorrect(firstPass, sentinel)
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // One-time artifact build cost (r9 ADVICE): the timed passes ride the
+    // session memos by design, so the cold-session cost of each memoized
+    // artifact is re-measured explicitly (invalidate -> rebuild) and
+    // published as its own record lines instead of vanishing into the
+    // untimed warmup.
+    val artifacts = benchArtifacts(spark, sfDir)
     val ingest = benchIngest(spark) // runs BEFORE the suite line prints
     // The driver records only the final ~2 KB of output. 119 per-query
     // doubles at full precision is ~4.2 KB — the r5 line was head-truncated
@@ -74,10 +81,52 @@ object Bench {
     // written BEFORE the final line so nothing prints after it.
     writeDetail(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"),
       s"""{"total":${f3(total)},"n":${results.size},"queries":${jMap(results)},""" +
-        s""""sentinel":${jSentinel(sentinel)},""" +
+        s""""sentinel":${jSentinel(sentinel)},"artifact_sec":${jMap(artifacts)},""" +
         s""""ingest_rows_per_sec":${f3(ingest.rowsPerSec)},"sf":"$sfDir"}""")
-    println(finalLine(results, ingest, sfDir, sentinel))
+    println(finalLine(results, ingest, sfDir, sentinel, artifacts))
     spark.stop()
+  }
+
+  /** Self-correcting record (r9 verdict task 3): when a sentinel re-run
+    * disagrees with the recorded pass, the published entry for a top-5
+    * query is the MIN of its three timings — min-of-three for the top-5
+    * only, zero protocol change elsewhere; both raw numbers stay in the
+    * sentinel field so a corrected stall remains visible in the record.
+    */
+  private[graft] def selfCorrect(
+      firstPass: Seq[(String, Double)],
+      sentinel: Seq[(String, Double, Double)]): Seq[(String, Double)] = {
+    val corrected = sentinel.map { case (n, a, b) => n -> math.min(a, b) }.toMap
+    firstPass.map { case (n, v) => n -> corrected.getOrElse(n, v) }
+  }
+
+  /** Cold-session build cost of each memoized artifact the suite's queries
+    * share (the rec table, the interaction graph incl. its 2-round LPA
+    * labels, the strong-tie co-purchase edges): invalidate every memo,
+    * rebuild, and time the builds — the number a fresh session pays once
+    * before the per-query steady states apply.
+    */
+  private[graft] def benchArtifacts(
+      spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    def t(body: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try body.write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    graft.ops.Recommend.invalidateRecommendations()
+    graft.ops.Graph.invalidateInteractionGraphs()
+    Seq(
+      "rec" -> t(graft.ops.Recommend.recommendationsFor(
+        sfDir, Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir))),
+      "graph" -> t {
+        val g = graft.ops.Graph.interactionGraphFor(
+          sfDir, Tables.lineitem(spark, sfDir))
+        g.lpaLabels(2) // forces edges + deg on the way
+        g.withDeg
+      },
+      "copurchase" -> t(graft.ops.Graph.coPurchaseEdgesFor(
+        sfDir, Tables.lineitem(spark, sfDir), minSupport = 2)))
   }
 
   /** Driver tail capacity the final line must fit inside, with headroom. */
@@ -88,13 +137,15 @@ object Bench {
     */
   private[graft] def finalLine(
       results: Seq[(String, Double)], ingest: IngestBench, sfDir: String,
-      sentinel: Seq[(String, Double, Double)] = Nil): String = {
+      sentinel: Seq[(String, Double, Double)] = Nil,
+      artifacts: Seq[(String, Double)] = Nil): String = {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val slowest = results.sortBy { case (_, v) => -v }
     def line(topN: Int): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},""" +
         s""""queries":${jMap(slowest.take(topN))},""" +
         s""""sentinel":${jSentinel(sentinel)},""" +
+        s""""artifact_sec":${jMap(artifacts)},""" +
         s""""ingest_rows_per_sec":${f3(ingest.rowsPerSec)},"ingest_rows":${ingest.rows},""" +
         s""""ingest_seconds":${f3(ingest.seconds)},"sf":"$sfDir"}"""
     (15 to 0 by -5).map(line).find(_.length <= TailBudget).getOrElse(line(0))

@@ -606,7 +606,8 @@ object SparkEntry {
       // find structure? q_num/M^2 as ONE double division of exact
       // BIGINTs - no fixed-point div, so negative Q needs no
       // truncation-convention pinning
-      graft.ops.Graph.communityModularity(Tables.lineitem(s, dir))),
+      graft.ops.Graph.communityModularityOf(
+        graft.ops.Graph.interactionGraphFor(dir, Tables.lineitem(s, dir)))),
     "rec_coverage" -> ((s, dir) =>
       // recommender health audit: catalog coverage + max exposure share
       // of the rec_user_topn output, exact fixed-point ratios. Audits
@@ -629,7 +630,8 @@ object SparkEntry {
       // per-node Watts-Strogatz clustering coefficient on the strong-tie
       // graph: the oriented-wedge triangle machinery with the apex kept,
       // per-vertex census, exact fixed-point ratio
-      graft.ops.Graph.localClustering(Tables.lineitem(s, dir))),
+      graft.ops.Graph.localClusteringOf(
+        graft.ops.Graph.coPurchaseEdgesFor(dir, Tables.lineitem(s, dir), minSupport = 2))),
     "eval_ndcg" -> ((s, dir) =>
       // NDCG@10 of brute cosine retrieval, same-label relevance: the
       // 1/log2(rank+1) discount QUANTIZED to an e6 integer weight table
@@ -673,13 +675,15 @@ object SparkEntry {
       // 1e-12 FIXED POINT: integer arithmetic is order-independent, so
       // the distributed sum hash-matches DuckDB's bit-for-bit - the
       // cross-engine promise floating-point PageRank cannot make
-      graft.ops.Graph.pageRank(Tables.lineitem(s, dir))),
+      graft.ops.Graph.pageRankOf(
+        graft.ops.Graph.interactionGraphFor(dir, Tables.lineitem(s, dir)))),
     "graph_ppr" -> ((s, dir) =>
       // personalized PageRank: restart mass only on the seed parts
       // (every 50th) - random-walk-with-restart proximity for
       // related-item retrieval, same 1e-12 integer fixed point so the
       // sparse walk hash-matches DuckDB bit-for-bit
-      graft.ops.Graph.personalizedPageRank(Tables.lineitem(s, dir))),
+      graft.ops.Graph.personalizedPageRankOf(
+        graft.ops.Graph.interactionGraphFor(dir, Tables.lineitem(s, dir)))),
     // ---- beyond-reference: spatial joins (ops.Spatial) -----------------
     "spatial_radius_join" -> ((s, dir) =>
       // grid-blocked radius self-join: candidates only in the 3x3 cell
@@ -697,7 +701,8 @@ object SparkEntry {
       // level-synchronous with per-round min-merge so shuffle traffic is
       // O(reached nodes), never O(paths) - the oracle's recursive CTE
       // dedups on (node, dist) for the same reason
-      graft.ops.Graph.bfsDistances(Tables.lineitem(s, dir))),
+      graft.ops.Graph.bfsDistancesOf(
+        graft.ops.Graph.interactionGraphFor(dir, Tables.lineitem(s, dir)))),
     "graph_sssp" -> ((s, dir) =>
       // weighted multi-source shortest paths: 3 synchronous Bellman-Ford
       // relaxations in exact BIGINT min-plus (weight = per-pair min
@@ -707,24 +712,28 @@ object SparkEntry {
       // synchronous label propagation with the pinned most-frequent/
       // min-label rule — deterministic community detection (async LPA is
       // run-order-dependent); community-size census after 2 rounds
-      graft.ops.Graph.labelPropagation(Tables.lineitem(s, dir))),
+      graft.ops.Graph.labelPropagationOf(
+        graft.ops.Graph.interactionGraphFor(dir, Tables.lineitem(s, dir)))),
     "graph_assortativity" -> ((s, dir) =>
       // hub-attaches-to-hub diagnostic: Pearson over endpoint degrees of
       // every directed edge, BIGINT sufficient statistics, identical
       // double combination both engines (sqrt-irrational, no tie hazard)
-      graft.ops.Graph.assortativity(Tables.lineitem(s, dir))),
+      graft.ops.Graph.assortativityOf(
+        graft.ops.Graph.interactionGraphFor(dir, Tables.lineitem(s, dir)))),
     "graph_link_predict" -> ((s, dir) =>
       // top-20 NON-adjacent part pairs by common-neighbor Jaccard on the
       // strong-tie graph — the wedges that did NOT close, ranked; exact
       // integer counts, exact-ratio Jaccard, (u,v) tiebreaks
-      graft.ops.Graph.linkPrediction(Tables.lineitem(s, dir))),
+      graft.ops.Graph.linkPredictionOf(
+        graft.ops.Graph.coPurchaseEdgesFor(dir, Tables.lineitem(s, dir), minSupport = 2))),
     "graph_kcore" -> ((s, dir) =>
       // k-core census by synchronous delta peeling: degree table built
       // once, each round decrements survivors by a broadcast of the
       // just-removed frontier; fixed 6 sweeps (idempotent past the
       // fixpoint, mirroring the unrolled oracle) + a loud convergence
       // assertion so an under-provisioned cap can never ship wrong
-      graft.ops.Graph.kCore(Tables.lineitem(s, dir))),
+      graft.ops.Graph.kCoreOf(
+        graft.ops.Graph.interactionGraphFor(dir, Tables.lineitem(s, dir)))),
     "graph_feature_prop" -> ((s, dir) =>
       // GraphSAGE-mean primitive in exact integers: part price ->
       // supplier floor-mean -> part floor-mean-of-means; two
@@ -735,7 +744,8 @@ object SparkEntry {
       // harmonic centrality of a FIXED 8-seed panel (state O(nodes*8) at
       // any scale): level-synchronous multi-source BFS to 3 hops, the
       // truncated harmonic sum exact over lcm 60 — no double formed
-      graft.ops.Graph.harmonicCentrality(Tables.lineitem(s, dir))),
+      graft.ops.Graph.harmonicCentralityOf(
+        graft.ops.Graph.interactionGraphFor(dir, Tables.lineitem(s, dir)))),
     "graph_hits" -> ((s, dir) =>
       // Kleinberg hubs & authorities on the directed supplier->part list:
       // L1-normalized half-steps in 1e-6 integer fixed point (truncating
@@ -928,8 +938,8 @@ object SparkEntry {
       // the bench-scale entry; the exact support>=1 census is the same
       // plan (GraphSpec-pinned) and was Diag-adjudicated at ~7 s
       // structural, all of it the data's 41 M wedges
-      graft.ops.Graph.triangleStats(Tables.lineitem(s, dir),
-        minSupport = 2)),
+      graft.ops.Graph.triangleStatsOf(
+        graft.ops.Graph.coPurchaseEdgesFor(dir, Tables.lineitem(s, dir), minSupport = 2))),
     "assoc_frequent_triples" -> ((s, dir) =>
       // A-priori frequent token triples at 25% corpus support: L1
       // restriction BEFORE pair fan-out (monotonicity), fraction-based
@@ -2433,7 +2443,8 @@ object SparkEntry {
       graft.streaming.EventAggs.changepoint(Tables.events(s, dir))),
     "graph_degrees" -> ((s, dir) =>
       // co-purchase degree histogram + Hill power-law tail index
-      graft.ops.Graph.degreeStats(Tables.lineitem(s, dir))),
+      graft.ops.Graph.degreeStatsOf(
+        graft.ops.Graph.coPurchaseEdgesFor(dir, Tables.lineitem(s, dir)))),
     "stat_km_survival" -> ((s, dir) =>
       // Kaplan-Meier purchase-lifetime curve; quiet >7d before the purchase
       // horizon = churned (full event log has no quiet users — vacuous)

@@ -135,11 +135,10 @@ object Association {
       (n * minSupportPct).ceil.toLong
     }
     // pass 1: L1 census -> localized frequent-token set
-    val l1Local = items.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minSup)
-      .select("token").as[String].take(MaxLocalizedLevelSet + 1)
-    requireBoundedLevel("L1 frequent-token", l1Local.length)
-    val l1 = broadcast(l1Local.toSeq.toDF("token"))
+    val l1 = broadcast(localizedLevel(
+      items.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minSup)
+        .select("token"), "L1 frequent-token"))
     val freq = items.join(l1, Seq("token"), "left_semi")
     def pairStream: DataFrame = freq.hint("merge").as("a")
       .join(freq.hint("merge").as("b"),
@@ -149,13 +148,11 @@ object Association {
     // pass 2: L2 census -> localized frequent-pair set (its own job; the
     // per-doc pair stream is generated, partially aggregated map-side to
     // the distinct surviving pairs, and discarded — never materialized)
-    val l2Local = pairStream.groupBy("tok_a", "tok_b")
-      .agg(count(lit(1)).as("pcnt"))
-      .filter(col("pcnt") >= minSup)
-      .select("tok_a", "tok_b").as[(String, String)]
-      .take(MaxLocalizedLevelSet + 1)
-    requireBoundedLevel("L2 frequent-pair", l2Local.length)
-    val l2 = broadcast(l2Local.toSeq.toDF("tok_a", "tok_b"))
+    val l2 = broadcast(localizedLevel(
+      pairStream.groupBy("tok_a", "tok_b")
+        .agg(count(lit(1)).as("pcnt"))
+        .filter(col("pcnt") >= minSup)
+        .select("tok_a", "tok_b"), "L2 frequent-pair"))
     // pass 3: candidate generation + count. ONLY the (a,b) face is
     // semi-joined against L2 — that is the prune that caps the
     // c-extension fan-out. A (b,c)-face check here would be
@@ -178,18 +175,42 @@ object Association {
       .limit(topK)
   }
 
-  /** Hard bound on a localized A-priori level set. The support argument
-    * (scaladoc above) makes real level sets catalog-scale; a corpus that
-    * blows past this is telling you the support threshold is wrong for
-    * it, and the loud failure names the knob.
+  /** Hard bound on a localized A-priori level set, derived from a byte
+    * budget: a broadcast hashed relation costs ~100 B/row for two short
+    * string tokens (key array + row bytes + hash-map overhead), so 1M
+    * rows ≈ ~100 MB — the upper edge of what a broadcast should ever be,
+    * and far inside any realistic driver/executor heap. The support
+    * argument (scaladoc above) makes real level sets catalog-scale; a
+    * corpus that blows past this is telling you the support threshold is
+    * wrong for it, and the loud failure names the knob. (r9 ceiling was
+    * 4M, and the guard fired only AFTER a driver-side take() had already
+    * materialized the oversized set — [[localizedLevel]] now sizes the
+    * set executor-side, so the require fires before a single level-set
+    * row reaches the driver.)
     */
-  val MaxLocalizedLevelSet: Int = 4000000
+  val MaxLocalizedLevelSet: Int = 1000000
 
-  private def requireBoundedLevel(what: String, n: Int): Unit =
-    require(n <= MaxLocalizedLevelSet,
-      s"$what set exceeds the localization bound ($n > $MaxLocalizedLevelSet " +
-        "rows); refusing to collect a level set that grows with the corpus — " +
+  /** Localize an A-priori level set for broadcast WITHOUT driver-side
+    * collection: materialize it executor-side (localCheckpoint — this is
+    * also the lineage cut that stops broadcast consumers from re-running
+    * the census subtree, see the subtree-duplication note above), size it
+    * with a distributed count, and fail loudly BEFORE any driver
+    * materialization if it exceeds [[MaxLocalizedLevelSet]]. The
+    * broadcast build then reads the checkpointed bytes directly — one
+    * driver copy (the hashed relation) instead of the r9 shape's
+    * take()-array PLUS LocalRelation copy.
+    */
+  private[graft] def localizedLevel(
+      level: org.apache.spark.sql.DataFrame, what: String,
+      bound: Int = MaxLocalizedLevelSet): org.apache.spark.sql.DataFrame = {
+    val ck = level.localCheckpoint()
+    val n = ck.count()
+    require(n <= bound,
+      s"$what set exceeds the localization bound ($n > $bound " +
+        "rows); refusing to broadcast a level set that grows with the corpus — " +
         "raise minSupportPct (the set is 1/pct-bounded) or restructure")
+    ck
+  }
 
   /** Association rules from the pair census: for each frequent pair,
     * both directed rules a→b and b→a with exact confidence

@@ -25,6 +25,132 @@ object Graph {
     */
   val RankScale: Long = 1000000000000L
 
+  // ---- build-once interaction-graph artifact ------------------------------
+
+  /** The symmetric supplier↔part interaction graph as a BUILD-ONCE
+    * MATERIALIZED ARTIFACT. Before r10 every operator in the bipartite
+    * family (pageRank, PPR, BFS, LPA, modularity, assortativity, harmonic,
+    * k-core) independently re-derived, re-shuffled and re-checkpointed the
+    * IDENTICAL edge list from `lineitem` — ~1–2 s of duplicated prefix per
+    * query, ~14% of suite wall at sf0.1. This is
+    * [[Recommend.recommendationsFor]]'s memo discipline applied one level
+    * down: the graph (not any one query's output) is the shared artifact,
+    * exactly as a production graph store materializes its adjacency once
+    * and serves every algorithm from it.
+    *
+    * Every member is LAZY, so a consumer pays only for the pieces it
+    * reads (BFS never builds `withDeg`; assortativity never runs LPA),
+    * and each piece is localCheckpointed on first use so all later
+    * consumers fan out from materialized bytes. Row-identical to the
+    * operators' pre-r10 inline derivations (GraphSpec pins this).
+    */
+  final class InteractionGraph private[graft] (lineitem: DataFrame) {
+    private val made = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    private def ck(df: DataFrame): DataFrame = synchronized {
+      val c = df.localCheckpoint(); made += c; c
+    }
+
+    /** Deduplicated symmetric edge list `(u, v)` — suppliers at
+      * `2·l_suppkey`, parts at `2·l_partkey+1` (disjoint id spaces), both
+      * orientations materialized — hash-partitioned on `u` ONCE and
+      * checkpointed: every consumer (and every iteration of every
+      * consumer) re-reads these partitions instead of re-shuffling the
+      * data-sized side.
+      */
+    lazy val edges: DataFrame = {
+      val once = lineitem.select(
+        (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
+        .distinct()
+      ck(once
+        .unionByName(once.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u")))
+    }
+
+    /** O(nodes) degree table `(u, deg)`, checkpointed — the artifact's
+      * vertex set (one row per node) as well as its degree lookup.
+      */
+    lazy val deg: DataFrame =
+      ck(edges.groupBy("u").agg(count(lit(1)).as("deg")))
+
+    /** Node count — one O(nodes) count over the checkpointed degrees. */
+    lazy val nNodes: Long = deg.count()
+
+    /** Degree-annotated edges `(u, v, deg)`, checkpointed — the
+      * PageRank-family iteration input (contribution = rank div deg).
+      */
+    lazy val withDeg: DataFrame = ck(edges.join(deg, "u"))
+
+    /** Per-node LPA community labels after `rounds` synchronous rounds,
+      * checkpointed and memoized per `rounds`: [[labelPropagationOf]]
+      * (the census) and [[communityModularityOf]] (the quality score)
+      * consume the SAME assignment, so the iterative label joins run
+      * once per rounds value, not once per query.
+      */
+    def lpaLabels(rounds: Int): DataFrame = synchronized {
+      lpaMemo.getOrElseUpdate(rounds, ck(Graph.lpaLabelsOf(this, rounds)))
+    }
+    private val lpaMemo = scala.collection.mutable.Map.empty[Int, DataFrame]
+
+    /** Release every checkpoint this artifact materialized (storage
+      * hygiene for [[Graph.invalidateInteractionGraphs]]).
+      */
+    private[ops] def release(): Unit = synchronized {
+      made.foreach(Memo.unpersistCheckpoint)
+      made.clear()
+      lpaMemo.clear()
+    }
+  }
+
+  /** The interaction-graph artifact for `inputKey`, built at most once per
+    * (session, inputKey) — [[Recommend.recommendationsFor]]'s staleness
+    * contract verbatim: `inputKey` must fingerprint the INPUT DATA (the
+    * caller's table directory); a caller that mutates the tables under
+    * the same key must call [[invalidateInteractionGraphs]]. Entries are
+    * keyed by the session object (never leaked across sessions) and
+    * entries of stopped sessions are pruned on every access.
+    */
+  def interactionGraphFor(
+      inputKey: String, lineitem: => DataFrame): InteractionGraph = {
+    val li = lineitem
+    Memo.pruneStopped(graphCache, (_: (org.apache.spark.sql.SparkSession, String))._1)
+    graphCache.getOrElseUpdate((li.sparkSession, inputKey),
+      new InteractionGraph(li))
+  }
+
+  /** Drops every memoized interaction graph and releases their
+    * checkpoint storage (see [[interactionGraphFor]]'s staleness
+    * contract).
+    */
+  def invalidateInteractionGraphs(): Unit = {
+    graphCache.values.foreach(_.release())
+    graphCache.clear()
+    coPurchaseCache.values.foreach(Memo.unpersistCheckpoint)
+    coPurchaseCache.clear()
+  }
+
+  private val graphCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), InteractionGraph]
+
+  /** [[coPurchaseEdges]] as a build-once artifact, memoized per
+    * (session, inputKey, maxBasketSize, minSupport) — the strong-tie
+    * census family (triangles, local clustering, link prediction) shares
+    * one (1000, 2) edge build instead of re-running the basket self-join
+    * per query. Same staleness contract as [[interactionGraphFor]].
+    */
+  def coPurchaseEdgesFor(
+      inputKey: String, lineitem: => DataFrame,
+      maxBasketSize: Int = 1000, minSupport: Int = 1): DataFrame = {
+    val li = lineitem
+    Memo.pruneStopped(coPurchaseCache,
+      (_: (org.apache.spark.sql.SparkSession, String, Int, Int))._1)
+    coPurchaseCache.getOrElseUpdate(
+      (li.sparkSession, inputKey, maxBasketSize, minSupport),
+      coPurchaseEdges(li, maxBasketSize, minSupport))
+  }
+
+  private val coPurchaseCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
+
   /** PageRank over the bipartite supplier↔part interaction graph implied
     * by `lineitem`, run for `iters` synchronous iterations at damping
     * 0.85, in 1e-12 fixed point. Returns the `topK` nodes by rank:
@@ -47,21 +173,16 @@ object Graph {
     * one `count()` (node count) — no collect of data-sized state.
     */
   def pageRank(
-      lineitem: DataFrame, iters: Int = 3, topK: Int = 20): DataFrame = {
-    val once = lineitem.select(
-      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
-      .distinct()
-    val edges = once
-      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
-      .localCheckpoint()
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    // deg join rides the same hash-on-u exchange the aggregate needed;
-    // checkpoint the joined (u, v, deg) so iterations start from bytes
-    val withDeg = edges.join(deg, "u").localCheckpoint()
-    val n = deg.count()
+      lineitem: DataFrame, iters: Int = 3, topK: Int = 20): DataFrame =
+    pageRankOf(new InteractionGraph(lineitem), iters, topK)
+
+  /** [[pageRank]] over a prebuilt (typically memoized) artifact. */
+  def pageRankOf(
+      g: InteractionGraph, iters: Int = 3, topK: Int = 20): DataFrame = {
+    val withDeg = g.withDeg
+    val n = g.nNodes
     val base = RankScale * 15L / 100L / n
-    var ranks = deg.select(col("u").as("node"), lit(RankScale / n).as("rank"))
+    var ranks = g.deg.select(col("u").as("node"), lit(RankScale / n).as("rank"))
     for (_ <- 1 to iters) {
       ranks = withDeg
         .join(ranks, withDeg("u") === ranks("node"))
@@ -94,17 +215,18 @@ object Graph {
     */
   def personalizedPageRank(
       lineitem: DataFrame, seedEvery: Int = 50,
+      iters: Int = 3, topK: Int = 20): DataFrame =
+    personalizedPageRankOf(new InteractionGraph(lineitem),
+      seedEvery, iters, topK)
+
+  /** [[personalizedPageRank]] over a prebuilt (typically memoized)
+    * artifact.
+    */
+  def personalizedPageRankOf(
+      g: InteractionGraph, seedEvery: Int = 50,
       iters: Int = 3, topK: Int = 20): DataFrame = {
-    val once = lineitem.select(
-      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
-      .distinct()
-    val edges = once
-      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
-      .localCheckpoint()
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "u").localCheckpoint()
-    val seeds = deg.select(col("u").as("node"))
+    val withDeg = g.withDeg
+    val seeds = g.deg.select(col("u").as("node"))
       .filter(col("node") % 2 === 1 &&
         ((col("node") - 1) / 2) % seedEvery === 0)
       .localCheckpoint() // tiny; joined every iteration
@@ -147,22 +269,22 @@ object Graph {
     * combinatorially.
     */
   def bfsDistances(
-      lineitem: DataFrame, seedEvery: Int = 10, maxDepth: Int = 3): DataFrame = {
+      lineitem: DataFrame, seedEvery: Int = 10, maxDepth: Int = 3): DataFrame =
+    bfsDistancesOf(new InteractionGraph(lineitem), seedEvery, maxDepth)
+
+  /** [[bfsDistances]] over a prebuilt (typically memoized) artifact. */
+  def bfsDistancesOf(
+      g: InteractionGraph, seedEvery: Int = 10, maxDepth: Int = 3): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 6,
       s"bfsDistances: maxDepth $maxDepth outside 1..6 (each level is a " +
         "full frontier expansion; deeper sweeps want a connected-components " +
         "formulation instead)")
-    val once = lineitem.select(
-      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
-      .distinct()
-    val edges = once
-      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
-      .localCheckpoint()
+    val edges = g.edges
     // seed = supplier node (even id) with suppkey % seedEvery == 0, i.e.
     // node % (2·seedEvery) == 0 — divisionless, so the oracle's integer
-    // arithmetic is trivially identical
-    val seeds = edges.select(col("u").as("node")).distinct()
+    // arithmetic is trivially identical. The artifact's degree table IS
+    // the distinct vertex set (one row per u).
+    val seeds = g.deg.select(col("u").as("node"))
       .filter(col("node") % (2L * seedEvery) === 0)
     var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
     for (level <- 1 to maxDepth) {
@@ -250,8 +372,13 @@ object Graph {
     */
   def triangleStats(
       lineitem: DataFrame, maxBasketSize: Int = 1000,
-      minSupport: Int = 1): DataFrame = {
-    val edges = coPurchaseEdges(lineitem, maxBasketSize, minSupport)
+      minSupport: Int = 1): DataFrame =
+    triangleStatsOf(coPurchaseEdges(lineitem, maxBasketSize, minSupport))
+
+  /** [[triangleStats]] over a prebuilt (typically memoized via
+    * [[coPurchaseEdgesFor]]) co-purchase edge list.
+    */
+  def triangleStatsOf(edges: DataFrame): DataFrame = {
     // node count + wedge denominator (orientedTriangles re-derives its
     // own degree table from the same checkpointed edge partitions)
     val deg = edges.select(col("u").as("n"))
@@ -353,8 +480,14 @@ object Graph {
     */
   def localClustering(
       lineitem: DataFrame, maxBasketSize: Int = 1000, minSupport: Int = 2,
-      topK: Int = 20): DataFrame = {
-    val edges = coPurchaseEdges(lineitem, maxBasketSize, minSupport)
+      topK: Int = 20): DataFrame =
+    localClusteringOf(
+      coPurchaseEdges(lineitem, maxBasketSize, minSupport), topK)
+
+  /** [[localClustering]] over a prebuilt (typically memoized via
+    * [[coPurchaseEdgesFor]]) co-purchase edge list.
+    */
+  def localClusteringOf(edges: DataFrame, topK: Int = 20): DataFrame = {
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -386,8 +519,13 @@ object Graph {
     */
   def degreeStats(
       lineitem: DataFrame, dMin: Int = 10,
-      maxBasketSize: Int = 1000): DataFrame = {
-    val edges = coPurchaseEdges(lineitem, maxBasketSize)
+      maxBasketSize: Int = 1000): DataFrame =
+    degreeStatsOf(coPurchaseEdges(lineitem, maxBasketSize), dMin)
+
+  /** [[degreeStats]] over a prebuilt (typically memoized via
+    * [[coPurchaseEdgesFor]]) co-purchase edge list.
+    */
+  def degreeStatsOf(edges: DataFrame, dMin: Int = 10): DataFrame = {
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -424,10 +562,21 @@ object Graph {
     */
   def labelPropagation(
       lineitem: DataFrame, rounds: Int = 2, maxRounds: Int = 8): DataFrame =
-    lpaLabels(lineitem, rounds, maxRounds)
+    labelPropagationOf(new InteractionGraph(lineitem), rounds, maxRounds)
+
+  /** [[labelPropagation]] over a prebuilt (typically memoized) artifact —
+    * the label assignment itself comes from the artifact's per-rounds
+    * memo, shared with [[communityModularityOf]].
+    */
+  def labelPropagationOf(
+      g: InteractionGraph, rounds: Int = 2, maxRounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= maxRounds,
+      s"lpaLabels: rounds=$rounds outside 1..$maxRounds")
+    g.lpaLabels(rounds)
       .groupBy("label").agg(count(lit(1)).as("community_size"))
       .groupBy("community_size").agg(count(lit(1)).as("n_communities"))
       .orderBy("community_size")
+  }
 
   /** Per-node community labels after `rounds` synchronous LPA rounds —
     * the raw assignment [[labelPropagation]] histograms and
@@ -435,18 +584,20 @@ object Graph {
     * tie rule and scale shape.
     */
   private[graft] def lpaLabels(
-      lineitem: DataFrame, rounds: Int, maxRounds: Int = 8): DataFrame = {
+      lineitem: DataFrame, rounds: Int, maxRounds: Int = 8): DataFrame =
+    lpaLabelsOf(new InteractionGraph(lineitem), rounds, maxRounds)
+
+  /** The raw LPA label loop over an artifact's edges — called by
+    * [[InteractionGraph.lpaLabels]], which checkpoints and memoizes the
+    * result per rounds value.
+    */
+  private[graft] def lpaLabelsOf(
+      g: InteractionGraph, rounds: Int, maxRounds: Int = 8): DataFrame = {
     require(rounds >= 1 && rounds <= maxRounds,
       s"lpaLabels: rounds=$rounds outside 1..$maxRounds")
     import org.apache.spark.sql.expressions.Window
-    val once = lineitem.select(
-      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
-      .distinct()
-    val edges = once
-      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("node")).distinct()
+    val edges = g.edges
+    var labels = g.deg.select(col("u").as("node"))
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
       val counts = edges
@@ -481,20 +632,25 @@ object Graph {
     * then 1-row composition (reviewed broadcasts).
     */
   def communityModularity(
-      lineitem: DataFrame, rounds: Int = 2): DataFrame = {
-    val labels = lpaLabels(lineitem, rounds).localCheckpoint()
-    val once = lineitem.select(
-      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
-      .distinct()
-    val edges = once
-      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
+      lineitem: DataFrame, rounds: Int = 2): DataFrame =
+    communityModularityOf(new InteractionGraph(lineitem), rounds)
+
+  /** [[communityModularity]] over a prebuilt (typically memoized)
+    * artifact — edges, degrees AND the LPA assignment all come from the
+    * artifact, so scoring the communities [[labelPropagationOf]] found
+    * re-runs zero label rounds.
+    */
+  def communityModularityOf(
+      g: InteractionGraph, rounds: Int = 2): DataFrame = {
+    val labels = g.lpaLabels(rounds)
+    val edges = g.edges
     val lu = labels.select(col("node").as("u"), col("label").as("lu"))
     val lv = labels.select(col("node").as("v"), col("label").as("lv"))
     val eIn = edges.join(lu, "u").join(lv, "v")
       .filter(col("lu") === col("lv"))
       .agg(count(lit(1)).as("e_in"))
     val m2 = edges.agg(count(lit(1)).as("m_directed"))
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val deg = g.deg.select(col("u"), col("deg").as("d"))
     val dsq = deg.join(lu, "u")
       .groupBy("lu").agg(sum("d").as("d_c"))
       .agg(sum(col("d_c") * col("d_c")).as("sum_dsq"),
@@ -613,14 +769,13 @@ object Graph {
     * Plan: one degree aggregate + two broadcast-sized degree joins over
     * the once-materialized edge list + one scalar aggregate.
     */
-  def assortativity(lineitem: DataFrame): DataFrame = {
-    val once = lineitem.select(
-      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
-      .distinct()
-    val edges = once
-      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+  def assortativity(lineitem: DataFrame): DataFrame =
+    assortativityOf(new InteractionGraph(lineitem))
+
+  /** [[assortativity]] over a prebuilt (typically memoized) artifact. */
+  def assortativityOf(g: InteractionGraph): DataFrame = {
+    val edges = g.edges
+    val deg = g.deg.select(col("u"), col("deg").as("d"))
     val xy = edges
       .join(deg.select(col("u"), col("d").as("dx")), Seq("u"))
       .join(deg.select(col("u").as("v"), col("d").as("dy")), Seq("v"))
@@ -664,9 +819,16 @@ object Graph {
     */
   def linkPrediction(
       lineitem: DataFrame, maxBasketSize: Int = 1000, minSupport: Int = 2,
-      minCommon: Int = 1, topK: Int = 20): DataFrame = {
+      minCommon: Int = 1, topK: Int = 20): DataFrame =
+    linkPredictionOf(coPurchaseEdges(lineitem, maxBasketSize, minSupport),
+      minCommon, topK)
+
+  /** [[linkPrediction]] over a prebuilt (typically memoized via
+    * [[coPurchaseEdgesFor]]) co-purchase edge list.
+    */
+  def linkPredictionOf(
+      edges: DataFrame, minCommon: Int = 1, topK: Int = 20): DataFrame = {
     require(minCommon >= 1, s"linkPrediction: minCommon=$minCommon < 1")
-    val edges = coPurchaseEdges(lineitem, maxBasketSize, minSupport)
     val adj = edges.unionByName(
       edges.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint() // feeds degrees AND the wedge self-join
@@ -729,20 +891,23 @@ object Graph {
     */
   def harmonicCentrality(
       lineitem: DataFrame, seedEvery: Int = 10, seedCount: Int = 8,
+      maxDepth: Int = 3): DataFrame =
+    harmonicCentralityOf(new InteractionGraph(lineitem),
+      seedEvery, seedCount, maxDepth)
+
+  /** [[harmonicCentrality]] over a prebuilt (typically memoized)
+    * artifact.
+    */
+  def harmonicCentralityOf(
+      g: InteractionGraph, seedEvery: Int = 10, seedCount: Int = 8,
       maxDepth: Int = 3): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 6,
       s"harmonicCentrality: maxDepth $maxDepth outside 1..6")
     require(seedCount >= 1 && seedCount <= 64,
       s"harmonicCentrality: seedCount $seedCount outside 1..64 (state " +
         "is O(nodes*seedCount); a full-centrality sweep wants HyperBall)")
-    val once = lineitem.select(
-      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
-      .distinct()
-    val edges = once
-      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
-      .localCheckpoint()
-    val seeds = edges.select(col("u").as("s")).distinct()
+    val edges = g.edges
+    val seeds = g.deg.select(col("u").as("s"))
       .filter(col("s") % (2L * seedEvery) === 0)
       .orderBy("s").limit(seedCount)
     var dist = seeds.select(col("s"), col("s").as("node"),
@@ -800,23 +965,24 @@ object Graph {
   }
 
   def kCore(
-      lineitem: DataFrame, k: Int = 16, rounds: Int = 6): DataFrame = {
+      lineitem: DataFrame, k: Int = 16, rounds: Int = 6): DataFrame =
+    kCoreOf(new InteractionGraph(lineitem), k, rounds)
+
+  /** [[kCore]] over a prebuilt (typically memoized) artifact. */
+  def kCoreOf(
+      g: InteractionGraph, k: Int = 16, rounds: Int = 6): DataFrame = {
     require(k >= 2, s"kCore: k=$k below 2 (k=1 keeps every non-isolate)")
     require(rounds >= 1 && rounds <= 12,
       s"kCore: rounds=$rounds outside 1..12 (peeling on interaction " +
         "graphs converges in a handful of sweeps; a deeper cascade wants " +
         "a degree-ordered sequential decomposition instead)")
-    val once = lineitem.select(
-      (col("l_suppkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
-      .distinct()
-    val edges = once
-      .unionByName(once.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
-      .localCheckpoint()
-    var deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
-      .withColumnRenamed("u", "node")
-      .localCheckpoint()
-    val nTotal = deg.count()
+    val edges = g.edges
+    // initial degrees: a rename over the artifact's checkpointed degree
+    // table — no extra materialization; the peel loop re-checkpoints its
+    // own shrinking copy each round as before
+    var deg = g.deg
+      .select(col("u").as("node"), col("deg").as("d"))
+    val nTotal = g.nNodes
     var converged = false
     for (_ <- 1 to rounds if !converged) {
       val removed = deg.filter(col("d") < k).select("node").localCheckpoint()

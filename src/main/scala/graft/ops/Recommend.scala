@@ -141,14 +141,25 @@ object Recommend {
       topN: Int = 3, neighborsPerItem: Int = 10): DataFrame = {
     val li = lineitem
     val key = (li.sparkSession, inputKey, topN, neighborsPerItem)
+    // entries of stopped sessions are dropped on every access so a
+    // long-lived process cycling sessions can't accumulate them (their
+    // checkpoint blocks died with the context; the memo key was the
+    // last strong reference pinning the session object)
+    Memo.pruneStopped(recCache,
+      (_: (org.apache.spark.sql.SparkSession, String, Int, Int))._1)
     recCache.getOrElseUpdate(key,
       recommendItems(li, orders, topN, neighborsPerItem).localCheckpoint())
   }
 
   /** Drops every memoized recommendation artifact (see
-    * [[recommendationsFor]]'s staleness contract).
+    * [[recommendationsFor]]'s staleness contract) and eagerly releases
+    * their checkpoint storage — entries cleared under a LIVE session
+    * must not strand blocks in executor storage until context shutdown.
     */
-  def invalidateRecommendations(): Unit = recCache.clear()
+  def invalidateRecommendations(): Unit = {
+    recCache.values.foreach(Memo.unpersistCheckpoint)
+    recCache.clear()
+  }
 
   private val recCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]

@@ -91,6 +91,21 @@ class AssociationSpec extends SparkSpec {
     assert(rows.toSeq == sorted.toSeq)
   }
 
+  test("localizedLevel: bound fires loudly BEFORE any driver " +
+    "materialization, names the knob; in-bound sets pass through intact") {
+    val lvl = Seq("a", "b", "c").toDF("token")
+    val e = intercept[IllegalArgumentException](
+      Association.localizedLevel(lvl, "L1 frequent-token", bound = 2))
+    assert(e.getMessage.contains("exceeds the localization bound (3 > 2"))
+    assert(e.getMessage.contains("minSupportPct"))
+    val ok = Association.localizedLevel(lvl, "L1 frequent-token", bound = 3)
+    assert(ok.as[String].collect().toSet == Set("a", "b", "c"))
+    // the localized set is materialized (lineage cut): its plan is a scan,
+    // so every broadcast consumer reads bytes, never re-runs the census
+    assert(ok.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
+  }
+
   test("rules: directed confidence from the pair census, support floor, " +
     "deterministic top-k") {
     // baskets: {10,20} x3, {10,30}, {20,30} -> pair (10,20) support 3;

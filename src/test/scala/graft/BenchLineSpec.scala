@@ -57,6 +57,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\"q001_some_longish_operator_name\""))
   }
 
+  test("selfCorrect publishes the min-of-three for sentinel queries only") {
+    val firstPass = Seq("a" -> 4.8, "b" -> 2.0, "c" -> 1.0)
+    val sentinel = Seq(("a", 4.8, 1.4), ("b", 2.0, 2.1))
+    val got = Bench.selfCorrect(firstPass, sentinel).toMap
+    assert(got("a") == 1.4) // stall corrected to the re-run
+    assert(got("b") == 2.0) // re-run slower: first-pass min stands
+    assert(got("c") == 1.0) // not in the top-5: untouched
+  }
+
+  test("artifact build times ride both the final line and its budget") {
+    val arts = Seq("rec" -> 9.123456, "graph" -> 1.2, "copurchase" -> 0.5)
+    val line = Bench.finalLine(fakeResults(119), ingest, "sf",
+      fakeSentinel(119), arts)
+    assert(line.contains(
+      "\"artifact_sec\":{\"rec\":9.123,\"graph\":1.200,\"copurchase\":0.500}"))
+    assert(line.length <= Bench.TailBudget, s"line is ${line.length}B")
+    // empty artifacts still render valid JSON
+    assert(Bench.finalLine(fakeResults(3), ingest, "sf")
+      .contains("\"artifact_sec\":{}"))
+  }
+
   test("number rendering is 3-decimal, dot-separated, never scientific") {
     assert(Bench.f3(0.0001) == "0.000")
     assert(Bench.f3(1234567.891234) == "1234567.891")

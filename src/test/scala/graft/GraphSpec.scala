@@ -418,4 +418,75 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq((4L, 4L, 0L, -4L, -0.25)))
   }
+
+  // ---- build-once interaction-graph artifact (r10) -----------------------
+
+  test("InteractionGraph: artifact edges/degrees row-identical to the " +
+    "inline derivation the operators used pre-memoization") {
+    val g = new Graph.InteractionGraph(tiny)
+    // inline reference derivation (the pre-r10 per-operator prefix)
+    val once = tiny.selectExpr("l_suppkey * 2 as u", "l_partkey * 2 + 1 as v")
+      .distinct()
+    val refEdges = once.unionByName(once.selectExpr("v as u", "u as v"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(g.edges.as[(Long, Long)].collect().sorted.toSeq == refEdges)
+    val refDeg = refEdges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(g.deg.as[(Long, Long)].collect().toMap == refDeg)
+    assert(g.nNodes == refDeg.size.toLong)
+    // withDeg carries each edge annotated with deg(u)
+    assert(g.withDeg.select("u", "v", "deg").as[(Long, Long, Long)]
+      .collect().sorted.toSeq ==
+      refEdges.map { case (u, v) => (u, v, refDeg(u)) }.sorted)
+  }
+
+  test("InteractionGraph: every ...Of operator matches its inline twin") {
+    val g = new Graph.InteractionGraph(tiny)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    assert(rows(Graph.pageRankOf(g)) == rows(Graph.pageRank(tiny)))
+    assert(rows(Graph.personalizedPageRankOf(g, seedEvery = 1)) ==
+      rows(Graph.personalizedPageRank(tiny, seedEvery = 1)))
+    assert(rows(Graph.bfsDistancesOf(g, seedEvery = 1)) ==
+      rows(Graph.bfsDistances(tiny, seedEvery = 1)))
+    assert(rows(Graph.labelPropagationOf(g)) ==
+      rows(Graph.labelPropagation(tiny)))
+    assert(rows(Graph.communityModularityOf(g)) ==
+      rows(Graph.communityModularity(tiny)))
+    assert(rows(Graph.assortativityOf(g)) == rows(Graph.assortativity(tiny)))
+    assert(rows(Graph.harmonicCentralityOf(g, seedEvery = 1, seedCount = 8)) ==
+      rows(Graph.harmonicCentrality(tiny, seedEvery = 1, seedCount = 8)))
+    assert(rows(Graph.kCoreOf(g, k = 2, rounds = 6)) ==
+      rows(Graph.kCore(tiny, k = 2, rounds = 6)))
+  }
+
+  test("interactionGraphFor: memoized per (session, key); distinct keys " +
+    "get distinct artifacts; invalidation rebuilds") {
+    Graph.invalidateInteractionGraphs()
+    val a = Graph.interactionGraphFor("k1", tiny)
+    // memo hit: same instance back, even from a different input plan
+    // (the key is (session, inputKey) — the caller's staleness contract)
+    assert(Graph.interactionGraphFor("k1", tiny.limit(0)) eq a)
+    val b = Graph.interactionGraphFor("k2", tiny)
+    assert(!(b eq a))
+    Graph.invalidateInteractionGraphs()
+    assert(!(Graph.interactionGraphFor("k1", tiny) eq a))
+    Graph.invalidateInteractionGraphs()
+  }
+
+  test("coPurchaseEdgesFor: memoized per (session, key, params) and " +
+    "row-identical to the direct derivation") {
+    Graph.invalidateInteractionGraphs()
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 3L),
+      (4L, 1L), (4L, 2L)) // second {1,2} basket -> that pair reaches support 2
+      .toDF("l_orderkey", "l_partkey")
+    val memo = Graph.coPurchaseEdgesFor("k1", li)
+    assert(Graph.coPurchaseEdgesFor("k1", li.limit(0)) eq memo)
+    // different params -> different artifact
+    assert(!(Graph.coPurchaseEdgesFor("k1", li, minSupport = 2) eq memo))
+    assert(memo.as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(Graph.coPurchaseEdgesFor("k1", li, minSupport = 2)
+      .as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+    Graph.invalidateInteractionGraphs()
+  }
 }
