@@ -1529,6 +1529,18 @@ object SparkEntry {
         .select("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
           "sea_ice_concentration_mean", "sea_ice_concentration_stddev")
     },
+    "gridded_ingest_hdf5_dense" -> { (s, dir) =>
+      // the many-variable root-group shape: DENSE (fractal-heap) link
+      // storage with a root indirect block + depth-1 type-5 name B-tree
+      // (46 links overflow both the one 512-byte direct block and the
+      // one 45-record leaf); same fixture content, same closed-form
+      // oracle — the byte path a wide libver='latest' NetCDF-4 file uses
+      val path = graft.sources.GridFixture.ensureWrittenH5Dense(
+        graft.sources.GridFixture.defaultH5DensePath)
+      Ingest.load(s.read.format("gridded").load(path))
+        .select("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
+          "sea_ice_concentration_mean", "sea_ice_concentration_stddev")
+    },
 
     "dq_check" -> { (s, dir) =>
       // declarative data-quality gate: row rules fused into one scan,
@@ -1610,6 +1622,16 @@ object SparkEntry {
       // the audio twin of the PNG decode certification. Integer output.
       graft.ops.Multimodal.AudioCodec.decodeAudio(
         graft.ops.Multimodal.wavFromDocuments(Tables.documents(s, dir)))
+        .toDF()),
+    "multimodal_video_decode" -> ((s, dir) =>
+      // REAL video decode (MJPEG-in-AVI, pure JVM): each doc_id becomes
+      // an AVI of nf JPEG frames with arithmetic dims; the decoder must
+      // really walk the RIFF chunk tree to exact frame boundaries and
+      // read each JPEG's SOF header to reproduce the oracle's frame
+      // count and dimension sums (JPEG dims are header-exact; pixel data
+      // is lossy, so the certification never touches pixel sums)
+      graft.ops.Multimodal.VideoCodec.decodeVideo(
+        graft.ops.Multimodal.aviFromDocuments(Tables.documents(s, dir)))
         .toDF()),
 
     // ---- beyond-reference: TPC-H composite suite (Q1-Q22 shapes the -----
@@ -2565,9 +2587,10 @@ object SparkEntry {
     },
     "dp_count_release" -> ((s, dir) =>
       // the release step after the k/l/t screens: per-nation customer
-      // counts with seeded inverse-CDF Laplace(1/eps) noise — both
-      // engines draw the identical double from the group key's md5, so
-      // the epsilon-DP release is reproducible and gate-checkable
+      // counts with md5-seeded DISCRETE Laplace (two-sided geometric)
+      // integer noise — the CDF boundary table is one Scala constant
+      // embedded in both engines, so the draw is a count of engine-exact
+      // double comparisons (no cross-engine logarithm anywhere)
       graft.ops.Expectations.dpCountRelease(
         Tables.customer(s, dir).select(col("c_nationkey")),
         Seq("c_nationkey"), epsilon = 1.0)),
@@ -6323,6 +6346,29 @@ object SparkEntry {
         |       CAST(sic_stddev AS FLOAT) AS sea_ice_concentration_stddev
         |FROM vals
         |WHERE sic_mean > 0 AND sic_stddev IS NOT NULL""".stripMargin,
+    "gridded_ingest_hdf5_dense" -> // once more: only the GROUP storage
+      // changed (dense fractal-heap links, root indirect block, depth-1
+      // type-5 name B-tree)
+      """WITH ti AS (SELECT unnest(generate_series(0, 1)) AS t),
+        |li AS (SELECT unnest(generate_series(0, 2)) AS l),
+        |yi AS (SELECT unnest(generate_series(0, 5)) AS y),
+        |xi AS (SELECT unnest(generate_series(0, 7)) AS x),
+        |cells AS (
+        |  SELECT t, l, y, x, (7*t + 5*l + 3*y + x) % 19 AS k
+        |  FROM ti CROSS JOIN li CROSS JOIN yi CROSS JOIN xi),
+        |vals AS (
+        |  SELECT t, l, y, x,
+        |    CASE WHEN (t+l+y+x) % 11 = 0 THEN NULL ELSE k/10.0 - 0.4 END AS sic_mean,
+        |    CASE WHEN (t+l+y+x+1) % 13 = 0 THEN NULL ELSE (k*k % 7)/100.0 END AS sic_stddev
+        |  FROM cells)
+        |SELECT CAST(trunc((-262.5 + 25.0*x) * 1000) AS INT) AS xc_m,
+        |       CAST(trunc((-537.5 + 25.0*y) * 1000) AS INT) AS yc_m,
+        |       DATE '2020-03-01' + CAST(t AS INT) AS date_forecast_generated,
+        |       DATE '2020-03-01' + CAST(t + l + 1 AS INT) AS date_forecast_for,
+        |       CAST(sic_mean AS FLOAT) AS sea_ice_concentration_mean,
+        |       CAST(sic_stddev AS FLOAT) AS sea_ice_concentration_stddev
+        |FROM vals
+        |WHERE sic_mean > 0 AND sic_stddev IS NOT NULL""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
@@ -6381,6 +6427,15 @@ object SparkEntry {
         |       CAST(sum(v) AS BIGINT) AS sum_amp,
         |       CAST(sum(v * v) AS BIGINT) AS sum_sq
         |FROM s GROUP BY 1, 2, 3, 4""".stripMargin,
+    "multimodal_video_decode" -> // pure arithmetic prediction of the AVI
+      // round trip: nf frames of w x h JPEGs — only a codec that really
+      // walks the RIFF tree and reads each frame's SOF header reproduces
+      // the count and dimension sums.
+      """SELECT doc_id AS media_id,
+        |       CAST(doc_id % 5 + 2 AS BIGINT) AS n_frames,
+        |       CAST((doc_id % 5 + 2) * (doc_id % 32 + 16) AS BIGINT) AS sum_w,
+        |       CAST((doc_id % 5 + 2) * (doc_id % 24 + 12) AS BIGINT) AS sum_h
+        |FROM documents""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,
@@ -8133,23 +8188,28 @@ object SparkEntry {
         |  (2 * ndv_cur < ndv_ref OR ndv_cur > 2 * ndv_ref)
         |    AS ndv_outside_band
         |FROM s""".stripMargin,
-    "dp_count_release" -> // same md5-seeded uniform and inverse-CDF
-      // Laplace draw — the identical double expression in both engines
-      """WITH g AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_true
+    "dp_count_release" -> // same md5-seeded uniform; the discrete-Laplace
+      // CDF boundary table below is the SAME Scala-rendered literal list
+      // the plan embeds, so noise is a count of engine-exact double
+      // comparisons — no logarithm runs in either engine
+      s"""WITH g AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_true
         |           FROM customer GROUP BY 1),
         |n AS (SELECT c_nationkey, n_true,
         |        (CAST(CAST('0x' || substr(md5(
         |           concat_ws('|', CAST(c_nationkey AS VARCHAR))), 1, 12)
         |           AS BIGINT) AS DOUBLE) + 0.5) / 281474976710656.0 AS u
-        |      FROM g)
-        |SELECT c_nationkey, n_true,
-        |  round(-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
-        |    AS noise,
-        |  round(greatest(CAST(n_true AS DOUBLE)
-        |      + -1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)),
-        |    0.0), 6) AS n_released,
+        |      FROM g),
+        |z AS (SELECT c_nationkey, n_true,
+        |        CAST(len(list_filter(
+        |            ${graft.ops.Expectations.dpBoundarySql(1.0)},
+        |          b -> b < u)) AS BIGINT)
+        |          - ${graft.ops.Expectations.dpNoiseBoundaries(1.0)._2}
+        |          AS noise
+        |      FROM n)
+        |SELECT c_nationkey, n_true, noise,
+        |  greatest(n_true + noise, 0) AS n_released,
         |  1.0 AS epsilon
-        |FROM n""".stripMargin,
+        |FROM z""".stripMargin,
     "eval_confusion" -> // same conditional-count cells per threshold;
       // every presented ratio is the shared exact half-up form
       """WITH s AS (SELECT

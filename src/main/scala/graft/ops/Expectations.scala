@@ -267,59 +267,87 @@ object Expectations {
         exactRatio(col("n_rows_at_risk"), col("n_rows"), 6).as("risk_share"))
   }
 
-  /** Differentially-private count release — the Laplace mechanism, the
-    * step AFTER the [[kAnonymity]]/[[lDiversity]]/[[tCloseness]] screens:
-    * per-group counts with Laplace(sensitivity/ε) noise added, so the
-    * released histogram satisfies ε-DP for unit sensitivity (each unit in
-    * exactly one group). Noise is drawn by inverse CDF from a uniform
-    * SEEDED off the group key's md5 — deterministic, so the release is
-    * reproducible and gate-checkable; a production release would fold a
-    * secret salt into the seed and drop `n_true` (kept here so the audit
-    * can report the noise actually added).
+  /** Differentially-private count release — the DISCRETE Laplace
+    * (two-sided geometric) mechanism, the step AFTER the
+    * [[kAnonymity]]/[[lDiversity]]/[[tCloseness]] screens: per-group
+    * counts with integer noise z, P(z) ∝ exp(−ε|z|), added — the
+    * standard ε-DP mechanism for unit-sensitivity integer queries
+    * (Ghosh, Roughgarden & Sundararajan 2009), and being integer-valued
+    * it never leaks the mantissa fingerprint a continuous Laplace draw
+    * embeds in its low bits. Noise is drawn by inverse CDF from a
+    * uniform SEEDED off the group key's md5 — deterministic, so the
+    * release is reproducible and gate-checkable; a production release
+    * would fold a secret salt into the seed and drop `n_true` (kept here
+    * so the audit can report the noise actually added).
     *
-    * u = (h + 0.5)/16^12 with h the first 12 md5 hex digits never hits
-    * 0.5 exactly (16^12/2 − 0.5 is not an integer), so
-    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) is always finite, and both
-    * engines evaluate the identical expression on the identical double.
-    * Released counts clamp at 0 (a negative count is not a count).
+    * CROSS-ENGINE EXACTNESS (replaces r9's continuous-Laplace rendering,
+    * whose ln() was the suite's one cross-engine libm call with a
+    * documented ~g·2^-52 residual divergence risk): the geometric CDF
+    * boundaries F(k) = α^(−k)/(1+α) for k<0 and 1 − α^(k+1)/(1+α) for
+    * k≥0 (α = e^−ε) are computed ONCE driver-side
+    * ([[dpNoiseBoundaries]]) and embedded as IDENTICAL double literals
+    * in both the plan and the oracle SQL — the eval_ndcg weight-table
+    * discipline. Each engine then only COMPARES the identical
+    * u = (h + 0.5)/16^12 (h = first 12 md5 hex digits) against identical
+    * literals and counts — no logarithm, no rounding, no residual risk:
+    * comparison of identical doubles is engine-exact whether or not u
+    * ever ties a boundary. The table spans |z| ≤ K sized so the tail
+    * mass sits below u's 2^-48 resolution, so the implicit clamp at ±K
+    * is unreachable.
     *
-    * RESIDUAL CROSS-ENGINE RISK (documented, accepted): the ln() here is
-    * the one libm call in a certified column that the suite's
-    * no-cross-engine-logarithm rule (see eval_ndcg's e6 weight table)
-    * cannot eliminate — the argument is data-dependent (one value per
-    * GROUP KEY via md5), so no finite Scala-side literal table covers the
-    * domain. Divergence requires BOTH (a) the two libms rounding ln of
-    * the identical double to different ulps (each is ≤1 ulp off the true
-    * value, so they differ only when the true value sits within ~2^-52
-    * relative of a rounding boundary) AND (b) `round(·, 6)` mapping those
-    * two neighbors to different 1e-6 buckets (true value within one ulp
-    * of a 5e-7 tie). The joint event needs the md5-derived u to land in
-    * a measure ~2^-52 set; across g groups the failure odds are
-    * ~g·2^-52 — at a billion groups still ~2^-22. Accepted and pinned by
-    * ExpectationsSpec rather than hidden: the spec asserts the fixture's
-    * noise values sit far (> 1e-9) from every 5e-7 rounding tie.
-    *
-    * Plan: one size-of-data grouped count to O(groups); the noise is
-    * per-group scalar arithmetic — nothing after the first exchange
-    * scales with the data.
+    * Plan: one size-of-data grouped count to O(groups); the noise is a
+    * per-group scan of the O(K) literal array (interpreted HOF — off the
+    * hot path by construction). Nothing after the first exchange scales
+    * with the data.
     */
   def dpCountRelease(df: DataFrame, groupCols: Seq[String],
       epsilon: Double = 1.0): DataFrame = {
-    require(epsilon > 0.0, s"dpCountRelease: epsilon=$epsilon must be > 0")
+    val (bounds, k) = dpNoiseBoundaries(epsilon)
     val q = groupCols.map(col)
     val g = df.groupBy(q: _*).agg(count(lit(1)).as("n_true"))
     val keyStr = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
     val u = (conv(substring(md5(keyStr), 1, 12), 16, 10)
       .cast("long").cast("double") + lit(0.5)) / lit(281474976710656.0)
-    val c = u - lit(0.5)
-    val noise = -lit(1.0 / epsilon) * signum(c) *
-      log(lit(1.0) - lit(2.0) * abs(c))
+    val noise = (size(filter(array(bounds.map(lit): _*), b => b < u))
+      - lit(k)).cast("long")
     g.select(q ++ Seq(col("n_true"),
-      round(noise, 6).as("noise"),
-      round(greatest(col("n_true").cast("double") + noise, lit(0.0)), 6)
-        .as("n_released"),
+      noise.as("noise"),
+      greatest(col("n_true") + noise, lit(0L)).as("n_released"),
       lit(epsilon).as("epsilon")): _*)
   }
+
+  /** The discrete-Laplace CDF boundary table for [[dpCountRelease]]:
+    * (F(−K), …, F(K−1)) ascending, plus K. noise = |{b : b < u}| − K.
+    * Shared verbatim by the plan and the oracle SQL (render with
+    * [[dpBoundarySql]]) so both engines compare the same doubles.
+    * K = ceil(35/ε) puts the tail mass α^K/(1+α) below the md5-uniform's
+    * 2^-48 resolution; the table size is hard-capped so a tiny ε can
+    * never inflate the plan silently.
+    */
+  private[graft] def dpNoiseBoundaries(epsilon: Double): (Seq[Double], Int) = {
+    require(epsilon > 0.0, s"dpCountRelease: epsilon=$epsilon must be > 0")
+    val k = math.ceil(35.0 / epsilon).toInt
+    require(k <= 1024,
+      s"dpCountRelease: epsilon=$epsilon needs a ±$k-step boundary table " +
+        "(cap 1024) — release at this privacy level in batches with a " +
+        "larger per-batch epsilon")
+    val a = math.exp(-epsilon)
+    val bounds = (-k until k).map { j =>
+      if (j < 0) math.pow(a, -j) / (1.0 + a)
+      else 1.0 - math.pow(a, j + 1) / (1.0 + a)
+    }
+    (bounds, k)
+  }
+
+  /** The boundary table as a SQL list literal at full round-trip
+    * precision (17 significant digits — both engines parse back the
+    * bit-identical doubles).
+    */
+  private[graft] def dpBoundarySql(epsilon: Double): String =
+    dpNoiseBoundaries(epsilon)._1
+      .map(d => java.lang.String.format(
+        java.util.Locale.ROOT, "%.17g", Double.box(d)))
+      .mkString("[", ", ", "]")
 
   /** Per-column profile drift between two snapshots of the same table —
     * the check a data contract runs on every release: null rate and

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * dependency) and extracts exact dimensions + per-channel pixel sums.
   * AUDIO decode is REAL too: [[AudioCodec]] decodes WAV/PCM (signed
   * 16-bit, mono/stereo) with JDK `javax.sound.sampled` and extracts
-  * exact per-payload amplitude/energy sums. Only VIDEO decode remains a
-  * STUB (`FakeCodec`): the JDK genuinely ships no video codec. Swapping
-  * in a real one (javacv, a JNI decoder, an ONNX runtime) changes ONLY
-  * the function body passed to [[decodeBatches]]; every plan around it
-  * is unchanged.
+  * exact per-payload amplitude/energy sums. VIDEO decode is REAL for
+  * MJPEG-in-AVI ([[VideoCodec]]): the container is a pure-JVM RIFF walk
+  * and the frames are JPEGs, which ImageIO decodes — the one mainstream
+  * video form fully decodable inside the JDK. Codecs the JDK truly
+  * cannot touch (H.264/VP9/AV1) stay behind the [[FakeCodec]] stub;
+  * swapping in a native one (javacv, a JNI decoder, an ONNX runtime)
+  * changes ONLY the function body passed to [[decodeBatches]] — every
+  * plan around it is unchanged.
   *
   * Scale notes: payloads stay columnar parquet `binary`; decode is
   * mapPartitions (one codec init per partition, not per row — the same
@@ -157,12 +160,107 @@ object Multimodal {
     }
   }
 
-  /** STUB codec — deterministic stand-in for VIDEO decode only (images
-    * decode for real via [[ImageCodec]]/ImageIO, audio via
-    * [[AudioCodec]]/javax.sound; the JDK ships no video codec).
-    * Real implementation would decode `payload` with a native library;
-    * the fake derives a checksum + fixed-width feature vector from the
-    * bytes so tests can assert exact plumbing behavior.
+  /** Exact per-payload statistics of one decoded MJPEG video: frame
+    * count from the container walk plus per-frame decoded dimensions
+    * summed. JPEG pixel DATA is lossy, but its dimensions come
+    * header-exact from the SOF segment — so unlike the PNG oracle the
+    * certification rides on counts and dimensions, never pixel sums.
+    */
+  case class VideoStats(
+      media_id: Long, n_frames: Long, sum_w: Long, sum_h: Long)
+
+  /** REAL video codec for MJPEG-in-AVI, pure JVM: the container is a
+    * RIFF chunk walk (this file) and the frames are JPEGs (ImageIO
+    * decodes them) — the one mainstream video form the JDK can fully
+    * decode with zero external dependencies. Anything else (H.264, VP9,
+    * AV1) genuinely needs a native codec and stays behind [[FakeCodec]].
+    * Beyond-reference surface: the reference ingests no video at all;
+    * frame-level dedup/sampling in a multimodal training pipeline needs
+    * exactly this container-walk + per-frame-decode shape.
+    */
+  object VideoCodec {
+
+    /** Extract the MJPEG frame payloads (`##dc`/`##db` chunks inside the
+      * `movi` LIST) from an AVI container. RIFF rules honored: chunk data
+      * is WORD-aligned (odd sizes carry a pad byte that is NOT part of
+      * the payload), unknown chunks are skipped by size, nested grouping
+      * LISTs (`rec `) recurse. Fails loudly naming the row on any
+      * structural violation — a truncated container in a curation
+      * pipeline is a data defect to surface, not to silently zero.
+      */
+    def frames(payload: Array[Byte], mediaId: Long): Vector[Array[Byte]] = {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(off: Long): String = new String(
+        payload, off.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(payload.length >= 12 && fourcc(0) == "RIFF" &&
+        fourcc(8) == "AVI ",
+        s"media_id=$mediaId: payload (${payload.length} bytes) is not a " +
+          "RIFF/AVI container")
+      val riffEnd = 8L + (bb.getInt(4).toLong & 0xFFFFFFFFL)
+      require(riffEnd <= payload.length,
+        s"media_id=$mediaId: RIFF size $riffEnd overruns the payload")
+      val out = Vector.newBuilder[Array[Byte]]
+      def walk(from: Long, to: Long, inMovi: Boolean): Unit = {
+        var p = from
+        while (p < to) {
+          require(p + 8 <= to,
+            s"media_id=$mediaId: truncated chunk header at $p")
+          val id = fourcc(p)
+          val sz = bb.getInt(p.toInt + 4).toLong & 0xFFFFFFFFL
+          require(p + 8 + sz <= to,
+            s"media_id=$mediaId: chunk '$id' at $p overruns its parent")
+          if (id == "LIST")
+            walk(p + 12, p + 8 + sz, inMovi || fourcc(p + 8) == "movi")
+          else if (inMovi && id(0).isDigit && id(1).isDigit &&
+            (id.endsWith("dc") || id.endsWith("db")))
+            out += java.util.Arrays.copyOfRange(
+              payload, p.toInt + 8, (p + 8 + sz).toInt)
+          // else: header/index/junk chunk — skipped by size
+          p += 8 + sz + (sz & 1L) // odd chunk sizes carry a pad byte
+        }
+      }
+      walk(12L, riffEnd, inMovi = false)
+      out.result()
+    }
+
+    /** Decode one AVI payload: container walk + ImageIO decode of every
+      * frame. A mis-sliced frame fails the JPEG decode loudly, so the
+      * dimension sums double as a frame-boundary certification.
+      */
+    def decode(row: MediaRow): VideoStats = {
+      val fs = frames(row.payload, row.media_id)
+      var (sw, sh) = (0L, 0L)
+      fs.foreach { f =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f))
+        require(img != null,
+          s"media_id=${row.media_id}: frame (${f.length} bytes) is not a " +
+            "decodable JPEG")
+        sw += img.getWidth; sh += img.getHeight
+      }
+      VideoStats(row.media_id, fs.size.toLong, sw, sh)
+    }
+
+    /** Partition-local batched video decode — same shape as
+      * [[ImageCodec.decodeImages]].
+      */
+    def decodeVideo(media: Dataset[MediaRow]): Dataset[VideoStats] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map(decode)
+      }
+    }
+  }
+
+  /** STUB codec — deterministic stand-in for codecs the JDK cannot touch
+    * (H.264/VP9/AV1 video; images decode for real via
+    * [[ImageCodec]]/ImageIO, audio via [[AudioCodec]]/javax.sound, MJPEG
+    * video via [[VideoCodec]]). Real implementation would decode
+    * `payload` with a native library; the fake derives a checksum +
+    * fixed-width feature vector from the bytes so tests can assert exact
+    * plumbing behavior.
     */
   object FakeCodec {
     val FeatureDim = 8
@@ -336,6 +434,110 @@ object Multimodal {
         val samples = Array.tabulate(n)(i =>
           ((id * 31 + i.toLong * 7919) % 2001 - 1000).toShort)
         MediaRow(id, "audio", wavBytes(samples, rate), 0, 0, rate, n)
+      }
+    }
+  }
+
+  /** Minimal MJPEG AVI container around already-encoded JPEG `frames` of
+    * one nominal size: RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh
+    * strf)) LIST('movi' '00dc'…) 'idx1'). Authored against the public
+    * RIFF/AVI layout — the same byte-authoring discipline as [[wavBytes]]
+    * and the CDF/HDF5 fixtures (and, like them, decoded back by a parser
+    * that never sees this writer).
+    */
+  def aviBytes(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int = 10): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array() // odd payloads get the RIFF pad byte via the allocation
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val maxBytes = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(1000000 / fps) // microseconds per frame
+      .putInt(maxBytes * fps) // max bytes per second
+      .putInt(0).putInt(0x10) // padding granularity; flags: AVIF_HASINDEX
+      .putInt(frames.size).putInt(0).putInt(1).putInt(maxBytes)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+      .array()
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, init
+      .putInt(1).putInt(fps) // scale/rate = fps frames per second
+      .putInt(0).putInt(frames.size).putInt(maxBytes)
+      .putInt(-1).putInt(0) // quality, sample size
+      .putShort(0).putShort(0) // frame rect
+      .putShort(width.toShort).putShort(height.toShort)
+      .array()
+    val strf = java.nio.ByteBuffer.allocate(40) // BITMAPINFOHEADER
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24) // planes, bpp
+      .put("MJPG".getBytes("US-ASCII"))
+      .putInt(width * height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val idxBody = {
+      val bb = java.nio.ByteBuffer.allocate(16 * frames.size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 4 // offsets count from the 'movi' list type fourcc
+      frames.foreach { f =>
+        bb.put("00dc".getBytes("US-ASCII")).putInt(0x10) // AVIIF_KEYFRAME
+          .putInt(off).putInt(f.length)
+        off += 8 + f.length + (f.length & 1)
+      }
+      bb.array()
+    }
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++
+      chunk("idx1", idxBody)
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    bb.array()
+  }
+
+  /** Build a REAL-MJPEG-AVI media table from the documents fixture: each
+    * doc_id becomes an AVI of nf = id%5 + 2 solid-gray JPEG frames sized
+    *   w = id%32 + 16, h = id%24 + 12
+    * — so the DuckDB oracle predicts the decoder's exact frame count and
+    * summed dimensions (nf, nf·w, nf·h) from arithmetic WITHOUT parsing
+    * AVI or JPEG. Only a codec that really walks the RIFF chunk tree to
+    * exact frame boundaries and reads each JPEG's SOF header reproduces
+    * them — a mis-sliced frame does not decode at all.
+    */
+  def aviFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val w = (id % 32).toInt + 16
+        val h = (id % 24).toInt + 12
+        val nf = (id % 5).toInt + 2
+        val frames = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gray = ((id * 7 + f * 31) % 256).toInt
+          val rgb = (gray << 16) | (gray << 8) | gray
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "jpg", out),
+            s"no JPEG writer available for doc_id=$id")
+          out.toByteArray
+        }
+        MediaRow(id, "video", aviBytes(frames, w, h), w, h, 0, nf)
       }
     }
   }

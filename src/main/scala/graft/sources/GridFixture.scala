@@ -119,6 +119,18 @@ object GridFixture {
         latestFormat = true, btreeV2Index = true)
     }
 
+  /** Same logical content under DENSE (fractal-heap) group storage with
+    * enough pad links to force a root INDIRECT heap block and a depth-1
+    * type-5 name B-tree — the many-variable `libver='latest'` root-group
+    * shape. Oracle: `gridded_ingest_hdf5_dense`.
+    */
+  def ensureWrittenH5Dense(path: String): String =
+    ensureWith(path) { tmp =>
+      Hdf5Netcdf.write(tmp, TimesMicros, Leadtimes, Yc, Xc,
+        flat(meanAt), flat(stddevAt), chunkX = Some(5), filters = Seq(2, 1),
+        latestFormat = true, denseLinks = true, denseLinkPad = 40)
+    }
+
   private def ensureWith(path: String)(write: String => Unit): String =
     synchronized {
       val f = new java.io.File(path)
@@ -151,4 +163,7 @@ object GridFixture {
   def defaultH5Bt2Path: String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_grid_fixture_h5_bt2_v1.nc").getAbsolutePath
+  def defaultH5DensePath: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_grid_fixture_h5_dense_v1.nc").getAbsolutePath
 }

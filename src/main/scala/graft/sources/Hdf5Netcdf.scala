@@ -17,9 +17,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - superblocks version 0 (libhdf5's default write format) AND
   *    versions 2/3 (the "latest format" family, `libver='latest'`),
   *    8-byte offsets/lengths, lookup3-checksummed for v2/v3;
-  *  - group storage both ways: the v0-era v1 B-tree + SNOD symbol nodes
-  *    + local heap, and the latest-format compact link messages
-  *    (dense/fractal-heap link storage rejected loudly);
+  *  - group storage all three ways: the v0-era v1 B-tree + SNOD symbol
+  *    nodes + local heap, the latest-format compact link messages, AND
+  *    dense link storage (`FRHP` fractal heap of serialized link
+  *    messages — root direct block or root indirect `FHIB` over direct
+  *    rows, whole-block checksums — indexed by a type-5 v2 B-tree);
   *  - object headers v1 (incl. continuation blocks) AND v2 `OHDR`
   *    (incl. `OCHK` continuations, lookup3 checksums verified);
   *  - dataspace v1/v2, datatype classes 0 (fixed-point) and 1 (IEEE
@@ -39,11 +41,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    H5_checksum_fletcher32 algorithm, corrupt chunks fail loudly) —
   *    i.e. netCDF4's default shuffle+deflate compression decodes.
   * Rejected LOUDLY, never misread: superblock v1 (rare 1.6-era indexed
-  * variant), dense link storage, paged fixed arrays and paged or
-  * secondary-block extensible-array regions, v2 B-trees deeper than one
-  * internal level, other filters (szip/nbit/scaleoffset), non-atomic
-  * data types. The error text names the feature so the user knows what
-  * to re-save without.
+  * variant), fractal-heap indirect CHILD blocks / huge / tiny heap
+  * objects (past ~100k links per group), paged fixed arrays and paged
+  * or secondary-block extensible-array regions, v2 B-trees deeper than
+  * one internal level, other filters (szip/nbit/scaleoffset),
+  * non-atomic data types. The error text names the feature so the user
+  * knows what to re-save without.
   *
   * The grid view mirrors [[NetcdfClassic]]: datasets named
   * `time`/`leadtime`/`yc`/`xc` + `sic_mean`/`sic_stddev` (legacy
@@ -1273,13 +1276,14 @@ object Hdf5Netcdf {
     * returns name -> object header address for every link.
     */
   /** "Latest format" group listing: hard Link messages (0x0006) stored
-    * compactly in the group's own header. Dense storage (links spilled to
-    * a fractal heap, signalled by a defined heap address in the Link Info
-    * message) is rejected loudly by name — netCDF-4's handful of
-    * variables per group stays compact under the default thresholds.
+    * compactly in the group's own header, or — when the group holds more
+    * links than the compact threshold (default 8) — spilled to DENSE
+    * storage (a fractal heap of serialized link messages indexed by a
+    * name-order v2 B-tree), signalled by a defined heap address in the
+    * Link Info message and decoded by [[denseLinks]].
     */
   private def parseLinkGroup(
-      msgs: Vector[(Int, ByteBuffer)]): Map[String, Long] = {
+      r: Reader, msgs: Vector[(Int, ByteBuffer)]): Map[String, Long] = {
     msgs.find(_._1 == 0x0002).foreach { case (_, li0) =>
       val li = li0.duplicate().order(ByteOrder.LITTLE_ENDIAN)
       val v = li.get().toInt
@@ -1287,35 +1291,321 @@ object Hdf5Netcdf {
       val flags = li.get().toInt
       if ((flags & 0x01) != 0) li.getLong() // max creation index
       val fractalHeap = li.getLong()
-      require(fractalHeap == Undef,
-        "HDF5 dense link storage (fractal heap) unsupported — group has " +
-          "too many links for compact storage")
+      val nameBtree = li.getLong()
+      if (fractalHeap != Undef) return denseLinks(r, fractalHeap, nameBtree)
     }
     val links = msgs.filter(_._1 == 0x0006).map { case (_, body) =>
-      val b = body.duplicate().order(ByteOrder.LITTLE_ENDIAN)
-      val v = b.get().toInt
-      require(v == 1, s"HDF5 link message version $v unsupported")
-      val flags = b.get().toInt & 0xFF
-      val linkType =
-        if ((flags & 0x08) != 0) b.get().toInt & 0xFF else 0
-      require(linkType == 0,
-        s"HDF5 link type $linkType unsupported (hard links only — " +
-          "soft/external links need an external codec)")
-      if ((flags & 0x04) != 0) b.getLong() // creation order
-      if ((flags & 0x10) != 0) b.get() // charset
-      val nameLen = (flags & 0x03) match {
-        case 0 => (b.get().toInt & 0xFF).toLong
-        case 1 => (b.getShort().toInt & 0xFFFF).toLong
-        case 2 => b.getInt().toLong & 0xFFFFFFFFL
-        case _ => b.getLong()
-      }
-      val nameB = new Array[Byte](nameLen.toInt); b.get(nameB)
-      (new String(nameB, "UTF-8"), b.getLong())
+      parseLinkMessage(body.duplicate().order(ByteOrder.LITTLE_ENDIAN))
     }
     require(links.nonEmpty,
       "HDF5 root group has neither a symbol table nor link messages " +
         "(empty or unsupported group storage)")
     links.toMap
+  }
+
+  /** One v1 Link message body → (name, object header address). Shared by
+    * the compact path (0x0006 header messages) and the dense path (the
+    * same serialization, stored as fractal-heap objects).
+    */
+  private def parseLinkMessage(b: ByteBuffer): (String, Long) = {
+    val v = b.get().toInt
+    require(v == 1, s"HDF5 link message version $v unsupported")
+    val flags = b.get().toInt & 0xFF
+    val linkType =
+      if ((flags & 0x08) != 0) b.get().toInt & 0xFF else 0
+    require(linkType == 0,
+      s"HDF5 link type $linkType unsupported (hard links only — " +
+        "soft/external links need an external codec)")
+    if ((flags & 0x04) != 0) b.getLong() // creation order
+    if ((flags & 0x10) != 0) b.get() // charset
+    val nameLen = (flags & 0x03) match {
+      case 0 => (b.get().toInt & 0xFF).toLong
+      case 1 => (b.getShort().toInt & 0xFFFF).toLong
+      case 2 => b.getInt().toLong & 0xFFFFFFFFL
+      case _ => b.getLong()
+    }
+    val nameB = new Array[Byte](nameLen.toInt); b.get(nameB)
+    (new String(nameB, "UTF-8"), b.getLong())
+  }
+
+  /** Dense link storage: walk the name-index v2 B-tree for the heap IDs,
+    * resolve each managed heap ID through the fractal heap's doubling
+    * table, and parse the object bytes as a v1 link message body —
+    * decoded per the public HDF5 File Format Specification III.G
+    * (fractal heap) and III.A.2 (v2 B-tree). Bounded slice, rejections
+    * by name:
+    *  - filtered heaps (libhdf5 never filters dense-LINK heaps);
+    *  - huge/tiny heap objects (a link message is tens of bytes — always
+    *    managed under the 4096-byte managed-object ceiling, and the
+    *    default 7-byte heap ID cannot embed one as tiny);
+    *  - indirect child blocks past the doubling table's direct rows (the
+    *    direct rows alone address ~width·2·maxDirectBlockSize of link
+    *    bytes — ~100k links at libhdf5's defaults — before the first
+    *    indirect child exists).
+    * Reference site: `processor.py:121` accepts any xarray-readable
+    * NetCDF-4 file, including many-variable `libver='latest'` files
+    * whose root group has gone dense.
+    */
+  private def denseLinks(
+      r: Reader, heapAddr: Long, btAddr: Long): Map[String, Long] = {
+    require(btAddr != Undef,
+      "HDF5 dense link storage lacks a name-index v2 B-tree")
+    val heap = fractalHeap(r, heapAddr)
+    val links = btree2HeapIds(r, btAddr).map { hid =>
+      parseLinkMessage(
+        ByteBuffer.wrap(heap.read(hid)).order(ByteOrder.LITTLE_ENDIAN))
+    }
+    require(links.nonEmpty, "HDF5 dense link storage holds no links")
+    links.toMap
+  }
+
+  /** A parsed fractal heap: `read(heapId)` resolves a managed heap ID to
+    * the object's bytes through the block map `(heapOffset, size,
+    * fileAddr)`. Each direct block's header (signature, owning heap,
+    * block offset, and — when the heap flags say so — the whole-block
+    * checksum with the stored sum zeroed, per the spec's serialization)
+    * is validated on first touch.
+    */
+  private final class FractalHeap(
+      r: Reader, offSize: Int, lenSize: Int, checksummed: Boolean,
+      heapAddr: Long, blocks: Vector[(Long, Long, Long)]) {
+    private val validated = scala.collection.mutable.Set.empty[Long]
+
+    private def validate(blk: (Long, Long, Long)): Unit = {
+      val (off, size, addr) = blk
+      if (!validated.add(addr)) return
+      val hdrLen = 4 + 1 + 8 + offSize + (if (checksummed) 4 else 0)
+      val raw = new Array[Byte](size.toInt)
+      r.fetch(addr, size.toInt).get(raw)
+      val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      val sig = new Array[Byte](4); b.get(sig)
+      require(sig.sameElements("FHDB".getBytes),
+        s"bad HDF5 fractal-heap direct-block signature at $addr")
+      require(b.get() == 0,
+        "HDF5 fractal-heap direct-block version unsupported")
+      require(b.getLong() == heapAddr,
+        s"HDF5 fractal-heap direct block at $addr names a different heap")
+      var bo = 0L
+      for (i <- 0 until offSize) bo |= (b.get().toLong & 0xFF) << (8 * i)
+      require(bo == off,
+        s"HDF5 fractal-heap direct block at $addr carries heap offset " +
+          s"$bo, the doubling table says $off")
+      if (checksummed) {
+        val stored = b.getInt(hdrLen - 4).toLong & 0xFFFFFFFFL
+        java.util.Arrays.fill(raw, hdrLen - 4, hdrLen, 0.toByte)
+        checkSum(raw, 0, raw.length, stored,
+          "fractal-heap direct block (FHDB)")
+      }
+    }
+
+    def read(heapId: Array[Byte]): Array[Byte] = {
+      require(heapId.length >= 1 + offSize + lenSize,
+        s"HDF5 fractal-heap ID of ${heapId.length} bytes shorter than " +
+          s"1+$offSize+$lenSize")
+      val b0 = heapId(0) & 0xFF
+      require((b0 & 0xC0) == 0,
+        s"HDF5 fractal-heap ID version ${b0 >> 6} unsupported")
+      val idType = (b0 & 0x30) >> 4
+      require(idType == 0,
+        s"HDF5 fractal-heap ID type $idType unsupported (managed objects " +
+          "only — huge/tiny objects never hold link messages)")
+      var off = 0L
+      for (i <- 0 until offSize)
+        off |= (heapId(1 + i).toLong & 0xFF) << (8 * i)
+      var len = 0L
+      for (i <- 0 until lenSize)
+        len |= (heapId(1 + offSize + i).toLong & 0xFF) << (8 * i)
+      val blk = blocks.find(b => off >= b._1 && off + len <= b._1 + b._2)
+        .getOrElse(throw new IllegalArgumentException(
+          s"HDF5 fractal-heap ID (offset $off, length $len) outside " +
+            "every allocated direct block"))
+      validate(blk)
+      val out = new Array[Byte](len.toInt)
+      r.fetch(blk._3 + (off - blk._1), len.toInt).get(out)
+      out
+    }
+  }
+
+  /** Parse the fractal-heap header (`FRHP`, checksum-verified) and build
+    * the direct-block map: a root direct block (spanning the heap's
+    * managed space), or a root indirect block's (`FHIB`) direct rows —
+    * rows 0/1 at the starting block size, row n ≥ 2 at
+    * startingBlockSize·2^(n−1), `width` blocks per row, per the spec's
+    * doubling table. Unallocated entries (undefined address) are holes a
+    * valid heap ID never lands in.
+    */
+  private def fractalHeap(r: Reader, heapAddr: Long): FractalHeap = {
+    val hdrLen = 4 + 1 + 2 + 2 + 1 + 4 + 12 * 8 + 2 + 8 + 8 + 2 + 2 + 8 + 2 + 4
+    val raw = new Array[Byte](hdrLen); r.fetch(heapAddr, hdrLen).get(raw)
+    val h = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4); h.get(sig)
+    require(sig.sameElements("FRHP".getBytes),
+      s"bad HDF5 fractal-heap header signature at $heapAddr")
+    require(h.get() == 0, "HDF5 fractal-heap header version unsupported")
+    val heapIdLen = h.getShort().toInt & 0xFFFF
+    val filterLen = h.getShort().toInt & 0xFFFF
+    require(filterLen == 0,
+      "HDF5 filtered fractal heap unsupported (dense LINK heaps are " +
+        "never filtered)")
+    val flags = h.get().toInt & 0xFF
+    val maxManagedObj = h.getInt().toLong & 0xFFFFFFFFL
+    h.getLong() // next huge object id
+    h.getLong() // huge-object v2 B-tree address
+    h.getLong() // free space in managed blocks
+    h.getLong() // free-space manager address
+    val managedSpace = h.getLong()
+    h.getLong() // allocated managed space
+    h.getLong() // direct-block iterator offset
+    h.getLong() // number of managed objects
+    h.getLong() // size of huge objects
+    val nHuge = h.getLong()
+    h.getLong() // size of tiny objects
+    val nTiny = h.getLong()
+    require(nHuge == 0 && nTiny == 0,
+      s"HDF5 fractal heap holds $nHuge huge / $nTiny tiny objects — " +
+        "unsupported (link messages are always managed)")
+    val width = h.getShort().toInt & 0xFFFF
+    val startBlockSize = h.getLong()
+    val maxDirectSize = h.getLong()
+    val maxHeapBits = h.getShort().toInt & 0xFFFF
+    h.getShort() // starting rows in root indirect block
+    val rootAddr = h.getLong()
+    val curRootRows = h.getShort().toInt & 0xFFFF
+    checkSum(raw, 0, hdrLen - 4, h.getInt(hdrLen - 4).toLong & 0xFFFFFFFFL,
+      "fractal-heap header (FRHP)")
+    require(width > 0 && startBlockSize > 0 &&
+      maxDirectSize >= startBlockSize,
+      s"corrupt HDF5 fractal-heap doubling table (width=$width, " +
+        s"start=$startBlockSize, maxDirect=$maxDirectSize)")
+    val offSize = (maxHeapBits + 7) / 8
+    val lenSize = (63 - java.lang.Long.numberOfLeadingZeros(
+      maxManagedObj.max(1L))).toInt / 8 + 1
+    require(heapIdLen == 1 + offSize + lenSize,
+      s"HDF5 fractal-heap ID length $heapIdLen != 1+$offSize+$lenSize " +
+        "(non-default heap ID encodings unsupported)")
+    require(rootAddr != Undef, "HDF5 fractal heap has no root block")
+    val checksummed = (flags & 0x02) != 0
+    def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    def rowSize(row: Int): Long =
+      if (row < 2) startBlockSize else startBlockSize << (row - 1)
+    val blocks: Vector[(Long, Long, Long)] =
+      if (curRootRows == 0) {
+        // root IS a direct block spanning the heap's whole managed space
+        Vector((0L, managedSpace.max(startBlockSize), rootAddr))
+      } else {
+        val maxDirectRows = log2(maxDirectSize) - log2(startBlockSize) + 2
+        require(curRootRows <= maxDirectRows,
+          s"HDF5 fractal-heap root indirect block with $curRootRows rows " +
+            s"reaches past the $maxDirectRows direct-block rows — " +
+            "indirect child blocks unsupported")
+        val ibLen = 4 + 1 + 8 + offSize + curRootRows * width * 8 + 4
+        val ibRaw = new Array[Byte](ibLen)
+        r.fetch(rootAddr, ibLen).get(ibRaw)
+        val ib = ByteBuffer.wrap(ibRaw).order(ByteOrder.LITTLE_ENDIAN)
+        val ibSig = new Array[Byte](4); ib.get(ibSig)
+        require(ibSig.sameElements("FHIB".getBytes),
+          s"bad HDF5 fractal-heap indirect-block signature at $rootAddr")
+        require(ib.get() == 0,
+          "HDF5 fractal-heap indirect-block version unsupported")
+        require(ib.getLong() == heapAddr,
+          "HDF5 fractal-heap indirect block names a different heap")
+        var bo = 0L
+        for (i <- 0 until offSize) bo |= (ib.get().toLong & 0xFF) << (8 * i)
+        require(bo == 0, "HDF5 fractal-heap root indirect block offset != 0")
+        val entries = Vector.fill(curRootRows * width)(ib.getLong())
+        checkSum(ibRaw, 0, ibLen - 4,
+          ib.getInt(ibLen - 4).toLong & 0xFFFFFFFFL,
+          "fractal-heap indirect block (FHIB)")
+        var heapOff = 0L
+        val out = Vector.newBuilder[(Long, Long, Long)]
+        for (row <- 0 until curRootRows; c <- 0 until width) {
+          val addr = entries(row * width + c)
+          if (addr != Undef) out += ((heapOff, rowSize(row), addr))
+          heapOff += rowSize(row)
+        }
+        out.result()
+      }
+    new FractalHeap(r, offSize, lenSize, checksummed, heapAddr, blocks)
+  }
+
+  /** Walk a name-index v2 B-tree (`BTHD`, record type 5: {name hash,
+    * heap ID}) and return every record's heap ID. Same bounded slice as
+    * [[btree2ChunkEntries]]: depth ≤ 1 (a depth-0 leaf holds ~45 links
+    * at libhdf5's 512-byte node, one internal level ~2000), deeper trees
+    * rejected by name; all node checksums verified.
+    */
+  private def btree2HeapIds(r: Reader, btAddr: Long): Vector[Array[Byte]] = {
+    val hdrLen = 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4
+    val raw = new Array[Byte](hdrLen); r.fetch(btAddr, hdrLen).get(raw)
+    val h = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4); h.get(sig)
+    require(sig.sameElements("BTHD".getBytes),
+      s"bad HDF5 v2 B-tree header signature at $btAddr")
+    require(h.get() == 0, "HDF5 v2 B-tree header version unsupported")
+    val btType = h.get().toInt
+    require(btType == 5,
+      s"HDF5 v2 B-tree record type $btType unsupported here (type-5 " +
+        "link-name records only)")
+    val nodeSize = h.getInt()
+    val recSize = h.getShort().toInt & 0xFFFF
+    val depth = h.getShort().toInt & 0xFFFF
+    h.get(); h.get() // split/merge percents
+    val rootAddr = h.getLong()
+    val rootNrec = h.getShort().toInt & 0xFFFF
+    h.getLong() // total records in tree
+    checkSum(raw, 0, hdrLen - 4, h.getInt(hdrLen - 4).toLong & 0xFFFFFFFFL,
+      "v2 B-tree header (BTHD)")
+    require(recSize > 4 && recSize <= 64,
+      s"HDF5 type-5 record size $recSize outside (4, 64]")
+    require(depth <= 1,
+      s"HDF5 v2 B-tree depth $depth unsupported (root leaf or one " +
+        "internal level only — deeper trees need an external codec)")
+    def record(b: ByteBuffer): Array[Byte] = {
+      b.getInt() // hash of the link name (the tree's sort key; unused)
+      val id = new Array[Byte](recSize - 4); b.get(id)
+      id
+    }
+    def leaf(addr: Long, nrec: Int): Vector[Array[Byte]] = {
+      val len = 4 + 1 + 1 + nrec * recSize + 4
+      val lRaw = new Array[Byte](len); r.fetch(addr, len).get(lRaw)
+      val b = ByteBuffer.wrap(lRaw).order(ByteOrder.LITTLE_ENDIAN)
+      val lSig = new Array[Byte](4); b.get(lSig)
+      require(lSig.sameElements("BTLF".getBytes),
+        s"bad HDF5 v2 B-tree leaf signature at $addr")
+      require(b.get() == 0, "HDF5 v2 B-tree leaf version unsupported")
+      require(b.get().toInt == btType, "HDF5 v2 B-tree leaf type mismatch")
+      checkSum(lRaw, 0, len - 4, b.getInt(len - 4).toLong & 0xFFFFFFFFL,
+        "v2 B-tree leaf (BTLF)")
+      b.position(6)
+      Vector.fill(nrec)(record(b))
+    }
+    if (depth == 0) leaf(rootAddr, rootNrec)
+    else {
+      val maxLeafRec = (nodeSize - 10) / recSize
+      val cntW = (63 - java.lang.Long.numberOfLeadingZeros(
+        maxLeafRec.toLong)).toInt / 8 + 1
+      val len = 4 + 1 + 1 + rootNrec * recSize +
+        (rootNrec + 1) * (8 + cntW) + 4
+      val iRaw = new Array[Byte](len); r.fetch(rootAddr, len).get(iRaw)
+      val b = ByteBuffer.wrap(iRaw).order(ByteOrder.LITTLE_ENDIAN)
+      val iSig = new Array[Byte](4); b.get(iSig)
+      require(iSig.sameElements("BTIN".getBytes),
+        s"bad HDF5 v2 B-tree internal-node signature at $rootAddr")
+      require(b.get() == 0, "HDF5 v2 B-tree internal version unsupported")
+      require(b.get().toInt == btType,
+        "HDF5 v2 B-tree internal type mismatch")
+      checkSum(iRaw, 0, len - 4, b.getInt(len - 4).toLong & 0xFFFFFFFFL,
+        "v2 B-tree internal node (BTIN)")
+      b.position(6)
+      val recs = Vector.fill(rootNrec)(record(b))
+      val ptrs = Vector.fill(rootNrec + 1) {
+        val a = b.getLong()
+        var n = 0L
+        for (i <- 0 until cntW) n |= (b.get().toLong & 0xFF) << (8 * i)
+        (a, n.toInt)
+      }
+      ptrs.flatMap { case (a, n) => leaf(a, n) } ++ recs
+    }
   }
 
   private def listRoot(r: Reader): Map[String, Long] = {
@@ -1330,7 +1620,7 @@ object Hdf5Netcdf {
             val st = st0.duplicate().order(ByteOrder.LITTLE_ENDIAN)
             (st.getLong(), st.getLong())
           case None =>
-            linkMap = parseLinkGroup(msgs)
+            linkMap = parseLinkGroup(r, msgs)
             (Undef, Undef)
         }
       }
@@ -1581,10 +1871,17 @@ object Hdf5Netcdf {
       unlimitedTime: Boolean = false,
       splitHeaders: Boolean = false,
       implicitIndex: Boolean = false,
-      btreeV2Index: Boolean = false): Unit = {
+      btreeV2Index: Boolean = false,
+      bt2NodeSize: Int = 2048,
+      denseLinks: Boolean = false,
+      denseLinkPad: Int = 0): Unit = {
     require(!btreeV2Index || (latestFormat && chunkX.isDefined &&
       !unlimitedTime && !implicitIndex),
       "btreeV2Index needs latestFormat + chunkX, sans unlimited/implicit")
+    require(!denseLinks || latestFormat,
+      "denseLinks (fractal-heap group storage) is a latest-format dialect")
+    require(denseLinkPad == 0 || denseLinks,
+      "denseLinkPad only makes sense with denseLinks")
     require(dimList.isEmpty || latestFormat,
       "dimList fixtures are authored in the latest-format dialect")
     require(!unlimitedTime || latestFormat,
@@ -1838,8 +2135,10 @@ object Hdf5Netcdf {
         Seq(1L, nl.toLong, ny.toLong, cx.toLong, dataEs.toLong).foreach(le.u64)
         msg2(0x0008, le.u8(2).u64(addr).bytes)
       }
-      // v2 B-tree creation parameters (libhdf5's chunk-index defaults)
-      val Bt2NodeSize = 2048; val Bt2Split = 100; val Bt2Merge = 40
+      // v2 B-tree creation parameters (libhdf5's chunk-index defaults;
+      // node size is a fixture knob — a small node forces a depth-1
+      // tree, a large one widens maxLeafRec past the 1-byte count field)
+      val Bt2NodeSize = bt2NodeSize; val Bt2Split = 100; val Bt2Merge = 40
       // spec's chunk-size field width: bytes to encode the max chunk size
       val bt2SzLen: Int =
         (63 - java.lang.Long.numberOfLeadingZeros(
@@ -1883,17 +2182,29 @@ object Hdf5Netcdf {
             new Le().u64(contAddr).u64(contLen).bytes))
         }
       }
-      // root group: link info + group info + one hard link per dataset
-      def rootOhdr(addrs: Map[String, Long]): Array[Byte] = {
+      // root group: link info + group info + one hard link per dataset —
+      // compactly in the header, or (denseLinks) spilled to the fractal
+      // heap + name B-tree whose addresses ride the Link Info message
+      def rootOhdr(
+          addrs: Map[String, Long], frhp: Long = Undef,
+          bthd: Long = Undef): Array[Byte] = {
         val linkInfo = msg2(0x0002,
-          new Le().u8(0).u8(0).u64(Undef).u64(Undef).bytes)
+          new Le().u8(0).u8(0).u64(frhp).u64(bthd).bytes)
         val groupInfo = msg2(0x000A, new Le().u8(0).u8(0).bytes)
-        val links = specs.map { s =>
-          val nameB = s.name.getBytes("UTF-8")
-          msg2(0x0006, new Le().u8(1).u8(0).u8(nameB.length)
-            .raw(nameB).u64(addrs(s.name)).bytes)
-        }
+        val links =
+          if (denseLinks) Nil
+          else specs.map { s =>
+            val nameB = s.name.getBytes("UTF-8")
+            msg2(0x0006, new Le().u8(1).u8(0).u8(nameB.length)
+              .raw(nameB).u64(addrs(s.name)).bytes)
+          }
         ohdr2(linkInfo +: groupInfo +: links)
+      }
+      // serialized v1 link message BODY — the byte form a dense group
+      // stores as a fractal-heap object
+      def linkBody(name: String, addr: Long): Array[Byte] = {
+        val nb = name.getBytes("UTF-8")
+        new Le().u8(1).u8(0).u8(nb.length).raw(nb).u64(addr).bytes
       }
 
       val raws = specs.map(s => s.name -> rawFor(s)).toMap
@@ -1901,7 +2212,8 @@ object Hdf5Netcdf {
       case class Placed(blobs: Seq[(ChunkBlob, Long)], fahd: Long,
           fadb: Long, pageBits: Int,
           eaDblks: Seq[(Long, Int, Int)] = Nil, eaIblock: Long = Undef,
-          eaHdr: Long = Undef)
+          eaHdr: Long = Undef,
+          bt2Leaf2: Long = Undef, bt2Btin: Long = Undef)
       val eaElmtSize = if (filtered) 16 else 8
       // directly-addressed data-block geometry for the first
       // 2·log2(sbMinPtrs)=4 super blocks: (nelmts, startIdx) in order
@@ -1972,26 +2284,114 @@ object Hdf5Netcdf {
         } else {
           val single =
             !btreeV2Index && (implicitIndex || (nt == 1 && cx >= nx))
-          val (fahd, fadb) =
-            if (single) (Undef, Undef)
-            else if (btreeV2Index) { // depth-0 tree: one BTLF + the BTHD
-              require(placed.size <= (Bt2NodeSize - 10) / bt2RecSize,
-                s"btreeV2Index fixture writer: ${placed.size} chunks " +
-                  "exceed one leaf node")
+          val maxLeafRec = (Bt2NodeSize - 10) / bt2RecSize
+          val (fahd, fadb, lf2, btin) =
+            if (single) (Undef, Undef, Undef, Undef)
+            else if (btreeV2Index && placed.size <= maxLeafRec) {
+              // depth-0 tree: one BTLF + the BTHD
               val lfLen = 4 + 1 + 1 + placed.size * bt2RecSize + 4
               val lf = cursor; cursor += (lfLen + 7) / 8 * 8
               val hd = cursor; cursor += 40 // BTHD is 38 bytes, 8-aligned
-              (hd, lf)
+              (hd, lf, Undef, Undef)
+            } else if (btreeV2Index) {
+              // depth-1 tree: two BTLF leaves under a BTIN root whose one
+              // separator record is the median chunk
+              require(placed.size <= 2 * maxLeafRec + 1,
+                s"btreeV2Index fixture writer: ${placed.size} chunks " +
+                  "exceed a depth-1 tree")
+              val k1 = placed.size / 2
+              val k2 = placed.size - 1 - k1
+              val l1 = cursor
+              cursor += (4 + 1 + 1 + k1 * bt2RecSize + 4 + 7) / 8 * 8
+              val l2 = cursor
+              cursor += (4 + 1 + 1 + k2 * bt2RecSize + 4 + 7) / 8 * 8
+              val cntW = (63 - java.lang.Long.numberOfLeadingZeros(
+                maxLeafRec.toLong)).toInt / 8 + 1
+              val ibLen = 4 + 1 + 1 + bt2RecSize + 2 * (8 + cntW) + 4
+              val ib = cursor; cursor += (ibLen + 7) / 8 * 8
+              val hd = cursor; cursor += 40
+              (hd, l1, l2, ib)
             } else {
               val entrySize = if (filtered) 16 else 8
               val dbLen = 4 + 1 + 1 + 8 + placed.size * entrySize + 4
               val db = cursor; cursor += (dbLen + 7) / 8 * 8
               val hd = cursor; cursor += 32 // FAHD is 28 bytes, 8-aligned
-              (hd, db)
+              (hd, db, Undef, Undef)
             }
-          s.name -> Placed(placed, fahd, fadb, pb)
+          s.name -> Placed(placed, fahd, fadb, pb,
+            bt2Leaf2 = lf2, bt2Btin = btin)
         }
       }.toMap
+      // ---- dense link storage: fractal heap + type-5 name B-tree ----
+      // libhdf5's dense-link parameters: width 4, starting/row-0-and-1
+      // block size 512, max direct 64 KiB, 32-bit heap offsets, 4096-byte
+      // managed ceiling -> 7-byte heap IDs (1 + u32 offset + u16 length);
+      // FHDB headers are 21 bytes (checksummed-blocks flag set).
+      val DenseBlk = 512; val DenseHdr = 21
+      val denseNames: Seq[(String, Long)] =
+        if (!denseLinks) Nil
+        else specs.map(s => s.name -> 0L) ++ // oh addrs patched at render
+          (0 until denseLinkPad).map(i => f"pad_$i%03d" -> 0L)
+      // pack link bodies into blocks, objects never spanning a boundary:
+      // (name, blockIdx, offsetInBlock, length)
+      val densePack: Seq[(String, Int, Int, Int)] = {
+        var blk = 0; var off = DenseHdr
+        denseNames.map { case (n, _) =>
+          val len = linkBody(n, 0L).length
+          if (off + len > DenseBlk) { blk = blk + 1; off = DenseHdr }
+          val r = (n, blk, off, len); off += len; r
+        }
+      }
+      val denseNBlocks =
+        if (densePack.isEmpty) 0 else densePack.map(_._2).max + 1
+      require(!denseLinks || denseNBlocks <= 8,
+        s"denseLinks fixture writer: $denseNBlocks blocks exceed the two " +
+          "512-byte direct rows")
+      val denseBlockAddrs = (0 until denseNBlocks).map { _ =>
+        val a = cursor; cursor += DenseBlk; a
+      }
+      // >1 block -> root indirect block over the (width 4) direct rows
+      val denseRows = if (denseNBlocks <= 1) 0 else (denseNBlocks + 3) / 4
+      val denseIbAddr =
+        if (denseRows == 0) Undef
+        else {
+          val a = cursor
+          cursor += (4 + 1 + 8 + 4 + denseRows * 4 * 8 + 4 + 7) / 8 * 8
+          a
+        }
+      val denseFrhpAddr =
+        if (!denseLinks) Undef
+        else { val a = cursor; cursor += 152; a } // FRHP is 146, 8-aligned
+      // name-index records sorted by hash (the tree's key order)
+      val denseRecs: Seq[(Long, (String, Int, Int, Int))] =
+        densePack.map(p =>
+          (lookup3(p._1.getBytes("UTF-8"), 0, p._1.length), p))
+          .sortBy(_._1)
+      val DenseBtNode = 512; val DenseRecSize = 11 // hash(4) + heapId(7)
+      val denseMaxLeaf = (DenseBtNode - 10) / DenseRecSize
+      require(denseRecs.size <= 2 * denseMaxLeaf + 1,
+        s"denseLinks fixture writer: ${denseRecs.size} links exceed a " +
+          "depth-1 name tree")
+      val denseDepth1 = denseRecs.size > denseMaxLeaf
+      val denseK1 = if (denseDepth1) denseRecs.size / 2 else denseRecs.size
+      val denseK2 = if (denseDepth1) denseRecs.size - 1 - denseK1 else 0
+      def denseLeafLen(k: Int): Long = (4 + 1 + 1 + k * DenseRecSize + 4 + 7) / 8 * 8
+      val denseLf1 =
+        if (!denseLinks) Undef
+        else { val a = cursor; cursor += denseLeafLen(denseK1); a }
+      val denseLf2 =
+        if (!denseDepth1) Undef
+        else { val a = cursor; cursor += denseLeafLen(denseK2); a }
+      val denseBtin =
+        if (!denseDepth1) Undef
+        else { // 1 separator record + 2 child pointers (1-byte counts)
+          val a = cursor
+          cursor += (4 + 1 + 1 + DenseRecSize + 2 * (8 + 1) + 4 + 7) / 8 * 8
+          a
+        }
+      val denseBthd =
+        if (!denseLinks) Undef
+        else { val a = cursor; cursor += 40; a }
       val eof = cursor
 
       val out = new Le()
@@ -1999,7 +2399,7 @@ object Hdf5Netcdf {
       val sb = new Le().raw(Signature).u8(3).u8(8).u8(8).u8(0)
         .u64(0L).u64(Undef).u64(eof).u64(rootAddr).bytes
       out.raw(sb).u32(lookup3(sb, 0, sb.length))
-      out.raw(rootOhdr(ohAddrs))
+      out.raw(rootOhdr(ohAddrs, denseFrhpAddr, denseBthd))
       specs.foreach { s =>
         val cont = ochkAddrs.getOrElse(s.name, Undef)
         if (chunkedNames(s.name)) {
@@ -2077,26 +2477,54 @@ object Hdf5Netcdf {
           out.raw(hdB).u32(lookup3(hdB, 0, hdB.length)).pad(8)
         } else if (btreeV2Index && p.fahd != Undef) {
           val btType = if (filtered) 11 else 10
-          // leaf (BTLF): records in scaled-offset order = the blobs'
-          // own t-major, x-minor generation order
-          val lf = new Le().raw("BTLF".getBytes).u8(0).u8(btType)
-          p.blobs.foreach { case (b, a) =>
-            lf.u64(a)
+          // one record: chunk address [+ size/mask if filtered] + scaled
+          // offsets (element offsets / chunk dims, rank entries) — records
+          // stay in scaled-offset order = the blobs' own t-major, x-minor
+          // generation order
+          def rec(le: Le, ba: (ChunkBlob, Long)): Unit = {
+            val (b, a) = ba
+            le.u64(a)
             if (filtered) {
               val sz = b.bytes.length.toLong
-              (0 until bt2SzLen).foreach(i => lf.u8(((sz >> (8 * i)) & 0xFF).toInt))
-              lf.u32(0L) // filter mask: all filters applied
+              (0 until bt2SzLen).foreach(i =>
+                le.u8(((sz >> (8 * i)) & 0xFF).toInt))
+              le.u32(0L) // filter mask: all filters applied
             }
-            // scaled offsets: element offsets / chunk dims, rank entries
             Seq(b.offs(0) / 1, b.offs(1) / nl, b.offs(2) / ny,
-              b.offs(3) / cx).foreach(lf.u64)
+              b.offs(3) / cx).foreach(le.u64)
           }
-          val lfB = lf.bytes
-          out.raw(lfB).u32(lookup3(lfB, 0, lfB.length)).pad(8)
+          def leafOut(blobs: Seq[(ChunkBlob, Long)]): Unit = {
+            val lf = new Le().raw("BTLF".getBytes).u8(0).u8(btType)
+            blobs.foreach(b => rec(lf, b))
+            val lfB = lf.bytes
+            out.raw(lfB).u32(lookup3(lfB, 0, lfB.length)).pad(8)
+          }
+          val depth1 = p.bt2Btin != Undef
+          val k1 = p.blobs.size / 2
+          if (!depth1) leafOut(p.blobs)
+          else { // two leaves under a BTIN root; the median record moves up
+            val cntW = (63 - java.lang.Long.numberOfLeadingZeros(
+              ((Bt2NodeSize - 10) / bt2RecSize).toLong)).toInt / 8 + 1
+            leafOut(p.blobs.take(k1))
+            leafOut(p.blobs.drop(k1 + 1))
+            val ib = new Le().raw("BTIN".getBytes).u8(0).u8(btType)
+            rec(ib, p.blobs(k1))
+            def ptr(addr: Long, n: Int): Unit = {
+              ib.u64(addr)
+              (0 until cntW).foreach(i => ib.u8((n >> (8 * i)) & 0xFF))
+            }
+            ptr(p.fadb, k1)
+            ptr(p.bt2Leaf2, p.blobs.size - 1 - k1)
+            val ibB = ib.bytes
+            out.raw(ibB).u32(lookup3(ibB, 0, ibB.length)).pad(8)
+          }
           val hd = new Le().raw("BTHD".getBytes).u8(0).u8(btType)
-            .u32(Bt2NodeSize.toLong).u16(bt2RecSize).u16(0 /* depth */)
+            .u32(Bt2NodeSize.toLong).u16(bt2RecSize)
+            .u16(if (depth1) 1 else 0)
             .u8(Bt2Split).u8(Bt2Merge)
-            .u64(p.fadb).u16(p.blobs.size).u64(p.blobs.size.toLong)
+            .u64(if (depth1) p.bt2Btin else p.fadb)
+            .u16(if (depth1) 1 else p.blobs.size)
+            .u64(p.blobs.size.toLong)
           val hdB = hd.bytes
           out.raw(hdB).u32(lookup3(hdB, 0, hdB.length)).pad(8)
         } else if (p.fahd != Undef) {
@@ -2115,6 +2543,91 @@ object Hdf5Netcdf {
           val hdB = hd.bytes
           out.raw(hdB).u32(lookup3(hdB, 0, hdB.length)).pad(8)
         }
+      }
+      if (denseLinks) {
+        // ---- FHDB direct blocks: packed link bodies, whole-block
+        // checksum with the stored field zeroed (the spec serialization)
+        val linkAddr = denseNames.map { case (n, _) =>
+          n -> (if (n.startsWith("pad_")) ohAddrs("time") else ohAddrs(n))
+        }.toMap
+        for (b <- 0 until denseNBlocks) {
+          val blkBytes = new Array[Byte](DenseBlk)
+          val hdr = new Le().raw("FHDB".getBytes).u8(0).u64(denseFrhpAddr)
+            .u32(b.toLong * DenseBlk).u32(0L).bytes // checksum zeroed
+          System.arraycopy(hdr, 0, blkBytes, 0, DenseHdr)
+          densePack.filter(_._2 == b).foreach { case (n, _, off, len) =>
+            val body = linkBody(n, linkAddr(n))
+            require(body.length == len, "dense link body length drift")
+            System.arraycopy(body, 0, blkBytes, off, len)
+          }
+          val ck = lookup3(blkBytes, 0, DenseBlk)
+          val le = new Le().u32(ck)
+          System.arraycopy(le.bytes, 0, blkBytes, DenseHdr - 4, 4)
+          out.raw(blkBytes)
+        }
+        if (denseRows > 0) { // root indirect block over the direct rows
+          val ib = new Le().raw("FHIB".getBytes).u8(0).u64(denseFrhpAddr)
+            .u32(0L) // block offset (4-byte heap offsets)
+          (0 until denseRows * 4).foreach(i =>
+            ib.u64(if (i < denseNBlocks) denseBlockAddrs(i) else Undef))
+          val ibB = ib.bytes
+          out.raw(ibB).u32(lookup3(ibB, 0, ibB.length)).pad(8)
+        }
+        // FRHP header: libhdf5's dense-link creation parameters
+        val totalObj = densePack.map(_._4.toLong).sum
+        val frhp = new Le().raw("FRHP".getBytes).u8(0)
+          .u16(7) // heap ID length = 1 + 4 (offset) + 2 (length)
+          .u16(0) // no I/O filters
+          .u8(0x02) // checksummed direct blocks
+          .u32(4096L) // max managed object size
+          .u64(0L).u64(Undef) // next huge id, huge B-tree
+          .u64(denseNBlocks.toLong * (DenseBlk - DenseHdr) - totalObj)
+          .u64(Undef) // free space, free-space manager
+          .u64(denseNBlocks.toLong * DenseBlk) // managed space
+          .u64(denseNBlocks.toLong * DenseBlk) // allocated managed space
+          .u64(denseNBlocks.toLong * DenseBlk) // iterator offset
+          .u64(denseNames.size.toLong) // managed objects
+          .u64(0L).u64(0L).u64(0L).u64(0L) // huge/tiny sizes + counts
+          .u16(4) // table width
+          .u64(DenseBlk.toLong) // starting block size
+          .u64(65536L) // max direct block size
+          .u16(32) // max heap size (bits)
+          .u16(1) // starting rows in root indirect block
+          .u64(if (denseRows > 0) denseIbAddr else denseBlockAddrs.head)
+          .u16(denseRows)
+        val frhpB = frhp.bytes
+        out.raw(frhpB).u32(lookup3(frhpB, 0, frhpB.length)).pad(8)
+        // ---- type-5 name-index v2 B-tree: {hash, heap ID} records
+        def heapId(p: (String, Int, Int, Int)): Le => Le = le =>
+          le.u8(0).u32(p._2.toLong * DenseBlk + p._3).u16(p._4)
+        def denseLeaf(addr: Long,
+            recs: Seq[(Long, (String, Int, Int, Int))]): Unit = {
+          val lf = new Le().raw("BTLF".getBytes).u8(0).u8(5)
+          recs.foreach { case (hash, p) => heapId(p)(lf.u32(hash)) }
+          val lfB = lf.bytes
+          require(out.size == addr, "dense leaf layout drift")
+          out.raw(lfB).u32(lookup3(lfB, 0, lfB.length)).pad(8)
+        }
+        denseLeaf(denseLf1, denseRecs.take(denseK1))
+        if (denseDepth1) {
+          denseLeaf(denseLf2, denseRecs.drop(denseK1 + 1))
+          val sep = denseRecs(denseK1)
+          val ib = new Le().raw("BTIN".getBytes).u8(0).u8(5)
+          heapId(sep._2)(ib.u32(sep._1))
+          ib.u64(denseLf1).u8(denseK1) // child pointer: addr + 1-byte count
+          ib.u64(denseLf2).u8(denseK2)
+          val ibB = ib.bytes
+          out.raw(ibB).u32(lookup3(ibB, 0, ibB.length)).pad(8)
+        }
+        val hd = new Le().raw("BTHD".getBytes).u8(0).u8(5)
+          .u32(DenseBtNode.toLong).u16(DenseRecSize)
+          .u16(if (denseDepth1) 1 else 0)
+          .u8(100).u8(40) // split/merge percents
+          .u64(if (denseDepth1) denseBtin else denseLf1)
+          .u16(if (denseDepth1) 1 else denseRecs.size)
+          .u64(denseRecs.size.toLong)
+        val hdB = hd.bytes
+        out.raw(hdB).u32(lookup3(hdB, 0, hdB.length)).pad(8)
       }
       require(out.size.toLong == eof,
         s"latest-format writer layout drift: ${out.size} != $eof")

@@ -151,32 +151,47 @@ class ExpectationsSpec extends SparkSpec {
     assert(byRule("id->q") == ((6L, 0L, 0L, 0L))) // id is a key: holds
   }
 
-  test("dpCountRelease: noise matches an independent inverse-CDF draw " +
-    "from the key's md5, and the release is deterministic") {
+  /** md5-seeded uniform, reimplemented independently of the operator. */
+  private def uOf(key: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 12)
+    (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 281474976710656.0
+  }
+
+  /** Independent discrete-Laplace inverse CDF: cumulative SUM of the pmf
+    * p(j) = (1−α)/(1+α)·α^|j| scanned left to right — a different
+    * arithmetic path from the operator's closed-form pow() boundaries,
+    * so agreement is evidence, not tautology. Also returns the distance
+    * of u from the nearest cumulative boundary.
+    */
+  private def refNoise(u: Double, eps: Double, k: Int): (Long, Double) = {
+    val a = math.exp(-eps)
+    val pmf = (-k to k).map(j =>
+      (1.0 - a) / (1.0 + a) * math.pow(a, math.abs(j)))
+    val cums = pmf.scanLeft(0.0)(_ + _).tail // F(-k) .. F(k), summed
+    val idx = cums.indexWhere(_ >= u)
+    val z = (if (idx < 0) k else idx - k).toLong
+    (z, cums.map(c => math.abs(c - u)).min)
+  }
+
+  test("dpCountRelease: integer noise matches an independent pmf-sum " +
+    "inverse-CDF draw from the key's md5, and the release is deterministic") {
     val df = Seq("x", "x", "x", "y").toDF("g")
-    def expectedNoise(key: String, eps: Double): Double = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(key.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 12)
-      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
-        281474976710656.0
-      val c = u - 0.5
-      -(1.0 / eps) * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
-    }
     val got = dpCountRelease(df, Seq("g"), epsilon = 1.0)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     for ((k, n) <- Seq("x" -> 3L, "y" -> 1L)) {
-      val want = BigDecimal(expectedNoise(k, 1.0))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (want, dist) = refNoise(uOf(k), 1.0, 35)
+      assert(dist > 1e-9, s"fixture key $k draws u on a bucket boundary")
       assert(got(k)._1 == n)
-      assert(got(k)._2 == want)
-      assert(got(k)._3 >= 0.0) // clamped release
+      assert(got(k)._2 == want, s"noise for $k")
+      assert(got(k)._3 == math.max(n + want, 0L)) // clamped integer release
     }
     // deterministic: a second run is bit-identical
     val again = dpCountRelease(df, Seq("g"), epsilon = 1.0)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(again == got)
   }
 
@@ -208,41 +223,40 @@ class ExpectationsSpec extends SparkSpec {
     assert(row.isNullAt(9))                // null_shift undecidable
   }
 
-  test("dp_count_release residual-risk certificate: the driver fixture's " +
-    "group keys draw noise far from every round(.,6) tie") {
-    // the certified query groups customer by c_nationkey (keys "0".."24",
-    // epsilon 1.0); the md5-seeded draw depends ONLY on the key string,
-    // so the full certified noise domain is checkable in pure Scala —
-    // pins the documented residual libm risk (Expectations.dpCountRelease
-    // scaladoc) as a fixture fact, not a hope
-    def noiseOf(key: String, eps: Double): Double = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(key.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 12)
-      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
-        281474976710656.0
-      val c = u - 0.5
-      -(1.0 / eps) * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
-    }
-    for (k <- 0 to 24) {
-      val scaled = noiseOf(k.toString, 1.0) * 1e6 // round(.,6) ties at x.5
-      val frac = scaled - math.floor(scaled)
-      assert(math.abs(frac - 0.5) > 1e-3, // > 1e-9 in noise units
-        s"nationkey $k noise $scaled/1e6 too close to a rounding tie")
-    }
+  test("dpCountRelease cross-engine certificate: the boundary-table SQL " +
+    "rendering round-trips to the bit-identical doubles, ascending") {
+    // the whole exactness argument is "both engines compare the same
+    // doubles": the plan takes them from the Seq, the oracle parses the
+    // %.17g rendering — assert the rendering is lossless and the table
+    // is strictly ascending with the tail below u's 2^-48 resolution
+    val (bounds, k) = dpNoiseBoundaries(1.0)
+    assert(k == 35 && bounds.size == 2 * k)
+    val sql = dpBoundarySql(1.0)
+    val parsed = sql.stripPrefix("[").stripSuffix("]")
+      .split(",").map(_.trim.toDouble).toSeq
+    assert(parsed == bounds, "SQL literal rendering must round-trip")
+    assert(bounds.sliding(2).forall(p => p(0) < p(1)), "ascending CDF")
+    assert(bounds.head < math.pow(2, -48) &&
+      1.0 - bounds.last < math.pow(2, -48),
+      "tail mass must sit below the md5-uniform's resolution")
   }
 
-  test("dpCountRelease: halving epsilon doubles the noise magnitude; " +
-    "the released count never goes negative") {
+  test("dpCountRelease: smaller epsilon gives weakly larger |noise| on " +
+    "the same seed; the released count never goes negative; a tiny " +
+    "epsilon fails loudly at the table cap") {
     val df = (1 to 2).map(_ => "k").toDF("g")
     val n1 = dpCountRelease(df, Seq("g"), epsilon = 1.0)
-      .collect().head.getDouble(2)
+      .collect().head.getLong(2)
     val n2 = dpCountRelease(df, Seq("g"), epsilon = 0.5)
-      .collect().head.getDouble(2)
-    assert(math.abs(n2 - 2.0 * n1) < 1e-5) // rounding at 6 dp only
-    val rel = dpCountRelease(df, Seq("g"), epsilon = 0.001)
-      .collect().head.getDouble(3)
-    assert(rel >= 0.0)
+      .collect().head.getLong(2)
+    assert(math.abs(n2) >= math.abs(n1))
+    assert(n1 * n2 >= 0, "same seed, same side of the median")
+    val rel = dpCountRelease(df, Seq("g"), epsilon = 0.05)
+      .collect().head.getLong(3)
+    assert(rel >= 0L)
+    val e = intercept[IllegalArgumentException](
+      dpCountRelease(df, Seq("g"), epsilon = 0.001))
+    assert(e.getMessage.contains("cap 1024"))
   }
 
   test("inclusionCensus: containment ratios, null keys dropped, " +

@@ -193,6 +193,70 @@ class Hdf5NetcdfSpec extends SparkSpec {
     assert(a.toSeq == c.toSeq)
   }
 
+  test("latest-format depth-1 v2 B-tree chunk index (BTIN root, 2-byte " +
+    "leaf-record counts) round-trips against the default dialect") {
+    // 67 time steps x 4 x-chunks = 268 chunk records; node size 10560 ->
+    // maxLeafRec = (10560-10)/40 = 263 < 268 forces a depth-1 tree, and
+    // 263 needs a TWO-byte child-pointer count field — both previously
+    // uncovered reader paths (r9 ADVICE)
+    val dir = tmpDir("h5bt2d1")
+    val t67 = Array.tabulate(67)(i => times(0) + i * 86400000000L)
+    val y1 = Array(100.0); val x8 = Array.tabulate(8)(i => 200.0 + 25.0 * i)
+    val m67 = Array.tabulate(67 * nL * 1 * 8)(i => 0.001 * i)
+    Hdf5Netcdf.write(s"$dir/a.nc", t67, leads, y1, x8, m67, m67.map(_ / 10))
+    Hdf5Netcdf.write(s"$dir/b.nc", t67, leads, y1, x8, m67, m67.map(_ / 10),
+      chunkX = Some(2), latestFormat = true, btreeV2Index = true,
+      bt2NodeSize = 10560)
+    val a = readDf(s"$dir/a.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    val b = readDf(s"$dir/b.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(a.length == 67 * nL * 8)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("dense (fractal-heap) link storage, root DIRECT block + depth-0 " +
+    "name index: decodes identically to the compact-link twin") {
+    val dir = tmpDir("h5dense")
+    Hdf5Netcdf.write(s"$dir/a.nc", times, leads, yc, xc, mean, stddev,
+      latestFormat = true)
+    Hdf5Netcdf.write(s"$dir/b.nc", times, leads, yc, xc, mean, stddev,
+      latestFormat = true, denseLinks = true)
+    val a = readDf(s"$dir/a.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    val b = readDf(s"$dir/b.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("dense link storage, root INDIRECT block (FHIB, multi-block heap) " +
+    "+ depth-1 type-5 name B-tree (BTIN): decodes identically") {
+    // 6 real links + 40 pad aliases = 46 links: the packed bodies
+    // overflow one 512-byte direct block (-> FHIB root over row-0
+    // blocks) and 46 records overflow one 45-record 512-byte leaf
+    // (-> BTIN root) — the many-variable real-file shape
+    val dir = tmpDir("h5denseib")
+    Hdf5Netcdf.write(s"$dir/a.nc", times, leads, yc, xc, mean, stddev,
+      latestFormat = true)
+    Hdf5Netcdf.write(s"$dir/b.nc", times, leads, yc, xc, mean, stddev,
+      latestFormat = true, denseLinks = true, denseLinkPad = 40)
+    val a = readDf(s"$dir/a.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    val b = readDf(s"$dir/b.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("dense link storage: corrupt FHDB block checksum fails loudly") {
+    val dir = tmpDir("h5densebad")
+    val p = s"$dir/a.nc"
+    Hdf5Netcdf.write(p, times, leads, yc, xc, mean, stddev,
+      latestFormat = true, denseLinks = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // flip one byte inside the (only) FHDB block's object area
+    val at = bytes.indexOfSlice("FHDB".getBytes) + 30
+    bytes(at) = (bytes(at) ^ 0x7f).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val e = intercept[Exception](readDf(p).collect())
+    assert(e.getMessage.contains("FHDB") ||
+      e.getCause != null && e.getCause.getMessage.contains("FHDB"),
+      s"got: ${e.getMessage}")
+  }
+
   test("latest-format single-chunk index (chunk == dataset) round-trips") {
     val dir = tmpDir("h5lsc")
     val t1 = Array(times(0))

@@ -223,6 +223,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aviFromDocuments round trip matches the arithmetic prediction") {
+    val decoded = Multimodal.VideoCodec.decodeVideo(
+      Multimodal.aviFromDocuments(docs.limit(40))).collect()
+    assert(decoded.length == 40)
+    decoded.foreach { v =>
+      val id = v.media_id
+      val nf = (id % 5) + 2
+      assert(v.n_frames == nf)
+      assert(v.sum_w == nf * ((id % 32) + 16))
+      assert(v.sum_h == nf * ((id % 24) + 12))
+    }
+  }
+
+  test("VideoCodec.frames honors RIFF rules: odd-size padding, unknown " +
+    "chunks skipped, nested movi LISTs recursed, '##db' accepted") {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    def riff(body: Array[Byte]): Array[Byte] = {
+      val full = "AVI ".getBytes("US-ASCII") ++ body
+      val bb = java.nio.ByteBuffer.allocate(8 + full.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(full.length).put(full)
+      bb.array()
+    }
+    // odd-length frame (3 bytes, padded), a junk chunk inside movi that
+    // must be skipped, a 'rec ' grouping LIST, and a '01db' stream chunk
+    val f1 = Array[Byte](1, 2, 3)
+    val f2 = Array[Byte](4, 5, 6, 7)
+    val f3 = Array[Byte](8)
+    val movi = list("movi",
+      chunk("00dc", f1) ++ chunk("JUNK", Array[Byte](9, 9, 9)) ++
+        list("rec ", chunk("01db", f2)) ++ chunk("00dc", f3))
+    val avi = riff(chunk("avih", new Array[Byte](56)) ++ movi)
+    val got = Multimodal.VideoCodec.frames(avi, mediaId = 7L)
+    assert(got.map(_.toSeq) == Vector(f1.toSeq, f2.toSeq, f3.toSeq))
+    // loud failures: not AVI, and a chunk overrunning its parent
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.VideoCodec.frames("RIFFxxxxWAVE".getBytes, 8L))
+    assert(e1.getMessage.contains("media_id=8"))
+    val truncated = java.util.Arrays.copyOf(avi, avi.length - 2)
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.VideoCodec.frames(truncated, 9L))
+    assert(e2.getMessage.contains("media_id=9"))
+  }
+
   test("embedBatches rejects a model that drops or duplicates rows") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(
