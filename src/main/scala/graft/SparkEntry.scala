@@ -2614,6 +2614,49 @@ object SparkEntry {
             .as("score"),
           when(col("label") < 5, 1L).otherwise(0L).as("y")),
         "score", "y")),
+    "eval_calibration" -> ((s, dir) =>
+      // reliability diagram: the quantized score shifted into e4
+      // probability units, 10 equal-width bins, mean predicted vs
+      // observed rate per bin — all integer div + exact ratios
+      graft.ops.Eval.calibrationBins(
+        Tables.embeddings(s, dir).select(
+          expr("greatest(least(CAST(CAST(embedding[0] AS DOUBLE) * " +
+            "10000.0 AS BIGINT) + 5000, 10000), 0)").as("p"),
+          when(col("label") < 5, 1L).otherwise(0L).as("y")),
+        "p", "y")),
+    "eval_brier" -> ((s, dir) =>
+      // proper scoring rule over the same e4 probability: exact BIGINT
+      // squared-error numerator, the mean as ONE double division (the
+      // e6 fixed-point rendering overflows near 1M rows)
+      graft.ops.Eval.brierScore(
+        Tables.embeddings(s, dir).select(
+          expr("greatest(least(CAST(CAST(embedding[0] AS DOUBLE) * " +
+            "10000.0 AS BIGINT) + 5000, 10000), 0)").as("p"),
+          when(col("label") < 5, 1L).otherwise(0L).as("y")),
+        "p", "y")),
+    "eval_kappa" -> ((s, dir) =>
+      // Cohen's kappa between "score >= 0" and "label < 5" as two binary
+      // raters: 2x2 census in one scan, chance-corrected agreement as
+      // ONE double division of exact BIGINTs (kappa can be negative —
+      // no fixed-point truncation convention to pin)
+      graft.ops.Eval.cohensKappa(
+        Tables.embeddings(s, dir).select(
+          when(expr("CAST(CAST(embedding[0] AS DOUBLE) * 10000.0 " +
+            "AS BIGINT)") >= 0L, 1L).otherwise(0L).as("a"),
+          when(col("label") < 5, 1L).otherwise(0L).as("b")),
+        "a", "b")),
+    "label_majority" -> ((s, dir) =>
+      // majority vote over 3 synthetic annotators (label_k(d) =
+      // (d*(k+3)+k) % 5) with the pinned most-votes-then-smallest-label
+      // tie rule; per-vote census + unanimity share — the all-distinct
+      // 3-way ties exercise the tie rule on every run
+      graft.ops.Eval.majorityVote(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
+          .select(col("doc_id"),
+            expr("(doc_id * (k + 3) + k) % 5").as("label")),
+        "doc_id", "label")),
     "eval_mrr" -> ((s, dir) =>
       // per-class MRR of the first same-label neighbor in brute top-10:
       // reciprocal ranks exact over LCM(1..10)=2520; corpus never
@@ -8268,6 +8311,84 @@ object SparkEntry {
         |  CAST(((s2 - n_pos * (n_pos + 1)) * 2000000 + 2 * n_pos * n_neg)
         |       // (4 * n_pos * n_neg) AS DOUBLE) / 1000000.0 AS auc
         |FROM a""".stripMargin,
+    "eval_calibration" -> // same e4 probability and integer binning;
+      // both rates are the shared exact half-up form
+      """WITH s AS (SELECT
+        |    greatest(least(CAST(trunc(CAST(embedding[1] AS DOUBLE)
+        |      * 10000.0) AS BIGINT) + 5000, 10000), 0) AS p,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |b AS (SELECT least(p * 10 // 10000, 9) AS bin, p, y FROM s),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(p) AS BIGINT) AS sum_p,
+        |        CAST(sum(y) AS BIGINT) AS n_pos
+        |      FROM b GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  CAST((sum_p * 2000000 + n * 10000)
+        |       // (2 * n * 10000) AS DOUBLE) / 1000000.0 AS mean_pred,
+        |  CAST((n_pos * 2000000 + n) // (2 * n) AS DOUBLE) / 1000000.0
+        |    AS obs_rate
+        |FROM g ORDER BY bin""".stripMargin,
+    "eval_brier" -> // exact BIGINT squared-error numerator; the mean is
+      // one double division of exact BIGINTs (identical IEEE both sides)
+      """WITH s AS (SELECT
+        |    greatest(least(CAST(trunc(CAST(embedding[1] AS DOUBLE)
+        |      * 10000.0) AS BIGINT) + 5000, 10000), 0) AS p,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum((p - y * 10000) * (p - y * 10000)) AS BIGINT)
+        |          AS brier_num
+        |      FROM s)
+        |SELECT n, brier_num,
+        |  CAST(brier_num AS DOUBLE) / CAST(n * 100000000 AS DOUBLE)
+        |    AS brier
+        |FROM a""".stripMargin,
+    "eval_kappa" -> // 2x2 census + chance-corrected agreement; kappa as
+      // one double division (it can be negative — no div convention)
+      """WITH s AS (SELECT
+        |    CASE WHEN CAST(trunc(CAST(embedding[1] AS DOUBLE) * 10000.0)
+        |      AS BIGINT) >= 0 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS b
+        |  FROM embeddings),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM s),
+        |k AS (SELECT *, n11 + n10 + n01 + n00 AS n,
+        |        (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+        |          AS chance
+        |      FROM c)
+        |SELECT n11, n10, n01, n00, n,
+        |  CAST(((n11 + n00) * 2000000 + n) // (2 * n) AS DOUBLE)
+        |    / 1000000.0 AS p_o,
+        |  CASE WHEN n * n - chance <> 0 THEN
+        |    CAST(n * (n11 + n00) - chance AS DOUBLE)
+        |      / CAST(n * n - chance AS DOUBLE) END AS kappa
+        |FROM k""".stripMargin,
+    "label_majority" -> // same 3-annotator arithmetic, same pinned
+      // most-votes-then-smallest-label tie rule
+      """WITH ann AS (
+        |  SELECT doc_id, k, (doc_id * (k + 3) + k) % 5 AS label
+        |  FROM documents, (SELECT unnest([0, 1, 2]) AS k)),
+        |pl AS (SELECT doc_id, label, count(*) AS votes
+        |       FROM ann GROUP BY 1, 2),
+        |v AS (SELECT doc_id, label, votes,
+        |        sum(votes) OVER (PARTITION BY doc_id) AS total,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY votes DESC, label ASC) AS rn
+        |      FROM pl),
+        |g AS (SELECT CAST(label AS BIGINT) AS vote,
+        |        CAST(count(*) AS BIGINT) AS n_items,
+        |        CAST(sum(CASE WHEN votes = total THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_unanimous
+        |      FROM v WHERE rn = 1 GROUP BY 1)
+        |SELECT vote, n_items, n_unanimous,
+        |  CAST((n_unanimous * 2000000 + n_items) // (2 * n_items)
+        |    AS DOUBLE) / 1000000.0 AS unanimity_share
+        |FROM g ORDER BY vote""".stripMargin,
     "eval_mrr" -> // brute top-10 (sim_topk_brute's exact CTE), first
       // same-label rank per query, MRR exact over 2520 = LCM(1..10)
       """WITH v AS (SELECT vec_id, label,

@@ -267,4 +267,127 @@ object Eval {
           .otherwise(lit(null).cast("double")).as("auc"))
       .orderBy("feature")
   }
+
+  // ---- annotation & calibration quality (r10 family) ----------------------
+
+  /** Reliability diagram of an integer-quantized probability (e4 units,
+    * 0..10000) against a 0/1 label: per equal-width bin, the count, the
+    * mean predicted probability and the observed positive rate — the
+    * standard "is my filter model's confidence honest?" table read before
+    * using scores as curation weights. A well-calibrated bin has
+    * mean_pred ≈ obs_rate; the gap pattern (over/under-confidence) decides
+    * whether scores need temperature scaling before thresholding.
+    *
+    * Exact: bin assignment is integer `div` (the top bin absorbs
+    * p = 10000), sums are BIGINT, both presented rates are [[exactRatio]].
+    *
+    * Plan: ONE scan collapsing to `bins` rows via a map-side-combined
+    * groupBy — the only data-sized stage; identical at 100 TB.
+    */
+  def calibrationBins(
+      scored: DataFrame, probCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000,
+      s"calibrationBins: bins=$bins outside 2..1000")
+    val p = col(probCol).cast("long")
+    val y = col(labelCol).cast("long")
+    scored
+      .select(least(expr(s"CAST($probCol AS BIGINT) * $bins div 10000"),
+        lit(bins - 1L)).as("bin"), p.as("p"), y.as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("p").as("sum_p"),
+        sum("y").as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        exactRatio(col("sum_p"), col("n") * lit(10000L), 6).as("mean_pred"),
+        exactRatio(col("n_pos"), col("n"), 6).as("obs_rate"))
+      .orderBy("bin")
+  }
+
+  /** Brier score of the same quantized probability: mean (p − y)² — the
+    * proper scoring rule that punishes BOTH miscalibration and lack of
+    * resolution (AUC alone can't see the former). One row:
+    * `(n, brier_num, brier)` where brier_num = Σ (p_e4 − y·10⁴)² is the
+    * exact BIGINT numerator and brier = num / (n·10⁸) presents as ONE
+    * double division of exact BIGINTs (the e6 fixed-point rendering would
+    * overflow BIGINT near ~1M rows; the direct division is identical IEEE
+    * on both engines at any scale).
+    *
+    * Plan: one scalar aggregate over one scan.
+    */
+  def brierScore(
+      scored: DataFrame, probCol: String, labelCol: String): DataFrame = {
+    val p = col(probCol).cast("long")
+    val y = col(labelCol).cast("long")
+    val d = p - y * lit(10000L)
+    scored.agg(count(lit(1)).as("n"), sum(d * d).as("brier_num"))
+      .select(col("n"), col("brier_num"),
+        when(col("n") > 0L, col("brier_num").cast("double") /
+          (col("n") * lit(100000000L)).cast("double")).as("brier"))
+  }
+
+  /** Cohen's kappa between two binary raters — inter-annotator agreement
+    * corrected for chance, THE gate statistic before trusting a labeled
+    * split (raw agreement alone is inflated whenever one class
+    * dominates). One row: the 2×2 cell census, observed agreement p_o
+    * (exact ratio), and kappa = (n·(n11+n00) − Σ row·col) /
+    * (n² − Σ row·col) — numerator and denominator exact BIGINT, presented
+    * as ONE double division (kappa may be negative, which the fixed-point
+    * `div` rendering would expose to truncation-convention skew; the
+    * direct division needs no convention and is engine-identical).
+    *
+    * Plan: one scalar aggregate over one scan (four conditional sums).
+    */
+  def cohensKappa(
+      rated: DataFrame, raterA: String, raterB: String): DataFrame = {
+    val a = col(raterA).cast("long")
+    val b = col(raterB).cast("long")
+    val cells = rated.agg(
+      sum(when(a === 1L && b === 1L, 1L).otherwise(0L)).as("n11"),
+      sum(when(a === 1L && b === 0L, 1L).otherwise(0L)).as("n10"),
+      sum(when(a === 0L && b === 1L, 1L).otherwise(0L)).as("n01"),
+      sum(when(a === 0L && b === 0L, 1L).otherwise(0L)).as("n00"))
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val chance = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n00") + col("n01")) * (col("n00") + col("n10"))
+    cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      n.as("n"),
+      exactRatio(col("n11") + col("n00"), n, 6).as("p_o"),
+      when(n * n - chance =!= 0L,
+        (n * (col("n11") + col("n00")) - chance).cast("double") /
+          (n * n - chance).cast("double")).as("kappa"))
+  }
+
+  /** Majority vote over a long-form annotation table `(item, annotator,
+    * label)` with the PINNED tie rule most-votes-then-smallest-label (the
+    * LPA discipline — async/arbitrary tie-breaks make reruns disagree),
+    * reduced to the per-vote census: how many items each label wins, how
+    * many of those were unanimous, and the unanimity share — the
+    * label-quality profile read before weighting a crowd-labeled split.
+    *
+    * Plan: one (item, label) count aggregate, one per-item argmax window
+    * (partitions bounded by an item's distinct labels, never global),
+    * one O(items) histogram aggregate. The only data-sized stage is the
+    * first map-side-combined groupBy.
+    */
+  def majorityVote(
+      annotations: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val perLabel = annotations
+      .groupBy(col(itemCol).as("item"), col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("item")
+      .orderBy(col("votes").desc, col("label").asc)
+    val voted = perLabel
+      .withColumn("total",
+        sum("votes").over(Window.partitionBy("item")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    voted.groupBy(col("label").as("vote"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("votes") === col("total"), 1L).otherwise(0L))
+          .as("n_unanimous"))
+      .select(col("vote"), col("n_items"), col("n_unanimous"),
+        exactRatio(col("n_unanimous"), col("n_items"), 6)
+          .as("unanimity_share"))
+      .orderBy("vote")
+  }
 }

@@ -168,4 +168,63 @@ class EvalSpec extends SparkSpec {
       col("y") === 1L).collect().head
     assert(row.getLong(1) == 2L && row.getLong(2) == 0L && row.isNullAt(4))
   }
+
+  test("calibrationBins: hand binning — edge values land in the right " +
+    "bins, p = 10000 absorbed by the top bin, exact rates") {
+    // (p, y): bin = min(p*10 div 10000, 9)
+    val df = Seq(
+      (0L, 0L), (999L, 1L),       // bin 0: n=2, sum_p=999, pos=1
+      (1000L, 0L),                // bin 1 (exact edge)
+      (9999L, 1L), (10000L, 1L)   // bin 9 (10000 clamps into 9)
+    ).toDF("p", "y")
+    val got = graft.ops.Eval.calibrationBins(df, "p", "y")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 0.04995, 0.5),  // 999/20000, 1/2
+      (1L, 1L, 0L, 0.1, 0.0),
+      (9L, 2L, 2L, 0.99995, 1.0))) // 19999/20000
+  }
+
+  test("brierScore: hand squared errors and the exact numerator") {
+    // (p, y): (10000-10000)^2=0, (0-0)^2=0, (5000-10000)^2=25e6,
+    // (2500-0)^2=6.25e6 -> num=31.25e6, mean over 4*1e8
+    val df = Seq((10000L, 1L), (0L, 0L), (5000L, 1L), (2500L, 0L))
+      .toDF("p", "y")
+    val r = graft.ops.Eval.brierScore(df, "p", "y").collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 31250000L)
+    assert(r.getDouble(2) == 31250000.0 / 400000000.0)
+  }
+
+  test("cohensKappa: textbook 2x2 — po 0.7, pe 0.5, kappa 0.4; " +
+    "degenerate all-one-cell table yields NULL kappa") {
+    val rows = Seq.fill(20)((1L, 1L)) ++ Seq.fill(5)((1L, 0L)) ++
+      Seq.fill(10)((0L, 1L)) ++ Seq.fill(15)((0L, 0L))
+    val r = graft.ops.Eval.cohensKappa(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((20L, 5L, 10L, 15L)))
+    assert(r.getLong(4) == 50L)
+    assert(r.getDouble(5) == 0.7)
+    // kappa = (50*35 - (25*30 + 25*20)) / (2500 - 1250) = 500/1250
+    assert(r.getDouble(6) == 0.4)
+    val degen = graft.ops.Eval.cohensKappa(
+      Seq.fill(3)((1L, 1L)).toDF("a", "b"), "a", "b").collect().head
+    assert(degen.isNullAt(6)) // n^2 == chance: kappa undefined, not NaN
+  }
+
+  test("majorityVote: unanimous, 2-1 majority, and the pinned " +
+    "all-distinct smallest-label tie") {
+    val ann = Seq(
+      (1L, 2L), (1L, 2L), (1L, 2L),  // unanimous 2
+      (2L, 3L), (2L, 3L), (2L, 4L),  // majority 3
+      (3L, 4L), (3L, 1L), (3L, 0L)   // 3-way tie -> smallest label 0
+    ).toDF("item", "label")
+    val got = graft.ops.Eval.majorityVote(ann, "item", "label")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 0L, 0.0),   // the tie win is not unanimous
+      (2L, 1L, 1L, 1.0),
+      (3L, 1L, 0L, 0.0)))
+  }
 }

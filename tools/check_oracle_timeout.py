@@ -36,6 +36,7 @@ def one(name, out_dir, sf_dir, sql, q):
 
     try:
         con = duckdb.connect()
+        con.execute("SET threads TO 4")  # 8 workers x 4 threads = 32 cores
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
             if os.path.isdir(p):
@@ -64,25 +65,34 @@ def one(name, out_dir, sf_dir, sql, q):
         q.put(("FAIL", str(e)[:200]))
 
 
-def main(out_dir, sf_dir, timeout, skips):
+def run_one(args):
+    name, out_dir, sf_dir, sql, timeout = args
+    q = mp.Queue()
+    p = mp.Process(target=one, args=(name, out_dir, sf_dir, sql, q))
+    p.start()
+    p.join(timeout)
+    if p.is_alive():
+        p.terminate(); p.join()
+        return name, "TIMEOUT", f"oracle exceeded {timeout}s"
+    status, msg = q.get() if not q.empty() else ("FAIL", "no result")
+    return name, status, msg
+
+
+def main(out_dir, sf_dir, timeout, skips, workers):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     counts = {"PASS": 0, "FAIL": 0, "TIMEOUT": 0, "SKIP": 0}
+    work = []
     for name in sorted(oracle):
         if name in skips:
             print(f"SKIP {name}: named skip", flush=True)
             counts["SKIP"] += 1
-            continue
-        q = mp.Queue()
-        p = mp.Process(target=one,
-                       args=(name, out_dir, sf_dir, oracle[name], q))
-        p.start()
-        p.join(timeout)
-        if p.is_alive():
-            p.terminate(); p.join()
-            print(f"TIMEOUT {name}: oracle exceeded {timeout}s", flush=True)
-            counts["TIMEOUT"] += 1
         else:
-            status, msg = q.get() if not q.empty() else ("FAIL", "no result")
+            work.append((name, out_dir, sf_dir, oracle[name], timeout))
+    # a thread pool of process-babysitters: heavy/timeout oracles overlap
+    # instead of serializing (the serial run projected to hours at sf1)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        for name, status, msg in ex.map(run_one, work):
             print(f"{status} {name}: {msg}", flush=True)
             counts[status] += 1
     print(f"\n{counts['PASS']} pass / {counts['FAIL']} fail / "
@@ -93,5 +103,7 @@ def main(out_dir, sf_dir, timeout, skips):
 if __name__ == "__main__":
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 600
-    skips = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()
-    sys.exit(main(out_dir, sf_dir, timeout, skips))
+    skips = set(s for s in (sys.argv[4].split(",") if len(sys.argv) > 4
+                            else []) if s)
+    workers = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    sys.exit(main(out_dir, sf_dir, timeout, skips, workers))
