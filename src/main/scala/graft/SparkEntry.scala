@@ -254,7 +254,8 @@ object SparkEntry {
       graft.operators.GlobalRowNumber.withGlobalRowNumber(
         Tables.lineitem(s, dir)
           .select("l_orderkey", "l_linenumber", "l_extendedprice"),
-        "row_id", Seq(col("l_orderkey"), col("l_linenumber")))),
+        "row_id", Seq(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")))),
 
     // ---- F: scalar functions ---------------------------------------------
     "f1_wkt_polygon" -> ((s, dir) =>
@@ -4074,7 +4075,8 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "w5_global_row_number" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,
-        |       CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT)
+        |       CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+        |                                        l_extendedprice) AS BIGINT)
         |         AS row_id
         |FROM lineitem""".stripMargin,
     "f1_wkt_polygon" ->
@@ -6122,7 +6124,7 @@ object SparkEntry {
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT user_id, ts,
         |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |      FROM m)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events
@@ -6137,7 +6139,7 @@ object SparkEntry {
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT user_id, ts, value,
         |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |      FROM m)
         |SELECT min(ts) AS session_start,
         |       max(ts) + INTERVAL 30 MINUTE AS session_end,

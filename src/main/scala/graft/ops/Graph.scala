@@ -904,34 +904,83 @@ object Graph {
     require(maxDepth >= 1 && maxDepth <= 6,
       s"harmonicCentrality: maxDepth $maxDepth outside 1..6")
     require(seedCount >= 1 && seedCount <= 64,
-      s"harmonicCentrality: seedCount $seedCount outside 1..64 (state " +
-        "is O(nodes*seedCount); a full-centrality sweep wants HyperBall)")
+      s"harmonicCentrality: seedCount $seedCount outside 1..64 (the " +
+        "whole panel is one LONG bitmask per node; a full-centrality " +
+        "sweep wants HyperBall)")
     val edges = g.edges
-    val seeds = g.deg.select(col("u").as("s"))
+    val spark = edges.sparkSession
+    // Localize the seed panel: O(seedCount <= 64) ids, the
+    // kmeans-centroid class of justified collect — bit i of every mask
+    // below is seed i in ascending id order.
+    val seedIds = g.deg.select(col("u").as("s"))
       .filter(col("s") % (2L * seedEvery) === 0)
       .orderBy("s").limit(seedCount)
-    var dist = seeds.select(col("s"), col("s").as("node"),
-      lit(0L).as("dist")).localCheckpoint()
-    for (level <- 1 to maxDepth) {
-      val frontier = dist.filter(col("dist") === (level - 1L))
-      val reached = edges.join(frontier, edges("u") === frontier("node"))
-        .select(frontier("s"), col("v").as("node"),
-          lit(level.toLong).as("dist"))
-      dist = dist.unionByName(reached)
-        .groupBy("s", "node").agg(min("dist").as("dist"))
+      .collect().map(_.getLong(0)).toSeq
+    // BITMASK multi-source BFS (r10 — replaces the (seed, node)-keyed
+    // rendering): state is ONE row per reached node carrying the 64-bit
+    // panel — `mask` = seeds that have reached it, `gained` = seeds that
+    // reached it THIS level (the first-reach set, i.e. exact BFS
+    // distance). Per level the frontier⋈edges join moves each touched
+    // edge ONCE with a bit_or-combined payload instead of once per seed
+    // — 8x less join traffic at the default panel, and O(nodes) state at
+    // ANY panel size <= 64. Level counts drop out as popcount-style
+    // conditional sums (one 1-row aggregate per level; the only
+    // driver-side data is seedCount x maxDepth longs).
+    import spark.implicits._
+    var state = seedIds.zipWithIndex
+      .map { case (s, i) => (s, 1L << i, 1L << i) }
+      .toDF("node", "mask", "gained")
+      .localCheckpoint()
+    val levelStates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to maxDepth) {
+      val frontier = state.filter(col("gained") =!= 0L)
+        .select(col("node").as("u"), col("gained").as("fg"))
+      val incoming = edges.join(frontier, "u")
+        .groupBy(col("v").as("node"))
+        .agg(expr("bit_or(fg)").as("inc"))
+      state = state.select("node", "mask")
+        .join(incoming, Seq("node"), "full_outer")
+        .select(col("node"),
+          expr("coalesce(mask, 0L) | coalesce(inc, 0L)").as("mask"),
+          expr("coalesce(inc, 0L) & ~coalesce(mask, 0L)").as("gained"))
         .localCheckpoint() // bound lineage: each round reads bytes
+      levelStates += state
     }
-    val levelCounts = (1 to maxDepth).map(d =>
-      sum(when(col("dist") === d.toLong, 1L).otherwise(0L))
-        .as(s"n_d$d"))
+    // one job folds every level's gained masks to the maxDepth x
+    // seedCount count table (reading checkpointed bytes) — the only
+    // driver-side data in the whole operator
+    val gainedAll = levelStates.zipWithIndex
+      .map { case (st, d) =>
+        st.select(lit(d + 1L).as("d"), col("gained")) }
+      .reduce(_ unionByName _)
+    val aggExprs = seedIds.indices.map(i =>
+      sum(expr(s"(gained >> $i) & 1")).as(s"c$i"))
+    val byLevel: Map[Long, Seq[Long]] =
+      if (seedIds.isEmpty) Map.empty
+      else gainedAll.groupBy("d").agg(aggExprs.head, aggExprs.tail: _*)
+        .collect().map(r => r.getLong(0) ->
+          seedIds.indices.map(i =>
+            if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))).toMap
+    // assemble the O(seeds) report locally; seeds that reached nothing
+    // drop out (the grouped rendering's absent-group semantic)
+    val rows = seedIds.zipWithIndex.flatMap { case (s, i) =>
+      val nds = (1 to maxDepth).map(d =>
+        byLevel.get(d.toLong).map(_(i)).getOrElse(0L))
+      if (nds.forall(_ == 0L)) None else Some(s +: nds)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("seed",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        (1 to maxDepth).map(d => org.apache.spark.sql.types.StructField(
+          s"n_d$d", org.apache.spark.sql.types.LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val local = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
     val num = (1 to maxDepth).map(d =>
       lit((60 / d).toLong) * col(s"n_d$d")).reduce(_ + _)
-    dist.filter(col("dist") > 0L)
-      .groupBy("s")
-      .agg(levelCounts.head, levelCounts.tail: _*)
-      .select(Seq(col("s").as("seed")) ++
-        (1 to maxDepth).map(d => col(s"n_d$d")) :+
-        exactRatio(num, lit(60L), 6).as("harmonic"): _*)
+    local.select(Seq(col("seed")) ++
+      (1 to maxDepth).map(d => col(s"n_d$d")) :+
+      exactRatio(num, lit(60L), 6).as("harmonic"): _*)
       .orderBy("seed")
   }
 
