@@ -752,7 +752,8 @@ object SparkEntry {
       // L1-normalized half-steps in 1e-6 integer fixed point (truncating
       // div identical cross-engine), top-10 each side, node tiebreaks —
       // the oracle unrolls both iterations as CTEs
-      graft.ops.Graph.hits(Tables.lineitem(s, dir))),
+      graft.ops.Graph.hitsOf(
+        graft.ops.Graph.interactionGraphFor(dir, Tables.lineitem(s, dir)))),
 
     // ---- beyond-reference: probabilistic record linkage (ops.Linkage) --
     "link_candidates" -> { (s, dir) =>
@@ -2658,6 +2659,28 @@ object SparkEntry {
           .select(col("doc_id"),
             expr("(doc_id * (k + 3) + k) % 5").as("label")),
         "doc_id", "label")),
+    "label_annotator_accuracy" -> ((s, dir) =>
+      // rater-quality screen: per-annotator agreement with the pinned
+      // majority vote over the same 3 synthetic annotators — one keyed
+      // join of the O(items) consensus onto the annotation table, exact
+      // ratios
+      graft.ops.Eval.annotatorAccuracy(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
+          .select(col("doc_id"), col("k"),
+            expr("(doc_id * (k + 3) + k) % 5").as("label")),
+        "doc_id", "k", "label")),
+    "eval_ece" -> ((s, dir) =>
+      // one-number calibration alarm: the weighted per-bin gap
+      // telescopes to an exact BIGINT numerator (n_b·|gap| =
+      // |Σp − 1e4·pos|/1e4), presented via one double division
+      graft.ops.Eval.calibrationError(
+        Tables.embeddings(s, dir).select(
+          expr("greatest(least(CAST(CAST(embedding[0] AS DOUBLE) * " +
+            "10000.0 AS BIGINT) + 5000, 10000), 0)").as("p"),
+          when(col("label") < 5, 1L).otherwise(0L).as("y")),
+        "p", "y")),
     "eval_mrr" -> ((s, dir) =>
       // per-class MRR of the first same-label neighbor in brute top-10:
       // reciprocal ranks exact over LCM(1..10)=2520; corpus never
@@ -8391,6 +8414,46 @@ object SparkEntry {
         |  CAST((n_unanimous * 2000000 + n_items) // (2 * n_items)
         |    AS DOUBLE) / 1000000.0 AS unanimity_share
         |FROM g ORDER BY vote""".stripMargin,
+    "label_annotator_accuracy" -> // same consensus (pinned tie rule),
+      // joined back onto the annotation table; exact ratios
+      """WITH ann AS (
+        |  SELECT doc_id, k, (doc_id * (k + 3) + k) % 5 AS label
+        |  FROM documents, (SELECT unnest([0, 1, 2]) AS k)),
+        |pl AS (SELECT doc_id, label, count(*) AS votes
+        |       FROM ann GROUP BY 1, 2),
+        |v AS (SELECT doc_id, label,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY votes DESC, label ASC) AS rn
+        |      FROM pl),
+        |c AS (SELECT doc_id, label AS consensus FROM v WHERE rn = 1),
+        |g AS (SELECT CAST(ann.k AS BIGINT) AS annotator,
+        |        CAST(count(*) AS BIGINT) AS n_items,
+        |        CAST(sum(CASE WHEN ann.label = c.consensus THEN 1 ELSE 0
+        |          END) AS BIGINT) AS n_agree
+        |      FROM ann JOIN c USING (doc_id) GROUP BY 1)
+        |SELECT annotator, n_items, n_agree,
+        |  CAST((n_agree * 2000000 + n_items) // (2 * n_items) AS DOUBLE)
+        |    / 1000000.0 AS accuracy
+        |FROM g ORDER BY annotator""".stripMargin,
+    "eval_ece" -> // the same binning; the weighted gap telescopes to one
+      // exact BIGINT numerator, ece as one double division
+      """WITH s AS (SELECT
+        |    greatest(least(CAST(trunc(CAST(embedding[1] AS DOUBLE)
+        |      * 10000.0) AS BIGINT) + 5000, 10000), 0) AS p,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |b AS (SELECT least(p * 10 // 10000, 9) AS bin, p, y FROM s),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(p) AS BIGINT) AS sum_p,
+        |        CAST(sum(y) AS BIGINT) AS n_pos
+        |      FROM b GROUP BY 1),
+        |a AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS n_bins,
+        |        CAST(sum(abs(sum_p - 10000 * n_pos)) AS BIGINT) AS ece_num
+        |      FROM g)
+        |SELECT n, n_bins, ece_num,
+        |  CAST(ece_num AS DOUBLE) / CAST(n * 10000 AS DOUBLE) AS ece
+        |FROM a""".stripMargin,
     "eval_mrr" -> // brute top-10 (sim_topk_brute's exact CTE), first
       // same-label rank per query, MRR exact over 2520 = LCM(1..10)
       """WITH v AS (SELECT vec_id, label,

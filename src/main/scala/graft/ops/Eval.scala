@@ -303,6 +303,37 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** Expected calibration error over the same binning as
+    * [[calibrationBins]]: ECE = Σ_b (n_b/N)·|mean_pred_b − obs_rate_b|.
+    * The weighted gap telescopes to EXACT integers —
+    * n_b·|gap_b| = |Σp_b − 10⁴·pos_b| / 10⁴ — so the numerator
+    * Σ_b |Σp_b − 10⁴·pos_b| is one BIGINT and ECE presents as ONE
+    * double division over N·10⁴ (identical IEEE both engines). The
+    * one-number companion of the per-bin diagram: alarm on this,
+    * inspect that.
+    *
+    * Plan: the same one-scan O(bins) aggregate plus an O(bins) fold.
+    */
+  def calibrationError(
+      scored: DataFrame, probCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000,
+      s"calibrationError: bins=$bins outside 2..1000")
+    val p = col(probCol).cast("long")
+    val y = col(labelCol).cast("long")
+    scored
+      .select(least(expr(s"CAST($probCol AS BIGINT) * $bins div 10000"),
+        lit(bins - 1L)).as("bin"), p.as("p"), y.as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("p").as("sum_p"),
+        sum("y").as("n_pos"))
+      .agg(sum("n").as("n"), count(lit(1)).as("n_bins"),
+        sum(abs(col("sum_p") - lit(10000L) * col("n_pos"))).as("ece_num"))
+      .select(col("n"), col("n_bins"), col("ece_num"),
+        when(col("n") > 0L, col("ece_num").cast("double") /
+          (col("n") * lit(10000L)).cast("double")).as("ece"))
+  }
+
   /** Brier score of the same quantized probability: mean (p − y)² — the
     * proper scoring rule that punishes BOTH miscalibration and lack of
     * resolution (AUC alone can't see the former). One row:
@@ -370,18 +401,9 @@ object Eval {
     * first map-side-combined groupBy.
     */
   def majorityVote(
-      annotations: DataFrame, itemCol: String, labelCol: String): DataFrame = {
-    val perLabel = annotations
-      .groupBy(col(itemCol).as("item"), col(labelCol).cast("long").as("label"))
-      .agg(count(lit(1)).as("votes"))
-    val w = Window.partitionBy("item")
-      .orderBy(col("votes").desc, col("label").asc)
-    val voted = perLabel
-      .withColumn("total",
-        sum("votes").over(Window.partitionBy("item")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-    voted.groupBy(col("label").as("vote"))
+      annotations: DataFrame, itemCol: String, labelCol: String): DataFrame =
+    votedItems(annotations, itemCol, labelCol)
+      .groupBy(col("label").as("vote"))
       .agg(count(lit(1)).as("n_items"),
         sum(when(col("votes") === col("total"), 1L).otherwise(0L))
           .as("n_unanimous"))
@@ -389,5 +411,53 @@ object Eval {
         exactRatio(col("n_unanimous"), col("n_items"), 6)
           .as("unanimity_share"))
       .orderBy("vote")
+
+  /** Per-item winning label under the pinned tie rule — the shared core
+    * of [[majorityVote]] and [[annotatorAccuracy]]: `(item, label, votes,
+    * total)`, one row per item.
+    */
+  private def votedItems(
+      annotations: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val perLabel = annotations
+      .groupBy(col(itemCol).as("item"), col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("item")
+      .orderBy(col("votes").desc, col("label").asc)
+    perLabel
+      .withColumn("total",
+        sum("votes").over(Window.partitionBy("item")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  /** Per-annotator accuracy against the majority vote: for each
+    * annotator, how often their label matched the consensus label — the
+    * rater-quality screen run before weighting or dropping crowd
+    * labelers (a labeler far below the pack is noise; one at chance is
+    * adversarial). Exact ratios; ties resolved by [[majorityVote]]'s
+    * pinned rule so "the consensus" is engine-reproducible.
+    *
+    * Plan: the voted-items table (O(items)) joins the annotation table
+    * once on item — a keyed equi-join whose big side is the data and
+    * whose probe side is one row per item; then one O(annotators)
+    * aggregate.
+    */
+  def annotatorAccuracy(
+      annotations: DataFrame, itemCol: String, annotatorCol: String,
+      labelCol: String): DataFrame = {
+    val voted = votedItems(annotations, itemCol, labelCol)
+      .select(col("item"), col("label").as("consensus"))
+    annotations
+      .select(col(itemCol).as("item"),
+        col(annotatorCol).cast("long").as("annotator"),
+        col(labelCol).cast("long").as("label"))
+      .join(voted, "item")
+      .groupBy("annotator")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("label") === col("consensus"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("annotator"), col("n_items"), col("n_agree"),
+        exactRatio(col("n_agree"), col("n_items"), 6).as("accuracy"))
+      .orderBy("annotator")
   }
 }

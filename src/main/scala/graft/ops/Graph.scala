@@ -722,13 +722,21 @@ object Graph {
     * broadcast. The static edge list is deduplicated and checkpointed
     * once; only score tables move between iterations.
     */
-  def hits(lineitem: DataFrame, iters: Int = 2, topK: Int = 10): DataFrame = {
+  def hits(lineitem: DataFrame, iters: Int = 2, topK: Int = 10): DataFrame =
+    hitsOf(new InteractionGraph(lineitem), iters, topK)
+
+  /** [[hits]] over a prebuilt (typically memoized) artifact: the directed
+    * supplier→part edge list is a PROJECTION of the artifact's symmetric
+    * edges (keep the even-u orientation, shift the ids back), so the
+    * memo-sharing query never re-scans or re-deduplicates lineitem.
+    */
+  def hitsOf(
+      g: InteractionGraph, iters: Int = 2, topK: Int = 10): DataFrame = {
     require(iters >= 1 && iters <= 8, s"hits: iters=$iters outside 1..8")
     val HubScale = 1000000L
-    val edges = lineitem
-      .select(col("l_suppkey").cast("long").as("s"),
-        col("l_partkey").cast("long").as("p"))
-      .distinct().localCheckpoint()
+    val edges = g.edges.filter(col("u") % 2 === 0)
+      .select(expr("u div 2").as("s"), expr("(v - 1) div 2").as("p"))
+      .localCheckpoint()
     var hubs = edges.select("s").distinct()
       .withColumn("hub", lit(HubScale))
     var auths: DataFrame = null

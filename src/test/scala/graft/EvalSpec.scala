@@ -213,6 +213,33 @@ class EvalSpec extends SparkSpec {
     assert(degen.isNullAt(6)) // n^2 == chance: kappa undefined, not NaN
   }
 
+  test("calibrationError: the weighted gap telescopes to the hand " +
+    "integer numerator") {
+    // bin 0: (0,0),(999,1): |999 - 10000| = 9001
+    // bin 9: (9999,1),(10000,1): |19999 - 20000| = 1 -> num 9002, n=4
+    val df = Seq((0L, 0L), (999L, 1L), (9999L, 1L), (10000L, 1L))
+      .toDF("p", "y")
+    val r = graft.ops.Eval.calibrationError(df, "p", "y").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 9002L)
+    assert(r.getDouble(3) == 9002.0 / 40000.0)
+  }
+
+  test("annotatorAccuracy: agreement with the pinned consensus, " +
+    "including the tie-resolved item") {
+    val ann = Seq(
+      (1L, 0L, 2L), (1L, 1L, 2L), (1L, 2L, 3L), // consensus 2
+      (2L, 0L, 4L), (2L, 1L, 1L), (2L, 2L, 0L)  // 3-way tie -> 0
+    ).toDF("item", "annotator", "label")
+    val got = graft.ops.Eval.annotatorAccuracy(
+      ann, "item", "annotator", "label")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 0.5),  // agreed on item 1 only
+      (1L, 2L, 1L, 0.5),
+      (2L, 2L, 1L, 0.5))) // annotator 2 agreed on item 2 (label 0)
+  }
+
   test("majorityVote: unanimous, 2-1 majority, and the pinned " +
     "all-distinct smallest-label tie") {
     val ann = Seq(
