@@ -51,6 +51,12 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // Committed per-query history, read BEFORE this run overwrites the
+    // detail file — the r10 verdict's mid-pack stall evidence (entries 2-6x
+    // their unchanged-code history, invisible to a top-5-only sentinel).
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val history = loadHistory(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", detailPath), sfDir)
     // min of two timed passes: the environment shows intermittent multi-10x
     // stalls (external CPU contention / JIT storms) that would otherwise be
     // billed to whichever query they land on; the min is the steady-state.
@@ -61,8 +67,21 @@ object Bench {
     // this run's top-5 cost centers once more AT THE END of the suite and
     // publish both numbers: a stalled record is then self-evident (suite
     // number >> sentinel re-run of the same binary seconds later) instead
-    // of needing a post-hoc Diag adjudication.
-    val sentinel = firstPass.sortBy { case (_, v) => -v }.take(5)
+    // of needing a post-hoc Diag adjudication. Protocol v3 (r10 verdict
+    // task 1) extends the sentinel BELOW the top-5: any query whose first
+    // pass exceeds 2x its committed-history entry gets the same third
+    // timing (capped at MaxHistoryReruns, worst inflation first), so a
+    // mid-pack stall can no longer ride the record unchallenged — the
+    // record publishes min-of-three with both raw numbers in the sentinel
+    // field, exactly like the top-5.
+    val top5 = firstPass.sortBy { case (_, v) => -v }.take(5)
+    val top5Names = top5.map(_._1).toSet
+    val inflated = firstPass
+      .filter { case (n, v) =>
+        !top5Names.contains(n) && history.get(n).exists(h => h > 0 && v > 2 * h) }
+      .sortBy { case (n, v) => -(v / history(n)) }
+      .take(MaxHistoryReruns)
+    val sentinel = (top5 ++ inflated)
       .map { case (name, suiteSec) => (name, suiteSec, timed(name)) }
     val results = selfCorrect(firstPass, sentinel)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -79,7 +98,7 @@ object Bench {
     // top-N slowest queries only (N auto-shrunk until the line provably fits
     // TailBudget bytes); the complete per-query map goes to a detail file
     // written BEFORE the final line so nothing prints after it.
-    writeDetail(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"),
+    writeDetail(detailPath,
       s"""{"total":${f3(total)},"n":${results.size},"queries":${jMap(results)},""" +
         s""""sentinel":${jSentinel(sentinel)},"artifact_sec":${jMap(artifacts)},""" +
         s""""ingest_rows_per_sec":${f3(ingest.rowsPerSec)},"sf":"$sfDir"}""")
@@ -87,11 +106,12 @@ object Bench {
     spark.stop()
   }
 
-  /** Self-correcting record (r9 verdict task 3): when a sentinel re-run
-    * disagrees with the recorded pass, the published entry for a top-5
-    * query is the MIN of its three timings — min-of-three for the top-5
-    * only, zero protocol change elsewhere; both raw numbers stay in the
-    * sentinel field so a corrected stall remains visible in the record.
+  /** Self-correcting record (r9 verdict task 3, extended r11): when a
+    * sentinel re-run disagrees with the recorded pass, the published entry
+    * for a sentinel query is the MIN of its three timings — min-of-three
+    * for the top-5 cost centers plus any history-inflated entries, zero
+    * protocol change elsewhere; both raw numbers stay in the sentinel
+    * field so a corrected stall remains visible in the record.
     */
   private[graft] def selfCorrect(
       firstPass: Seq[(String, Double)],
@@ -99,6 +119,38 @@ object Bench {
     val corrected = sentinel.map { case (n, a, b) => n -> math.min(a, b) }.toMap
     firstPass.map { case (n, v) => n -> corrected.getOrElse(n, v) }
   }
+
+  /** Cap on history-triggered sentinel re-runs per record: bounds the
+    * protocol's extra cost to ~10 re-timed queries even if a machine-wide
+    * stall inflates half the suite (in which regime the top-ratio entries
+    * are exactly the ones worth the third timing).
+    */
+  private[graft] val MaxHistoryReruns = 10
+
+  /** Per-query seconds from a previously committed detail record — the
+    * baseline the history sentinel compares against. Parsed with a
+    * regex over the flat `"queries":{...}` map (no JSON lib on the
+    * classpath by design; we control the serialization end-to-end).
+    * History from a DIFFERENT scale factor is rejected (a sf0.001 smoke
+    * run against committed sf0.1 history would mis-trigger — or worse,
+    * mis-suppress — re-runs). Missing/unreadable file → empty map →
+    * protocol degrades to the r10 top-5-only behavior, never fails the
+    * run.
+    */
+  private[graft] def loadHistory(
+      path: String, sfDir: String): Map[String, Double] =
+    try {
+      val s = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val start = s.indexOf("\"queries\":{")
+      if (start < 0 || !s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      else {
+        val body = s.substring(start + 11, s.indexOf('}', start))
+        """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
 
   /** Cold-session build cost of each memoized artifact the suite's queries
     * share (the rec table, the interaction graph incl. its 2-round LPA
@@ -108,14 +160,20 @@ object Bench {
     */
   private[graft] def benchArtifacts(
       spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    // A failed build must not publish its time-to-failure as a plausible
+    // artifact_sec (r10 ADVICE): the sign is the error marker — negative
+    // seconds = the build threw, magnitude = when it died.
     def t(body: => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try body.write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { body.write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (ok) sec else -sec
     }
     graft.ops.Recommend.invalidateRecommendations()
     graft.ops.Graph.invalidateInteractionGraphs()
+    graft.ops.Dedup.invalidateDedupArtifacts()
     Seq(
       "rec" -> t(graft.ops.Recommend.recommendationsFor(
         sfDir, Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir))),
@@ -123,17 +181,33 @@ object Bench {
         val g = graft.ops.Graph.interactionGraphFor(
           sfDir, Tables.lineitem(spark, sfDir))
         g.lpaLabels(2) // forces edges + deg on the way
+        g.weightedEdges // sssp's weighted face (r11)
         g.withDeg
       },
       "copurchase" -> t(graft.ops.Graph.coPurchaseEdgesFor(
-        sfDir, Tables.lineitem(spark, sfDir), minSupport = 2)))
+        sfDir, Tables.lineitem(spark, sfDir), minSupport = 2)),
+      "dedup" -> t {
+        // the full family build: tokenization, signatures, all three
+        // candidate-pair sets, and the component clustering
+        val a = graft.ops.Dedup.dedupArtifactsFor(
+          sfDir, Tables.documents(spark, sfDir))
+        a.components // forces tok -> sigs -> minhashPairs on the way
+        a.simhashPairs
+        a.ngramPairs
+      })
   }
 
   /** Driver tail capacity the final line must fit inside, with headroom. */
   private[graft] val TailBudget = 1900
 
   /** The single driver-facing JSON line: total + the top-N slowest queries,
-    * N auto-shrunk (15→10→5→0) until the rendered line fits [[TailBudget]].
+    * N auto-shrunk (15→10→5→0) until the rendered line fits [[TailBudget]];
+    * if the (now up to 15-entry) sentinel still overflows the budget at
+    * topN=0, the sentinel itself shrinks (its entries are ordered top-5
+    * first, then history-inflations by ratio — the tail is the first to
+    * go). `protocol` names the correction rule in force so round-over-round
+    * total comparisons can account for it (r10 ADVICE: min-of-three was
+    * silently asymmetric vs earlier min-of-two rounds).
     */
   private[graft] def finalLine(
       results: Seq[(String, Double)], ingest: IngestBench, sfDir: String,
@@ -141,14 +215,18 @@ object Bench {
       artifacts: Seq[(String, Double)] = Nil): String = {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val slowest = results.sortBy { case (_, v) => -v }
-    def line(topN: Int): String =
+    def line(topN: Int, sentN: Int): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},""" +
+        s""""protocol":"min3-top5+hist2x",""" +
         s""""queries":${jMap(slowest.take(topN))},""" +
-        s""""sentinel":${jSentinel(sentinel)},""" +
+        s""""sentinel":${jSentinel(sentinel.take(sentN))},""" +
         s""""artifact_sec":${jMap(artifacts)},""" +
         s""""ingest_rows_per_sec":${f3(ingest.rowsPerSec)},"ingest_rows":${ingest.rows},""" +
         s""""ingest_seconds":${f3(ingest.seconds)},"sf":"$sfDir"}"""
-    (15 to 0 by -5).map(line).find(_.length <= TailBudget).getOrElse(line(0))
+    val tries = (15 to 0 by -5).map(n => (n, sentinel.size)) ++
+      Seq((0, 10), (0, 5), (0, 0))
+    tries.map { case (q, sn) => line(q, sn) }.find(_.length <= TailBudget)
+      .getOrElse(line(0, 0))
   }
 
   /** `{"name":[suite_sec,end_of_run_sec],...}` — the dual timings whose

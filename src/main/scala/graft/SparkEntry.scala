@@ -417,28 +417,39 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0))
     },
+    // The minhash/simhash/ngram family rides the build-once memoized
+    // artifacts (r10 verdict task 7): tokenization, signatures, and all
+    // three candidate-pair sets materialize once per corpus and every
+    // query below reads the checkpointed bytes — row-identical to the
+    // inline derivations (DedupSpec pins each seam)
     "dedup_minhash_lsh" -> ((s, dir) =>
-      graft.ops.Dedup.minhashCandidates(Tables.documents(s, dir))),
+      graft.ops.Dedup.dedupArtifactsFor(dir, Tables.documents(s, dir))
+        .minhashPairs),
     "dedup_minhash_est" -> ((s, dir) =>
-      graft.ops.Dedup.minhashEstJaccardPairs(Tables.documents(s, dir))),
+      graft.ops.Dedup.minhashEstOf(
+        graft.ops.Dedup.dedupArtifactsFor(dir, Tables.documents(s, dir)).sigs)),
     "dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhash(Tables.documents(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) =>
-      graft.ops.Dedup.simhashCandidates(Tables.documents(s, dir))),
+      graft.ops.Dedup.dedupArtifactsFor(dir, Tables.documents(s, dir))
+        .simhashPairs),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      graft.ops.Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
+      graft.ops.Dedup.dedupArtifactsFor(dir, Tables.documents(s, dir))
+        .ngramPairs),
     "dedup_components" -> ((s, dir) =>
       // cluster the MinHash candidate pairs: transitive duplicate groups,
-      // each labeled with its smallest member
-      graft.ops.Dedup.connectedComponents(
-        graft.ops.Dedup.minhashCandidates(Tables.documents(s, dir)))),
+      // each labeled with its smallest member (memoized — dedup_keep_best
+      // consumes the same clustering)
+      graft.ops.Dedup.dedupArtifactsFor(dir, Tables.documents(s, dir))
+        .components),
     "dedup_method_agreement" -> ((s, dir) =>
       // do MinHash, n-gram Jaccard, and SimHash find the SAME pairs?
       // pairwise set sizes, intersections, and pair-set Jaccard - the
-      // meta-audit behind any cross-method recall claim. One shared
-      // materialized tokenization feeds all three chains (r9: the
-      // independent composition re-tokenized the corpus three times)
-      graft.ops.Dedup.methodAgreement(Tables.documents(s, dir))),
+      // meta-audit behind any cross-method recall claim. All three
+      // candidate sets come from the shared artifacts, so only the
+      // pair-set algebra runs per query
+      graft.ops.Dedup.methodAgreementOf(
+        graft.ops.Dedup.dedupArtifactsFor(dir, Tables.documents(s, dir)))),
     "events_pit_labels" -> ((s, dir) =>
       // point-in-time training set: integer features strictly BEFORE the
       // cutoff, churn label strictly from the 7-day window AFTER it -
@@ -707,8 +718,10 @@ object SparkEntry {
     "graph_sssp" -> ((s, dir) =>
       // weighted multi-source shortest paths: 3 synchronous Bellman-Ford
       // relaxations in exact BIGINT min-plus (weight = per-pair min
-      // quantity) — the weighted twin of graph_bfs; top-20 nearest
-      graft.ops.Graph.weightedShortestPaths(Tables.lineitem(s, dir))),
+      // quantity) — the weighted twin of graph_bfs; top-20 nearest.
+      // Rides the memoized artifact's weightedEdges (r10 verdict task 3)
+      graft.ops.Graph.weightedShortestPathsOf(
+        graft.ops.Graph.interactionGraphFor(dir, Tables.lineitem(s, dir)))),
     "graph_lpa" -> ((s, dir) =>
       // synchronous label propagation with the pinned most-frequent/
       // min-label rule — deterministic community detection (async LPA is
@@ -2301,11 +2314,11 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "dedup_keep_best" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      // cluster via the MinHash pipeline, then pick each cluster's
-      // longest member - the keep/drop decision step after clustering
+      // pick each MinHash cluster's longest member - the keep/drop
+      // decision step after clustering; the clustering itself is the
+      // memoized artifact dedup_components also serves
       graft.ops.Dedup.keepBest(docs,
-        graft.ops.Dedup.connectedComponents(
-          graft.ops.Dedup.minhashCandidates(docs)))
+        graft.ops.Dedup.dedupArtifactsFor(dir, docs).components)
     }),
     "dedup_containment" -> ((s, dir) =>
       // one-sided n-gram containment: catches near-supersets that

@@ -205,10 +205,16 @@ object Association {
       bound: Int = MaxLocalizedLevelSet): org.apache.spark.sql.DataFrame = {
     val ck = level.localCheckpoint()
     val n = ck.count()
-    require(n <= bound,
-      s"$what set exceeds the localization bound ($n > $bound " +
-        "rows); refusing to broadcast a level set that grows with the corpus — " +
-        "raise minSupportPct (the set is 1/pct-bounded) or restructure")
+    if (n > bound) {
+      // loud-failure hygiene (r10 ADVICE): release the oversized blocks we
+      // just materialized BEFORE throwing — the failed path must not pin
+      // executor storage until context shutdown
+      Memo.unpersistCheckpoint(ck)
+      throw new IllegalArgumentException(
+        s"requirement failed: $what set exceeds the localization bound ($n > $bound " +
+          "rows); refusing to broadcast a level set that grows with the corpus — " +
+          "raise minSupportPct (the set is 1/pct-bounded) or restructure")
+    }
     ck
   }
 

@@ -253,10 +253,18 @@ object Dedup {
     * no extra per-side doc_id join. The wider exchange payload
     * (16 x 8 B/row) is the documented cost of that single-pipeline shape.
     */
-  def minhashEstJaccardPairs(docs: DataFrame): DataFrame = {
+  def minhashEstJaccardPairs(docs: DataFrame): DataFrame =
+    minhashEstOf(minhashSignatures(docs))
+
+  /** [[minhashEstJaccardPairs]] over a prebuilt (typically memoized,
+    * checkpointed) signature table — the estimate depends only on the two
+    * signature vectors, so riding [[DedupArtifacts.sigs]] is
+    * row-identical to the inline derivation (DedupSpec pins it).
+    */
+  private[graft] def minhashEstOf(sigs: DataFrame): DataFrame = {
     val matches = (0 until MinhashFuncs).map(i =>
       when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0)).reduce(_ + _)
-    lshSelfJoin(minhashSignatures(docs),
+    lshSelfJoin(sigs,
         (0 until MinhashFuncs).map(i => s"m$i"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         round(matches.cast("double") / MinhashFuncs, 6).as("est_jaccard"))
@@ -319,7 +327,12 @@ object Dedup {
   }
 
   def simhash(docs: DataFrame): DataFrame =
-    simhashSums(docs)
+    simhashOf(tokenStream(docs, Nil))
+
+  /** [[simhash]] over an already-tokenized stream (the
+    * [[DedupArtifacts.tok]] seam). */
+  private[graft] def simhashOf(tok: DataFrame): DataFrame =
+    simhashSumsOf(tok)
       .select(col("doc_id"),
         concat((1 to SimhashBits).map(p =>
           when(col(s"s$p") > 0, "1").otherwise("0")): _*).as("simhash"))
@@ -1149,6 +1162,105 @@ object Dedup {
       "ngram" -> ngramJaccardPairsOf(tok, minJaccard),
       "simhash" -> simhashCandidatesOf(plain, maxHamming)))
   }
+
+  /** [[methodAgreement]] over the prebuilt artifacts: all three candidate
+    * sets come from [[DedupArtifacts]]' checkpointed members, so the
+    * meta-audit pays only the pair-set algebra — the three candidate
+    * chains (the documented cost center) are the family's shared builds.
+    * Row-identical to [[methodAgreement]] at the default parameters
+    * (DedupSpec pins it); non-default thresholds need the inline form.
+    */
+  def methodAgreementOf(a: DedupArtifacts): DataFrame =
+    pairSetAgreement(Seq(
+      "minhash" -> a.minhashPairs,
+      "ngram" -> a.ngramPairs,
+      "simhash" -> a.simhashPairs))
+
+  // ---- build-once dedup artifacts -----------------------------------------
+
+  /** Tokenization, MinHash signatures, and candidate-pair sets as
+    * BUILD-ONCE MATERIALIZED ARTIFACTS — [[Graph.InteractionGraph]]'s memo
+    * discipline applied to the dedup family (r10 verdict task 7). Before
+    * r11, five suite queries (`dedup_minhash_lsh`, `dedup_minhash_est`,
+    * `dedup_components`, `dedup_keep_best`, `dedup_method_agreement`) each
+    * re-tokenized the corpus and re-ran the banded signature self-join;
+    * the family was 5 of the bench's top-15 (≈14 s at sf0.1). A production
+    * dedup pipeline materializes its candidate graph once and serves
+    * clustering, canonicalization, and audits from it — this class is that
+    * artifact.
+    *
+    * Every member is LAZY (a consumer pays only for the pieces it reads)
+    * and localCheckpointed on first use; derived members build from the
+    * already-checkpointed upstream member, so e.g. [[components]] never
+    * re-runs the signature join. Row-identical to the operators' inline
+    * derivations at the suite's default parameters (DedupSpec pins each).
+    */
+  final class DedupArtifacts private[graft] (docs: DataFrame) {
+    private val made = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    private def ck(df: DataFrame): DataFrame = synchronized {
+      val c = df.localCheckpoint(); made += c; c
+    }
+
+    /** Lang-carrying token stream `(doc_id, lang, pos, w)`, clustered by
+      * doc_id and checkpointed — the regex split (the family's documented
+      * CPU hot spot) runs once per corpus, not once per query.
+      */
+    lazy val tok: DataFrame = ck(tokenStream(docs, Seq("lang")))
+
+    private def plain: DataFrame = tok.select("doc_id", "pos", "w")
+
+    /** MinHash signature table `(doc_id, m0..m15)`, checkpointed. */
+    lazy val sigs: DataFrame = ck(minhashSignaturesOf(plain))
+
+    /** Distinct banded-LSH candidate pairs `(doc_a, doc_b)` from [[sigs]],
+      * checkpointed. */
+    lazy val minhashPairs: DataFrame = ck(
+      lshSelfJoin(sigs, Nil)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct())
+
+    /** Transitive duplicate clusters over [[minhashPairs]], checkpointed. */
+    lazy val components: DataFrame = ck(connectedComponents(minhashPairs))
+
+    /** SimHash banded-Hamming pairs at the suite default (maxHamming 3),
+      * checkpointed. */
+    lazy val simhashPairs: DataFrame = ck(simhashCandidatesOf(plain, 3))
+
+    /** Blocked n-gram Jaccard pairs at the suite default (minJaccard 0.2),
+      * checkpointed. */
+    lazy val ngramPairs: DataFrame = ck(ngramJaccardPairsOf(tok, 0.2))
+
+    private[ops] def release(): Unit = synchronized {
+      made.foreach(Memo.unpersistCheckpoint)
+      made.clear()
+    }
+  }
+
+  /** The dedup artifacts for `inputKey`, built at most once per
+    * (session, inputKey) — [[Graph.interactionGraphFor]]'s staleness
+    * contract verbatim: `inputKey` must fingerprint the INPUT DATA; a
+    * caller that mutates the corpus under the same key must call
+    * [[invalidateDedupArtifacts]].
+    */
+  def dedupArtifactsFor(
+      inputKey: String, docs: => DataFrame): DedupArtifacts = {
+    val d = docs
+    Memo.pruneStopped(dedupCache,
+      (_: (org.apache.spark.sql.SparkSession, String))._1)
+    dedupCache.getOrElseUpdate((d.sparkSession, inputKey),
+      new DedupArtifacts(d))
+  }
+
+  /** Drops every memoized dedup artifact and releases their checkpoint
+    * storage (see [[dedupArtifactsFor]]'s staleness contract).
+    */
+  def invalidateDedupArtifacts(): Unit = {
+    dedupCache.values.foreach(_.release())
+    dedupCache.clear()
+  }
+
+  private val dedupCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DedupArtifacts]
 
   def pairSetAgreement(methods: Seq[(String, DataFrame)]): DataFrame = {
     require(methods.size >= 2, "pairSetAgreement: need at least 2 methods")

@@ -94,10 +94,15 @@ class AssociationSpec extends SparkSpec {
   test("localizedLevel: bound fires loudly BEFORE any driver " +
     "materialization, names the knob; in-bound sets pass through intact") {
     val lvl = Seq("a", "b", "c").toDF("token")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val e = intercept[IllegalArgumentException](
       Association.localizedLevel(lvl, "L1 frequent-token", bound = 2))
     assert(e.getMessage.contains("exceeds the localization bound (3 > 2"))
     assert(e.getMessage.contains("minSupportPct"))
+    // the failed path must release the checkpoint blocks it materialized
+    // (r10 ADVICE) — no new persistent RDD may survive the throw
+    assert(spark.sparkContext.getPersistentRDDs.keySet == persistedBefore,
+      "bound-violation path leaked checkpoint storage")
     val ok = Association.localizedLevel(lvl, "L1 frequent-token", bound = 3)
     assert(ok.as[String].collect().toSet == Set("a", "b", "c"))
     // the localized set is materialized (lineage cut): its plan is a scan,

@@ -66,6 +66,41 @@ class BenchLineSpec extends AnyFunSuite {
     assert(got("c") == 1.0) // not in the top-5: untouched
   }
 
+  test("protocol version rides the final line (r10 ADVICE: round-over-" +
+    "round total comparability)") {
+    val line = Bench.finalLine(fakeResults(119), ingest, "sf")
+    assert(line.contains("\"protocol\":\"min3-top5+hist2x\""), line)
+  }
+
+  test("loadHistory parses a committed detail record; degrades to empty " +
+    "on a missing/garbled file") {
+    val tmp = java.nio.file.Files.createTempFile("bench_hist", ".json")
+    java.nio.file.Files.write(tmp,
+      ("""{"total":171.232,"n":2,"queries":{"q1_agg":0.168,""" +
+        """"dedup_components":1.148},"sentinel":{"x":[1.0,0.9]},""" +
+        """"sf":"/tmp/sf0.1"}""").getBytes("UTF-8"))
+    val h = Bench.loadHistory(tmp.toString, "/tmp/sf0.1")
+    assert(h == Map("q1_agg" -> 0.168, "dedup_components" -> 1.148))
+    // the sentinel map (nested arrays) must NOT leak into the history
+    assert(!h.contains("x"))
+    // history from a different scale factor must be rejected
+    assert(Bench.loadHistory(tmp.toString, "/root/testdata/sf0.001").isEmpty)
+    assert(Bench.loadHistory("/nonexistent/path.json", "/tmp/sf0.1").isEmpty)
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("a 15-entry sentinel (top-5 + 10 history re-runs) still fits the " +
+    "tail budget, shrinking if needed") {
+    val bigSentinel = (1 to 15).map(i =>
+      (f"q${i}%03d_some_longish_operator_name", i * 1.234, i * 0.9))
+    Seq(0, 119, 300).foreach { n =>
+      val line = Bench.finalLine(fakeResults(n), ingest, "sf",
+        bigSentinel, Seq("rec" -> 1.0, "graph" -> 2.0, "copurchase" -> 0.5))
+      assert(line.length <= Bench.TailBudget, s"n=$n line is ${line.length}B")
+      assert(line.contains("\"sentinel\":{\"q001_some_longish_operator_name\""))
+    }
+  }
+
   test("artifact build times ride both the final line and its budget") {
     val arts = Seq("rec" -> 9.123456, "graph" -> 1.2, "copurchase" -> 0.5)
     val line = Bench.finalLine(fakeResults(119), ingest, "sf",

@@ -377,6 +377,42 @@ class DedupSpec extends SparkSpec {
     assert(shared.nonEmpty)
   }
 
+  test("DedupArtifacts: every artifact member row-identical to its inline " +
+    "derivation; memoized per (session, key); invalidation rebuilds") {
+    Dedup.invalidateDedupArtifacts()
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta", "en"),
+      (3L, "alpha beta gamma delta epsilon eta", "en"),
+      (4L, "one two three four five six seven", "en"),
+      (5L, "uno dos tres cuatro cinco seis", "es"),
+      (6L, "uno dos tres cuatro cinco seis", "es"))
+      .toDF("doc_id", "text", "lang")
+    val a = Dedup.dedupArtifactsFor("k1", docs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    // each seam vs the INLINE operator the queries used pre-memoization
+    assert(rows(a.minhashPairs) == rows(Dedup.minhashCandidates(docs)))
+    assert(rows(Dedup.minhashEstOf(a.sigs)) ==
+      rows(Dedup.minhashEstJaccardPairs(docs)))
+    assert(rows(a.components) == rows(Dedup.connectedComponents(
+      Dedup.minhashCandidates(docs))))
+    assert(rows(a.simhashPairs) == rows(Dedup.simhashCandidates(docs)))
+    assert(rows(a.ngramPairs) == rows(Dedup.ngramJaccardPairs(docs)))
+    assert(rows(Dedup.methodAgreementOf(a)) == rows(Dedup.methodAgreement(docs)))
+    val ranked = docs.withColumn("n_chars",
+      org.apache.spark.sql.functions.length(col("text")))
+    assert(rows(Dedup.keepBest(ranked, a.components)) ==
+      rows(Dedup.keepBest(ranked, Dedup.connectedComponents(
+        Dedup.minhashCandidates(docs)))))
+    // memo identity + staleness contract (Graph.interactionGraphFor's)
+    assert(Dedup.dedupArtifactsFor("k1", docs.limit(0)) eq a)
+    assert(!(Dedup.dedupArtifactsFor("k2", docs) eq a))
+    Dedup.invalidateDedupArtifacts()
+    assert(!(Dedup.dedupArtifactsFor("k1", docs) eq a))
+    Dedup.invalidateDedupArtifacts()
+  }
+
   test("pairSetAgreement: disjoint sets score zero, empty pair is NULL") {
     val a = Seq((1L, 2L)).toDF("doc_a", "doc_b")
     val b = Seq((3L, 4L)).toDF("doc_a", "doc_b")

@@ -457,6 +457,48 @@ class GraphSpec extends SparkSpec {
       rows(Graph.harmonicCentrality(tiny, seedEvery = 1, seedCount = 8)))
     assert(rows(Graph.kCoreOf(g, k = 2, rounds = 6)) ==
       rows(Graph.kCore(tiny, k = 2, rounds = 6)))
+    assert(rows(Graph.hitsOf(g, iters = 1)) == rows(Graph.hits(tiny, iters = 1)))
+    assert(rows(Graph.weightedShortestPathsOf(
+      new Graph.InteractionGraph(tinyWeighted))) ==
+      rows(Graph.weightedShortestPaths(tinyWeighted)))
+  }
+
+  private def tinyWeighted = Seq(
+    (0L, 0L, 5.0), (0L, 0L, 7.0), // duplicate pair: min quantity wins
+    (0L, 1L, 1.0), (1L, 1L, 1.0)
+  ).toDF("l_suppkey", "l_partkey", "l_quantity")
+
+  test("InteractionGraph: weightedEdges match an independent min-quantity " +
+    "derivation; ssspOf rides them to the hand-computed distances") {
+    val g = new Graph.InteractionGraph(tinyWeighted)
+    // independent expectation: min qty per (supp*2, part*2+1) pair, both
+    // orientations — derived here by hand, not by the operator's code path
+    val directed = Map((0L, 1L) -> 5L, (0L, 3L) -> 1L, (2L, 3L) -> 1L)
+    val sym = directed ++ directed.map { case ((u, v), w) => ((v, u), w) }
+    assert(g.weightedEdges.as[(Long, Long, Long)].collect()
+      .map { case (u, v, w) => ((u, v), w) }.toMap == sym)
+    // artifact-riding sssp reproduces the hand-computed distances (seed
+    // node 0; detour 0->3->2 costs 2, beating nothing — the direct
+    // neighbor 1 keeps its heavy w=5 edge)
+    val got = Graph.weightedShortestPathsOf(g, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 0L), (3L, 1L), (2L, 2L), (1L, 5L)))
+  }
+
+  test("hitsOf: the artifact's directed-edge projection equals an " +
+    "independently-derived distinct (l_suppkey, l_partkey) list") {
+    // r10 ADVICE: hits' s->p edges are a PROJECTION of the symmetric
+    // artifact (keep even-u, shift ids back); pin that projection against
+    // a derivation that never touches InteractionGraph internals
+    val li = Seq((1L, 101L), (1L, 102L), (2L, 101L), (1L, 101L))
+      .toDF("l_suppkey", "l_partkey")
+    val g = new Graph.InteractionGraph(li)
+    val projected = g.edges.filter($"u" % 2 === 0)
+      .selectExpr("u div 2 as s", "(v - 1) div 2 as p")
+      .as[(Long, Long)].collect().toSet
+    val independent = li.select("l_suppkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(projected == independent)
   }
 
   test("interactionGraphFor: memoized per (session, key); distinct keys " +

@@ -77,10 +77,16 @@ class PlanGuardSpec extends SparkSpec {
 
   test("dedup candidate self-joins are sort-merge (broadcastable sides would " +
     "materialize the corpus-sized stream twice)") {
-    for (q <- Seq("dedup_minhash_lsh", "dedup_simhash_pairs")) {
-      val p = plan(q)
+    // asserted on the INLINE chains: the r11 memoized query entries are
+    // LogicalRDD scans with no joins (plan-health lesson: guard the chain,
+    // not the materialized artifact)
+    val docs = Tables.documents(spark, dir)
+    for ((n, df) <- Seq(
+        "minhash" -> graft.ops.Dedup.minhashCandidates(docs),
+        "simhash" -> graft.ops.Dedup.simhashCandidates(docs))) {
+      val p = df.queryExecution.sparkPlan
       assert(collectAll(p) { case j: SortMergeJoinExec => j }.nonEmpty,
-        s"$q must keep the merge-hinted self-join")
+        s"$n chain must keep the merge-hinted self-join")
     }
   }
 
@@ -115,14 +121,20 @@ class PlanGuardSpec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     // j11: the binned rewrite's whole purpose is turning the keyless
     // BETWEEN (which alone can only nested-loop) into a hash join on __bin
-    for (q <- Seq("decontaminate", "j8_interval_join", "dedup_ngram_jaccard",
-        "j11_range_join")) {
+    // dedup_ngram_jaccard's query entry is a memoized LogicalRDD scan
+    // since r11 — its chain is asserted inline below
+    for (q <- Seq("decontaminate", "j8_interval_join", "j11_range_join")) {
       val p = plan(q)
       assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
         s"$q must not plan a cartesian product")
       assert(collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
         s"$q must not plan a nested-loop join")
     }
+    val ngram = graft.ops.Dedup.ngramJaccardPairs(Tables.documents(spark, dir))
+      .queryExecution.sparkPlan
+    assert(collectAll(ngram) { case c: CartesianProductExec => c }.isEmpty &&
+      collectAll(ngram) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "ngram chain must not plan a cartesian/nested-loop join")
     // text_tfidf's single-row corpus-count cross join is the ONE sanctioned
     // nested-loop: build side is exactly one row by construction
     val tfidf = plan("text_tfidf")

@@ -6,7 +6,12 @@ O(n^2) distance cross join) and must surface as named TIMEOUT/SKIP rows
 instead of hanging the run.
 
 Usage: python3 tools/check_oracle_timeout.py <verify_out_dir> <sf_dir>
-         [timeout_sec] [skip1,skip2,...]
+         [timeout_sec] [skip1,skip2,...] [workers] [expected_timeout1,...]
+
+Exit code is 0 only when FAIL == 0 AND every TIMEOUT row is named in the
+expected-timeout allowlist (r10 ADVICE: a query regressing from PASS to
+hanging must fail certification; only pre-declared quadratic-by-design
+oracle formulations may time out without failing the run).
 
 Each oracle runs in its own subprocess (DuckDB cannot be interrupted
 mid-query from Python, so process kill is the only reliable timeout).
@@ -78,9 +83,10 @@ def run_one(args):
     return name, status, msg
 
 
-def main(out_dir, sf_dir, timeout, skips, workers):
+def main(out_dir, sf_dir, timeout, skips, workers, expected_timeouts):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     counts = {"PASS": 0, "FAIL": 0, "TIMEOUT": 0, "SKIP": 0}
+    unexpected_timeouts = []
     work = []
     for name in sorted(oracle):
         if name in skips:
@@ -93,11 +99,16 @@ def main(out_dir, sf_dir, timeout, skips, workers):
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=workers) as ex:
         for name, status, msg in ex.map(run_one, work):
+            if status == "TIMEOUT" and name not in expected_timeouts:
+                unexpected_timeouts.append(name)
             print(f"{status} {name}: {msg}", flush=True)
             counts[status] += 1
     print(f"\n{counts['PASS']} pass / {counts['FAIL']} fail / "
           f"{counts['TIMEOUT']} timeout / {counts['SKIP']} skip")
-    return 0 if counts["FAIL"] == 0 else 1
+    if unexpected_timeouts:
+        print(f"UNEXPECTED TIMEOUTS (not in allowlist): "
+              f"{','.join(sorted(unexpected_timeouts))}")
+    return 0 if counts["FAIL"] == 0 and not unexpected_timeouts else 1
 
 
 if __name__ == "__main__":
@@ -106,4 +117,7 @@ if __name__ == "__main__":
     skips = set(s for s in (sys.argv[4].split(",") if len(sys.argv) > 4
                             else []) if s)
     workers = int(sys.argv[5]) if len(sys.argv) > 5 else 8
-    sys.exit(main(out_dir, sf_dir, timeout, skips, workers))
+    expected_timeouts = set(s for s in (sys.argv[6].split(",")
+                            if len(sys.argv) > 6 else []) if s)
+    sys.exit(main(out_dir, sf_dir, timeout, skips, workers,
+                  expected_timeouts))
