@@ -2861,14 +2861,35 @@ object SparkEntry {
       |WHERE rn <= 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
-    "dedup_edit_distance" -> // ground truth over ALL pairs: recall cert
-      """WITH ky AS (SELECT doc_id,
+    "dedup_edit_distance" -> // partition-filter candidates (pigeonhole:
+      // edit distance <= 3 forces one of the 4 key segments to match
+      // within a +-3 shift -- answer-preserving for levenshtein; the
+      // r10 all-pairs form was O(docs^2) and timed out the sf1 gate),
+      // then exact levenshtein scoring. Recall of the scheme is
+      // certified vs the naive all-pairs join in EditDistanceSpec.
+      """WITH ky AS MATERIALIZED (SELECT doc_id,
         |              rpad(lower(substr(trim(text), 1, 40)), 40, '#') AS key
-        |            FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(levenshtein(a.key, b.key) AS INT) AS edit_dist
-        |FROM ky a JOIN ky b ON a.doc_id < b.doc_id
-        |WHERE levenshtein(a.key, b.key) <= 3""".stripMargin,
+        |            FROM documents),
+        |probes AS MATERIALIZED (
+        |  SELECT doc_id, j AS slot, substr(key, j*10+1, 10) AS sub
+        |  FROM ky CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj),
+        |idx AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, j AS slot, substr(key, j*10+1+d, 10) AS sub
+        |  FROM ky
+        |  CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj
+        |  CROSS JOIN (SELECT unnest([-3,-2,-1,0,1,2,3]) AS d) dd
+        |  WHERE j*10+1+d >= 1 AND j*10+d+10 <= 40),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+        |         greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM probes a JOIN idx b
+        |    ON a.slot = b.slot AND a.sub = b.sub AND a.doc_id <> b.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |       CAST(levenshtein(ka.key, kb.key) AS INT) AS edit_dist
+        |FROM cand c
+        |JOIN ky ka ON ka.doc_id = c.doc_a
+        |JOIN ky kb ON kb.doc_id = c.doc_b
+        |WHERE levenshtein(ka.key, kb.key) <= 3""".stripMargin,
     "assoc_basket_pairs" ->
       """WITH items AS (SELECT basket, item FROM (
         |            SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bsz
@@ -3966,13 +3987,13 @@ object SparkEntry {
         |         AS clustering""".stripMargin,
     "assoc_frequent_triples" -> // same L1 restriction (answer-preserving
       // by A-priori monotonicity), then the direct triple join
-      """WITH d AS (SELECT DISTINCT doc_id,
+      """WITH d AS MATERIALIZED (SELECT DISTINCT doc_id,
         |             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         |           FROM documents),
-        |n AS (SELECT ceil(count(DISTINCT doc_id) * 0.25) AS min_sup FROM d),
-        |l1 AS (SELECT token FROM d CROSS JOIN n
+        |n AS MATERIALIZED (SELECT ceil(count(DISTINCT doc_id) * 0.25) AS min_sup FROM d),
+        |l1 AS MATERIALIZED (SELECT token FROM d CROSS JOIN n
         |       GROUP BY token, min_sup HAVING count(*) >= min_sup),
-        |i AS (SELECT * FROM d WHERE token IN (SELECT token FROM l1))
+        |i AS MATERIALIZED (SELECT * FROM d WHERE token IN (SELECT token FROM l1))
         |SELECT a.token AS tok_a, b.token AS tok_b, c.token AS tok_c,
         |       count(*) AS support
         |FROM i a
@@ -4830,14 +4851,14 @@ object SparkEntry {
     "dedup_components" ->
       // same minhash pipeline as dedup_minhash_lsh, then the transitive
       // closure of the pair graph via a recursive CTE; comp = min reachable id
-      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
+      """WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
         |              FROM documents),
-        |sh AS (SELECT doc_id, list_transform(generate_series(0, len(tokens)-3), i ->
+        |sh AS MATERIALIZED (SELECT doc_id, list_transform(generate_series(0, len(tokens)-3), i ->
         |         concat_ws(' ', tokens[i+1], tokens[i+2], tokens[i+3])) AS shingles
         |       FROM toks WHERE len(tokens) >= 3),
-        |hb AS (SELECT doc_id, list_transform(shingles, s ->
+        |hb AS MATERIALIZED (SELECT doc_id, list_transform(shingles, s ->
         |         CAST('0x' || substr(md5(s),1,7) AS BIGINT)) AS hs FROM sh),
-        |sig AS (SELECT doc_id, list_transform(generate_series(1,16), i ->
+        |sig AS MATERIALIZED (SELECT doc_id, list_transform(generate_series(1,16), i ->
         |          list_aggregate(list_transform(hs, h -> (h *
         |            ([28515171, 35901835, 164504155, 224835733, 159545229, 129086779,
         |              21665025, 258530763, 97673641, 249307291, 192052219, 93357247,
@@ -4847,16 +4868,16 @@ object SparkEntry {
         |              192810783, 177914584, 67363176, 151635781])[i])
         |            % 268435459), 'min')) AS sig
         |        FROM hb),
-        |bands AS (SELECT doc_id, j,
+        |bands AS MATERIALIZED (SELECT doc_id, j,
         |            concat_ws('|', sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]) AS bucket
         |          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj),
-        |ok AS (SELECT j, bucket FROM bands GROUP BY 1, 2 HAVING count(*) <= 100),
-        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |ok AS MATERIALIZED (SELECT j, bucket FROM bands GROUP BY 1, 2 HAVING count(*) <= 100),
+        |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |          FROM bands a
         |          JOIN ok ON ok.j = a.j AND ok.bucket = a.bucket
         |          JOIN bands b
         |            ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |          UNION SELECT doc_b, doc_a FROM pairs),
         |reach(src, dst) AS (
         |  SELECT src, dst FROM edges
@@ -7163,14 +7184,14 @@ object SparkEntry {
     "dedup_keep_best" ->
       // the dedup_components closure, then each cluster's argmax by
       // (n_chars desc, doc_id asc) + member count
-      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
+      """WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS tokens
         |              FROM documents),
-        |sh AS (SELECT doc_id, list_transform(generate_series(0, len(tokens)-3), i ->
+        |sh AS MATERIALIZED (SELECT doc_id, list_transform(generate_series(0, len(tokens)-3), i ->
         |         concat_ws(' ', tokens[i+1], tokens[i+2], tokens[i+3])) AS shingles
         |       FROM toks WHERE len(tokens) >= 3),
-        |hb AS (SELECT doc_id, list_transform(shingles, s ->
+        |hb AS MATERIALIZED (SELECT doc_id, list_transform(shingles, s ->
         |         CAST('0x' || substr(md5(s),1,7) AS BIGINT)) AS hs FROM sh),
-        |sig AS (SELECT doc_id, list_transform(generate_series(1,16), i ->
+        |sig AS MATERIALIZED (SELECT doc_id, list_transform(generate_series(1,16), i ->
         |          list_aggregate(list_transform(hs, h -> (h *
         |            ([28515171, 35901835, 164504155, 224835733, 159545229, 129086779,
         |              21665025, 258530763, 97673641, 249307291, 192052219, 93357247,
@@ -7180,22 +7201,22 @@ object SparkEntry {
         |              192810783, 177914584, 67363176, 151635781])[i])
         |            % 268435459), 'min')) AS sig
         |        FROM hb),
-        |bands AS (SELECT doc_id, j,
+        |bands AS MATERIALIZED (SELECT doc_id, j,
         |            concat_ws('|', sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]) AS bucket
         |          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj),
-        |ok AS (SELECT j, bucket FROM bands GROUP BY 1, 2 HAVING count(*) <= 100),
-        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |ok AS MATERIALIZED (SELECT j, bucket FROM bands GROUP BY 1, 2 HAVING count(*) <= 100),
+        |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |          FROM bands a
         |          JOIN ok ON ok.j = a.j AND ok.bucket = a.bucket
         |          JOIN bands b
         |            ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |          UNION SELECT doc_b, doc_a FROM pairs),
         |reach(src, dst) AS (
         |  SELECT src, dst FROM edges
         |  UNION
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS comp
+        |comp AS MATERIALIZED (SELECT src AS doc_id, least(src, min(dst)) AS comp
         |         FROM reach GROUP BY src),
         |r AS (SELECT c.comp, d.doc_id, d.n_chars,
         |        row_number() OVER (PARTITION BY c.comp
