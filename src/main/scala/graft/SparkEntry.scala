@@ -1556,6 +1556,17 @@ object SparkEntry {
         .select("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
           "sea_ice_concentration_mean", "sea_ice_concentration_stddev")
     },
+    "gridded_ingest_hdf5_dense_ind" -> { (s, dir) =>
+      // the VERY-wide-group shape: the dense-link fractal heap grows past
+      // its root's direct rows, so link messages live behind an indirect
+      // CHILD block (FHIB within FHIB — the recursive doubling-table
+      // walk); same fixture content, same closed-form oracle
+      val path = graft.sources.GridFixture.ensureWrittenH5DenseIndirect(
+        graft.sources.GridFixture.defaultH5DenseIndirectPath)
+      Ingest.load(s.read.format("gridded").load(path))
+        .select("xc_m", "yc_m", "date_forecast_generated", "date_forecast_for",
+          "sea_ice_concentration_mean", "sea_ice_concentration_stddev")
+    },
 
     "dq_check" -> { (s, dir) =>
       // declarative data-quality gate: row rules fused into one scan,
@@ -6451,6 +6462,28 @@ object SparkEntry {
     "gridded_ingest_hdf5_dense" -> // once more: only the GROUP storage
       // changed (dense fractal-heap links, root indirect block, depth-1
       // type-5 name B-tree)
+      """WITH ti AS (SELECT unnest(generate_series(0, 1)) AS t),
+        |li AS (SELECT unnest(generate_series(0, 2)) AS l),
+        |yi AS (SELECT unnest(generate_series(0, 5)) AS y),
+        |xi AS (SELECT unnest(generate_series(0, 7)) AS x),
+        |cells AS (
+        |  SELECT t, l, y, x, (7*t + 5*l + 3*y + x) % 19 AS k
+        |  FROM ti CROSS JOIN li CROSS JOIN yi CROSS JOIN xi),
+        |vals AS (
+        |  SELECT t, l, y, x,
+        |    CASE WHEN (t+l+y+x) % 11 = 0 THEN NULL ELSE k/10.0 - 0.4 END AS sic_mean,
+        |    CASE WHEN (t+l+y+x+1) % 13 = 0 THEN NULL ELSE (k*k % 7)/100.0 END AS sic_stddev
+        |  FROM cells)
+        |SELECT CAST(trunc((-262.5 + 25.0*x) * 1000) AS INT) AS xc_m,
+        |       CAST(trunc((-537.5 + 25.0*y) * 1000) AS INT) AS yc_m,
+        |       DATE '2020-03-01' + CAST(t AS INT) AS date_forecast_generated,
+        |       DATE '2020-03-01' + CAST(t + l + 1 AS INT) AS date_forecast_for,
+        |       CAST(sic_mean AS FLOAT) AS sea_ice_concentration_mean,
+        |       CAST(sic_stddev AS FLOAT) AS sea_ice_concentration_stddev
+        |FROM vals
+        |WHERE sic_mean > 0 AND sic_stddev IS NOT NULL""".stripMargin,
+    "gridded_ingest_hdf5_dense_ind" -> // once more: only the HEAP shape
+      // changed (fractal-heap INDIRECT CHILD blocks behind the root)
       """WITH ti AS (SELECT unnest(generate_series(0, 1)) AS t),
         |li AS (SELECT unnest(generate_series(0, 2)) AS l),
         |yi AS (SELECT unnest(generate_series(0, 5)) AS y),

@@ -131,6 +131,18 @@ object GridFixture {
         latestFormat = true, denseLinks = true, denseLinkPad = 40)
     }
 
+  /** Dense link storage whose fractal heap carries an indirect CHILD
+    * block (the very-wide-group structure): 230 pad links push past the
+    * root's direct rows into the row-3 child.
+    */
+  def ensureWrittenH5DenseIndirect(path: String): String =
+    ensureWith(path) { tmp =>
+      Hdf5Netcdf.write(tmp, TimesMicros, Leadtimes, Yc, Xc,
+        flat(meanAt), flat(stddevAt), chunkX = Some(5), filters = Seq(2, 1),
+        latestFormat = true, denseLinks = true, denseLinkPad = 230,
+        denseIndirectChild = true)
+    }
+
   private def ensureWith(path: String)(write: String => Unit): String =
     synchronized {
       val f = new java.io.File(path)
@@ -166,4 +178,7 @@ object GridFixture {
   def defaultH5DensePath: String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_grid_fixture_h5_dense_v1.nc").getAbsolutePath
+  def defaultH5DenseIndirectPath: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_grid_fixture_h5_dense_ind_v1.nc").getAbsolutePath
 }

@@ -1488,43 +1488,70 @@ object Hdf5Netcdf {
     def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
     def rowSize(row: Int): Long =
       if (row < 2) startBlockSize else startBlockSize << (row - 1)
+    require(java.lang.Long.bitCount(width.toLong) == 1,
+      s"HDF5 fractal-heap width $width is not a power of two")
+    val logW = log2(width.toLong)
+    val maxDirectRows = log2(maxDirectSize) - log2(startBlockSize) + 2
+    // Recursion depth bound: each indirect level multiplies coverage by
+    // >= 2^maxDirectRows x width, so 4 levels at libhdf5's defaults
+    // (width 4, 512 B start, 64 KiB max direct) already exceeds 2^40
+    // bytes of link messages — anything deeper is corrupt, not big.
+    val MaxIndirectDepth = 4
+    /** Expand an indirect block (`FHIB`) into its direct-block map,
+      * recursing into indirect CHILD entries (rows >= maxDirectRows; a
+      * child in row n carries n - log2(width) rows and covers exactly
+      * rowSize(n) bytes — spec III.G's doubling table, matching
+      * libhdf5's size_to_rows arithmetic). Checksums verified per block.
+      */
+    def readIndirect(
+        addr: Long, blockOff: Long, nrows: Int,
+        depth: Int): Vector[(Long, Long, Long)] = {
+      require(depth <= MaxIndirectDepth,
+        s"HDF5 fractal-heap indirect nesting deeper than " +
+          s"$MaxIndirectDepth levels — corrupt doubling table")
+      val ibLen = 4 + 1 + 8 + offSize + nrows * width * 8 + 4
+      val ibRaw = new Array[Byte](ibLen)
+      r.fetch(addr, ibLen).get(ibRaw)
+      val ib = ByteBuffer.wrap(ibRaw).order(ByteOrder.LITTLE_ENDIAN)
+      val ibSig = new Array[Byte](4); ib.get(ibSig)
+      require(ibSig.sameElements("FHIB".getBytes),
+        s"bad HDF5 fractal-heap indirect-block signature at $addr")
+      require(ib.get() == 0,
+        "HDF5 fractal-heap indirect-block version unsupported")
+      require(ib.getLong() == heapAddr,
+        "HDF5 fractal-heap indirect block names a different heap")
+      var bo = 0L
+      for (i <- 0 until offSize) bo |= (ib.get().toLong & 0xFF) << (8 * i)
+      require(bo == blockOff,
+        s"HDF5 fractal-heap indirect block at $addr carries heap offset " +
+          s"$bo, expected $blockOff")
+      val entries = Vector.fill(nrows * width)(ib.getLong())
+      checkSum(ibRaw, 0, ibLen - 4,
+        ib.getInt(ibLen - 4).toLong & 0xFFFFFFFFL,
+        "fractal-heap indirect block (FHIB)")
+      var heapOff = blockOff
+      val out = Vector.newBuilder[(Long, Long, Long)]
+      for (row <- 0 until nrows; c <- 0 until width) {
+        val addr2 = entries(row * width + c)
+        if (addr2 != Undef) {
+          if (row < maxDirectRows) out += ((heapOff, rowSize(row), addr2))
+          else {
+            val childRows = row - logW
+            require(childRows >= 1,
+              s"HDF5 fractal-heap indirect entry in row $row implies a " +
+                s"zero-row child — corrupt doubling table")
+            out ++= readIndirect(addr2, heapOff, childRows, depth + 1)
+          }
+        }
+        heapOff += rowSize(row)
+      }
+      out.result()
+    }
     val blocks: Vector[(Long, Long, Long)] =
       if (curRootRows == 0) {
         // root IS a direct block spanning the heap's whole managed space
         Vector((0L, managedSpace.max(startBlockSize), rootAddr))
-      } else {
-        val maxDirectRows = log2(maxDirectSize) - log2(startBlockSize) + 2
-        require(curRootRows <= maxDirectRows,
-          s"HDF5 fractal-heap root indirect block with $curRootRows rows " +
-            s"reaches past the $maxDirectRows direct-block rows — " +
-            "indirect child blocks unsupported")
-        val ibLen = 4 + 1 + 8 + offSize + curRootRows * width * 8 + 4
-        val ibRaw = new Array[Byte](ibLen)
-        r.fetch(rootAddr, ibLen).get(ibRaw)
-        val ib = ByteBuffer.wrap(ibRaw).order(ByteOrder.LITTLE_ENDIAN)
-        val ibSig = new Array[Byte](4); ib.get(ibSig)
-        require(ibSig.sameElements("FHIB".getBytes),
-          s"bad HDF5 fractal-heap indirect-block signature at $rootAddr")
-        require(ib.get() == 0,
-          "HDF5 fractal-heap indirect-block version unsupported")
-        require(ib.getLong() == heapAddr,
-          "HDF5 fractal-heap indirect block names a different heap")
-        var bo = 0L
-        for (i <- 0 until offSize) bo |= (ib.get().toLong & 0xFF) << (8 * i)
-        require(bo == 0, "HDF5 fractal-heap root indirect block offset != 0")
-        val entries = Vector.fill(curRootRows * width)(ib.getLong())
-        checkSum(ibRaw, 0, ibLen - 4,
-          ib.getInt(ibLen - 4).toLong & 0xFFFFFFFFL,
-          "fractal-heap indirect block (FHIB)")
-        var heapOff = 0L
-        val out = Vector.newBuilder[(Long, Long, Long)]
-        for (row <- 0 until curRootRows; c <- 0 until width) {
-          val addr = entries(row * width + c)
-          if (addr != Undef) out += ((heapOff, rowSize(row), addr))
-          heapOff += rowSize(row)
-        }
-        out.result()
-      }
+      } else readIndirect(rootAddr, 0L, curRootRows, 1)
     new FractalHeap(r, offSize, lenSize, checksummed, heapAddr, blocks)
   }
 
@@ -1874,7 +1901,10 @@ object Hdf5Netcdf {
       btreeV2Index: Boolean = false,
       bt2NodeSize: Int = 2048,
       denseLinks: Boolean = false,
-      denseLinkPad: Int = 0): Unit = {
+      denseLinkPad: Int = 0,
+      denseIndirectChild: Boolean = false): Unit = {
+    require(!denseIndirectChild || denseLinks,
+      "denseIndirectChild only makes sense with denseLinks")
     require(!btreeV2Index || (latestFormat && chunkX.isDefined &&
       !unlimitedTime && !implicitIndex),
       "btreeV2Index needs latestFormat + chunkX, sans unlimited/implicit")
@@ -2328,6 +2358,22 @@ object Hdf5Netcdf {
       // managed ceiling -> 7-byte heap IDs (1 + u32 offset + u16 length);
       // FHDB headers are 21 bytes (checksummed-blocks flag set).
       val DenseBlk = 512; val DenseHdr = 21
+      // Block geometry (heapOffset, size) in heap-offset order. Classic
+      // mode: libhdf5's parameters (width 4, 512-byte rows 0/1, 64 KiB
+      // max direct), capped at the two 512-byte direct rows. Indirect-
+      // child mode: a shrunken doubling table (width 2, start 512, max
+      // direct 1024) whose root row 3 is the first INDIRECT row — blocks
+      // 6-9 are the rows of the row-3 entry-0 child indirect block, so
+      // any link packed past 4 KiB lands behind an indirect CHILD (the
+      // structure the reader's recursive FHIB expansion decodes).
+      val denseGeom: Vector[(Long, Int)] =
+        if (denseIndirectChild)
+          Vector(0L -> 512, 512L -> 512, // root row 0
+            1024L -> 512, 1536L -> 512, // root row 1
+            2048L -> 1024, 3072L -> 1024, // root row 2 (max direct size)
+            4096L -> 512, 4608L -> 512, // child row 0
+            5120L -> 512, 5632L -> 512) // child row 1
+        else Vector.tabulate(8)(i => (i.toLong * DenseBlk, DenseBlk))
       val denseNames: Seq[(String, Long)] =
         if (!denseLinks) Nil
         else specs.map(s => s.name -> 0L) ++ // oh addrs patched at render
@@ -2338,25 +2384,39 @@ object Hdf5Netcdf {
         var blk = 0; var off = DenseHdr
         denseNames.map { case (n, _) =>
           val len = linkBody(n, 0L).length
-          if (off + len > DenseBlk) { blk = blk + 1; off = DenseHdr }
+          if (blk < denseGeom.size && off + len > denseGeom(blk)._2) {
+            blk = blk + 1; off = DenseHdr
+          }
+          require(blk < denseGeom.size,
+            "denseLinks fixture writer: links overflow the authored " +
+              s"${denseGeom.size}-block geometry")
           val r = (n, blk, off, len); off += len; r
         }
       }
       val denseNBlocks =
         if (densePack.isEmpty) 0 else densePack.map(_._2).max + 1
-      require(!denseLinks || denseNBlocks <= 8,
-        s"denseLinks fixture writer: $denseNBlocks blocks exceed the two " +
-          "512-byte direct rows")
-      val denseBlockAddrs = (0 until denseNBlocks).map { _ =>
-        val a = cursor; cursor += DenseBlk; a
+      require(!denseIndirectChild || denseNBlocks > 6,
+        "denseIndirectChild fixture needs enough links to reach the " +
+          "child's blocks — raise denseLinkPad")
+      val denseBlockAddrs = (0 until denseNBlocks).map { i =>
+        val a = cursor; cursor += denseGeom(i)._2; a
       }
-      // >1 block -> root indirect block over the (width 4) direct rows
-      val denseRows = if (denseNBlocks <= 1) 0 else (denseNBlocks + 3) / 4
+      // classic: >1 block -> root indirect block over the (width 4)
+      // direct rows; indirect-child: fixed 4-row (width 2) root whose
+      // row 3 entry 0 is a 2-row child indirect block
+      val denseW = if (denseIndirectChild) 2 else 4
+      val denseRows =
+        if (denseIndirectChild) 4
+        else if (denseNBlocks <= 1) 0
+        else (denseNBlocks + 3) / 4
+      val denseChildIbAddr =
+        if (!denseIndirectChild) Undef
+        else { val a = cursor; cursor += (4 + 1 + 8 + 4 + 4 * 8 + 4 + 7) / 8 * 8; a }
       val denseIbAddr =
         if (denseRows == 0) Undef
         else {
           val a = cursor
-          cursor += (4 + 1 + 8 + 4 + denseRows * 4 * 8 + 4 + 7) / 8 * 8
+          cursor += (4 + 1 + 8 + 4 + denseRows * denseW * 8 + 4 + 7) / 8 * 8
           a
         }
       val denseFrhpAddr =
@@ -2367,7 +2427,11 @@ object Hdf5Netcdf {
         densePack.map(p =>
           (lookup3(p._1.getBytes("UTF-8"), 0, p._1.length), p))
           .sortBy(_._1)
-      val DenseBtNode = 512; val DenseRecSize = 11 // hash(4) + heapId(7)
+      // node 4096 in indirect-child mode: the ~170 links that geometry
+      // needs fit one depth-0 leaf (the heap indirection is the feature
+      // under test, not tree depth — depth-1 has its own fixture)
+      val DenseBtNode = if (denseIndirectChild) 4096 else 512
+      val DenseRecSize = 11 // hash(4) + heapId(7)
       val denseMaxLeaf = (DenseBtNode - 10) / DenseRecSize
       require(denseRecs.size <= 2 * denseMaxLeaf + 1,
         s"denseLinks fixture writer: ${denseRecs.size} links exceed a " +
@@ -2551,46 +2615,65 @@ object Hdf5Netcdf {
           n -> (if (n.startsWith("pad_")) ohAddrs("time") else ohAddrs(n))
         }.toMap
         for (b <- 0 until denseNBlocks) {
-          val blkBytes = new Array[Byte](DenseBlk)
+          val (gOff, gSz) = denseGeom(b)
+          val blkBytes = new Array[Byte](gSz)
           val hdr = new Le().raw("FHDB".getBytes).u8(0).u64(denseFrhpAddr)
-            .u32(b.toLong * DenseBlk).u32(0L).bytes // checksum zeroed
+            .u32(gOff).u32(0L).bytes // checksum zeroed
           System.arraycopy(hdr, 0, blkBytes, 0, DenseHdr)
           densePack.filter(_._2 == b).foreach { case (n, _, off, len) =>
             val body = linkBody(n, linkAddr(n))
             require(body.length == len, "dense link body length drift")
             System.arraycopy(body, 0, blkBytes, off, len)
           }
-          val ck = lookup3(blkBytes, 0, DenseBlk)
+          val ck = lookup3(blkBytes, 0, gSz)
           val le = new Le().u32(ck)
           System.arraycopy(le.bytes, 0, blkBytes, DenseHdr - 4, 4)
           out.raw(blkBytes)
         }
-        if (denseRows > 0) { // root indirect block over the direct rows
+        if (denseIndirectChild) { // row-3 entry-0 child: 2 rows x width 2
+          val ib = new Le().raw("FHIB".getBytes).u8(0).u64(denseFrhpAddr)
+            .u32(4096L) // the child's own heap offset
+          (0 until 4).foreach(i =>
+            ib.u64(if (6 + i < denseNBlocks) denseBlockAddrs(6 + i) else Undef))
+          val ibB = ib.bytes
+          require(out.size == denseChildIbAddr, "dense child FHIB drift")
+          out.raw(ibB).u32(lookup3(ibB, 0, ibB.length)).pad(8)
+        }
+        if (denseRows > 0) { // root indirect block
           val ib = new Le().raw("FHIB".getBytes).u8(0).u64(denseFrhpAddr)
             .u32(0L) // block offset (4-byte heap offsets)
-          (0 until denseRows * 4).foreach(i =>
-            ib.u64(if (i < denseNBlocks) denseBlockAddrs(i) else Undef))
+          if (denseIndirectChild) {
+            // rows 0-2 direct (6 entries), row 3 = [child, Undef]
+            (0 until 6).foreach(i =>
+              ib.u64(if (i < denseNBlocks) denseBlockAddrs(i) else Undef))
+            ib.u64(denseChildIbAddr).u64(Undef)
+          } else
+            (0 until denseRows * 4).foreach(i =>
+              ib.u64(if (i < denseNBlocks) denseBlockAddrs(i) else Undef))
           val ibB = ib.bytes
           out.raw(ibB).u32(lookup3(ibB, 0, ibB.length)).pad(8)
         }
-        // FRHP header: libhdf5's dense-link creation parameters
+        // FRHP header: libhdf5's dense-link creation parameters (classic)
+        // or the shrunken doubling table (indirect-child mode)
         val totalObj = densePack.map(_._4.toLong).sum
+        val denseManaged =
+          denseGeom.take(denseNBlocks).map(_._2.toLong).sum
         val frhp = new Le().raw("FRHP".getBytes).u8(0)
           .u16(7) // heap ID length = 1 + 4 (offset) + 2 (length)
           .u16(0) // no I/O filters
           .u8(0x02) // checksummed direct blocks
           .u32(4096L) // max managed object size
           .u64(0L).u64(Undef) // next huge id, huge B-tree
-          .u64(denseNBlocks.toLong * (DenseBlk - DenseHdr) - totalObj)
+          .u64(denseManaged - denseNBlocks.toLong * DenseHdr - totalObj)
           .u64(Undef) // free space, free-space manager
-          .u64(denseNBlocks.toLong * DenseBlk) // managed space
-          .u64(denseNBlocks.toLong * DenseBlk) // allocated managed space
-          .u64(denseNBlocks.toLong * DenseBlk) // iterator offset
+          .u64(denseManaged) // managed space
+          .u64(denseManaged) // allocated managed space
+          .u64(denseManaged) // iterator offset
           .u64(denseNames.size.toLong) // managed objects
           .u64(0L).u64(0L).u64(0L).u64(0L) // huge/tiny sizes + counts
-          .u16(4) // table width
+          .u16(denseW) // table width
           .u64(DenseBlk.toLong) // starting block size
-          .u64(65536L) // max direct block size
+          .u64(if (denseIndirectChild) 1024L else 65536L) // max direct size
           .u16(32) // max heap size (bits)
           .u16(1) // starting rows in root indirect block
           .u64(if (denseRows > 0) denseIbAddr else denseBlockAddrs.head)
@@ -2599,7 +2682,7 @@ object Hdf5Netcdf {
         out.raw(frhpB).u32(lookup3(frhpB, 0, frhpB.length)).pad(8)
         // ---- type-5 name-index v2 B-tree: {hash, heap ID} records
         def heapId(p: (String, Int, Int, Int)): Le => Le = le =>
-          le.u8(0).u32(p._2.toLong * DenseBlk + p._3).u16(p._4)
+          le.u8(0).u32(denseGeom(p._2)._1 + p._3).u16(p._4)
         def denseLeaf(addr: Long,
             recs: Seq[(Long, (String, Int, Int, Int))]): Unit = {
           val lf = new Le().raw("BTLF".getBytes).u8(0).u8(5)

@@ -241,6 +241,30 @@ class Hdf5NetcdfSpec extends SparkSpec {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
 
+  test("dense link storage, INDIRECT CHILD heap blocks (FHIB within " +
+    "FHIB): decodes identically to the compact-link twin") {
+    // shrunken doubling table (width 2, start 512, max direct 1024):
+    // 6 real links + 230 pads overflow the root's three direct rows
+    // (4 KiB), so the tail links live behind a row-3 indirect CHILD —
+    // the very-wide-group shape the r10 reader rejected by name
+    val dir = tmpDir("h5denseic")
+    Hdf5Netcdf.write(s"$dir/a.nc", times, leads, yc, xc, mean, stddev,
+      latestFormat = true)
+    Hdf5Netcdf.write(s"$dir/b.nc", times, leads, yc, xc, mean, stddev,
+      latestFormat = true, denseLinks = true, denseLinkPad = 230,
+      denseIndirectChild = true)
+    val a = readDf(s"$dir/a.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    val b = readDf(s"$dir/b.nc").orderBy("time", "leadtime", "yc", "xc").collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    // structural witness: the fixture file really contains two FHIBs
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/b.nc"))
+    val first = bytes.indexOfSlice("FHIB".getBytes)
+    assert(first >= 0 &&
+      bytes.indexOfSlice("FHIB".getBytes, first + 4) > first,
+      "indirect-child fixture must carry a child FHIB and a root FHIB")
+  }
+
   test("dense link storage: corrupt FHDB block checksum fails loudly") {
     val dir = tmpDir("h5densebad")
     val p = s"$dir/a.nc"
