@@ -740,6 +740,29 @@ object SparkEntry {
       // integer counts, exact-ratio Jaccard, (u,v) tiebreaks
       graft.ops.Graph.linkPredictionOf(
         graft.ops.Graph.coPurchaseEdgesFor(dir, Tables.lineitem(s, dir), minSupport = 2))),
+    "graph_reciprocity" -> { (s, dir) =>
+      // digraph symmetry of the nation-trade graph (customer nation ->
+      // supplier nation per lineitem): share of distinct non-loop edges
+      // whose reverse flow also exists. The fact joins collapse to the
+      // nation x nation edge set before any pairwise work. The uniform
+      // fixture fills the complete digraph (reciprocity would pin at the
+      // non-discriminating 1.0, hiding double-count bugs from the
+      // oracle), so a direction-ASYMMETRIC deterministic sparsifier —
+      // drop (a,b) when (2a+b) % 5 = 0, which usually keeps (b,a) —
+      // stands in for a sanctioned-routes prune and puts the share
+      // strictly inside (0, 1)
+      val edges = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .filter((col("src") * 2 + col("dst")) % 5 =!= 0)
+      graft.ops.Graph.reciprocity(edges, "src", "dst")
+    },
     "graph_kcore" -> ((s, dir) =>
       // k-core census by synchronous delta peeling: degree table built
       // once, each round decrements survivors by a broadcast of the
@@ -2710,6 +2733,38 @@ object SparkEntry {
       // reciprocal ranks exact over LCM(1..10)=2520; corpus never
       // shuffled (bounded top-k pair broadcasts, knnClassify pattern)
       graft.ops.Eval.mrrSameLabel(Tables.embeddings(s, dir))),
+    "eval_pass_at_k" -> ((s, dir) =>
+      // pass@5 (Chen et al. unbiased estimator) over synthetic per-doc
+      // trials: problem = doc_id % 20, correct = len(text) % 3 == 0 —
+      // exact falling-factorial ratio per problem, no floated binomial
+      graft.ops.Eval.passAtK(
+        Tables.documents(s, dir).select(
+          (col("doc_id") % 20).as("problem"),
+          when(length(col("text")) % 3 === 0, 1L).otherwise(0L)
+            .as("correct")),
+        "problem", "correct", k = 5)),
+    "label_krippendorff" -> ((s, dir) =>
+      // Krippendorff's alpha (nominal, fixed 3-rater panel) over the
+      // label_majority annotator fixture — the >2-rater reliability
+      // coefficient kappa can't express; exact BIGINT Do/De census,
+      // alpha as one double division (it can be negative)
+      graft.ops.Eval.krippendorffAlpha(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
+          .select(col("doc_id"),
+            expr("(doc_id * (k + 3) + k) % 5").as("label")),
+        "doc_id", "label", m = 3)),
+    "eval_pr_curve" -> ((s, dir) =>
+      // precision-recall sweep over every distinct quantized score
+      // threshold (same e4 probability as eval_calibration); running
+      // census confined to the O(distinct scores) aggregated domain
+      graft.ops.Eval.prCurve(
+        Tables.embeddings(s, dir).select(
+          expr("greatest(least(CAST(CAST(embedding[0] AS DOUBLE) * " +
+            "10000.0 AS BIGINT) + 5000, 10000), 0)").as("p"),
+          when(col("label") < 5, 1L).otherwise(0L).as("y")),
+        "p", "y")),
     "dq_fd_check" -> ((s, dir) =>
       // functional-dependency violation census: one exactly-holding rule
       // (orderkey is a key) and two meant-to-fail rules, with the g3-style
@@ -3455,6 +3510,32 @@ object SparkEntry {
         |         AS jaccard
         |FROM cand JOIN deg dx ON dx.u = cand.x JOIN deg dy ON dy.u = cand.y
         |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
+    "graph_reciprocity" -> // same nation-trade digraph; reverse-edge
+      // left join over the collapsed edge set, exact-ratio share. The
+      // src<>dst filter applies AFTER the distinct projection and the
+      // edge CTE is MATERIALIZED: with the inequality inside the join
+      // WHERE, DuckDB's reorderer takes it as the only predicate linking
+      // customer to supplier and builds that 1e10-row near-cross first
+      // (measured: >300 s at sf1; this spelling is ~4 s)
+      """WITH cn AS (SELECT o_orderkey, c_nationkey
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |e AS MATERIALIZED (SELECT DISTINCT
+        |    CAST(cn.c_nationkey AS BIGINT) AS src,
+        |    CAST(s.s_nationkey AS BIGINT) AS dst
+        |  FROM lineitem l
+        |  JOIN cn ON l.l_orderkey = cn.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |e2 AS MATERIALIZED (SELECT src, dst FROM e
+        |  WHERE src <> dst AND (2 * src + dst) % 5 <> 0),
+        |j AS (SELECT e2.src, e2.dst,
+        |        CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS has_rev
+        |      FROM e2 LEFT JOIN e2 r ON r.src = e2.dst AND r.dst = e2.src)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(has_rev) AS BIGINT) AS n_reciprocated,
+        |  CASE WHEN count(*) > 0 THEN
+        |    CAST((sum(has_rev) * 2000000 + count(*)) // (2 * count(*))
+        |      AS DOUBLE) / 1000000.0 END AS reciprocity
+        |FROM j""".stripMargin,
     "graph_hits" -> // both iterations unrolled; every half-step the same
       // integer arithmetic: raw BIGINT sums, (raw*1e6) // tot truncation
       """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
@@ -8521,6 +8602,70 @@ object SparkEntry {
         |SELECT n, n_bins, ece_num,
         |  CAST(ece_num AS DOUBLE) / CAST(n * 10000 AS DOUBLE) AS ece
         |FROM a""".stripMargin,
+    "eval_pass_at_k" -> // same falling-factorial products (HUGEINT —
+      // exact like Spark's DECIMAL(34) ladder), max-0 clamp, pass@5 as
+      // one double division of the exact integers
+      """WITH t AS (SELECT doc_id % 20 AS problem,
+        |    CASE WHEN length(text) % 3 = 0 THEN 1 ELSE 0 END AS correct
+        |  FROM documents),
+        |g AS (SELECT problem, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(correct) AS BIGINT) AS c
+        |      FROM t GROUP BY 1 HAVING count(*) >= 5),
+        |f AS (SELECT problem, n, c,
+        |        CAST(greatest(n-c, 0) AS HUGEINT) * greatest(n-c-1, 0)
+        |          * greatest(n-c-2, 0) * greatest(n-c-3, 0)
+        |          * greatest(n-c-4, 0) AS fail_num,
+        |        CAST(n AS HUGEINT) * (n-1) * (n-2) * (n-3) * (n-4) AS den
+        |      FROM g)
+        |SELECT problem, n, c,
+        |  CAST(den - fail_num AS DOUBLE) / CAST(den AS DOUBLE)
+        |    AS pass_at_k
+        |FROM f ORDER BY problem""".stripMargin,
+    "label_krippendorff" -> // same 3-rater fixture as label_majority;
+      // Do/De census in BIGINT, alpha as one double division
+      """WITH ann AS (
+        |  SELECT doc_id, (doc_id * (k + 3) + k) % 5 AS label
+        |  FROM documents, (SELECT unnest([0, 1, 2]) AS k)),
+        |cell AS (SELECT doc_id, label, CAST(count(*) AS BIGINT) AS nic
+        |         FROM ann GROUP BY 1, 2),
+        |per AS (SELECT doc_id, sum(nic) AS mi, sum(nic * nic) AS sq
+        |        FROM cell GROUP BY 1 HAVING sum(nic) = 3),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |        CAST(sum(9 - sq) AS BIGINT) AS do_num
+        |      FROM per),
+        |lt AS (SELECT label, CAST(sum(nic) AS BIGINT) AS nc
+        |       FROM cell JOIN per USING (doc_id) GROUP BY 1),
+        |e AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS sum_nc_sq FROM lt)
+        |SELECT n_items, n_items * 3 AS n_ratings, do_num,
+        |  2 * ((n_items * 3) * (n_items * 3) - sum_nc_sq) AS de_num,
+        |  CASE WHEN 2 * ((n_items * 3) * (n_items * 3) - sum_nc_sq) <> 0
+        |    THEN CAST(2 * ((n_items * 3) * (n_items * 3) - sum_nc_sq)
+        |           - (n_items * 3 - 1) * do_num AS DOUBLE)
+        |      / CAST(2 * ((n_items * 3) * (n_items * 3) - sum_nc_sq)
+        |           AS DOUBLE) END AS alpha
+        |FROM d CROSS JOIN e""".stripMargin,
+    "eval_pr_curve" -> // running census over the distinct quantized
+      // scores (descending); precision/recall via the exact-ratio spelling
+      """WITH s AS (SELECT
+        |    greatest(least(CAST(trunc(CAST(embedding[1] AS DOUBLE)
+        |      * 10000.0) AS BIGINT) + 5000, 10000), 0) AS p,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |g AS (SELECT p AS score, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(y) AS BIGINT) AS pos
+        |      FROM s GROUP BY 1),
+        |r AS (SELECT score,
+        |        sum(n) OVER (ORDER BY score DESC) AS cum_n,
+        |        sum(pos) OVER (ORDER BY score DESC) AS cum_pos,
+        |        sum(pos) OVER () AS total_pos
+        |      FROM g)
+        |SELECT score, cum_n, cum_pos,
+        |  CAST((cum_pos * 2000000 + cum_n) // (2 * cum_n) AS DOUBLE)
+        |    / 1000000.0 AS precision,
+        |  CASE WHEN total_pos > 0 THEN
+        |    CAST((cum_pos * 2000000 + total_pos) // (2 * total_pos)
+        |      AS DOUBLE) / 1000000.0 END AS recall
+        |FROM r ORDER BY score DESC""".stripMargin,
     "eval_mrr" -> // brute top-10 (sim_topk_brute's exact CTE), first
       // same-label rank per query, MRR exact over 2520 = LCM(1..10)
       """WITH v AS (SELECT vec_id, label,

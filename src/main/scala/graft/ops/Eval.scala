@@ -460,4 +460,142 @@ object Eval {
         exactRatio(col("n_agree"), col("n_items"), 6).as("accuracy"))
       .orderBy("annotator")
   }
+
+  /** pass@k over a per-trial table `(problem, correct)` — the standard
+    * code-eval / sampled-generation metric (Chen et al. 2021's unbiased
+    * estimator): pass@k = 1 − C(n−c, k)/C(n, k), computed per problem as
+    * the exact falling-factorial ratio
+    *
+    *   fail_num = Π_{i=0}^{k−1} max(n−c−i, 0),  den = Π_{i=0}^{k−1} (n−i)
+    *
+    * (the max-0 clamp makes C(n−c,k)=0 — i.e. pass@k = 1 — exact when
+    * fewer than k trials failed). Problems with n < k are dropped (the
+    * estimator is undefined there). Output one row per problem:
+    * `(problem, n, c, pass_at_k)`.
+    *
+    * Exactness: each falling-factorial term is cast to DECIMAL(6,0)
+    * before multiplying, so the k ≤ 5 products stay within DECIMAL(34,0)
+    * — EXACT (no Spark decimal precision-loss rounding, which starts past
+    * 38 digits), where BIGINT would overflow at n ≈ 340 once the
+    * fixed-point ratio scaling multiplies in (the sf1 lesson: 2,375
+    * trials/problem blew the e6 rendering). pass@k presents as ONE
+    * correctly-rounded double division of the two exact decimals — the
+    * [[brierScore]]/[[cohensKappa]] convention, identical IEEE in every
+    * engine. Bound: n ≤ 999,999 trials per problem; past it the
+    * DECIMAL(6,0) cast fails loudly under ANSI rather than rounding.
+    *
+    * Plan: ONE map-side-combined groupBy over one scan, then O(problems)
+    * projection — no join, no window. Identical shape at 100 TB.
+    */
+  def passAtK(
+      trials: DataFrame, problemCol: String, correctCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 5,
+      s"passAtK: k=$k out of the supported 1..5 (k terms of 6 digits " +
+        "each must stay inside DECIMAL(38) exactly)")
+    val per = trials
+      .groupBy(col(problemCol).as("problem"))
+      .agg(count(lit(1)).as("n"), sum(col(correctCol).cast("long")).as("c"))
+      .filter(col("n") >= k)
+    def term(c: Column) = c.cast("decimal(6,0)")
+    val failNum = (0 until k)
+      .map(i => term(greatest(col("n") - col("c") - lit(i.toLong), lit(0L))))
+      .reduce(_ * _)
+    val den = (0 until k)
+      .map(i => term(col("n") - lit(i.toLong)))
+      .reduce(_ * _)
+    per.select(col("problem"), col("n"), col("c"),
+        ((den - failNum).cast("double") / den.cast("double"))
+          .as("pass_at_k"))
+      .orderBy("problem")
+  }
+
+  /** Krippendorff's alpha (nominal data, fixed panel size `m`) over a
+    * long-form annotation table `(item, label)` — the reliability
+    * coefficient that generalizes kappa past two raters. Items whose
+    * rating count differs from `m` are dropped (malformed panels), so the
+    * per-item pairable-ratings divisor (m−1) is constant and the whole
+    * statistic stays rational in BIGINT counts:
+    *
+    *   Do ∝ Σ_i (m² − Σ_c n_ic²)   (disagreeing ordered pairs per item)
+    *   De ∝ n² − Σ_c n_c²          (chance disagreement, n = m·items)
+    *   alpha = 1 − Do/De scaled to one division:
+    *     alpha_num = (m−1)·(n² − Σ n_c²) − (n−1)·Σ(m² − Σ n_ic²)
+    *     alpha_den = (m−1)·(n² − Σ n_c²)
+    *
+    * presented as ONE double division (alpha can be negative — same
+    * convention as [[cohensKappa]]; a fixed-point `div` would expose
+    * truncation-direction skew). Overflow bound: alpha_den < 2n², safe
+    * to n ≈ 2.1e9 ratings.
+    *
+    * Plan: one (item, label) count aggregate (the only data-sized
+    * stage), one O(items) and one O(labels) re-aggregate, combined via
+    * two broadcast 1-row joins — the j4 scalar-subquery shape.
+    */
+  def krippendorffAlpha(
+      annotations: DataFrame, itemCol: String, labelCol: String,
+      m: Int): DataFrame = {
+    require(m >= 2, s"krippendorffAlpha: panel size m=$m needs >= 2")
+    val cell = annotations
+      .groupBy(col(itemCol).as("item"), col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("nic"))
+    val perItem = cell.groupBy("item")
+      .agg(sum("nic").as("mi"), sum(col("nic") * col("nic")).as("sq"))
+      .filter(col("mi") === m.toLong)
+    val doAgg = perItem.agg(
+      count(lit(1)).as("n_items"),
+      sum(lit(m.toLong * m) - col("sq")).as("do_num"))
+    // label totals over the SAME filtered panel set (a dropped item must
+    // leave De too, or Do and De disagree about the rating universe)
+    val deAgg = cell
+      .join(perItem.select("item"), "item")
+      .groupBy("label").agg(sum("nic").as("nc"))
+      .agg(sum(col("nc") * col("nc")).as("sum_nc_sq"))
+    doAgg.crossJoin(broadcast(deAgg)).select(
+      col("n_items"),
+      (col("n_items") * m.toLong).as("n_ratings"),
+      col("do_num"),
+      {
+        val n = col("n_items") * lit(m.toLong)
+        val deNum = lit((m - 1).toLong) * (n * n - col("sum_nc_sq"))
+        deNum.as("de_num")
+      })
+      .select(col("n_items"), col("n_ratings"), col("do_num"), col("de_num"),
+        when(col("de_num") =!= 0L,
+          (col("de_num") - (col("n_ratings") - 1L) * col("do_num"))
+            .cast("double") / col("de_num").cast("double")).as("alpha"))
+  }
+
+  /** Precision–recall curve over every distinct quantized score
+    * threshold: for threshold t (descending), the census of `score >= t`
+    * — cumulative predictions and hits, precision and recall as exact
+    * ratios. `scoreCol` must be integer-valued (quantize upstream);
+    * output is one row per DISTINCT score.
+    *
+    * Plan: one map-side-combined groupBy collapses the data to the
+    * O(distinct scores ≤ quantization range) table; the running sums are
+    * a single-partition window CONFINED to that bounded aggregated
+    * domain (the [[aucQuantized]] discipline — never a window over raw
+    * rows), plus one unbounded-frame total for the recall denominator on
+    * the same table.
+    */
+  def prCurve(
+      scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val agg = scored
+      .groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("pos"))
+    val run = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg.select(col("score"),
+        sum("n").over(run).as("cum_n"),
+        sum("pos").over(run).as("cum_pos"),
+        sum("pos").over(all).as("total_pos"))
+      .select(col("score"), col("cum_n"), col("cum_pos"),
+        exactRatio(col("cum_pos"), col("cum_n"), 6).as("precision"),
+        when(col("total_pos") > 0L,
+          exactRatio(col("cum_pos"), col("total_pos"), 6)).as("recall"))
+      .orderBy(col("score").desc)
+  }
 }

@@ -1101,4 +1101,36 @@ object Graph {
         col("n_core_edges"),
         exactRatio(col("n_core_nodes"), lit(nTotal), 6).as("core_share"))
   }
+
+  /** Reciprocity of a directed graph given as an edge table `(src, dst)`:
+    * the share of distinct non-loop edges whose reverse edge also exists —
+    * the standard digraph symmetry diagnostic (1 on a symmetric graph,
+    * ~0 on a strict hierarchy). One row:
+    * `(n_edges, n_reciprocated, reciprocity)` with the share an
+    * [[graft.functions.ExactRatio]].
+    *
+    * Plan: the input collapses to distinct (src, dst) FIRST (one
+    * map-side-combined aggregate — the only data-sized stage), then a
+    * self equi-join on the reversed key over the collapsed table and one
+    * scalar census. At 100 TB the distinct edge set is the small
+    * artifact (bounded by the key domain², e.g. nation×nation), never
+    * the raw event stream.
+    */
+  def reciprocity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("has_rev", lit(1L))
+    e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(col("has_rev")), lit(0L)).as("n_reciprocated"))
+      .select(col("n_edges"), col("n_reciprocated"),
+        when(col("n_edges") > 0L,
+          exactRatio(col("n_reciprocated"), col("n_edges"), 6))
+          .as("reciprocity"))
+  }
 }

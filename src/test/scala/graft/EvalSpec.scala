@@ -254,4 +254,72 @@ class EvalSpec extends SparkSpec {
       (2L, 1L, 1L, 1.0),
       (3L, 1L, 0L, 0.0)))
   }
+
+  test("passAtK: hand falling factorials — partial, zero, and " +
+    "clamped-to-one problems; n < k dropped") {
+    val trials = Seq(
+      // problem A: n=4, c=2 -> fail 2*1=2, den 4*3=12, pass 10/12
+      ("A", 1L), ("A", 0L), ("A", 0L), ("A", 1L),
+      // problem B: n=3, c=0 -> fail 3*2=6 = den -> pass 0
+      ("B", 0L), ("B", 0L), ("B", 0L),
+      // problem C: n=2, c=2 -> n-c < k, clamp zeroes the product -> pass 1
+      ("C", 1L), ("C", 1L),
+      // problem D: n=1 < k -> dropped
+      ("D", 1L)
+    ).toDF("problem", "correct")
+    val got = graft.ops.Eval.passAtK(trials, "problem", "correct", k = 2)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", 4L, 2L, 10.0 / 12.0), // one exact-integer double division
+      ("B", 3L, 0L, 0.0),
+      ("C", 2L, 2L, 1.0)))
+  }
+
+  test("krippendorffAlpha: perfect agreement is 1; hand-worked mixed " +
+    "panel is -1/9; short panels are dropped from BOTH Do and De") {
+    val perfect = Seq(
+      (1L, 0L), (1L, 0L), (1L, 0L),
+      (2L, 1L), (2L, 1L), (2L, 1L)).toDF("item", "label")
+    val p = graft.ops.Eval.krippendorffAlpha(perfect, "item", "label", m = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(p == ((2L, 6L, 0L, 36L, 1.0)))
+    // item1 (0,0,1), item2 (0,1,1): Do = (1/6)(4/2+4/2) = 2/3,
+    // De = (36-18)/30 = 3/5, alpha = 1 - (2/3)/(3/5) = -1/9;
+    // item3 has only 2 of 3 ratings -> dropped everywhere
+    val mixed = Seq(
+      (1L, 0L), (1L, 0L), (1L, 1L),
+      (2L, 0L), (2L, 1L), (2L, 1L),
+      (3L, 4L), (3L, 4L)).toDF("item", "label")
+    val m = graft.ops.Eval.krippendorffAlpha(mixed, "item", "label", m = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(m == ((2L, 6L, 8L, 36L, (36.0 - 5.0 * 8.0) / 36.0)))
+  }
+
+  test("krippendorffAlpha: single-label universe has De 0 and NULL " +
+    "alpha, not a division blow-up") {
+    val ann = Seq((1L, 7L), (1L, 7L), (2L, 7L), (2L, 7L))
+      .toDF("item", "label")
+    val row = graft.ops.Eval.krippendorffAlpha(ann, "item", "label", m = 2)
+      .select("de_num", "alpha").collect().head
+    assert(row.getLong(0) == 0L && row.isNullAt(1))
+  }
+
+  test("prCurve: hand running census over distinct scores, ties " +
+    "grouped, recall against the global positive total") {
+    val df = Seq((3L, 1L), (2L, 1L), (2L, 0L), (1L, 0L)).toDF("p", "y")
+    val got = graft.ops.Eval.prCurve(df, "p", "y")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (3L, 1L, 1L, 1.0, 0.5),
+      (2L, 3L, 2L, 0.666667, 1.0),
+      (1L, 4L, 2L, 0.5, 1.0)))
+  }
+
+  test("prCurve: no positives anywhere leaves recall NULL at every " +
+    "threshold") {
+    val df = Seq((2L, 0L), (1L, 0L)).toDF("p", "y")
+    val rows = graft.ops.Eval.prCurve(df, "p", "y")
+      .select("recall").collect()
+    assert(rows.length == 2 && rows.forall(_.isNullAt(0)))
+  }
 }

@@ -531,4 +531,22 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == Set((1L, 2L)))
     Graph.invalidateInteractionGraphs()
   }
+
+  test("reciprocity: loops and duplicates collapse first; the mutual " +
+    "pair counts both directions") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.reciprocity(edges, "src", "dst")
+      .as[(Long, Long, Double)].collect().head
+    // distinct non-loop edges {(1,2),(2,1),(1,3)}; (1,2) and (2,1)
+    // each see their reverse -> 2/3
+    assert(got == ((3L, 2L, 0.666667)))
+  }
+
+  test("reciprocity: an empty (all-loop) edge set yields 0 edges and " +
+    "NULL share, not a divide-by-zero") {
+    val edges = Seq((5L, 5L)).toDF("src", "dst")
+    val row = Graph.reciprocity(edges, "src", "dst").collect().head
+    assert(row.getLong(0) == 0L && row.isNullAt(2))
+  }
 }

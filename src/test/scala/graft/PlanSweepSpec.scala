@@ -81,6 +81,9 @@ class PlanSweepSpec extends SparkSpec {
     "stat_fdr",
     // profile drift: the two 1-row snapshot profiles crossed
     "dq_profile_drift",
+    // Krippendorff alpha: the 1-row Do census crossed with the 1-row
+    // De census (the kappa-family stats composition)
+    "label_krippendorff",
     // triangle census: the final stats row composes 1-row aggregates
     "graph_triangles",
     // modularity: the same 1-row stats composition (M, e_in onto the
