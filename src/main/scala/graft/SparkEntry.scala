@@ -820,6 +820,21 @@ object SparkEntry {
       evaluate(score(candidates(a, b)),
         cust.agg(count(lit(1)).as("n_truth")))
     },
+    "link_name_blocks" -> ((s, dir) =>
+      // fuzzy-name linkage step 1: blocking-quality census at the
+      // DISTINCT-name level (pair counts are O(vocab^2/blocks), row-count
+      // independent) - profile the candidate space BEFORE paying for it
+      graft.ops.Linkage.nameBlockingStats(Tables.part(s, dir))),
+    "link_dl_names" -> ((s, dir) =>
+      // fuzzy-name linkage step 2: blocked TRUE Damerau-Levenshtein
+      // (codegen'd expression; transposition-aware, integer-exact) over
+      // distinct name pairs; entity multiplicity rides as n_a*n_b counts
+      graft.ops.Linkage.dlNameMatches(Tables.part(s, dir), maxDist = 3)),
+    "link_name_clusters" -> ((s, dir) =>
+      // fuzzy-name linkage step 3: connected components over the matched
+      // name graph (brand-qualified nodes), per-cluster entity census;
+      // singletons kept - unmatched entities still count
+      graft.ops.Linkage.nameClusters(Tables.part(s, dir), maxDist = 3)),
     "q_skyline" -> ((s, dir) =>
       // Pareto frontier on (price min, size max): distinct-x reduction +
       // bucketed prefix-max - never the O(n^2) dominance anti-join the
@@ -3716,6 +3731,55 @@ object SparkEntry {
         |       CAST((n_match_true * 2 * 20000 + n_match + n_truth)
         |         // (2 * (n_match + n_truth)) AS DOUBLE) / 10000.0 AS f1
         |FROM agg CROSS JOIN t""".stripMargin,
+    "link_name_blocks" ->
+      """WITH v AS (SELECT p_brand, p_name, split_part(p_name, ' ', 1) AS tok,
+        |             count(*) AS n_entities
+        |           FROM part GROUP BY 1, 2, 3)
+        |SELECT tok, p_brand, count(*) AS n_names,
+        |       CAST(sum(n_entities) AS BIGINT) AS n_entities,
+        |       count(*) * (count(*) - 1) // 2 AS n_pairs
+        |FROM v GROUP BY 1, 2""".stripMargin,
+    "link_dl_names" -> // DuckDB's damerau_levenshtein is the same
+      // UNRESTRICTED definition (probed: DL('ca','abc')=2, DL('ab','ba')=1)
+      """WITH v AS MATERIALIZED (
+        |  SELECT p_brand, p_name, split_part(p_name, ' ', 1) AS tok,
+        |         count(*) AS n_entities
+        |  FROM part GROUP BY 1, 2, 3)
+        |SELECT a.p_brand, a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT)
+        |         AS dist,
+        |       a.n_entities * b.n_entities AS entity_pairs
+        |FROM v a JOIN v b
+        |  ON a.tok = b.tok AND a.p_brand = b.p_brand AND a.p_name < b.p_name
+        |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+    "link_name_clusters" -> // min-label closure over the matched name
+      // graph, singletons kept via the LEFT JOIN (comp = own node)
+      """WITH RECURSIVE v AS MATERIALIZED (
+        |  SELECT p_brand, p_name, split_part(p_name, ' ', 1) AS tok,
+        |         count(*) AS n_entities,
+        |         p_brand || '|' || p_name AS node
+        |  FROM part GROUP BY 1, 2, 3, 5),
+        |m AS MATERIALIZED (
+        |  SELECT a.node AS doc_a, b.node AS doc_b
+        |  FROM v a JOIN v b
+        |    ON a.tok = b.tok AND a.p_brand = b.p_brand AND a.p_name < b.p_name
+        |  WHERE damerau_levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM m
+        |  UNION SELECT doc_b, doc_a FROM m),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS MATERIALIZED (
+        |  SELECT src AS node, least(src, min(dst)) AS comp
+        |  FROM reach GROUP BY src)
+        |SELECT coalesce(l.comp, v.node) AS comp,
+        |       min(v.p_name) AS canonical_name,
+        |       count(*) AS n_names,
+        |       CAST(sum(v.n_entities) AS BIGINT) AS n_entities
+        |FROM v LEFT JOIN labels l ON l.node = v.node
+        |GROUP BY 1""".stripMargin,
     "q_skyline" -> // the O(n^2) dominance form the Spark plan must NOT use
       """SELECT p_partkey, p_retailprice, p_size
         |FROM part a

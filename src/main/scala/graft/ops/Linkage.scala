@@ -150,4 +150,82 @@ object Linkage {
       exactRatio(col("n_match_true") * 2, col("n_match") + col("n_truth"), 4)
         .as("f1"))
   }
+
+  // ---- fuzzy NAME linkage (true Damerau–Levenshtein, distinct-name level)
+
+  /** Distinct-name vocabulary with per-name entity counts and the blocking
+    * key (first name token + brand). The fuzzy-name stages all derive from
+    * this one aggregate: real corpora repeat name strings heavily (here a
+    * bounded color×noun vocabulary), so scoring at the distinct-name level
+    * makes the candidate-pair count O(vocab²/blocks) — INDEPENDENT of row
+    * count — while entity multiplicity re-enters only as per-name counts
+    * multiplied at the end. The entity-level self-join the naive design
+    * would run is quadratic in corpus size; this is not.
+    */
+  private[graft] def nameVocab(part: DataFrame): DataFrame =
+    part.groupBy(col("p_brand"), col("p_name"))
+      .agg(count(lit(1)).as("n_entities"))
+      .withColumn("tok", split_part(col("p_name"), lit(" "), lit(1)))
+
+  /** Per-block candidate-space census: distinct-name block sizes and the
+    * pair counts the scorer will face — blocking-quality profiling BEFORE
+    * paying for scoring (an over-full block here is the signal to refine
+    * the key, the linkage analog of `skew_hot_keys`).
+    */
+  def nameBlockingStats(part: DataFrame): DataFrame =
+    nameVocab(part)
+      .groupBy(col("tok"), col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_names"),
+        sum(col("n_entities")).as("n_entities"))
+      .withColumn("n_pairs", expr("n_names * (n_names - 1) div 2"))
+
+  /** Blocked fuzzy-name matches: distinct-name pairs within a block at
+    * TRUE Damerau–Levenshtein distance ∈ [1, maxDist]
+    * ([[graft.functions.DamerauLevenshtein]] — codegen'd, integer-exact,
+    * transposition-aware: the typo class `link_matches`' exact-equality
+    * agreement bit cannot see). Identical names are the exact-dup class,
+    * excluded by the `<` self-join guard; entity multiplicity rides as
+    * n_a·n_b instead of materialized pairs.
+    */
+  def dlNameMatches(part: DataFrame, maxDist: Int = 3): DataFrame = {
+    val v = nameVocab(part)
+    val a = v.select(col("tok"), col("p_brand"), col("p_name").as("name_a"),
+      col("n_entities").as("n_a"))
+    val b = v.select(col("tok"), col("p_brand"), col("p_name").as("name_b"),
+      col("n_entities").as("n_b"))
+    a.join(b, Seq("tok", "p_brand"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        graft.functions.DamerauLevenshtein
+          .damerauLevenshtein(col("name_a"), col("name_b")).cast("bigint"))
+      .filter(col("dist") <= maxDist)
+      .select(col("p_brand"), col("name_a"), col("name_b"), col("dist"),
+        (col("n_a") * col("n_b")).as("entity_pairs"))
+  }
+
+  /** Entity clusters: connected components over the matched name graph
+    * (node = brand-qualified name, so blocks never bridge), then the
+    * per-cluster entity census joined back from the vocabulary. Singleton
+    * names stay their own cluster — a linkage output that silently drops
+    * unmatched entities understates the corpus.
+    */
+  def nameClusters(part: DataFrame, maxDist: Int = 3): DataFrame = {
+    val v = nameVocab(part)
+      .withColumn("node", concat_ws("|", col("p_brand"), col("p_name")))
+    val edges = dlNameMatches(part, maxDist)
+      .select(
+        concat_ws("|", col("p_brand"), col("name_a")).as("doc_a"),
+        concat_ws("|", col("p_brand"), col("name_b")).as("doc_b"))
+    val labels = Dedup.connectedComponents(edges)
+      .select(col("doc_id").as("node"), col("comp"))
+    v.join(labels, Seq("node"), "left")
+      .select(col("p_brand"), col("p_name"), col("n_entities"),
+        coalesce(col("comp"), col("node")).as("comp"))
+      .groupBy(col("comp"))
+      .agg(
+        min(col("p_name")).as("canonical_name"),
+        count(lit(1)).as("n_names"),
+        sum(col("n_entities")).as("n_entities"))
+  }
 }

@@ -106,4 +106,86 @@ class LinkageSpec extends SparkSpec {
     val (_, b) = noisyViews(customers(cust(1, 10.0, nation = 2)))
     assert(candidates(a, b).count() == 0)
   }
+
+  // ---- true Damerau-Levenshtein + fuzzy-name linkage
+
+  private def dl(a: String, b: String): Int =
+    graft.functions.DamerauLevenshtein.distance(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  test("DamerauLevenshtein: known vectors, incl. the OSA discriminator") {
+    // 'ca' -> 'ac' (transpose) -> 'abc' (insert) = 2; the restricted OSA
+    // variant forbids editing a transposed pair again and answers 3 —
+    // this case pins the UNRESTRICTED definition (= DuckDB's)
+    assert(dl("ca", "abc") == 2)
+    assert(dl("ab", "ba") == 1)
+    assert(dl("abab", "baba") == 2)
+    assert(dl("kitten", "sitting") == 3)
+    assert(dl("martha", "marhta") == 1)
+    assert(dl("abcdef", "abcfde") == 2)
+    assert(dl("smith", "smyth") == 1)
+    assert(dl("", "") == 0)
+    assert(dl("a", "") == 1 && dl("", "abc") == 3)
+    assert(dl("same", "same") == 0)
+  }
+
+  test("DamerauLevenshtein: metric properties vs plain Levenshtein") {
+    val words = Seq("small ring", "small king", "red widget", "red widgte",
+      "blue bolt", "bleu bolt", "hot gear", "", "a", "ab", "ba", "ca", "abc")
+    val lev = (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .levenshteinDistance(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    for (a <- words; b <- words) {
+      val d = dl(a, b)
+      assert(d == dl(b, a), s"symmetry $a/$b")
+      assert(d <= lev(a, b), s"DL <= LV for $a/$b")
+      assert(d >= math.abs(a.length - b.length), s"length bound $a/$b")
+      assert((d == 0) == (a == b), s"identity $a/$b")
+    }
+  }
+
+  test("DamerauLevenshtein: codegen path agrees with eval on the fixture") {
+    import graft.functions.DamerauLevenshtein.damerauLevenshtein
+    val p = Tables.part(spark, "/root/testdata/sf0.001")
+      .limit(50).select(col("p_name")).collect().map(_.getString(0))
+    val df = p.zip(p.reverse).toSeq.toDF("a", "b")
+      .select(col("a"), col("b"), damerauLevenshtein(col("a"), col("b")).as("d"))
+    df.collect().foreach { r =>
+      assert(r.getInt(2) == dl(r.getString(0), r.getString(1)))
+    }
+  }
+
+  test("dlNameMatches scores distinct names once; multiplicity is a count") {
+    val part = Seq(
+      (1L, "small ring", "Brand#1"), (2L, "small ring", "Brand#1"),
+      (3L, "small king", "Brand#1"), (4L, "small king", "Brand#1"),
+      (5L, "small ring", "Brand#2"), // other block: no cross-brand pair
+      (6L, "red widget", "Brand#1")  // other tok: no cross-token pair
+    ).toDF("p_partkey", "p_name", "p_brand")
+    val m = Linkage.dlNameMatches(part).collect()
+    assert(m.length == 1)
+    val r = m.head
+    assert(r.getAs[String]("name_a") == "small king" &&
+      r.getAs[String]("name_b") == "small ring" &&
+      r.getAs[Long]("dist") == 1L &&
+      r.getAs[Long]("entity_pairs") == 4L) // 2 kings x 2 rings
+  }
+
+  test("nameClusters: transitive merge within block, singletons kept") {
+    val part = Seq(
+      (1L, "small ring", "Brand#1"), (2L, "small ring", "Brand#1"),
+      (3L, "small king", "Brand#1"), // ring~king (1), king~kind (1),
+      (4L, "small kind", "Brand#1"), // ring~kind (2): one 3-name cluster
+      (5L, "red widget", "Brand#1")  // singleton survives
+    ).toDF("p_partkey", "p_name", "p_brand")
+    val c = Linkage.nameClusters(part).orderBy("comp").collect()
+    assert(c.length == 2)
+    val merged = c.find(_.getAs[Long]("n_names") == 3).get
+    assert(merged.getAs[String]("canonical_name") == "small kind" &&
+      merged.getAs[Long]("n_entities") == 4L)
+    val single = c.find(_.getAs[Long]("n_names") == 1).get
+    assert(single.getAs[String]("canonical_name") == "red widget" &&
+      single.getAs[String]("comp") == "Brand#1|red widget")
+  }
 }
