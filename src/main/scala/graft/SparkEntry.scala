@@ -830,6 +830,12 @@ object SparkEntry {
       // (codegen'd expression; transposition-aware, integer-exact) over
       // distinct name pairs; entity multiplicity rides as n_a*n_b counts
       graft.ops.Linkage.dlNameMatches(Tables.part(s, dir), maxDist = 3)),
+    "link_jw_names" -> ((s, dir) =>
+      // fuzzy-name linkage, similarity side: blocked Jaro-Winkler as
+      // exact half-up e6 BIGINT (integer rational arithmetic - the
+      // threshold can never flip on a last-ulp double disagreement)
+      graft.ops.Linkage.jwNameMatches(Tables.part(s, dir),
+        minJwE6 = 700000L)),
     "link_name_clusters" -> ((s, dir) =>
       // fuzzy-name linkage step 3: connected components over the matched
       // name graph (brand-qualified nodes), per-cluster entity census;
@@ -3752,6 +3758,24 @@ object SparkEntry {
         |FROM v a JOIN v b
         |  ON a.tok = b.tok AND a.p_brand = b.p_brand AND a.p_name < b.p_name
         |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+    "link_jw_names" -> // DuckDB's jaro_winkler_similarity semantics
+      // pinned by an 80k-random-pair probe: greedy matching with window
+      // max(l1,l2)/2-1, FLOORED half-transpositions, boost iff J >= 0.7;
+      // round(x*1e6) is safe because the Spark side is the exact
+      // rational's half-up e6 and the spec pins every fixture pair away
+      // from half-integer boundaries
+      """WITH v AS MATERIALIZED (
+        |  SELECT p_brand, p_name, split_part(p_name, ' ', 1) AS tok,
+        |         count(*) AS n_entities
+        |  FROM part GROUP BY 1, 2, 3)
+        |SELECT a.p_brand, a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(round(jaro_winkler_similarity(a.p_name, b.p_name)
+        |         * 1000000) AS BIGINT) AS jw_e6,
+        |       a.n_entities * b.n_entities AS entity_pairs
+        |FROM v a JOIN v b
+        |  ON a.tok = b.tok AND a.p_brand = b.p_brand AND a.p_name < b.p_name
+        |WHERE CAST(round(jaro_winkler_similarity(a.p_name, b.p_name)
+        |  * 1000000) AS BIGINT) >= 700000""".stripMargin,
     "link_name_clusters" -> // min-label closure over the matched name
       // graph, singletons kept via the LEFT JOIN (comp = own node)
       """WITH RECURSIVE v AS MATERIALIZED (

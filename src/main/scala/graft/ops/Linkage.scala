@@ -204,6 +204,31 @@ object Linkage {
         (col("n_a") * col("n_b")).as("entity_pairs"))
   }
 
+  /** Blocked Jaro–Winkler matches at the distinct-name level: the
+    * similarity-side complement of [[dlNameMatches]] (edit distance is
+    * length-sensitive; JW is prefix-weighted and length-normalized — the
+    * two scorers disagree exactly on short-vs-long name noise, which is
+    * why production linkage runs both). Scores come from
+    * [[graft.functions.JaroWinkler]] as exact half-up e6 BIGINTs —
+    * threshold semantics are bit-stable cross-engine, never a double
+    * comparison.
+    */
+  def jwNameMatches(part: DataFrame, minJwE6: Long = 700000L): DataFrame = {
+    val v = nameVocab(part)
+    val a = v.select(col("tok"), col("p_brand"), col("p_name").as("name_a"),
+      col("n_entities").as("n_a"))
+    val b = v.select(col("tok"), col("p_brand"), col("p_name").as("name_b"),
+      col("n_entities").as("n_b"))
+    a.join(b, Seq("tok", "p_brand"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw_e6",
+        graft.functions.JaroWinkler
+          .jaroWinklerE6(col("name_a"), col("name_b")))
+      .filter(col("jw_e6") >= minJwE6)
+      .select(col("p_brand"), col("name_a"), col("name_b"), col("jw_e6"),
+        (col("n_a") * col("n_b")).as("entity_pairs"))
+  }
+
   /** Entity clusters: connected components over the matched name graph
     * (node = brand-qualified name, so blocks never bridge), then the
     * per-cluster entity census joined back from the vocabulary. Singleton

@@ -172,6 +172,95 @@ class LinkageSpec extends SparkSpec {
       r.getAs[Long]("entity_pairs") == 4L) // 2 kings x 2 rings
   }
 
+  // ---- Jaro-Winkler e6 (exact integer rational)
+
+  private def jwE6(a: String, b: String): Long =
+    graft.functions.JaroWinkler.similarityE6(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Independent exact reference: same pinned semantics, BigInt rational,
+    * plus the distance of n·10^6/d to the nearest half-integer — the
+    * boundary margin that makes DuckDB's `round(double * 1e6)` provably
+    * agree with the exact half-up rendering.
+    */
+  private def jwExact(a: String, b: String): (BigInt, BigInt) = {
+    val l1 = a.length; val l2 = b.length
+    if (l1 == 0 || l2 == 0) return (BigInt(0), BigInt(1))
+    val w = math.max(0, math.max(l1, l2) / 2 - 1)
+    val aM = new Array[Boolean](l1); val bM = new Array[Boolean](l2)
+    var m = 0
+    for (i <- 0 until l1) {
+      var j = math.max(0, i - w); var found = false
+      while (j <= math.min(l2 - 1, i + w) && !found) {
+        if (!bM(j) && a(i) == b(j)) { bM(j) = true; aM(i) = true; m += 1; found = true }
+        j += 1
+      }
+    }
+    if (m == 0) return (BigInt(0), BigInt(1))
+    val s1 = (0 until l1).filter(aM).map(a(_))
+    val s2 = (0 until l2).filter(bM).map(b(_))
+    val t = s1.zip(s2).count { case (x, y) => x != y } / 2
+    var n = BigInt(l2) * m * m + BigInt(l1) * m * m + BigInt(l1) * l2 * (m - t)
+    var d = BigInt(3) * l1 * l2 * m
+    if (n * 10 >= d * 7) {
+      val ell = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.size
+      n = (10 - ell) * n + ell * d
+      d = 10 * d
+    }
+    (n, d)
+  }
+
+  test("JaroWinkler e6: classic vectors at the pinned DuckDB semantics") {
+    assert(jwE6("dwayne", "duane") == 840000L)
+    assert(jwE6("dixon", "dicksonx") == 813333L)
+    assert(jwE6("martha", "marhta") == 961111L)
+    assert(jwE6("kitten", "sitting") == 746032L) // J>0.7, no common prefix
+    assert(jwE6("b", "babedebdcd") == 730000L)   // J = 0.7 exactly: boost
+      // applies at the INCLUSIVE threshold (0.7 + 1*0.1*0.3)
+    assert(jwE6("ab", "ba") == 0L)               // window 0: no matches
+    assert(jwE6("", "anything") == 0L && jwE6("", "") == 0L)
+    assert(jwE6("same", "same") == 1000000L)
+    assert(jwE6("small ring", "small king") == 960000L)
+  }
+
+  test("JaroWinkler e6 equals the independent BigInt reference, and every " +
+    "fixture vocab pair sits clear of a half-integer rounding boundary") {
+    val v = Linkage.nameVocab(Tables.part(spark, "/root/testdata/sf0.01"))
+      .select("tok", "p_brand", "p_name").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+    var pairs = 0
+    v.values.foreach { rows =>
+      val names = rows.map(_.getString(2)).sorted
+      for (i <- names.indices; j <- (i + 1) until names.length) {
+        val (a, b) = (names(i), names(j))
+        val (n, d) = jwExact(a, b)
+        val scaled = n * 1000000
+        assert(jwE6(a, b) == ((2 * scaled + d) / (2 * d)).toLong,
+          s"e6 mismatch for '$a'/'$b'")
+        // margin to the nearest half-integer of n*1e6/d, in e6 units:
+        // |frac - 1/2| > 1e-3 makes a <=1e-9 cross-engine double error
+        // unable to flip the rounded value
+        val frac = scaled % d
+        val margin = (frac * 2 - d).abs  // |frac/d - 1/2| * 2d
+        assert(margin * 500 > d, s"'$a'/'$b' within 1e-3 of a half boundary")
+        pairs += 1
+      }
+    }
+    assert(pairs > 2000) // the sf0.01 candidate space is actually covered
+  }
+
+  test("jwNameMatches: threshold filters on the exact integer score") {
+    val part = Seq(
+      (1L, "small ring", "Brand#1"), (2L, "small king", "Brand#1"),
+      (3L, "small gizmo", "Brand#1") // jw vs ring/king < 0.7+: dropped
+    ).toDF("p_partkey", "p_name", "p_brand")
+    val m = Linkage.jwNameMatches(part, minJwE6 = 900000L).collect()
+    assert(m.length == 1)
+    assert(m.head.getAs[Long]("jw_e6") == 960000L &&
+      m.head.getAs[Long]("entity_pairs") == 1L)
+  }
+
   test("nameClusters: transitive merge within block, singletons kept") {
     val part = Seq(
       (1L, "small ring", "Brand#1"), (2L, "small ring", "Brand#1"),
