@@ -2786,6 +2786,21 @@ object SparkEntry {
             "10000.0 AS BIGINT) + 5000, 10000), 0)").as("p"),
           when(col("label") < 5, 1L).otherwise(0L).as("y")),
         "p", "y")),
+    "eval_rouge_l" -> ((s, dir) =>
+      // generation eval: ROUGE-L per (ref = even doc_id, cand = +1) pair
+      // over 40-token prefixes — LCS via the bit-parallel TokenLcs
+      // expression, F1 = 2·LCS/(|r|+|c|) as an exact ratio; the oracle
+      // replays the same Allison–Dix bit row as a recursive CTE
+      graft.ops.Eval.rougeL(Tables.documents(s, dir))),
+    "eval_bleu_clip" -> ((s, dir) =>
+      // clipped 1/2-gram precision per generation pair (the BLEU-n
+      // core); exact (num, den) BIGINT pairs — the geometric mean and
+      // brevity penalty are transcendental, so they stay downstream
+      graft.ops.Eval.bleuClipped(Tables.documents(s, dir))),
+    "eval_distinct_n" -> ((s, dir) =>
+      // distinct-1/distinct-2 diversity census per language — the
+      // mode-collapse detector for generated corpora
+      graft.ops.Eval.distinctNgrams(Tables.documents(s, dir))),
     "dq_fd_check" -> ((s, dir) =>
       // functional-dependency violation census: one exactly-holding rule
       // (orderkey is a key) and two meant-to-fail rules, with the g3-style
@@ -8754,6 +8769,104 @@ object SparkEntry {
         |    CAST((cum_pos * 2000000 + total_pos) // (2 * total_pos)
         |      AS DOUBLE) / 1000000.0 END AS recall
         |FROM r ORDER BY score DESC""".stripMargin,
+    "eval_rouge_l" -> // Allison–Dix bit-parallel LCS row (BIGINT, rlen
+      // <= 40 bits) advanced one candidate token per recursive step —
+      // the integer twin of graft.functions.TokenLcs; LCS = rlen −
+      // popcount(final row), F1 exact-ratio
+      """WITH RECURSIVE tok AS MATERIALIZED (
+        |  SELECT doc_id, (regexp_split_to_array(trim(text), '\s+'))[1:40]
+        |           AS toks
+        |  FROM documents),
+        |pairs AS MATERIALIZED (
+        |  SELECT r.doc_id AS ref_id, c.doc_id AS cand_id,
+        |         r.toks AS rt, c.toks AS ct,
+        |         len(r.toks) AS rlen, len(c.toks) AS clen
+        |  FROM tok r JOIN tok c ON c.doc_id = r.doc_id + 1
+        |  WHERE r.doc_id % 2 = 0),
+        |rec AS (
+        |  SELECT ref_id, rt, ct, rlen, clen, 0 AS i,
+        |         CAST((1::BIGINT << rlen) - 1 AS BIGINT) AS rw
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT ref_id, rt, ct, rlen, clen, i + 1,
+        |         ((rw + (rw & m)) | (rw & ~m))
+        |           & ((1::BIGINT << rlen) - 1)
+        |  FROM (SELECT *,
+        |          list_aggregate(list_transform(generate_series(1, rlen),
+        |            j -> CASE WHEN rt[j] = ct[i+1]
+        |                 THEN (1::BIGINT << (j-1)) ELSE 0 END),
+        |            'sum') AS m
+        |        FROM rec WHERE i < clen) s),
+        |lcs AS (SELECT rec.ref_id, rlen - bit_count(rw) AS lcs_len
+        |        FROM rec
+        |        JOIN (SELECT ref_id AS r2, max(i) AS mi
+        |              FROM rec GROUP BY 1) mx
+        |          ON rec.ref_id = mx.r2 AND rec.i = mx.mi)
+        |SELECT p.ref_id, p.cand_id, CAST(l.lcs_len AS BIGINT) AS lcs_len,
+        |       CAST(p.rlen AS BIGINT) AS ref_len,
+        |       CAST(p.clen AS BIGINT) AS cand_len,
+        |       CAST((l.lcs_len * 2 * 2000000 + (p.rlen + p.clen))
+        |            // (2 * (p.rlen + p.clen)) AS DOUBLE) / 1000000.0
+        |         AS rouge_l_f1
+        |FROM pairs p JOIN lcs l ON l.ref_id = p.ref_id""".stripMargin,
+    "eval_bleu_clip" -> // candidate n-gram counts clipped at reference
+      // counts, pair-local left join on (pid, n, gram)
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, (regexp_split_to_array(trim(text), '\s+'))[1:40]
+        |           AS toks
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id // 2 AS pid, doc_id % 2 AS side, n, g,
+        |         count(*) AS cnt
+        |  FROM (
+        |    SELECT doc_id, 1 AS n, unnest(toks) AS g FROM tok
+        |    UNION ALL
+        |    SELECT doc_id, 2 AS n,
+        |           unnest(list_transform(generate_series(1, len(toks) - 1),
+        |             i -> concat_ws(' ', toks[i], toks[i+1]))) AS g
+        |    FROM tok)
+        |  GROUP BY 1, 2, 3, 4),
+        |j AS (SELECT c.pid, c.n,
+        |             CAST(sum(least(c.cnt, coalesce(r.cnt, 0)))
+        |               AS BIGINT) AS num,
+        |             CAST(sum(c.cnt) AS BIGINT) AS den
+        |      FROM (SELECT * FROM grams WHERE side = 1) c
+        |      LEFT JOIN (SELECT * FROM grams WHERE side = 0) r
+        |        ON r.pid = c.pid AND r.n = c.n AND r.g = c.g
+        |      GROUP BY 1, 2)
+        |SELECT pid * 2 AS ref_id, pid * 2 + 1 AS cand_id,
+        |       max(CASE WHEN n = 1 THEN num END) AS p1_num,
+        |       max(CASE WHEN n = 1 THEN den END) AS p1_den,
+        |       coalesce(max(CASE WHEN n = 2 THEN num END), 0) AS p2_num,
+        |       coalesce(max(CASE WHEN n = 2 THEN den END), 0) AS p2_den,
+        |       CAST((max(CASE WHEN n = 1 THEN num END) * 2000000
+        |             + max(CASE WHEN n = 1 THEN den END))
+        |            // (2 * max(CASE WHEN n = 1 THEN den END)) AS DOUBLE)
+        |         / 1000000.0 AS p1,
+        |       CASE WHEN coalesce(max(CASE WHEN n = 2 THEN den END), 0) > 0
+        |         THEN CAST((max(CASE WHEN n = 2 THEN num END) * 2000000
+        |                    + max(CASE WHEN n = 2 THEN den END))
+        |            // (2 * max(CASE WHEN n = 2 THEN den END)) AS DOUBLE)
+        |         / 1000000.0 END AS p2
+        |FROM j GROUP BY 1, 2""".stripMargin,
+    "eval_distinct_n" ->
+      """WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\s+')
+        |             AS toks
+        |           FROM documents),
+        |g AS (
+        |  SELECT lang, 1 AS n, unnest(toks) AS g FROM t
+        |  UNION ALL
+        |  SELECT lang, 2 AS n,
+        |         unnest(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> concat_ws(' ', toks[i], toks[i+1]))) AS g
+        |  FROM t)
+        |SELECT lang, n,
+        |       CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+        |       CAST(count(*) AS BIGINT) AS total_grams,
+        |       CAST((count(DISTINCT g) * 2000000 + count(*))
+        |            // (2 * count(*)) AS DOUBLE) / 1000000.0
+        |         AS distinct_ratio
+        |FROM g GROUP BY 1, 2""".stripMargin,
     "eval_mrr" -> // brute top-10 (sim_topk_brute's exact CTE), first
       // same-label rank per query, MRR exact over 2520 = LCM(1..10)
       """WITH v AS (SELECT vec_id, label,

@@ -598,4 +598,119 @@ object Eval {
           exactRatio(col("cum_pos"), col("total_pos"), 6)).as("recall"))
       .orderBy(col("score").desc)
   }
+
+  /** (ref, cand) token-prefix pairs for the generation-eval metrics:
+    * even `doc_id` is the reference, `doc_id + 1` its candidate (fixture
+    * wiring — a real run feeds genuine generation pairs). Tokens are the
+    * whitespace split capped at `prefixTokens` (40 keeps the bit-parallel
+    * LCS single-word AND bounds the oracle's recursive-CTE depth; the
+    * dedup_edit_distance 40-char prefix precedent).
+    *
+    * Plan: ONE shuffle — both sides of each pair collapse in a single
+    * groupBy on `doc_id >> 1` (conditional-first aggregation) instead of
+    * the two-exchange self-join; each pair is one row from there on.
+    */
+  private def generationPairs(
+      docs: DataFrame, prefixTokens: Int): DataFrame =
+    docs
+      .select(shiftright(col("doc_id"), 1).as("pid"),
+        (col("doc_id") % 2).as("side"),
+        slice(split(trim(col("text")), "\\s+"), 1, prefixTokens).as("toks"))
+      .groupBy("pid")
+      .agg(
+        first(when(col("side") === 0, col("toks")), ignoreNulls = true)
+          .as("rt"),
+        first(when(col("side") === 1, col("toks")), ignoreNulls = true)
+          .as("ct"))
+      .filter(col("rt").isNotNull && col("ct").isNotNull)
+
+  /** ROUGE-L per generation pair: LCS length over the 40-token prefixes
+    * via [[graft.functions.TokenLcs]] (bit-parallel, codegen'd), with the
+    * β=1 F-measure in closed integer form — ROUGE-L F1 = 2·LCS/(|r|+|c|),
+    * so the presented score is an [[ExactRatio]], float-free end to end.
+    * The oracle replays the SAME Allison–Dix bit row as a recursive CTE.
+    */
+  def rougeL(docs: DataFrame, prefixTokens: Int = 40): DataFrame =
+    generationPairs(docs, prefixTokens)
+      .select((col("pid") * 2).as("ref_id"), (col("pid") * 2 + 1).as("cand_id"),
+        graft.functions.TokenLcs.tokenLcs(col("rt"), col("ct"))
+          .cast("long").as("lcs_len"),
+        size(col("rt")).cast("long").as("ref_len"),
+        size(col("ct")).cast("long").as("cand_len"))
+      .withColumn("rouge_l_f1",
+        exactRatio(col("lcs_len") * 2L, col("ref_len") + col("cand_len"), 6))
+
+  /** Clipped n-gram precision per generation pair (the BLEU-n building
+    * block, Papineni 2002): for n = 1, 2 the numerator clips each
+    * candidate n-gram's count at its reference count; the geometric mean
+    * and brevity penalty need transcendentals, so the published metric is
+    * the exact pair (pN_num, pN_den) plus each precision as an ExactRatio
+    * — downstream can fold them into any BLEU variant.
+    *
+    * Plan: tokens explode once into a (pair, side, n, gram) count table
+    * (map-side combined); clipping is a pair-local LEFT join of candidate
+    * counts against reference counts on (pid, n, gram) — co-partitioned
+    * by the groupBy that built both sides, never a cross product.
+    */
+  def bleuClipped(docs: DataFrame, prefixTokens: Int = 40): DataFrame = {
+    val grams = generationPairs(docs, prefixTokens)
+      .select(col("pid"), explode(array(
+        struct(lit(0).as("side"), col("rt").as("toks")),
+        struct(lit(1).as("side"), col("ct").as("toks")))).as("s"))
+      .select(col("pid"), col("s.side").as("side"), explode(concat(
+        transform(col("s.toks"), t => struct(lit(1).as("n"), t.as("g"))),
+        transform(expr(
+          "slice(s.toks, 1, greatest(size(s.toks) - 1, 0))"),
+          (t, i) => struct(lit(2).as("n"),
+            concat_ws(" ", t, element_at(col("s.toks"), i + 2)).as("g")))))
+        .as("gr"))
+      .groupBy(col("pid"), col("side"), col("gr.n").as("n"),
+        col("gr.g").as("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val ref = grams.filter(col("side") === 0)
+      .select(col("pid"), col("n"), col("g"), col("cnt").as("rcnt"))
+    val cand = grams.filter(col("side") === 1)
+      .select(col("pid"), col("n"), col("g"), col("cnt").as("ccnt"))
+    cand.join(ref, Seq("pid", "n", "g"), "left")
+      .groupBy("pid", "n")
+      .agg(sum(least(col("ccnt"), coalesce(col("rcnt"), lit(0L))))
+          .as("num"),
+        sum(col("ccnt")).as("den"))
+      .groupBy("pid")
+      .agg(
+        sum(when(col("n") === 1, col("num"))).as("p1_num"),
+        sum(when(col("n") === 1, col("den"))).as("p1_den"),
+        coalesce(sum(when(col("n") === 2, col("num"))), lit(0L))
+          .as("p2_num"),
+        coalesce(sum(when(col("n") === 2, col("den"))), lit(0L))
+          .as("p2_den"))
+      .select((col("pid") * 2).as("ref_id"), (col("pid") * 2 + 1).as("cand_id"),
+        col("p1_num"), col("p1_den"), col("p2_num"), col("p2_den"),
+        exactRatio(col("p1_num"), col("p1_den"), 6).as("p1"),
+        when(col("p2_den") > 0L, exactRatio(col("p2_num"), col("p2_den"), 6))
+          .as("p2"))
+  }
+
+  /** Distinct-n diversity census per language (Li 2016): distinct vs
+    * total n-grams (n = 1, 2) over the whole corpus slice — the standard
+    * mode-collapse detector for generated corpora (a low distinct-2 says
+    * the generator loops the same phrases). One explode + one
+    * groupBy(lang, n): count is map-side combined; the distinct count
+    * shuffles (lang, n, gram) once — the same shape at any corpus size.
+    */
+  def distinctNgrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("lang"), explode(concat(
+        transform(col("toks"), t => struct(lit(1).as("n"), t.as("g"))),
+        transform(expr("slice(toks, 1, greatest(size(toks) - 1, 0))"),
+          (t, i) => struct(lit(2).as("n"),
+            concat_ws(" ", t, element_at(col("toks"), i + 2)).as("g")))))
+        .as("gr"))
+      .groupBy(col("lang"), col("gr.n").as("n"))
+      .agg(countDistinct(col("gr.g")).as("distinct_grams"),
+        count(lit(1)).as("total_grams"))
+      .withColumn("distinct_ratio",
+        exactRatio(col("distinct_grams"), col("total_grams"), 6))
 }

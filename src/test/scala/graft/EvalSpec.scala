@@ -322,4 +322,117 @@ class EvalSpec extends SparkSpec {
       .select("recall").collect()
     assert(rows.length == 2 && rows.forall(_.isNullAt(0)))
   }
+
+  // ---- generation-eval: TokenLcs + ROUGE-L / clipped BLEU / distinct-n
+
+  private def arr(toks: String*) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+
+  /** Independent reference: memo-free full-table LCS DP (NOT the two-row
+    * production fallback — a genuinely separate derivation).
+    */
+  private def lcsRef(a: Seq[String], b: Seq[String]): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) =
+        if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length)
+  }
+
+  test("TokenLcs: known sequences on both code paths") {
+    import graft.functions.TokenLcs.lcsLength
+    assert(lcsLength(arr("a", "b", "c"), arr("b", "a", "c")) == 2)
+    assert(lcsLength(arr("the", "cat", "sat"), arr("the", "cat", "ran")) == 2)
+    assert(lcsLength(arr(), arr("a")) == 0)
+    assert(lcsLength(arr("a"), arr()) == 0)
+    assert(lcsLength(arr("x", "y"), arr("y", "x")) == 1)
+    // identical long sequence exercises the > 64 DP fallback on b
+    val long = (1 to 70).map(i => s"t${i % 7}")
+    assert(lcsLength(arr(long: _*), arr(long: _*)) == 70)
+  }
+
+  test("TokenLcs: bit-parallel path (|b| <= 64, incl. the 64-bit " +
+    "wrap-around boundary) agrees with an independent full-table DP " +
+    "on seeded random token sequences") {
+    import graft.functions.TokenLcs.lcsLength
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (_ <- 1 to 300) {
+      val a = Seq.fill(rnd.nextInt(70))(vocab(rnd.nextInt(vocab.size)))
+      val b = Seq.fill(rnd.nextInt(70))(vocab(rnd.nextInt(vocab.size)))
+      assert(lcsLength(arr(a: _*), arr(b: _*)) == lcsRef(a, b),
+        s"a=$a b=$b")
+    }
+    // pin the m = 64 boundary explicitly: the masked add's carry out of
+    // bit 63 must be discarded by Long wrap-around, not corrupt the row
+    for (_ <- 1 to 50) {
+      val a = Seq.fill(64)(vocab(rnd.nextInt(vocab.size)))
+      val b = Seq.fill(64)(vocab(rnd.nextInt(vocab.size)))
+      assert(lcsLength(arr(a: _*), arr(b: _*)) == lcsRef(a, b))
+    }
+  }
+
+  test("rougeL: hand-computed pair — LCS 2 of 3|3 tokens, F1 = 4/6") {
+    val docs = Seq(
+      (0L, "the cat sat", "en"),
+      (1L, "the cat ran", "en")).toDF("doc_id", "text", "lang")
+    val got = graft.ops.Eval.rougeL(docs)
+      .select("ref_id", "cand_id", "lcs_len", "ref_len", "cand_len",
+        "rouge_l_f1")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 1L, 2L, 3L, 3L, 0.666667)))
+  }
+
+  test("rougeL: an unpaired trailing reference drops out instead of " +
+    "producing a null-candidate row") {
+    val docs = Seq(
+      (0L, "a b", "en"), (1L, "a c", "en"), (2L, "d e", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.ops.Eval.rougeL(docs).select("ref_id")
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L))
+  }
+
+  test("bleuClipped: clipping counts candidate n-grams at their " +
+    "reference multiplicity") {
+    // ref "the the cat", cand "the the the ran":
+    //   unigrams: the x3 clipped at 2, ran 0 -> p1 = 2/4
+    //   bigrams: "the the" x2 clipped at 1, "the ran" 0 -> p2 = 1/3
+    val docs = Seq(
+      (0L, "the the cat", "en"),
+      (1L, "the the the ran", "en")).toDF("doc_id", "text", "lang")
+    val got = graft.ops.Eval.bleuClipped(docs)
+      .select("ref_id", "cand_id", "p1_num", "p1_den", "p2_num", "p2_den",
+        "p1", "p2")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq((0L, 1L, 2L, 4L, 1L, 3L, 0.5, 0.333333)))
+  }
+
+  test("bleuClipped: single-token candidate has no bigrams — p2 null, " +
+    "not a divide-by-zero") {
+    val docs = Seq(
+      (0L, "x", "en"), (1L, "x", "en")).toDF("doc_id", "text", "lang")
+    val row = graft.ops.Eval.bleuClipped(docs)
+      .select("p1", "p2_den", "p2").collect().head
+    assert(row.getDouble(0) == 1.0 && row.getLong(1) == 0L
+      && row.isNullAt(2))
+  }
+
+  test("distinctNgrams: hand census per language and n") {
+    val docs = Seq(
+      (0L, "a a", "en"), (1L, "a b", "en"), (2L, "z z", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.ops.Eval.distinctNgrams(docs)
+      .select("lang", "n", "distinct_grams", "total_grams",
+        "distinct_ratio")
+      .as[(String, Int, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("en", 1, 2L, 4L, 0.5), // a a a b -> {a, b}
+      ("en", 2, 2L, 2L, 1.0), // "a a", "a b"
+      ("fr", 1, 1L, 2L, 0.5),
+      ("fr", 2, 1L, 1L, 1.0)))
+  }
 }
