@@ -3577,24 +3577,24 @@ object SparkEntry {
       """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
         |             CAST(l_partkey AS BIGINT) AS p
         |           FROM lineitem),
-        |h0 AS (SELECT s, CAST(1000000 AS BIGINT) AS hub
+        |h0 AS (SELECT s, CAST(1 AS BIGINT) AS hub
         |       FROM (SELECT DISTINCT s FROM e)),
         |a1r AS (SELECT p, CAST(sum(hub) AS BIGINT) AS raw
         |        FROM e JOIN h0 USING (s) GROUP BY 1),
         |a1t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM a1r),
-        |a1 AS (SELECT p, (raw * 1000000) // tot AS auth FROM a1r, a1t),
+        |a1 AS (SELECT p, CAST((CAST(raw AS HUGEINT) * 1000000000000) // tot AS BIGINT) AS auth FROM a1r, a1t),
         |h1r AS (SELECT s, CAST(sum(auth) AS BIGINT) AS raw
         |        FROM e JOIN a1 USING (p) GROUP BY 1),
         |h1t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM h1r),
-        |h1 AS (SELECT s, (raw * 1000000) // tot AS hub FROM h1r, h1t),
+        |h1 AS (SELECT s, CAST((CAST(raw AS HUGEINT) * 1000000000000) // tot AS BIGINT) AS hub FROM h1r, h1t),
         |a2r AS (SELECT p, CAST(sum(hub) AS BIGINT) AS raw
         |        FROM e JOIN h1 USING (s) GROUP BY 1),
         |a2t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM a2r),
-        |a2 AS (SELECT p, (raw * 1000000) // tot AS auth FROM a2r, a2t),
+        |a2 AS (SELECT p, CAST((CAST(raw AS HUGEINT) * 1000000000000) // tot AS BIGINT) AS auth FROM a2r, a2t),
         |h2r AS (SELECT s, CAST(sum(auth) AS BIGINT) AS raw
         |        FROM e JOIN a2 USING (p) GROUP BY 1),
         |h2t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM h2r),
-        |h2 AS (SELECT s, (raw * 1000000) // tot AS hub FROM h2r, h2t),
+        |h2 AS (SELECT s, CAST((CAST(raw AS HUGEINT) * 1000000000000) // tot AS BIGINT) AS hub FROM h2r, h2t),
         |ta AS (SELECT 'auth' AS kind, p AS node, auth AS score_fp
         |       FROM a2 ORDER BY auth DESC, p LIMIT 10),
         |th AS (SELECT 'hub' AS kind, s AS node, hub AS score_fp

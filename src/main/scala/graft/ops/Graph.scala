@@ -733,10 +733,18 @@ object Graph {
     * out-edges, L1-normalized each half-step — in 1e-6 INTEGER fixed
     * point, the same cross-engine-exact discipline as [[pageRank]]
     * (truncating integer division is identical everywhere; a float HITS
-    * could only be tolerance-checked). Scale choice is the overflow
-    * budget: raw sums are ≤ |E|·10⁶ and the normalization multiplies by
-    * another 10⁶, so BIGINT holds through |E| ≈ 10⁶ × the fixture scales
-    * here; at truly web-scale edge counts the same code runs at 1e-3.
+    * could only be tolerance-checked). The sf10 (100×) rung killed the
+    * original 1e-6 rendering twice, so the numeric budget is now
+    * explicit:
+    *  - UNDERFLOW: the fixed-point scale must exceed the node count —
+    *    at 2.1M parts every authority share fell below 1e-6, truncated
+    *    to 0, and the next half-step divided by zero. Scale is 1e-12
+    *    (the [[pageRank]] convention): safe to a trillion nodes.
+    *  - OVERFLOW: the normalization product raw·10¹² runs in
+    *    DECIMAL(38,0) (DuckDB: HUGEINT); seeds are UNSCALED (hub₀ = 1 —
+    *    the first normalization rescales anyway), so the BIGINT totals
+    *    are bounded by max-in-degree × 10¹² and stay inside BIGINT
+    *    until a ~9M-in-degree node holds the entire mass.
     *
     * Output: top `topK` authorities and top `topK` hubs
     * (`kind, node, score_fp`), every ordering carrying the node tiebreak.
@@ -757,22 +765,23 @@ object Graph {
   def hitsOf(
       g: InteractionGraph, iters: Int = 2, topK: Int = 10): DataFrame = {
     require(iters >= 1 && iters <= 8, s"hits: iters=$iters outside 1..8")
-    val HubScale = 1000000L
     val edges = g.edges.filter(col("u") % 2 === 0)
       .select(expr("u div 2").as("s"), expr("(v - 1) div 2").as("p"))
       .localCheckpoint()
     var hubs = edges.select("s").distinct()
-      .withColumn("hub", lit(HubScale))
+      .withColumn("hub", lit(1L))
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
       val ar = edges.join(hubs, "s").groupBy("p").agg(sum("hub").as("raw"))
       val at = ar.agg(sum("raw").as("tot"))
       auths = ar.crossJoin(broadcast(at))
-        .select(col("p"), expr("(raw * 1000000) div tot").as("auth"))
+        .select(col("p"), expr(
+          "(CAST(raw AS DECIMAL(38,0)) * 1000000000000) div tot").as("auth"))
       val hr = edges.join(auths, "p").groupBy("s").agg(sum("auth").as("raw"))
       val ht = hr.agg(sum("raw").as("tot"))
       hubs = hr.crossJoin(broadcast(ht))
-        .select(col("s"), expr("(raw * 1000000) div tot").as("hub"))
+        .select(col("s"), expr(
+          "(CAST(raw AS DECIMAL(38,0)) * 1000000000000) div tot").as("hub"))
     }
     val topA = auths.orderBy(col("auth").desc, col("p").asc).limit(topK)
       .select(lit("auth").as("kind"), col("p").as("node"),

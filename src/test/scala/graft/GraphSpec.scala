@@ -254,18 +254,18 @@ class GraphSpec extends SparkSpec {
 
   test("hits: one iteration on a hand graph reproduces the exact " +
     "fixed-point values") {
-    // s1 -> {p1, p2}, s2 -> {p1}; HubScale = 1e6:
-    //   a1 raw: p1 = 2e6, p2 = 1e6; tot 3e6 -> auth p1 666666, p2 333333
-    //   h1 raw: s1 = 999999, s2 = 666666; tot 1666665
-    //     -> hub s1 = 999999e6 div 1666665 = 600000 (exact)
-    //        hub s2 = 666666e6 div 1666665 = 400000 (exact)
+    // s1 -> {p1, p2}, s2 -> {p1}; unscaled seeds (hub0 = 1), 1e-12 scale:
+    //   a1 raw: p1 = 2, p2 = 1; tot 3 -> auth p1 = 2e12 div 3,
+    //     p2 = 1e12 div 3
+    //   h1 raw: s1 = 999999999999, s2 = 666666666666; tot 1666666666665
+    //     -> hub s1 = 600000000000 (exact), hub s2 = 400000000000 (exact)
     val li = Seq((1L, 101L), (1L, 102L), (2L, 101L))
       .toDF("l_suppkey", "l_partkey")
     val got = Graph.hits(li, iters = 1, topK = 10)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq(
-      ("auth", 101L, 666666L), ("auth", 102L, 333333L),
-      ("hub", 1L, 600000L), ("hub", 2L, 400000L)))
+      ("auth", 101L, 666666666666L), ("auth", 102L, 333333333333L),
+      ("hub", 1L, 600000000000L), ("hub", 2L, 400000000000L)))
     // iters bound fails loudly
     val e2 = intercept[IllegalArgumentException](Graph.hits(li, iters = 9))
     assert(e2.getMessage.contains("iters"))
