@@ -539,6 +539,11 @@ object SparkEntry {
       graft.ops.Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     "sim_topk_ivf" -> ((s, dir) =>
       graft.ops.Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    "sim_topk_ivf_adaptive" -> ((s, dir) =>
+      // cell count grows with the corpus (C^2 >= n ladder): fixed C=16
+      // makes scored pairs n^2/16 once queries scale with n — the sf10
+      // rung measured it; this is the production IVF sizing
+      graft.ops.Similarity.ivfTopKAdaptive(Tables.embeddings(s, dir))),
     "sim_topk_ivf_persisted" -> { (s, dir) =>
       // build-once / query-many: the index (centroids + cell assignments)
       // is persisted as versioned snapshots, then queried without
@@ -584,7 +589,9 @@ object SparkEntry {
       // IVF cell restriction x PQ code scoring: the compounding layout
       // (per-query work O(n*m/C)) - the sf1 stress run measured pqTopK's
       // exhaustive ADC at 13x its sf0.1 cost while the IVF family stayed
-      // flat; this composite is the production answer to that curve
+      // flat; this composite is the production answer to that curve.
+      // C rides the CellLadder (C^2 >= n) since the sf10 rung measured
+      // the fixed-16 composite at 53x for 10x data
       graft.ops.Similarity.ivfPqTopK(Tables.embeddings(s, dir))),
     "dedup_edit_distance" -> ((s, dir) =>
       // PassJoin segment signatures: exact-recall edit-distance pairs
@@ -2419,7 +2426,10 @@ object SparkEntry {
       // SemDeDup-style: embedding near-dup pairs -> transitive clusters
       // -> keep the min-id representative per cluster
       val comps = graft.ops.Dedup.connectedComponents(
-        graft.ops.Dedup.embeddingNearDups(Tables.embeddings(s, dir))
+        // CellLadder blocking (C^2 >= n): the sf10 rung measured the
+        // fixed-16 pair join at ~50x for 10x data; same metric and
+        // threshold, only the blocking scales (dedup_embedding_adaptive)
+        graft.ops.Dedup.embeddingNearDupsAdaptive(Tables.embeddings(s, dir))
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       comps.select(col("doc_id").as("vec_id"), col("comp"),
         (col("doc_id") === col("comp")).as("is_kept"))
@@ -5550,10 +5560,15 @@ object SparkEntry {
     "sim_topk_ivfpq" -> // IVF cell restriction x PQ ADC scoring
       """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rvec
         |            FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |cc AS (SELECT CAST(min(p) AS INT) AS c FROM
+        |         (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+        |                         8192, 16384, 32768, 65536]) AS p), nn
+        |       WHERE CAST(p AS BIGINT) * p >= n),
         |nrm AS (SELECT vec_id, rvec, sqrt(
         |          list_aggregate(list_transform(rvec, x -> x*x), 'sum')) AS nr FROM v0),
         |cent AS (SELECT vec_id AS cent_id, rvec AS cvec, nr AS cnorm
-        |         FROM nrm WHERE vec_id < 16),
+        |         FROM nrm, cc WHERE vec_id < cc.c),
         |asg AS (SELECT vec_id, cent_id,
         |          round(list_aggregate(list_transform(generate_series(1, len(rvec)),
         |            i -> rvec[i]*cvec[i]), 'sum') / (nr*cnorm), 6) AS c_cos
@@ -5639,6 +5654,38 @@ object SparkEntry {
     // the persisted-index path returns exactly ivfTopK's results by
     // contract (SimilaritySpec pins the parity), so it shares the oracle
     "sim_topk_ivf_persisted" -> IvfTopKSql,
+    "sim_topk_ivf_adaptive" ->
+      // IvfTopKSql with the dedup_embedding_adaptive cell ladder instead
+      // of the fixed 16 lowest-id seeds
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |cc AS (SELECT CAST(min(p) AS INT) AS c FROM
+        |         (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+        |                         8192, 16384, 32768, 65536]) AS p), nn
+        |       WHERE CAST(p AS BIGINT) * p >= n),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm
+        |      FROM n, cc WHERE vec_id < cc.c),
+        |asg AS (SELECT vec_id, vec, nrm, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
+        |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos
+        |        FROM n CROSS JOIN c),
+        |cell AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM
+        |          (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+        |         WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm, cell FROM cell
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, m.vec_id AS neighbor_id,
+        |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |          i -> qvec[i]*m.vec[i]), 'sum') / (qnorm*m.nrm), 6) AS cos_sim
+        |      FROM cell m JOIN q USING (cell) WHERE m.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+        |WHERE rn <= 3""".stripMargin,
     "sim_topk_ivf_mp" ->
       // multi-probe IVF: corpus single-assigned (rn = 1), queries probe
       // their top-2 cells (rn <= 2)
@@ -7557,9 +7604,15 @@ object SparkEntry {
       // the dedup_embedding pair pipeline, closed transitively, min-id kept
       """WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |           FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |cc AS (SELECT CAST(min(p) AS INT) AS c FROM
+        |         (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+        |                         8192, 16384, 32768, 65536]) AS p), nn
+        |       WHERE CAST(p AS BIGINT) * p >= n),
         |n AS (SELECT vec_id, vec,
         |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
-        |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm FROM n WHERE vec_id < 16),
+        |c AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm
+        |      FROM n, cc WHERE vec_id < cc.c),
         |asg AS (SELECT vec_id, vec, nrm, cent_id,
         |          round(list_aggregate(list_transform(generate_series(1, len(vec)),
         |            i -> vec[i]*cvec[i]), 'sum') / (nrm*cnorm), 6) AS c_cos

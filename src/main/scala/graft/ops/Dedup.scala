@@ -898,7 +898,7 @@ object Dedup {
     * engines compute the identical C (a float `ceil(log2(sqrt(n)))` can
     * disagree across engines exactly at power-of-two boundaries).
     */
-  private val CellLadder: Seq[Int] =
+  private[ops] val CellLadder: Seq[Int] =
     Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
   /** [[embeddingNearDups]] with the cell count GROWING with the corpus:

@@ -176,17 +176,39 @@ object Similarity {
   private def assignCells(
       v: DataFrame, cents: DataFrame, nProbe: Int,
       carry: Seq[String] = Nil): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("c_cos").desc, col("cent_id").asc)
     val carried = carry.map(col)
-    v.join(broadcast(cents))
+    val scored = v.join(broadcast(cents))
       .select(Seq(col("vec_id"), col("vec"), col("norm"), col("cent_id"),
         cosine(col("vec"), col("cvec"), col("norm"), col("cnorm")).as("c_cos"))
         ++ carried: _*)
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") <= nProbe)
-      .select(Seq(col("vec_id"), col("vec"), col("norm"),
-        col("cent_id").as("cell")) ++ carried: _*)
+    if (nProbe == 1) {
+      // Single-probe argmax as a map-side-combinable aggregate: the
+      // broadcast join explodes each vector into |cells| rows INSIDE its
+      // partition, and the partial max_by collapses them back to one row
+      // per vector BEFORE the exchange — so shuffle volume is n rows at
+      // any cell count. The previous window rendering shuffled all n×C
+      // scored rows (sf10 rung at C=1024: 512M rows ≈ the whole
+      // assignment's ~100 s). Tie-break identical to the window
+      // (max (c_cos, −cent_id) = highest cosine, then lowest cent_id).
+      val aggs =
+        Seq(first(col("vec")).as("vec"), first(col("norm")).as("norm"),
+          max_by(col("cent_id"),
+            struct(col("c_cos"), (-col("cent_id")).as("nid"))).as("cell")) ++
+          carry.map(c => first(col(c)).as(c))
+      scored.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+        .select(Seq(col("vec_id"), col("vec"), col("norm"), col("cell"))
+          ++ carried: _*)
+    } else {
+      // multi-probe keeps the window (top-nProbe per vector; its only
+      // caller runs at fixed small C where the n×C exchange is bounded)
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("cent_id").asc)
+      scored
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") <= nProbe)
+        .select(Seq(col("vec_id"), col("vec"), col("norm"),
+          col("cent_id").as("cell")) ++ carried: _*)
+    }
   }
 
   /** Spherical k-means centroid refinement: `iters` Lloyd iterations from
@@ -325,6 +347,10 @@ object Similarity {
     * Reconstruction xq = mn + q * span / (levels-1) is deterministic
     * double math, so the ranking is engine-portable like every other
     * similarity oracle.
+    *
+    * DESIGN CURVE (sf10 rung, r11): brute like its exact twin —
+    * O(queries × corpus) scored rows; a recall anchor measured to sf1,
+    * excluded at 100× (the IVF paths are the corpus-scale ANN).
     */
   def sqTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50,
       levels: Int = 256): DataFrame = {
@@ -443,6 +469,12 @@ object Similarity {
     * (map-side-combined into n x queries partial sums); nothing all-pairs,
     * nothing driver-side. Recall vs the exact ranking is the m/codebookSize
     * trade, pinned by SimilaritySpec on the fixture.
+    *
+    * DESIGN CURVE (sf10 rung, r11): with queries ∝ corpus the n×queries
+    * partial-sum state is quadratic — full-ADC PQ is the recall ANCHOR
+    * (like [[bruteForceTopK]]), measured to sf1 only; at 100× it spilled
+    * the bench disk. The corpus-scale path is [[ivfPqTopK]] (same codes,
+    * cell-blocked candidates), certified at sf10.
     */
   def pqTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50,
       m: Int = 16, codebookSize: Int = 64): DataFrame = {
@@ -515,10 +547,15 @@ object Similarity {
     * Ranking and tie rules match pqTopK (approx L2 asc, neighbor_id asc).
     */
   def ivfPqTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50,
-      nCentroids: Int = 16, m: Int = 16, codebookSize: Int = 64): DataFrame = {
+      nCentroids: Int = 0, m: Int = 16, codebookSize: Int = 64): DataFrame = {
     val dot = graft.functions.VectorFunctions.dot _
     val v = withNorm(embeddings)
-    val cells = assignCells(v, seedCentroids(v, nCentroids), 1)
+    // nCentroids <= 0 → the CellLadder (C² ≥ n): the sf10 rung measured
+    // the fixed C=16 composite at 53× for 10× data (scored pairs n²·m/C
+    // once queries ∝ n); the production composite sizes its index
+    val c = if (nCentroids > 0) nCentroids
+      else adaptiveCellCount(embeddings.count())
+    val cells = assignCells(v, seedCentroids(v, c), 1)
     val book = pqCodebook(v, m, codebookSize)
     val codes = pqEncodeAssigned(
       subVectors(cells, "vec_id", m, carry = Seq("cell")), book, carry = Seq("cell"))
@@ -589,6 +626,28 @@ object Similarity {
     rankTopK(scoreAgainst(assigned, querySubset(assigned, queryMod, withCell = true),
       Some("cell"), "ivf query set"), k)
   }
+
+  /** [[Dedup.CellLadder]] selection for a corpus of `n` vectors: the
+    * smallest power of two with C² ≥ n (floor 16) — integer-exact in both
+    * engines, the `dedup_embedding_adaptive` convention.
+    */
+  private[graft] def adaptiveCellCount(n: Long): Int =
+    Dedup.CellLadder.find(p => p.toLong * p >= n).getOrElse(Dedup.CellLadder.last)
+
+  /** [[ivfTopK]] with the cell count GROWING with the corpus: C = smallest
+    * power of two with C² ≥ n. The sf10 (100×) rung measured the fixed
+    * C=16 curve directly: per-query candidates ∝ n/16, so with queries
+    * ∝ n total scored pairs are n²/16 — quadratic, the same shape
+    * `dedup_embedding_adaptive` fixed for the near-dup join. With C² ≥ n,
+    * scored pairs are capped at ~n·√n/…·queryShare — the production IVF
+    * sizing rule (FAISS's 4·√n heuristic, snapped to the integer ladder
+    * both engines compute identically). The corpus count is one 1-row
+    * action; everything downstream is [[ivfTopK]] verbatim.
+    */
+  def ivfTopKAdaptive(
+      embeddings: DataFrame, k: Int = 3, queryMod: Int = 50): DataFrame =
+    ivfTopK(embeddings, k, queryMod,
+      nCentroids = adaptiveCellCount(embeddings.count()))
 
   /** ANN index-quality evaluation: per-query recall@k of [[ivfTopK]]
     * against the [[bruteForceTopK]] ground truth — the "should I trust

@@ -121,8 +121,11 @@ class SimilaritySpec extends SparkSpec {
 
   test("ivfpq: candidates confined to the query's cell; ADC distances agree with pq") {
     val got = Similarity.ivfPqTopK(emb)
-    // every returned neighbor shares the query's IVF cell
-    val cells = Similarity.ivfAssign(emb).select(col("vec_id"), col("cell"))
+    // every returned neighbor shares the query's IVF cell (the composite
+    // sizes its index via the CellLadder, so assign with the same C)
+    val cells = Similarity
+      .ivfAssign(emb, Similarity.adaptiveCellCount(emb.count()))
+      .select(col("vec_id"), col("cell"))
     val crossCell = got
       .join(cells.withColumnRenamed("vec_id", "query_id")
         .withColumnRenamed("cell", "qcell"), "query_id")
@@ -214,5 +217,24 @@ class SimilaritySpec extends SparkSpec {
       (2L, Array(0.98f, 0.1f), 3)).toDF("vec_id", "embedding", "label")
     val r = Similarity.knnClassify(rows, k = 2).collect().head
     assert(r.getInt(2) == 3 && r.getLong(3) == 1L && !r.getBoolean(4))
+  }
+
+  test("adaptiveCellCount: smallest ladder power of two with C^2 >= n, " +
+    "floored at 16 and capped at the last rung") {
+    assert(Similarity.adaptiveCellCount(1L) == 16)
+    assert(Similarity.adaptiveCellCount(256L) == 16)
+    assert(Similarity.adaptiveCellCount(257L) == 32)
+    assert(Similarity.adaptiveCellCount(1024L) == 32)
+    assert(Similarity.adaptiveCellCount(1025L) == 64)
+    assert(Similarity.adaptiveCellCount(5L * 1000 * 1000 * 1000L) == 65536)
+    assert(Similarity.adaptiveCellCount(Long.MaxValue) == 65536)
+  }
+
+  test("ivfTopKAdaptive: identical to ivfTopK at the ladder's computed " +
+    "cell count") {
+    val c = Similarity.adaptiveCellCount(emb.count())
+    val adaptive = Similarity.ivfTopKAdaptive(emb)
+    val fixed = Similarity.ivfTopK(emb, nCentroids = c)
+    assert(adaptive.exceptAll(fixed).isEmpty && fixed.exceptAll(adaptive).isEmpty)
   }
 }
