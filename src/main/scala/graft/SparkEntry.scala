@@ -544,6 +544,12 @@ object SparkEntry {
       // makes scored pairs n^2/16 once queries scale with n — the sf10
       // rung measured it; this is the production IVF sizing
       graft.ops.Similarity.ivfTopKAdaptive(Tables.embeddings(s, dir))),
+    "sim_topk_ivf_hier" -> ((s, dir) =>
+      // two-level coarse quantizer: flat assignment is O(n*sqrt(n)) seed
+      // dots even with the ladder (the sf10 rung's ~24 s floor); the
+      // coarse->fine split cuts it to O(n * n^(1/4)) at the standard
+      // hierarchical-ANN recall trade
+      graft.ops.Similarity.ivfTopKHierarchical(Tables.embeddings(s, dir))),
     "sim_topk_ivf_persisted" -> { (s, dir) =>
       // build-once / query-many: the index (centroids + cell assignments)
       // is persisted as versioned snapshots, then queried without
@@ -5654,6 +5660,60 @@ object SparkEntry {
     // the persisted-index path returns exactly ivfTopK's results by
     // contract (SimilaritySpec pins the parity), so it shares the oracle
     "sim_topk_ivf_persisted" -> IvfTopKSql,
+    "sim_topk_ivf_hier" ->
+      // the two-level quantizer: coarse ladder C1^2 >= C over the fine
+      // ladder C^2 >= n; seed parents, vec->coarse, vec->fine-child, then
+      // IvfTopKSql's cell scoring/tie-breaks verbatim
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |cc AS (SELECT CAST(min(p) AS INT) AS c FROM
+        |         (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+        |                         8192, 16384, 32768, 65536]) AS p), nn
+        |       WHERE CAST(p AS BIGINT) * p >= n),
+        |c1 AS (SELECT CAST(min(p) AS INT) AS k1 FROM
+        |         (SELECT unnest([4, 8, 16, 32, 64, 128, 256]) AS p), cc
+        |       WHERE CAST(p AS BIGINT) * p >= c),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |seeds AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnorm
+        |          FROM n, cc WHERE vec_id < cc.c),
+        |coarse AS (SELECT cent_id AS coarse_id, cvec AS covec, cnorm AS conorm
+        |           FROM seeds, c1 WHERE cent_id < c1.k1),
+        |parents AS (SELECT cent_id, cvec, cnorm, coarse_id AS coarse FROM
+        |             (SELECT s.cent_id, s.cvec, s.cnorm, o.coarse_id,
+        |                row_number() OVER (PARTITION BY s.cent_id ORDER BY
+        |                  round(list_aggregate(list_transform(generate_series(1, len(s.cvec)),
+        |                    i -> s.cvec[i]*o.covec[i]), 'sum') / (s.cnorm*o.conorm), 6) DESC,
+        |                  o.coarse_id) AS rn
+        |              FROM seeds s CROSS JOIN coarse o)
+        |            WHERE rn = 1),
+        |vc AS (SELECT vec_id, vec, nrm, coarse_id AS coarse FROM
+        |        (SELECT x.vec_id, x.vec, x.nrm, o.coarse_id,
+        |           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |             round(list_aggregate(list_transform(generate_series(1, len(x.vec)),
+        |               i -> x.vec[i]*o.covec[i]), 'sum') / (x.nrm*o.conorm), 6) DESC,
+        |             o.coarse_id) AS rn
+        |         FROM n x CROSS JOIN coarse o)
+        |       WHERE rn = 1),
+        |cell AS (SELECT vec_id, vec, nrm, cent_id AS cell FROM
+        |          (SELECT x.vec_id, x.vec, x.nrm, p.cent_id,
+        |             row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |               round(list_aggregate(list_transform(generate_series(1, len(x.vec)),
+        |                 i -> x.vec[i]*p.cvec[i]), 'sum') / (x.nrm*p.cnorm), 6) DESC,
+        |               p.cent_id) AS rn
+        |           FROM vc x JOIN parents p ON p.coarse = x.coarse)
+        |         WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnorm, cell FROM cell
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, m.vec_id AS neighbor_id,
+        |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |          i -> qvec[i]*m.vec[i]), 'sum') / (qnorm*m.nrm), 6) AS cos_sim
+        |      FROM cell m JOIN q USING (cell) WHERE m.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+        |WHERE rn <= 3""".stripMargin,
     "sim_topk_ivf_adaptive" ->
       // IvfTopKSql with the dedup_embedding_adaptive cell ladder instead
       // of the fixed 16 lowest-id seeds

@@ -649,6 +649,81 @@ object Similarity {
     ivfTopK(embeddings, k, queryMod,
       nCentroids = adaptiveCellCount(embeddings.count()))
 
+  /** Coarse ladder for the two-level quantizer: smallest power of two
+    * (floor 4) whose square covers the FINE cell count — so both levels
+    * have ~√C fan-out and both engines compute the identical split.
+    */
+  private[graft] def coarseCellCount(c: Int): Int =
+    Seq(4, 8, 16, 32, 64, 128, 256)
+      .find(p => p.toLong * p >= c).getOrElse(256)
+
+  /** Two-level IVF top-k — the hierarchical coarse quantizer the sf10
+    * rung motivates: even with [[adaptiveCellCount]] cells, FLAT
+    * assignment is O(n·C) = O(n·√n) seed dot products (the measured
+    * ~24 s floor of `sim_topk_ivf_adaptive` at 500k vectors). Here a
+    * vector first picks its nearest of C1 ≈ √C COARSE seeds (a prefix of
+    * the fine seeds), then its nearest FINE seed among that coarse
+    * cell's children (each fine seed's parent = its own nearest coarse
+    * seed) — O(n·(C1 + C/C1)) ≈ O(n·2·√C) = O(n·n^¼) dots, the FAISS
+    * two-level IMI/coarse-quantizer shape. Assignment is approximate
+    * (a vector whose true nearest fine seed lives under a different
+    * coarse parent lands in a sibling cell — the recall trade every
+    * hierarchical ANN makes); scoring inside the probed cell, the
+    * ranking, and the tie-breaks are [[ivfTopK]] verbatim. Every stage
+    * is a broadcast join + the map-side-combined argmax aggregate —
+    * shuffle volume stays n rows regardless of C.
+    */
+  def ivfTopKHierarchical(
+      embeddings: DataFrame, k: Int = 3, queryMod: Int = 50): DataFrame = {
+    val cells = hierarchicalAssign(withNorm(embeddings),
+      adaptiveCellCount(embeddings.count()))
+    rankTopK(scoreAgainst(cells, querySubset(cells, queryMod, withCell = true),
+      Some("cell"), "hier ivf query set"), k)
+  }
+
+  /** The two-stage assignment of [[ivfTopKHierarchical]], exposed for
+    * spec-level invariants. Output: (vec_id, vec, norm, cell).
+    */
+  private[graft] def hierarchicalAssign(v: DataFrame, c: Int): DataFrame = {
+    val c1 = coarseCellCount(c)
+    val seeds = seedCentroids(v, c)
+    val coarse = seeds.filter(col("cent_id") < c1)
+      .select(col("cent_id").as("coarse_id"),
+        col("cvec").as("covec"), col("cnorm").as("conorm"))
+    def argmaxTo(scored: DataFrame, groupCols: Seq[String], idCol: String,
+        keep: Seq[(String, String)], as: String): DataFrame = {
+      val aggs = keep.map { case (c0, a) => first(col(c0)).as(a) } :+
+        max_by(col(idCol), struct(col("c_cos"), (-col(idCol)).as("nid"))).as(as)
+      scored.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    // each fine seed's parent: its nearest coarse seed (a coarse seed
+    // parents itself — cosine 1, lowest-id tie-break keeps it home)
+    val parents = argmaxTo(
+      seeds.join(broadcast(coarse))
+        .select(col("cent_id"), col("cvec"), col("cnorm"), col("coarse_id"),
+          cosine(col("cvec"), col("covec"), col("cnorm"), col("conorm"))
+            .as("c_cos")),
+      Seq("cent_id"), "coarse_id",
+      Seq("cvec" -> "cvec", "cnorm" -> "cnorm"), "coarse")
+    // stage 1: vector -> coarse cell (n × C1 dots)
+    val vCoarse = argmaxTo(
+      v.join(broadcast(coarse))
+        .select(col("vec_id"), col("vec"), col("norm"), col("coarse_id"),
+          cosine(col("vec"), col("covec"), col("norm"), col("conorm"))
+            .as("c_cos")),
+      Seq("vec_id"), "coarse_id",
+      Seq("vec" -> "vec", "norm" -> "norm"), "coarse")
+    // stage 2: nearest fine seed among the coarse cell's children only
+    argmaxTo(
+      vCoarse.join(broadcast(parents), "coarse")
+        .select(col("vec_id"), col("vec"), col("norm"), col("cent_id"),
+          cosine(col("vec"), col("cvec"), col("norm"), col("cnorm"))
+            .as("c_cos")),
+      Seq("vec_id"), "cent_id",
+      Seq("vec" -> "vec", "norm" -> "norm"), "cell")
+      .select(col("vec_id"), col("vec"), col("norm"), col("cell"))
+  }
+
   /** ANN index-quality evaluation: per-query recall@k of [[ivfTopK]]
     * against the [[bruteForceTopK]] ground truth — the "should I trust
     * this index?" report every ANN deployment needs before swapping the

@@ -43,6 +43,9 @@ class PlanSweepSpec extends SparkSpec {
     // ivfpq's centroid attachment: the same bounded 16-centroid fan-out
     // as the rest of the IVF family
     "sim_topk_ivfpq",
+    // ladder/two-level variants: the same broadcast centroid fan-out,
+    // cell count bounded by the CellLadder (≤ 65536 rows broadcast)
+    "sim_topk_ivf_adaptive", "sim_topk_ivf_hier",
     // q11's global-share threshold: a 1-row broadcast over the value
     // table's re-aggregation
     "q11_important_stock",

@@ -122,6 +122,8 @@ class RoundingTieSpec extends SparkSpec {
     "sim_topk_agg" -> CosineReason,
     "sim_topk_brute" -> CosineReason,
     "sim_topk_ivf" -> CosineReason,
+    "sim_topk_ivf_adaptive" -> CosineReason,
+    "sim_topk_ivf_hier" -> CosineReason,
     "sim_topk_ivf_kmeans" -> CosineReason,
     "sim_topk_ivf_mp" -> CosineReason,
     "sim_topk_ivf_persisted" -> CosineReason,

@@ -237,4 +237,47 @@ class SimilaritySpec extends SparkSpec {
     val fixed = Similarity.ivfTopK(emb, nCentroids = c)
     assert(adaptive.exceptAll(fixed).isEmpty && fixed.exceptAll(adaptive).isEmpty)
   }
+
+  test("coarseCellCount: smallest power of two (floor 4) covering the " +
+    "fine count") {
+    assert(Similarity.coarseCellCount(16) == 4)
+    assert(Similarity.coarseCellCount(17) == 8)
+    assert(Similarity.coarseCellCount(128) == 16)
+    assert(Similarity.coarseCellCount(1024) == 32)
+    assert(Similarity.coarseCellCount(65536) == 256)
+  }
+
+  test("hierarchicalAssign: every fine seed lands in its OWN cell (it " +
+    "is its nearest fine seed under any parent), and every vector's " +
+    "cell is a fine seed under the vector's coarse parent") {
+    val v = Similarity.withNorm(emb)
+    val c = Similarity.adaptiveCellCount(emb.count())
+    val cells = Similarity.hierarchicalAssign(v, c)
+    // seeds self-assign: cosine(seed, seed) = 1 with lowest-id tie-break
+    val seedRows = cells.filter(col("vec_id") < c)
+      .filter(col("vec_id") =!= col("cell"))
+    assert(seedRows.count() == 0, "a fine seed escaped its own cell")
+    // cells are fine-seed ids
+    assert(cells.filter(col("cell") >= c || col("cell") < 0).count() == 0)
+    // total: every vector assigned exactly once
+    assert(cells.count() == emb.count())
+  }
+
+  test("ivfTopKHierarchical: neighbors confined to the query's " +
+    "hierarchical cell; deterministic under repartition") {
+    val v = Similarity.withNorm(emb)
+    val c = Similarity.adaptiveCellCount(emb.count())
+    val cells = Similarity.hierarchicalAssign(v, c)
+      .select(col("vec_id"), col("cell"))
+    val got = Similarity.ivfTopKHierarchical(emb)
+    val crossCell = got
+      .join(cells.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("cell", "qcell"), "query_id")
+      .join(cells.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .filter(col("cell") =!= col("qcell"))
+    assert(crossCell.count() == 0, "a neighbor escaped the probed cell")
+    val again = Similarity.ivfTopKHierarchical(
+      emb.repartition(7, col("vec_id")))
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
 }
