@@ -5594,7 +5594,7 @@ object SparkEntry {
       // same as dedup_embedding, with C = smallest ladder power of two
       // whose square covers the corpus (integer arithmetic both engines)
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),
-        |cc AS (SELECT CAST(min(p) AS INT) AS c FROM
+        |cc AS (SELECT CAST(coalesce(min(p), 65536) AS INT) AS c FROM
         |         (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
         |                         8192, 16384, 32768, 65536]) AS p), nn
         |       WHERE CAST(p AS BIGINT) * p >= n),
@@ -5665,7 +5665,7 @@ object SparkEntry {
       """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rvec
         |            FROM embeddings),
         |nn AS (SELECT count(*) AS n FROM embeddings),
-        |cc AS (SELECT CAST(min(p) AS INT) AS c FROM
+        |cc AS (SELECT CAST(coalesce(min(p), 65536) AS INT) AS c FROM
         |         (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
         |                         8192, 16384, 32768, 65536]) AS p), nn
         |       WHERE CAST(p AS BIGINT) * p >= n),
@@ -5763,11 +5763,11 @@ object SparkEntry {
       // ladder C^2 >= n; seed parents, vec->coarse, vec->fine-child, then
       // IvfTopKSql's cell scoring/tie-breaks verbatim
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),
-        |cc AS (SELECT CAST(min(p) AS INT) AS c FROM
+        |cc AS (SELECT CAST(coalesce(min(p), 65536) AS INT) AS c FROM
         |         (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
         |                         8192, 16384, 32768, 65536]) AS p), nn
         |       WHERE CAST(p AS BIGINT) * p >= n),
-        |c1 AS (SELECT CAST(min(p) AS INT) AS k1 FROM
+        |c1 AS (SELECT CAST(coalesce(min(p), 256) AS INT) AS k1 FROM
         |         (SELECT unnest([4, 8, 16, 32, 64, 128, 256]) AS p), cc
         |       WHERE CAST(p AS BIGINT) * p >= c),
         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -5816,7 +5816,7 @@ object SparkEntry {
       // IvfTopKSql with the dedup_embedding_adaptive cell ladder instead
       // of the fixed 16 lowest-id seeds
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),
-        |cc AS (SELECT CAST(min(p) AS INT) AS c FROM
+        |cc AS (SELECT CAST(coalesce(min(p), 65536) AS INT) AS c FROM
         |         (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
         |                         8192, 16384, 32768, 65536]) AS p), nn
         |       WHERE CAST(p AS BIGINT) * p >= n),
@@ -7763,7 +7763,7 @@ object SparkEntry {
       """WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |           FROM embeddings),
         |nn AS (SELECT count(*) AS n FROM embeddings),
-        |cc AS (SELECT CAST(min(p) AS INT) AS c FROM
+        |cc AS (SELECT CAST(coalesce(min(p), 65536) AS INT) AS c FROM
         |         (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
         |                         8192, 16384, 32768, 65536]) AS p), nn
         |       WHERE CAST(p AS BIGINT) * p >= n),
@@ -8975,10 +8975,10 @@ object SparkEntry {
         |      FROM g)
         |SELECT score, cum_n, cum_pos,
         |  CAST((cum_pos * 2000000 + cum_n) // (2 * cum_n) AS DOUBLE)
-        |    / 1000000.0 AS precision,
+        |    / 1000000.0 AS prec_e6,
         |  CASE WHEN total_pos > 0 THEN
         |    CAST((cum_pos * 2000000 + total_pos) // (2 * total_pos)
-        |      AS DOUBLE) / 1000000.0 END AS recall
+        |      AS DOUBLE) / 1000000.0 END AS rec_e6
         |FROM r ORDER BY score DESC""".stripMargin,
     "eval_rouge_l" -> // Allison–Dix bit-parallel LCS row (BIGINT, rlen
       // <= 40 bits) advanced one candidate token per recursive step —
@@ -9041,7 +9041,8 @@ object SparkEntry {
         |             CAST(sum(least(c.cnt, coalesce(r.cnt, 0)))
         |               AS BIGINT) AS num,
         |             CAST(sum(c.cnt) AS BIGINT) AS den
-        |      FROM (SELECT * FROM grams WHERE side = 1) c
+        |      FROM (SELECT * FROM grams WHERE side = 1
+        |            AND pid IN (SELECT pid FROM grams WHERE side = 0)) c
         |      LEFT JOIN (SELECT * FROM grams WHERE side = 0) r
         |        ON r.pid = c.pid AND r.n = c.n AND r.g = c.g
         |      GROUP BY 1, 2)

@@ -343,6 +343,12 @@ object Eval {
     * overflow BIGINT near ~1M rows; the direct division is identical IEEE
     * on both engines at any scale).
     *
+    * Numeric budget (r12 sweep): brier_num ≤ n·10⁸ — BIGINT holds to
+    * n ≈ 9.2×10¹⁰ SCORED rows. A calibration eval set that size is
+    * implausible (the corpus is 100 TB; its eval slice is not), so this
+    * stays BIGINT by the modularity convention: documented, not silent —
+    * ANSI mode fails the sum loudly past the budget.
+    *
     * Plan: one scalar aggregate over one scan.
     */
   def brierScore(
@@ -569,8 +575,10 @@ object Eval {
   /** Precision–recall curve over every distinct quantized score
     * threshold: for threshold t (descending), the census of `score >= t`
     * — cumulative predictions and hits, precision and recall as exact
-    * ratios. `scoreCol` must be integer-valued (quantize upstream);
-    * output is one row per DISTINCT score.
+    * ratios (columns `prec_e6`/`rec_e6`: `precision` is a reserved type
+    * keyword in ANSI SQL engines, so the portable spelling avoids it).
+    * `scoreCol` must be integer-valued (quantize upstream); output is
+    * one row per DISTINCT score.
     *
     * Plan: one map-side-combined groupBy collapses the data to the
     * O(distinct scores ≤ quantization range) table; the running sums are
@@ -593,9 +601,9 @@ object Eval {
         sum("pos").over(run).as("cum_pos"),
         sum("pos").over(all).as("total_pos"))
       .select(col("score"), col("cum_n"), col("cum_pos"),
-        exactRatio(col("cum_pos"), col("cum_n"), 6).as("precision"),
+        exactRatio(col("cum_pos"), col("cum_n"), 6).as("prec_e6"),
         when(col("total_pos") > 0L,
-          exactRatio(col("cum_pos"), col("total_pos"), 6)).as("recall"))
+          exactRatio(col("cum_pos"), col("total_pos"), 6)).as("rec_e6"))
       .orderBy(col("score").desc)
   }
 

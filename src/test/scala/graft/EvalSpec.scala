@@ -319,7 +319,7 @@ class EvalSpec extends SparkSpec {
     "threshold") {
     val df = Seq((2L, 0L), (1L, 0L)).toDF("p", "y")
     val rows = graft.ops.Eval.prCurve(df, "p", "y")
-      .select("recall").collect()
+      .select("rec_e6").collect()
     assert(rows.length == 2 && rows.forall(_.isNullAt(0)))
   }
 
