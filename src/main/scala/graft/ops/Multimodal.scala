@@ -229,11 +229,30 @@ object Multimodal {
       * dimension sums double as a frame-boundary certification.
       */
     def decode(row: MediaRow): VideoStats = {
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("jpeg").next()
+      try decodeWith(reader, row) finally reader.dispose()
+    }
+
+    /** [[decode]] against a caller-pinned JPEG reader: `ImageIO.read`
+      * rescans the SPI registry and allocates a fresh reader PER CALL —
+      * at MJPEG frame rates that overhead dominates the (tiny-frame)
+      * pixel work, and the registry scan contends across the 32
+      * local tasks (the r11 bench-outlier adjudication). The full
+      * `read(0)` pixel decode is retained — header-only dims would
+      * weaken the frame-boundary certification to the SOF marker.
+      */
+    private def decodeWith(
+        reader: javax.imageio.ImageReader, row: MediaRow): VideoStats = {
       val fs = frames(row.payload, row.media_id)
       var (sw, sh) = (0L, 0L)
       fs.foreach { f =>
-        val img = javax.imageio.ImageIO.read(
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(f))
+        val img =
+          try { reader.setInput(in); reader.read(0) }
+          catch { case _: Exception => null }
+          finally { reader.setInput(null); in.close() }
         require(img != null,
           s"media_id=${row.media_id}: frame (${f.length} bytes) is not a " +
             "decodable JPEG")
@@ -243,13 +262,24 @@ object Multimodal {
     }
 
     /** Partition-local batched video decode — same shape as
-      * [[ImageCodec.decodeImages]].
+      * [[ImageCodec.decodeImages]], plus ONE pinned JPEG reader per
+      * partition (tasks are single-threaded, so reuse is safe; disposed
+      * with the iterator's last row).
       */
     def decodeVideo(media: Dataset[MediaRow]): Dataset[VideoStats] = {
       import media.sparkSession.implicits._
       media.mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
-        rows.map(decode)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("jpeg").next()
+        new Iterator[VideoStats] {
+          def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h) reader.dispose()
+            h
+          }
+          def next(): VideoStats = decodeWith(reader, rows.next())
+        }
       }
     }
   }
@@ -517,6 +547,12 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
+      // ONE pinned JPEG writer per partition: ImageIO.write rescans the
+      // SPI registry and allocates a writer PER FRAME — at 2-6 tiny
+      // frames per row that overhead dominates the encode (the same
+      // adjudication as VideoCodec.decodeVideo's pinned reader)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
       ids.map { id =>
         val w = (id % 32).toInt + 16
         val h = (id % 24).toInt + 12
@@ -526,15 +562,16 @@ object Multimodal {
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val gray = ((id * 7 + f * 31) % 256).toInt
           val rgb = (gray << 16) | (gray << 8) | gray
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
+          // constant-gray frame: bulk-fill the INT_RGB backing array
+          // (bit-identical to the per-pixel setRGB loop, w*h fewer calls)
+          java.util.Arrays.fill(img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferInt].getData, rgb)
           val out = new java.io.ByteArrayOutputStream()
-          require(javax.imageio.ImageIO.write(img, "jpg", out),
-            s"no JPEG writer available for doc_id=$id")
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+          try {
+            writer.setOutput(ios)
+            writer.write(img)
+          } finally { writer.setOutput(null); ios.close() }
           out.toByteArray
         }
         MediaRow(id, "video", aviBytes(frames, w, h), w, h, 0, nf)
