@@ -801,11 +801,20 @@ object Graph {
     * partitioning or sampling strategy (disassortative graphs are the
     * ones whose hub edges skew a hash-partitioned shuffle).
     *
-    * Exactness: the five sufficient statistics are BIGINT sums over
-    * integer degrees (exact to ~1e7 edges × degree 5e5); r combines them
-    * in double as the same expression on the same integers in both
-    * engines, and the sqrt makes r irrational — never a rounding-tie
-    * hazard. Zero variance (regular graph) yields NULL, not NaN.
+    * Exactness: the six sufficient statistics are exact integer sums; r
+    * combines them in double as the same expression on the same integers
+    * in both engines, and the sqrt makes r irrational — never a
+    * rounding-tie hazard. Zero variance (regular graph) yields NULL, not
+    * NaN.
+    *
+    * Numeric budget (the r11 sf10 HITS overflow class, audited r12):
+    * the product sums Σdx·dy, Σdx², Σdy² are bounded by E·D² (E directed
+    * edges, D max degree) — BIGINT dies at E·D² > 9.2×10¹⁸, i.e. a
+    * 10⁹-edge graph with one 10⁵-degree hub. The three product sums
+    * therefore accumulate in DECIMAL(38,0) (exact to 10³⁸; DuckDB's
+    * BIGINT sum auto-promotes to HUGEINT, so the oracle was already
+    * wide); the linear sums Σdx, Σdy stay BIGINT (budget E·D ≤ 9.2e18 —
+    * beyond any material graph).
     *
     * Plan: one degree aggregate + two broadcast-sized degree joins over
     * the once-materialized edge list + one scalar aggregate.
@@ -822,9 +831,9 @@ object Graph {
       .join(deg.select(col("u").as("v"), col("d").as("dy")), Seq("v"))
     val s = xy.agg(count(lit(1)).as("n"),
       sum("dx").as("sx"), sum("dy").as("sy"),
-      sum(col("dx") * col("dy")).as("sxy"),
-      sum(col("dx") * col("dx")).as("sxx"),
-      sum(col("dy") * col("dy")).as("syy"))
+      sum(col("dx").cast("decimal(19,0)") * col("dy")).as("sxy"),
+      sum(col("dx").cast("decimal(19,0)") * col("dx")).as("sxx"),
+      sum(col("dy").cast("decimal(19,0)") * col("dy")).as("syy"))
     val n = col("n").cast("double")
     val vx = n * col("sxx").cast("double") -
       col("sx").cast("double") * col("sx").cast("double")

@@ -61,6 +61,13 @@ object Recommend {
         "part_a")
       .join(supp.select(col("item").as("part_b"), col("cnt").as("cnt_b")),
         "part_b")
+      // numeric budget (r12 sweep): pair_cnt·10⁶ needs pair_cnt ≤
+      // 9.2×10¹², and cnt_a·cnt_b needs each support ≤ 3×10⁹ — both are
+      // per-ITEM-PAIR counts, orders of magnitude under any corpus's
+      // per-pair co-occurrence. Documented, not silent (ANSI fails the
+      // multiply loudly past the budget); widening would also have to
+      // reorder the oracle's double conversion, a cross-engine hazard
+      // for products past 2^53.
       .select(col("part_a"), col("part_b"), col("pair_cnt"),
         floor(col("pair_cnt") * lit(1000000L) /
           sqrt((col("cnt_a") * col("cnt_b")).cast("double"))).as("cos_e6"))

@@ -326,6 +326,11 @@ object Similarity {
         posexplode(zip_with(col("vec"), col("xq"),
           (x, y) => floor(abs(x - y) * 1e6).cast("long"))).as(Seq("pos", "e")))
       .groupBy("label")
+      // numeric budget (r12 sweep): e ≤ span/(2·(levels−1))·10⁶ ≈ 4×10³
+      // for unit-range embeddings, so Σe² ≤ n_elems·1.6×10⁷ — BIGINT
+      // holds to ~5×10¹¹ elements (10⁹ vectors × 512 dims). Documented,
+      // not silent (ANSI fails the sum loudly past that); the output
+      // column stays the BIGINT the oracle hash-certifies.
       .agg(count(lit(1)).as("n_elems"),
         sum(col("e")).as("sum_abs_err_e6"),
         max(col("e")).as("max_abs_err_e6"),

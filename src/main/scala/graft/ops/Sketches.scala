@@ -254,10 +254,17 @@ object Sketches {
         .select(col("key"), explode(sequence(lit(0), lit(d - 1))).as("j"))
         .select(col("j"), bucket(col("j"), col("key")).as("bucket"))
         .groupBy("j", "bucket").agg(count(lit(1)).as(cntName))
+    // numeric budget (r12 fixed-point sweep): ca·cb ≤ nA·nB overflows
+    // BIGINT past ~3e9 rows a side, so the inner-product accumulates in
+    // DECIMAL(38,0) — the oracle's HUGEINT sum was already wide. Only
+    // the final scalar casts back to the BIGINT output contract (ANSI
+    // fails loudly if the ESTIMATE itself tops 9.2e18 — a join that
+    // size is not a row count any engine returns).
     val estimates = sketch(dfA, keyA, "ca")
       .join(sketch(dfB, keyB, "cb"), Seq("j", "bucket"))
-      .groupBy("j").agg(sum(col("ca") * col("cb")).as("row_est"))
-      .agg(min("row_est").as("est_join_size"))
+      .groupBy("j")
+      .agg(sum(col("ca").cast("decimal(19,0)") * col("cb")).as("row_est"))
+      .agg(min("row_est").cast("long").as("est_join_size"))
     val exact = dfA.select(keyA.cast("string").as("key"))
       .join(dfB.select(keyB.cast("string").as("key")), "key")
       .agg(count(lit(1)).as("exact_join_size"))

@@ -429,13 +429,17 @@ object Stats {
     *
     * Exactness discipline: ranks are computed as INTEGER doubled
     * midranks (2·midrank(v) = 2·|{< v}| + n(v) + 1, the
-    * [[Eval.aucQuantized]] trick) and all five sufficient statistics
-    * (Σa, Σb, Σab, Σa², Σb²) are BIGINT sums — exact to n ≈ 1.3e6 rows
-    * (Σa² ≤ 4n³ < 2^63). Only the final rho combines them in double,
-    * as the same expression on the same integers in both engines
-    * (identical IEEE ops → identical bits); the sqrt makes rho itself
-    * irrational, never a rounding-tie hazard. Zero variance on either
-    * side yields NULL, not NaN.
+    * [[Eval.aucQuantized]] trick). Numeric budget (r12 fixed-point
+    * sweep): Σa² ≤ 4n³ kills a BIGINT sum at n ≈ 1.3×10⁶ ROWS — far
+    * inside corpus reach — so the product statistics (Σab, Σa², Σb²)
+    * accumulate in DECIMAL(38,0), exact to n ≈ 2.9×10¹² (DuckDB's
+    * BIGINT sum auto-promotes to HUGEINT, so the oracle was always
+    * wide); the linear Σa, Σb stay BIGINT (2n² budget → n ≤ 2×10⁹...
+    * also widened, same cast, zero extra cost). Only the final rho
+    * combines them in double, as the same expression on the same
+    * integers in both engines (identical IEEE ops → identical bits);
+    * the sqrt makes rho itself irrational, never a rounding-tie
+    * hazard. Zero variance on either side yields NULL, not NaN.
     *
     * Plan: per variable one grouped count to O(distinct values) + one
     * ordered pass on that bounded domain (single partition by design —
@@ -459,10 +463,11 @@ object Stats {
       .join(ranked(xCol, "a"), Seq(xCol))
       .join(ranked(yCol, "b"), Seq(yCol))
     val s = pairs.agg(count(lit(1)).as("n"),
-      sum("a").as("sa"), sum("b").as("sb"),
-      sum(col("a") * col("b")).as("sab"),
-      sum(col("a") * col("a")).as("saa"),
-      sum(col("b") * col("b")).as("sbb"))
+      sum(col("a").cast("decimal(19,0)")).as("sa"),
+      sum(col("b").cast("decimal(19,0)")).as("sb"),
+      sum(col("a").cast("decimal(19,0)") * col("b")).as("sab"),
+      sum(col("a").cast("decimal(19,0)") * col("a")).as("saa"),
+      sum(col("b").cast("decimal(19,0)") * col("b")).as("sbb"))
     val n = col("n").cast("double")
     val dx = n * col("saa").cast("double") -
       col("sa").cast("double") * col("sa").cast("double")
@@ -491,11 +496,14 @@ object Stats {
   def cuped(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val b = df.select(col(xCol).cast("long").as("x"),
       col(yCol).cast("long").as("y"))
+    // numeric budget (r12 fixed-point sweep): Σx² ≤ n·x²_max — BIGINT
+    // dies at e.g. 10⁹ units × metric 3×10⁴ — so the product sums run
+    // in DECIMAL(38,0) (the oracle's HUGEINT was always wide)
     val s = b.agg(count(lit(1)).as("n"),
       sum("x").as("sx"), sum("y").as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"))
+      sum(col("x").cast("decimal(19,0)") * col("y")).as("sxy"),
+      sum(col("x").cast("decimal(19,0)") * col("x")).as("sxx"),
+      sum(col("y").cast("decimal(19,0)") * col("y")).as("syy"))
     val n = col("n").cast("double")
     val cxy = n * col("sxy").cast("double") -
       col("sx").cast("double") * col("sy").cast("double")
@@ -537,14 +545,20 @@ object Stats {
     * often a group-a value beats a group-b value, and the tie-corrected
     * normal approximation z flags a location shift.
     *
-    * Exactness: [[spearman]]'s doubled-midrank discipline. All sufficient
-    * statistics are BIGINT — 2·R_a = Σ n_a(v)·(2·cum_before(v)+n(v)+1),
+    * Exactness: [[spearman]]'s doubled-midrank discipline. The
+    * sufficient statistics — 2·R_a = Σ n_a(v)·(2·cum_before(v)+n(v)+1),
     * the tie term T = Σ (n(v)³−n(v)), and the deviation
-    * 2·(U_a − n_a·n_b/2) = 2R_a − n_a(n_a+1) − n_a·n_b — and z combines
-    * them in double as the same expression on the same integers in both
-    * engines (sqrt-irrational, never a decimal tie). u_a is the exact
-    * half-integer 2U_a/2. Degenerate inputs (one group empty, or every
-    * value tied) yield NULL z.
+    * 2·(U_a − n_a·n_b/2) = 2R_a − n_a(n_a+1) − n_a·n_b — are exact
+    * integers, and z combines them in double as the same expression on
+    * the same integers in both engines (sqrt-irrational, never a
+    * decimal tie). u_a is the exact half-integer 2U_a/2. Degenerate
+    * inputs (one group empty, or every value tied) yield NULL z.
+    *
+    * Numeric budget (r12 fixed-point sweep): 2R_a ≤ 2n² and T ≤ n³ —
+    * BIGINT dies at n ≈ 2×10⁶ rows for T, well inside corpus reach, so
+    * R_a, T and the n_a(n_a+1)/n_a·n_b deviation products accumulate in
+    * DECIMAL(38,0), exact to n ≈ 4.6×10¹² (the DuckDB oracle's BIGINT
+    * sums auto-promote to HUGEINT — always wide).
     *
     * Plan: one size-of-data aggregate to the O(distinct values) count
     * table (both groups in one scan), one cumulative window on that
@@ -568,19 +582,22 @@ object Stats {
         + col("__nv") + lit(1L))
     val s = ranked.agg(
       sum("__na").as("na"), sum("__nb").as("nb"),
-      sum(col("__na") * col("__dmr")).as("r2a"),
-      sum(col("__nv") * col("__nv") * col("__nv") - col("__nv")).as("t3"))
+      sum(col("__na").cast("decimal(19,0)") * col("__dmr")).as("r2a"),
+      sum(col("__nv").cast("decimal(19,0)") * col("__nv") * col("__nv")
+        - col("__nv")).as("t3"))
     val n = col("na") + col("nb")
-    // 2·(U_a − n_a·n_b/2), exact BIGINT
-    val dev = col("r2a") - col("na") * (col("na") + lit(1L)) -
-      col("na") * col("nb")
+    // 2·(U_a − n_a·n_b/2), exact DECIMAL(38,0) (see the budget above)
+    val dev = col("r2a") - col("na").cast("decimal(19,0)") *
+      (col("na") + lit(1L)) -
+      col("na").cast("decimal(19,0)") * col("nb")
     // tie-corrected var(U_a), combined in double (ranges exceed BIGINT)
     val varU = col("na").cast("double") * col("nb").cast("double") *
       ((n + lit(1L)).cast("double") * n.cast("double") *
         (n - lit(1L)).cast("double") - col("t3").cast("double")) /
       (lit(12.0) * n.cast("double") * (n - lit(1L)).cast("double"))
     s.select(col("na").as("n_a"), col("nb").as("n_b"),
-      ((col("r2a") - col("na") * (col("na") + lit(1L))).cast("double") /
+      ((col("r2a") - col("na").cast("decimal(19,0)") *
+        (col("na") + lit(1L))).cast("double") /
         lit(2.0)).as("u_a"),
       when(varU > 0.0,
         dev.cast("double") / (lit(2.0) * sqrt(varU))).as("z"))

@@ -434,17 +434,25 @@ object Temporal {
       .withColumn("lag_d", explode(sequence(lit(0L), lit(maxLag.toLong))))
       .withColumn("probe", col("day") + col("lag_d"))
     val m = fanned.join(y.withColumnRenamed("day", "probe"), "probe")
+    // numeric budget (r12 fixed-point sweep, the HITS overflow class):
+    // x, y are per-day counts — at 10¹² rows over ~2,500 days that is
+    // ~4×10⁸/day, so Σx² ≈ days·x² ≈ 4×10²⁰ kills a BIGINT sum. The
+    // product sums and the n·Σxy − Σx·Σy composition therefore run in
+    // DECIMAL(38,0) (exact to 10³⁸; the final r is double anyway).
     val s = m.groupBy("lag_d").agg(
       count(lit(1)).as("n"),
       sum("x").as("sx"), sum("y").as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sx2"),
-      sum(col("y") * col("y")).as("sy2"))
-    val varX = s("n") * s("sx2") - s("sx") * s("sx")
-    val varY = s("n") * s("sy2") - s("sy") * s("sy")
+      sum(col("x").cast("decimal(19,0)") * col("y")).as("sxy"),
+      sum(col("x").cast("decimal(19,0)") * col("x")).as("sx2"),
+      sum(col("y").cast("decimal(19,0)") * col("y")).as("sy2"))
+    val nD = s("n").cast("decimal(19,0)")
+    val sxD = s("sx").cast("decimal(19,0)")
+    val syD = s("sy").cast("decimal(19,0)")
+    val varX = nD * s("sx2") - sxD * sxD
+    val varY = nD * s("sy2") - syD * syD
     s.select(col("lag_d"), col("n").as("n_days"),
-      when(varX === 0L || varY === 0L, lit(null).cast("double"))
-        .otherwise((s("n") * s("sxy") - s("sx") * s("sy")).cast("double") /
+      when(varX === lit(0L) || varY === lit(0L), lit(null).cast("double"))
+        .otherwise((nD * s("sxy") - sxD * syD).cast("double") /
           (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
         .as("r"))
       .orderBy("lag_d")
