@@ -285,7 +285,7 @@ object Bench {
     * 2021-01-01 + i, so successive ingests exercise new-partition appends
     * plus anti-join pruning against all prior dates.
     */
-  private def syntheticRaw(
+  private[graft] def syntheticRaw(
       spark: SparkSession, i: Int, nLead: Int, nY: Int, nX: Int): DataFrame =
     spark.range(nLead.toLong * nY * nX).select(
       timestamp_seconds(lit(1609459200L + i * 86400L)).as("time"),

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write-path scale rung (r11 VERDICT #4) — the one subsystem with no
+  * sf1/sf10 measurement: steady-state [[graft.icenet.Pipeline]] ingest
+  * across a (file size × warehouse partition count) grid.
+  *
+  * Two scale questions, one axis each:
+  *
+  *  1. '''Does per-file fixed overhead amortize with file size?''' The
+  *     r7 analysis counted ~15 scheduler-bound Spark jobs per ingested
+  *     file (existence probes, max-date scalars, the anti-join, the
+  *     view rebuild, the meta upsert) — at 100k-row files that overhead
+  *     IS the cost. If rows/s grows roughly with file size, the chain
+  *     is overhead-bound and fine at production drop sizes (one
+  *     432×432×93 EASE drop ≈ 17M rows); if it plateaus early,
+  *     something scales with rows that shouldn't.
+  *  2. '''Is ingest independent of warehouse size?''' insertIgnore's
+  *     anti-join prunes to the incoming date's partitions and the
+  *     incremental view rebuild reads one date — so 10 vs 100 prior
+  *     date-partitions should cost the SAME. If the 100-partition
+  *     column is slower, a listing or prune is leaking whole-table
+  *     work.
+  *
+  * Grid: file rows ∈ {10.24k, 100k, ~1M} (nLead=10, square y/x grids
+  * 32/100/316 — all three grids share axis origin and 25 km step, so
+  * the geometry table converges and first-write-wins stays exercised)
+  * × prior partitions ∈ {10, 100} (seeded with ONE multi-date drop of
+  * 1,024 rows/date: partition COUNT is the axis under test, so seeds
+  * stay small). Per cell: one untimed warm ingest, then `filesTimed`
+  * timed single-date ingests — the steady-state regime of a long-lived
+  * warehouse.
+  *
+  * Output: one JSON line per grid cell + a closing summary line; the
+  * numbers land as a BASELINE.md footnote.
+  *
+  * Usage: `runMain graft.IngestScale [filesTimed]` (default 4).
+  */
+object IngestScale {
+
+  def main(args: Array[String]): Unit = {
+    val filesTimed = if (args.nonEmpty) args(0).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sizes = Seq(("10k", 32, 32), ("100k", 100, 100), ("1M", 316, 316))
+    val priors = Seq(10, 100)
+    val results = for ((label, nY, nX) <- sizes; prior <- priors) yield {
+      val r = oneCell(spark, label, nY, nX, prior, filesTimed)
+      println(r)
+      r
+    }
+    println(s"""{"metric":"ingest_scale_done","cells":${results.size}}""")
+    spark.stop()
+  }
+
+  /** One grid cell: fresh warehouse, `prior`-partition seed, one warm
+    * ingest, `filesTimed` timed ingests. Returns the JSON record.
+    */
+  private def oneCell(
+      spark: SparkSession, label: String, nY: Int, nX: Int,
+      prior: Int, filesTimed: Int): String = {
+    val whPath = java.nio.file.Files.createTempDirectory("graft_ingest_scale")
+    try {
+      val pipe =
+        new graft.icenet.Pipeline(spark, whPath.toString, graft.icenet.North)
+      // seed: one multi-date drop -> `prior` fact partitions. 1,024 rows
+      // per date keeps the seed O(100k) rows while the partition COLUMN
+      // cardinality — the thing the anti-join and listing must prune —
+      // is exactly `prior`.
+      pipe.ingest(seedRaw(spark, prior))
+      val rowsPerFile = 10L * nY * nX
+      pipe.ingest(Bench.syntheticRaw(spark, prior, 10, nY, nX)) // warm, untimed
+      val t0 = System.nanoTime()
+      (1 to filesTimed).foreach { k =>
+        pipe.ingest(Bench.syntheticRaw(spark, prior + k, 10, nY, nX))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = filesTimed * rowsPerFile
+      f"""{"metric":"ingest_scale","file_rows":$rowsPerFile,""" +
+        f""""file_label":"$label","prior_partitions":$prior,""" +
+        f""""files_timed":$filesTimed,"sec":$sec%.3f,""" +
+        f""""rows_per_sec":${rows / sec}%.1f}"""
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(whPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** One drop carrying `prior` distinct generation dates (day 0..prior-1),
+    * 1,024 rows each on the 32×32 sub-grid (nLead=1) — the cheapest frame
+    * that leaves `prior` partitions behind. Axes are the shared-origin
+    * 25 km grid, a subset of every timed grid's axes.
+    */
+  private def seedRaw(spark: SparkSession, prior: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perDate = 1024L
+    spark.range(prior * perDate).select(
+      timestamp_seconds(
+        lit(1609459200L) + (col("id") / perDate).cast("long") * 86400L
+      ).as("time"),
+      lit(1).as("leadtime"),
+      (lit(-537.5) + (col("id") / 32 % 32).cast("int") * 25.0).as("yc"),
+      (lit(-262.5) + (col("id") % 32).cast("int") * 25.0).as("xc"),
+      (pmod(col("id") * 7, lit(19)).cast("int") / 10.0 - 0.4).as("sic_mean"),
+      (pmod(col("id"), lit(7)).cast("int") / 100.0).as("sic_stddev"))
+  }
+}
