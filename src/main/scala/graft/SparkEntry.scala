@@ -1722,6 +1722,15 @@ object SparkEntry {
       graft.ops.Multimodal.VideoCodec.decodeVideo(
         graft.ops.Multimodal.aviFromDocuments(Tables.documents(s, dir)))
         .toDF()),
+    "multimodal_resize" -> ((s, dir) =>
+      // REAL 2x area-average resize over really-decoded PNGs: every
+      // output pixel is the truncating integer mean of its 2x2 source
+      // block (floor-cropped odd edges, so all blocks are full); the
+      // oracle predicts the resized channel sums from the fixture's
+      // closed form — a resample certification, not a checksum replay
+      graft.ops.Multimodal.ImageCodec.resizeImages(
+        graft.ops.Multimodal.pngFromDocuments(Tables.documents(s, dir)))
+        .toDF()),
 
     // ---- beyond-reference: TPC-H composite suite (Q1-Q22 shapes the -----
     // fixture schema can express; partsupp/commitdate-dependent queries
@@ -6934,6 +6943,36 @@ object SparkEntry {
         |       CAST(h AS BIGINT) * (wl * ((doc_id * 13) % 256)
         |         + (w - wl) * ((doc_id * 11) % 256)) AS sum_b
         |FROM g""".stripMargin,
+    "multimodal_resize" -> // pure arithmetic prediction of the 2x box
+      // resize: the two-color column split makes every 2x2 block
+      // full-left (value L), full-right (R) or the one straddle block
+      // ((L+R)//2 — the truncating block mean); sums are oh * per-row.
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 64 + 1 AS INT) AS w,
+        |         CAST(doc_id % 48 + 1 AS INT) AS h,
+        |         CAST(doc_id % 64 + 1 AS INT) // 2 AS wl
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, h, ow, oh,
+        |         wl // 2 AS nl, wl % 2 AS st,
+        |         ow - wl // 2 - wl % 2 AS nr
+        |  FROM (SELECT doc_id, w, h, wl, w // 2 AS ow, h // 2 AS oh
+        |        FROM g))
+        |SELECT doc_id AS media_id,
+        |       w AS in_w, h AS in_h,
+        |       CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |       CAST(ow AS BIGINT) * oh AS n_pixels,
+        |       CAST(oh AS BIGINT) * (nl * (doc_id % 256)
+        |         + st * (((doc_id % 256) + ((doc_id * 3) % 256)) // 2)
+        |         + nr * ((doc_id * 3) % 256)) AS sum_r,
+        |       CAST(oh AS BIGINT) * (nl * ((doc_id * 7) % 256)
+        |         + st * ((((doc_id * 7) % 256) + ((doc_id * 5) % 256)) // 2)
+        |         + nr * ((doc_id * 5) % 256)) AS sum_g,
+        |       CAST(oh AS BIGINT) * (nl * ((doc_id * 13) % 256)
+        |         + st * ((((doc_id * 13) % 256) + ((doc_id * 11) % 256)) // 2)
+        |         + nr * ((doc_id * 11) % 256)) AS sum_b
+        |FROM c""".stripMargin,
     "multimodal_audio_decode" -> // pure arithmetic prediction of the WAV
       // round trip: sample(i) = (id*31 + i*7919) % 2001 - 1000 — only a
       // codec that really parses RIFF/PCM reproduces these sums.

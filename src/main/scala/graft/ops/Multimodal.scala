@@ -93,7 +93,69 @@ object Multimodal {
         rows.map(decode)
       }
     }
+
+    /** REAL 2× area-average resize (the training-pipeline resize op):
+      * decode, then every output pixel is the truncating integer mean of
+      * its 2×2 source block per channel. Floor semantics crop an odd
+      * trailing row/column (out = in div 2) so every output pixel is a
+      * FULL-block average — no fractional edge weights for two engines
+      * to round differently. Reduced to exact channel sums: the oracle
+      * predicts them from the fixture's closed form without being able
+      * to decode PNG, so matching sums certify a genuine decode +
+      * resample, not a checksum replay.
+      */
+    def resizeHalf(row: MediaRow): ResizeStats = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.payload))
+      require(img != null,
+        s"media_id=${row.media_id}: payload (${row.payload.length} bytes) " +
+          "is not a decodable image (PNG/JPEG/BMP/GIF)")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (ow, oh) = (w / 2, h / 2)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var yy = 0
+      while (yy < oh) {
+        var xx = 0
+        while (xx < ow) {
+          var (br, bg, bv) = (0, 0, 0)
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val rgb = img.getRGB(2 * xx + dx, 2 * yy + dy)
+              br += (rgb >> 16) & 0xff
+              bg += (rgb >> 8) & 0xff
+              bv += rgb & 0xff
+              dx += 1
+            }
+            dy += 1
+          }
+          sr += br / 4; sg += bg / 4; sb += bv / 4
+          xx += 1
+        }
+        yy += 1
+      }
+      ResizeStats(row.media_id, w, h, ow, oh, ow.toLong * oh, sr, sg, sb)
+    }
+
+    /** Partition-local batched resize — the [[decodeImages]] shape. */
+    def resizeImages(media: Dataset[MediaRow]): Dataset[ResizeStats] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map(resizeHalf)
+      }
+    }
   }
+
+  /** Exact per-channel statistics of a 2×-downsampled image (see
+    * [[ImageCodec.resizeHalf]]): output dims are floor-halved, sums are
+    * over the resized pixels — all-integer so the oracle reproduces them
+    * bit-for-bit.
+    */
+  case class ResizeStats(
+      media_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int,
+      n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
   /** Exact per-channel sample statistics of one decoded audio payload.
     * Integer sums (amplitude and energy), not float means, so the DuckDB

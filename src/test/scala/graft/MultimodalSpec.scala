@@ -164,6 +164,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeHalf: 2x2 block truncating means on a hand image, odd " +
+    "edges floor-cropped") {
+    // 5x3, pixel (x,y) = (10x+y, x+y, 7x): out 2x1; block X=0 averages
+    // x∈{0,1},y∈{0,1}; X=1 averages x∈{2,3},y∈{0,1}; col 4 and row 2 crop
+    val bytes = pngBytes(5, 3, (x, y) => (10 * x + y, x + y, 7 * x))
+    val s = Multimodal.ImageCodec.resizeHalf(
+      MediaRow(7L, "image", bytes, 5, 3, 0, 0))
+    assert(s.in_w == 5 && s.in_h == 3 && s.out_w == 2 && s.out_h == 1)
+    assert(s.n_pixels == 2L)
+    assert(s.sum_r == (0 + 10 + 1 + 11) / 4 + (20 + 30 + 21 + 31) / 4)
+    assert(s.sum_g == (0 + 1 + 1 + 2) / 4 + (2 + 3 + 3 + 4) / 4) // 1 + 3
+    assert(s.sum_b == (0 + 7 + 0 + 7) / 4 + (14 + 21 + 14 + 21) / 4)
+  }
+
+  test("resizeHalf: 1-pixel-wide and 1-pixel-tall images resize to empty " +
+    "stats, never a crash") {
+    for ((w, h) <- Seq((1, 8), (8, 1), (1, 1))) {
+      val s = Multimodal.ImageCodec.resizeHalf(
+        MediaRow(1L, "image", pngBytes(w, h, (_, _) => (9, 9, 9)), w, h, 0, 0))
+      assert(s.out_w == w / 2 && s.out_h == h / 2 && s.n_pixels == (w / 2).toLong * (h / 2))
+      assert((s.sum_r == 0L && s.sum_g == 0L && s.sum_b == 0L) || s.n_pixels > 0)
+    }
+  }
+
+  test("resizeImages over pngFromDocuments matches the closed-form " +
+    "block census (the oracle's arithmetic)") {
+    val got = Multimodal.ImageCodec.resizeImages(
+      Multimodal.pngFromDocuments(docs.limit(50))).collect()
+    assert(got.length == 50)
+    got.foreach { s =>
+      val id = s.media_id
+      val w = (id % 64).toInt + 1; val h = (id % 48).toInt + 1
+      val wl = w / 2
+      val (ow, oh) = (w / 2, h / 2)
+      val nl = wl / 2; val st = wl % 2; val nr = ow - nl - st
+      def ch(l: Long, r: Long) = oh.toLong * (nl * l + st * ((l + r) / 2) + nr * r)
+      assert(s.in_w == w && s.in_h == h && s.out_w == ow && s.out_h == oh)
+      assert(s.n_pixels == ow.toLong * oh)
+      assert(s.sum_r == ch(id % 256, (id * 3) % 256))
+      assert(s.sum_g == ch((id * 7) % 256, (id * 5) % 256))
+      assert(s.sum_b == ch((id * 13) % 256, (id * 11) % 256))
+    }
+  }
+
   test("AudioCodec decodes a byte-authored WAV exactly (mono and stereo)") {
     import spark.implicits._
     // mono: hand-checkable samples
