@@ -605,6 +605,12 @@ object SparkEntry {
       // C rides the CellLadder (C^2 >= n) since the sf10 rung measured
       // the fixed-16 composite at 53x for 10x data
       graft.ops.Similarity.ivfPqTopK(Tables.embeddings(s, dir))),
+    "sim_topk_ivfpq_rerank" -> ((s, dir) =>
+      // FAISS-style two-stage refine: the IVFPQ ADC shortlist (depth 25)
+      // re-ranked by EXACT cosine — approximation error confined to the
+      // shortlist cut, published scores exact, per-query cost
+      // O(n*m/C + depth*dim) instead of the brute O(n*dim)
+      graft.ops.Similarity.ivfPqRerankTopK(Tables.embeddings(s, dir))),
     "dedup_edit_distance" -> ((s, dir) =>
       // PassJoin segment signatures: exact-recall edit-distance pairs
       // over 40-char prefix keys; the oracle computes ALL pairs directly,
@@ -2828,6 +2834,12 @@ object SparkEntry {
       // core); exact (num, den) BIGINT pairs — the geometric mean and
       // brevity penalty are transcendental, so they stay downstream
       graft.ops.Eval.bleuClipped(Tables.documents(s, dir))),
+    "eval_chrf" -> ((s, dir) =>
+      // chrF2 per generation pair over character 1..3-grams of the
+      // whitespace-stripped 80-char prefix: the tokenizer-free third
+      // generation metric — (1+B^2)PR/(B^2 P+R) at B=2 collapses to the
+      // exact rational 5m/(4 r_den + p_den), float-free end to end
+      graft.ops.Eval.chrF(Tables.documents(s, dir))),
     "eval_distinct_n" -> ((s, dir) =>
       // distinct-1/distinct-2 diversity census per language — the
       // mode-collapse detector for generated corpora
@@ -5733,6 +5745,83 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rn FROM scored)
         |WHERE rn <= 5""".stripMargin,
+    "sim_topk_ivfpq_rerank" -> // the ivfpq ADC chain cut at depth 25,
+      // then exact cosine re-rank of just the shortlist (FAISS refine)
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rvec
+        |            FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |cc AS (SELECT CAST(coalesce(min(p), 65536) AS INT) AS c FROM
+        |         (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+        |                         8192, 16384, 32768, 65536]) AS p), nn
+        |       WHERE CAST(p AS BIGINT) * p >= n),
+        |nrm AS (SELECT vec_id, rvec, sqrt(
+        |          list_aggregate(list_transform(rvec, x -> x*x), 'sum')) AS nr FROM v0),
+        |cent AS (SELECT vec_id AS cent_id, rvec AS cvec, nr AS cnorm
+        |         FROM nrm, cc WHERE vec_id < cc.c),
+        |asg AS (SELECT vec_id, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(rvec)),
+        |            i -> rvec[i]*cvec[i]), 'sum') / (nr*cnorm), 6) AS c_cos
+        |        FROM nrm CROSS JOIN cent),
+        |cellof AS (SELECT vec_id, cent_id AS cell FROM
+        |            (SELECT *, row_number() OVER (
+        |               PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+        |           WHERE rn = 1),
+        |v AS (SELECT vec_id, list_transform(rvec, x -> x / nr) AS vec FROM nrm),
+        |sub AS (
+        |  SELECT vec_id, sm AS sub_m, vec[sm*w+1 : sm*w+w] AS sub
+        |  FROM (SELECT vec_id, vec, len(vec)//16 AS w FROM v),
+        |       (SELECT unnest(generate_series(0, 15)) AS sm)),
+        |book AS (SELECT vec_id AS cent_id, sub_m, sub AS csub FROM sub WHERE vec_id < 64),
+        |codes AS (
+        |  SELECT vec_id, sub_m, cent_id AS code FROM (
+        |    SELECT s.vec_id, s.sub_m, b.cent_id,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub_m ORDER BY
+        |             round((
+        |               list_aggregate(list_transform(generate_series(1, len(s.sub)),
+        |                 i -> s.sub[i]*s.sub[i]), 'sum')
+        |               - 2 * list_aggregate(list_transform(generate_series(1, len(s.sub)),
+        |                 i -> s.sub[i]*b.csub[i]), 'sum')
+        |               + list_aggregate(list_transform(generate_series(1, len(b.csub)),
+        |                 i -> b.csub[i]*b.csub[i]), 'sum')) * 1000000),
+        |             b.cent_id) AS rn
+        |    FROM sub s JOIN book b USING (sub_m))
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, sub_m, sub AS qsub FROM sub WHERE vec_id % 50 = 0),
+        |dt AS (
+        |  SELECT query_id, sub_m, cent_id AS code,
+        |         round(
+        |           list_aggregate(list_transform(generate_series(1, len(qsub)),
+        |             i -> qsub[i]*qsub[i]), 'sum')
+        |           - 2 * list_aggregate(list_transform(generate_series(1, len(qsub)),
+        |             i -> qsub[i]*csub[i]), 'sum')
+        |           + list_aggregate(list_transform(generate_series(1, len(csub)),
+        |             i -> csub[i]*csub[i]), 'sum'), 6) AS d
+        |  FROM q JOIN book USING (sub_m)),
+        |scored AS (
+        |  SELECT dt.query_id, codes.vec_id AS neighbor_id,
+        |         round(sum(dt.d), 6) AS approx_dist
+        |  FROM codes
+        |  JOIN cellof cv ON codes.vec_id = cv.vec_id
+        |  JOIN dt ON codes.sub_m = dt.sub_m AND codes.code = dt.code
+        |  JOIN cellof cq ON dt.query_id = cq.vec_id AND cv.cell = cq.cell
+        |  WHERE codes.vec_id <> dt.query_id GROUP BY 1, 2),
+        |short AS (
+        |  SELECT query_id, neighbor_id
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rn
+        |        FROM scored)
+        |  WHERE rn <= 25),
+        |ex AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |         round(list_aggregate(list_transform(generate_series(1, len(qv.rvec)),
+        |           i -> qv.rvec[i]*nv.rvec[i]), 'sum') / (qv.nr*nv.nr), 6) AS cos_sim
+        |  FROM short s
+        |  JOIN nrm qv ON qv.vec_id = s.query_id
+        |  JOIN nrm nv ON nv.vec_id = s.neighbor_id)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM ex)
+        |WHERE rn <= 3""".stripMargin,
     "sim_topk_brute" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |           FROM embeddings),
@@ -9100,6 +9189,47 @@ object SparkEntry {
         |            // (2 * max(CASE WHEN n = 2 THEN den END)) AS DOUBLE)
         |         / 1000000.0 END AS p2
         |FROM j GROUP BY 1, 2""".stripMargin,
+    "eval_chrf" -> // character 1..3-gram clipped counts per pair;
+      // chrF2 = 5m/(4 r_den + p_den) in the exact-ratio spelling
+      """WITH t AS (SELECT doc_id,
+        |    substr(regexp_replace(text, '\s+', '', 'g'), 1, 80) AS s
+        |  FROM documents),
+        |p AS (SELECT r.doc_id // 2 AS pid, r.s AS rs, c.s AS ks
+        |      FROM t r JOIN t c ON c.doc_id = r.doc_id + 1
+        |      WHERE r.doc_id % 2 = 0),
+        |g AS (SELECT pid, side, n, g, count(*) AS cnt
+        |      FROM (
+        |        SELECT pid, 0 AS side, nn.n,
+        |               unnest(list_transform(
+        |                 generate_series(1, len(rs) - nn.n + 1),
+        |                 i -> substr(rs, i, nn.n))) AS g
+        |        FROM p, (SELECT unnest([1, 2, 3]) AS n) nn
+        |        UNION ALL
+        |        SELECT pid, 1 AS side, nn.n,
+        |               unnest(list_transform(
+        |                 generate_series(1, len(ks) - nn.n + 1),
+        |                 i -> substr(ks, i, nn.n))) AS g
+        |        FROM p, (SELECT unnest([1, 2, 3]) AS n) nn)
+        |      GROUP BY 1, 2, 3, 4),
+        |rden AS (SELECT pid, n, CAST(sum(cnt) AS BIGINT) AS r_den
+        |         FROM g WHERE side = 0 GROUP BY 1, 2),
+        |j AS (SELECT c.pid, c.n,
+        |             CAST(sum(least(c.cnt, coalesce(r.cnt, 0)))
+        |               AS BIGINT) AS clip_m,
+        |             CAST(sum(c.cnt) AS BIGINT) AS p_den
+        |      FROM (SELECT * FROM g WHERE side = 1) c
+        |      LEFT JOIN (SELECT * FROM g WHERE side = 0) r
+        |        ON r.pid = c.pid AND r.n = c.n AND r.g = c.g
+        |      GROUP BY 1, 2)
+        |SELECT pid * 2 AS ref_id, pid * 2 + 1 AS cand_id, n,
+        |  clip_m, p_den, r_den,
+        |  CAST((clip_m * 2000000 + p_den) // (2 * p_den) AS DOUBLE)
+        |    / 1000000.0 AS p_e6,
+        |  CAST((clip_m * 2000000 + r_den) // (2 * r_den) AS DOUBLE)
+        |    / 1000000.0 AS r_e6,
+        |  CAST((clip_m * 5 * 2000000 + (r_den * 4 + p_den))
+        |    // (2 * (r_den * 4 + p_den)) AS DOUBLE) / 1000000.0 AS chrf2_e6
+        |FROM j JOIN rden USING (pid, n)""".stripMargin,
     "eval_distinct_n" ->
       """WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\s+')
         |             AS toks

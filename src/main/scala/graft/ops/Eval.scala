@@ -699,6 +699,67 @@ object Eval {
           .as("p2"))
   }
 
+  /** chrF per generation pair (Popović 2015, β = 2): character n-gram
+    * F-score over whitespace-stripped `prefixChars`-char prefixes,
+    * n = 1..`maxN` — the third standard generation metric next to
+    * [[rougeL]] and [[bleuClipped]], and the one that survives
+    * tokenizer mismatch (it never tokenizes).
+    *
+    * Float-free: with clipped match count m, candidate total p_den and
+    * reference total r_den, chrF2 = (1+β²)PR / (β²P + R) collapses to
+    * the single exact rational 5m / (4·r_den + p_den), presented via
+    * [[exactRatio]]; P and R ship as exact ratios too. One row per
+    * (pair, n); rows exist only where BOTH sides have ≥ 1 n-gram (the
+    * inner-join convention [[rougeL]] uses for incomplete pairs).
+    *
+    * Plan: one groupBy collapses both sides of each pair
+    * (conditional-first — the [[generationPairs]] single-shuffle trick),
+    * n-grams explode IN-STAGE (two chained explodes, no join), counts
+    * map-side combine on (pid, side, n, gram), and clipping is the
+    * pair-local left join of candidate counts against reference counts —
+    * co-partitioned by the groupBy that built both sides.
+    */
+  def chrF(docs: DataFrame, maxN: Int = 3, prefixChars: Int = 80): DataFrame = {
+    val pairs = docs
+      .select(shiftright(col("doc_id"), 1).as("pid"),
+        (col("doc_id") % 2).as("side"),
+        substring(regexp_replace(col("text"), "\\s+", ""), 1, prefixChars)
+          .as("cs"))
+      .groupBy("pid")
+      .agg(
+        first(when(col("side") === 0, col("cs")), ignoreNulls = true).as("rs"),
+        first(when(col("side") === 1, col("cs")), ignoreNulls = true).as("ks"))
+      .filter(col("rs").isNotNull && col("ks").isNotNull)
+    val grams = pairs
+      .select(col("pid"), explode(array(
+        struct(lit(0).as("side"), col("rs").as("s")),
+        struct(lit(1).as("side"), col("ks").as("s")))).as("x"))
+      .select(col("pid"), col("x.side").as("side"), col("x.s").as("s"),
+        explode(sequence(lit(1), lit(maxN))).as("n"))
+      .filter(length(col("s")) >= col("n"))
+      .select(col("pid"), col("side"), col("n"),
+        explode(transform(
+          sequence(lit(1), length(col("s")) - col("n") + 1),
+          i => col("s").substr(i, col("n")))).as("g"))
+      .groupBy("pid", "side", "n", "g").agg(count(lit(1)).as("cnt"))
+    val cand = grams.filter(col("side") === 1).drop("side")
+    val ref = grams.filter(col("side") === 0).drop("side")
+      .withColumnRenamed("cnt", "rcnt")
+    val rden = ref.groupBy("pid", "n").agg(sum("rcnt").as("r_den"))
+    cand.join(ref, Seq("pid", "n", "g"), "left")
+      .groupBy("pid", "n")
+      .agg(sum(least(col("cnt"), coalesce(col("rcnt"), lit(0L))))
+          .as("clip_m"),
+        sum(col("cnt")).as("p_den"))
+      .join(rden, Seq("pid", "n"))
+      .select((col("pid") * 2).as("ref_id"), (col("pid") * 2 + 1).as("cand_id"),
+        col("n"), col("clip_m"), col("p_den"), col("r_den"),
+        exactRatio(col("clip_m"), col("p_den"), 6).as("p_e6"),
+        exactRatio(col("clip_m"), col("r_den"), 6).as("r_e6"),
+        exactRatio(col("clip_m") * 5L, col("r_den") * 4L + col("p_den"), 6)
+          .as("chrf2_e6"))
+  }
+
   /** Distinct-n diversity census per language (Li 2016): distinct vs
     * total n-grams (n = 1, 2) over the whole corpus slice — the standard
     * mode-collapse detector for generated corpora (a low distinct-2 says

@@ -589,6 +589,36 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Two-stage production ANN (FAISS's "refine" layout): the
+    * [[ivfPqTopK]] ADC shortlist of `depth` candidates per query,
+    * re-ranked by EXACT cosine over the original vectors. PQ's
+    * approximation error is confined to the shortlist CUT — the
+    * published scores and ordering are exact, so a downstream similarity
+    * threshold behaves as if brute force had run, at
+    * O(n·m/C + q·depth·dim) instead of O(q·n·dim).
+    *
+    * Plan: the shortlist is O(queries·depth) rows; candidates join back
+    * to their full vectors in one keyed exchange, the tiny query side is
+    * a guarded broadcast. Ranking/tie rules are [[rankTopK]]'s —
+    * identical to every exact variant, so recall@k against
+    * [[bruteForceTopK]] measures ONLY the shortlist cut.
+    */
+  def ivfPqRerankTopK(embeddings: DataFrame, k: Int = 3, depth: Int = 25,
+      queryMod: Int = 50): DataFrame = {
+    val shortlist = ivfPqTopK(embeddings, k = depth, queryMod = queryMod)
+      .select(col("query_id"), col("neighbor_id"))
+    val v = withNorm(embeddings)
+    val exact = shortlist
+      .join(v.select(col("vec_id").as("neighbor_id"), col("vec"), col("norm")),
+        Seq("neighbor_id"))
+      .join(graft.operators.Broadcasting.checked(
+          querySubset(v, queryMod, withCell = false), tag = "rerank query set"),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos_sim"))
+    rankTopK(exact, k)
+  }
+
   /** Centroid-relative outlier detection — the embedding-space corpus
     * QUALITY operator: vectors much farther from their own cell's centroid
     * than their cell-mates (z-score of the own-centroid cosine above

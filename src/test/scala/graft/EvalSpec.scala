@@ -323,6 +323,23 @@ class EvalSpec extends SparkSpec {
     assert(rows.length == 2 && rows.forall(_.isNullAt(0)))
   }
 
+  test("chrF: hand pair — clipped char n-grams per n, chrF2 = 5m/(4r+p), " +
+    "whitespace stripped, incomplete pairs dropped") {
+    // ref "abab", cand "abba": n=1 all match (1.0); n=2 clip ab:1+ba:1
+    // of cand's 3 grams vs ref's 3 (2/3); n=3 nothing matches (0.0).
+    // doc 3 has no even partner -> no rows for pid 1.
+    val docs = Seq((0L, "ab ab"), (1L, " ab ba "), (3L, "zzz"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Eval.chrF(docs)
+      .orderBy("n")
+      .as[(Long, Long, Int, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 1, 4L, 4L, 4L, 1.0, 1.0, 1.0),
+      (0L, 1L, 2, 2L, 3L, 3L, 0.666667, 0.666667, 0.666667),
+      (0L, 1L, 3, 0L, 2L, 2L, 0.0, 0.0, 0.0)))
+  }
+
   // ---- generation-eval: TokenLcs + ROUGE-L / clipped BLEU / distinct-n
 
   private def arr(toks: String*) =

@@ -46,6 +46,9 @@ class PlanSweepSpec extends SparkSpec {
     // ladder/two-level variants: the same broadcast centroid fan-out,
     // cell count bounded by the CellLadder (≤ 65536 rows broadcast)
     "sim_topk_ivf_adaptive", "sim_topk_ivf_hier",
+    // composes ivfPqTopK (reviewed centroid fan-out above); the exact
+    // re-rank tail is all equi-joins over the O(queries·depth) shortlist
+    "sim_topk_ivfpq_rerank",
     // q11's global-share threshold: a 1-row broadcast over the value
     // table's re-aggregation
     "q11_important_stock",

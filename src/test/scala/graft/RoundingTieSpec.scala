@@ -127,7 +127,8 @@ class RoundingTieSpec extends SparkSpec {
     "sim_topk_ivf_kmeans" -> CosineReason,
     "sim_topk_ivf_mp" -> CosineReason,
     "sim_topk_ivf_persisted" -> CosineReason,
-    "sim_topk_ivfpq" -> CosineReason)
+    "sim_topk_ivfpq" -> CosineReason,
+    "sim_topk_ivfpq_rerank" -> CosineReason)
 
   /** Extract every round(...) argument (balanced parens) from a SQL
     * string and keep those containing a division. `//` (already-exact

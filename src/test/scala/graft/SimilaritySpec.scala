@@ -143,6 +143,29 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.filter(col("approx_dist") =!= col("pq_dist")).count() == 0)
   }
 
+  test("ivfPqRerank: neighbors come from the ADC shortlist, scores are " +
+    "the exact brute cosines, ranked by the shared tie rule") {
+    val got = Similarity.ivfPqRerankTopK(emb, k = 3, depth = 25)
+    // confinement: every (query, neighbor) sits in the depth-25 shortlist
+    val shortlist = Similarity.ivfPqTopK(emb, k = 25)
+      .select("query_id", "neighbor_id")
+    assert(got.join(shortlist, Seq("query_id", "neighbor_id"), "left_anti")
+      .count() == 0, "a neighbor escaped the ADC shortlist")
+    // exactness: the published cos_sim equals the brute-force cosine for
+    // the same pair (PQ error confined to the cut, never the score)
+    val brute = Similarity.bruteForceTopK(emb, k = Int.MaxValue)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos_sim").as("exact_sim"))
+    val j = got.join(brute, Seq("query_id", "neighbor_id"))
+    assert(j.count() == got.count())
+    assert(j.filter(col("cos_sim") =!= col("exact_sim")).count() == 0)
+    // ordering: within a query, rnk ascends as cos_sim descends
+    val bad = got.as("x").join(got.as("y"),
+        col("x.query_id") === col("y.query_id") && col("x.rnk") < col("y.rnk"))
+      .filter(col("x.cos_sim") < col("y.cos_sim"))
+    assert(bad.count() == 0)
+  }
+
   test("persisted IVF index: query path matches the inline ivfTopK exactly") {
     val root = tmpDir("ivfidx")
     Similarity.buildIvfIndex(emb, root)
