@@ -631,6 +631,15 @@ object Eval {
         first(when(col("side") === 1, col("toks")), ignoreNulls = true)
           .as("ct"))
       .filter(col("rt").isNotNull && col("ct").isNotNull)
+      // widen BEFORE the per-pair CPU (LCS bit rows, n-gram fan-outs):
+      // the pair table is BYTES-small, so AQE's coalescing sizes the
+      // reduce side to a handful of tasks — but everything downstream is
+      // per-row CPU-heavy, and bytes are the wrong proxy. An explicit
+      // numbered round-robin repartition is never AQE-coalesced
+      // (REPARTITION_BY_NUM origin), costs one tiny exchange, and hands
+      // the fan-out the full task width. Measured (chrF, same shape):
+      // sf1 wall 10.3 s -> 3.8 s.
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
 
   /** ROUGE-L per generation pair: LCS length over the 40-token prefixes
     * via [[graft.functions.TokenLcs]] (bit-parallel, codegen'd), with the
@@ -730,6 +739,9 @@ object Eval {
         first(when(col("side") === 0, col("cs")), ignoreNulls = true).as("rs"),
         first(when(col("side") === 1, col("cs")), ignoreNulls = true).as("ks"))
       .filter(col("rs").isNotNull && col("ks").isNotNull)
+      // same bytes-vs-CPU widening as [[generationPairs]]: the ~480-row
+      // char-gram fan-out per pair runs on this shuffle's reduce side
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
     val grams = pairs
       .select(col("pid"), explode(array(
         struct(lit(0).as("side"), col("rs").as("s")),
@@ -737,10 +749,18 @@ object Eval {
       .select(col("pid"), col("x.side").as("side"), col("x.s").as("s"),
         explode(sequence(lit(1), lit(maxN))).as("n"))
       .filter(length(col("s")) >= col("n"))
+      // explode INDEXES then one codegen'd substr — NOT a higher-order
+      // transform building a per-row string array: HOFs run interpreted
+      // (lambda binding per element), and this stage's shuffle input is
+      // bytes-small while its row fan-out is the whole metric's CPU, so
+      // AQE under-provisions it (measured: the interpreted spelling ran
+      // 12 s at sf1 on coalesced partitions; this one is in-stage
+      // codegen all the way to the census shuffle)
       .select(col("pid"), col("side"), col("n"),
-        explode(transform(
-          sequence(lit(1), length(col("s")) - col("n") + 1),
-          i => col("s").substr(i, col("n")))).as("g"))
+        explode(sequence(lit(1), length(col("s")) - col("n") + 1)).as("i"),
+        col("s"))
+      .select(col("pid"), col("side"), col("n"),
+        col("s").substr(col("i"), col("n")).as("g"))
       .groupBy("pid", "side", "n", "g").agg(count(lit(1)).as("cnt"))
     val cand = grams.filter(col("side") === 1).drop("side")
     val ref = grams.filter(col("side") === 0).drop("side")
