@@ -4440,7 +4440,8 @@ object SparkEntry {
         |c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM documents)
         |SELECT c.source, c.n_docs,
-        |       round(coalesce(t.target_share, 0.025), 6) AS target_share,
+        |       CAST(round(coalesce(t.target_share, 0.025), 6) AS DOUBLE)
+        |         AS target_share,
         |       round(least(1.0, coalesce(t.target_share, 0.025) * n.n_total
         |             / c.n_docs), 6) AS sample_rate,
         |       round(least(CAST(c.n_docs AS DOUBLE),
@@ -8866,7 +8867,7 @@ object SparkEntry {
         |      FROM n)
         |SELECT c_nationkey, n_true, noise,
         |  greatest(n_true + noise, 0) AS n_released,
-        |  1.0 AS epsilon
+        |  CAST(1.0 AS DOUBLE) AS epsilon
         |FROM z""".stripMargin,
     "eval_confusion" -> // same conditional-count cells per threshold;
       // every presented ratio is the shared exact half-up form
@@ -9097,8 +9098,9 @@ object SparkEntry {
         |        CAST(sum(y) AS BIGINT) AS pos
         |      FROM s GROUP BY 1),
         |r AS (SELECT score,
-        |        sum(n) OVER (ORDER BY score DESC) AS cum_n,
-        |        sum(pos) OVER (ORDER BY score DESC) AS cum_pos,
+        |        CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n,
+        |        CAST(sum(pos) OVER (ORDER BY score DESC) AS BIGINT)
+        |          AS cum_pos,
         |        sum(pos) OVER () AS total_pos
         |      FROM g)
         |SELECT score, cum_n, cum_pos,

@@ -60,7 +60,14 @@ def main(out_dir, sf_dir):
         except AssertionError as e:
             print(f"FAIL {name}: {str(e).splitlines()[-1]}"); n_fail += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
-    sys.exit(1 if n_fail else 0)
+    # Type-parity gate (VERDICT r12 #2): the value compare above runs with
+    # check_dtype=False, so an oracle whose OUTPUT TYPE diverges from the
+    # Spark parquet (HUGEINT vs int64, decimal vs double) passes here yet
+    # fails the driver's dtype-sensitive hash. Run the Arrow-schema gate on
+    # the same dirs so certification can't miss the class.
+    import check_types
+    n_type_fail = check_types.check(out_dir, sf_dir)
+    sys.exit(1 if (n_fail or n_type_fail) else 0)
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
