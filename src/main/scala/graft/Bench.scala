@@ -28,6 +28,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ANSI is the Spark 4 default; pinned so the repo's numeric-budget
+      // overflows fail loudly even under cluster-level config drift.
+      .config("spark.sql.ansi.enabled", "true")
       .getOrCreate()
     // ERROR, not WARN: benign per-query WARNs (e.g. AQE notices) multiplied
     // by 60+ queries x 3 passes can alone overflow the driver's output tail

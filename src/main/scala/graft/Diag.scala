@@ -22,6 +22,9 @@ object Diag {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ANSI is the Spark 4 default; pinned so the repo's numeric-budget
+      // overflows fail loudly even under cluster-level config drift.
+      .config("spark.sql.ansi.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -19,6 +19,9 @@ object Explain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ANSI is the Spark 4 default; pinned so the repo's numeric-budget
+      // overflows fail loudly even under cluster-level config drift.
+      .config("spark.sql.ansi.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>

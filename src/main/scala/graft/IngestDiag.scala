@@ -23,6 +23,9 @@ object IngestDiag {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ANSI is the Spark 4 default; pinned so the repo's numeric-budget
+      // overflows fail loudly even under cluster-level config drift.
+      .config("spark.sql.ansi.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (i <- 1 to passes) {

@@ -47,6 +47,9 @@ object IngestScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ANSI is the Spark 4 default; pinned so the repo's numeric-budget
+      // overflows fail loudly even under cluster-level config drift.
+      .config("spark.sql.ansi.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
