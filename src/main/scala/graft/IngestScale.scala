@@ -81,15 +81,24 @@ object IngestScale {
       pipe.ingest(seedRaw(spark, prior))
       val rowsPerFile = 10L * nY * nX
       pipe.ingest(Bench.syntheticRaw(spark, prior, 10, nY, nX)) // warm, untimed
+      // Throughput denominator = rows that actually LAND in the fact
+      // table, not raw generated rows: Ingest.load drops sic_mean <= 0
+      // (~5/19 of the synthetic grid), so the raw count overstates
+      // rows/s by ~35% (r13 ADVICE). Counted as the warehouse delta
+      // across the timed loop so the convention is filter-proof.
+      def factRows(): Long =
+        graft.icenet.TableOps.read(spark, pipe.forecastPath).count()
+      val before = factRows()
       val t0 = System.nanoTime()
       (1 to filesTimed).foreach { k =>
         pipe.ingest(Bench.syntheticRaw(spark, prior + k, 10, nY, nX))
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      val rows = filesTimed * rowsPerFile
+      val rows = factRows() - before
       f"""{"metric":"ingest_scale","file_rows":$rowsPerFile,""" +
         f""""file_label":"$label","prior_partitions":$prior,""" +
         f""""files_timed":$filesTimed,"sec":$sec%.3f,""" +
+        f""""ingested_rows":$rows,""" +
         f""""rows_per_sec":${rows / sec}%.1f}"""
     } finally {
       import scala.jdk.CollectionConverters._

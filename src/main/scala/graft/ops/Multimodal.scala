@@ -56,10 +56,51 @@ object Multimodal {
     */
   object ImageCodec {
 
+    /** Per-partition pinned reader cache: `ImageIO.read` rescans the SPI
+      * registry and allocates a fresh reader PER CALL — one registry scan
+      * per image, contended across the 32 local tasks (the overhead class
+      * the video path eliminated with its pinned JPEG reader in r12).
+      * The container is sniffed from magic bytes and ONE reader per
+      * format is pinned for the partition's lifetime; unknown magics fall
+      * back to plain `ImageIO.read`, so accepted inputs are unchanged.
+      * Readers are disposed on task completion (not iterator exhaustion),
+      * so limit/take and task failure cannot leak them.
+      */
+    private[ops] final class PinnedReaders {
+      private val readers =
+        scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+      disposeOnTaskEnd(readers.valuesIterator.foreach(_.dispose()))
+      private def fmt(b: Array[Byte]): String =
+        if (b.length >= 4 && (b(0) & 0xff) == 0x89 &&
+            b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+        else if (b.length >= 2 && (b(0) & 0xff) == 0xff &&
+            (b(1) & 0xff) == 0xd8) "jpeg"
+        else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+        else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' &&
+            b(2) == 'F' && b(3) == '8') "gif"
+        else null
+      def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
+        val f = fmt(payload)
+        if (f == null) // unknown container: same path as before pinning
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        else {
+          val r = readers.getOrElseUpdate(f, javax.imageio.ImageIO
+            .getImageReadersByFormatName(f).next())
+          val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try { r.setInput(in); r.read(0) }
+          catch { case _: Exception => null }
+          finally { r.setInput(null); in.close() }
+        }
+      }
+    }
+
     /** Decode one payload and reduce it to exact channel sums. */
-    def decode(row: MediaRow): ImageStats = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(row.payload))
+    def decode(row: MediaRow): ImageStats =
+      decode(row, new PinnedReaders)
+
+    private[ops] def decode(row: MediaRow, readers: PinnedReaders): ImageStats = {
+      val img = readers.read(row.payload)
       require(img != null,
         s"media_id=${row.media_id}: payload (${row.payload.length} bytes) " +
           "is not a decodable image (PNG/JPEG/BMP/GIF)")
@@ -90,7 +131,8 @@ object Multimodal {
       import media.sparkSession.implicits._
       media.mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
-        rows.map(decode)
+        val readers = new PinnedReaders
+        rows.map(decode(_, readers))
       }
     }
 
@@ -104,9 +146,12 @@ object Multimodal {
       * to decode PNG, so matching sums certify a genuine decode +
       * resample, not a checksum replay.
       */
-    def resizeHalf(row: MediaRow): ResizeStats = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(row.payload))
+    def resizeHalf(row: MediaRow): ResizeStats =
+      resizeHalf(row, new PinnedReaders)
+
+    private[ops] def resizeHalf(
+        row: MediaRow, readers: PinnedReaders): ResizeStats = {
+      val img = readers.read(row.payload)
       require(img != null,
         s"media_id=${row.media_id}: payload (${row.payload.length} bytes) " +
           "is not a decodable image (PNG/JPEG/BMP/GIF)")
@@ -143,7 +188,8 @@ object Multimodal {
       import media.sparkSession.implicits._
       media.mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
-        rows.map(resizeHalf)
+        val readers = new PinnedReaders
+        rows.map(resizeHalf(_, readers))
       }
     }
   }
@@ -325,8 +371,10 @@ object Multimodal {
 
     /** Partition-local batched video decode — same shape as
       * [[ImageCodec.decodeImages]], plus ONE pinned JPEG reader per
-      * partition (tasks are single-threaded, so reuse is safe; disposed
-      * with the iterator's last row).
+      * partition (tasks are single-threaded, so reuse is safe). Disposal
+      * rides the task-completion listener, not iterator exhaustion, so
+      * partial consumption (limit/take) and task failure cannot leak the
+      * reader's native resources (r13 ADVICE).
       */
     def decodeVideo(media: Dataset[MediaRow]): Dataset[VideoStats] = {
       import media.sparkSession.implicits._
@@ -334,17 +382,21 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("jpeg").next()
-        new Iterator[VideoStats] {
-          def hasNext: Boolean = {
-            val h = rows.hasNext
-            if (!h) reader.dispose()
-            h
-          }
-          def next(): VideoStats = decodeWith(reader, rows.next())
-        }
+        Multimodal.disposeOnTaskEnd(reader.dispose())
+        rows.map(decodeWith(reader, _))
       }
     }
   }
+
+  /** Run `dispose` when the current task completes (success, failure, or
+    * early termination alike). Pinned ImageIO readers/writers hold native
+    * resources; tying their lifetime to iterator exhaustion leaks them
+    * under limit/take or mid-partition failure.
+    */
+  private[ops] def disposeOnTaskEnd(dispose: => Unit): Unit =
+    Option(org.apache.spark.TaskContext.get()).foreach {
+      _.addTaskCompletionListener[Unit](_ => dispose)
+    }
 
   /** STUB codec — deterministic stand-in for codecs the JDK cannot touch
     * (H.264/VP9/AV1 video; images decode for real via
@@ -615,6 +667,7 @@ object Multimodal {
       // adjudication as VideoCodec.decodeVideo's pinned reader)
       val writer = javax.imageio.ImageIO
         .getImageWritersByFormatName("jpeg").next()
+      disposeOnTaskEnd(writer.dispose())
       ids.map { id =>
         val w = (id % 32).toInt + 16
         val h = (id % 24).toInt + 12
