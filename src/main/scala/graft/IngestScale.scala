@@ -37,6 +37,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Usage: `runMain graft.IngestScale [filesTimed]` (default 4).
   */
+
 object IngestScale {
 
   def main(args: Array[String]): Unit = {
@@ -67,9 +68,9 @@ object IngestScale {
   /** One grid cell: fresh warehouse, `prior`-partition seed, one warm
     * ingest, `filesTimed` timed ingests. Returns the JSON record.
     */
-  private def oneCell(
+  private[graft] def oneCell(
       spark: SparkSession, label: String, nY: Int, nX: Int,
-      prior: Int, filesTimed: Int): String = {
+      prior: Int, filesTimed: Int, nLead: Int = 10): String = {
     val whPath = java.nio.file.Files.createTempDirectory("graft_ingest_scale")
     try {
       val pipe =
@@ -79,8 +80,8 @@ object IngestScale {
       // cardinality — the thing the anti-join and listing must prune —
       // is exactly `prior`.
       pipe.ingest(seedRaw(spark, prior))
-      val rowsPerFile = 10L * nY * nX
-      pipe.ingest(Bench.syntheticRaw(spark, prior, 10, nY, nX)) // warm, untimed
+      val rowsPerFile = nLead.toLong * nY * nX
+      pipe.ingest(Bench.syntheticRaw(spark, prior, nLead, nY, nX)) // warm, untimed
       // Throughput denominator = rows that actually LAND in the fact
       // table, not raw generated rows: Ingest.load drops sic_mean <= 0
       // (~5/19 of the synthetic grid), so the raw count overstates
@@ -91,7 +92,7 @@ object IngestScale {
       val before = factRows()
       val t0 = System.nanoTime()
       (1 to filesTimed).foreach { k =>
-        pipe.ingest(Bench.syntheticRaw(spark, prior + k, 10, nY, nX))
+        pipe.ingest(Bench.syntheticRaw(spark, prior + k, nLead, nY, nX))
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val rows = factRows() - before
@@ -125,5 +126,74 @@ object IngestScale {
       (lit(-262.5) + (col("id") % 32).cast("int") * 25.0).as("xc"),
       (pmod(col("id") * 7, lit(19)).cast("int") / 10.0 - 0.4).as("sic_mean"),
       (pmod(col("id"), lit(7)).cast("int") / 100.0).as("sic_stddev"))
+  }
+}
+
+/** Production-shape write-path measurement (r12 VERDICT #3): one REAL
+  * EASE-grid drop — 432×432 cells × 93 leadtimes ≈ 17.36M raw rows, the
+  * exact shape `processor.py` receives per forecast file — end to end
+  * through [[graft.icenet.Pipeline]], against the footnote-24 projection
+  * (~66 s/file from the 1M-row rung). Seeds a `prior`-partition
+  * warehouse, warms with one untimed EASE drop (geometry convergence +
+  * JIT), then times `filesTimed` steady-state drops.
+  *
+  * Usage: `runMain graft.IngestEase [filesTimed] [prior]` (default 2, 100).
+  * Run with SPARK_DRIVER_MEM=48g: each drop caches ~17M six-column rows.
+  */
+object IngestEase {
+
+  def main(args: Array[String]): Unit = {
+    val filesTimed = if (args.nonEmpty) args(0).toInt else 2
+    val prior = args.lift(1).map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // ANSI is the Spark 4 default; pinned so the repo's numeric-budget
+      // overflows fail loudly even under cluster-level config drift.
+      .config("spark.sql.ansi.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("decomp")) decomp(spark, prior)
+    else println(IngestScale.oneCell(spark, "EASE_17M", 432, 432, prior,
+      filesTimed, nLead = 93))
+    println(s"""{"metric":"ingest_ease_done"}""")
+    spark.stop()
+  }
+
+  /** Stage decomposition of one steady-state EASE ingest (after seed +
+    * one warm drop): where do the ~93 s/file go? Prints one JSON line
+    * per pipeline stage.
+    */
+  private def decomp(spark: SparkSession, prior: Int): Unit = {
+    val whPath = java.nio.file.Files.createTempDirectory("graft_ease_decomp")
+    try {
+      val pipe =
+        new graft.icenet.Pipeline(spark, whPath.toString, graft.icenet.North)
+      pipe.ingest(Bench.syntheticRaw(spark, 0, 93, 432, 432)) // warm
+      def timed[A](stage: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"""{"metric":"ease_stage","stage":"$stage",""" +
+          f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        r
+      }
+      val loaded = graft.icenet.Ingest
+        .load(Bench.syntheticRaw(spark, 1, 93, 432, 432)).cache()
+      try {
+        timed("load_cache_count")(loaded.count())
+        timed("update_geometries")(pipe.updateGeometries(loaded))
+        timed("update_forecasts")(pipe.updateForecasts(loaded))
+        timed("update_latest_incremental")(pipe.updateLatestIncremental(loaded))
+        timed("update_meta")(pipe.updateMeta(loaded))
+      } finally loaded.unpersist()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(whPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }
