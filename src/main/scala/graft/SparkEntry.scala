@@ -533,6 +533,11 @@ object SparkEntry {
     "mix_plan" -> ((s, dir) =>
       graft.ops.TextAnalysis.mixPlan(Tables.documents(s, dir),
         Seq("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.1))),
+    "mix_apply" -> ((s, dir) =>
+      // realize the plan: one broadcast-thresholded corpus scan, reduced
+      // map-side to the per-source (planned rate, realized draw) audit
+      graft.ops.TextAnalysis.mixApply(Tables.documents(s, dir),
+        Seq("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.1))),
     "length_buckets" -> ((s, dir) =>
       graft.ops.TextAnalysis.lengthBuckets(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) =>
@@ -543,6 +548,10 @@ object SparkEntry {
     // ---- beyond-reference: similarity search (ops.Similarity) ------------
     "sim_topk_brute" -> ((s, dir) =>
       graft.ops.Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
+    "sim_topk_mips" -> ((s, dir) =>
+      // exact max-inner-product retrieval (unnormalized scores); the
+      // norm-augmentation reduction makes the IVF family the scale path
+      graft.ops.Similarity.mipsTopK(Tables.embeddings(s, dir))),
     "sim_topk_ivf" -> ((s, dir) =>
       graft.ops.Similarity.ivfTopK(Tables.embeddings(s, dir))),
     "sim_topk_ivf_adaptive" -> ((s, dir) =>
@@ -2537,6 +2546,11 @@ object SparkEntry {
     "events_rfm" -> ((s, dir) =>
       // quartile-scored recency/frequency/monetary user segments
       graft.streaming.EventAggs.rfmSegments(Tables.events(s, dir))),
+    "stat_bootstrap" -> ((s, dir) =>
+      // Poisson bootstrap of mean event value: B=100 md5-seeded replicate
+      // weights per row, map-side-combined to 100 groups — the
+      // resampling CI whose exchange never carries the corpus
+      graft.ops.Stats.bootstrapMean(Tables.events(s, dir))),
     "stat_jackknife" -> ((s, dir) =>
       // one-pass block-jackknife SE of mean extendedprice over 20 md5 blocks
       graft.ops.Stats.blockJackknife(
@@ -4434,6 +4448,24 @@ object SparkEntry {
         |SELECT doc_id, lang, quality FROM q
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS BIGINT)
         |        / 65536.0 < quality * 0.3""".stripMargin,
+    "mix_apply" -> // realize mix_plan's rates with the shared md5-unit
+      // threshold; zero-draw sources survive via the left join back
+      """WITH t(source, target_share) AS (
+        |  VALUES ('src0', 0.3), ('src1', 0.2), ('src2', 0.1)),
+        |c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM documents),
+        |r AS (SELECT c.source, c.n_docs,
+        |        round(least(1.0, coalesce(t.target_share, 0.025) * n.n_total
+        |              / c.n_docs), 6) AS sample_rate
+        |      FROM c LEFT JOIN t USING (source), n),
+        |s AS (SELECT d.source, CAST(count(*) AS BIGINT) AS sampled_docs
+        |      FROM documents d JOIN r USING (source)
+        |      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,4)
+        |              AS BIGINT) / 65536.0 < r.sample_rate
+        |      GROUP BY 1)
+        |SELECT r.source, r.n_docs, r.sample_rate,
+        |       CAST(coalesce(s.sampled_docs, 0) AS BIGINT) AS sampled_docs
+        |FROM r LEFT JOIN s USING (source)""".stripMargin,
     "mix_plan" ->
       """WITH t(source, target_share) AS (
         |  VALUES ('src0', 0.3), ('src1', 0.2), ('src2', 0.1)),
@@ -5837,6 +5869,20 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+        |WHERE rn <= 5""".stripMargin,
+    "sim_topk_mips" -> // raw dot product, NO norm division (magnitude is
+      // signal); same query subset and (score desc, id asc) tie-break
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |          i -> qvec[i]*vec[i]), 'sum'), 6) AS ip
+        |      FROM v CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, neighbor_id, ip, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rn FROM s)
         |WHERE rn <= 5""".stripMargin,
     "sim_topk_agg" -> // same contract as sim_topk_brute, custom-aggregate path
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -8293,6 +8339,26 @@ object SparkEntry {
         |         || CAST(1 + len(list_filter(mb, x -> x < m)) AS VARCHAR)
         |         AS segment
         |FROM base CROSS JOIN b""".stripMargin,
+    "stat_bootstrap" -> // Poisson(1) weights from the md5 uniform vs the
+      // Scala-rendered CDF boundary list (dp_count_release discipline);
+      // integer cent sums; mean via the shared half-up exact ratio
+      s"""WITH reps AS (
+        |  SELECT b.b, CAST(round(e.value * 100) AS BIGINT) AS cents,
+        |    (CAST(CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+        |       || '|' || CAST(b.b AS VARCHAR)), 1, 12) AS BIGINT)
+        |       AS DOUBLE) + 0.5) / 281474976710656.0 AS u
+        |  FROM events e CROSS JOIN (SELECT unnest(range(100)) AS b) b),
+        |w AS (SELECT b, cents,
+        |        len(list_filter(${graft.ops.Stats.poissonBoundarySql},
+        |          c -> c < u)) AS w
+        |      FROM reps),
+        |g AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |        CAST(sum(w * cents) AS BIGINT) AS wsum_cents
+        |      FROM w GROUP BY 1)
+        |SELECT CAST(b AS BIGINT) AS b, n_eff,
+        |  CAST((wsum_cents * 2000000 + n_eff * 100)
+        |       // (2 * n_eff * 100) AS DOUBLE) / 1000000.0 AS boot_mean
+        |FROM g""".stripMargin,
     "stat_jackknife" ->
       """WITH r AS (SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
         |             CAST(l_linenumber AS VARCHAR) AS rid,

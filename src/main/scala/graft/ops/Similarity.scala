@@ -115,6 +115,41 @@ object Similarity {
         col("pair.score").as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Exact max-inner-product (MIPS) top-k for the query subset — the
+    * recommender/retrieval scoring shape where vectors are deliberately
+    * NOT normalized: magnitude carries signal (item popularity, document
+    * authority), so the score is the raw dot product, and the cosine
+    * variants above would rank differently. The classic norm-augmentation
+    * reduction (append sqrt(M² − ‖x‖²) to candidates, 0 to queries) turns
+    * MIPS into cosine over d+1 dims, making every IVF/PQ variant in this
+    * file the 100 TB path; this exact scorer is both the baseline and the
+    * recall ground truth for that reduction.
+    *
+    * Plan: same bounded-query contract as [[bruteForceTopK]] — the query
+    * set broadcasts via `checkedOrFail` (throws rather than silently
+    * planning an unbounded cartesian), the corpus is scanned once, and
+    * ranking is the [[graft.functions.TopKAggregate]] heap aggregate so
+    * the exchange carries O(queries × k) pairs, never the full candidate
+    * set. Tie-break (score desc, neighbor_id asc) matches the family.
+    */
+  def mipsTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
+    val v = withNorm(embeddings)
+    val q = v.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = v.join(
+        graft.operators.Broadcasting.checkedOrFail(q, tag = "MIPS query set"),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.functions.VectorFunctions.dot(col("qvec"), col("vec")), 6)
+          .as("ip"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAggregate.topk(col("ip"), col("neighbor_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("pair.id").as("neighbor_id"),
+        col("pair.score").as("ip"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** k-NN label classification for the query subset: each query's label is
     * predicted by majority vote over its [[bruteForceTopK]] neighbors
     * (ties: most votes, then lowest label), compared against the query's

@@ -17,6 +17,71 @@ import graft.functions.ExactRatio.exactRatio
   */
 object Stats {
 
+  /** Poisson(1) CDF boundaries c_k = e⁻¹·Σ_{j≤k} 1/j! for k = 0..8 — the
+    * bootstrap-weight twin of [[Expectations.dpNoiseBoundaries]]: a
+    * per-(row, replicate) weight is the count of boundaries below the
+    * md5-seeded uniform, so both engines derive it from comparisons of
+    * IDENTICAL double literals (no cross-engine factorials or exp at
+    * query time). Truncation at k = 8 caps a draw at w = 9 with
+    * P ≈ 1.1e-7 of hitting the cap — deterministic and mirrored, so it
+    * biases both engines identically and the certified values agree.
+    */
+  private[graft] val poissonBoundaries: Seq[Double] = {
+    val e = math.exp(-1.0)
+    (0 to 8).scanLeft(0.0) { (acc, k) =>
+      acc + e / (1 to k).map(_.toDouble).product
+    }.tail
+  }
+
+  /** [[poissonBoundaries]] as a SQL list literal at 17 significant digits
+    * (full double round-trip — the [[Expectations.dpBoundarySql]]
+    * rendering).
+    */
+  private[graft] def poissonBoundarySql: String = poissonBoundaries
+    .map(d => java.lang.String.format(
+      java.util.Locale.ROOT, "%.17g", Double.box(d)))
+    .mkString("[", ", ", "]")
+
+  /** Poisson bootstrap of the mean event value — the resampling CI that
+    * survives 100 TB. The textbook bootstrap ("draw n rows with
+    * replacement, B times") needs a coordinated global sample per
+    * replicate; Poissonization replaces it with an INDEPENDENT
+    * per-(row, replicate) weight w ~ Poisson(1) (the standard massive-data
+    * streams formulation), so the whole bootstrap is one narrow pass:
+    * explode B replicate indices per row, derive w from the md5-seeded
+    * uniform against [[poissonBoundaries]], and partial-aggregate
+    * map-side down to B groups — the exchange carries B rows per task,
+    * never the corpus.
+    *
+    * Float-free until presentation: values are exact cents (the fixture's
+    * 2-dp doubles scaled by 100 — both engines round the identical
+    * product double), replicate sums are integers (per-row w·cents ≤
+    * 9·10⁶; the BIGINT sum budget of ~9.2e18 needs > 1e12 rows per
+    * replicate, loud under ANSI past it), and the mean presents via the
+    * shared half-up exact-ratio form. Output: one row per replicate
+    * (b, n_eff, boot_mean); percentile CIs are order statistics the
+    * caller takes over the B rows.
+    */
+  def bootstrapMean(events: DataFrame, b: Int = 100): DataFrame = {
+    val cents = round(col("value") * lit(100)).cast("long")
+    val u = (conv(substring(md5(concat_ws("|",
+        col("event_id").cast("string"), col("b").cast("string"))), 1, 12),
+        16, 10).cast("long").cast("double") + lit(0.5)) /
+      lit(281474976710656.0)
+    val w = poissonBoundaries.map(c => when(u > lit(c), 1L).otherwise(0L))
+      .reduce(_ + _)
+    events.select(col("event_id"), cents.as("cents"))
+      .select(col("event_id"), col("cents"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .select(col("b"), w.as("w"), col("cents"))
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("cents")).as("wsum_cents"))
+      .select(col("b").cast("long").as("b"), col("n_eff"),
+        exactRatio(col("wsum_cents"), col("n_eff") * lit(100L), 6)
+          .as("boot_mean"))
+  }
+
   /** Contingency table of two categorical columns with joint and marginal
     * probabilities attached — the common substrate of [[mutualInfo]] and
     * [[chiSquare]].

@@ -365,6 +365,39 @@ object TextAnalysis {
           .as("expected_docs"))
   }
 
+  /** Realize a [[mixPlan]]: deterministic hash-threshold sampling of each
+    * source at its planned rate — the step that turns the mixing PLAN
+    * into the mixed CORPUS. Keep `doc` iff
+    * `md5_unit(doc_id) < sample_rate(source)` (the [[sampleWeighted]]
+    * hash convention: stable across runs/engines/cluster sizes, a pure
+    * narrow filter at scan speed). Returns the per-source reconciliation
+    * (planned rate vs realized draw) rather than the sampled rows — the
+    * audit table a curation run logs; the row-level sample is the same
+    * filter without the final aggregate.
+    *
+    * Plan: the rate table is O(sources) (guard-broadcast), so the corpus
+    * is scanned ONCE with a broadcast-joined threshold filter and
+    * reduced map-side to O(sources) counts — no shuffle carries corpus
+    * rows. Sources whose draw is empty still appear (left join back to
+    * the plan), so a rate bug cannot hide as a missing row.
+    */
+  def mixApply(docs: DataFrame, targets: Seq[(String, Double)],
+      defaultShare: Double = 0.025): DataFrame = {
+    val rates = mixPlan(docs, targets, defaultShare)
+      .select(col("source"), col("n_docs"), col("sample_rate"))
+    val unit = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("double") / 65536.0
+    val sampled = docs.select(col("source"), col("doc_id"))
+      .join(graft.operators.Broadcasting.checked(
+        rates.select("source", "sample_rate"), tag = "mix_apply rates"),
+        Seq("source"))
+      .filter(unit < col("sample_rate"))
+      .groupBy("source").agg(count(lit(1)).as("sampled_docs"))
+    rates.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("sample_rate"),
+        coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"))
+  }
+
   /** Weighted adjacent-symbol pair counts over a symbolized vocabulary —
     * the inner aggregate of BPE tokenizer training. Input: (syms, n) = a
     * word as its current symbol array and its corpus frequency. Output:

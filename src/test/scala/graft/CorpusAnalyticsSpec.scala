@@ -190,6 +190,32 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(plan("small") == ((10L, 1.0, 10.0)))
   }
 
+  test("mixApply realizes the plan: draws match a manual threshold filter " +
+    "and zero-draw sources still appear") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, "w " * 5, if (i < 30) "big" else "small"))
+      .toDF("doc_id", "text", "source")
+    val applied = TextAnalysis.mixApply(docs, Seq("big" -> 0.25, "small" -> 0.5))
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // small samples at rate 1.0: every doc survives the threshold
+    assert(applied("small") == ((10L, 1.0, 10L)))
+    // big at rate 10/30: reproduce the draw with the same md5 unit
+    val expectBig = docs.filter(col("source") === "big")
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("double") / 65536.0 < lit(0.333333)).count()
+    assert(applied("big")._3 == expectBig)
+    // a source whose rate draws nothing still appears with 0 (the audit
+    // row a silent-miss bug would need to suppress)
+    val one = Seq((99L, "w", "tiny")).toDF("doc_id", "text", "source")
+    val docs2 = docs.union(one)
+    val applied2 = TextAnalysis
+      .mixApply(docs2, Seq("big" -> 0.25, "small" -> 0.5, "tiny" -> 0.000001))
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(applied2.contains("tiny"))
+  }
+
   test("bpeMerges runs greedy deterministic merges with left-to-right application") {
     // corpus: "abab" x3, "abc" x2  ->  char pairs weighted by word freq:
     //   (a,b): 3*2 + 2*1 = 8   <- merge 1 = "ab"

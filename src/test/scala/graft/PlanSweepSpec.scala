@@ -30,10 +30,15 @@ class PlanSweepSpec extends SparkSpec {
     */
   private val reviewedNestedLoop = Set(
     "text_tfidf", "j3_cross_join", "sim_topk_sq8", "corpus_stats", "mix_plan",
+    // mix_apply composes mix_plan's rate CTE: the same 1-row n_total
+    // broadcast cross join (the corpus-side join is a broadcast equi)
+    "mix_apply",
     "skew_hot_keys",
     "dedup_embedding", "dedup_embedding_adaptive", "dedup_embedding_lsh",
     "embedding_outliers",
     "sim_topk_brute", "sim_topk_agg", "sim_topk_ivf", "sim_topk_ivf_kmeans",
+    // MIPS shares the brute scorers' non-equi checkedOrFail query join
+    "sim_topk_mips",
     "sim_hard_negatives",
     "sim_topk_ivf_mp", "sim_topk_ivf_persisted", "dq_check", "corpus_drift",
     // q22's wealth threshold: customer x a 1-row global-average broadcast

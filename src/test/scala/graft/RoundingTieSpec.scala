@@ -94,6 +94,8 @@ class RoundingTieSpec extends SparkSpec {
     "text_tfidf" -> "IRRATIONAL: ln IDF",
     "mix_plan" -> ("NON-EXACT WEIGHTS: 0.025 target share literal is " +
       "binary-inexact"),
+    "mix_apply" -> ("NON-EXACT WEIGHTS: sample_rate is mix_plan's " +
+      "binary-inexact share arithmetic (same CTE)"),
     "q14_promo_revenue" -> "DOUBLE SUM: price sums",
     "q8_market_share" -> "DOUBLE SUM: volume sums",
     "stat_ab_delta" -> ("DOUBLE SUM: user value sums feed the ratio " +

@@ -303,4 +303,40 @@ class SimilaritySpec extends SparkSpec {
       emb.repartition(7, col("vec_id")))
     assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
   }
+
+  test("mipsTopK ranks by raw inner product: magnitude wins where cosine " +
+    "would tie, and the heap aggregate matches a window re-rank") {
+    import spark.implicits._
+    // query [1,0]; candidates along the same direction with different
+    // norms plus an orthogonal one: cosine calls a and b identical
+    // (both 1.0), MIPS must put the LONGER b first.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0L),   // query (vec_id % 50 == 0)
+      (1L, Array(2.0f, 0.0f), 0L),   // a: ip 2
+      (2L, Array(5.0f, 0.0f), 0L),   // b: ip 5 — same cosine as a
+      (3L, Array(0.0f, 9.0f), 0L))   // orthogonal: ip 0
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.mipsTopK(vecs, k = 3, queryMod = 50)
+      .orderBy("rnk").as[(Long, Long, Double, Long)].collect()
+    assert(got.map(_._2).toSeq == Seq(2L, 1L, 3L), s"order was ${got.toSeq}")
+    assert(got.map(_._3).toSeq == Seq(5.0, 2.0, 0.0))
+    // independent driver-side reference on the sf0.001 fixture: same
+    // index-order dot, same HALF_UP rounding, same tie-break — catches
+    // heap pruning, self-match, and subset bugs alike
+    val emb001 = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = emb001.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val expect = rows.filter(_._1 % 50 == 0).flatMap { case (qid, qv) =>
+      rows.filter(_._1 != qid).map { case (nid, nv) =>
+        val ip = BigDecimal(
+          qv.zip(nv).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (qid, nid, ip)
+      }.sortBy(t => (-t._3, t._2)).take(5)
+        .zipWithIndex.map { case ((q, n, s), i) => (q, n, s, (i + 1).toLong) }
+    }.toSet
+    val mips = Similarity.mipsTopK(emb001)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(mips == expect)
+  }
 }

@@ -379,4 +379,36 @@ class StatsSpec extends SparkSpec {
       .toMap
     assert(got("a") == ((true, true)) && got("b") == ((true, true)))
   }
+
+  test("poissonBoundaries are the Poisson(1) CDF at k = 0..8") {
+    val b = Stats.poissonBoundaries
+    assert(b.size == 9)
+    assert(math.abs(b.head - math.exp(-1.0)) < 1e-15)
+    assert(math.abs(b(2) - 2.5 * math.exp(-1.0)) < 1e-15) // e⁻¹(1+1+1/2)
+    assert(b == b.sorted && b.last < 1.0)
+    // the SQL rendering round-trips to the identical doubles
+    val parsed = Stats.poissonBoundarySql.stripPrefix("[").stripSuffix("]")
+      .split(", ").map(_.toDouble).toSeq
+    assert(parsed == b)
+  }
+
+  test("bootstrapMean: constant values give the constant back for every " +
+    "replicate; weights are Poisson-calibrated and run-deterministic") {
+    import org.apache.spark.sql.functions._
+    val events = (1L to 400L).toDF("event_id")
+      .select(col("event_id"), lit(7.25).as("value"))
+    val got = Stats.bootstrapMean(events, b = 50)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 50)
+    // a replicate's mean of a constant is that constant, whatever the draw
+    assert(got.forall(_._3 == 7.25), s"non-constant means: ${got.take(3).toSeq}")
+    // E[n_eff] = n (E[Poisson(1)] = 1): the 50-replicate average must sit
+    // within 4 sigma (sigma = sqrt(n/B) ≈ 2.8)
+    val meanNeff = got.map(_._2).sum.toDouble / got.length
+    assert(math.abs(meanNeff - 400.0) < 12.0, s"n_eff mean $meanNeff")
+    // md5-seeded: a second run is bit-identical
+    val again = Stats.bootstrapMean(events, b = 50)
+      .as[(Long, Long, Double)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
