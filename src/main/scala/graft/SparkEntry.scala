@@ -552,6 +552,14 @@ object SparkEntry {
       // exact max-inner-product retrieval (unnormalized scores); the
       // norm-augmentation reduction makes the IVF family the scale path
       graft.ops.Similarity.mipsTopK(Tables.embeddings(s, dir))),
+    "sim_topk_mips_ivf" -> ((s, dir) => {
+      // the MIPS scale path realized: norm-augmented vectors make every
+      // candidate norm exactly M, so cosine-IVF bucketing answers MIPS;
+      // published scores are exact raw dots; C rides the CellLadder
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.Similarity.mipsIvfTopK(emb,
+        nCentroids = graft.ops.Similarity.adaptiveCellCount(emb.count()))
+    }),
     "sim_topk_ivf" -> ((s, dir) =>
       graft.ops.Similarity.ivfTopK(Tables.embeddings(s, dir))),
     "sim_topk_ivf_adaptive" -> ((s, dir) =>
@@ -5880,6 +5888,52 @@ object SparkEntry {
         |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
         |          i -> qvec[i]*vec[i]), 'sum'), 6) AS ip
         |      FROM v CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, neighbor_id, ip, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rn FROM s)
+        |WHERE rn <= 5""".stripMargin,
+    "sim_topk_mips_ivf" -> // augmented-cosine assignment (every candidate
+      // norm is exactly mx, so /(mx*mx)); queries probe ASYMMETRICALLY
+      // with [q, 0] (norm = orig nrm) taking 4 cells; cell-confined
+      // EXACT raw-dot scoring; ladder-sized like sim_topk_ivf_adaptive
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |cc AS (SELECT CAST(coalesce(min(p), 65536) AS INT) AS c FROM
+        |         (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+        |                         8192, 16384, 32768, 65536]) AS p), nn
+        |       WHERE CAST(p AS BIGINT) * p >= n),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |m AS (SELECT max(nrm) AS mx FROM n),
+        |a AS (SELECT vec_id, vec,
+        |        list_append(vec, sqrt(mx*mx - nrm*nrm)) AS avec, mx
+        |      FROM n CROSS JOIN m),
+        |c AS (SELECT vec_id AS cent_id, avec AS cvec
+        |      FROM a, cc WHERE vec_id < cc.c),
+        |asg AS (SELECT a.vec_id, a.vec, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(avec)),
+        |            i -> avec[i]*cvec[i]), 'sum') / (mx*mx), 6) AS c_cos
+        |        FROM a CROSS JOIN c),
+        |cell AS (SELECT vec_id, vec, cent_id AS cell FROM
+        |          (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+        |         WHERE rn = 1),
+        |qa AS (SELECT vec_id, vec AS qvec, nrm,
+        |         list_append(vec, CAST(0.0 AS DOUBLE)) AS qavec
+        |       FROM n WHERE vec_id % 50 = 0),
+        |qasg AS (SELECT qa.vec_id, qa.qvec, cent_id,
+        |           round(list_aggregate(list_transform(generate_series(1, len(qavec)),
+        |             i -> qavec[i]*cvec[i]), 'sum') / (nrm*mx), 6) AS c_cos
+        |         FROM qa CROSS JOIN c CROSS JOIN m),
+        |q AS (SELECT vec_id AS query_id, qvec, cent_id AS cell FROM
+        |        (SELECT *, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM qasg)
+        |      WHERE rn <= 4),
+        |s AS (SELECT query_id, mm.vec_id AS neighbor_id,
+        |        round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |          i -> qvec[i]*mm.vec[i]), 'sum'), 6) AS ip
+        |      FROM cell mm JOIN q USING (cell) WHERE mm.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, ip, CAST(rn AS BIGINT) AS rnk
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rn FROM s)

@@ -39,6 +39,9 @@ class PlanSweepSpec extends SparkSpec {
     "sim_topk_brute", "sim_topk_agg", "sim_topk_ivf", "sim_topk_ivf_kmeans",
     // MIPS shares the brute scorers' non-equi checkedOrFail query join
     "sim_topk_mips",
+    // mips-ivf: the reviewed broadcast centroid fan-out (assignment)
+    // plus a 1-row max-norm broadcast for the augmentation coordinate
+    "sim_topk_mips_ivf",
     "sim_hard_negatives",
     "sim_topk_ivf_mp", "sim_topk_ivf_persisted", "dq_check", "corpus_drift",
     // q22's wealth threshold: customer x a 1-row global-average broadcast

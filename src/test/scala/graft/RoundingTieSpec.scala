@@ -130,7 +130,10 @@ class RoundingTieSpec extends SparkSpec {
     "sim_topk_ivf_mp" -> CosineReason,
     "sim_topk_ivf_persisted" -> CosineReason,
     "sim_topk_ivfpq" -> CosineReason,
-    "sim_topk_ivfpq_rerank" -> CosineReason)
+    "sim_topk_ivfpq_rerank" -> CosineReason,
+    // assignment cosine divides by mx*mx (mx via sqrt); the published
+    // ip column is round(dot, 6) with NO division
+    "sim_topk_mips_ivf" -> CosineReason)
 
   /** Extract every round(...) argument (balanced parens) from a SQL
     * string and keep those containing a division. `//` (already-exact

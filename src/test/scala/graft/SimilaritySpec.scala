@@ -339,4 +339,32 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(mips == expect)
   }
+
+  test("mipsIvfTopK: published scores are exact dots (subset of the " +
+    "exact scorer's candidate scores); query-form multi-probe recall@5 " +
+    "vs exact MIPS is high") {
+    import spark.implicits._
+    val c = Similarity.adaptiveCellCount(emb.count())
+    val ivf = Similarity.mipsIvfTopK(emb, nCentroids = c)
+      .as[(Long, Long, Double, Long)].collect()
+    val exact = Similarity.mipsTopK(emb, k = 1000000, queryMod = 50)
+    // every published (query, neighbor, ip) must appear in the exact
+    // scorer's full candidate scoring with the IDENTICAL score — the
+    // reduction may drop candidates, never change a score
+    val exactScores = exact.drop("rnk").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(ivf.forall(r => exactScores.get((r._1, r._2)).contains(r._3)),
+      "an ivf-published score diverged from the exact dot")
+    // recall@5: the augmented-cosine bucketing should find most true
+    // neighbors on the fixture (same band the cosine IVF family holds)
+    val trueTop = exact.filter(col("rnk") <= 5)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val gotTop = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = trueTop.map { case (q, t) =>
+      (gotTop.getOrElse(q, Set.empty) & t).size.toDouble / t.size
+    }.sum / trueTop.size
+    info(f"recall@5 vs exact MIPS = $recall%.3f (query-form, nProbe=4)")
+    assert(recall >= 0.5, s"recall@5 = $recall — bucketing broken")
+  }
 }
