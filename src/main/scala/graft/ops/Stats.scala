@@ -71,6 +71,13 @@ object Stats {
     val w = poissonBoundaries.map(c => when(u > lit(c), 1L).otherwise(0L))
       .reduce(_ + _)
     events.select(col("event_id"), cents.as("cents"))
+      // explicit numbered round-robin BEFORE the ×B fan-out: the input is
+      // bytes-small (a 2-column projection of events), so file splitting
+      // gives it a handful of partitions and the B× md5 CPU below would
+      // run near-serial — the eval_chrf under-parallelism class. A
+      // REPARTITION_BY_NUM of the tiny pre-explode table buys full-width
+      // parallelism for the expensive stage and is never AQE-coalesced.
+      .repartition(events.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("event_id"), col("cents"),
         explode(sequence(lit(0), lit(b - 1))).as("b"))
       .select(col("b"), w.as("w"), col("cents"))
