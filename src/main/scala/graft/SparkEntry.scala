@@ -336,6 +336,11 @@ object SparkEntry {
       // tie-break, greedy left-to-right application to the symbolized
       // vocabulary, recount) — the tokenizer artifact itself
       graft.ops.TextAnalysis.bpeLearn(Tables.documents(s, dir))),
+    "bpe_encode" -> ((s, dir) =>
+      // the tokenizer APPLY path: encode the vocabulary with the learned
+      // merges (training fold == encode fold, single-sourced); per-word
+      // frequency, char length, encoded token count
+      graft.ops.TextAnalysis.bpeEncode(Tables.documents(s, dir))),
     "split_assign" -> ((s, dir) =>
       graft.ops.TextAnalysis.splitAssign(Tables.documents(s, dir))),
     "split_decontaminated" -> ((s, dir) =>
@@ -3002,6 +3007,100 @@ object SparkEntry {
     * read-back is bit-exact (double arrays round-trip parquet losslessly),
     * so both paths compute identical results.
     */
+  /** Shared BPE CTE chain (w0 -> t1/w1 -> t2/w2 -> t3/w3): three
+    * unrolled greedy merge rounds with the run-parity window rendering of
+    * the left-to-right fold (marked pair-starts are adjacent only for
+    * lhs == rhs runs; odd positions in each run survive) — validated vs an
+    * independent Python BPE, incl. adversarial same-char-run corpora.
+    * `bpe_learn` reads out the merge table; `bpe_encode` reads out the
+    * re-symbolized vocabulary.
+    */
+  private val BpeFoldSql: String =
+    """WITH w0 AS (
+        |  SELECT word, n, list_transform(generate_series(1, length(word)), i -> word[i:i]) AS syms
+        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS n FROM
+        |         (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |          FROM documents)
+        |        GROUP BY word)),
+        |p1 AS (SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |  SELECT n, unnest(list_transform(generate_series(1, len(syms)-1),
+        |      j -> {'l': syms[j], 'r': syms[j+1]})) AS u
+        |  FROM w0 WHERE len(syms) >= 2) GROUP BY 1, 2),
+        |t1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |mk1 AS (SELECT word, n, u.i AS i, u.s AS s,
+        |            (u.s = t1.l AND coalesce(u.nx = t1.r, FALSE)) AS mk
+        |          FROM (SELECT word, n, unnest(list_transform(generate_series(1, len(syms)),
+        |              j -> {'i': j, 's': syms[j],
+        |                     'nx': CASE WHEN j < len(syms) THEN syms[j+1] END})) AS u
+        |            FROM w0), t1),
+        |isl1 AS (SELECT word, n, i, s, mk,
+        |             CASE WHEN mk THEN i - row_number() OVER (
+        |               PARTITION BY word, mk ORDER BY i) END AS island
+        |           FROM mk1),
+        |keep1 AS (SELECT word, i FROM (
+        |    SELECT word, i, row_number() OVER (PARTITION BY word, island ORDER BY i) AS rr
+        |    FROM isl1 WHERE mk) WHERE rr % 2 = 1),
+        |w1 AS (SELECT p.word AS word, any_value(p.n) AS n,
+        |           list(CASE WHEN k.i IS NOT NULL THEN (SELECT l || r FROM t1)
+        |                     ELSE p.s END ORDER BY p.i) AS syms
+        |         FROM mk1 p
+        |         LEFT JOIN keep1 k ON k.word = p.word AND k.i = p.i
+        |         LEFT JOIN keep1 kp ON kp.word = p.word AND kp.i = p.i - 1
+        |         WHERE kp.i IS NULL
+        |         GROUP BY p.word),
+        |p2 AS (SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |  SELECT n, unnest(list_transform(generate_series(1, len(syms)-1),
+        |      j -> {'l': syms[j], 'r': syms[j+1]})) AS u
+        |  FROM w1 WHERE len(syms) >= 2) GROUP BY 1, 2),
+        |t2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |mk2 AS (SELECT word, n, u.i AS i, u.s AS s,
+        |            (u.s = t2.l AND coalesce(u.nx = t2.r, FALSE)) AS mk
+        |          FROM (SELECT word, n, unnest(list_transform(generate_series(1, len(syms)),
+        |              j -> {'i': j, 's': syms[j],
+        |                     'nx': CASE WHEN j < len(syms) THEN syms[j+1] END})) AS u
+        |            FROM w1), t2),
+        |isl2 AS (SELECT word, n, i, s, mk,
+        |             CASE WHEN mk THEN i - row_number() OVER (
+        |               PARTITION BY word, mk ORDER BY i) END AS island
+        |           FROM mk2),
+        |keep2 AS (SELECT word, i FROM (
+        |    SELECT word, i, row_number() OVER (PARTITION BY word, island ORDER BY i) AS rr
+        |    FROM isl2 WHERE mk) WHERE rr % 2 = 1),
+        |w2 AS (SELECT p.word AS word, any_value(p.n) AS n,
+        |           list(CASE WHEN k.i IS NOT NULL THEN (SELECT l || r FROM t2)
+        |                     ELSE p.s END ORDER BY p.i) AS syms
+        |         FROM mk2 p
+        |         LEFT JOIN keep2 k ON k.word = p.word AND k.i = p.i
+        |         LEFT JOIN keep2 kp ON kp.word = p.word AND kp.i = p.i - 1
+        |         WHERE kp.i IS NULL
+        |         GROUP BY p.word),
+        |p3 AS (SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |  SELECT n, unnest(list_transform(generate_series(1, len(syms)-1),
+        |      j -> {'l': syms[j], 'r': syms[j+1]})) AS u
+        |  FROM w2 WHERE len(syms) >= 2) GROUP BY 1, 2),
+        |t3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+        |mk3 AS (SELECT word, n, u.i AS i, u.s AS s,
+        |            (u.s = t3.l AND coalesce(u.nx = t3.r, FALSE)) AS mk
+        |          FROM (SELECT word, n, unnest(list_transform(generate_series(1, len(syms)),
+        |              j -> {'i': j, 's': syms[j],
+        |                     'nx': CASE WHEN j < len(syms) THEN syms[j+1] END})) AS u
+        |            FROM w2), t3),
+        |isl3 AS (SELECT word, n, i, s, mk,
+        |             CASE WHEN mk THEN i - row_number() OVER (
+        |               PARTITION BY word, mk ORDER BY i) END AS island
+        |           FROM mk3),
+        |keep3 AS (SELECT word, i FROM (
+        |    SELECT word, i, row_number() OVER (PARTITION BY word, island ORDER BY i) AS rr
+        |    FROM isl3 WHERE mk) WHERE rr % 2 = 1),
+        |w3 AS (SELECT p.word AS word, any_value(p.n) AS n,
+        |           list(CASE WHEN k.i IS NOT NULL THEN (SELECT l || r FROM t3)
+        |                     ELSE p.s END ORDER BY p.i) AS syms
+        |         FROM mk3 p
+        |         LEFT JOIN keep3 k ON k.word = p.word AND k.i = p.i
+        |         LEFT JOIN keep3 kp ON kp.word = p.word AND kp.i = p.i - 1
+        |         WHERE kp.i IS NULL
+        |         GROUP BY p.word)""".stripMargin
+
   private val IvfTopKSql: String =
     """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       |           FROM embeddings),
@@ -4791,98 +4890,19 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
-    "bpe_learn" -> // three unrolled greedy merge rounds; the fold
-      // is the run-parity window rendering (marked pair-starts are
-      // adjacent only for lhs == rhs runs; odd positions in each run
-      // survive) — validated vs an independent Python BPE, incl.
-      // adversarial same-char-run corpora
-      """WITH w0 AS (
-        |  SELECT word, n, list_transform(generate_series(1, length(word)), i -> word[i:i]) AS syms
-        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS n FROM
-        |         (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-        |          FROM documents)
-        |        GROUP BY word)),
-        |p1 AS (SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
-        |  SELECT n, unnest(list_transform(generate_series(1, len(syms)-1),
-        |      j -> {'l': syms[j], 'r': syms[j+1]})) AS u
-        |  FROM w0 WHERE len(syms) >= 2) GROUP BY 1, 2),
-        |t1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
-        |mk1 AS (SELECT word, n, u.i AS i, u.s AS s,
-        |            (u.s = t1.l AND coalesce(u.nx = t1.r, FALSE)) AS mk
-        |          FROM (SELECT word, n, unnest(list_transform(generate_series(1, len(syms)),
-        |              j -> {'i': j, 's': syms[j],
-        |                     'nx': CASE WHEN j < len(syms) THEN syms[j+1] END})) AS u
-        |            FROM w0), t1),
-        |isl1 AS (SELECT word, n, i, s, mk,
-        |             CASE WHEN mk THEN i - row_number() OVER (
-        |               PARTITION BY word, mk ORDER BY i) END AS island
-        |           FROM mk1),
-        |keep1 AS (SELECT word, i FROM (
-        |    SELECT word, i, row_number() OVER (PARTITION BY word, island ORDER BY i) AS rr
-        |    FROM isl1 WHERE mk) WHERE rr % 2 = 1),
-        |w1 AS (SELECT p.word AS word, any_value(p.n) AS n,
-        |           list(CASE WHEN k.i IS NOT NULL THEN (SELECT l || r FROM t1)
-        |                     ELSE p.s END ORDER BY p.i) AS syms
-        |         FROM mk1 p
-        |         LEFT JOIN keep1 k ON k.word = p.word AND k.i = p.i
-        |         LEFT JOIN keep1 kp ON kp.word = p.word AND kp.i = p.i - 1
-        |         WHERE kp.i IS NULL
-        |         GROUP BY p.word),
-        |p2 AS (SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
-        |  SELECT n, unnest(list_transform(generate_series(1, len(syms)-1),
-        |      j -> {'l': syms[j], 'r': syms[j+1]})) AS u
-        |  FROM w1 WHERE len(syms) >= 2) GROUP BY 1, 2),
-        |t2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
-        |mk2 AS (SELECT word, n, u.i AS i, u.s AS s,
-        |            (u.s = t2.l AND coalesce(u.nx = t2.r, FALSE)) AS mk
-        |          FROM (SELECT word, n, unnest(list_transform(generate_series(1, len(syms)),
-        |              j -> {'i': j, 's': syms[j],
-        |                     'nx': CASE WHEN j < len(syms) THEN syms[j+1] END})) AS u
-        |            FROM w1), t2),
-        |isl2 AS (SELECT word, n, i, s, mk,
-        |             CASE WHEN mk THEN i - row_number() OVER (
-        |               PARTITION BY word, mk ORDER BY i) END AS island
-        |           FROM mk2),
-        |keep2 AS (SELECT word, i FROM (
-        |    SELECT word, i, row_number() OVER (PARTITION BY word, island ORDER BY i) AS rr
-        |    FROM isl2 WHERE mk) WHERE rr % 2 = 1),
-        |w2 AS (SELECT p.word AS word, any_value(p.n) AS n,
-        |           list(CASE WHEN k.i IS NOT NULL THEN (SELECT l || r FROM t2)
-        |                     ELSE p.s END ORDER BY p.i) AS syms
-        |         FROM mk2 p
-        |         LEFT JOIN keep2 k ON k.word = p.word AND k.i = p.i
-        |         LEFT JOIN keep2 kp ON kp.word = p.word AND kp.i = p.i - 1
-        |         WHERE kp.i IS NULL
-        |         GROUP BY p.word),
-        |p3 AS (SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
-        |  SELECT n, unnest(list_transform(generate_series(1, len(syms)-1),
-        |      j -> {'l': syms[j], 'r': syms[j+1]})) AS u
-        |  FROM w2 WHERE len(syms) >= 2) GROUP BY 1, 2),
-        |t3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
-        |mk3 AS (SELECT word, n, u.i AS i, u.s AS s,
-        |            (u.s = t3.l AND coalesce(u.nx = t3.r, FALSE)) AS mk
-        |          FROM (SELECT word, n, unnest(list_transform(generate_series(1, len(syms)),
-        |              j -> {'i': j, 's': syms[j],
-        |                     'nx': CASE WHEN j < len(syms) THEN syms[j+1] END})) AS u
-        |            FROM w2), t3),
-        |isl3 AS (SELECT word, n, i, s, mk,
-        |             CASE WHEN mk THEN i - row_number() OVER (
-        |               PARTITION BY word, mk ORDER BY i) END AS island
-        |           FROM mk3),
-        |keep3 AS (SELECT word, i FROM (
-        |    SELECT word, i, row_number() OVER (PARTITION BY word, island ORDER BY i) AS rr
-        |    FROM isl3 WHERE mk) WHERE rr % 2 = 1),
-        |w3 AS (SELECT p.word AS word, any_value(p.n) AS n,
-        |           list(CASE WHEN k.i IS NOT NULL THEN (SELECT l || r FROM t3)
-        |                     ELSE p.s END ORDER BY p.i) AS syms
-        |         FROM mk3 p
-        |         LEFT JOIN keep3 k ON k.word = p.word AND k.i = p.i
-        |         LEFT JOIN keep3 kp ON kp.word = p.word AND kp.i = p.i - 1
-        |         WHERE kp.i IS NULL
-        |         GROUP BY p.word)
+    "bpe_learn" -> // three unrolled greedy merge rounds over the shared
+      // fold chain (BpeFoldSql); see that constant for the run-parity
+      // window rendering notes
+      (BpeFoldSql + """
         |SELECT 1 AS merge_rank, l AS lhs, r AS rhs, cnt AS weighted_count FROM t1
         |UNION ALL SELECT 2, l, r, cnt FROM t2
-        |UNION ALL SELECT 3, l, r, cnt FROM t3""".stripMargin,
+        |UNION ALL SELECT 3, l, r, cnt FROM t3""".stripMargin),
+    "bpe_encode" -> // the tokenizer APPLY path: the same learned chain,
+      // read out as the encoded vocabulary (per-word token counts)
+      (BpeFoldSql + """
+        |SELECT word, n, CAST(length(word) AS BIGINT) AS n_chars,
+        |       CAST(len(syms) AS BIGINT) AS n_tokens
+        |FROM w3""".stripMargin),
     "bpe_top_pairs" ->
       """WITH vocab AS (
         |  SELECT word, count(*) AS n

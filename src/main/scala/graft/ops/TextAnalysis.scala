@@ -485,6 +485,39 @@ object TextAnalysis {
       .toDF("merge_rank", "lhs", "rhs", "weighted_count")
   }
 
+  /** The tokenizer APPLY path: encode the corpus vocabulary with the
+    * merges [[bpeMerges]] learns — the step every training pipeline runs
+    * over 100 TB after training the tokenizer once. Each learned merge is
+    * the SAME greedy left-to-right fold used during training (single
+    * sourced semantics: training fold == encode fold by construction), so
+    * a word's encoding equals its final training-time symbolization.
+    * Output per distinct word: corpus frequency, char length, and encoded
+    * token count — corpus-level totals (tokens = Σ n·n_tokens,
+    * compression = chars/tokens) are one trivial aggregate away.
+    *
+    * Scale: the folds run over the VOCABULARY (already aggregated), never
+    * the corpus — `iters` narrow HOF layers on O(vocab) rows; the corpus
+    * is read once by the word-count aggregate. Same vocabulary-bound
+    * design the sf10 rung verified flat for bpe_learn.
+    */
+  def bpeEncode(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val merges = bpeMerges(docs, iters)
+    val vocab0 = docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("word"), col("n"), split(col("word"), "").as("syms"))
+    val folded = merges.foldLeft(vocab0) { case (v, (_, l, r, _)) =>
+      v.select(col("word"), col("n"),
+        aggregate(col("syms"), typedLit(Seq.empty[String]),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === l && s === r,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s)))).as("syms"))
+    }
+    folded.select(col("word"), col("n"),
+      length(col("word")).cast("long").as("n_chars"),
+      size(col("syms")).cast("long").as("n_tokens"))
+  }
+
   /** PII redaction patterns (RE2-safe: no backrefs/lookarounds, so the same
     * pattern text behaves identically in Java regex and RE2-family
     * engines). Order matters: emails first (an email contains no phone/IP

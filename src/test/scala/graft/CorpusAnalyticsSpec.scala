@@ -231,6 +231,24 @@ class CorpusAnalyticsSpec extends SparkSpec {
       (1, "a", "b", 8L), (2, "ab", "ab", 3L), (3, "ab", "c", 2L)))
   }
 
+  test("bpeEncode applies the learned merges: encoded token counts equal " +
+    "the training-time final symbolization") {
+    // same corpus as the bpeMerges test: merges (a,b), (ab,ab), (ab,c) —
+    // so "abab" encodes to [abab] (1 token) and "abc" to [abc] (1 token)
+    val docs = Seq((1L, "abab abab abab abc abc")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bpeEncode(docs, iters = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "abab" -> ((3L, 4L, 1L)), // freq 3, 4 chars, 1 token
+      "abc" -> ((2L, 3L, 1L))))
+    // fewer merges encode less: with only merge 1 ("ab"), abab -> [ab,ab]
+    val got1 = graft.ops.TextAnalysis.bpeEncode(docs, iters = 1)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got1 == Map("abab" -> 2L, "abc" -> 2L))
+  }
+
   test("bpeMerges greedy fold never merges overlapping occurrences") {
     // "aaaa" with merge (a,a): left-to-right gives [aa][aa], so iteration 2
     // must see pair (aa,aa) with weight 1 - an overlap-broken fold would
