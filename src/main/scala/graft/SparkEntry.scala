@@ -2559,6 +2559,10 @@ object SparkEntry {
     "events_rfm" -> ((s, dir) =>
       // quartile-scored recency/frequency/monetary user segments
       graft.streaming.EventAggs.rfmSegments(Tables.events(s, dir))),
+    "stat_bootstrap_diff" -> ((s, dir) =>
+      // the A/B form: md5-armed users, both arms' replicate sums from ONE
+      // conditional aggregate; diff CI = order stats over the B rows
+      graft.ops.Stats.bootstrapDiff(Tables.events(s, dir))),
     "stat_bootstrap" -> ((s, dir) =>
       // Poisson bootstrap of mean event value: B=100 md5-seeded replicate
       // weights per row, map-side-combined to 100 groups — the
@@ -8413,6 +8417,38 @@ object SparkEntry {
         |         || CAST(1 + len(list_filter(mb, x -> x < m)) AS VARCHAR)
         |         AS segment
         |FROM base CROSS JOIN b""".stripMargin,
+    "stat_bootstrap_diff" -> // same Poisson weights; arms via the md5 user
+      // split; conditional sums, exact-ratio means, engine-exact diff
+      s"""WITH reps AS (
+        |  SELECT b.b, CAST(round(e.value * 100) AS BIGINT) AS cents,
+        |    CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR)),1,4)
+        |      AS BIGINT) % 2 AS arm,
+        |    (CAST(CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+        |       || '|' || CAST(b.b AS VARCHAR)), 1, 12) AS BIGINT)
+        |       AS DOUBLE) + 0.5) / 281474976710656.0 AS u
+        |  FROM events e CROSS JOIN (SELECT unnest(range(100)) AS b) b),
+        |w AS (SELECT b, arm, cents,
+        |        len(list_filter(${graft.ops.Stats.poissonBoundarySql},
+        |          c -> c < u)) AS w
+        |      FROM reps),
+        |g AS (SELECT b,
+        |        CAST(sum(CASE WHEN arm = 0 THEN w ELSE 0 END) AS BIGINT) AS n_c,
+        |        CAST(sum(CASE WHEN arm = 0 THEN w * cents ELSE 0 END)
+        |          AS BIGINT) AS s_c,
+        |        CAST(sum(CASE WHEN arm = 1 THEN w ELSE 0 END) AS BIGINT) AS n_t,
+        |        CAST(sum(CASE WHEN arm = 1 THEN w * cents ELSE 0 END)
+        |          AS BIGINT) AS s_t
+        |      FROM w GROUP BY 1)
+        |SELECT CAST(b AS BIGINT) AS b, n_c, n_t,
+        |  CAST((s_c * 2000000 + n_c * 100) // (2 * n_c * 100) AS DOUBLE)
+        |    / 1000000.0 AS mean_c,
+        |  CAST((s_t * 2000000 + n_t * 100) // (2 * n_t * 100) AS DOUBLE)
+        |    / 1000000.0 AS mean_t,
+        |  CAST((s_t * 2000000 + n_t * 100) // (2 * n_t * 100) AS DOUBLE)
+        |    / 1000000.0
+        |  - CAST((s_c * 2000000 + n_c * 100) // (2 * n_c * 100) AS DOUBLE)
+        |    / 1000000.0 AS diff
+        |FROM g""".stripMargin,
     "stat_bootstrap" -> // Poisson(1) weights from the md5 uniform vs the
       // Scala-rendered CDF boundary list (dp_count_release discipline);
       // integer cent sums; mean via the shared half-up exact ratio

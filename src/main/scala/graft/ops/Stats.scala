@@ -89,6 +89,50 @@ object Stats {
           .as("boot_mean"))
   }
 
+  /** Poisson bootstrap of an A/B DIFFERENCE in mean event value — the
+    * form experimentation actually ships: arms are the deterministic md5
+    * user split (the fdr/ab-test convention), weights and cent-exact sums
+    * are [[bootstrapMean]]'s, and both arms' replicate sums come out of
+    * ONE grouped aggregate (conditional sums, no self-join), so the plan
+    * is still a single narrow pass with a B-row exchange. Means present
+    * via the shared half-up exact ratio; `diff` is their engine-exact
+    * double subtraction (identical operands both engines). Percentile CI
+    * of the treatment effect = order statistics over the B diffs.
+    */
+  def bootstrapDiff(events: DataFrame, b: Int = 100): DataFrame = {
+    val cents = round(col("value") * lit(100)).cast("long")
+    val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4),
+      16, 10).cast("long"), lit(2))
+    val u = (conv(substring(md5(concat_ws("|",
+        col("event_id").cast("string"), col("b").cast("string"))), 1, 12),
+        16, 10).cast("long").cast("double") + lit(0.5)) /
+      lit(281474976710656.0)
+    val w = poissonBoundaries.map(c => when(u > lit(c), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val zero = lit(0L)
+    events.select(col("event_id"), cents.as("cents"), arm.as("arm"))
+      // pre-explode REPARTITION_BY_NUM: same under-parallelism fix as
+      // bootstrapMean — the projection is bytes-small, the fan-out is not
+      .repartition(events.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("event_id"), col("arm"), col("cents"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .select(col("b"), col("arm"), w.as("w"), col("cents"))
+      .groupBy("b")
+      .agg(
+        sum(when(col("arm") === 0, col("w")).otherwise(zero)).as("n_c"),
+        sum(when(col("arm") === 0, col("w") * col("cents")).otherwise(zero))
+          .as("s_c"),
+        sum(when(col("arm") === 1, col("w")).otherwise(zero)).as("n_t"),
+        sum(when(col("arm") === 1, col("w") * col("cents")).otherwise(zero))
+          .as("s_t"))
+      .select(col("b").cast("long").as("b"),
+        col("n_c"), col("n_t"),
+        exactRatio(col("s_c"), col("n_c") * lit(100L), 6).as("mean_c"),
+        exactRatio(col("s_t"), col("n_t") * lit(100L), 6).as("mean_t"),
+        (exactRatio(col("s_t"), col("n_t") * lit(100L), 6) -
+          exactRatio(col("s_c"), col("n_c") * lit(100L), 6)).as("diff"))
+  }
+
   /** Contingency table of two categorical columns with joint and marginal
     * probabilities attached — the common substrate of [[mutualInfo]] and
     * [[chiSquare]].

@@ -411,4 +411,21 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("bootstrapDiff: arm-constant values give the exact treatment " +
+    "effect in every replicate") {
+    import org.apache.spark.sql.functions._
+    val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4),
+      16, 10).cast("long"), lit(2))
+    val events = (1L to 200L).toDF("user_id").select(
+      col("user_id").as("event_id"), col("user_id"),
+      when(arm === 0, 10.0).otherwise(12.5).as("value"))
+    val got = Stats.bootstrapDiff(events, b = 40)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 40)
+    assert(got.forall(r => r._4 == 10.0 && r._5 == 12.5 && r._6 == 2.5),
+      s"non-constant arm means: ${got.take(3).toSeq}")
+    // both arms drew non-degenerate weights in every replicate
+    assert(got.forall(r => r._2 > 0 && r._3 > 0))
+  }
 }
