@@ -2548,6 +2548,13 @@ object SparkEntry {
     "sim_recall_report" -> ((s, dir) =>
       // per-query recall@3 of the IVF index against the brute ground truth
       graft.ops.Similarity.recallReport(Tables.embeddings(s, dir))),
+    "sim_recall_report_mips" -> ((s, dir) => {
+      // recall@5 of the MIPS scale path vs the exact anchor, as a gate
+      // row: a probing regression fails certification, not just a spec
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.Similarity.mipsRecallReport(emb,
+        nCentroids = graft.ops.Similarity.adaptiveCellCount(emb.count()))
+    }),
     "feat_cdf_table" -> ((s, dir) =>
       // per-returnflag empirical CDF of quantity over the (group, value)
       // aggregate — O(distinct values) windows, never O(rows)
@@ -8361,6 +8368,72 @@ object SparkEntry {
         |h AS (SELECT e.query_id, count(*) AS hits
         |      FROM exact e JOIN approx a
         |        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |      GROUP BY 1),
+        |ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+        |SELECT ne.query_id, coalesce(h.hits, 0) AS hits,
+        |       CAST((coalesce(h.hits, 0) * 2000000 + ne.n_exact)
+        |            // (2 * ne.n_exact) AS DOUBLE) / 1000000.0 AS recall
+        |FROM ne LEFT JOIN h USING (query_id)""".stripMargin,
+    "sim_recall_report_mips" -> // exact-MIPS and MIPS-IVF CTEs (both
+      // verbatim from their own certified oracles), then the per-query
+      // intersection over the two top-5 tails
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |cc AS (SELECT CAST(coalesce(min(p), 65536) AS INT) AS c FROM
+        |         (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+        |                         8192, 16384, 32768, 65536]) AS p), nn
+        |       WHERE CAST(p AS BIGINT) * p >= n),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, vec,
+        |        sqrt(list_aggregate(list_transform(vec, x -> x*x), 'sum')) AS nrm FROM v),
+        |qb AS (SELECT vec_id AS query_id, vec AS qvec FROM n
+        |       WHERE vec_id % 50 = 0),
+        |sb AS (SELECT query_id, vec_id AS neighbor_id,
+        |         round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |           i -> qvec[i]*vec[i]), 'sum'), 6) AS ip
+        |       FROM n CROSS JOIN qb WHERE vec_id <> query_id),
+        |exact AS (SELECT query_id, neighbor_id
+        |          FROM (SELECT *, row_number() OVER (
+        |                  PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rn
+        |                FROM sb)
+        |          WHERE rn <= 5),
+        |m AS (SELECT max(nrm) AS mx FROM n),
+        |a AS (SELECT vec_id, vec,
+        |        list_append(vec, sqrt(mx*mx - nrm*nrm)) AS avec, mx
+        |      FROM n CROSS JOIN m),
+        |c AS (SELECT vec_id AS cent_id, avec AS cvec
+        |      FROM a, cc WHERE vec_id < cc.c),
+        |asg AS (SELECT a.vec_id, a.vec, cent_id,
+        |          round(list_aggregate(list_transform(generate_series(1, len(avec)),
+        |            i -> avec[i]*cvec[i]), 'sum') / (mx*mx), 6) AS c_cos
+        |        FROM a CROSS JOIN c),
+        |cell AS (SELECT vec_id, vec, cent_id AS cell FROM
+        |          (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM asg)
+        |         WHERE rn = 1),
+        |qa AS (SELECT vec_id, vec AS qvec, nrm,
+        |         list_append(vec, CAST(0.0 AS DOUBLE)) AS qavec
+        |       FROM n WHERE vec_id % 50 = 0),
+        |qasg AS (SELECT qa.vec_id, qa.qvec, cent_id,
+        |           round(list_aggregate(list_transform(generate_series(1, len(qavec)),
+        |             i -> qavec[i]*cvec[i]), 'sum') / (nrm*mx), 6) AS c_cos
+        |         FROM qa CROSS JOIN c CROSS JOIN m),
+        |qp AS (SELECT vec_id AS query_id, qvec, cent_id AS cell FROM
+        |         (SELECT *, row_number() OVER (
+        |            PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn FROM qasg)
+        |       WHERE rn <= 4),
+        |si AS (SELECT query_id, mm.vec_id AS neighbor_id,
+        |         round(list_aggregate(list_transform(generate_series(1, len(qvec)),
+        |           i -> qvec[i]*mm.vec[i]), 'sum'), 6) AS ip
+        |       FROM cell mm JOIN qp USING (cell) WHERE mm.vec_id <> qp.query_id),
+        |approx AS (SELECT query_id, neighbor_id
+        |           FROM (SELECT *, row_number() OVER (
+        |                   PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rn
+        |                 FROM si)
+        |           WHERE rn <= 5),
+        |h AS (SELECT e.query_id, count(*) AS hits
+        |      FROM exact e JOIN approx ap
+        |        ON e.query_id = ap.query_id AND e.neighbor_id = ap.neighbor_id
         |      GROUP BY 1),
         |ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
         |SELECT ne.query_id, coalesce(h.hits, 0) AS hits,

@@ -887,6 +887,30 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Recall certification of the MIPS scale path: per-query recall@k of
+    * [[mipsIvfTopK]] against the exact [[mipsTopK]] ground truth — the
+    * [[recallReport]] twin for the inner-product metric, run as a GATE
+    * row so a probing regression (e.g. reverting to self-probing, which
+    * measured recall 0.24 vs 0.52) fails certification, not just a spec.
+    * Both sides are bounded top-k tails, so the report itself is
+    * O(queries·k) joins after the scorers run.
+    */
+  def mipsRecallReport(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val exact = mipsTopK(embeddings, k, queryMod)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = mipsIvfTopK(embeddings, k, queryMod, nCentroids, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        exactRatio(coalesce(col("hits"), lit(0L)), col("n_exact"), 6)
+          .as("recall"))
+  }
+
   /** IVF top-k over k-means-REFINED centroids: [[kmeansCentroids]] runs
     * `iters` deterministic Lloyd iterations from the lowest-vec_id seeds,
     * the refined means are rounded to 6 decimals (so the refined centroids

@@ -146,6 +146,8 @@ class PlanSweepSpec extends SparkSpec {
     // composes the brute scorer (bounded query-set broadcast) with the
     // IVF scorer's 16-centroid fan-out
     "sim_recall_report",
+    // same composition for the MIPS pair (exact anchor + augmented IVF)
+    "sim_recall_report_mips",
     // text_tfidf's 1-row n_docs broadcast under the keyword rank window
     "text_keywords",
     // 1-row reference-date + quartile-bounds broadcasts onto O(users)

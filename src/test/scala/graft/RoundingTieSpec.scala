@@ -70,6 +70,9 @@ class RoundingTieSpec extends SparkSpec {
     "sample_weighted" -> "NON-EXACT WEIGHTS: quality composite",
     "sim_recall_report" -> ("recall is exact fixed point; remaining " +
       "round-over-division is the IVF cosine scoring (IRRATIONAL: sqrt)"),
+    "sim_recall_report_mips" -> ("recall is exact fixed point; remaining " +
+      "round-over-division is the augmented assignment cosine " +
+      "(IRRATIONAL: sqrt); published ip rounds with NO division"),
     "sim_topk_sq8" -> "IRRATIONAL: dequantized cosine via sqrt norms",
     "sim_sq8_error" -> ("SAFE QUANTIZER ROUND: round((x-mn)*255/span) is " +
       "the quantizer itself, evaluated on IDENTICAL doubles by both " +
