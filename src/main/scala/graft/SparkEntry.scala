@@ -543,6 +543,12 @@ object SparkEntry {
       // map-side to the per-source (planned rate, realized draw) audit
       graft.ops.TextAnalysis.mixApply(Tables.documents(s, dir),
         Seq("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.1))),
+    "curate_epoch_plan" -> ((s, dir) =>
+      // data-constrained scaling: epochs per source to hit the mixture
+      // at a budget of half the corpus's token mass; epochs > 1 flags
+      // upsampling (data repetition) explicitly
+      graft.ops.TextAnalysis.epochPlan(Tables.documents(s, dir),
+        Seq("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.1))),
     "length_buckets" -> ((s, dir) =>
       graft.ops.TextAnalysis.lengthBuckets(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) =>
@@ -4584,6 +4590,25 @@ object SparkEntry {
         |SELECT r.source, r.n_docs, r.sample_rate,
         |       CAST(coalesce(s.sampled_docs, 0) AS BIGINT) AS sampled_docs
         |FROM r LEFT JOIN s USING (source)""".stripMargin,
+    "curate_epoch_plan" -> // token mass per source (the text_token_count
+      // whitespace convention), budget = 0.5 x corpus tokens
+      """WITH t(source, target_share) AS (
+        |  VALUES ('src0', 0.3), ('src1', 0.2), ('src2', 0.1)),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |          AS BIGINT) AS n_tokens
+        |      FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens FROM c)
+        |SELECT c.source, c.n_docs, c.n_tokens,
+        |  CAST(round(coalesce(t.target_share, 0.025), 6) AS DOUBLE)
+        |    AS target_share,
+        |  round(coalesce(t.target_share, 0.025) * n.total_tokens * 0.5, 4)
+        |    AS needed_tokens,
+        |  round(coalesce(t.target_share, 0.025) * n.total_tokens * 0.5
+        |    / c.n_tokens, 6) AS epochs,
+        |  coalesce(t.target_share, 0.025) * n.total_tokens * 0.5
+        |    > CAST(c.n_tokens AS DOUBLE) AS upsampled
+        |FROM c LEFT JOIN t USING (source), n""".stripMargin,
     "mix_plan" ->
       """WITH t(source, target_share) AS (
         |  VALUES ('src0', 0.3), ('src1', 0.2), ('src2', 0.1)),

@@ -485,6 +485,39 @@ object TextAnalysis {
       .toDF("merge_rank", "lhs", "rhs", "weighted_count")
   }
 
+  /** Epoch plan under a token budget — the data-constrained-scaling step
+    * after [[mixPlan]]: given target corpus shares and a total token
+    * budget (a fraction of the corpus's own token mass, so the plan is
+    * self-contained and deterministic), how many EPOCHS of each source
+    * does the mixture need? epochs > 1 means upsampling (repeating data),
+    * the quantity LLM data work budgets explicitly. One grouped token
+    * count + two 1-row/O(sources) broadcasts; nothing scales past the
+    * corpus scan.
+    */
+  def epochPlan(docs: DataFrame, targets: Seq[(String, Double)],
+      budgetFraction: Double = 0.5, defaultShare: Double = 0.025): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = broadcast(targets.toDF("source", "target_share"))
+    val counts = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+    val total = broadcast(counts.agg(
+      sum(col("n_tokens")).cast("double").as("total_tokens")))
+    val share = coalesce(col("target_share"), lit(defaultShare))
+    counts.join(t, Seq("source"), "left")
+      .crossJoin(total)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(share, 6).as("target_share"),
+        round(share * col("total_tokens") * lit(budgetFraction), 4)
+          .as("needed_tokens"),
+        round(share * col("total_tokens") * lit(budgetFraction)
+          / col("n_tokens"), 6).as("epochs"),
+        (share * col("total_tokens") * lit(budgetFraction)
+          > col("n_tokens").cast("double")).as("upsampled"))
+  }
+
   /** The tokenizer APPLY path: encode the corpus vocabulary with the
     * merges [[bpeMerges]] learns — the step every training pipeline runs
     * over 100 TB after training the tokenizer once. Each learned merge is

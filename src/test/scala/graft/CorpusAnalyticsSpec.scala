@@ -231,6 +231,22 @@ class CorpusAnalyticsSpec extends SparkSpec {
       (1, "a", "b", 8L), (2, "ab", "ab", 3L), (3, "ab", "c", 2L)))
   }
 
+  test("epochPlan: epochs = needed/available; scarce sources flag " +
+    "upsampled") {
+    // big: 9 docs x 10 tokens = 90; small: 1 doc x 10 tokens = 10.
+    // budget = 0.5 x 100 = 50 tokens; both target 50% -> needed 25 each:
+    // big epochs 25/90, small 25/10 = 2.5 (upsampled)
+    val docs = (Seq.fill(9)("big") :+ "small").zipWithIndex.map {
+      case (src, i) => (i.toLong, Seq.fill(10)("w").mkString(" "), src)
+    }.toDF("doc_id", "text", "source")
+    val got = graft.ops.TextAnalysis
+      .epochPlan(docs, Seq("big" -> 0.5, "small" -> 0.5))
+      .as[(String, Long, Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._5, r._6, r._7))).toMap
+    assert(got("big") == ((90L, 25.0, 0.277778, false)))
+    assert(got("small") == ((10L, 25.0, 2.5, true)))
+  }
+
   test("bpeEncode applies the learned merges: encoded token counts equal " +
     "the training-time final symbolization") {
     // same corpus as the bpeMerges test: merges (a,b), (ab,ab), (ab,c) —

@@ -33,6 +33,8 @@ class PlanSweepSpec extends SparkSpec {
     // mix_apply composes mix_plan's rate CTE: the same 1-row n_total
     // broadcast cross join (the corpus-side join is a broadcast equi)
     "mix_apply",
+    // epoch plan: the same 1-row total-tokens broadcast cross join
+    "curate_epoch_plan",
     "skew_hot_keys",
     "dedup_embedding", "dedup_embedding_adaptive", "dedup_embedding_lsh",
     "embedding_outliers",

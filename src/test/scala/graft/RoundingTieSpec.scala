@@ -99,6 +99,8 @@ class RoundingTieSpec extends SparkSpec {
       "binary-inexact"),
     "mix_apply" -> ("NON-EXACT WEIGHTS: sample_rate is mix_plan's " +
       "binary-inexact share arithmetic (same CTE)"),
+    "curate_epoch_plan" -> ("NON-EXACT WEIGHTS: epochs divides the " +
+      "binary-inexact share x 0.5-budget product"),
     "q14_promo_revenue" -> "DOUBLE SUM: price sums",
     "q8_market_share" -> "DOUBLE SUM: volume sums",
     "stat_ab_delta" -> ("DOUBLE SUM: user value sums feed the ratio " +
