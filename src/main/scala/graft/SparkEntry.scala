@@ -2873,6 +2873,11 @@ object SparkEntry {
       // expression, F1 = 2·LCS/(|r|+|c|) as an exact ratio; the oracle
       // replays the same Allison–Dix bit row as a recursive CTE
       graft.ops.Eval.rougeL(Tables.documents(s, dir))),
+    "eval_wer" -> ((s, dir) =>
+      // word error rate per generation pair: token-level Levenshtein via
+      // a per-ROW vocab-to-codepoint map over both engines' character
+      // levenshtein; WER = dist/|ref| exact ratio
+      graft.ops.Eval.wer(Tables.documents(s, dir))),
     "eval_bleu_clip" -> ((s, dir) =>
       // clipped 1/2-gram precision per generation pair (the BLEU-n
       // core); exact (num, den) BIGINT pairs — the geometric mean and
@@ -9424,6 +9429,35 @@ object SparkEntry {
         |            // (2 * (p.rlen + p.clen)) AS DOUBLE) / 1000000.0
         |         AS rouge_l_f1
         |FROM pairs p JOIN lcs l ON l.ref_id = p.ref_id""".stripMargin,
+    "eval_wer" -> // token-level Levenshtein via the per-pair
+      // vocab-to-codepoint map (sorted distinct pair vocab <= 80, so
+      // chr(64 + pos) is one char in both engines); WER exact ratio
+      """WITH t AS (SELECT doc_id,
+        |    (regexp_split_to_array(trim(text), '\s+'))[1:40] AS toks
+        |  FROM documents),
+        |p AS (SELECT r.doc_id AS ref_id, c.doc_id AS cand_id,
+        |        r.toks AS rt, c.toks AS ct
+        |      FROM t r JOIN t c ON c.doc_id = r.doc_id + 1
+        |      WHERE r.doc_id % 2 = 0),
+        |m AS (SELECT ref_id, cand_id, rt, ct,
+        |        list_sort(list_distinct(list_concat(rt, ct))) AS vocab
+        |      FROM p),
+        |s AS (SELECT ref_id, cand_id,
+        |        CAST(len(rt) AS BIGINT) AS ref_len,
+        |        CAST(len(ct) AS BIGINT) AS cand_len,
+        |        list_aggregate(list_transform(rt,
+        |          x -> chr(64 + list_position(vocab, x))), 'string_agg', '')
+        |          AS rs,
+        |        list_aggregate(list_transform(ct,
+        |          x -> chr(64 + list_position(vocab, x))), 'string_agg', '')
+        |          AS cs
+        |      FROM m)
+        |SELECT ref_id, cand_id,
+        |  CAST(levenshtein(rs, cs) AS BIGINT) AS edit_dist,
+        |  ref_len, cand_len,
+        |  CAST((CAST(levenshtein(rs, cs) AS BIGINT) * 2000000 + ref_len)
+        |       // (2 * ref_len) AS DOUBLE) / 1000000.0 AS wer
+        |FROM s""".stripMargin,
     "eval_bleu_clip" -> // candidate n-gram counts clipped at reference
       // counts, pair-local left join on (pid, n, gram)
       """WITH tok AS MATERIALIZED (

@@ -657,6 +657,34 @@ object Eval {
       .withColumn("rouge_l_f1",
         exactRatio(col("lcs_len") * 2L, col("ref_len") + col("cand_len"), 6))
 
+  /** Word error rate per generation pair — the ASR/generation metric the
+    * suite lacked: token-level Levenshtein distance over the reference,
+    * WER = dist/|ref| as an [[ExactRatio]] (can exceed 1 when the
+    * candidate is longer — the standard convention).
+    *
+    * Token-level edit distance rides both engines' CHARACTER
+    * `levenshtein`: the pair's sorted-distinct vocabulary (≤ 2·prefix =
+    * 80 entries, a per-ROW array — no global dictionary, so nothing
+    * scales with corpus vocabulary) maps each token to one codepoint
+    * (chr(64 + position)), and the mapped strings' character distance IS
+    * the token distance. Everything after [[generationPairs]]' single
+    * shuffle is per-row codegen'd expressions.
+    */
+  def wer(docs: DataFrame, prefixTokens: Int = 40): DataFrame = {
+    def asChars(toks: Column, vocab: Column): Column =
+      array_join(transform(toks,
+        t => chr(array_position(vocab, t) + lit(64L))), "")
+    generationPairs(docs, prefixTokens)
+      .withColumn("vocab",
+        array_sort(array_distinct(concat(col("rt"), col("ct")))))
+      .select((col("pid") * 2).as("ref_id"), (col("pid") * 2 + 1).as("cand_id"),
+        levenshtein(asChars(col("rt"), col("vocab")),
+          asChars(col("ct"), col("vocab"))).cast("long").as("edit_dist"),
+        size(col("rt")).cast("long").as("ref_len"),
+        size(col("ct")).cast("long").as("cand_len"))
+      .withColumn("wer", exactRatio(col("edit_dist"), col("ref_len"), 6))
+  }
+
   /** Clipped n-gram precision per generation pair (the BLEU-n building
     * block, Papineni 2002): for n = 1, 2 the numerator clips each
     * candidate n-gram's count at its reference count; the geometric mean

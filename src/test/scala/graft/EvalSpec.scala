@@ -452,4 +452,23 @@ class EvalSpec extends SparkSpec {
       ("fr", 1, 1L, 2L, 0.5),
       ("fr", 2, 1L, 1L, 1.0)))
   }
+
+  test("wer: hand-computed token edit distances, including WER > 1") {
+    import spark.implicits._
+    // pair 0: identical 4 tokens -> 0; pair 1: one substitution in 4
+    // -> 0.25; pair 2: one insertion (ref 2, cand 3) -> 0.5; pair 3:
+    // ref 1 token, cand 3 all different -> dist 3, WER 3.0
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c d"),
+      (2L, "a b c d"), (3L, "a x c d"),
+      (4L, "a b"),     (5L, "a q b"),
+      (6L, "z"),       (7L, "p q r")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Eval.wer(docs)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._6))).toMap
+    assert(got == Map(
+      0L -> ((0L, 0.0)), 2L -> ((1L, 0.25)),
+      4L -> ((1L, 0.5)), 6L -> ((3L, 3.0))))
+  }
 }
