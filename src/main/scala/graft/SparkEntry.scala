@@ -1746,6 +1746,12 @@ object SparkEntry {
       graft.ops.Multimodal.AudioCodec.decodeAudio(
         graft.ops.Multimodal.wavFromDocuments(Tables.documents(s, dir)))
         .toDF()),
+    "multimodal_audio_windows" -> ((s, dir) =>
+      // windowed audio energy (the VAD/segmentation primitive): exact
+      // per-64-frame integer sums from the same real PCM decode
+      graft.ops.Multimodal.AudioCodec.decodeAudioWindows(
+        graft.ops.Multimodal.wavFromDocuments(Tables.documents(s, dir)))
+        .toDF()),
     "multimodal_video_decode" -> ((s, dir) =>
       // REAL video decode (MJPEG-in-AVI, pure JVM): each doc_id becomes
       // an AVI of nf JPEG frames with arithmetic dims; the decoder must
@@ -7241,6 +7247,21 @@ object SparkEntry {
         |       CAST(sum(v) AS BIGINT) AS sum_amp,
         |       CAST(sum(v * v) AS BIGINT) AS sum_sq
         |FROM s GROUP BY 1, 2, 3, 4""".stripMargin,
+    "multimodal_audio_windows" -> // the audio_decode closed form grouped
+      // by i // 64 — only a real PCM decode reproduces per-window sums
+      """WITH g AS (
+        |  SELECT doc_id, CAST(doc_id % 200 + 40 AS INT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT g.doc_id, i.i // 64 AS window_id,
+        |         (g.doc_id * 31 + i.i * 7919) % 2001 - 1000 AS v
+        |  FROM g JOIN LATERAL (
+        |    SELECT unnest(generate_series(0, g.n - 1)) AS i) i ON true)
+        |SELECT doc_id AS media_id, CAST(window_id AS BIGINT) AS window_id,
+        |       CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(sum(v) AS BIGINT) AS sum_amp,
+        |       CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "multimodal_video_decode" -> // pure arithmetic prediction of the AVI
       // round trip: nf frames of w x h JPEGs — only a codec that really
       // walks the RIFF tree and reads each frame's SOF header reproduces

@@ -266,7 +266,64 @@ object Multimodal {
       import media.sparkSession.implicits._
       media.mapPartitions(rows => rows.map(decode))
     }
+
+    /** Windowed audio energy — the VAD/segmentation primitive: decode
+      * PCM and emit exact per-window integer sums (amplitude, energy,
+      * frame count) over fixed `window`-frame blocks. Mono-only (the
+      * per-window channel interleave has no single canonical reduction;
+      * the fixture and the oracle's closed form are mono). Like
+      * [[decode]], all-integer so the oracle predicts every cell from
+      * the waveform's arithmetic without parsing RIFF.
+      */
+    def decodeAudioWindows(
+        media: Dataset[MediaRow], window: Int = 64): Dataset[AudioWindow] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions(rows => rows.flatMap { row =>
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(row.payload))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"media_id=${row.media_id}: payload " +
+                  s"(${row.payload.length} bytes) is not decodable audio " +
+                  s"(WAV/PCM): ${e.getMessage}")
+          }
+        try {
+          val f = in.getFormat
+          require(f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && f.getChannels == 1,
+            s"media_id=${row.media_id}: windowed energy needs mono " +
+              s"PCM signed 16-bit, got ${f.getChannels}ch ${f.getEncoding}")
+          val bytes = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val frames = bytes.length / 2
+          (0 until (frames + window - 1) / window).map { w =>
+            var (sum, sumSq) = (0L, 0L)
+            var i = w * window
+            val end = math.min((w + 1) * window, frames)
+            while (i < end) {
+              val v = bb.getShort(i * 2).toLong
+              sum += v; sumSq += v * v
+              i += 1
+            }
+            AudioWindow(row.media_id, w.toLong,
+              (end - w * window).toLong, sum, sumSq)
+          }
+        } finally in.close()
+      })
+    }
   }
+
+  /** One fixed-size window's exact integer statistics from
+    * [[AudioCodec.decodeAudioWindows]].
+    */
+  case class AudioWindow(
+      media_id: Long, window_id: Long, n_frames: Long,
+      sum_amp: Long, sum_sq: Long)
 
   /** Exact per-payload statistics of one decoded MJPEG video: frame
     * count from the container walk plus per-frame decoded dimensions

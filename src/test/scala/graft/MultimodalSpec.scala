@@ -230,6 +230,32 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq(m, s2))
   }
 
+  test("decodeAudioWindows: hand-checkable per-window sums; windows " +
+    "partition the whole-payload totals; stereo rejected by name") {
+    import spark.implicits._
+    val rows = Seq(Multimodal.MediaRow(9L, "audio",
+      Multimodal.wavBytes(Array[Short](1, 2, 3, 4, 5), 8000), 0, 0, 8000, 5))
+    val got = Multimodal.AudioCodec
+      .decodeAudioWindows(rows.toDS(), window = 2)
+      .collect().sortBy(_.window_id).toSeq
+    assert(got == Seq(
+      Multimodal.AudioWindow(9L, 0L, 2L, 3L, 5L),
+      Multimodal.AudioWindow(9L, 1L, 2L, 7L, 25L),
+      Multimodal.AudioWindow(9L, 2L, 1L, 5L, 25L)))
+    // windows partition the totals the whole-payload decode certifies
+    val whole = Multimodal.AudioCodec.decode(rows.head)
+    assert(got.map(_.sum_amp).sum == whole.sum_amp &&
+      got.map(_.sum_sq).sum == whole.sum_sq &&
+      got.map(_.n_frames).sum == whole.n_samples)
+    val stereo = Seq(Multimodal.MediaRow(10L, "audio",
+      Multimodal.wavBytes(Array[Short](1, 2), 44100, channels = 2),
+      0, 0, 44100, 1))
+    val e = intercept[Exception] {
+      Multimodal.AudioCodec.decodeAudioWindows(stereo.toDS()).collect()
+    }
+    assert(e.getMessage.contains("mono"))
+  }
+
   test("AudioCodec rejects corrupt and unsupported payloads loudly") {
     val junk = Multimodal.MediaRow(99L, "audio",
       Array.tabulate[Byte](64)(_.toByte), 0, 0, 8000, 0)
