@@ -94,6 +94,36 @@ object StreamStateScale {
         d.select(col("user_id"), col("ts"), col("event_type"))
           .as[streaming.Sessionize.Event]).toDF()
     })
+
+    // stream-stream interval join (the fourth stateful family): left =
+    // the full stream, right = the 10% event_id % 10 == 0 substream;
+    // bound = BOTH sides' rows inside the watermark horizon —
+    // rate-proportional, length-flat
+    locally {
+      implicit val sqlCtx = spark.sqlContext
+      val lmem = MemoryStream[Ev]
+      val rmem = MemoryStream[Ev]
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+      val joined = streaming.StreamJoins.intervalJoin(
+        lmem.toDF().toDF(cols: _*), rmem.toDF().toDF(cols: _*),
+        "user_id", "ts")
+      val q = joined.writeStream.outputMode("append").format("noop").start()
+      try {
+        (0 until slices).foreach { k =>
+          val rows = slice(k)
+          if (rows.nonEmpty) {
+            lmem.addData(rows.toIndexedSeq)
+            rmem.addData(rows.filter(_._1 % 10 == 0).toIndexedSeq)
+          }
+          q.processAllAvailable()
+          val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+          println(s"""{"metric":"stream_state","op":"interval_join",""" +
+            s""""batch":$k,"input":${rows.length},""" +
+            s""""state_rows":${so.map(_.numRowsTotal).sum},""" +
+            s""""state_bytes":${so.map(_.memoryUsedBytes).sum}}""")
+        }
+      } finally q.stop()
+    }
     println(s"""{"metric":"stream_state_done","sf_dir":"$sfDir"}""")
     spark.stop()
   }

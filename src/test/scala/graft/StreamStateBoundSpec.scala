@@ -76,6 +76,34 @@ class StreamStateBoundSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream state tracks the watermark horizon, " +
+    "not stream length") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(Long, Timestamp, Long)]
+    val rmem = MemoryStream[(Long, Timestamp, Long)]
+    val joined = graft.streaming.StreamJoins.intervalJoin(
+      lmem.toDF().toDF("event_id", "ts", "user_id"),
+      rmem.toDF().toDF("event_id", "ts", "user_id"),
+      "user_id", "ts")
+    val q = joined.writeStream.outputMode("append").format("noop").start()
+    try {
+      val perBatch = (1 to 24).map { h => // 100 left + 10 right rows/hour
+        lmem.addData((0 until 100).map(i =>
+          (h * 1000L + i, hour(h, i % 60), (i % 20).toLong)))
+        rmem.addData((0 until 10).map(i =>
+          (h * 1000L + i, hour(h, i % 60), (i % 20).toLong)))
+        q.processAllAvailable()
+        stateRows(q)
+      }
+      // 2h watermark + 1h lookBack: at most ~4 hourly batches of both
+      // sides may be retained at any boundary (440 rows/hour x 4)
+      assert(perBatch.drop(5).forall(_ <= 4 * 440L),
+        s"join state exceeded horizon bound: $perBatch")
+      assert(perBatch.last <= perBatch(11),
+        s"join state grew with stream length: $perBatch")
+    } finally q.stop()
+  }
+
   test("sessionize: state rows equal active-key cardinality, independent " +
     "of event count") {
     implicit val sqlCtx = spark.sqlContext
