@@ -95,6 +95,14 @@ object StreamStateScale {
           .as[streaming.Sessionize.Event]).toDF()
     })
 
+    replay("sessionize_evicting", d => {
+      import spark.implicits._
+      streaming.Sessionize.sessionsEvicting(
+        d.select(col("user_id"), col("ts"), col("event_type"))
+          .withWatermark("ts", "1 hour")
+          .as[streaming.Sessionize.Event]).toDF()
+    })
+
     // stream-stream interval join (the fourth stateful family): left =
     // the full stream, right = the 10% event_id % 10 == 0 substream;
     // bound = BOTH sides' rows inside the watermark horizon —

@@ -71,4 +71,45 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         updateUser(gapUs, emitOpen))
   }
+
+  /** [[updateUser]] with event-time EVICTION: when the watermark passes
+    * `last + gap` — the instant no on-time event can extend the session —
+    * the open session is emitted as closed and its state removed. Same
+    * closed-session stream as [[updateUser]] plus the timeout closures
+    * NoTimeout holds open forever.
+    */
+  def updateUserEvicting(gapUs: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(Session(userId, s.start, s.last, s.n))
+    } else {
+      val out = updateUser(gapUs, emitOpen = false)(userId, events, state)
+      // timeout at last-seen + gap, in ms (the GroupState clock); fires
+      // when the WATERMARK passes it, so late on-time events still extend
+      state.getOption.foreach(s =>
+        state.setTimeoutTimestamp(micros(s.last) / 1000 + gapUs / 1000))
+      out
+    }
+  }
+
+  /** [[sessions]] with bounded state for churning key spaces: state is
+    * O(users ACTIVE within the gap+watermark horizon), not O(users ever
+    * seen) — the difference between a fixed panel and an open-world user
+    * id space at 100 TB/day. Streaming requires `withWatermark` upstream
+    * (event-time timeouts ride the watermark); every session eventually
+    * emits — by a later event (gap closure) or by eviction (idle
+    * closure) — so the stream is also COMPLETE, where [[sessions]] holds
+    * each user's last session open forever.
+    */
+  def sessionsEvicting(
+      events: Dataset[Event], gapUs: Long = DefaultGapUs): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateUserEvicting(gapUs))
+  }
 }

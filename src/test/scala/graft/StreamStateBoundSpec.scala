@@ -104,6 +104,38 @@ class StreamStateBoundSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionsEvicting: churned keys leave state at the horizon, and " +
+    "their sessions emit via timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessionsEvicting(
+        mem.toDS().withWatermark("ts", "1 hour"),
+        gapUs = 30L * 60 * 1000 * 1000).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("evict_sessions").start()
+    try {
+      // open-world churn: a FRESH user each hour, never returning — the
+      // NoTimeout variant would accumulate one state row per hour
+      val perBatch = (1 to 16).map { h =>
+        mem.addData(Sessionize.Event(1000L + h, hour(h), "view"))
+        q.processAllAvailable()
+        stateRows(q)
+      }
+      // watermark 1h + gap 30m: only ~the last two hours' users can be
+      // in state at any boundary; 16 hours of churn must NOT accumulate
+      assert(perBatch.drop(4).forall(_ <= 3),
+        s"evicting state accumulated churned keys: $perBatch")
+      assert(perBatch.last <= perBatch(7),
+        s"evicting state grew with stream length: $perBatch")
+      // evicted users' sessions were EMITTED (not dropped): the early
+      // users' single-event sessions are in the output
+      val emitted = spark.table("evict_sessions")
+        .select("user_id").as[Long].collect().toSet
+      assert((1 to 10).forall(h => emitted.contains(1000L + h)),
+        s"timeout closures missing from output: $emitted")
+    } finally q.stop()
+  }
+
   test("sessionize: state rows equal active-key cardinality, independent " +
     "of event count") {
     implicit val sqlCtx = spark.sqlContext
