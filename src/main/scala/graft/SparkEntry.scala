@@ -341,6 +341,11 @@ object SparkEntry {
       // merges (training fold == encode fold, single-sourced); per-word
       // frequency, char length, encoded token count
       graft.ops.TextAnalysis.bpeEncode(Tables.documents(s, dir))),
+    "bpe_encode_docs" -> ((s, dir) =>
+      // document-level read-out of the tokenizer apply path: REAL BPE
+      // tokens per doc (vs text_token_count's whitespace proxy) plus
+      // word/char mass and the chars-per-token compression exact ratio
+      graft.ops.TextAnalysis.bpeEncodeDocs(Tables.documents(s, dir))),
     "split_assign" -> ((s, dir) =>
       graft.ops.TextAnalysis.splitAssign(Tables.documents(s, dir))),
     "split_decontaminated" -> ((s, dir) =>
@@ -2483,6 +2488,17 @@ object SparkEntry {
       // certified one-sided (est >= exact) against the exact counts
       graft.ops.Sketches.cmsHeavyHitters(
         Tables.events(s, dir), "user_id")),
+    "sketch_mg_heavy" -> ((s, dir) =>
+      // Misra–Gries frequent items over a skewed key (75% of rows on 32
+      // hot keys, 25% on the ~|part| cold tail): the summary's
+      // merge-order-INVARIANT no-false-negative guarantee feeds a
+      // candidate-filtered exact pass, so the output — the true heavy
+      // hitters above N/(k+1) — is deterministic and the oracle is a
+      // plain GROUP BY ... HAVING
+      graft.ops.Sketches.mgHeavyHitters(
+        Tables.lineitem(s, dir),
+        when(col("l_orderkey") % 4 < 3, col("l_partkey") % 32)
+          .otherwise(col("l_partkey") + 1000000L))),
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup-style: embedding near-dup pairs -> transitive clusters
       // -> keep the min-id representative per cluster
@@ -2504,6 +2520,12 @@ object SparkEntry {
     "retrieval_stopwords" -> ((s, dir) =>
       // corpus-driven stopword induction: document-frequency ratio >= 0.4
       graft.ops.Retrieval.stopwordInduction(Tables.documents(s, dir))),
+    "retrieval_wand" -> ((s, dir) =>
+      // WAND upper-bound pruned BM25 top-10: provably lossless prune
+      // (subset threshold + per-term max-impact bound), so the output —
+      // and the oracle — is exactly the unpruned BM25 top-k
+      graft.ops.Retrieval.wandTopK(Tables.documents(s, dir),
+        Seq("join", "scan", "filter", "slow"))),
     "retrieval_phrase_search" -> ((s, dir) =>
       // positional-index collocation mining: top bigrams via the index
       // self-joined on (doc_id, pos+1) — one co-partitioned equi-join,
@@ -2884,6 +2906,11 @@ object SparkEntry {
       // a per-ROW vocab-to-codepoint map over both engines' character
       // levenshtein; WER = dist/|ref| exact ratio
       graft.ops.Eval.wer(Tables.documents(s, dir))),
+    "eval_token_f1" -> ((s, dir) =>
+      // SQuAD-style bag-of-tokens F1 per generation pair: overlap =
+      // sum of min(candidate, reference) token counts; prec/rec/F1 as
+      // exact ratios — the order-insensitive counterpart of WER/ROUGE-L
+      graft.ops.Eval.tokenF1(Tables.documents(s, dir))),
     "eval_bleu_clip" -> ((s, dir) =>
       // clipped 1/2-gram precision per generation pair (the BLEU-n
       // core); exact (num, den) BIGINT pairs — the geometric mean and
@@ -4950,6 +4977,24 @@ object SparkEntry {
         |SELECT word, n, CAST(length(word) AS BIGINT) AS n_chars,
         |       CAST(len(syms) AS BIGINT) AS n_tokens
         |FROM w3""".stripMargin),
+    "bpe_encode_docs" -> // doc-level read-out of the same learned chain:
+      // every sum CAST AS BIGINT (DuckDB auto-promotes to HUGEINT — the
+      // eval_pr_curve type-parity lesson), compression as the shared
+      // half-up integer rendering
+      (BpeFoldSql + """
+        |, dw AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS t FROM w3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+        |  CAST(sum(t) AS BIGINT) AS n_tokens,
+        |  CAST((CAST(sum(length(dw.word)) AS BIGINT) * 2000000
+        |        + CAST(sum(t) AS BIGINT))
+        |       // (2 * CAST(sum(t) AS BIGINT)) AS DOUBLE) / 1000000.0
+        |    AS compression
+        |FROM dw JOIN enc USING (word)
+        |GROUP BY doc_id""".stripMargin),
     "bpe_top_pairs" ->
       """WITH vocab AS (
         |  SELECT word, count(*) AS n
@@ -7746,6 +7791,24 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 20""".stripMargin,
+    "retrieval_wand" -> // the WAND prune is lossless, so the oracle is
+      // the PLAIN exact BM25 top-10 (same formula/rounding as text_bm25)
+      """WITH terms AS (SELECT doc_id,
+        |                      unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |               FROM documents),
+        |tfall AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
+        |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+        |qtf AS (SELECT * FROM tfall WHERE token IN ('join', 'scan', 'filter', 'slow')),
+        |df AS (SELECT token, count(*) AS df FROM qtf GROUP BY 1)
+        |SELECT doc_id,
+        |       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+        |         AS bm25
+        |FROM qtf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN stats
+        |GROUP BY 1
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 10""".stripMargin,
     "text_chunk" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         |              FROM documents),
@@ -8069,6 +8132,18 @@ object SparkEntry {
         |SELECT pb.key, pb.exact_cnt, min(sk.cnt) AS est_cnt
         |FROM pb JOIN sk USING (j, bucket)
         |GROUP BY 1, 2""".stripMargin,
+    "sketch_mg_heavy" -> // the sketch is a candidate filter with a
+      // no-false-negative guarantee; the published rows are the EXACT
+      // heavy hitters above N/(k+1), k = 64 — hence the plain oracle
+      """WITH t AS (SELECT CASE WHEN l_orderkey % 4 < 3
+        |                       THEN l_partkey % 32
+        |                       ELSE l_partkey + 1000000 END AS key
+        |           FROM lineitem),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+        |SELECT key, CAST(count(*) AS BIGINT) AS exact_cnt,
+        |       (SELECT n_total FROM tot) AS n_total
+        |FROM t GROUP BY key
+        |HAVING count(*) * 65 > (SELECT n_total FROM tot)""".stripMargin,
     "dedup_semantic" ->
       // the dedup_embedding pair pipeline, closed transitively, min-id kept
       """WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -9479,6 +9554,38 @@ object SparkEntry {
         |  CAST((CAST(levenshtein(rs, cs) AS BIGINT) * 2000000 + ref_len)
         |       // (2 * ref_len) AS DOUBLE) / 1000000.0 AS wer
         |FROM s""".stripMargin,
+    "eval_token_f1" -> // bag-of-tokens overlap per pair: inner join of
+      // per-side token counts, zero-overlap pairs kept by the left join
+      // back; all three scores the shared half-up integer rendering
+      """WITH t AS (SELECT doc_id,
+        |    (regexp_split_to_array(trim(text), '\s+'))[1:40] AS toks
+        |  FROM documents),
+        |p AS (SELECT r.doc_id // 2 AS pid, r.toks AS rt, c.toks AS ct
+        |      FROM t r JOIN t c ON c.doc_id = r.doc_id + 1
+        |      WHERE r.doc_id % 2 = 0),
+        |g AS (SELECT pid, side, g, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |        SELECT pid, 0 AS side, unnest(rt) AS g FROM p
+        |        UNION ALL SELECT pid, 1, unnest(ct) FROM p)
+        |      GROUP BY 1, 2, 3),
+        |ov AS (SELECT c.pid,
+        |         CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS overlap
+        |       FROM g c JOIN g r ON r.pid = c.pid AND r.g = c.g
+        |         AND r.side = 0
+        |       WHERE c.side = 1 GROUP BY 1),
+        |b AS (SELECT p.pid, CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+        |        CAST(len(rt) AS BIGINT) AS ref_len,
+        |        CAST(len(ct) AS BIGINT) AS cand_len
+        |      FROM p LEFT JOIN ov ON ov.pid = p.pid)
+        |SELECT pid * 2 AS ref_id, pid * 2 + 1 AS cand_id,
+        |  overlap, ref_len, cand_len,
+        |  CAST((overlap * 2000000 + cand_len)
+        |       // (2 * cand_len) AS DOUBLE) / 1000000.0 AS prec,
+        |  CAST((overlap * 2000000 + ref_len)
+        |       // (2 * ref_len) AS DOUBLE) / 1000000.0 AS rec,
+        |  CAST((overlap * 2 * 2000000 + (ref_len + cand_len))
+        |       // (2 * (ref_len + cand_len)) AS DOUBLE) / 1000000.0
+        |    AS token_f1
+        |FROM b""".stripMargin,
     "eval_bleu_clip" -> // candidate n-gram counts clipped at reference
       // counts, pair-local left join on (pid, n, gram)
       """WITH tok AS MATERIALIZED (

@@ -90,6 +90,14 @@ object Similarity {
   /** Exact top-k neighbors by cosine for the query subset
     * `vec_id % queryMod == 0`. Queries are broadcast (guarded — the
     * contract is "queries are FEW"); the corpus is scanned once.
+    *
+    * Scale-curve note (the sf10 rung's quadratic anchor): the fixture's
+    * `vec_id % queryMod` subset grows WITH the corpus, so measured cost is
+    * O(n²/queryMod) by construction — the fixture is certifying the exact
+    * ground truth, not modeling production. A production run holds the
+    * query batch FIXED (the scoring pass is O(n·|batch|), linear in the
+    * corpus); to measure that shape, scale queryMod with the data so
+    * |queries| stays constant.
     */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
     val v = withNorm(embeddings)
@@ -131,6 +139,11 @@ object Similarity {
     * ranking is the [[graft.functions.TopKAggregate]] heap aggregate so
     * the exchange carries O(queries × k) pairs, never the full candidate
     * set. Tie-break (score desc, neighbor_id asc) matches the family.
+    *
+    * Scale-curve note: same quadratic-anchor caveat as [[bruteForceTopK]]
+    * — the fixture query subset grows with n, so sf10 cells measure
+    * O(n²/queryMod) certification cost; production holds the query batch
+    * fixed and the scoring pass is linear in the corpus.
     */
   def mipsTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
     val v = withNorm(embeddings)

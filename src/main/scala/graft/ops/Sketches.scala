@@ -344,4 +344,41 @@ object Sketches {
     estDf.join(exactPer.unionByName(exactAll), Seq("grp"))
       .orderBy("grp")
   }
+
+  /** Misra–Gries heavy hitters with exact verification — the
+    * deterministic read-out of a merge-order-DEPENDENT sketch (the open
+    * design question that kept MG out of earlier rounds; CMS covered the
+    * use case meanwhile). The trick is to lean only on the part of MG
+    * that is merge-order INVARIANT: every key with true count strictly
+    * above N/(k+1) is guaranteed present in the summary (its estimate
+    * under-shoots by at most N/(k+1), hence stays positive), no matter
+    * how Spark's partial aggregates tree-merged. So the summary is used
+    * as a CANDIDATE set only; a second, candidate-filtered pass computes
+    * exact counts and applies the `cnt·(k+1) > N` cutoff — integer
+    * arithmetic, no division. Output = exactly the true heavy hitters:
+    * deterministic, oracle = plain GROUP BY … HAVING.
+    *
+    * Why bother with the sketch if a GROUP BY gives the same answer? At
+    * 100 TB the full GROUP BY shuffles every distinct key (billions);
+    * this plan's first pass shuffles ≤ k·partitions summary entries
+    * (the [[graft.functions.MisraGriesAggregate]] buffer is O(k) per
+    * task), and the second pass aggregates ONLY rows matching ≤ k
+    * broadcast candidate keys — map-side combine over ≤ k groups, an
+    * O(k) exchange. Two scans, bounded shuffles; the estimates
+    * themselves are spec-checked against the deficit bound but kept out
+    * of the certified columns by design.
+    */
+  def mgHeavyHitters(df: DataFrame, keyCol: Column, k: Int = 64): DataFrame = {
+    val data = df.select(keyCol.as("key")).filter(col("key").isNotNull)
+    val summary = data.agg(
+      graft.functions.MisraGriesAggregate.misraGries(col("key"), k).as("mg"))
+    val cands = summary.select(explode(col("mg")).as("e"))
+      .select(col("e.key").as("key"))
+    val total = broadcast(data.agg(count(lit(1)).as("n_total")))
+    data.join(broadcast(cands), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(total)
+      .filter(col("exact_cnt") * lit(k + 1L) > col("n_total"))
+      .select(col("key"), col("exact_cnt"), col("n_total"))
+  }
 }

@@ -40,6 +40,13 @@ object Spatial {
   /** All unordered point pairs within Euclidean radius `r` (inclusive),
     * as `(id_a, id_b, dist_sq)` with `id_a < id_b`. Grid-blocked as per
     * the module doc; `dist_sq` stays integer.
+    *
+    * Scale-curve note (the sf10 rung's quadratic anchor): the fixture
+    * maps customers into a FIXED 1000×1000 plane, so 10× rows means 10×
+    * density and ~100× qualifying pairs — output growth, not plan
+    * regression. A production point set grows its EXTENT at roughly
+    * constant density, where the grid-blocked join is linear in points +
+    * pairs; the per-cell occupancy, not n, is the quantity to watch.
     */
   def radiusJoin(pts: DataFrame, r: Int): DataFrame = {
     require(r >= 1, s"radius $r must be positive")

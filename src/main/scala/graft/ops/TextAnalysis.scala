@@ -551,6 +551,32 @@ object TextAnalysis {
       size(col("syms")).cast("long").as("n_tokens"))
   }
 
+  /** Document-level read-out of [[bpeEncode]] — the number every training
+    * pipeline actually bills by: BPE tokens PER DOCUMENT, plus the
+    * doc's word/char mass and its compression ratio (chars per token,
+    * [[graft.functions.ExactRatio]] at 6 dp). This is the artifact that
+    * feeds token-budget curation and sequence packing with REAL tokenizer
+    * counts instead of the whitespace proxy `text_token_count` uses.
+    *
+    * Plan: the corpus explodes once into (doc_id, word) and pre-aggregates
+    * to per-doc word multiplicities BEFORE joining the O(vocab) encoding
+    * table on `word` (a shuffle equi-join — the vocabulary of a 100 TB
+    * corpus is itself large, so no broadcast), then one groupBy(doc_id)
+    * reduces to a row per document. Two keyed exchanges over aggregated
+    * rows; the BPE fold itself stays vocabulary-bound ([[bpeEncode]]).
+    */
+  def bpeEncodeDocs(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val enc = bpeEncode(docs, iters).select(col("word"), col("n_tokens"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("m"))
+      .join(enc, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_words"),
+        sum(col("m") * length(col("word")).cast("long")).as("n_chars"),
+        sum(col("m") * col("n_tokens")).as("n_tokens"))
+      .withColumn("compression", exactRatio(col("n_chars"), col("n_tokens"), 6))
+  }
+
   /** PII redaction patterns (RE2-safe: no backrefs/lookarounds, so the same
     * pattern text behaves identically in Java regex and RE2-family
     * engines). Order matters: emails first (an email contains no phone/IP

@@ -265,6 +265,21 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(got1 == Map("abab" -> 2L, "abc" -> 2L))
   }
 
+  test("bpeEncodeDocs: per-doc token mass and compression from the same " +
+    "learned merges") {
+    // merges (a,b), (ab,ab), (ab,c): "abab" -> 1 token, "abc" -> 1 token
+    val docs = Seq(
+      (1L, "abab abab abab abc abc"), // 5 words, 18 chars, 5 tokens
+      (2L, "abab abc")                // 2 words, 7 chars, 2 tokens
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bpeEncodeDocs(docs, iters = 3)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      1L -> ((5L, 18L, 5L, 3.6)),
+      2L -> ((2L, 7L, 2L, 3.5))))
+  }
+
   test("bpeMerges greedy fold never merges overlapping occurrences") {
     // "aaaa" with merge (a,a): left-to-right gives [aa][aa], so iteration 2
     // must see pair (aa,aa) with weight 1 - an overlap-broken fold would

@@ -453,6 +453,26 @@ class EvalSpec extends SparkSpec {
       ("fr", 2, 1L, 1L, 1.0)))
   }
 
+  test("tokenF1: hand-computed overlaps, incl. order-insensitivity, " +
+    "clipped duplicates, and the zero-overlap pair") {
+    import spark.implicits._
+    // pair 0: shuffled identical bag -> F1 1.0 (where WER/ROUGE punish);
+    // pair 1: cand repeats 'a' 3x vs ref 2x -> overlap clips at 2 (+c) = 3;
+    // pair 2: disjoint -> overlap 0, all scores 0
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "d c b a"),
+      (2L, "a a b c"), (3L, "a a a c"),
+      (4L, "x y"),     (5L, "p q r")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Eval.tokenF1(docs)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._6, r._7, r._8))).toMap
+    assert(got == Map(
+      0L -> ((4L, 1.0, 1.0, 1.0)),
+      2L -> ((3L, 0.75, 0.75, 0.75)),
+      4L -> ((0L, 0.0, 0.0, 0.0))))
+  }
+
   test("wer: hand-computed token edit distances, including WER > 1") {
     import spark.implicits._
     // pair 0: identical 4 tokens -> 0; pair 1: one substitution in 4

@@ -50,6 +50,9 @@ class PlanSweepSpec extends SparkSpec {
     "q22_idle_customers",
     // bm25's corpus stats (avgdl, n_docs): a 1-row broadcast
     "text_bm25",
+    // WAND: the same 1-row (avgdl, n_docs) stats broadcast plus a 1-row
+    // theta broadcast onto the per-doc upper-bound table
+    "retrieval_wand",
     // ivfpq's centroid attachment: the same bounded 16-centroid fan-out
     // as the rest of the IVF family
     "sim_topk_ivfpq",
@@ -70,6 +73,9 @@ class PlanSweepSpec extends SparkSpec {
     // KMV rollup's ALL row: 1-row exact-count broadcast onto the merged
     // (single-row) sketch
     "sketch_kmv_distinct",
+    // MG heavy hitters: the N/(k+1) cutoff joins a 1-row n_total
+    // broadcast onto the <= k-group verified aggregate
+    "sketch_mg_heavy",
     // HLL rollup's ALL row: same reviewed 1-row exact-count broadcast onto
     // the merged (single-row) register sketch as sketch_kmv_distinct
     "sketch_hll_distinct",

@@ -155,6 +155,37 @@ class RetrievalSpec extends SparkSpec {
     assert(top(2) == ("b", "c", 2L, 2L))
   }
 
+  test("wandTopK equals the unpruned BM25 top-k, and the upper-bound " +
+    "prune actually drops docs on a skewed corpus") {
+    // 3 docs carry the rare high-IDF term; 97 carry only the ubiquitous
+    // near-zero-IDF term — their UB (max aaa impact) can't reach the
+    // theta seeded from the rare-term docs' full scores
+    val docs = ((1L to 3L).map(i => (i, "zzz aaa bbb")) ++
+      (4L to 100L).map(i => (i, s"aaa bbb ccc ddd${i % 5}")))
+      .toDF("doc_id", "text")
+    val terms = Seq("zzz", "aaa")
+    val exact = graft.ops.TextAnalysis.bm25(docs, terms, topK = 3)
+      .as[(Long, Double)].collect().toSeq
+    val wand = Retrieval.wandTopK(docs, terms, topK = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(wand == exact)
+    val (impacts, survivors) = Retrieval.wandParts(docs, terms, 1.2, 0.75, 3)
+    val matched = impacts.select("doc_id").distinct().count()
+    val kept = survivors.count()
+    assert(matched == 100L && kept < 10L, s"prune inert: $kept of $matched")
+  }
+
+  test("wandTopK: fewer matched docs than k disables the prune " +
+    "(sentinel theta) and returns everything, exactly") {
+    val docs = Seq((1L, "zzz a"), (2L, "zzz zzz b"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val exact = graft.ops.TextAnalysis.bm25(docs, Seq("zzz"), topK = 5)
+      .as[(Long, Double)].collect().toSeq
+    val wand = Retrieval.wandTopK(docs, Seq("zzz"), topK = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(wand == exact && wand.map(_._1).toSet == Set(1L, 2L))
+  }
+
   test("proximitySearch: min gap over all occurrence pairs, both-term " +
     "docs only, ascending with doc-id tiebreak") {
     val docs = Seq(

@@ -86,6 +86,7 @@ class RoundingTieSpec extends SparkSpec {
     "stat_lorenz" -> "DOUBLE SUM: value sums of arbitrary doubles",
     "stat_mutual_info" -> "IRRATIONAL: MI terms pass through ln",
     "text_bm25" -> "IRRATIONAL: ln IDF",
+    "retrieval_wand" -> "IRRATIONAL: ln IDF (same exact-BM25 oracle shape)",
     "text_entropy" -> "IRRATIONAL: ln",
     "text_hashing_embed" -> "IRRATIONAL: L2 norm (sqrt)",
     "text_keywords" -> "IRRATIONAL: ln IDF",

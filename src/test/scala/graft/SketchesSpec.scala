@@ -232,6 +232,48 @@ class SketchesSpec extends SparkSpec {
     assert(direct == merged)
   }
 
+  test("misra-gries: hand-computed tiny stream (single partition)") {
+    // k = 2, stream 1 1 1 2 3: after 1,1,1,2 the buffer is {1:3, 2:1};
+    // 3 arrives into a full buffer -> decrement all, drop zeros -> {1:2}
+    val df = Seq(1L, 1L, 1L, 2L, 3L).toDF("key").repartition(1)
+    val got = df
+      .agg(graft.functions.MisraGriesAggregate.misraGries(col("key"), 2).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.key"), col("e.est")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("misra-gries: deficit bound and no-false-negative guarantee hold " +
+    "under every partitioning; the verified read-out is exact and stable") {
+    val k = 8
+    // 4 planted heavies (each 600 of n=3400 > n/(k+1)=377) + 1000-key tail
+    val rows = (0 until 4).flatMap(h => Seq.fill(600)(h.toLong)) ++
+      (0 until 1000).map(i => 1000L + i)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val truth = exact.filter { case (_, c) => c * (k + 1) > n }.keySet
+    assert(truth == Set(0L, 1L, 2L, 3L))
+    for (parts <- Seq(1, 5, 32)) {
+      val df = rows.toDF("key").repartition(parts)
+      val mg = df
+        .agg(graft.functions.MisraGriesAggregate.misraGries(col("key"), k).as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.key"), col("e.est")).as[(Long, Long)].collect().toMap
+      assert(mg.size <= k)
+      // summary estimates never overshoot, and undershoot by <= n/(k+1)
+      mg.foreach { case (key, est) =>
+        assert(est <= exact(key), s"overshoot at $key")
+        assert(exact(key) - est <= n / (k + 1), s"deficit bound at $key")
+      }
+      // every true heavy hitter is present regardless of merge order
+      assert(truth.subsetOf(mg.keySet), s"false negative at parts=$parts")
+      // the certified read-out equals the exact GROUP BY ... HAVING
+      val out = graft.ops.Sketches.mgHeavyHitters(df, col("key"), k)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out == truth.map(key => (key, exact(key), n)))
+    }
+  }
+
   test("graft_sample_k is registered for SQL users") {
     graft.functions.VectorFunctions.register(spark)
     val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
