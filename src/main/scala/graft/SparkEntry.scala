@@ -663,6 +663,12 @@ object SparkEntry {
       // a division of identical doubles is engine-exact, and integer
       // scores keep every downstream sum order-independent
       graft.ops.Recommend.itemCosine(Tables.lineitem(s, dir))),
+    "rec_bias_model" -> ((s, dir) =>
+      // Koren bias baseline (μ, b_u, b_i chained means) read out per
+      // item — e6 fixed point, half-up integral division, +C offset so
+      // every numerator is non-negative (floor == truncate both engines)
+      graft.ops.Recommend.biasModel(
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "rec_user_topn" -> ((s, dir) =>
       // user top-3 item-CF recommendations: |history| x 10 truncated
       // neighbor expansion (the production fan-out cap), integer score
@@ -2499,6 +2505,16 @@ object SparkEntry {
         Tables.lineitem(s, dir),
         when(col("l_orderkey") % 4 < 3, col("l_partkey") % 32)
           .otherwise(col("l_partkey") + 1000000L))),
+    "incr_mg_maintain" -> ((s, dir) =>
+      // incrementally-maintained heavy hitters: the standing summary
+      // (90% of rows) merges a delta batch's summary (10%) at O(k)
+      // state; only the merged candidates are exact-verified. Oracle =
+      // full recompute over the union (the incr_agg_merge discipline)
+      graft.ops.Sketches.mgHeavyHittersIncremental(
+        Tables.lineitem(s, dir),
+        when(col("l_orderkey") % 4 < 3, col("l_partkey") % 32)
+          .otherwise(col("l_partkey") + 1000000L),
+        col("l_orderkey") % 10 === 0)),
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup-style: embedding near-dup pairs -> transitive clusters
       // -> keep the min-id representative per cluster
@@ -3257,6 +3273,26 @@ object SparkEntry {
         |FROM d JOIN supp s ON s.item = d.antecedent
         |ORDER BY confidence DESC, antecedent, consequent
         |LIMIT 20""".stripMargin,
+    "rec_bias_model" -> // the chained-mean integer formulas replayed
+      // verbatim: each mean rounds to an INTEGER e6 before feeding the
+      // next, and the +C offset keeps every // numerator non-negative
+      """WITH r AS (SELECT o.o_custkey AS u, l.l_partkey AS i,
+        |             CAST(trunc(l.l_quantity) AS BIGINT) * 1000000 AS q6
+        |           FROM lineitem l
+        |           JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |mu AS (SELECT (2 * sum(q6) + count(*)) // (2 * count(*)) AS mu6
+        |       FROM r),
+        |ub AS (SELECT u,
+        |         (2 * (sum(q6) + count(*) * (200000000 - mu6)) + count(*))
+        |           // (2 * count(*)) - 200000000 AS bu6
+        |       FROM r, mu GROUP BY u, mu6)
+        |SELECT i AS item, CAST(count(*) AS BIGINT) AS n_ratings,
+        |  CAST(mu6 AS DOUBLE) / 1000000.0 AS mu,
+        |  CAST((2 * sum(q6 - mu6 - bu6 + 200000000) + count(*))
+        |       // (2 * count(*)) - 200000000 AS DOUBLE) / 1000000.0
+        |    AS item_bias
+        |FROM r JOIN ub USING (u), mu
+        |GROUP BY i, mu6""".stripMargin,
     "rec_item_cosine" -> // assoc_basket_pairs' pair/support CTEs, scored
       // as floor((pair·1e6)/sqrt(ca·cb)) — identical doubles, exact floor
       """WITH items AS (SELECT basket, item FROM (
@@ -8135,6 +8171,19 @@ object SparkEntry {
     "sketch_mg_heavy" -> // the sketch is a candidate filter with a
       // no-false-negative guarantee; the published rows are the EXACT
       // heavy hitters above N/(k+1), k = 64 — hence the plain oracle
+      """WITH t AS (SELECT CASE WHEN l_orderkey % 4 < 3
+        |                       THEN l_partkey % 32
+        |                       ELSE l_partkey + 1000000 END AS key
+        |           FROM lineitem),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+        |SELECT key, CAST(count(*) AS BIGINT) AS exact_cnt,
+        |       (SELECT n_total FROM tot) AS n_total
+        |FROM t GROUP BY key
+        |HAVING count(*) * 65 > (SELECT n_total FROM tot)""".stripMargin,
+    "incr_mg_maintain" -> // maintained candidates, exact output: the
+      // oracle is the FULL recompute — identical result to
+      // sketch_mg_heavy by design (the maintenance path must converge
+      // to the recompute, the incr_agg_merge discipline)
       """WITH t AS (SELECT CASE WHEN l_orderkey % 4 < 3
         |                       THEN l_partkey % 32
         |                       ELSE l_partkey + 1000000 END AS key

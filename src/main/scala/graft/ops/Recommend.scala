@@ -207,4 +207,65 @@ object Recommend {
         exactRatio(col("max_exposure"), col("n_slots"), 6)
           .as("max_exposure_share"))
   }
+
+  /** Koren-style bias baseline predictor (the model every factorization
+    * recommender subtracts first): global mean μ, then per-user offsets
+    * b_u = mean(r − μ), then per-item offsets b_i = mean(r − μ − b_u) —
+    * read out per item. Ratings are lineitem quantities keyed by
+    * (customer, part) through orders.
+    *
+    * Exactness: everything runs in e6 FIXED POINT with half-up integral
+    * division, and the chained means stay cross-engine because each step
+    * rounds to an INTEGER e6 value before feeding the next (the oracle
+    * replays the identical integer formulas). Negative deviations would
+    * make half-up division engine-dependent (floor vs truncate), so each
+    * biased mean adds the constant C = 2×10⁸ e6 (≥ any possible
+    * |deviation|: ratings ≤ 5×10⁷ e6) to keep every numerator
+    * non-negative, then subtracts C back — truncation == floor on
+    * non-negatives in both engines. Internals are DECIMAL(38,0) (the
+    * ExactRatio convention), so the only budget is presentation-side.
+    *
+    * Plan: one fact join (orders broadcast-eligible at fixture scale,
+    * plain equi at 100 TB), one global 1-row broadcast, then two keyed
+    * aggregates (user, then item) — each a map-side-combined groupBy;
+    * nothing pairwise, nothing iterative.
+    */
+  def biasModel(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val C = 200000000L
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // half-up integral (num/den) for non-negative num, positive den
+    def halfup(num: Column, den: Column): Column =
+      ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          ColumnBridge.expression(dec(num) * dec(lit(2L)) + dec(den)),
+          ColumnBridge.expression(dec(den) * dec(lit(2L)))))
+    val r = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        lineitem("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
+        (col("l_quantity").cast("long") * 1000000L).as("q6"))
+    // sums widened to DECIMAL(38,0) pre-aggregation: the global Σq6 at
+    // corpus scale exceeds BIGINT (6×10¹² rows × 5×10⁷ e6), and DuckDB's
+    // BIGINT sums auto-promote to HUGEINT anyway — same ExactRatio sweep
+    val mu = broadcast(r
+      .agg(sum(dec(col("q6"))).as("s"), count(lit(1)).as("n"))
+      .select(halfup(col("s"), col("n")).as("mu6")))
+    val ub = r.crossJoin(mu).groupBy("u")
+      .agg(sum(dec(col("q6"))).as("sq"), count(lit(1)).as("nu"),
+        max(col("mu6")).as("mu6"))
+      .select(col("u"),
+        (halfup(col("sq") + dec(col("nu")) * dec(lit(C) - col("mu6")),
+          col("nu")) - C).as("bu6"))
+    r.join(ub, Seq("u")).crossJoin(mu)
+      .groupBy("i")
+      .agg(count(lit(1)).as("n_ratings"),
+        sum(dec(col("q6") - col("mu6") - col("bu6") + lit(C))).as("sd"),
+        max(col("mu6")).as("mu6"))
+      .select(col("i").as("item"), col("n_ratings"),
+        (col("mu6").cast("double") / 1e6).as("mu"),
+        ((halfup(col("sd"), col("n_ratings")) - C).cast("double") / 1e6)
+          .as("item_bias"))
+  }
 }

@@ -368,6 +368,66 @@ object Sketches {
     * themselves are spec-checked against the deficit bound but kept out
     * of the certified columns by design.
     */
+  /** Misra–Gries summary merge at the DATAFRAME level — the maintenance
+    * face of [[mgHeavyHitters]]: two independently-built (key, est)
+    * summaries combine by keywise sum, then prune back to ≤ k entries by
+    * subtracting the (k+1)-th largest combined counter (ties at the
+    * threshold drop to zero). Same algebra as
+    * [[graft.functions.MisraGriesAggregate.merge]], operating on eval'd
+    * read-outs: deficit_a ≤ N_a/(k+1) and deficit_b ≤ N_b/(k+1) sum to
+    * ≤ N/(k+1), so the merged summary keeps the no-false-negative
+    * guarantee over the union — a standing summary absorbs a delta
+    * batch without re-scanning the base.
+    *
+    * Both inputs are ≤ k rows, so the window/1-row-broadcast here run on
+    * O(k) state, never data.
+    */
+  def mgMergeSummaries(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = a.unionByName(b).groupBy("key").agg(sum(col("est")).as("est"))
+    val ranked = u.withColumn("rn", row_number().over(
+      Window.orderBy(col("est").desc, col("key").asc)))
+    val cut = broadcast(ranked.agg(
+      coalesce(max(when(col("rn") === k + 1, col("est"))), lit(0L))
+        .as("cut")))
+    ranked.crossJoin(cut)
+      .filter(col("est") - col("cut") > 0L)
+      .select(col("key"), (col("est") - col("cut")).as("est"))
+  }
+
+  /** Incrementally-maintained heavy hitters: the standing corpus's MG
+    * summary (built once, O(k) state) merges with a delta batch's summary
+    * via [[mgMergeSummaries]], and the merged candidate set feeds the
+    * same exact verification pass as [[mgHeavyHitters]] — over base ∪
+    * delta, WITHOUT ever re-sketching the base. Oracle = the full
+    * recompute (the incr_agg_merge discipline): the published rows are
+    * the exact heavy hitters of the union, deterministic because the
+    * merged guarantee still bounds every deficit by N_total/(k+1).
+    *
+    * This is the operational shape at 100 TB: the base summary is
+    * standing state (mergeable, additive), each ingest batch contributes
+    * an O(k) summary, and only the ≤ k candidates' exact counts are ever
+    * recomputed — the second pass groups on a broadcast-filtered key set.
+    */
+  def mgHeavyHittersIncremental(
+      df: DataFrame, keyCol: Column, isDelta: Column, k: Int = 64): DataFrame = {
+    val data = df.select(keyCol.as("key"), isDelta.as("is_delta"))
+      .filter(col("key").isNotNull)
+    def summarize(side: DataFrame): DataFrame = side
+      .agg(graft.functions.MisraGriesAggregate.misraGries(col("key"), k).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.key").as("key"), col("e.est").as("est"))
+    val cands = mgMergeSummaries(
+      summarize(data.filter(!col("is_delta"))),
+      summarize(data.filter(col("is_delta"))), k).select("key")
+    val total = broadcast(data.agg(count(lit(1)).as("n_total")))
+    data.join(broadcast(cands), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(total)
+      .filter(col("exact_cnt") * lit(k + 1L) > col("n_total"))
+      .select(col("key"), col("exact_cnt"), col("n_total"))
+  }
+
   def mgHeavyHitters(df: DataFrame, keyCol: Column, k: Int = 64): DataFrame = {
     val data = df.select(keyCol.as("key")).filter(col("key").isNotNull)
     val summary = data.agg(

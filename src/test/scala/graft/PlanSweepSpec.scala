@@ -76,6 +76,12 @@ class PlanSweepSpec extends SparkSpec {
     // MG heavy hitters: the N/(k+1) cutoff joins a 1-row n_total
     // broadcast onto the <= k-group verified aggregate
     "sketch_mg_heavy",
+    // maintained variant: same 1-row n_total broadcast, plus the 1-row
+    // prune-cut broadcast onto the <= 2k-row merged summary
+    "incr_mg_maintain",
+    // bias baseline: the 1-row global-mean broadcast crosses the fact
+    // rows (cheap constant attach) and the per-user bias table
+    "rec_bias_model",
     // HLL rollup's ALL row: same reviewed 1-row exact-count broadcast onto
     // the merged (single-row) register sketch as sketch_kmv_distinct
     "sketch_hll_distinct",

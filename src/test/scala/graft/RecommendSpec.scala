@@ -79,4 +79,21 @@ class RecommendSpec extends SparkSpec {
     assert(viaArtifact == viaChain)
     Recommend.invalidateRecommendations()
   }
+
+  test("biasModel: hand-computed chained means, incl. the negative item " +
+    "bias the +C offset makes engine-safe") {
+    val orders = Seq((1L, 10L), (2L, 10L), (3L, 20L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (1L, 100L, 4.0), (2L, 100L, 2.0), (3L, 100L, 2.0), (3L, 200L, 4.0)
+    ).toDF("l_orderkey", "l_partkey", "l_quantity")
+    // mu = 3; both user biases 0; item 100 devs (1,-1,-1) -> -1/3
+    // half-up at 6dp = -0.333333; item 200 dev (+1) -> +1.0
+    val got = Recommend.biasModel(li, orders)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      100L -> ((3L, 3.0, -0.333333)),
+      200L -> ((1L, 3.0, 1.0))))
+  }
 }

@@ -274,6 +274,43 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("mgMergeSummaries: hand-computed keywise-sum + (k+1)-th-largest " +
+    "prune, ties at the threshold drop") {
+    val a = Seq((1L, 3L), (2L, 1L)).toDF("key", "est")
+    val b = Seq((3L, 2L), (2L, 2L)).toDF("key", "est")
+    // sums: 1->3, 2->3, 3->2; 3rd largest = 2; subtract -> {1:1, 2:1}
+    val got = graft.ops.Sketches.mgMergeSummaries(a, b, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L)))
+    // k large enough: no prune, plain keywise sum
+    val all = graft.ops.Sketches.mgMergeSummaries(a, b, 3)
+      .as[(Long, Long)].collect().toSet
+    assert(all == Set((1L, 3L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("mgHeavyHittersIncremental: the merged-summary candidates still " +
+    "cover every true heavy hitter, and the read-out equals the full " +
+    "recompute for every split") {
+    val k = 8
+    val rows = (0 until 4).flatMap(h => Seq.fill(600)(h.toLong)) ++
+      (0 until 1000).map(i => 1000L + i)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val truth = exact.filter { case (_, c) => c * (k + 1) > n }
+      .map { case (key, c) => (key, c, n) }.toSet
+    // delta residues slice the stream differently each time; the
+    // maintained path must converge to the same exact answer
+    for (residue <- Seq(2, 5, 10)) {
+      val df = rows.zipWithIndex
+        .map { case (key, i) => (key, i.toLong) }.toDF("key", "i")
+        .repartition(16)
+      val out = graft.ops.Sketches.mgHeavyHittersIncremental(
+        df, col("key"), col("i") % residue === 0, k)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out == truth, s"residue=$residue")
+    }
+  }
+
   test("graft_sample_k is registered for SQL users") {
     graft.functions.VectorFunctions.register(spark)
     val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
