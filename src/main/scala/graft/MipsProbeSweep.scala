@@ -36,6 +36,10 @@ object MipsProbeSweep {
     val k = args.lift(1).map(_.toInt).getOrElse(5)
     val queryMod = args.lift(2).map(_.toInt).getOrElse(50)
     val emb = Tables.embeddings(spark, dir)
+    // JIT/scan warmup so the curve measures plan cost, not first-pass
+    // compilation (the Diag protocol's lesson): one unrecorded pass
+    graft.ops.Similarity.mipsIvfTopK(emb, k, queryMod, 16, 1)
+      .write.format("noop").mode("overwrite").save()
     for (nProbe <- Seq(1, 2, 4, 8)) {
       val t0 = System.nanoTime()
       graft.ops.Similarity.mipsIvfTopK(emb, k, queryMod, 16, nProbe)

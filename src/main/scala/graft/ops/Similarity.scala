@@ -185,7 +185,11 @@ object Similarity {
     * at nProbe=4 — vs ~0.17 for the cosine family's own certified
     * single-probe recall on the same fixture (`sim_recall_report`).
     * Queries take `nProbe` cells (the multi-probe window runs on the
-    * BOUNDED query subset only).
+    * BOUNDED query subset only). The full lever curve is measured, not
+    * just the one certified point: recall@5 = 0.160 / 0.300 / 0.535 /
+    * 0.805 at nProbe = 1 / 2 / 4 / 8 (graft.MipsProbeSweep, sf0.1;
+    * BASELINE.md footnote 35) — ≈ +0.14–0.27 recall per probe
+    * doubling at O(nProbe·n/C) extra candidate pairs per query.
     *
     * Plan: assignment is the [[ivfTopK]] shape — broadcast centroids,
     * partial-agg argmax collapsing to n rows before any exchange — then
