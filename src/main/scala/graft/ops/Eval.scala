@@ -693,40 +693,35 @@ object Eval {
     * scores 1.0 here and low there), which is why extractive-QA evals
     * report it alongside exact match.
     *
-    * Plan: tokens explode once into (pair, side, token) counts (map-side
-    * combined); overlap is a pair-local inner join of candidate counts
-    * against reference counts on (pid, token) — co-partitioned by the
-    * groupBy that built both sides. Pairs with zero overlap survive via
-    * the left join back to the pair table.
+    * Plan: join-free single lineage — tokens explode once into
+    * (pair, token) rows carrying the side flag, ONE groupBy pivots both
+    * sides' counts into (rcnt, ccnt) columns (map-side combined), and a
+    * second groupBy folds overlap = Σ min(rcnt, ccnt) together with both
+    * lengths (ref_len = Σ rcnt, cand_len = Σ ccnt) in the same pass. No
+    * self-join of the gram table, no join back for lengths, the corpus
+    * is scanned once; zero-overlap pairs emit naturally (their min terms
+    * are all 0, lengths are not).
     */
-  def tokenF1(docs: DataFrame, prefixTokens: Int = 40): DataFrame = {
-    val pairs = generationPairs(docs, prefixTokens)
-    val grams = pairs
+  def tokenF1(docs: DataFrame, prefixTokens: Int = 40): DataFrame =
+    generationPairs(docs, prefixTokens)
       .select(col("pid"), explode(array(
         struct(lit(0).as("side"), col("rt").as("toks")),
         struct(lit(1).as("side"), col("ct").as("toks")))).as("s"))
       .select(col("pid"), col("s.side").as("side"),
         explode(col("s.toks")).as("g"))
-      .groupBy("pid", "side", "g").agg(count(lit(1)).as("cnt"))
-    val ref = grams.filter(col("side") === 0)
-      .select(col("pid"), col("g"), col("cnt").as("rcnt"))
-    val cand = grams.filter(col("side") === 1)
-      .select(col("pid"), col("g"), col("cnt").as("ccnt"))
-    val overlap = cand.join(ref, Seq("pid", "g"))
+      .groupBy("pid", "g")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("rcnt"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("ccnt"))
       .groupBy("pid")
-      .agg(sum(least(col("ccnt"), col("rcnt"))).as("overlap"))
-    pairs
-      .select(col("pid"), size(col("rt")).cast("long").as("ref_len"),
-        size(col("ct")).cast("long").as("cand_len"))
-      .join(overlap, Seq("pid"), "left")
+      .agg(sum(least(col("rcnt"), col("ccnt"))).as("overlap"),
+        sum(col("rcnt")).as("ref_len"),
+        sum(col("ccnt")).as("cand_len"))
       .select((col("pid") * 2).as("ref_id"), (col("pid") * 2 + 1).as("cand_id"),
-        coalesce(col("overlap"), lit(0L)).as("overlap"),
-        col("ref_len"), col("cand_len"))
+        col("overlap"), col("ref_len"), col("cand_len"))
       .withColumn("prec", exactRatio(col("overlap"), col("cand_len"), 6))
       .withColumn("rec", exactRatio(col("overlap"), col("ref_len"), 6))
       .withColumn("token_f1",
         exactRatio(col("overlap") * 2L, col("ref_len") + col("cand_len"), 6))
-  }
 
   /** Clipped n-gram precision per generation pair (the BLEU-n building
     * block, Papineni 2002): for n = 1, 2 the numerator clips each
