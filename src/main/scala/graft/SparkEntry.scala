@@ -2505,6 +2505,15 @@ object SparkEntry {
         Tables.lineitem(s, dir),
         when(col("l_orderkey") % 4 < 3, col("l_partkey") % 32)
           .otherwise(col("l_partkey") + 1000000L))),
+    "sketch_mg_grouped" -> ((s, dir) =>
+      // per-SEGMENT heavy hitters (the billions-of-groups shape): the
+      // MG aggregate runs under groupBy(returnflag) at O(k) state per
+      // group; per-group candidates semi-join back for the exact,
+      // deterministic read-out — oracle = GROUP BY (grp, key) HAVING
+      graft.ops.Sketches.mgHeavyHittersGrouped(
+        Tables.lineitem(s, dir), col("l_returnflag"),
+        when(col("l_orderkey") % 4 < 3, col("l_partkey") % 32)
+          .otherwise(col("l_partkey") + 1000000L))),
     "incr_mg_maintain" -> ((s, dir) =>
       // incrementally-maintained heavy hitters: the standing summary
       // (90% of rows) merges a delta batch's summary (10%) at O(k)
@@ -8180,6 +8189,20 @@ object SparkEntry {
         |       (SELECT n_total FROM tot) AS n_total
         |FROM t GROUP BY key
         |HAVING count(*) * 65 > (SELECT n_total FROM tot)""".stripMargin,
+    "sketch_mg_grouped" -> // per-group cutoff: cnt·(k+1) > the GROUP's
+      // total, k = 64 — candidates guaranteed per group, read-out exact
+      """WITH t AS (SELECT l_returnflag AS grp,
+        |                  CASE WHEN l_orderkey % 4 < 3
+        |                       THEN l_partkey % 32
+        |                       ELSE l_partkey + 1000000 END AS key
+        |           FROM lineitem),
+        |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_total
+        |        FROM t GROUP BY grp)
+        |SELECT t.grp, t.key, CAST(count(*) AS BIGINT) AS exact_cnt,
+        |       min(tot.n_total) AS n_total
+        |FROM t JOIN tot USING (grp)
+        |GROUP BY t.grp, t.key
+        |HAVING count(*) * 65 > min(tot.n_total)""".stripMargin,
     "incr_mg_maintain" -> // maintained candidates, exact output: the
       // oracle is the FULL recompute — identical result to
       // sketch_mg_heavy by design (the maintenance path must converge

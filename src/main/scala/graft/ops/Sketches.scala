@@ -428,6 +428,33 @@ object Sketches {
       .select(col("key"), col("exact_cnt"), col("n_total"))
   }
 
+  /** Per-GROUP Misra–Gries heavy hitters — the shape that actually needs
+    * the sketch at 100 TB: "the heavy keys inside EVERY segment" over
+    * billions of segments, where the exact GROUP BY (segment, key) would
+    * shuffle every distinct pair. Here the sketch aggregate runs under
+    * groupBy(grp) — O(k) buffer per group, exchange carries groups·k
+    * summary entries — and the per-group candidate sets semi-join back
+    * (a plain (grp, key) equi-join: at billions of groups the candidate
+    * table is itself large, so no broadcast is forced) for the exact,
+    * deterministic read-out; the group-total join is O(groups). Same
+    * guarantee as [[mgHeavyHitters]], applied per group.
+    */
+  def mgHeavyHittersGrouped(
+      df: DataFrame, grpCol: Column, keyCol: Column, k: Int = 64): DataFrame = {
+    val data = df.select(grpCol.as("grp"), keyCol.as("key"))
+      .filter(col("key").isNotNull && col("grp").isNotNull)
+    val cands = data.groupBy("grp")
+      .agg(graft.functions.MisraGriesAggregate.misraGries(col("key"), k).as("mg"))
+      .select(col("grp"), explode(col("mg")).as("e"))
+      .select(col("grp"), col("e.key").as("key"))
+    val totals = data.groupBy("grp").agg(count(lit(1)).as("n_total"))
+    data.join(cands, Seq("grp", "key"), "left_semi")
+      .groupBy("grp", "key").agg(count(lit(1)).as("exact_cnt"))
+      .join(totals, Seq("grp"))
+      .filter(col("exact_cnt") * lit(k + 1L) > col("n_total"))
+      .select(col("grp"), col("key"), col("exact_cnt"), col("n_total"))
+  }
+
   def mgHeavyHitters(df: DataFrame, keyCol: Column, k: Int = 64): DataFrame = {
     val data = df.select(keyCol.as("key")).filter(col("key").isNotNull)
     val summary = data.agg(

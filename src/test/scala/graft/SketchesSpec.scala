@@ -311,6 +311,36 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("mgHeavyHittersGrouped: per-group guarantee — different planted " +
+    "heavies per group, read-out equals the exact per-group census " +
+    "under every partitioning") {
+    val k = 8
+    // group A: heavies 0-3; group B: heavies 100-101 (hotter, fewer);
+    // both share a 500-key cold tail
+    val rowsA = (0 until 4).flatMap(h => Seq.fill(600)(("A", h.toLong))) ++
+      (0 until 500).map(i => ("A", 1000L + i))
+    val rowsB = (0 until 2).flatMap(h => Seq.fill(900)(("B", 100L + h))) ++
+      (0 until 500).map(i => ("B", 1000L + i))
+    val rows = rowsA ++ rowsB
+    def truthOf(side: Seq[(String, Long)]) = {
+      val n = side.size.toLong
+      side.groupBy(_._2).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * (k + 1) > n }
+        .map { case (key, c) => (side.head._1, key, c, n) }.toSet
+    }
+    val truth = truthOf(rowsA) ++ truthOf(rowsB)
+    assert(truth.map(t => (t._1, t._2)) ==
+      Set(("A", 0L), ("A", 1L), ("A", 2L), ("A", 3L),
+        ("B", 100L), ("B", 101L)))
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("grp", "key").repartition(parts)
+      val out = graft.ops.Sketches
+        .mgHeavyHittersGrouped(df, col("grp"), col("key"), k)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(out == truth, s"parts=$parts")
+    }
+  }
+
   test("graft_sample_k is registered for SQL users") {
     graft.functions.VectorFunctions.register(spark)
     val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
