@@ -2798,6 +2798,13 @@ object SparkEntry {
       graft.ops.Expectations.dpCountRelease(
         Tables.customer(s, dir).select(col("c_nationkey")),
         Seq("c_nationkey"), epsilon = 1.0)),
+    "dp_quantile_release" -> ((s, dir) =>
+      // exponential-mechanism median over the DECLARED [1,50] quantity
+      // domain, base ρ = 1/2 so every weight is an integer power of two
+      // (no libm in either engine); ε = 4·ln2 by the 2·Δu·ln(1/ρ)
+      // accounting with Δu = 2
+      graft.ops.Expectations.dpQuantileRelease(
+        Tables.lineitem(s, dir), col("l_quantity"), 1, 50)),
     "eval_confusion" -> ((s, dir) =>
       // thresholded confusion report of "first embedding dim predicts
       // label < 5": one scan, all threshold cells as conditional sums,
@@ -9316,6 +9323,42 @@ object SparkEntry {
         |  greatest(n_true + noise, 0) AS n_released,
         |  CAST(1.0 AS DOUBLE) AS epsilon
         |FROM z""".stripMargin,
+    "dp_quantile_release" -> // exponential mechanism, base 1/2: the
+      // integer power-of-two weight table is the SAME Scala-rendered
+      // literal list the plan embeds; selection compares exact-double
+      // renderings of < 2^53 integers against u·W — no libm either side
+      s"""WITH counts AS (SELECT CAST(trunc(l_quantity) AS BIGINT) AS v,
+        |                 CAST(count(*) AS BIGINT) AS c
+        |          FROM lineitem WHERE l_quantity BETWEEN 1 AND 50
+        |          GROUP BY 1),
+        |dom AS (SELECT unnest(generate_series(1, 50)) AS v),
+        |tbl AS (SELECT dom.v, coalesce(c, 0) AS c,
+        |          CAST(sum(coalesce(c, 0)) OVER (ORDER BY dom.v)
+        |               AS BIGINT) AS cum
+        |        FROM dom LEFT JOIN counts ON counts.v = dom.v),
+        |tot AS (SELECT max(cum) AS n,
+        |          greatest(1, (max(cum) * 1 * 2 + 2) // (2 * 2)) AS t
+        |        FROM tbl),
+        |wt AS (SELECT v, cum, n, t,
+        |         ${graft.ops.Expectations.dpQuantileWeightsSql}[
+        |           CAST(least(abs(cum - t),
+        |             ${graft.ops.Expectations.DpQuantileD}) + 1 AS INT)]
+        |           AS wv
+        |       FROM tbl, tot),
+        |cw AS (SELECT *, CAST(sum(wv) OVER (ORDER BY v) AS BIGINT) AS cumw
+        |       FROM wt),
+        |wtot AS (SELECT CAST(sum(wv) AS BIGINT) AS w_total FROM wt),
+        |u AS (SELECT (CAST(CAST('0x' || substr(md5('dpq|1/2'), 1, 12)
+        |          AS BIGINT) AS DOUBLE) + 0.5) / 281474976710656.0 AS uu)
+        |SELECT CAST(0.5 AS DOUBLE) AS q,
+        |  CAST(${java.lang.String.format(java.util.Locale.ROOT, "%.17g",
+             Double.box(4.0 * math.log(2.0)))} AS DOUBLE) AS epsilon,
+        |  max(n) AS n_rows, max(t) AS t_rank,
+        |  min(CASE WHEN cum >= t THEN v END) AS v_true,
+        |  min(CASE WHEN CAST(cumw AS DOUBLE)
+        |             > uu * CAST(w_total AS DOUBLE) THEN v END)
+        |    AS v_released
+        |FROM cw, wtot, u""".stripMargin,
     "eval_confusion" -> // same conditional-count cells per threshold;
       // every presented ratio is the shared exact half-up form
       """WITH s AS (SELECT

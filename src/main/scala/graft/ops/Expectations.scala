@@ -339,6 +339,87 @@ object Expectations {
     (bounds, k)
   }
 
+  /** Differentially-private QUANTILE release — the exponential mechanism
+    * (McSherry & Talwar 2007) over a DECLARED bounded integer domain
+    * [lo, hi], the companion release to [[dpCountRelease]]: candidates
+    * are every domain value (present or not — the candidate list must be
+    * data-independent), utility u(v) = −min(|cum(v) − t|, D) where
+    * cum(v) = #{x ≤ v} and t is the target rank, and the selection
+    * weight is ρ^|u| with ρ = 1/2.
+    *
+    * The RATIONAL base is the whole trick: with ρ = 1/2 every weight is
+    * the integer 2^(D−min(d,D)) — no exp()/pow() libm call in either
+    * engine (the dp_count_release lesson: in-engine transcendentals are
+    * the one cross-engine divergence class). Weights come from a LITERAL
+    * 41-entry array shared verbatim with the oracle (the boundary-table
+    * discipline); selection compares exact-double renderings of < 2^53
+    * integers against u·W (u = the md5 uniform seeded off the release
+    * tag; one IEEE multiply — correctly rounded, engine-identical).
+    * Privacy accounting: utility sensitivity ≤ 2 (cum and t each move by
+    * ≤ 1 per neighboring dataset), so ε = 2·Δu·ln(1/ρ) = 4·ln 2 ≈ 2.77.
+    * The D = 40 truncation caps the weight table; a production release
+    * folds a secret salt into the seed and drops the v_true audit column.
+    *
+    * Plan: one size-of-data grouped count to O(|domain|) rows; the
+    * window/cumulative machinery runs on the ≤ |domain| candidate table
+    * (bounded by declaration, single partition by design). Nothing after
+    * the first exchange scales with the data.
+    */
+  def dpQuantileRelease(df: DataFrame, valueCol: Column,
+      lo: Int, hi: Int, qNum: Int = 1, qDen: Int = 2,
+      seed: String = "dpq"): DataFrame = {
+    require(lo <= hi && hi - lo <= 100000, "domain must be small+declared")
+    require(qNum >= 1 && qNum < qDen, "quantile must be in (0,1)")
+    val spark = df.sparkSession
+    val w = Window.orderBy("v") // <= |domain| rows: bounded by declaration
+    val counts = df.select(valueCol.cast("long").as("v"))
+      .filter(col("v").between(lo.toLong, hi.toLong))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val domain = spark.range(lo.toLong, hi.toLong + 1L).select(col("id").as("v"))
+    val weightArr = array(dpQuantileWeights.map(lit): _*)
+    val tbl = domain.join(counts, Seq("v"), "left")
+      .select(col("v"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+    // t = halfup(qNum·n / qDen), clamped to >= 1 — INTEGRAL divide (a
+    // double `/` would be inexact for general qDen)
+    def idiv(num: Column, den: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(num),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(den)))
+    val totals = broadcast(tbl.agg(max(col("cum")).as("n"))
+      .select(col("n"), greatest(lit(1L),
+        idiv(col("n") * qNum * 2 + qDen, lit(2L * qDen))).as("t")))
+    val weighted = tbl.crossJoin(totals)
+      .withColumn("d", abs(col("cum") - col("t")))
+      .withColumn("wv", element_at(weightArr,
+        (least(col("d"), lit(DpQuantileD.toLong)) + 1L).cast("int")))
+      .withColumn("cumw", sum(col("wv")).over(w))
+    val wTotal = broadcast(weighted.agg(sum(col("wv")).as("w_total")))
+    val u = (conv(substring(md5(lit(s"$seed|$qNum/$qDen")), 1, 12), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(281474976710656.0)
+    weighted.crossJoin(wTotal)
+      .agg(
+        max(col("n")).as("n_rows"), max(col("t")).as("t_rank"),
+        min(when(col("cum") >= col("t"), col("v"))).as("v_true"),
+        min(when(col("cumw").cast("double") >
+          u * col("w_total").cast("double"), col("v"))).as("v_released"))
+      .select(
+        lit(qNum.toDouble / qDen).as("q"),
+        lit(4.0 * math.log(2.0)).as("epsilon"),
+        col("n_rows"), col("t_rank"), col("v_true"), col("v_released"))
+  }
+
+  /** 2^(D−d) for d = 0..D, D = 40: the integer exponential-mechanism
+    * weight table [[dpQuantileRelease]] and its oracle share verbatim.
+    * 2^40 keeps Σ weights ≤ |domain|·2^40 ≪ 2^53 (exact as doubles). */
+  private[graft] val DpQuantileD = 40
+  private[graft] val dpQuantileWeights: Seq[Long] =
+    (0 to DpQuantileD).map(j => 1L << (DpQuantileD - j))
+
+  private[graft] def dpQuantileWeightsSql: String =
+    dpQuantileWeights.mkString("[", ", ", "]")
+
   /** The boundary table as a SQL list literal at full round-trip
     * precision (17 significant digits — both engines parse back the
     * bit-identical doubles).

@@ -273,6 +273,37 @@ class ExpectationsSpec extends SparkSpec {
     assert(got == Seq(("c->p", 3L, 2L, 0.666667), ("p->c", 3L, 2L, 0.666667)))
   }
 
+  test("dpQuantileRelease: engine mechanism equals an independent Scala " +
+    "replication, and the release is partitioning-invariant") {
+    import spark.implicits._
+    val values = Seq.fill(10)(3L) ++ Seq.fill(25)(5L) ++
+      Seq.fill(7)(6L) ++ Seq.fill(18)(9L)
+    // independent replication of the whole mechanism
+    val n = values.size.toLong
+    val t = math.max(1L, (n * 2 + 2) / 4)
+    val counts = values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val doms = (1L to 10L).toSeq
+    val cums = doms.scanLeft(0L)((acc, v) => acc + counts.getOrElse(v, 0L)).tail
+    val ws = cums.map(c => 1L << (40L - math.min(math.abs(c - t), 40L)).toInt)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("dpq|1/2".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 281474976710656.0
+    val wTot = ws.sum
+    val cumw = ws.scanLeft(0L)(_ + _).tail
+    val released = doms.zip(cumw)
+      .find { case (_, cw) => cw.toDouble > u * wTot.toDouble }.get._1
+    val vTrue = doms.zip(cums).find { case (_, c) => c >= t }.get._1
+    assert(vTrue == 5L) // hand check: cum(3)=10 < 30 = t <= cum(5)=35
+    for (parts <- Seq(1, 8)) {
+      val out = graft.ops.Expectations.dpQuantileRelease(
+        values.toDF("x").repartition(parts), col("x"), 1, 10)
+        .as[(Double, Double, Long, Long, Long, Long)].head()
+      assert(out == ((0.5, 4.0 * math.log(2.0), n, t, vTrue, released)),
+        s"parts=$parts")
+    }
+  }
+
   test("inclusionCensus: an all-null child column yields a NULL ratio") {
     val child = Seq[Option[Long]](None, None).toDF("ck")
     val parent = Seq(1L).toDF("pk")

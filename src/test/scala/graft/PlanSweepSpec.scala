@@ -82,6 +82,9 @@ class PlanSweepSpec extends SparkSpec {
     // bias baseline: the 1-row global-mean broadcast crosses the fact
     // rows (cheap constant attach) and the per-user bias table
     "rec_bias_model",
+    // DP quantile: 1-row (n, t) and 1-row W-total broadcasts onto the
+    // <= |domain| (50-row) candidate table
+    "dp_quantile_release",
     // HLL rollup's ALL row: same reviewed 1-row exact-count broadcast onto
     // the merged (single-row) register sketch as sketch_kmv_distinct
     "sketch_hll_distinct",
