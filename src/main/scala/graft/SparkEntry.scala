@@ -772,6 +772,13 @@ object SparkEntry {
       // per-cell hotspot census: one hash aggregate + TakeOrdered
       graft.ops.Spatial.density(
         graft.ops.Spatial.customerPoints(Tables.customer(s, dir)), c = 50)),
+    "spatial_knn" -> ((s, dir) =>
+      // k-nearest within radius per query point: 3x3-blocked candidates
+      // + per-query window — the kNN-join face of the radius join, with
+      // the radius-bounded semantics a blocked plan can certify
+      graft.ops.Spatial.knnWithin(
+        graft.ops.Spatial.customerPoints(Tables.customer(s, dir)),
+        r = 50, k = 5)),
     "graph_bfs" -> ((s, dir) =>
       // multi-source BFS: exact hop distances from every 10th supplier,
       // level-synchronous with per-round min-merge so shuffle traffic is
@@ -3893,6 +3900,25 @@ object SparkEntry {
         |SELECT x - x % 50 AS gx, y - y % 50 AS gy, count(*) AS n_points
         |FROM p GROUP BY 1, 2
         |ORDER BY n_points DESC, gx, gy LIMIT 20""".stripMargin,
+    "spatial_knn" -> // quadratic form allowed at fixture scale; the
+      // (dist_sq, neighbor_id) rank chain is fully deterministic
+      """WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        |             CAST(c_custkey * 37 % 1000 AS BIGINT) AS x,
+        |             CAST(c_custkey * 61 % 1000 AS BIGINT) AS y
+        |           FROM customer),
+        |cand AS (SELECT q.id AS query_id, p.id AS neighbor_id,
+        |           (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y)
+        |             AS dist_sq
+        |         FROM p q JOIN p ON p.id <> q.id
+        |         WHERE q.id % 50 = 0
+        |           AND (q.x - p.x) * (q.x - p.x)
+        |               + (q.y - p.y) * (q.y - p.y) <= 2500)
+        |SELECT query_id, neighbor_id, dist_sq, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id
+        |        ORDER BY dist_sq, neighbor_id) AS rn
+        |      FROM cand)
+        |WHERE rn <= 5""".stripMargin,
     "link_candidates" -> // the same blocked equi-join + neighbor-block
       // recovery, reduced to the agreement-pattern census
       """WITH a AS (SELECT c_custkey AS a_id, substr(c_name, 10, 9) AS a_name,

@@ -73,6 +73,48 @@ object Spatial {
       .filter(col("dist_sq") <= lit(r.toLong * r))
   }
 
+  /** k-nearest-neighbors WITHIN radius `r` for each query point
+    * (`id % queryMod == 0`) — the kNN-join sibling of [[radiusJoin]],
+    * with the honest bounded semantics a grid-blocked plan can certify:
+    * "the k nearest no farther than r" (unbounded kNN needs an
+    * expanding-ring search whose round count is data-dependent; the
+    * radius-bounded form is one blocked join + a per-query window and is
+    * what geo feature pipelines actually use, since a neighbor beyond r
+    * is not a neighbor). Ranking is deterministic: (dist_sq ASC, id ASC).
+    *
+    * Scale: queries expand ×9 (bounded), candidates live in the 3×3 cell
+    * neighborhood only, and the window partitions by query — O(candidates
+    * within r) per query, never O(n) — so cost tracks query count ×
+    * local density, the [[radiusJoin]] density caveat applies verbatim.
+    */
+  def knnWithin(
+      pts: DataFrame, r: Int, k: Int = 5, queryMod: Int = 50): DataFrame = {
+    require(r >= 1 && k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val cells = pts.select(col("id"), col("x"), col("y"),
+      (col("x") - pmod(col("x"), lit(r.toLong))).as("gx"),
+      (col("y") - pmod(col("y"), lit(r.toLong))).as("gy"))
+    val off = array((-1 to 1).map(i => lit(i.toLong)): _*)
+    val q = cells.filter(pmod(col("id"), lit(queryMod.toLong)) === 0)
+      .withColumn("ox", explode(off))
+      .withColumn("oy", explode(off))
+      .select(col("id").as("query_id"), col("x").as("qx"), col("y").as("qy"),
+        (col("gx") + col("ox") * r).as("nx"),
+        (col("gy") + col("oy") * r).as("ny"))
+    val probe = cells.select(col("id").as("neighbor_id"),
+      col("x").as("xb"), col("y").as("yb"), col("gx"), col("gy"))
+    val d2 = (col("qx") - col("xb")) * (col("qx") - col("xb")) +
+      (col("qy") - col("yb")) * (col("qy") - col("yb"))
+    q.join(probe,
+        col("nx") === col("gx") && col("ny") === col("gy") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), d2.as("dist_sq"))
+      .filter(col("dist_sq") <= lit(r.toLong * r))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("dist_sq").asc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Per-grid-cell density census at cell size `c`: the hotspot profile
     * (top cells by point count, ties broken by cell coordinates). One
     * hash aggregate; the TopK is a TakeOrdered, never a global sort.

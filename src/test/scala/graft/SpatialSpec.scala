@@ -48,6 +48,30 @@ class SpatialSpec extends SparkSpec {
     assert(got == want, s"${got.size} vs ${want.size} pairs")
   }
 
+  test("knnWithin: nearest-first with id tie-break, radius cutoff, " +
+    "cross-cell recovery, k truncation") {
+    // query id 50 at (100,100) [cell (90,90) at r=10 -> boundary-near];
+    // neighbors: 1@(101,100) d2=1; 2@(99,101) d2=2 (different cell);
+    // 3@(103,104) d2=25; 4@(100,92) d2=64; 5@(120,120) d2=800 outside
+    // r=10; 6 is another query-residue point far away (no self rows)
+    val p = pts((50L, 100L, 100L), (1L, 101L, 100L), (2L, 99L, 101L),
+      (3L, 103L, 104L), (4L, 100L, 92L), (5L, 120L, 120L),
+      (100L, 500L, 500L))
+    val got = Spatial.knnWithin(p, r = 10, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (50L, 1L, 1L, 1L), (50L, 2L, 2L, 2L), (50L, 3L, 25L, 3L)))
+    // k larger than matches: all in-radius neighbors come back, ranked
+    val all = Spatial.knnWithin(p, r = 10, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(all == got + ((50L, 4L, 64L, 4L)))
+    // exact-distance tie at the same d2: lower id wins the lower rank
+    val tied = pts((0L, 10L, 10L), (7L, 11L, 10L), (3L, 10L, 11L))
+    val ranks = Spatial.knnWithin(tied, r = 5, k = 2, queryMod = 100)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ranks == Set((0L, 3L, 1L, 1L), (0L, 7L, 1L, 2L)))
+  }
+
   test("density: counts per cell, hotspots first, coordinate tie-break") {
     val p = pts((1L, 0L, 0L), (2L, 10L, 10L), (3L, 49L, 49L), // cell (0,0)
       (4L, 50L, 0L), (5L, 60L, 10L), // cell (50,0)
