@@ -241,39 +241,36 @@ object Recommend {
         org.apache.spark.sql.catalyst.expressions.IntegralDivide(
           ColumnBridge.expression(dec(num) * dec(lit(2L)) + dec(den)),
           ColumnBridge.expression(dec(den) * dec(lit(2L)))))
-    // ONE fact scan: the join explodes to per-observation rows only
-    // inside this aggregate, which reduces to per-(user, item) partials
-    // (sum q6, count) — every chained mean derives from these partials,
-    // so the three "passes" of the textbook formulation touch the
-    // aggregated table, never the fact again. localCheckpoint pins the
-    // partials (three downstream consumers; alias-distinct subtrees
-    // defeat ReuseExchange — the rec_bias_model plan-audit lesson).
-    // sums widened to DECIMAL(38,0) pre-aggregation: the global Σq6 at
-    // corpus scale exceeds BIGINT (6×10¹² rows × 5×10⁷ e6), and DuckDB's
-    // BIGINT sums auto-promote to HUGEINT anyway — same ExactRatio sweep
-    val pui = lineitem
+    // Three passes over the fact join, each a cheap LONG hash aggregate
+    // (global mean → user offsets → item offsets; each step needs the
+    // previous step's constant, so the chain is irreducible). An earlier
+    // cut pre-aggregated to per-(user,item) DECIMAL partials behind a
+    // localCheckpoint — measured 3-10× SLOWER at sf1: the pairs are
+    // mostly unique, so the 6M-group decimal hash-agg bought nothing and
+    // the materialization thrashed. Budgets for the LONG sums (ANSI
+    // fails loudly past them): per-user Σq6 ≤ n_u·5×10⁷ overflows only
+    // past ~1.8×10¹¹ ratings per user; per-item Σ(dev+C) ≤ n_i·3×10⁸
+    // only past ~3×10¹⁰ ratings per item. Only the GLOBAL Σq6 can
+    // realistically overflow (6×10¹² rows × 5×10⁷), and that one sum
+    // runs in DECIMAL(38,0) — a single group, cost-free.
+    val r = lineitem
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         lineitem("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
         (col("l_quantity").cast("long") * 1000000L).as("q6"))
-      .groupBy("u", "i")
-      .agg(sum(dec(col("q6"))).as("sq"), count(lit(1)).as("m"))
-      .localCheckpoint(true)
-    val mu = broadcast(pui
-      .agg(sum(col("sq")).as("s"), sum(col("m")).as("n"))
+    val mu = broadcast(r
+      .agg(sum(dec(col("q6"))).as("s"), count(lit(1)).as("n"))
       .select(halfup(col("s"), col("n")).as("mu6")))
-    val ub = pui.crossJoin(mu).groupBy("u")
-      .agg(sum(col("sq")).as("sq"), sum(col("m")).as("nu"),
-        max(col("mu6")).as("mu6"))
+    val ub = r.groupBy("u")
+      .agg(sum(col("q6")).as("sq"), count(lit(1)).as("nu"))
+      .crossJoin(mu)
       .select(col("u"),
-        (halfup(col("sq") + dec(col("nu")) * dec(lit(C) - col("mu6")),
+        (halfup(dec(col("sq")) + dec(col("nu")) * dec(lit(C) - col("mu6")),
           col("nu")) - C).as("bu6"))
-    // per-item: Σ(q6 − μ6 − b_u6 + C) = Σsq + Σm·(C − μ6 − b_u6)
-    pui.join(ub, Seq("u")).crossJoin(mu)
+    r.join(ub, Seq("u")).crossJoin(mu)
       .groupBy("i")
-      .agg(sum(col("m")).as("n_ratings"),
-        sum(col("sq") + dec(col("m")) *
-          dec(lit(C) - col("mu6") - col("bu6"))).as("sd"),
+      .agg(count(lit(1)).as("n_ratings"),
+        sum(col("q6") - col("mu6") - col("bu6") + lit(C)).as("sd"),
         max(col("mu6")).as("mu6"))
       .select(col("i").as("item"), col("n_ratings"),
         (col("mu6").cast("double") / 1e6).as("mu"),
