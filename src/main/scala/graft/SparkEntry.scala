@@ -1016,6 +1016,14 @@ object SparkEntry {
       // all hash-deterministic, so DuckDB certifies bit-for-bit
       graft.ops.Sketches.quantileSketch(Tables.orders(s, dir),
         col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))),
+    "incr_quantile_maintain" -> ((s, dir) =>
+      // maintained quantile sketch: standing bottom-64-by-hash sample +
+      // delta batch sample, union-then-truncate — hash-deterministic, so
+      // the merged sample is BIT-identical to the full re-sketch (oracle
+      // = full recompute); exact rank certificate alongside
+      graft.ops.Sketches.quantileMaintain(Tables.orders(s, dir),
+        col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date") >= lit("1998-01-01").cast("date"))),
     "ts_backlog_sweep" -> ((s, dir) =>
       // sweep-line interval concurrency: peak simultaneously-open line
       // items per supplier (open = order date until ship date), closings
@@ -4258,6 +4266,44 @@ object SparkEntry {
         |FROM est e JOIN counts c ON e.grp = c.grp
         |JOIN exact_all x ON e.grp = x.grp
         |ORDER BY e.grp""".stripMargin,
+    "incr_quantile_maintain" -> // union-then-truncate of the two
+      // bottom-64 samples == bottom-64 of the union (hash-deterministic
+      // monoid), so the oracle replays the maintenance path verbatim
+      """WITH base AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+        |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+        |         AS BIGINT) AS hv,
+        |    (CAST(o_orderdate AS DATE) >= DATE '1998-01-01') AS is_delta
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+        |kb AS (SELECT v, hv FROM
+        |         (SELECT v, hv, row_number() OVER (ORDER BY hv, v) AS srn
+        |          FROM base WHERE NOT is_delta) WHERE srn <= 64),
+        |kd AS (SELECT v, hv FROM
+        |         (SELECT v, hv, row_number() OVER (ORDER BY hv, v) AS srn
+        |          FROM base WHERE is_delta) WHERE srn <= 64),
+        |merged AS (SELECT v, hv FROM
+        |             (SELECT v, hv, row_number() OVER (ORDER BY hv, v) AS srn
+        |              FROM (SELECT * FROM kb UNION ALL SELECT * FROM kd))
+        |           WHERE srn <= 64),
+        |sel AS (SELECT v, row_number() OVER (ORDER BY v) AS vrn,
+        |          count(*) OVER () AS m FROM merged),
+        |est AS (SELECT CAST(max(m) AS BIGINT) AS m,
+        |          round(min(CASE WHEN vrn = CEIL(0.5 * m) THEN v END), 2)
+        |            AS est_p50,
+        |          round(min(CASE WHEN vrn = CEIL(0.9 * m) THEN v END), 2)
+        |            AS est_p90
+        |        FROM sel),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM base),
+        |ex AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |         count(*) OVER () AS n FROM base),
+        |exact AS (SELECT
+        |    round(min(CASE WHEN rn = CEIL(0.5 * n) THEN v END), 2)
+        |      AS exact_p50,
+        |    round(min(CASE WHEN rn = CEIL(0.9 * n) THEN v END), 2)
+        |      AS exact_p90
+        |  FROM ex)
+        |SELECT n_rows, m, est_p50, est_p90, exact_p50, exact_p90
+        |FROM est, cnt, exact""".stripMargin,
     "sketch_kmv_distinct" -> // same KMV sketch from the same 60-bit hashes;
       // the ALL row here is computed over all hashes directly, certifying
       // the Spark side's sketch-MERGE path against first principles

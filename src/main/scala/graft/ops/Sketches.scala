@@ -368,6 +368,53 @@ object Sketches {
     * themselves are spec-checked against the deficit bound but kept out
     * of the certified columns by design.
     */
+  /** Incrementally-maintained quantile sketch — the [[quantileSketch]]
+    * monoid exercised as maintenance: the standing corpus's bottom-k-by-
+    * hash sample and a delta batch's sample merge by union-then-truncate,
+    * and because membership is hash-deterministic the merged sample is
+    * BIT-IDENTICAL to re-sketching base ∪ delta from scratch (not just
+    * statistically equivalent — the property that lets a standing sample
+    * absorb ingest batches forever without drift). Read-out: merged-
+    * sample p50/p90 estimates plus the exact rank-selected certificate
+    * over the union; oracle = the full recompute.
+    *
+    * Plan: two O(k)-state sample aggregates (each a partial-agg pass over
+    * its side) + an O(k) merge; the exact certificate is the only
+    * size-of-data tail and exists for certification, not production.
+    */
+  def quantileMaintain(
+      df: DataFrame, id: Column, value: Column, isDelta: Column,
+      k: Int = 64): DataFrame = {
+    import graft.functions.SampleKAggregate
+    val base = df.filter(value.isNotNull && id.isNotNull)
+      .select(value.cast("double").as("v"), hash60(id).as("hv"),
+        isDelta.as("is_delta"))
+    def samp(side: DataFrame) = side
+      .agg(SampleKAggregate.sampleK(col("hv"), col("v"), k).as("sample"))
+      .select(explode(col("sample")).as("p"))
+    val merged = samp(base.filter(!col("is_delta")))
+      .unionByName(samp(base.filter(col("is_delta"))))
+      .agg(SampleKAggregate.sampleK(col("p.hv"), col("p.v"), k).as("sample"))
+    def est(q: Double): Column = {
+      val vs = array_sort(expr("transform(sample, x -> x.v)"))
+      round(element_at(vs, ceil(lit(q) * size(vs)).cast("int")), 2)
+    }
+    val estDf = merged.select(size(col("sample")).cast("long").as("m"),
+      est(0.5).as("est_p50"), est(0.9).as("est_p90"))
+    val globalN = broadcast(base.agg(count(lit(1)).as("n_rows")))
+    def pick(q: Double, rn: Column, n: Column): Column =
+      round(min(when(rn === ceil(n * q), col("v"))), 2)
+    val ranked = graft.operators.GlobalRowNumber
+      .withGlobalRowNumber(base.select(col("v")), "rn", Seq(col("v")))
+      .crossJoin(globalN)
+    val exact = ranked.agg(
+      pick(0.5, col("rn"), col("n_rows")).as("exact_p50"),
+      pick(0.9, col("rn"), col("n_rows")).as("exact_p90"))
+    estDf.crossJoin(globalN).crossJoin(broadcast(exact))
+      .select(col("n_rows"), col("m"), col("est_p50"), col("est_p90"),
+        col("exact_p50"), col("exact_p90"))
+  }
+
   /** Misra–Gries summary merge at the DATAFRAME level — the maintenance
     * face of [[mgHeavyHitters]]: two independently-built (key, est)
     * summaries combine by keywise sum, then prune back to ≤ k entries by

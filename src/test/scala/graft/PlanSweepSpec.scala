@@ -85,6 +85,9 @@ class PlanSweepSpec extends SparkSpec {
     // DP quantile: 1-row (n, t) and 1-row W-total broadcasts onto the
     // <= |domain| (50-row) candidate table
     "dp_quantile_release",
+    // maintained quantile sketch: 1-row n_rows and 1-row exact-cert
+    // broadcasts onto the single merged-sample row
+    "incr_quantile_maintain",
     // HLL rollup's ALL row: same reviewed 1-row exact-count broadcast onto
     // the merged (single-row) register sketch as sketch_kmv_distinct
     "sketch_hll_distinct",

@@ -341,6 +341,24 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("quantileMaintain: union-then-truncate is the bottom-k monoid — " +
+    "every delta split yields the bit-identical merged sample read-out") {
+    val df = (1 to 5000)
+      .map(i => (i.toLong, (i * 37 % 1000).toDouble + 0.25))
+      .toDF("id", "v")
+    // no-split reference: everything in base, delta empty
+    val direct = graft.ops.Sketches
+      .quantileMaintain(df, col("id"), col("v"), lit(false))
+      .collect().toSeq
+    assert(direct.nonEmpty && direct.head.getLong(1) == 64L)
+    for (residue <- Seq(2, 5, 10)) {
+      val got = graft.ops.Sketches.quantileMaintain(
+        df.repartition(16), col("id"), col("v"), col("id") % residue === 0)
+        .collect().toSeq
+      assert(got == direct, s"residue=$residue")
+    }
+  }
+
   test("graft_sample_k is registered for SQL users") {
     graft.functions.VectorFunctions.register(spark)
     val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
