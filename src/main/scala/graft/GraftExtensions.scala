@@ -95,6 +95,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllZeroRegisters].getName, "graft_hll_zeros"),
       exprs => HllZeroRegisters(exprs.head)))
     e.injectFunction((
+      new FunctionIdentifier("graft_misra_gries"),
+      new ExpressionInfo(classOf[graft.functions.MisraGriesAggregate].getName,
+        "graft_misra_gries"),
+      exprs => {
+        val k = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_misra_gries k must be an integer literal, got $other")
+        }
+        graft.functions.MisraGriesAggregate(exprs(0), k)
+          .toAggregateExpression()
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_sample_k"),
       new ExpressionInfo(classOf[SampleKAggregate].getName, "graft_sample_k"),
       exprs => {

@@ -163,6 +163,15 @@ object VectorFunctions {
         KmvMergeAggregate(exprs(0), k).toAggregateExpression()
       }, "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_misra_gries", exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_misra_gries k must be an integer literal, got $other")
+        }
+        MisraGriesAggregate(exprs(0), k).toAggregateExpression()
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_sample_k", exprs => {
         val k = exprs(2) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -359,6 +359,17 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("graft_misra_gries is registered for SQL users") {
+    graft.functions.VectorFunctions.register(spark)
+    Seq(1L, 1L, 1L, 2L, 3L).toDF("key").repartition(1)
+      .createOrReplaceTempView("mgq")
+    val arr = spark
+      .sql("SELECT graft_misra_gries(key, 2) AS mg FROM mgq")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    // same hand case as the native-API test: {1: 2} after the decrement
+    assert(arr.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+  }
+
   test("graft_sample_k is registered for SQL users") {
     graft.functions.VectorFunctions.register(spark)
     val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
