@@ -669,6 +669,11 @@ object SparkEntry {
       // every numerator is non-negative (floor == truncate both engines)
       graft.ops.Recommend.biasModel(
         Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "rec_bias_users" -> ((s, dir) =>
+      // the b_u table itself (the serving-layer artifact): per-user
+      // rating count, global mean, user bias — same integer formulas
+      graft.ops.Recommend.biasModelUsers(
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "rec_user_topn" -> ((s, dir) =>
       // user top-3 item-CF recommendations: |history| x 10 truncated
       // neighbor expansion (the production fan-out cap), integer score
@@ -3324,6 +3329,21 @@ object SparkEntry {
         |    AS item_bias
         |FROM r JOIN ub USING (u), mu
         |GROUP BY i, mu6""".stripMargin,
+    "rec_bias_users" -> // the user half of the bias chain, replayed
+      // with the same +C half-up integer formulas
+      """WITH r AS (SELECT o.o_custkey AS u,
+        |             CAST(trunc(l.l_quantity) AS BIGINT) * 1000000 AS q6
+        |           FROM lineitem l
+        |           JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |mu AS (SELECT (2 * sum(q6) + count(*)) // (2 * count(*)) AS mu6
+        |       FROM r)
+        |SELECT u AS "user", CAST(count(*) AS BIGINT) AS n_ratings,
+        |  CAST(mu6 AS DOUBLE) / 1000000.0 AS mu,
+        |  CAST((2 * (sum(q6) + count(*) * (200000000 - mu6)) + count(*))
+        |       // (2 * count(*)) - 200000000 AS DOUBLE) / 1000000.0
+        |    AS user_bias
+        |FROM r, mu
+        |GROUP BY u, mu6""".stripMargin,
     "rec_item_cosine" -> // assoc_basket_pairs' pair/support CTEs, scored
       // as floor((pair·1e6)/sqrt(ca·cb)) — identical doubles, exact floor
       """WITH items AS (SELECT basket, item FROM (

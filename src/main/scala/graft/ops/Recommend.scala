@@ -277,4 +277,36 @@ object Recommend {
         ((halfup(col("sd"), col("n_ratings")) - C).cast("double") / 1e6)
           .as("item_bias"))
   }
+
+  /** Per-USER read-out of the [[biasModel]] chain: the b_u table itself
+    * (user, rating count, global mean, user bias) — the artifact a
+    * serving layer joins at request time. Same integer formulas, same
+    * budgets; one fact scan + one keyed aggregate.
+    */
+  def biasModelUsers(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val C = 200000000L
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def halfup(num: Column, den: Column): Column =
+      ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          ColumnBridge.expression(dec(num) * dec(lit(2L)) + dec(den)),
+          ColumnBridge.expression(dec(den) * dec(lit(2L)))))
+    val r = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        lineitem("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"),
+        (col("l_quantity").cast("long") * 1000000L).as("q6"))
+    val mu = broadcast(r
+      .agg(sum(dec(col("q6"))).as("s"), count(lit(1)).as("n"))
+      .select(halfup(col("s"), col("n")).as("mu6")))
+    r.groupBy("u")
+      .agg(sum(col("q6")).as("sq"), count(lit(1)).as("nu"))
+      .crossJoin(mu)
+      .select(col("u").as("user"), col("nu").as("n_ratings"),
+        (col("mu6").cast("double") / 1e6).as("mu"),
+        ((halfup(dec(col("sq")) + dec(col("nu")) * dec(lit(C) - col("mu6")),
+          col("nu")) - C).cast("double") / 1e6).as("user_bias"))
+  }
 }

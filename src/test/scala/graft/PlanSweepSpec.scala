@@ -82,6 +82,8 @@ class PlanSweepSpec extends SparkSpec {
     // bias baseline: the 1-row global-mean broadcast crosses the fact
     // rows (cheap constant attach) and the per-user bias table
     "rec_bias_model",
+    // user read-out: the same 1-row global-mean broadcast cross
+    "rec_bias_users",
     // DP quantile: 1-row (n, t) and 1-row W-total broadcasts onto the
     // <= |domain| (50-row) candidate table
     "dp_quantile_release",

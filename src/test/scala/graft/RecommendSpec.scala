@@ -96,4 +96,23 @@ class RecommendSpec extends SparkSpec {
       100L -> ((3L, 3.0, -0.333333)),
       200L -> ((1L, 3.0, 1.0))))
   }
+
+  test("biasModelUsers: the b_u table on the same fixture, incl. a " +
+    "nonzero user bias") {
+    val orders = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (1L, 100L, 4.0), (2L, 100L, 2.0), (3L, 100L, 2.0), (3L, 200L, 4.0),
+      (4L, 100L, 8.0) // user 30: single rating 8, mu shifts to 4
+    ).toDF("l_orderkey", "l_partkey", "l_quantity")
+    // mu = (4+2+2+4+8)/5 = 4; b_u(10) = ((4-4)+(2-4))/2 = -1;
+    // b_u(20) = ((2-4)+(4-4))/2 = -1; b_u(30) = 8-4 = 4
+    val got = Recommend.biasModelUsers(li, orders)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      10L -> ((2L, 4.0, -1.0)),
+      20L -> ((2L, 4.0, -1.0)),
+      30L -> ((1L, 4.0, 4.0))))
+  }
 }
