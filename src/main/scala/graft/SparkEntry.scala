@@ -2608,6 +2608,12 @@ object SparkEntry {
       // smoothed mean-target encoding table per event_type (alpha = 20)
       graft.ops.Features.targetEncode(Tables.events(s, dir),
         "event_type", "value")),
+    "feat_target_encode_cv" -> ((s, dir) =>
+      // the LEAKAGE-FREE variant production pipelines use: out-of-fold
+      // means per (category, md5 fold), out-of-fold smoothing prior —
+      // a row never sees its own target
+      graft.ops.Features.targetEncodeCv(Tables.events(s, dir),
+        "event_type", "value", "event_id")),
     "curate_curriculum" -> ((s, dir) =>
       // round-robin-by-quality training order: rank-in-source via ONE
       // GlobalRowNumber pass + O(sources) offsets, interleave as arithmetic
@@ -8545,6 +8551,30 @@ object SparkEntry {
         |SELECT category, n, round(s / n, 6) AS raw_mean,
         |       round((s + 20.0 * prior) / (n + 20.0), 6) AS encoded
         |FROM c CROSS JOIN g""".stripMargin,
+    "feat_target_encode_cv" -> // out-of-fold numbers as subtractions
+      // from the same (category, fold) cells; single-fold categories
+      // dropped on both sides (no out-of-fold signal)
+      """WITH b AS (SELECT event_type AS category,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)
+        |         AS BIGINT) % 5 AS fold,
+        |    value
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |cf AS (SELECT category, fold, count(*) AS n_f, sum(value) AS s_f
+        |       FROM b GROUP BY 1, 2),
+        |c AS (SELECT category, sum(n_f) AS n, sum(s_f) AS s
+        |      FROM cf GROUP BY 1),
+        |f AS (SELECT fold, sum(n_f) AS nf_tot, sum(s_f) AS sf_tot
+        |      FROM cf GROUP BY 1),
+        |g AS (SELECT sum(n_f) AS big_n, sum(s_f) AS big_s FROM cf)
+        |SELECT category, fold, CAST(c.n - cf.n_f AS BIGINT) AS n_oof,
+        |  round((c.s - cf.s_f) / (c.n - cf.n_f), 6) AS raw_oof,
+        |  round(((c.s - cf.s_f)
+        |         + 20.0 * ((big_s - sf_tot) / (big_n - nf_tot)))
+        |        / ((c.n - cf.n_f) + 20.0), 6) AS encoded
+        |FROM cf JOIN c USING (category) JOIN f USING (fold) CROSS JOIN g
+        |WHERE c.n > cf.n_f""".stripMargin,
     "curate_curriculum" ->
       // per-source quality rank + round-robin interleave arithmetic; the
       // oracle uses the plain per-source window the Spark side avoids

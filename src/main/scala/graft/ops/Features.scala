@@ -101,6 +101,53 @@ object Features {
           .as("encoded"))
   }
 
+  /** LEAKAGE-FREE target encoding — the cross-fold variant production
+    * training pipelines actually use: each row's category is encoded
+    * from OUT-OF-FOLD statistics only (fold = deterministic md5 bucket
+    * of the row id), so a row never sees its own target — the leakage
+    * [[targetEncode]]'s in-sample means would inject. The smoothing
+    * prior is itself out-of-fold (the other folds' global mean), and
+    * the encoding depends only on (category, fold), so the published
+    * table is the bounded O(categories × folds) artifact a training job
+    * broadcast-joins onto the corpus.
+    *
+    * Plan: ONE size-of-data pass to (category, fold) cells; category
+    * totals, fold totals, and the global total all re-aggregate the
+    * cells (bounded), with the out-of-fold numbers as subtractions —
+    * never a second data pass per fold. Cells whose category lives
+    * entirely in one fold are dropped (no out-of-fold signal; also
+    * pins div-by-zero out of both engines).
+    */
+  def targetEncodeCv(
+      df: DataFrame, catCol: String, targetCol: String, idCol: String,
+      folds: Int = 5, alpha: Double = 20.0): DataFrame = {
+    val b = df
+      .filter(col(catCol).isNotNull && col(targetCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(catCol).as("category"),
+        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+          .cast("long"), lit(folds.toLong)).as("fold"),
+        col(targetCol).as("value"))
+    val cf = b.groupBy("category", "fold")
+      .agg(count(lit(1)).as("n_f"), sum(col("value")).as("s_f"))
+    val c = cf.groupBy("category")
+      .agg(sum(col("n_f")).as("n"), sum(col("s_f")).as("s"))
+    val f = cf.groupBy("fold")
+      .agg(sum(col("n_f")).as("nf_tot"), sum(col("s_f")).as("sf_tot"))
+    val g = broadcast(cf.agg(
+      sum(col("n_f")).as("big_n"), sum(col("s_f")).as("big_s")))
+    val oofPrior =
+      (col("big_s") - col("sf_tot")) / (col("big_n") - col("nf_tot"))
+    cf.join(c, "category").join(broadcast(f), "fold").crossJoin(g)
+      .filter(col("n") > col("n_f"))
+      .select(col("category"), col("fold"),
+        (col("n") - col("n_f")).as("n_oof"),
+        round((col("s") - col("s_f")) / (col("n") - col("n_f")), 6)
+          .as("raw_oof"),
+        round(((col("s") - col("s_f")) + lit(alpha) * oofPrior)
+          / ((col("n") - col("n_f")) + lit(alpha)), 6).as("encoded"))
+  }
+
   /** Weight-of-evidence binning: quantile-bin `valueCol` into `nBins`
     * buckets and score each bin's ln((pos share)/(neg share)) against the
     * boolean `posCol` — the credit-scoring/feature-screening measure of

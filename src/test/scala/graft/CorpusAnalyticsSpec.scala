@@ -381,6 +381,49 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(got("b").getLong(1) == 1L && got("b").getDouble(3) == 57.5)
   }
 
+  test("targetEncodeCv: out-of-fold means exclude the row's own fold — " +
+    "the outlier in fold X never contaminates (cat, X)'s encoding") {
+    // replicate the md5 fold assignment independently
+    def foldOf(id: Long, folds: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) % folds
+    }
+    val rows = (1L to 100L).map(id =>
+      (id, s"c${id % 2}", if (id == 4L) 1000.0 else 1.0))
+    val byCatFold = rows.groupBy { case (id, c, _) => (c, foldOf(id, 5)) }
+      .view.mapValues(vs => (vs.size.toLong, vs.map(_._3).sum)).toMap
+    val byCat = rows.groupBy(_._2)
+      .view.mapValues(vs => (vs.size.toLong, vs.map(_._3).sum)).toMap
+    val (bigN, bigS) = (rows.size.toLong, rows.map(_._3).sum)
+    val byFold = rows.groupBy { case (id, _, _) => foldOf(id, 5) }
+      .view.mapValues(vs => (vs.size.toLong, vs.map(_._3).sum)).toMap
+    val df = rows.toDF("event_id", "event_type", "value")
+    val got = graft.ops.Features
+      .targetEncodeCv(df, "event_type", "value", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size == byCatFold.size)
+    val outlierFold = foldOf(4L, 5)
+    got.foreach { case ((c, fd), (nOof, rawOof, encoded)) =>
+      val (n, s) = byCat(c)
+      val (nF, sF) = byCatFold((c, fd))
+      val (nfT, sfT) = byFold(fd)
+      assert(nOof == n - nF, s"($c,$fd) n_oof")
+      assert(math.abs(rawOof - (s - sF) / (n - nF)) < 1e-6, s"($c,$fd) raw")
+      val prior = (bigS - sfT) / (bigN - nfT)
+      assert(math.abs(encoded -
+        ((s - sF) + 20.0 * prior) / ((n - nF) + 20.0)) < 1e-6, s"($c,$fd)")
+      // the outlier (id 4, cat c0) only inflates rows OUTSIDE its fold
+      if (c == "c0" && fd == outlierFold)
+        assert(rawOof < 2.0, "own-fold row must exclude the outlier")
+      if (c == "c0" && fd != outlierFold)
+        assert(rawOof > 10.0, "other folds see the outlier")
+    }
+  }
+
   test("curriculumOrder: round-robin interleave, within-source ranks by quality") {
     // two sources x two docs; "good" docs carry distinct tokens + stopwords
     val docs = Seq(

@@ -84,6 +84,9 @@ class PlanSweepSpec extends SparkSpec {
     "rec_bias_model",
     // user read-out: the same 1-row global-mean broadcast cross
     "rec_bias_users",
+    // CV target encoding: 1-row global-total broadcast onto the
+    // O(categories x folds) cell table
+    "feat_target_encode_cv",
     // DP quantile: 1-row (n, t) and 1-row W-total broadcasts onto the
     // <= |domain| (50-row) candidate table
     "dp_quantile_release",

@@ -56,6 +56,8 @@ class RoundingTieSpec extends SparkSpec {
     "feat_robust_scale" -> "DOUBLE SUM: median/MAD interpolation",
     "feat_standardize" -> "IRRATIONAL: stddev (sqrt)",
     "feat_target_encode" -> "DOUBLE SUM: sum of event values",
+    "feat_target_encode_cv" ->
+      "DOUBLE SUM: sum of event values (same class, out-of-fold cells)",
     "feat_woe_binning" -> "IRRATIONAL: ln odds ratios",
     "graph_degrees" -> "IRRATIONAL: Hill alpha passes through ln",
     "mix_temperature" -> ("IRRATIONAL: tempered columns pass through " +
