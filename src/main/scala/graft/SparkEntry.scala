@@ -2969,6 +2969,10 @@ object SparkEntry {
       // sum of min(candidate, reference) token counts; prec/rec/F1 as
       // exact ratios — the order-insensitive counterpart of WER/ROUGE-L
       graft.ops.Eval.tokenF1(Tables.documents(s, dir))),
+    "eval_gleu" -> ((s, dir) =>
+      // sentence-level GLEU: pooled 1+2-gram overlap, min(prec, rec) =
+      // overlap / max(cand_grams, ref_grams) — one exact ratio
+      graft.ops.Eval.gleu(Tables.documents(s, dir))),
     "eval_bleu_clip" -> ((s, dir) =>
       // clipped 1/2-gram precision per generation pair (the BLEU-n
       // core); exact (num, den) BIGINT pairs — the geometric mean and
@@ -9823,6 +9827,40 @@ object SparkEntry {
         |       // (2 * (ref_len + cand_len)) AS DOUBLE) / 1000000.0
         |    AS token_f1
         |FROM b""".stripMargin,
+    "eval_gleu" -> // pooled 1+2-gram conditional-count pivot; GLEU =
+      // overlap / greatest(ref, cand) in the shared half-up rendering
+      """WITH t AS (SELECT doc_id,
+        |    (regexp_split_to_array(trim(text), '\s+'))[1:40] AS toks
+        |  FROM documents),
+        |p AS (SELECT r.doc_id // 2 AS pid, r.toks AS rt, c.toks AS ct
+        |      FROM t r JOIN t c ON c.doc_id = r.doc_id + 1
+        |      WHERE r.doc_id % 2 = 0),
+        |sides AS (SELECT pid, 0 AS side, rt AS toks FROM p
+        |          UNION ALL SELECT pid, 1, ct FROM p),
+        |grams AS (
+        |  SELECT pid, side, 1 AS n, unnest(toks) AS g FROM sides
+        |  UNION ALL
+        |  SELECT pid, side, 2 AS n,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      j -> toks[j] || ' ' || toks[j + 1])) AS g
+        |  FROM sides),
+        |cells AS (SELECT pid, n, g,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS rcnt,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ccnt
+        |  FROM grams GROUP BY 1, 2, 3),
+        |agg AS (SELECT pid,
+        |    CAST(sum(least(rcnt, ccnt)) AS BIGINT) AS overlap,
+        |    CAST(sum(rcnt) AS BIGINT) AS ref_grams,
+        |    CAST(sum(ccnt) AS BIGINT) AS cand_grams
+        |  FROM cells GROUP BY 1)
+        |SELECT pid * 2 AS ref_id, pid * 2 + 1 AS cand_id,
+        |  overlap, ref_grams, cand_grams,
+        |  CAST((overlap * 2000000 + greatest(ref_grams, cand_grams))
+        |       // (2 * greatest(ref_grams, cand_grams)) AS DOUBLE)
+        |    / 1000000.0 AS gleu
+        |FROM agg""".stripMargin,
     "eval_bleu_clip" -> // candidate n-gram counts clipped at reference
       // counts, pair-local left join on (pid, n, gram)
       """WITH tok AS MATERIALIZED (

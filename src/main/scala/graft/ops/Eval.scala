@@ -723,6 +723,42 @@ object Eval {
       .withColumn("token_f1",
         exactRatio(col("overlap") * 2L, col("ref_len") + col("cand_len"), 6))
 
+  /** GLEU per generation pair (Wu et al. 2016, the sentence-level BLEU
+    * surrogate Google's NMT work introduced): pool ALL 1- and 2-grams of
+    * both sides, overlap = Σ min(candidate, reference) counts over the
+    * pooled grams, and GLEU = min(precision, recall) — which collapses
+    * to ONE exact ratio, overlap / max(cand_grams, ref_grams), since
+    * both share the overlap numerator. Symmetric-ish and
+    * length-punishing where bleu_clip's precision pair is not.
+    *
+    * Plan: the [[tokenF1]] join-free shape over the [[bleuClipped]]
+    * gram fan-out — one (pid, n, gram) pivot groupBy with conditional
+    * counts, one per-pair fold; corpus scanned once.
+    */
+  def gleu(docs: DataFrame, prefixTokens: Int = 40): DataFrame =
+    generationPairs(docs, prefixTokens)
+      .select(col("pid"), explode(array(
+        struct(lit(0).as("side"), col("rt").as("toks")),
+        struct(lit(1).as("side"), col("ct").as("toks")))).as("s"))
+      .select(col("pid"), col("s.side").as("side"), explode(concat(
+        transform(col("s.toks"), t => struct(lit(1).as("n"), t.as("g"))),
+        transform(expr(
+          "slice(s.toks, 1, greatest(size(s.toks) - 1, 0))"),
+          (t, i) => struct(lit(2).as("n"),
+            concat_ws(" ", t, element_at(col("s.toks"), i + 2)).as("g")))))
+        .as("gr"))
+      .groupBy(col("pid"), col("gr.n").as("n"), col("gr.g").as("g"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("rcnt"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("ccnt"))
+      .groupBy("pid")
+      .agg(sum(least(col("rcnt"), col("ccnt"))).as("overlap"),
+        sum(col("rcnt")).as("ref_grams"),
+        sum(col("ccnt")).as("cand_grams"))
+      .select((col("pid") * 2).as("ref_id"), (col("pid") * 2 + 1).as("cand_id"),
+        col("overlap"), col("ref_grams"), col("cand_grams"))
+      .withColumn("gleu", exactRatio(col("overlap"),
+        greatest(col("ref_grams"), col("cand_grams")), 6))
+
   /** Clipped n-gram precision per generation pair (the BLEU-n building
     * block, Papineni 2002): for n = 1, 2 the numerator clips each
     * candidate n-gram's count at its reference count; the geometric mean

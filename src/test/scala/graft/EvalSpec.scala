@@ -473,6 +473,27 @@ class EvalSpec extends SparkSpec {
       4L -> ((0L, 0.0, 0.0, 0.0))))
   }
 
+  test("gleu: pooled 1+2-gram overlap, min(prec, rec) as one ratio") {
+    import spark.implicits._
+    // pair 0: identical "a b c": grams r = {a,b,c,'a b','b c'} (5),
+    //   overlap 5 -> gleu 1.0
+    // pair 1: ref "a b c" (5 grams), cand "a b" (3 grams: a, b, 'a b');
+    //   overlap = a, b, 'a b' = 3; gleu = 3/max(5,3) = 0.6
+    // pair 2: single-token sides (no 2-grams), disjoint -> 0
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b c"),
+      (2L, "a b c"), (3L, "a b"),
+      (4L, "x"),     (5L, "y")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Eval.gleu(docs)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got == Map(
+      0L -> ((5L, 5L, 5L, 1.0)),
+      2L -> ((3L, 5L, 3L, 0.6)),
+      4L -> ((0L, 1L, 1L, 0.0))))
+  }
+
   test("wer: hand-computed token edit distances, including WER > 1") {
     import spark.implicits._
     // pair 0: identical 4 tokens -> 0; pair 1: one substitution in 4
