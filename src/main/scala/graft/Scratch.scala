@@ -30,20 +30,32 @@ object TimeQ {
   }
 }
 
-/** Throwaway plan-inspection main (not part of the driver contract). */
+/** Throwaway plan-inspection main (not part of the driver contract):
+  * executes under the bench session shape (local[cpus], AQE on) and prints
+  * the POST-EXECUTION adaptive plan, so AQEShuffleRead coalesce decisions
+  * (the real runtime partition counts) are visible, not just the initial
+  * plan explain shows.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // ANSI is the Spark 4 default; pinned so the repo's numeric-budget
       // overflows fail loudly even under cluster-level config drift.
       .config("spark.sql.ansi.enabled", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(args(0))(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"))
-    df.write.format("noop").mode("overwrite").save()
-    println(df.queryExecution.executedPlan.toString)
+    // execute THIS QueryExecution (a .write would plan its own), so the
+    // printed AdaptiveSparkPlan is the finalized one (isFinalPlan=true,
+    // AQEShuffleRead nodes showing the real coalesce decisions)
+    val qe = df.queryExecution
+    qe.toRdd.count()
+    println(qe.executedPlan.toString)
     spark.stop()
   }
 }

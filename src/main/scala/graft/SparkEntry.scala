@@ -408,7 +408,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"),
           graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
-        .repartition(col("fp"))
+        .transform(graft.ops.Spread.byKey(_, col("fp")))
       val t = graft.ops.TextAnalysis.tokens(col("text"))
       val scored = docs.select(
         col("doc_id"), col("fp"),
@@ -512,7 +512,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"),
           graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
-        .repartition(col("fp"))
+        .transform(graft.ops.Spread.byKey(_, col("fp")))
       val t = graft.ops.TextAnalysis.tokens(col("text"))
       val scored = docs.select(
         col("doc_id"), col("fp"), size(t).as("n_tokens"),

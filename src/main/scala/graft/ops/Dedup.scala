@@ -42,8 +42,7 @@ object Dedup {
     * splits, so without it the whole fingerprint pass lands on one task.
     */
   def exact(docs: DataFrame): DataFrame =
-    docs
-      .repartition(col("doc_id"))
+    Spread.byKey(docs, col("doc_id"))
       .select(TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
@@ -66,8 +65,7 @@ object Dedup {
     * as-is.
     */
   def incremental(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val existingFp = existing
-      .repartition(col("doc_id"))
+    val existingFp = Spread.byKey(existing, col("doc_id"))
       .select(TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy("fp").agg(min("doc_id").as("dup_of"))
     val batchFp = incoming
@@ -122,9 +120,12 @@ object Dedup {
     * doc_id.
     *
     * Two deliberate scale decisions live here:
-    *  - `repartition(doc_id)` BEFORE tokenizing: document corpora compress
-    *    well, so scan splits carry far more per-row compute than bytes —
-    *    without this the tokenize/hash prep ran as ONE task at sf0.1.
+    *  - [[Spread.byKey]] (NUMBERED doc_id repartition) BEFORE tokenizing:
+    *    document corpora compress well, so scan splits carry far more
+    *    per-row compute than bytes — without it the tokenize/hash prep ran
+    *    as ONE task at sf0.1, and the earlier un-numbered
+    *    `repartition(doc_id)` was silently AQE-coalesced back to a handful
+    *    of tasks (r13; see [[Spread]]).
     *  - tokens are EXPLODED rather than kept as an array column: any column
     *    referenced inside a higher-order-function lambda gets inlined by
     *    CollapseProject, so `transform(..., slice(split(text), ...))`
@@ -133,7 +134,7 @@ object Dedup {
     *    split runs exactly once per document.
     */
   private def tokenStream(docs: DataFrame, extra: Seq[String]): DataFrame =
-    docs.repartition(col("doc_id"))
+    Spread.byKey(docs, col("doc_id"))
       .select((col("doc_id") +: extra.map(col)) :+
         posexplode(toks).as(Seq("pos", "w")): _*)
 

@@ -56,6 +56,14 @@ object Graph {
       * checkpointed: every consumer (and every iteration of every
       * consumer) re-reads these partitions instead of re-shuffling the
       * data-sized side.
+      *
+      * Deliberately REPARTITION_BY_COL (AQE-coalescible), NOT
+      * [[Spread.byKey]]: graph iterations are bytes-proportional joins
+      * and aggregates, so AQE's byte-based partition sizing is the right
+      * width for them — pinning the full shuffle width here measured
+      * +8–16% across the iterative family at sf0.1 (r13, per-iteration
+      * task overhead on a small artifact) while Spread's CPU-fan-out
+      * rationale does not apply.
       */
     lazy val edges: DataFrame = {
       val once = lineitem.select(

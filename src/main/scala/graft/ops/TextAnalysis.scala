@@ -184,7 +184,7 @@ object TextAnalysis {
     * — a pure plan, no driver action.
     */
   def tfIdf(docs: DataFrame): DataFrame = {
-    val repart = docs.repartition(col("doc_id"))
+    val repart = Spread.byKey(docs, col("doc_id"))
     val terms = repart.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -224,7 +224,7 @@ object TextAnalysis {
     * the doc_id exchange, so the whole operator is one shuffle.
     */
   def tokenEntropy(docs: DataFrame): DataFrame =
-    docs.repartition(col("doc_id"))
+    Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
@@ -278,7 +278,7 @@ object TextAnalysis {
   def lmScore(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val bigrams = docs.repartition(col("doc_id"))
+    val bigrams = Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
       .select(col("doc_id"), col("w"), lead(col("w"), 1).over(w).as("w2"))
       .filter(col("w2").isNotNull)
@@ -741,7 +741,7 @@ object TextAnalysis {
     * dedupe/join consistently.
     */
   def hashingEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
-    val repart = docs.repartition(col("doc_id"))
+    val repart = Spread.byKey(docs, col("doc_id"))
     val toksCol = tokens(col("text"))
     val exploded = repart.select(col("doc_id"), explode(toksCol).as("w"))
     val h = md5(col("w"))
@@ -843,7 +843,7 @@ object TextAnalysis {
     * nothing (partial tails would census as noise).
     */
   private def positionalChunks(docs: DataFrame, n: Int): DataFrame =
-    docs.repartition(col("doc_id"))
+    Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), col("lang"), col("t"),
@@ -868,7 +868,7 @@ object TextAnalysis {
   def bm25(
       docs: DataFrame, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
-    val repart = docs.repartition(col("doc_id"))
+    val repart = Spread.byKey(docs, col("doc_id"))
     val tf = repart.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
