@@ -1368,21 +1368,29 @@ object SparkEntry {
     "w11_percentile_disc" -> { (s, dir) =>
       // exact DISCRETE percentiles as order statistics — the value AT
       // rank ceil(q*n), no interpolation, no doubles; tie order among
-      // equal values cannot change the selected VALUE. The per-group
-      // sort is the exact certified baseline; at corpus scale use
-      // a8/sketch_sample_quantile and certify against this
+      // equal values cannot change the selected VALUE. r13: computed on
+      // the AGGREGATED (flag, qty) domain (the aucQuantized discipline)
+      // instead of row_number over raw rows — the value at rank r is the
+      // smallest qty whose cumulative count reaches r, so the windows run
+      // over O(distinct qty) rows per flag (~50) while the only
+      // data-sized stage is a map-side-combined groupBy. Row-identical
+      // to the row_number formulation (sf0.01-certified); the raw-row
+      // windows were two single-task ~1 s passes over 600 k rows at
+      // sf0.1.
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag").orderBy(col("qty"))
-      Tables.lineitem(s, dir)
+      val g = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1))
-          .over(Window.partitionBy("l_returnflag")).cast("long"))
-        .groupBy("l_returnflag")
+        .groupBy("l_returnflag", "qty").agg(count(lit(1)).as("c"))
+      val byFlag = Window.partitionBy("l_returnflag")
+      val cum = g
+        .withColumn("cum", sum("c").over(byFlag.orderBy(col("qty"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("c").over(byFlag))
+      cum.groupBy("l_returnflag")
         .agg(max("n").as("n"),
-          max(when(col("rn") === expr("(n + 1) div 2"), col("qty")))
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("qty")))
             .as("p50_disc"),
-          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("qty")))
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("qty")))
             .as("p90_disc"))
         .orderBy("l_returnflag")
     },
@@ -2282,7 +2290,11 @@ object SparkEntry {
           "l_orderkey")
         .select(col("node"), graft.ops.Sketches.hash60(col("o_custkey"))
           .as("hv"))
-      val perNode = cust.groupBy("node")
+      // pinned exchange (Spread): the per-row KMV insert is CPU-heavy and
+      // the (node, hv) shuffle is bytes-small, so AQE coalesced the sketch
+      // build to 3 tasks at sf0.1 (StageProf, r13)
+      val perNode = graft.ops.Spread.byKey(cust, col("node"))
+        .groupBy("node")
         .agg(graft.functions.KmvAggregate.kmv(col("hv"), 64).as("sk"))
       val edges = part.select(col("p_partkey").as("node"),
         expr("p_partkey div 2").as("parent")).filter(col("parent") >= 1)
@@ -2290,10 +2302,12 @@ object SparkEntry {
         .select(col("node"), col("anc"))
         .unionByName(part.select(col("p_partkey").as("node"),
           col("p_partkey").as("anc")))
-      pairs.join(perNode, "node")
+      graft.ops.Spread.byKey(pairs.join(perNode, "node"), col("anc"))
         .groupBy("anc")
         // array-input merge: O(pairs) rows into the aggregate, not the
-        // O(pairs × k) explode (measured 28 s → 9 s at sf1, BASELINE.md)
+        // O(pairs × k) explode (measured 28 s → 9 s at sf1, BASELINE.md);
+        // merge exchange pinned (Spread) — the per-row 64-entry sketch
+        // merge is CPU-heavy, AQE ran it at 4 tasks
         .agg(graft.functions.KmvAggregate.kmvMerge(col("sk"), 64).as("sk"))
         .select(col("anc").as("p_partkey"),
           graft.ops.Sketches.kmvEstimate(col("sk"), 64)

@@ -884,9 +884,17 @@ object Dedup {
       .agg(sort_array(collect_list(col("g"))).as("gs"),
         count(lit(1)).as("sz"))
     val isect = size(array_intersect(col("ga"), col("gb"))).cast("long")
-    cand
+    // the exact-verify joins are pinned to full shuffle width
+    // ([[Spread.byKey]]): the candidate-pair exchange is bytes-small but
+    // each surviving row pays an O(|ga|+|gb|) array intersection, so the
+    // AQE-coalesced 1-task verify stage held ~40% of the query's critical
+    // path at sf0.1 (1.26 s single-task CPU, StageProf). Pinning the
+    // candidate side pins the whole join (AQE only coalesces a join when
+    // every leaf shuffle is coalescible).
+    Spread.byKey(cand, col("doc_a"))
       .join(arrays.select(col("doc_id").as("doc_a"), col("gs").as("ga"),
         col("sz").as("na")), "doc_a")
+      .transform(Spread.byKey(_, col("doc_b")))
       .join(arrays.select(col("doc_id").as("doc_b"), col("gs").as("gb"),
         col("sz").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -953,7 +961,11 @@ object Dedup {
       docs: DataFrame, k: Int = 3, width: Int = 40): DataFrame = {
     require(width % (k + 1) == 0, s"width=$width must divide into ${k + 1} segments")
     val segLen = width / (k + 1)
-    val keys = docs.select(col("doc_id"),
+    // [[Spread.byKey]] before the checkpoint: a single-split corpus scan
+    // otherwise materializes ONE partition, serializing every downstream
+    // stage (probe/index explode, candidate join, levenshtein verify all
+    // profiled 1-task at sf0.1, the verify alone 1.27 s of single-core CPU)
+    val keys = Spread.byKey(docs, col("doc_id")).select(col("doc_id"),
       rpad(lower(substring(trim(col("text")), 1, width)), width, "#").as("key"))
       .localCheckpoint()
     val probes = keys.select(col("doc_id"), posexplode(array(
@@ -976,8 +988,12 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    cand
+    // verify joins pinned to full width (the [[prefixFilterPairs]] device):
+    // each candidate pays an O(width²) levenshtein, so an AQE-coalesced
+    // 1-task verify serializes the query's dominant CPU
+    Spread.byKey(cand, col("doc_a"))
       .join(keys.select(col("doc_id").as("doc_a"), col("key").as("ka")), "doc_a")
+      .transform(Spread.byKey(_, col("doc_b")))
       .join(keys.select(col("doc_id").as("doc_b"), col("key").as("kb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("ka"), col("kb")).as("edit_dist"))
