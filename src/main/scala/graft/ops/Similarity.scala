@@ -30,6 +30,12 @@ object Similarity {
     */
   def withNorm(embeddings: DataFrame): DataFrame = {
     val vec = transform(col("embedding"), x => x.cast("double"))
+    // deliberately NOT [[Spread.byKey]]-pinned: only the PQ paths carry
+    // enough per-vector fan-out CPU (n×m×codebookSize encode/ADC work) to
+    // pay for a pinned exchange — pinning here measured −18/−27% on the
+    // PQ queries but +24/+57% on the light paths (sq8, hard_negatives,
+    // brute-force ndcg), so the pin lives in pqTopK/ivfPqTopK instead
+    // (r13, same-session Diag).
     embeddings
       .withColumn("vec", vec)
       .withColumn("norm", graft.functions.VectorFunctions.l2norm(col("vec")))
@@ -601,7 +607,10 @@ object Similarity {
   def pqTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50,
       m: Int = 16, codebookSize: Int = 64): DataFrame = {
     val dot = graft.functions.VectorFunctions.dot _
-    val v = withNorm(embeddings)
+    // pinned vec_id exchange: the n×m×codebookSize encode aggregate and
+    // the ADC scoring fan-out otherwise run inside the single-split scan
+    // task (r13 StageProf: every stage 1-task, encode alone 0.77 s CPU)
+    val v = Spread.byKey(withNorm(embeddings), col("vec_id"))
     val book = pqCodebook(v, m, codebookSize)
     val codes = pqEncodeAssigned(subVectors(v, "vec_id", m), book)
     val qsubs = subVectors(
@@ -671,7 +680,8 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50,
       nCentroids: Int = 0, m: Int = 16, codebookSize: Int = 64): DataFrame = {
     val dot = graft.functions.VectorFunctions.dot _
-    val v = withNorm(embeddings)
+    // pinned vec_id exchange — the [[pqTopK]] encode/ADC fan-out fix
+    val v = Spread.byKey(withNorm(embeddings), col("vec_id"))
     // nCentroids <= 0 → the CellLadder (C² ≥ n): the sf10 rung measured
     // the fixed C=16 composite at 53× for 10× data (scored pairs n²·m/C
     // once queries ∝ n); the production composite sizes its index

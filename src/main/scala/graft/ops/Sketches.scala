@@ -62,7 +62,13 @@ object Sketches {
     */
   def kmvDistinctRollup(
       df: DataFrame, grp: Column, value: Column, k: Int = 64): DataFrame = {
-    val base = df.select(grp.as("grp"), value.as("v"))
+    // pinned group exchange BEFORE the hash/sketch projection (Spread):
+    // the per-row md5 + sketch insert otherwise ran inside the
+    // single-split scan task, and the merge rode a 4-task AQE-coalesced
+    // exchange (r13, StageProf); with the clustering established first,
+    // build and merge fuse into one full-width stage
+    val base = Spread.byKey(df.select(grp.as("grp"), value.as("v")),
+        col("grp"))
       .withColumn("hv", hash60(col("v")))
     val per = base.groupBy("grp").agg(
       KmvAggregate.kmv(col("hv"), k).as("sketch"),
@@ -95,8 +101,10 @@ object Sketches {
     */
   def hllDistinctRollup(df: DataFrame, grp: Column, value: Column): DataFrame = {
     import graft.functions.Hll
-    val base = df.filter(value.isNotNull)
-      .select(grp.as("grp"), value.as("v"))
+    // pinned group exchange before the hash/register projection — same
+    // serial-build + coalesced-merge fix as [[kmvDistinctRollup]]
+    val base = Spread.byKey(df.filter(value.isNotNull)
+        .select(grp.as("grp"), value.as("v")), col("grp"))
       .withColumn("hv", hash60(col("v")))
     val per = base.groupBy("grp").agg(
       Hll.hll(col("hv")).as("regs"),
@@ -204,7 +212,12 @@ object Sketches {
     def bucket(j: Column, key: Column): Column =
       conv(substring(md5(concat(j.cast("string"), lit(":"),
         key.cast("string"))), 1, 8), 16, 10).cast("long") % w
-    val keys = df.filter(col(keyCol).isNotNull).select(col(keyCol).as("key"))
+    // pinned key exchange before the d-way md5 fan-out (Spread): the
+    // bucket hashing otherwise ran inside the single-split scan task; the
+    // probes' exact-count groupBy rides the same exchange
+    val keys = Spread.byKey(
+      df.filter(col(keyCol).isNotNull).select(col(keyCol).as("key")),
+      col("key"))
     val rows = keys.select(col("key"),
       explode(sequence(lit(0), lit(d - 1))).as("j"))
       .select(col("j"), bucket(col("j"), col("key")).as("bucket"))
@@ -249,8 +262,13 @@ object Sketches {
     def bucket(j: Column, key: Column): Column =
       conv(substring(md5(concat(j.cast("string"), lit(":"),
         key.cast("string"))), 1, 8), 16, 10).cast("long") % w
+    // pinned key exchange before the d-way md5 fan-out per side — the
+    // [[cmsHeavyHitters]] serial-scan-stage fix (r13, StageProf: the
+    // lineitem-side build was 0.94 s of single-task CPU)
     def sketch(df: DataFrame, key: Column, cntName: String) =
-      df.filter(key.isNotNull).select(key.cast("string").as("key"))
+      Spread.byKey(
+          df.filter(key.isNotNull).select(key.cast("string").as("key")),
+          col("key"))
         .select(col("key"), explode(sequence(lit(0), lit(d - 1))).as("j"))
         .select(col("j"), bucket(col("j"), col("key")).as("bucket"))
         .groupBy("j", "bucket").agg(count(lit(1)).as(cntName))
