@@ -42,7 +42,10 @@ object Dedup {
     * splits, so without it the whole fingerprint pass lands on one task.
     */
   def exact(docs: DataFrame): DataFrame =
-    Spread.byKey(docs, col("doc_id"))
+    docs
+      // NOT Spread-pinned: one md5 per doc is too light to pay for a
+      // pinned full-width exchange (r13: pinning measured +0.2 s at sf0.1)
+      .repartition(col("doc_id"))
       .select(TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
@@ -65,7 +68,8 @@ object Dedup {
     * as-is.
     */
   def incremental(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val existingFp = Spread.byKey(existing, col("doc_id"))
+    val existingFp = existing
+      .repartition(col("doc_id")) // not Spread-pinned — see [[exact]]
       .select(TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy("fp").agg(min("doc_id").as("dup_of"))
     val batchFp = incoming
