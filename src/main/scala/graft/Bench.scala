@@ -105,7 +105,18 @@ object Bench {
       s"""{"total":${f3(total)},"n":${results.size},"queries":${jMap(results)},""" +
         s""""sentinel":${jSentinel(sentinel)},"artifact_sec":${jMap(artifacts)},""" +
         s""""ingest_rows_per_sec":${f3(ingest.rowsPerSec)},"sf":"$sfDir"}""")
-    println(finalLine(results, ingest, sfDir, sentinel, artifacts))
+    val line = finalLine(results, ingest, sfDir, sentinel, artifacts)
+    // Durable copy of the EXACT final line (r13 verdict task 2): thirteen
+    // straight driver records carry `parsed: null` because the stdout line
+    // reached the log behind sbt's `[info] ` logger prefix. The line is now
+    // (a) written to a stable committed path before anything prints, and
+    // (b) printed via the forked JVM's raw stdout (build.sbt routes forked
+    // run output through StdoutOutput, no logger prefixing), flushed, as
+    // the absolute last output. Same numbers, same protocol — a recording
+    // fix, not a methodology change.
+    writeDetail(sys.env.getOrElse("SPARK_GRAFT_BENCH_LINE", "BENCH_LINE.json"), line)
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 

@@ -1387,6 +1387,11 @@ object SparkEntry {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("n", sum("c").over(byFlag))
       cum.groupBy("l_returnflag")
+        // null caveat (r13 ADVICE): min(when(...)) skips NULL qty, while a
+        // row_number formulation would return NULL when the rank lands on
+        // a NULL-qty row (nulls sort first). Row-identical here because
+        // l_quantity is NOT NULL in TPC-H lineitem; a null-bearing input
+        // would need an explicit qty.isNotNull filter before the groupBy.
         .agg(max("n").as("n"),
           min(when(col("cum") >= expr("(n + 1) div 2"), col("qty")))
             .as("p50_disc"),
@@ -2270,7 +2275,12 @@ object SparkEntry {
         col("p_retailprice").cast("decimal(18,2)").as("value"))
       val edges = part.select(col("p_partkey").as("node"),
         expr("p_partkey div 2").as("parent")).filter(col("parent") >= 1)
-      graft.ops.Hierarchy.subtreeRollup(nodes, edges)
+      // validate=false (r14): parent = key div 2 is a FUNCTION of the key,
+      // so the single-parent contract holds by construction — the
+      // multi-parent census would be one more sequential job on a query
+      // whose cost is its job chain, proving a tautology.
+      graft.ops.Hierarchy.subtreeRollup(nodes, edges,
+        Some(graft.ops.Hierarchy.ancestorClosure(edges, validate = false)))
         .withColumnRenamed("node", "p_partkey")
     },
     "hier_distinct_rollup" -> { (s, dir) =>
@@ -2298,7 +2308,9 @@ object SparkEntry {
         .agg(graft.functions.KmvAggregate.kmv(col("hv"), 64).as("sk"))
       val edges = part.select(col("p_partkey").as("node"),
         expr("p_partkey div 2").as("parent")).filter(col("parent") >= 1)
-      val pairs = graft.ops.Hierarchy.ancestorClosure(edges)
+      // validate=false (r14): parent = key div 2 — single-parent by
+      // construction, same justification as hier_rollup above
+      val pairs = graft.ops.Hierarchy.ancestorClosure(edges, validate = false)
         .select(col("node"), col("anc"))
         .unionByName(part.select(col("p_partkey").as("node"),
           col("p_partkey").as("anc")))

@@ -47,8 +47,11 @@ object StageProf {
     }
     spark.sparkContext.addSparkListener(listener)
     val wall = run()
+    // drain BEFORE removing: the listener bus is async, so events still
+    // queued at removal would never be delivered and the profile would
+    // under-report the run's final stages (r13 ADVICE)
+    Thread.sleep(500)
     spark.sparkContext.removeSparkListener(listener)
-    Thread.sleep(500) // listener bus drain
     println(f"STAGEPROF ${args(0)} wall=$wall%.3f s")
     println("stage  runMs   cpuMs    gcMs  fetchW tasks   shufR   shufW  scopes")
     stages.sortBy(-_._3).foreach { case (id, scopes, rt, cpu, gc, fw, n, sr, sw) =>

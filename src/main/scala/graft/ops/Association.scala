@@ -139,7 +139,15 @@ object Association {
       items.groupBy("token").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= minSup)
         .select("token"), "L1 frequent-token"))
-    val freq = items.join(l1, Seq("token"), "left_semi")
+    // pinned exchange (Spread, r14): the C(k,2)-per-doc pair generation in
+    // the L2 census and the counting pass is the suite's single heaviest
+    // CPU stage, and its (doc_id, token) shuffle is bytes-small — AQE
+    // coalesced the merge-join legs to 2 tasks carrying ~4.8 s CPU at
+    // sf0.1 (StageProf, r13). One numbered doc_id repartition here feeds
+    // every leg (both L2 census sides, both counting-pass sides) through
+    // ReuseExchange at full width.
+    val freq = Spread.byKey(
+      items.join(l1, Seq("token"), "left_semi"), col("doc_id"))
     def pairStream: DataFrame = freq.hint("merge").as("a")
       .join(freq.hint("merge").as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))

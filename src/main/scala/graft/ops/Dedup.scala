@@ -528,14 +528,25 @@ object Dedup {
     // bigram stream with the block key (lang + first token); tok0 rides the
     // same window sort the gram leads use. Distinct-ification and the size
     // rollup are shuffle-free: rows are already clustered by doc_id.
+    //
+    // r14 (guide §2.3 narrower types, §3): the (lang, tok0, gram) triple is
+    // HASHED to one 64-bit xxhash64 key — every downstream shuffle, sort
+    // and merge-compare is then one fixed-width long instead of three
+    // variable-length strings (the [[prefixFilterPairs]] convention; there
+    // the string form measured 7.3 s vs ~1 s hashed). Tokens contain no
+    // whitespace (they come from a \s+ split), so (w, l1) ↔ the old
+    // concat_ws gram is a bijection and hashing the 4-tuple directly is
+    // equality-equivalent to the old 3-key join modulo 64-bit collisions
+    // (~(distinct grams)²/2^64 — certified identical at every test SF by
+    // the oracle hash gate, which still computes over the gram STRINGS).
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val leads = Seq(lead(col("w"), 1).over(w).as("l1"),
       first(col("w")).over(w).as("tok0"))
     val grams = tok
       .select(col("doc_id") +: col("lang") +: col("w") +: leads: _*)
       .filter(col("l1").isNotNull)
-      .select(col("doc_id"), col("lang"), col("tok0"),
-        concat_ws(" ", col("w"), col("l1")).as("gram"))
+      .select(col("doc_id"),
+        xxhash64(col("lang"), col("tok0"), col("w"), col("l1")).as("gh"))
       .distinct() // per-doc gram set; no shuffle (clustered by doc_id)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     // SORT-MERGE, not broadcast: the exploded gram side is O(corpus) and
@@ -544,8 +555,7 @@ object Dedup {
     val a = grams.hint("merge").as("a")
     val b = grams.hint("merge").as("b")
     val isects = a.join(b,
-        col("a.lang") === col("b.lang") && col("a.tok0") === col("b.tok0") &&
-          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("isect"))
     val sa = sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na"))
@@ -573,21 +583,22 @@ object Dedup {
     * of the union.
     */
   def containmentPairs(docs: DataFrame, minContainment: Double = 0.5): DataFrame = {
+    // same 64-bit gram-hash join keys as [[ngramJaccardPairsOf]] (r14) —
+    // see the collision-budget note there
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val leads = Seq(lead(col("w"), 1).over(w).as("l1"),
       first(col("w")).over(w).as("tok0"))
     val grams = tokenStream(docs, Seq("lang"))
       .select(col("doc_id") +: col("lang") +: col("w") +: leads: _*)
       .filter(col("l1").isNotNull)
-      .select(col("doc_id"), col("lang"), col("tok0"),
-        concat_ws(" ", col("w"), col("l1")).as("gram"))
+      .select(col("doc_id"),
+        xxhash64(col("lang"), col("tok0"), col("w"), col("l1")).as("gh"))
       .distinct()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val a = grams.hint("merge").as("a")
     val b = grams.hint("merge").as("b")
     val isects = a.join(b,
-        col("a.lang") === col("b.lang") && col("a.tok0") === col("b.tok0") &&
-          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("isect"))
     val sa = sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na"))
@@ -644,11 +655,13 @@ object Dedup {
   def contamination(
       corpus: DataFrame, benchmark: DataFrame,
       n: Int = 5, minShared: Long = 2): DataFrame = {
-    def grams(docs: DataFrame) =
-      gramStream(docs, n, Nil).distinct() // per-doc gram set; no shuffle
-    val bg = grams(benchmark).select(col("gram")).distinct()
+    def grams(docs: DataFrame) = // per-doc distinct gram-hash set (r14
+      // long keys, [[ngramJaccardPairsOf]] budget); no shuffle
+      gramStream(docs, n, Nil)
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh")).distinct()
+    val bg = grams(benchmark).select(col("gh")).distinct()
     grams(corpus)
-      .join(bg, "gram")
+      .join(bg, "gh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared")) // input is distinct per (doc, gram)
       .filter(col("n_shared") >= minShared)
@@ -683,12 +696,15 @@ object Dedup {
       .select(col("doc_id") +: col("pos") +: col("w") +: leads: _*)
       .filter(col(s"l${n - 1}").isNotNull)
       .select(col("doc_id"), col("pos"),
-        concat_ws(" ", col("w") +: (1 until n).map(k => col(s"l$k")): _*).as("gram"))
-    val shared = positioned.select("doc_id", "gram").distinct()
-      .groupBy("gram").agg(count(lit(1)).as("ndocs"))
+        // 64-bit gram hash as the join/census key (r14): the gram string
+        // never leaves the scan stage — the ndocs census exchange and the
+        // occurrence join shuffle longs ([[ngramJaccardPairsOf]] budget)
+        xxhash64(col("w") +: (1 until n).map(k => col(s"l$k")): _*).as("gh"))
+    val shared = positioned.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
-      .select("gram")
-    val dupOcc = positioned.join(shared, "gram")
+      .select("gh")
+    val dupOcc = positioned.join(shared, "gh")
     val contrib = dupOcc
       .withColumn("prev", lag(col("pos"), 1).over(w))
       .select(col("doc_id"),
@@ -1041,27 +1057,32 @@ object Dedup {
       docs: DataFrame, dfCapShare: Int = 10, minShared: Int = 3,
       topK: Int = 20): DataFrame = {
     require(dfCapShare >= 2, s"tfidfCosinePairs: dfCapShare=$dfCapShare")
+    // (lang, gram) hashed to one 64-bit key (r14): the df census, the idf
+    // attach and the corpus-wide self-join all shuffle/sort a fixed-width
+    // long instead of a language tag + bigram string — the
+    // [[ngramJaccardPairsOf]] convention and collision budget. The per-doc
+    // tf groupBy stays shuffle-free (doc_id ⊂ its grouping keys rides the
+    // gramStream clustering) exactly as before.
     val tf = gramStream(docs, 2, Seq("lang"))
-      .withColumnRenamed("gram", "w")
-      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy("lang", "w").agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), xxhash64(col("lang"), col("gram")).as("gh"))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("gh").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val kept = dft.crossJoin(broadcast(nDocs))
       .filter(col("df") * dfCapShare <= col("n_docs"))
       .withColumn("idf_e3",
         expr("CAST(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) " +
           "* 1000 AS BIGINT)"))
-      .select("lang", "w", "idf_e3")
-    val weighted = tf.join(kept, Seq("lang", "w"))
-      .select(col("doc_id"), col("lang"), col("w"),
+      .select("gh", "idf_e3")
+    val weighted = tf.join(kept, Seq("gh"))
+      .select(col("doc_id"), col("gh"),
         (col("tf") * col("idf_e3")).as("wt"))
     val norms = weighted.groupBy("doc_id")
       .agg(sum(col("wt") * col("wt")).as("nrm2"))
     val a = weighted.hint("merge").as("a")
     val b = weighted.hint("merge").as("b")
     val dots = a.join(b,
-        col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(sum(col("a.wt") * col("b.wt")).as("dot"),
         count(lit(1)).as("n_shared"))
@@ -1094,12 +1115,16 @@ object Dedup {
     */
   def sourceOverlap(
       docs: DataFrame, n: Int = 4, topK: Int = 20): DataFrame = {
+    // gram hashed to a 64-bit long BEFORE the corpus-wide distinct and the
+    // self-join (r14): both the (source, gram) distinct exchange and the
+    // merge join then move/sort fixed-width longs instead of ~4-word
+    // strings — the [[ngramJaccardPairsOf]] convention and collision budget
     val grams = gramStream(docs, n, Seq("source"))
-      .select("source", "gram").distinct()
+      .select(col("source"), xxhash64(col("gram")).as("gh")).distinct()
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val pairs = grams.hint("merge").as("a")
       .join(grams.hint("merge").as("b"),
-        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("shared_grams"))
     pairs

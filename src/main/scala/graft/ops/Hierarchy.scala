@@ -49,23 +49,29 @@ object Hierarchy {
     var closure = edges
       .select(col("node"), col("parent").as("anc"), lit(1L).as("d"))
       .localCheckpoint()
-    var jump = closure // invariant: exactly the 2^k-step ancestor per node
+    // Invariant after round k: closure holds ALL ancestor pairs with
+    // d <= 2^k (each node has exactly one ancestor per distance up to its
+    // depth, so the set is duplicate-free). The 2^k-step jump table is
+    // therefore closure.filter(d == 2^k) — it needs no separate join +
+    // checkpoint chain of its own (r14; the r13 shape ran TWO joins and
+    // TWO checkpoints per round, and the sequential job chain, not bytes
+    // or CPU, dominates this operator's wall time at every measured SF).
+    // One join, one checkpoint and one bounded-scan emptiness probe per
+    // round — same closure set, ~half the sequential jobs.
+    var step = 1L // = 2^k, the exact distance the current jump rows carry
     var rounds = 0
-    while (!jump.isEmpty) {
+    while (!closure.filter(col("d") === step).isEmpty) {
       rounds += 1
       require(rounds <= maxRounds,
         s"ancestorClosure: depth exceeds 2^$maxRounds — cycle, or raise maxRounds")
+      val jump = closure.filter(col("d") === step)
       // grow: ancestors at 2^k+1 .. 2^(k+1) = closure (d <= 2^k) ∘ jump
       val grown = closure.as("c")
         .join(jump.as("j"), col("c.anc") === col("j.node"))
         .select(col("c.node").as("node"), col("j.anc").as("anc"),
           (col("c.d") + col("j.d")).as("d"))
       closure = closure.unionByName(grown).localCheckpoint()
-      jump = jump.as("x")
-        .join(jump.as("y"), col("x.anc") === col("y.node"))
-        .select(col("x.node").as("node"), col("y.anc").as("anc"),
-          (col("x.d") + col("y.d")).as("d"))
-        .localCheckpoint()
+      step *= 2L
     }
     closure
   }

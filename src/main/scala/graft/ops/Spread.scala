@@ -24,6 +24,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * per-key window/aggregate still reuses the exchange.
   */
 object Spread {
+  /** NOTE (r13 ADVICE): the width is read from the session conf AT PLAN
+    * CONSTRUCTION time and frozen into the plan. A caller that builds the
+    * DataFrame under one `spark.sql.shuffle.partitions` and executes it
+    * after changing the conf gets the build-time width; every repo call
+    * site builds and executes in the same session configuration, and a
+    * cluster submit sets its reduce width before any plan is built.
+    */
   def byKey(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(
       df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
