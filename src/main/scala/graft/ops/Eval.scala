@@ -245,9 +245,34 @@ object Eval {
       .select(col("fs.feature").as("feature"), col("fs.s").as("s"), col("y"))
     val g = stacked.groupBy("feature", "s")
       .agg(count(lit(1)).as("n"), sum("y").as("np"))
-    val w = Window.partitionBy("feature").orderBy(col("s"))
+    // Distributed prefix sum (r14, guide §2.5; the r13 verdict's task 4).
+    // The cumulative-count window partitioned by `feature` alone ran on
+    // |features| partitions — AQE coalesced it to ONE task carrying ~2.6 s
+    // of the query's 4 s wall at sf0.1 (StageProf: two 1-task window
+    // stages over ~450 k near-unique price groups), and the shape is
+    // inherently serial per feature at any scale. Split the score domain
+    // into deterministic, order-preserving buckets b = s >> 12 (arithmetic
+    // shift = floor division, monotone in s for negatives too):
+    //   cum_lt(s) = Σ n over buckets b' < b  +  Σ n within b over s' < s.
+    // The within-bucket window runs at full width over (feature, b) — a
+    // Spread-pinned exchange, since the shuffle is bytes-small but each
+    // row carries window sort/accumulate work — and the bucket offsets are
+    // an O(features × buckets) rollup whose own window is trivially small.
+    // Every term is the same BIGINT sum in a different grouping: exact
+    // identity, not an approximation (oracle-certified sf0.01 + sf0.1).
+    val gb = g.withColumn("b", shiftright(col("s"), 12))
+    val wLocal = Window.partitionBy("feature", "b").orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val r = g.withColumn("cum_lt", coalesce(sum(col("n")).over(w), lit(0L)))
+    val local = Spread.byKey(gb, col("feature"), col("b"))
+      .withColumn("cum_local", coalesce(sum(col("n")).over(wLocal), lit(0L)))
+    val wBuckets = Window.partitionBy("feature").orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = gb.groupBy("feature", "b").agg(sum(col("n")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(wBuckets), lit(0L)))
+      .select(col("feature").as("feature_o"), col("b").as("b_o"), col("off"))
+    val r = local.join(broadcast(offsets),
+        col("feature") === col("feature_o") && col("b") === col("b_o"))
+      .withColumn("cum_lt", col("cum_local") + col("off"))
     r.groupBy("feature").agg(
       sum(col("np") * (lit(2L) * col("cum_lt") + col("n") + lit(1L)))
         .as("s2"),

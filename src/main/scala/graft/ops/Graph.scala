@@ -776,16 +776,26 @@ object Graph {
     val edges = g.edges.filter(col("u") % 2 === 0)
       .select(expr("u div 2").as("s"), expr("(v - 1) div 2").as("p"))
       .localCheckpoint()
+    // hits-LOCAL pinned exchanges (Spread, r14): each half-step's
+    // join+aggregate ran as ONE AQE-coalesced task carrying ~0.4-0.5 s of
+    // decimal-fixed-point CPU at sf0.1 (StageProf: 4 such stages on a
+    // 13 KB shuffle). Pinning the two edge orientations at session width
+    // parallelizes all four half-steps; ReuseExchange still computes each
+    // orientation once. (The r13 blanket pin on the SHARED artifact edges
+    // regressed light graph queries and stays reverted — this pin lives
+    // inside hitsOf only.)
+    val eByS = Spread.byKey(edges, col("s"))
+    val eByP = Spread.byKey(edges, col("p"))
     var hubs = edges.select("s").distinct()
       .withColumn("hub", lit(1L))
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
-      val ar = edges.join(hubs, "s").groupBy("p").agg(sum("hub").as("raw"))
+      val ar = eByS.join(hubs, "s").groupBy("p").agg(sum("hub").as("raw"))
       val at = ar.agg(sum("raw").as("tot"))
       auths = ar.crossJoin(broadcast(at))
         .select(col("p"), expr(
           "(CAST(raw AS DECIMAL(38,0)) * 1000000000000) div tot").as("auth"))
-      val hr = edges.join(auths, "p").groupBy("s").agg(sum("auth").as("raw"))
+      val hr = eByP.join(auths, "p").groupBy("s").agg(sum("auth").as("raw"))
       val ht = hr.agg(sum("raw").as("tot"))
       hubs = hr.crossJoin(broadcast(ht))
         .select(col("s"), expr(
